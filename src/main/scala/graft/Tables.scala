@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.types.DecimalType
+
+/** Schema-pinned loaders for the driver-generated parquet tables.
+  *
+  * On a real cluster these would be catalog tables over partitioned
+  * storage; here each is a single parquet file per scale factor.
+  * Loaders are plain `spark.read.parquet` so Catalyst keeps full
+  * pushdown/pruning freedom (no caching, no forced schemas).
+  */
+object Tables {
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame   = load(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame   = load(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame = load(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = load(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame     = load(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame   = load(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
+  def events(s: SparkSession, d: String): DataFrame   = load(s, d, "events")
+  def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+}
+
+/** Oracle-parity helpers.
+  *
+  * The driver hash-compares our results against DuckDB. Double
+  * summation is order-dependent, so any `sum(double)` can differ in
+  * the last ulp between engines. All source measures carry exactly
+  * two decimals, so casting to DECIMAL(18,2) is lossless; decimal
+  * aggregation is exact and order-independent in both engines; the
+  * final cast back to double is deterministic. Averages are expressed
+  * as exact-decimal-sum / count in double (single IEEE division —
+  * identical everywhere).
+  */
+object Exact {
+  /** Lossless 2-decimal measure → exact decimal. */
+  def dec(c: Column): Column = c.cast(DecimalType(18, 2))
+  /** Exact order-independent sum of a 2-decimal double, as double. */
+  def dsum(c: Column): Column =
+    org.apache.spark.sql.functions.sum(dec(c)).cast("double")
+  /** Exact average of a 2-decimal double, as double. */
+  def davg(c: Column): Column = {
+    import org.apache.spark.sql.functions._
+    (sum(dec(c)).cast("double") / count(lit(1)))
+  }
+}

@@ -1,0 +1,325 @@
+package graft.relational
+
+import graft.{Exact, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Relational OLAP core (SURVEY §2.B): the generic query surface a
+  * ClickHouse user of the reference's table would expect, expressed
+  * declaratively so Catalyst handles pushdown/pruning/join selection.
+  *
+  * Scale notes: dimension tables (region/nation/supplier/part/customer
+  * at star ratios) are broadcast explicitly; fact-side filters are
+  * plain parquet-pushable predicates; every aggregate uses exact
+  * decimal sums (see [[graft.Exact]]) which also enables map-side
+  * partial aggregation.
+  */
+object Relational {
+  import Exact._
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** TPC-H Q1-style pricing summary: single scan, grouped multi-agg. */
+  def q1Agg(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, d)
+      .filter($"l_shipdate" <= lit("1998-09-02").cast("timestamp"))
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        dsum($"l_quantity").as("sum_qty"),
+        dsum($"l_extendedprice").as("sum_base_price"),
+        sum(dec($"l_extendedprice") * (lit(1).cast(DecimalType(18, 2)) - dec($"l_discount")))
+          .cast("double").as("sum_disc_price"),
+        davg($"l_quantity").as("avg_qty"),
+        davg($"l_extendedprice").as("avg_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
+  /** TPC-H Q3-style: selective dim filter → two joins → top-k by agg. */
+  def q3Shipping(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val cutoff = lit("1998-03-15").cast("timestamp")
+    val c = Tables.customer(s, d).filter($"c_mktsegment" === "BUILDING")
+    val o = Tables.orders(s, d).filter($"o_orderdate" < cutoff)
+    val l = Tables.lineitem(s, d).filter($"l_shipdate" > cutoff)
+    l.join(o, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(c), $"o_custkey" === $"c_custkey")
+      .groupBy($"l_orderkey", $"o_orderdate", $"o_orderpriority")
+      .agg(sum(dec($"l_extendedprice") * (lit(1).cast(DecimalType(18, 2)) - dec($"l_discount")))
+        .cast("double").as("revenue"))
+      .orderBy($"revenue".desc, $"l_orderkey")
+      .limit(10)
+  }
+
+  /** EXISTS → left-semi join with a non-equi conjunct. */
+  def q4Semijoin(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val o = Tables.orders(s, d)
+    val l = Tables.lineitem(s, d)
+    o.join(l, $"l_orderkey" === $"o_orderkey" && $"l_shipdate" > $"o_orderdate", "left_semi")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy($"o_orderpriority")
+  }
+
+  /** TPC-H Q5-style snowflake: 6-way join, all dims broadcast. */
+  def q5LocalSupplier(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val r = Tables.region(s, d).filter($"r_name" === "ASIA")
+    val n = Tables.nation(s, d)
+    val c = Tables.customer(s, d)
+    val sup = Tables.supplier(s, d)
+    val o = Tables.orders(s, d)
+      .filter($"o_orderdate" >= lit("1996-01-01").cast("timestamp") &&
+              $"o_orderdate" <  lit("1998-01-01").cast("timestamp"))
+    val l = Tables.lineitem(s, d)
+    l.join(o, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(sup), $"l_suppkey" === $"s_suppkey")
+      .join(broadcast(c), $"o_custkey" === $"c_custkey" && $"c_nationkey" === $"s_nationkey")
+      .join(broadcast(n), $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(r), $"n_regionkey" === $"r_regionkey")
+      .groupBy($"n_name")
+      .agg(sum(dec($"l_extendedprice") * (lit(1).cast(DecimalType(18, 2)) - dec($"l_discount")))
+        .cast("double").as("revenue"))
+      .orderBy($"revenue".desc, $"n_name")
+  }
+
+  /** TPC-H Q6-style scan-heavy agg: every predicate parquet-pushable. */
+  def q6Forecast(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, d)
+      .filter($"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
+              $"l_shipdate" <  lit("1997-01-01").cast("timestamp") &&
+              $"l_discount" >= 0.02 && $"l_discount" <= 0.04 &&
+              $"l_quantity" < 24)
+      .agg(sum(dec($"l_extendedprice") * dec($"l_discount")).cast("double").as("revenue"),
+           count(lit(1)).as("n_items"))
+  }
+
+  /** Stacked window functions sharing one (partition, sort): running
+    * revenue and row rank per supplier — a single shuffle+sort serves
+    * both. */
+  def q7WindowRunning(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"l_suppkey")
+      .orderBy($"l_shipdate", $"l_orderkey", $"l_linenumber")
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.lineitem(s, d)
+      .filter($"l_shipdate" >= lit("1998-01-01").cast("timestamp"))
+      .select($"l_suppkey", $"l_shipdate", $"l_orderkey", $"l_linenumber",
+        row_number().over(w).as("rn"),
+        sum(dec($"l_quantity")).over(run).cast("double").as("running_qty"))
+      .orderBy($"l_suppkey", $"rn")
+  }
+
+  /** NOT EXISTS → left-anti join: customers with no urgent order. */
+  def q10Antijoin(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val urgent = Tables.orders(s, d).filter($"o_orderpriority" === "1-URGENT")
+    Tables.customer(s, d)
+      .join(urgent, $"c_custkey" === $"o_custkey", "left_anti")
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n_customers"),
+           dsum($"c_acctbal").as("sum_acctbal"))
+      .orderBy($"c_mktsegment")
+  }
+
+  /** Conditional aggregation ratio (TPC-H Q14 shape), broadcast dim. */
+  def q14Conditional(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val p = Tables.part(s, d)
+    Tables.lineitem(s, d)
+      .filter($"l_shipdate" >= lit("1997-01-01").cast("timestamp") &&
+              $"l_shipdate" <  lit("1997-04-01").cast("timestamp"))
+      .join(broadcast(p), $"l_partkey" === $"p_partkey")
+      .agg(
+        (sum(when($"p_type" === "ECONOMY", dec($"l_extendedprice") * (lit(1).cast(DecimalType(18, 2)) - dec($"l_discount")))
+          .otherwise(lit(0).cast(DecimalType(18, 2)))).cast("double") * 100.0 /
+         sum(dec($"l_extendedprice") * (lit(1).cast(DecimalType(18, 2)) - dec($"l_discount"))).cast("double"))
+          .as("economy_revenue_pct"))
+  }
+
+  /** Decorrelated scalar subquery (TPC-H Q17 shape): join against a
+    * per-group average computed once, shuffled once. */
+  def q17AvgSubquery(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val l = Tables.lineitem(s, d)
+    val avgQty = l.groupBy($"l_partkey".as("ap_partkey"))
+      .agg(davg($"l_quantity").as("avg_qty"))
+    val p = Tables.part(s, d).filter($"p_brand" === "Brand#1")
+    l.join(broadcast(p), $"l_partkey" === $"p_partkey")
+      .join(avgQty, $"l_partkey" === $"ap_partkey")
+      .filter($"l_quantity" < $"avg_qty" * 0.8)
+      .agg((dsum($"l_extendedprice") / 7.0).as("avg_yearly"),
+           count(lit(1)).as("n_small"))
+  }
+
+  /** groupBy + HAVING (TPC-H Q18 shape): large-quantity orders. */
+  def q18Having(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val l = Tables.lineitem(s, d)
+    val big = l.groupBy($"l_orderkey".as("bo_orderkey"))
+      .agg(dsum($"l_quantity").as("total_qty"))
+      .filter($"total_qty" > 150.0)
+    val o = Tables.orders(s, d)
+    val c = Tables.customer(s, d)
+    o.join(big, $"o_orderkey" === $"bo_orderkey")
+      .join(broadcast(c), $"o_custkey" === $"c_custkey")
+      .select($"c_name", $"c_custkey", $"o_orderkey", $"o_orderdate",
+              dec($"o_totalprice").cast("double").as("o_totalprice"), $"total_qty")
+      .orderBy($"total_qty".desc, $"o_orderkey")
+      .limit(100)
+  }
+
+  /** UNION ALL + DISTINCT across heterogeneous inputs. */
+  def q19Union(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val c = Tables.customer(s, d)
+      .select($"c_nationkey".cast("int").as("nationkey"), lit("customer").as("kind"))
+    val sup = Tables.supplier(s, d)
+      .select($"s_nationkey".cast("int").as("nationkey"), lit("supplier").as("kind"))
+    c.unionByName(sup).distinct()
+      .groupBy($"nationkey")
+      .agg(count(lit(1)).as("n_kinds"))
+      .orderBy($"nationkey")
+  }
+
+  /** Multi count(DISTINCT) in one grouped pass. */
+  def q21DistinctCounts(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, d)
+      .groupBy($"l_returnflag")
+      .agg(countDistinct($"l_orderkey").as("n_orders"),
+           countDistinct($"l_partkey").as("n_parts"),
+           countDistinct($"l_suppkey").as("n_supps"),
+           count(lit(1)).as("n_rows"))
+      .orderBy($"l_returnflag")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q1_agg" -> (q1Agg _),
+    "q3_shipping" -> (q3Shipping _),
+    "q4_semijoin" -> (q4Semijoin _),
+    "q5_local_supplier" -> (q5LocalSupplier _),
+    "q6_forecast" -> (q6Forecast _),
+    "q7_window_running" -> (q7WindowRunning _),
+    "q10_antijoin" -> (q10Antijoin _),
+    "q14_conditional" -> (q14Conditional _),
+    "q17_avg_subquery" -> (q17AvgSubquery _),
+    "q18_having" -> (q18Having _),
+    "q19_union" -> (q19Union _),
+    "q21_distinct_counts" -> (q21DistinctCounts _),
+  )
+
+  // DuckDB oracle SQL — every expression mirrors the Spark plan's
+  // arithmetic exactly (decimal sums, double division) so results are
+  // bit-identical, not merely close.
+  val oracles: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+         COUNT(*) AS count_order
+         FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+         GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+    "q3_shipping" ->
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         WHERE c_mktsegment = 'BUILDING'
+           AND o_orderdate < TIMESTAMP '1998-03-15'
+           AND l_shipdate > TIMESTAMP '1998-03-15'
+         GROUP BY l_orderkey, o_orderdate, o_orderpriority
+         ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+    "q4_semijoin" ->
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+         FROM orders o
+         WHERE EXISTS (SELECT 1 FROM lineitem l
+                       WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q5_local_supplier" ->
+      """SELECT n_name,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         WHERE r_name = 'ASIA'
+           AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+         GROUP BY n_name ORDER BY revenue DESC, n_name""",
+    "q6_forecast" ->
+      """SELECT
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+         COUNT(*) AS n_items
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+           AND l_discount >= 0.02 AND l_discount <= 0.04 AND l_quantity < 24""",
+    "q7_window_running" ->
+      """SELECT l_suppkey, l_shipdate, l_orderkey, l_linenumber,
+         ROW_NUMBER() OVER w AS rn,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+         WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber)
+         ORDER BY l_suppkey, rn""",
+    "q10_antijoin" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_customers,
+         CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
+         FROM customer c
+         WHERE NOT EXISTS (SELECT 1 FROM orders o
+                           WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "q14_conditional" ->
+      """SELECT
+         CAST(SUM(CASE WHEN p_type = 'ECONOMY' THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) * 100.0 /
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS economy_revenue_pct
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'""",
+    "q17_avg_subquery" ->
+      """WITH avg_qty_t AS (
+           SELECT l_partkey AS ap_partkey,
+                  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty
+           FROM lineitem GROUP BY l_partkey)
+         SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly,
+                COUNT(*) AS n_small
+         FROM lineitem
+         JOIN part ON l_partkey = p_partkey
+         JOIN avg_qty_t ON l_partkey = ap_partkey
+         WHERE p_brand = 'Brand#1' AND l_quantity < avg_qty * 0.8""",
+    "q18_having" ->
+      """WITH big AS (
+           SELECT l_orderkey AS bo_orderkey,
+                  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+           FROM lineitem GROUP BY l_orderkey
+           HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) > 150.0)
+         SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+                CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS o_totalprice, total_qty
+         FROM orders JOIN big ON o_orderkey = bo_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         ORDER BY total_qty DESC, o_orderkey LIMIT 100""",
+    "q19_union" ->
+      """SELECT nationkey, COUNT(*) AS n_kinds FROM (
+           SELECT DISTINCT * FROM (
+             SELECT CAST(c_nationkey AS INT) AS nationkey, 'customer' AS kind FROM customer
+             UNION ALL
+             SELECT CAST(s_nationkey AS INT) AS nationkey, 'supplier' AS kind FROM supplier))
+         GROUP BY nationkey ORDER BY nationkey""",
+    "q21_distinct_counts" ->
+      """SELECT l_returnflag,
+         COUNT(DISTINCT l_orderkey) AS n_orders,
+         COUNT(DISTINCT l_partkey) AS n_parts,
+         COUNT(DISTINCT l_suppkey) AS n_supps,
+         COUNT(*) AS n_rows
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+  )
+}
