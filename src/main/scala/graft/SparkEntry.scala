@@ -7,16 +7,20 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
   * SURVEY.md §2's operator inventory.
   */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * q1_agg: a full-scan grouped aggregate that always returns rows at
+    * any scale factor (unlike the highly selective q5). */
   def entry(spark: SparkSession): DataFrame =
-    relational.Relational.q5LocalSupplier(spark, "/root/testdata/sf0.001")
+    relational.Relational.q1Agg(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    relational.Relational.queries
+    relational.Relational.queries ++
+      solar.Solar.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    relational.Relational.oracles
+    relational.Relational.oracles ++
+      solar.Solar.oracles
 }

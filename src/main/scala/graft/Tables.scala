@@ -1,7 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.functions.expr
+import org.apache.spark.sql.types.{DecimalType, LongType}
 
 /** Schema-pinned loaders for the driver-generated parquet tables.
   *
@@ -11,6 +12,24 @@ import org.apache.spark.sql.types.DecimalType
   * pushdown/pruning freedom (no caching, no forced schemas).
   */
 object Tables {
+  /** One local SparkSession shape for Verify/Bench/specs: UTC, AQE on,
+    * shuffle partitions sized to cores (not the 200 default, which
+    * would produce hundreds of near-empty partitions locally; on a
+    * real cluster this would be ~2-4× total cores), and the legacy
+    * nanos flag so the `events` feed is readable (see [[Tables.events]]). */
+  def session(cpus: Int): SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
@@ -21,7 +40,19 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame     = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame   = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame   = load(s, d, "events")
+  /** The events feed carries TIMESTAMP(NANOS) parquet, which Spark 4
+    * rejects outright. Sessions set
+    * `spark.sql.legacy.parquet.nanosAsLong=true` (see [[session]]) so
+    * the column arrives as int64 nanos; integer-divide to micros
+    * (truncation — exactly DuckDB's ns→us conversion) and rebuild the
+    * timestamp. Both steps are per-row codegen'd expressions. */
+  def events(s: SparkSession, d: String): DataFrame = {
+    val df = load(s, d, "events")
+    df.schema("ts").dataType match {
+      case LongType => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _        => df
+    }
+  }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 }

@@ -1,0 +1,445 @@
+package graft.solar
+
+import graft.{Exact, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Telemetry decode & derived metrics (SURVEY §2.A) — the reference's
+  * core domain re-expressed Spark-first.
+  *
+  * The reference polls Modbus input registers (solarman.py:254-308):
+  * u16 registers scaled ×0.1/×0.01 (registers.txt:28-65), u32 values
+  * from (hi,lo) u16 pairs (`quantity=2`), derived `dc_N_watts = V×A`
+  * (solarman.py:259), `dc_calculated_watts = Σ` (solarman.py:276) and
+  * `efficiency = min(100, ac/dc×100)` (solarman.py:285), stored in a
+  * MergeTree table `PARTITION BY toYYYYMM(time) ORDER BY (inverter,
+  * time)` (tables.sql:32) whose implied query surface is time-series
+  * rollups, argMax last-values, counter deltas and gap detection.
+  *
+  * Here the `events` table stands in for the raw feed (TESTDATA.md):
+  * `user_id`→inverter, `event_type`→register stream, `value`→raw
+  * reading, `ts`→poll time.
+  *
+  * Scale notes (100 TB): every query below is a single scan with
+  * map-side-computed bucket/decode expressions and at most one shuffle
+  * keyed on `inverter` (window queries share one (partitionBy inverter,
+  * orderBy ts) sort; rollups are partial-aggregated map-side because
+  * all sums are decimal/long). No collects, no UDFs — everything stays
+  * inside whole-stage codegen.
+  */
+object Solar {
+  import Exact._
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val D2 = DecimalType(18, 2)
+
+  /** Raw feed with telemetry column names applied map-side. */
+  private def feed(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d).withColumnRenamed("user_id", "inverter")
+
+  // ---------------------------------------------------------------------
+  // s1: typed register decode — scaling ×0.1/×0.01 and u32 from (hi,lo)
+  // u16 pair, mirroring read_input_register(quantity=2, scale=…)
+  // (solarman.py:254-308). Pure per-row expressions: decode happens
+  // map-side inside codegen, so at 100 TB this is scan-rate work.
+  // ---------------------------------------------------------------------
+  def s1Decode(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val rawHi = (floor($"value") .cast("long") % 16).as("raw_hi")
+    val rawLo = (floor($"value" * 100).cast("long") % 65536).as("raw_lo")
+    feed(s, d)
+      .select($"event_id", $"inverter", $"ts", $"event_type", rawHi, rawLo)
+      .withColumn("raw_u32", $"raw_hi" * 65536 + $"raw_lo")
+      .withColumn("register",
+        when($"event_type" === "view", "dc_voltage")
+          .when($"event_type" === "click", "dc_amps")
+          .when($"event_type" === "purchase", "ac_watts")
+          .when($"event_type" === "signup", "ac_frequency")
+          .otherwise("inverter_temp"))
+      .withColumn("scale",
+        when($"event_type" === "signup", 0.01)
+          .when($"event_type" === "purchase", 1.0)
+          .otherwise(0.1))
+      .withColumn("decoded", $"raw_u32" * $"scale")
+      .select($"event_id", $"inverter", $"ts", $"register",
+        $"raw_hi", $"raw_lo", $"raw_u32", $"decoded")
+      .orderBy($"event_id")
+  }
+
+  // ---------------------------------------------------------------------
+  // s2: pivot metric-rows → columns (conditional aggregation), then the
+  // reference's derived power: watts = V×A (solarman.py:259,276).
+  // ---------------------------------------------------------------------
+  /** Per (inverter, day) pivot of the metric streams, with derived power. */
+  private def dailyPivot(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    def avgWhere(t: String): Column = {
+      val cnt = count(when($"event_type" === t, 1))
+      when(cnt > 0,
+        sum(when($"event_type" === t, dec($"value"))).cast("double") / cnt)
+    }
+    feed(s, d)
+      .groupBy($"inverter", date_trunc("day", $"ts").as("day"))
+      .agg(
+        avgWhere("view").as("dc_voltage"),
+        avgWhere("click").as("dc_amps"),
+        avgWhere("purchase").as("ac_watts"))
+      .withColumn("dc_watts", $"dc_voltage" * $"dc_amps")
+  }
+
+  def s2DerivedPower(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    dailyPivot(s, d)
+      .select($"inverter", $"day", $"dc_voltage", $"dc_amps", $"dc_watts", $"ac_watts")
+      .orderBy($"inverter", $"day")
+  }
+
+  // ---------------------------------------------------------------------
+  // s3: guarded efficiency = least(100, ac/dc×100) (solarman.py:285).
+  // ---------------------------------------------------------------------
+  def s3Efficiency(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    dailyPivot(s, d)
+      .filter($"dc_watts".isNotNull && $"ac_watts".isNotNull && $"dc_watts" > 0)
+      .withColumn("efficiency", least(lit(100.0), $"ac_watts" / $"dc_watts" * 100))
+      .select($"inverter", $"day", $"ac_watts", $"dc_watts", $"efficiency")
+      .orderBy($"inverter", $"day")
+  }
+
+  // ---------------------------------------------------------------------
+  // s4: per-inverter hourly rollup of one register stream — the basic
+  // MergeTree time-series query (tables.sql:32 layout).
+  // ---------------------------------------------------------------------
+  def s4Hourly(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    feed(s, d)
+      .filter($"event_type" === "view")
+      .groupBy($"inverter", date_trunc("hour", $"ts").as("hour"))
+      .agg(
+        davg($"value").as("avg_value"),
+        min($"value").as("min_value"),
+        max($"value").as("max_value"),
+        count(lit(1)).as("n"))
+      .orderBy($"inverter", $"hour")
+  }
+
+  // ---------------------------------------------------------------------
+  // s5: daily yield from a cumulative counter — the reference stores
+  // monotonically-growing yield counters (registers.txt: DAILY/ANNUAL/
+  // TOTAL YIELD); a running sum of the purchase stream stands in for
+  // the raw counter, daily max is the day's closing reading.
+  // ---------------------------------------------------------------------
+  def s5DailyYield(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"inverter").orderBy($"ts", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    feed(s, d)
+      .filter($"event_type" === "purchase")
+      .withColumn("counter", sum(dec($"value")).over(w))
+      .groupBy($"inverter", date_trunc("day", $"ts").as("day"))
+      .agg(max($"counter").cast("double").as("day_close"),
+           count(lit(1)).as("n_readings"))
+      .orderBy($"inverter", $"day")
+  }
+
+  // ---------------------------------------------------------------------
+  // s6: counter delta with reset clamp — ClickHouse
+  // runningDifference-with-reset semantics: a drop in a monotonic
+  // counter means the device reset, so the increment is the new value.
+  // Exact decimal arithmetic end-to-end so the aggregate is
+  // order-independent (and map-side combinable).
+  // ---------------------------------------------------------------------
+  def s6CounterDelta(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"inverter").orderBy($"ts", $"event_id")
+    feed(s, d)
+      .filter($"event_type" === "purchase")
+      .select($"inverter", $"ts", $"event_id", dec($"value").as("v"))
+      .withColumn("prev", lag($"v", 1).over(w))
+      .withColumn("delta",
+        when($"prev".isNull, lit(null).cast(D2))
+          .when($"v" >= $"prev", $"v" - $"prev")
+          .otherwise($"v"))
+      .groupBy($"inverter")
+      .agg(
+        sum($"delta").cast("double").as("total_increase"),
+        count($"delta").as("n_deltas"),
+        count(when($"v" < $"prev", 1)).as("n_resets"))
+      .orderBy($"inverter")
+  }
+
+  // ---------------------------------------------------------------------
+  // s7: ClickHouse argMax — latest reading per (inverter, register) via
+  // max_by with a (ts, event_id) tie-broken ordering key. One shuffle
+  // with map-side partial aggregation — no global sort, unlike the
+  // window formulation (this is why argMax beats ROW_NUMBER at scale).
+  // ---------------------------------------------------------------------
+  def s7LastReading(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    feed(s, d)
+      .groupBy($"inverter", $"event_type".as("register"))
+      .agg(
+        max($"ts").as("last_ts"),
+        max_by($"value", struct($"ts", $"event_id")).as("last_value"))
+      .orderBy($"inverter", $"register")
+  }
+
+  // ---------------------------------------------------------------------
+  // s8: outage/gap detection — lag(ts) gaps above threshold.
+  // Microsecond-integer arithmetic (unix_micros) so the comparison is
+  // exact in both engines.
+  // ---------------------------------------------------------------------
+  private val GapUs = 24L * 3600 * 1000000 // 24 h
+
+  def s8GapDetect(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"inverter").orderBy($"ts", $"event_id")
+    feed(s, d)
+      .select($"inverter", $"ts", $"event_id")
+      .withColumn("prev_ts", lag($"ts", 1).over(w))
+      .withColumn("gap_us", unix_micros($"ts") - unix_micros($"prev_ts"))
+      .filter($"gap_us" > GapUs)
+      .select($"inverter", $"prev_ts".as("gap_start"), $"ts".as("gap_end"),
+        ($"gap_us" / 60000000.0).as("gap_minutes"))
+      .orderBy($"inverter", $"gap_start")
+  }
+
+  // ---------------------------------------------------------------------
+  // s9: 15-minute downsample (time_bucket). Bucket start computed
+  // map-side by Spark's TimeWindow expression — epoch-aligned, matching
+  // DuckDB's time_bucket.
+  // ---------------------------------------------------------------------
+  def s9Downsample(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    feed(s, d)
+      .filter($"event_type" === "view")
+      .groupBy($"inverter", window($"ts", "15 minutes")("start").as("bucket"))
+      .agg(davg($"value").as("avg_value"),
+           max($"value").as("max_value"),
+           count(lit(1)).as("n"))
+      .orderBy($"inverter", $"bucket")
+  }
+
+  // ---------------------------------------------------------------------
+  // s10: gap-based sessionization — window cumsum of new-session flags.
+  // The flag and cumsum share one (inverter, ts) sort; the session
+  // aggregate is a second shuffle on (inverter, session_id).
+  // ---------------------------------------------------------------------
+  private val SessionGapUs = 2L * 3600 * 1000000 // 2 h
+
+  def s10Sessionize(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"inverter").orderBy($"ts", $"event_id")
+    val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    feed(s, d)
+      .select($"inverter", $"ts", $"event_id")
+      .withColumn("gap_us", unix_micros($"ts") - unix_micros(lag($"ts", 1).over(w)))
+      .withColumn("new_session",
+        when($"gap_us".isNull || $"gap_us" > SessionGapUs, 1L).otherwise(0L))
+      .withColumn("session_id", sum($"new_session").over(cum))
+      .groupBy($"inverter", $"session_id")
+      .agg(
+        min($"ts").as("session_start"),
+        max($"ts").as("session_end"),
+        count(lit(1)).as("n_events"),
+        ((unix_micros(max($"ts")) - unix_micros(min($"ts"))) / 1000000.0)
+          .as("duration_sec"))
+      .orderBy($"inverter", $"session_id")
+  }
+
+  // ---------------------------------------------------------------------
+  // s11: ROLLUP(inverter, day) — ClickHouse WITH ROLLUP multi-level
+  // totals via grouping sets. grouping() flags disambiguate subtotal
+  // rows from (impossible here) genuinely-null keys.
+  // ---------------------------------------------------------------------
+  def s11Rollup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    feed(s, d)
+      .filter($"event_type" === "purchase")
+      .select($"inverter", date_trunc("day", $"ts").as("day"), $"value")
+      .rollup($"inverter", $"day")
+      .agg(
+        grouping($"inverter").cast("long").as("g_inv"),
+        grouping($"day").cast("long").as("g_day"),
+        dsum($"value").as("sum_value"),
+        count(lit(1)).as("n"))
+      .orderBy($"inverter".asc_nulls_first, $"day".asc_nulls_first)
+  }
+
+  // ---------------------------------------------------------------------
+  // s12: top-k inverters by energy with rank(). The rank window is a
+  // single partition, but it runs over the already-aggregated
+  // per-inverter totals (cardinality = #inverters), not the raw feed.
+  // ---------------------------------------------------------------------
+  def s12TopInverters(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val byEnergy = feed(s, d)
+      .filter($"event_type" === "purchase")
+      .groupBy($"inverter")
+      .agg(sum(dec($"value")).as("energy_d"), count(lit(1)).as("n"))
+    byEnergy
+      .withColumn("rnk", rank().over(Window.orderBy($"energy_d".desc)))
+      .filter($"rnk" <= 10)
+      .select($"inverter", $"energy_d".cast("double").as("energy"), $"n", $"rnk")
+      .orderBy($"rnk", $"inverter")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "s1_decode" -> (s1Decode _),
+    "s2_derived_power" -> (s2DerivedPower _),
+    "s3_efficiency" -> (s3Efficiency _),
+    "s4_hourly" -> (s4Hourly _),
+    "s5_daily_yield" -> (s5DailyYield _),
+    "s6_counter_delta" -> (s6CounterDelta _),
+    "s7_last_reading" -> (s7LastReading _),
+    "s8_gap_detect" -> (s8GapDetect _),
+    "s9_downsample" -> (s9Downsample _),
+    "s10_sessionize" -> (s10Sessionize _),
+    "s11_rollup" -> (s11Rollup _),
+    "s12_top_inverters" -> (s12TopInverters _),
+  )
+
+  // DuckDB oracles — each mirrors the Spark arithmetic exactly
+  // (decimal sums, integer microseconds, double division).
+  val oracles: Map[String, String] = Map(
+    "s1_decode" ->
+      """SELECT event_id, user_id AS inverter, ts,
+           CASE event_type WHEN 'view' THEN 'dc_voltage' WHEN 'click' THEN 'dc_amps'
+                WHEN 'purchase' THEN 'ac_watts' WHEN 'signup' THEN 'ac_frequency'
+                ELSE 'inverter_temp' END AS register,
+           CAST(floor(value) AS BIGINT) % 16 AS raw_hi,
+           CAST(floor(value * 100) AS BIGINT) % 65536 AS raw_lo,
+           CAST(floor(value) AS BIGINT) % 16 * 65536 + CAST(floor(value * 100) AS BIGINT) % 65536 AS raw_u32,
+           (CAST(floor(value) AS BIGINT) % 16 * 65536 + CAST(floor(value * 100) AS BIGINT) % 65536)
+             * (CASE event_type WHEN 'signup' THEN 0.01 WHEN 'purchase' THEN 1.0 ELSE 0.1 END) AS decoded
+         FROM events ORDER BY event_id""",
+    "s2_derived_power" ->
+      """WITH p AS (
+           SELECT user_id AS inverter, date_trunc('day', ts) AS day,
+             CASE WHEN count(CASE WHEN event_type='view' THEN 1 END) > 0
+                  THEN CAST(sum(CASE WHEN event_type='view' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE)
+                       / count(CASE WHEN event_type='view' THEN 1 END) END AS dc_voltage,
+             CASE WHEN count(CASE WHEN event_type='click' THEN 1 END) > 0
+                  THEN CAST(sum(CASE WHEN event_type='click' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE)
+                       / count(CASE WHEN event_type='click' THEN 1 END) END AS dc_amps,
+             CASE WHEN count(CASE WHEN event_type='purchase' THEN 1 END) > 0
+                  THEN CAST(sum(CASE WHEN event_type='purchase' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE)
+                       / count(CASE WHEN event_type='purchase' THEN 1 END) END AS ac_watts
+           FROM events GROUP BY 1, 2)
+         SELECT inverter, day, dc_voltage, dc_amps, dc_voltage * dc_amps AS dc_watts, ac_watts
+         FROM p ORDER BY inverter, day""",
+    "s3_efficiency" ->
+      """WITH p AS (
+           SELECT user_id AS inverter, date_trunc('day', ts) AS day,
+             CASE WHEN count(CASE WHEN event_type='view' THEN 1 END) > 0
+                  THEN CAST(sum(CASE WHEN event_type='view' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE)
+                       / count(CASE WHEN event_type='view' THEN 1 END) END AS dc_voltage,
+             CASE WHEN count(CASE WHEN event_type='click' THEN 1 END) > 0
+                  THEN CAST(sum(CASE WHEN event_type='click' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE)
+                       / count(CASE WHEN event_type='click' THEN 1 END) END AS dc_amps,
+             CASE WHEN count(CASE WHEN event_type='purchase' THEN 1 END) > 0
+                  THEN CAST(sum(CASE WHEN event_type='purchase' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE)
+                       / count(CASE WHEN event_type='purchase' THEN 1 END) END AS ac_watts
+           FROM events GROUP BY 1, 2),
+         w AS (SELECT inverter, day, ac_watts, dc_voltage * dc_amps AS dc_watts FROM p)
+         SELECT inverter, day, ac_watts, dc_watts,
+                least(100.0, ac_watts / dc_watts * 100) AS efficiency
+         FROM w
+         WHERE dc_watts IS NOT NULL AND ac_watts IS NOT NULL AND dc_watts > 0
+         ORDER BY inverter, day""",
+    "s4_hourly" ->
+      """SELECT user_id AS inverter, date_trunc('hour', ts) AS hour,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_value,
+           min(value) AS min_value, max(value) AS max_value, count(*) AS n
+         FROM events WHERE event_type = 'view'
+         GROUP BY 1, 2 ORDER BY inverter, hour""",
+    "s5_daily_yield" ->
+      """WITH c AS (
+           SELECT user_id AS inverter, ts,
+             sum(CAST(value AS DECIMAL(18,2))) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS counter
+           FROM events WHERE event_type = 'purchase')
+         SELECT inverter, date_trunc('day', ts) AS day,
+                CAST(max(counter) AS DOUBLE) AS day_close, count(*) AS n_readings
+         FROM c GROUP BY 1, 2 ORDER BY inverter, day""",
+    "s6_counter_delta" ->
+      """WITH r AS (
+           SELECT user_id AS inverter, CAST(value AS DECIMAL(18,2)) AS v,
+             lag(CAST(value AS DECIMAL(18,2))) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS prev
+           FROM events WHERE event_type = 'purchase'),
+         dd AS (
+           SELECT inverter, v, prev,
+             CASE WHEN prev IS NULL THEN NULL
+                  WHEN v >= prev THEN v - prev ELSE v END AS delta
+           FROM r)
+         SELECT inverter, CAST(sum(delta) AS DOUBLE) AS total_increase,
+                count(delta) AS n_deltas,
+                count(CASE WHEN v < prev THEN 1 END) AS n_resets
+         FROM dd GROUP BY inverter ORDER BY inverter""",
+    "s7_last_reading" ->
+      """SELECT inverter, register, last_ts, last_value FROM (
+           SELECT user_id AS inverter, event_type AS register, ts AS last_ts,
+                  value AS last_value,
+                  row_number() OVER (PARTITION BY user_id, event_type
+                                     ORDER BY ts DESC, event_id DESC) AS rn
+           FROM events) WHERE rn = 1
+         ORDER BY inverter, register""",
+    "s8_gap_detect" ->
+      """WITH g AS (
+           SELECT user_id AS inverter, ts,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+           FROM events)
+         SELECT inverter, prev_ts AS gap_start, ts AS gap_end,
+                (epoch_us(ts) - epoch_us(prev_ts)) / 60000000.0 AS gap_minutes
+         FROM g WHERE epoch_us(ts) - epoch_us(prev_ts) > 86400000000
+         ORDER BY inverter, gap_start""",
+    "s9_downsample" ->
+      """SELECT user_id AS inverter, time_bucket(INTERVAL '15 minutes', ts) AS bucket,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_value,
+           max(value) AS max_value, count(*) AS n
+         FROM events WHERE event_type = 'view'
+         GROUP BY 1, 2 ORDER BY inverter, bucket""",
+    "s10_sessionize" ->
+      """WITH g AS (
+           SELECT user_id AS inverter, ts, event_id,
+             epoch_us(ts) - epoch_us(lag(ts) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us
+           FROM events),
+         f AS (
+           SELECT inverter, ts, event_id,
+             CASE WHEN gap_us IS NULL OR gap_us > 7200000000 THEN 1 ELSE 0 END AS new_session
+           FROM g),
+         sn AS (
+           SELECT inverter, ts,
+             sum(new_session) OVER (PARTITION BY inverter ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+           FROM f)
+         SELECT inverter, session_id, min(ts) AS session_start, max(ts) AS session_end,
+                count(*) AS n_events,
+                (epoch_us(max(ts)) - epoch_us(min(ts))) / 1000000.0 AS duration_sec
+         FROM sn GROUP BY 1, 2 ORDER BY inverter, session_id""",
+    "s11_rollup" ->
+      """SELECT user_id AS inverter, date_trunc('day', ts) AS day,
+           CAST(grouping(user_id) AS BIGINT) AS g_inv,
+           CAST(grouping(date_trunc('day', ts)) AS BIGINT) AS g_day,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+           count(*) AS n
+         FROM events WHERE event_type = 'purchase'
+         GROUP BY ROLLUP(user_id, date_trunc('day', ts))
+         ORDER BY inverter NULLS FIRST, day NULLS FIRST""",
+    "s12_top_inverters" ->
+      """WITH e AS (
+           SELECT user_id AS inverter,
+                  sum(CAST(value AS DECIMAL(18,2))) AS energy_d, count(*) AS n
+           FROM events WHERE event_type = 'purchase' GROUP BY 1),
+         r AS (SELECT inverter, energy_d, n,
+                      rank() OVER (ORDER BY energy_d DESC) AS rnk FROM e)
+         SELECT inverter, CAST(energy_d AS DOUBLE) AS energy, n, rnk
+         FROM r WHERE rnk <= 10 ORDER BY rnk, inverter""",
+  )
+}
