@@ -65,7 +65,13 @@ object Relational {
       .orderBy($"o_orderpriority")
   }
 
-  /** TPC-H Q5-style snowflake: 6-way join, all dims broadcast. */
+  /** TPC-H Q5-style snowflake join.
+    *
+    * Scale note: only fixed-cardinality dims (region: 5 rows, nation:
+    * 25 rows) carry an explicit broadcast hint. customer/supplier grow
+    * linearly with scale factor — multi-TB at the 100 TB design point —
+    * so a hard-coded broadcast() would OOM executors at 100×; AQE picks
+    * the join strategy for them from runtime sizes instead. */
   def q5LocalSupplier(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val r = Tables.region(s, d).filter($"r_name" === "ASIA")
@@ -77,8 +83,8 @@ object Relational {
               $"o_orderdate" <  lit("1998-01-01").cast("timestamp"))
     val l = Tables.lineitem(s, d)
     l.join(o, $"l_orderkey" === $"o_orderkey")
-      .join(broadcast(sup), $"l_suppkey" === $"s_suppkey")
-      .join(broadcast(c), $"o_custkey" === $"c_custkey" && $"c_nationkey" === $"s_nationkey")
+      .join(sup, $"l_suppkey" === $"s_suppkey")
+      .join(c, $"o_custkey" === $"c_custkey" && $"c_nationkey" === $"s_nationkey")
       .join(broadcast(n), $"c_nationkey" === $"n_nationkey")
       .join(broadcast(r), $"n_regionkey" === $"r_regionkey")
       .groupBy($"n_name")
@@ -127,14 +133,18 @@ object Relational {
       .orderBy($"c_mktsegment")
   }
 
-  /** Conditional aggregation ratio (TPC-H Q14 shape), broadcast dim. */
+  /** Conditional aggregation ratio (TPC-H Q14 shape).
+    *
+    * Scale note: part is scale-proportional (unfiltered), so no
+    * broadcast hint — AQE decides from runtime size. The lineitem side
+    * is date-filtered down to ~3 months before the join. */
   def q14Conditional(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val p = Tables.part(s, d)
     Tables.lineitem(s, d)
       .filter($"l_shipdate" >= lit("1997-01-01").cast("timestamp") &&
               $"l_shipdate" <  lit("1997-04-01").cast("timestamp"))
-      .join(broadcast(p), $"l_partkey" === $"p_partkey")
+      .join(p, $"l_partkey" === $"p_partkey")
       .agg(
         (sum(when($"p_type" === "ECONOMY", dec($"l_extendedprice") * (lit(1).cast(DecimalType(18, 2)) - dec($"l_discount")))
           .otherwise(lit(0).cast(DecimalType(18, 2)))).cast("double") * 100.0 /
@@ -142,16 +152,23 @@ object Relational {
           .as("economy_revenue_pct"))
   }
 
-  /** Decorrelated scalar subquery (TPC-H Q17 shape): join against a
-    * per-group average computed once, shuffled once. */
+  /** Decorrelated scalar subquery (TPC-H Q17 shape).
+    *
+    * Scale note: the per-partkey average is only ever consumed for
+    * Brand#1 parts, so lineitem is semi-joined against the filtered
+    * part keys BEFORE the groupBy — at TPC-H selectivity that is ~25×
+    * less aggregate state shuffled than averaging all of lineitem
+    * first. Semantically identical: a per-partkey average is the same
+    * whether or not other partkeys' groups are computed. The Brand#1
+    * part side is a filtered dim → broadcast is bounded and safe. */
   def q17AvgSubquery(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val l = Tables.lineitem(s, d)
-    val avgQty = l.groupBy($"l_partkey".as("ap_partkey"))
-      .agg(davg($"l_quantity").as("avg_qty"))
     val p = Tables.part(s, d).filter($"p_brand" === "Brand#1")
-    l.join(broadcast(p), $"l_partkey" === $"p_partkey")
-      .join(avgQty, $"l_partkey" === $"ap_partkey")
+    val lp = Tables.lineitem(s, d)
+      .join(broadcast(p.select($"p_partkey")), $"l_partkey" === $"p_partkey", "left_semi")
+    val avgQty = lp.groupBy($"l_partkey".as("ap_partkey"))
+      .agg(davg($"l_quantity").as("avg_qty"))
+    lp.join(avgQty, $"l_partkey" === $"ap_partkey")
       .filter($"l_quantity" < $"avg_qty" * 0.8)
       .agg((dsum($"l_extendedprice") / 7.0).as("avg_yearly"),
            count(lit(1)).as("n_small"))
@@ -164,10 +181,13 @@ object Relational {
     val big = l.groupBy($"l_orderkey".as("bo_orderkey"))
       .agg(dsum($"l_quantity").as("total_qty"))
       .filter($"total_qty" > 150.0)
+    // customer is scale-proportional and unfiltered: no broadcast hint
+    // (AQE chooses); the `big` side after HAVING is tiny and AQE
+    // broadcast-joins it against orders at runtime.
     val o = Tables.orders(s, d)
     val c = Tables.customer(s, d)
     o.join(big, $"o_orderkey" === $"bo_orderkey")
-      .join(broadcast(c), $"o_custkey" === $"c_custkey")
+      .join(c, $"o_custkey" === $"c_custkey")
       .select($"c_name", $"c_custkey", $"o_orderkey", $"o_orderdate",
               dec($"o_totalprice").cast("double").as("o_totalprice"), $"total_qty")
       .orderBy($"total_qty".desc, $"o_orderkey")

@@ -227,6 +227,12 @@ object Solar {
   // s10: gap-based sessionization — window cumsum of new-session flags.
   // The flag and cumsum share one (inverter, ts) sort; the session
   // aggregate is a second shuffle on (inverter, session_id).
+  // Oracle note: DuckDB's sum(INTEGER) is HUGEINT (int128) — the only
+  // such column in the whole query set and the round-2 hash-FAIL
+  // suspect; the oracle casts it back to BIGINT to match Spark's long.
+  // (duration_sec itself is exact: integer-micros / 1e6 is one
+  // correctly-rounded IEEE division, bit-identical in both engines —
+  // same shape as s8's gap_minutes, which hash-passes.)
   // ---------------------------------------------------------------------
   private val SessionGapUs = 2L * 3600 * 1000000 // 2 h
 
@@ -314,7 +320,7 @@ object Solar {
            CAST(floor(value * 100) AS BIGINT) % 65536 AS raw_lo,
            CAST(floor(value) AS BIGINT) % 16 * 65536 + CAST(floor(value * 100) AS BIGINT) % 65536 AS raw_u32,
            (CAST(floor(value) AS BIGINT) % 16 * 65536 + CAST(floor(value * 100) AS BIGINT) % 65536)
-             * (CASE event_type WHEN 'signup' THEN 0.01 WHEN 'purchase' THEN 1.0 ELSE 0.1 END) AS decoded
+             * CAST(CASE event_type WHEN 'signup' THEN 0.01 WHEN 'purchase' THEN 1.0 ELSE 0.1 END AS DOUBLE) AS decoded
          FROM events ORDER BY event_id""",
     "s2_derived_power" ->
       """WITH p AS (
@@ -416,8 +422,8 @@ object Solar {
            FROM g),
          sn AS (
            SELECT inverter, ts,
-             sum(new_session) OVER (PARTITION BY inverter ORDER BY ts, event_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+             CAST(sum(new_session) OVER (PARTITION BY inverter ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
            FROM f)
          SELECT inverter, session_id, min(ts) AS session_start, max(ts) AS session_end,
                 count(*) AS n_events,

@@ -8,7 +8,21 @@ Registers each parquet table as a DuckDB view, runs every oracle SQL,
 and compares against the Spark-written parquet: columns sorted by
 name, rows as-written, exact value equality (floats: exact or 1e-12
 rel tolerance reported separately).
+
+norm() mirrors the driver's observed normalization (round-2 evidence):
+ - DATE vs TIMESTAMP (DuckDB date_trunc returns DATE, Spark TIMESTAMP):
+   dates are promoted to midnight datetimes -> both isoformat the same.
+ - DECIMAL vs DOUBLE: Decimal coerced to float.
+ - NaN == NaN (a NaN ratio is a legitimate match, ADVICE r2).
+Rows are compared positionally (every oracle query MUST have a
+total-order ORDER BY); on positional mismatch we fall back to a
+sorted-multiset compare and report which of the two failed.
+Additionally warns when an oracle result column is HUGEINT-typed
+(DuckDB sum(INTEGER) etc.) — the round-2 s10 hash-FAIL class; cast
+those to BIGINT in the oracle SQL.
 """
+import datetime
+import decimal
 import json, math, os, sys
 import duckdb
 
@@ -16,10 +30,16 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 def norm(v):
-    if hasattr(v, "isoformat"):
+    if isinstance(v, datetime.datetime):
         return v.isoformat()
-    if isinstance(v, float):
-        return v
+    if isinstance(v, datetime.date):
+        return datetime.datetime(v.year, v.month, v.day).isoformat()
+    if isinstance(v, decimal.Decimal):
+        return float(v)
+    if isinstance(v, float) and math.isnan(v):
+        return "NaN"  # NaN == NaN for comparison purposes
+    if isinstance(v, list):
+        return tuple(norm(x) for x in v)
     return v
 
 def main():
@@ -41,7 +61,12 @@ def main():
         try:
             oc = con.execute(sql)
             ocols = [c[0] for c in oc.description]
+            otypes = [str(c[1]) for c in oc.description]
             orows = oc.fetchall()
+            for cname, ctype in zip(ocols, otypes):
+                if "HUGEINT" in ctype.upper() or "INT128" in ctype.upper():
+                    print(f"WARN {name}: oracle col {cname} is {ctype} "
+                          f"(driver hash-FAIL class; CAST to BIGINT in oracle SQL)")
         except Exception as e:
             print(f"FAIL {name}: oracle SQL error: {e}")
             n_fail += 1
@@ -90,6 +115,10 @@ def main():
                 break
         if close:
             print(f"WARN {name}: rows match only within float tolerance (driver may fail!)")
+            n_fail += 1
+        elif sorted(map(repr, og)) == sorted(map(repr, sg)):
+            print(f"FAIL {name}: values match as multiset but row ORDER differs "
+                  f"(oracle needs a total-order ORDER BY)")
             n_fail += 1
         else:
             ri, ci, x, y = first
