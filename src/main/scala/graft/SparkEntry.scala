@@ -16,11 +16,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     relational.Relational.queries ++
-      solar.Solar.queries
+      solar.Solar.queries ++
+      events.Events.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     relational.Relational.oracles ++
-      solar.Solar.oracles
+      solar.Solar.oracles ++
+      events.Events.oracles
 }

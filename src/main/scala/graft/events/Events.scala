@@ -1,0 +1,242 @@
+package graft.events
+
+import graft.{Exact, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-stream analytics (SURVEY §2.C) — the ClickHouse-idiom query
+  * family a user of the reference's events table writes next after the
+  * rollups: windowFunnel, cohort retention, histograms, JSON property
+  * extraction, and ASOF JOIN.
+  *
+  * Scale notes (100 TB): every query shuffles on `user_id` at most
+  * twice; the funnel is a ClickHouse `windowFunnel` re-expressed as
+  * stacked window aggregates sharing ONE (user_id, ts) sort (no
+  * self-joins, no per-user collect); the as-of join is a union+window
+  * composition — one shuffle, one sort, no per-row lookup, which is
+  * the shape that survives a fact-fact as-of at 100×. All sums that
+  * feed the driver's hash are exact (decimal/long), mirroring
+  * [[graft.Exact]].
+  */
+object Events {
+  import Exact._
+
+  type Q = (SparkSession, String) => DataFrame
+
+  // ---------------------------------------------------------------------
+  // e1: ordered-sequence funnel (view → click → purchase), ClickHouse
+  // windowFunnel semantics: each stage must occur strictly after some
+  // completion of the previous stage. One shuffle + one sort per user:
+  // a running min of stage-(k-1) completion times validates stage-k
+  // rows in the same ts-ordered pass.
+  // ---------------------------------------------------------------------
+  def e1Funnel(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val lvl = Tables.events(s, d)
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+      .withColumn("min_view", min(when($"event_type" === "view", $"ts")).over(w))
+      .withColumn("click_ts",
+        when($"event_type" === "click" && $"ts" > $"min_view", $"ts"))
+      .withColumn("min_click", min($"click_ts").over(w))
+      .withColumn("purch_ts",
+        when($"event_type" === "purchase" && $"ts" > $"min_click", $"ts"))
+      .groupBy($"user_id")
+      .agg(
+        min(when($"event_type" === "view", $"ts")).as("t1"),
+        min($"click_ts").as("t2"),
+        min($"purch_ts").as("t3"))
+      .filter($"t1".isNotNull)
+      .select(
+        (lit(1) + when($"t2".isNotNull, 1).otherwise(0)
+                + when($"t3".isNotNull, 1).otherwise(0)).as("funnel_level"))
+    lvl.groupBy($"funnel_level")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy($"funnel_level")
+  }
+
+  // ---------------------------------------------------------------------
+  // e2: cohort retention — cohort = day of user's first event; count
+  // users active again exactly 1 and 7 days later. Activity is
+  // de-dupped to (user, day) first so the join and the distinct counts
+  // stay proportional to active-user-days, not raw events.
+  // ---------------------------------------------------------------------
+  def e2Retention(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val act = Tables.events(s, d)
+      .select($"user_id", date_trunc("day", $"ts").as("day"))
+      .distinct()
+    val first = act.groupBy($"user_id").agg(min($"day").as("cohort"))
+    act.join(first, "user_id")
+      .groupBy($"cohort")
+      .agg(
+        countDistinct($"user_id").as("n_users"),
+        countDistinct(when($"day" === $"cohort" + expr("INTERVAL 1 DAY"), $"user_id"))
+          .as("retained_d1"),
+        countDistinct(when($"day" === $"cohort" + expr("INTERVAL 7 DAY"), $"user_id"))
+          .as("retained_d7"))
+      .orderBy($"cohort")
+  }
+
+  // ---------------------------------------------------------------------
+  // e3: fixed-width histogram of `value` — 10 buckets of width 50 over
+  // [0, 500), under/overflow clamped into the edge buckets
+  // (width_bucket semantics). Bucket id computed map-side; single
+  // grouped aggregate.
+  // ---------------------------------------------------------------------
+  def e3Histogram(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, d)
+      .select(least(greatest(floor($"value" / 50.0).cast("long"), lit(0L)), lit(9L))
+        .as("bucket"), $"value")
+      .groupBy($"bucket")
+      .agg(
+        count(lit(1)).as("n"),
+        min($"value").as("min_value"),
+        max($"value").as("max_value"),
+        davg($"value").as("avg_value"))
+      .withColumn("bucket_lo", $"bucket" * 50.0)
+      .withColumn("bucket_hi", ($"bucket" + 1) * 50.0)
+      .select($"bucket", $"bucket_lo", $"bucket_hi", $"n",
+        $"min_value", $"max_value", $"avg_value")
+      .orderBy($"bucket")
+  }
+
+  // ---------------------------------------------------------------------
+  // e4: JSON property extraction + aggregation — the reference stores
+  // logger metadata as JSON (`props`); get_json_object is a codegen'd
+  // per-row expression, so extraction is scan-rate work at 100 TB.
+  // ---------------------------------------------------------------------
+  def e4JsonExtract(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, d)
+      .select($"event_type",
+        get_json_object($"props", "$.k").cast("long").as("k"))
+      .groupBy($"event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        countDistinct($"k").as("n_distinct_k"),
+        sum($"k").as("sum_k"),
+        (sum($"k").cast("double") / count(lit(1))).as("avg_k"))
+      .orderBy($"event_type")
+  }
+
+  // ---------------------------------------------------------------------
+  // e5: AS-OF join — each event matched to the user's latest order at
+  // or before the event time. Union+window composition (SURVEY §2's
+  // engine component): tag order rows 0 / event rows 1, sort each user
+  // by (time, tag), carry order fields forward with last(ignoreNulls),
+  // keep event rows. ONE shuffle on user, ONE sort — no per-row lookup,
+  // no range self-join; this is the 100 TB-safe as-of shape.
+  // Orders are first de-dupped to one row per (custkey, orderdate)
+  // (max orderkey wins) so ties are deterministic in both engines.
+  // ---------------------------------------------------------------------
+  def e5AsofJoin(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val od = Tables.orders(s, d)
+      .groupBy($"o_custkey", $"o_orderdate")
+      .agg(max($"o_orderkey").as("o_orderkey"),
+           max_by($"o_totalprice", $"o_orderkey").as("o_totalprice"))
+    val right = od.select(
+      $"o_custkey".as("user_id"), $"o_orderdate".as("t"), lit(0).as("tag"),
+      lit(null).cast("long").as("event_id"), lit(null).cast("timestamp").as("ts"),
+      lit(null).cast("string").as("event_type"),
+      $"o_orderkey", $"o_orderdate", $"o_totalprice")
+    val left = Tables.events(s, d).select(
+      $"user_id", $"ts".as("t"), lit(1).as("tag"),
+      $"event_id", $"ts", $"event_type",
+      lit(null).cast("long").as("o_orderkey"),
+      lit(null).cast("timestamp").as("o_orderdate"),
+      lit(null).cast("double").as("o_totalprice"))
+    // At equal times the order row (tag 0) sorts before the event row,
+    // giving inclusive `ts >= o_orderdate` as-of semantics.
+    val w = Window.partitionBy($"user_id")
+      .orderBy($"t", $"tag", $"o_orderkey", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    right.unionByName(left)
+      .withColumn("m_orderkey", last($"o_orderkey", ignoreNulls = true).over(w))
+      .withColumn("m_orderdate", last($"o_orderdate", ignoreNulls = true).over(w))
+      .withColumn("m_totalprice", last($"o_totalprice", ignoreNulls = true).over(w))
+      .filter($"tag" === 1 && $"m_orderkey".isNotNull)
+      .select($"event_id", $"user_id", $"ts", $"event_type",
+        $"m_orderkey".as("o_orderkey"), $"m_orderdate".as("o_orderdate"),
+        $"m_totalprice".as("o_totalprice"))
+      .orderBy($"event_id")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "e1_funnel" -> (e1Funnel _),
+    "e2_retention" -> (e2Retention _),
+    "e3_histogram" -> (e3Histogram _),
+    "e4_json_extract" -> (e4JsonExtract _),
+    "e5_asof_join" -> (e5AsofJoin _),
+  )
+
+  // DuckDB oracles. Discipline (learned round 2): DuckDB's sum(INTEGER/
+  // BIGINT) is HUGEINT — always CAST back to BIGINT; double divisions
+  // are left as single IEEE ops (bit-identical across engines).
+  val oracles: Map[String, String] = Map(
+    "e1_funnel" ->
+      """WITH b AS (
+           SELECT user_id, ts, event_id, event_type,
+             min(CASE WHEN event_type='view' THEN ts END) OVER w AS min_view
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         c AS (
+           SELECT *, CASE WHEN event_type='click' AND ts > min_view THEN ts END AS click_ts
+           FROM b),
+         c2 AS (
+           SELECT *, min(click_ts) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS min_click
+           FROM c),
+         p AS (
+           SELECT *, CASE WHEN event_type='purchase' AND ts > min_click THEN ts END AS purch_ts
+           FROM c2),
+         u AS (
+           SELECT user_id,
+                  min(CASE WHEN event_type='view' THEN ts END) AS t1,
+                  min(click_ts) AS t2, min(purch_ts) AS t3
+           FROM p GROUP BY 1)
+         SELECT 1 + CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END
+                  + CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END AS funnel_level,
+                count(*) AS n_users
+         FROM u WHERE t1 IS NOT NULL
+         GROUP BY 1 ORDER BY funnel_level""",
+    "e2_retention" ->
+      """WITH act AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events),
+         fst AS (SELECT user_id, min(day) AS cohort FROM act GROUP BY 1)
+         SELECT cohort,
+                count(DISTINCT act.user_id) AS n_users,
+                count(DISTINCT CASE WHEN day = cohort + INTERVAL 1 DAY THEN act.user_id END) AS retained_d1,
+                count(DISTINCT CASE WHEN day = cohort + INTERVAL 7 DAY THEN act.user_id END) AS retained_d7
+         FROM act JOIN fst ON act.user_id = fst.user_id
+         GROUP BY cohort ORDER BY cohort""",
+    "e3_histogram" ->
+      """WITH b AS (
+           SELECT least(greatest(CAST(floor(value / 50.0) AS BIGINT), 0), 9) AS bucket, value
+           FROM events)
+         SELECT bucket, bucket * 50.0 AS bucket_lo, (bucket + 1) * 50.0 AS bucket_hi,
+                count(*) AS n, min(value) AS min_value, max(value) AS max_value,
+                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_value
+         FROM b GROUP BY bucket ORDER BY bucket""",
+    "e4_json_extract" ->
+      """SELECT event_type, count(*) AS n,
+                count(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_distinct_k,
+                CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+                CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE) / count(*) AS avg_k
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    "e5_asof_join" ->
+      """WITH od AS (
+           SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey,
+                  arg_max(o_totalprice, o_orderkey) AS o_totalprice
+           FROM orders GROUP BY 1, 2)
+         SELECT e.event_id, e.user_id, e.ts, e.event_type,
+                od.o_orderkey, od.o_orderdate, od.o_totalprice
+         FROM events e ASOF JOIN od
+           ON e.user_id = od.o_custkey AND e.ts >= od.o_orderdate
+         ORDER BY e.event_id""",
+  )
+}
