@@ -17,12 +17,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     relational.Relational.queries ++
       solar.Solar.queries ++
-      events.Events.queries
+      events.Events.queries ++
+      text.Text.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     relational.Relational.oracles ++
       solar.Solar.oracles ++
-      events.Events.oracles
+      events.Events.oracles ++
+      text.Text.oracles
 }

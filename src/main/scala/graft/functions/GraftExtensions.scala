@@ -1,0 +1,61 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSessionExtensions, SparkSessionExtensionsProvider}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.functions.call_function
+
+/** SQL registration of the custom expressions via the public
+  * SparkSessionExtensions API — install with
+  * `SparkSession.builder.withExtensions(GraftExtensions)` (done by
+  * [[graft.Tables.session]]) or
+  * `spark.sql.extensions=graft.functions.GraftExtensions`.
+  *
+  * After installation the operators are first-class SQL:
+  * {{{
+  *   SELECT simhash64(text), minhash_sig(text, 12, 5) FROM documents
+  *   SELECT cosine_sim(a.embedding, b.embedding) FROM ...
+  *   SELECT winnow(text, 5, 4) FROM documents
+  * }}}
+  */
+object GraftExtensions extends SparkSessionExtensionsProvider {
+
+  private def intArg(fn: String, pos: Int, e: Expression): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn: argument ${pos + 1} must be an integer literal, got $other")
+  }
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      (args: Seq[Expression]) => SimHash64(args.head)))
+    ext.injectFunction((
+      FunctionIdentifier("winnow"),
+      new ExpressionInfo(classOf[Winnow].getName, "winnow"),
+      (args: Seq[Expression]) =>
+        Winnow(args(0), intArg("winnow", 1, args(1)), intArg("winnow", 2, args(2)))))
+    ext.injectFunction((
+      FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
+      (args: Seq[Expression]) =>
+        MinHashSig(args(0), intArg("minhash_sig", 1, args(1)), intArg("minhash_sig", 2, args(2)))))
+    ext.injectFunction((
+      FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
+      (args: Seq[Expression]) => CosineSim(args(0), args(1))))
+  }
+}
+
+/** Column-API wrappers (resolve through the registered SQL functions,
+  * so a session with [[GraftExtensions]] installed is required). */
+object GraftFunctions {
+  import org.apache.spark.sql.functions.lit
+  def simhash64(c: Column): Column = call_function("simhash64", c)
+  def winnow(c: Column, k: Int, w: Int): Column =
+    call_function("winnow", c, lit(k), lit(w))
+  def minhashSig(c: Column, k: Int, shingleLen: Int): Column =
+    call_function("minhash_sig", c, lit(k), lit(shingleLen))
+  def cosineSim(a: Column, b: Column): Column = call_function("cosine_sim", a, b)
+}

@@ -1,0 +1,206 @@
+package graft.text
+
+import graft.Tables
+import graft.functions.GraftFunctions
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text analysis for the training-data pipeline (SURVEY §2.F):
+  * tokenization stats, language ID, quality scoring, document
+  * fingerprinting, and winnowing.
+  *
+  * Scale notes (100 TB): every per-document metric is a pure codegen'd
+  * Column expression over the text — scan-rate, zero shuffles until
+  * the final (small) aggregate. The winnowing fingerprint set is
+  * computed map-side by a custom Catalyst expression; only (doc_id,
+  * 8-byte fingerprint) pairs ever shuffle, never document text, and
+  * ubiquitous fingerprints are dropped before the pair join (the
+  * standard stop-fingerprint guard that keeps the join output linear
+  * instead of quadratic in corpus size).
+  */
+object Text {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Whitespace tokens with empties removed (leading-space artifacts). */
+  private def toks(c: Column): Column =
+    filter(split(c, "\\s+"), t => t =!= "")
+
+  /** Language marker profiles — deterministic stopword lists. `zh` has
+    * no Latin-script stopwords (a production system scores CJK unigram
+    * coverage instead), so its profile never fires on ASCII text. */
+  private val profiles: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "nicht"),
+    "en" -> Seq("the", "a", "of", "and", "to"),
+    "es" -> Seq("el", "los", "las", "una", "y"),
+    "fr" -> Seq("le", "les", "une", "est", "et"),
+    "zh" -> Seq("的", "了"),
+  )
+
+  // ---------------------------------------------------------------------
+  // t1: tokenization stats — counts, distinct counts, average token
+  // length. All array expressions, evaluated map-side.
+  // ---------------------------------------------------------------------
+  def t1Tokens(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select($"doc_id", toks($"text").as("t"))
+      .select(
+        $"doc_id",
+        size($"t").as("n_tokens"),
+        size(array_distinct($"t")).as("n_distinct"),
+        aggregate($"t", lit(0L), (acc, x) => acc + length(x)).as("sum_len"))
+      .withColumn("avg_token_len", $"sum_len".cast("double") / $"n_tokens")
+      .orderBy($"doc_id")
+  }
+
+  // ---------------------------------------------------------------------
+  // t2: language ID — n-gram/stopword-profile scoring. Each profile
+  // score is a token-membership count; prediction is argmax with
+  // alphabetical tie-break (greatest + CASE chain, identical in the
+  // oracle). Emits the confusion matrix against the labeled lang.
+  // ---------------------------------------------------------------------
+  def t2Langid(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val base = Tables.documents(s, d).select($"doc_id", $"lang", toks($"text").as("t"))
+    val scored = profiles.foldLeft(base) { case (df, (l, words)) =>
+      df.withColumn(s"s_$l", size(filter($"t", x => x.isin(words: _*))))
+    }
+    val m = greatest(profiles.map { case (l, _) => col(s"s_$l") }: _*)
+    val pred = profiles.foldLeft(when(lit(false), "")) { case (c, (l, _)) =>
+      c.when(col(s"s_$l") === m, l)
+    }
+    scored
+      .withColumn("pred_lang", pred)
+      .groupBy($"lang", $"pred_lang")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy($"lang", $"pred_lang")
+  }
+
+  // ---------------------------------------------------------------------
+  // t3: quality scoring — length / punctuation / digit / stopword
+  // ratios plus a keep flag, the standard pre-training corpus filter.
+  // ---------------------------------------------------------------------
+  def t3Quality(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val stop = profiles.toMap.apply("en")
+    Tables.documents(s, d)
+      .select($"doc_id", length($"text").as("n_chars"), toks($"text").as("t"),
+        (length($"text") - length(regexp_replace($"text", "[0-9]", ""))).as("n_digits"),
+        (length($"text") - length(regexp_replace($"text", "[.,!?;:]", ""))).as("n_punct"))
+      .select($"doc_id", $"n_chars",
+        size($"t").as("n_tokens"),
+        size(filter($"t", x => x.isin(stop: _*))).as("n_stop"),
+        $"n_digits", $"n_punct")
+      .withColumn("stop_ratio", $"n_stop".cast("double") / $"n_tokens")
+      .withColumn("digit_ratio", $"n_digits".cast("double") / $"n_chars")
+      .withColumn("punct_ratio", $"n_punct".cast("double") / $"n_chars")
+      .withColumn("keep",
+        $"n_tokens" >= 10 && $"n_tokens" <= 2000 && $"stop_ratio" >= 0.005)
+      .select($"doc_id", $"n_chars", $"n_tokens", $"n_stop", $"stop_ratio",
+        $"digit_ratio", $"punct_ratio", $"keep")
+      .orderBy($"doc_id")
+  }
+
+  // ---------------------------------------------------------------------
+  // t4: document fingerprint — md5 of casefolded, punctuation-collapsed
+  // text; dup-groups by fingerprint. md5 (not engine-native hash) so
+  // the oracle reproduces values byte-for-byte.
+  // ---------------------------------------------------------------------
+  def t4Fingerprint(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select($"doc_id",
+        md5(trim(regexp_replace(lower($"text"), "[^a-z0-9]+", " "))).as("fingerprint"))
+      .groupBy($"fingerprint")
+      .agg(count(lit(1)).as("n_docs"), min($"doc_id").as("min_doc_id"))
+      .orderBy($"fingerprint")
+  }
+
+  // ---------------------------------------------------------------------
+  // t5: winnowing (rows-only; behavioral spec in TextSpec) — per-doc
+  // fingerprint sets from the custom Winnow expression (k-gram rolling
+  // hash, window-min selection), then overlap pairs. Fingerprints
+  // occurring in >20 docs are dropped (stop-fingerprints) before the
+  // pair join so output stays linear at corpus scale.
+  // ---------------------------------------------------------------------
+  def t5Winnow(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val fps = Tables.documents(s, d)
+      .select($"doc_id", explode(GraftFunctions.winnow($"text", 8, 4)).as("fp"))
+    val rare = fps.groupBy($"fp")
+      .agg(count(lit(1)).as("nd"))
+      .filter($"nd" >= 2 && $"nd" <= 20)
+    val f = fps.join(rare.select($"fp"), "fp")
+    f.as("a").join(f.as("b"),
+        $"a.fp" === $"b.fp" && $"a.doc_id" < $"b.doc_id")
+      .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter($"n_shared" >= 3)
+      .orderBy($"n_shared".desc, $"doc_a", $"doc_b")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "t1_tokens" -> (t1Tokens _),
+    "t2_langid" -> (t2Langid _),
+    "t3_quality" -> (t3Quality _),
+    "t4_fingerprint" -> (t4Fingerprint _),
+    "t5_winnow" -> (t5Winnow _),
+  )
+
+  private def sqlList(words: Seq[String]): String =
+    words.map(w => s"'$w'").mkString("(", ", ", ")")
+
+  private val scoreCols = profiles.map { case (l, ws) =>
+    s"len(list_filter(t, x -> x IN ${sqlList(ws)})) AS s_$l"
+  }.mkString(", ")
+
+  private val predCase = "CASE " + profiles.map { case (l, _) =>
+    s"WHEN s_$l = m THEN '$l'"
+  }.mkString(" ") + " END"
+
+  // t5 is not SQL-expressible (custom winnowing expression) → rows-only.
+  val oracles: Map[String, String] = Map(
+    "t1_tokens" ->
+      """WITH tk AS (
+           SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+           FROM documents)
+         SELECT doc_id, CAST(len(t) AS INT) AS n_tokens,
+                CAST(len(list_distinct(t)) AS INT) AS n_distinct,
+                CAST(list_sum(list_transform(t, x -> len(x))) AS BIGINT) AS sum_len,
+                CAST(list_sum(list_transform(t, x -> len(x))) AS DOUBLE) / len(t) AS avg_token_len
+         FROM tk ORDER BY doc_id""",
+    "t2_langid" ->
+      s"""WITH tk AS (
+           SELECT doc_id, lang, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t
+           FROM documents),
+         sc AS (SELECT doc_id, lang, $scoreCols FROM tk),
+         mx AS (SELECT *, greatest(s_de, s_en, s_es, s_fr, s_zh) AS m FROM sc),
+         pr AS (SELECT lang, $predCase AS pred_lang FROM mx)
+         SELECT lang, pred_lang, count(*) AS n_docs
+         FROM pr GROUP BY 1, 2 ORDER BY lang, pred_lang""",
+    "t3_quality" ->
+      s"""WITH b AS (
+           SELECT doc_id, CAST(len(text) AS INT) AS n_chars,
+                  list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t,
+                  CAST(len(text) - len(regexp_replace(text, '[0-9]', '', 'g')) AS INT) AS n_digits,
+                  CAST(len(text) - len(regexp_replace(text, '[.,!?;:]', '', 'g')) AS INT) AS n_punct
+           FROM documents),
+         c AS (
+           SELECT doc_id, n_chars, CAST(len(t) AS INT) AS n_tokens,
+                  CAST(len(list_filter(t, x -> x IN ${sqlList(profiles.toMap.apply("en"))})) AS INT) AS n_stop,
+                  n_digits, n_punct
+           FROM b)
+         SELECT doc_id, n_chars, n_tokens, n_stop,
+                CAST(n_stop AS DOUBLE) / n_tokens AS stop_ratio,
+                CAST(n_digits AS DOUBLE) / n_chars AS digit_ratio,
+                CAST(n_punct AS DOUBLE) / n_chars AS punct_ratio,
+                (n_tokens >= 10 AND n_tokens <= 2000
+                 AND CAST(n_stop AS DOUBLE) / n_tokens >= 0.005) AS keep
+         FROM c ORDER BY doc_id""",
+    "t4_fingerprint" ->
+      """SELECT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fingerprint,
+                count(*) AS n_docs, min(doc_id) AS min_doc_id
+         FROM documents GROUP BY 1 ORDER BY fingerprint""",
+  )
+}
