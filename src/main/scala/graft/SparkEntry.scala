@@ -18,7 +18,11 @@ object SparkEntry {
     relational.Relational.queries ++
       solar.Solar.queries ++
       events.Events.queries ++
-      text.Text.queries
+      text.Text.queries ++
+      dedup.Dedup.queries ++
+      sim.Sim.queries ++
+      multimodal.Multimodal.queries ++
+      streaming.Streaming.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -26,5 +30,9 @@ object SparkEntry {
     relational.Relational.oracles ++
       solar.Solar.oracles ++
       events.Events.oracles ++
-      text.Text.oracles
+      text.Text.oracles ++
+      dedup.Dedup.oracles ++
+      sim.Sim.oracles ++
+      multimodal.Multimodal.oracles ++
+      streaming.Streaming.oracles
 }

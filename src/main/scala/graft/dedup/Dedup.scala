@@ -1,0 +1,213 @@
+package graft.dedup
+
+import graft.Tables
+import graft.functions.GraftFunctions
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication for the training-data pipeline (SURVEY §2.D): exact,
+  * shingle-profile, MinHash+LSH, SimHash, and embedding-cosine.
+  *
+  * Scale notes (100 TB):
+  *  - d1/d2: map-side hashing / shingling; the only shuffle carries
+  *    (hash, doc_id) or per-doc counts — never text.
+  *  - d3: the MinHash signature (k=12 md5-hex minima) is computed
+  *    map-side by the MinHashSig Catalyst expression in a single pass
+  *    per document (no shingle explode, no shingle shuffle). Only
+  *    (band_id, band_key, doc_id, signature) rows — k×32 bytes per
+  *    doc — shuffle into the banded LSH self-join, which is blocked by
+  *    band bucket, never all-pairs.
+  *  - d4: 64-bit SimHash map-side; candidate buckets via the 4×16-bit
+  *    band trick (pigeonhole: Hamming ≤ 3 ⇒ at least one 16-bit band
+  *    identical), exact Hamming distance only within buckets.
+  *  - d5: candidate pairs are blocked by the `label` cluster id, so
+  *    pair count stays ~linear in corpus size instead of n².
+  */
+object Dedup {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val K = 12 // minhash components
+  val Bands = 4 // LSH bands, K/Bands rows per band
+  val Rows = K / Bands
+  val ShingleLen = 5
+  val CosThreshold = 0.4 // calibrated: embeddings are near-random (max pair cos ≈ 0.51 at sf0.01)
+  val HammingMax = 24
+
+  /** Char n-gram shingle array (1-based substr, mirrors DuckDB). */
+  private def shingles(c: Column, n: Int): Column =
+    transform(sequence(lit(1), length(c) - (n - 1)), i => c.substr(i, lit(n)))
+
+  // ---------------------------------------------------------------------
+  // d1: exact dedup — md5 hash-groupBy, keep min doc_id per group.
+  // ---------------------------------------------------------------------
+  def d1Exact(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select($"doc_id", md5($"text").as("h"))
+      .groupBy($"h")
+      .agg(count(lit(1)).as("n_docs"), min($"doc_id").as("keep_doc_id"))
+      .orderBy($"h")
+  }
+
+  // ---------------------------------------------------------------------
+  // d2: shingle profile — char 5-gram totals / distinct counts per doc,
+  // pure array expressions map-side (no explode).
+  // ---------------------------------------------------------------------
+  def d2ShingleStats(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .filter(length($"text") >= ShingleLen)
+      .select($"doc_id", shingles($"text", ShingleLen).as("sh"))
+      .select($"doc_id",
+        size($"sh").as("n_shingles"),
+        size(array_distinct($"sh")).as("n_distinct"))
+      .withColumn("distinct_ratio", $"n_distinct".cast("double") / $"n_shingles")
+      .orderBy($"doc_id")
+  }
+
+  // ---------------------------------------------------------------------
+  // d3: MinHash + banded LSH. Signature map-side (MinHashSig custom
+  // expression); band key = md5 of the band's joined components;
+  // candidates = docs sharing any band bucket; est. Jaccard = matching
+  // components / k.
+  // ---------------------------------------------------------------------
+  def d3MinhashLsh(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val sig = Tables.documents(s, d)
+      .select($"doc_id", GraftFunctions.minhashSig($"text", K, ShingleLen).as("sig"))
+      .filter($"sig".isNotNull)
+    val bandStructs = (0 until Bands).map { bd =>
+      struct(lit(bd).as("band"),
+        md5(concat_ws("|", slice($"sig", bd * Rows + 1, Rows))).as("bkey"))
+    }
+    val bands = sig
+      .select($"doc_id", $"sig", explode(array(bandStructs: _*)).as("bb"))
+      .select($"doc_id", $"sig", $"bb.band".as("band"), $"bb.bkey".as("bkey"))
+    a2b(bands)
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
+        size(filter(zip_with($"a.sig", $"b.sig", (x, y) => x === y), p => p))
+          .as("matches"))
+      .groupBy($"doc_a", $"doc_b")
+      .agg(count(lit(1)).as("n_bands"), max($"matches").as("matches"))
+      .withColumn("est_jaccard", $"matches".cast("double") / K)
+      .select($"doc_a", $"doc_b", $"n_bands", $"matches", $"est_jaccard")
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  /** Band-bucket self-join: same band id + band key, doc_a < doc_b. */
+  private def a2b(bands: DataFrame): DataFrame = {
+    val a = bands.as("a")
+    val b = bands.as("b")
+    a.join(b,
+      col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+        col("a.doc_id") < col("b.doc_id"))
+  }
+
+  // ---------------------------------------------------------------------
+  // d4 (rows-only; Hamming-property spec in DedupSpec): SimHash near-dup
+  // candidates — bucket on any equal 16-bit band of the 64-bit
+  // fingerprint, exact Hamming distance within buckets only.
+  // ---------------------------------------------------------------------
+  def d4Simhash(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val sh = Tables.documents(s, d)
+      .select($"doc_id", GraftFunctions.simhash64($"text").as("sh"))
+    val bandStructs = (0 until 4).map { bd =>
+      struct(lit(bd).as("band"),
+        shiftrightunsigned($"sh", bd * 16).bitwiseAND(lit(0xffffL)).as("bval"))
+    }
+    val bands = sh
+      .select($"doc_id", $"sh", explode(array(bandStructs: _*)).as("bb"))
+      .select($"doc_id", $"sh", $"bb.band".as("band"), $"bb.bval".as("bval"))
+    val a = bands.as("a")
+    val b = bands.as("b")
+    a.join(b,
+        $"a.band" === $"b.band" && $"a.bval" === $"b.bval" &&
+          $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
+        bit_count($"a.sh".bitwiseXOR($"b.sh")).as("hamming"))
+      .distinct()
+      .filter($"hamming" <= HammingMax)
+      .orderBy($"hamming", $"doc_a", $"doc_b")
+  }
+
+  // ---------------------------------------------------------------------
+  // d5: embedding-cosine near-dup pairs, blocked by the `label` cluster
+  // column; cosine via the codegen CosineSim expression, double
+  // accumulation in index order so the oracle reproduces bits.
+  // ---------------------------------------------------------------------
+  def d5EmbedNeardup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, d)
+    val a = e.as("a")
+    val b = e.as("b")
+    a.join(b, $"a.label" === $"b.label" && $"a.vec_id" < $"b.vec_id")
+      .select($"a.vec_id".as("vec_a"), $"b.vec_id".as("vec_b"),
+        $"a.label".as("label"),
+        GraftFunctions.cosineSim($"a.embedding", $"b.embedding").as("cos"))
+      .filter($"cos" > CosThreshold)
+      .orderBy($"vec_a", $"vec_b")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "d1_exact" -> (d1Exact _),
+    "d2_shingle_stats" -> (d2ShingleStats _),
+    "d3_minhash_lsh" -> (d3MinhashLsh _),
+    "d4_simhash" -> (d4Simhash _),
+    "d5_embed_neardup" -> (d5EmbedNeardup _),
+  )
+
+  /** Dot product of two float vectors in DuckDB SQL, double-accumulated
+    * in index order — mirrors [[graft.functions.CosineImpl]]. */
+  private def dot(x: String, y: String): String =
+    s"list_sum(list_transform(range(1, 65), i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)))"
+
+  // d4 is rows-only (custom SimHash expression not SQL-expressible in
+  // DuckDB); covered by the Hamming-property spec.
+  val oracles: Map[String, String] = Map(
+    "d1_exact" ->
+      """SELECT md5(text) AS h, count(*) AS n_docs, min(doc_id) AS keep_doc_id
+         FROM documents GROUP BY 1 ORDER BY h""",
+    "d2_shingle_stats" ->
+      """WITH sh AS (
+           SELECT doc_id, list_transform(range(1, len(text) - 3), i -> substr(text, i, 5)) AS s
+           FROM documents WHERE len(text) >= 5)
+         SELECT doc_id, CAST(len(s) AS INT) AS n_shingles,
+                CAST(len(list_distinct(s)) AS INT) AS n_distinct,
+                CAST(len(list_distinct(s)) AS DOUBLE) / len(s) AS distinct_ratio
+         FROM sh ORDER BY doc_id""",
+    "d3_minhash_lsh" ->
+      """WITH sh AS (
+           SELECT doc_id, unnest(list_transform(range(1, len(text) - 3), i -> substr(text, i, 5))) AS sh
+           FROM documents WHERE len(text) >= 5),
+         hx AS (
+           SELECT doc_id, i, min(md5(CAST(i AS VARCHAR) || ':' || sh)) AS mh
+           FROM sh, range(12) r(i) GROUP BY doc_id, i),
+         sig AS (SELECT doc_id, list(mh ORDER BY i) AS sig FROM hx GROUP BY doc_id),
+         bands AS (
+           SELECT doc_id, sig, CAST(b AS INT) AS band,
+                  md5(sig[b*3+1] || '|' || sig[b*3+2] || '|' || sig[b*3+3]) AS bkey
+           FROM sig, range(4) rb(b)),
+         cand AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_bands,
+                  max(CAST(len(list_filter(range(1, 13), i -> a.sig[i] = b.sig[i])) AS INT)) AS matches
+           FROM bands a JOIN bands b
+             ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)
+         SELECT doc_a, doc_b, n_bands, matches,
+                CAST(matches AS DOUBLE) / 12 AS est_jaccard
+         FROM cand ORDER BY doc_a, doc_b""",
+    "d5_embed_neardup" ->
+      s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
+                 ${dot("a.embedding", "b.embedding")}
+                   / (sqrt(${dot("a.embedding", "a.embedding")})
+                      * sqrt(${dot("b.embedding", "b.embedding")})) AS cos
+          FROM embeddings a JOIN embeddings b
+            ON a.label = b.label AND a.vec_id < b.vec_id
+          WHERE ${dot("a.embedding", "b.embedding")}
+                  / (sqrt(${dot("a.embedding", "a.embedding")})
+                     * sqrt(${dot("b.embedding", "b.embedding")})) > 0.4
+          ORDER BY vec_a, vec_b""",
+  )
+}

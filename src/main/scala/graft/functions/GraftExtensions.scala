@@ -45,6 +45,11 @@ object GraftExtensions extends SparkSessionExtensionsProvider {
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
       (args: Seq[Expression]) => CosineSim(args(0), args(1))))
+    ext.injectFunction((
+      FunctionIdentifier("minhash_agg"),
+      new ExpressionInfo(classOf[MinHashAgg].getName, "minhash_agg"),
+      (args: Seq[Expression]) =>
+        MinHashAgg(args(0), intArg("minhash_agg", 1, args(1)))))
   }
 }
 
@@ -58,4 +63,6 @@ object GraftFunctions {
   def minhashSig(c: Column, k: Int, shingleLen: Int): Column =
     call_function("minhash_sig", c, lit(k), lit(shingleLen))
   def cosineSim(a: Column, b: Column): Column = call_function("cosine_sim", a, b)
+  def minhashAgg(shingle: Column, k: Int): Column =
+    call_function("minhash_agg", shingle, lit(k))
 }

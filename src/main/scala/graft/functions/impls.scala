@@ -142,31 +142,95 @@ object MinHashImpl {
     new String(out)
   }
 
+  private val prefixes: Array[Array[Byte]] =
+    (0 until 64).map(i => (i.toString + ":").getBytes("UTF-8")).toArray
+
+  /** Unsigned lexicographic compare of two 16-byte digests — the same
+    * order as comparing their lowercase hex strings. */
+  private def less(a: Array[Byte], b: Array[Byte]): Boolean = {
+    var i = 0
+    while (i < a.length) {
+      val x = a(i) & 0xff
+      val y = b(i) & 0xff
+      if (x != y) return x < y
+      i += 1
+    }
+    false
+  }
+
+  /** Fold one shingle into a running k-way min-digest buffer (shared
+    * by the scalar [[signature]] path and [[MinHashAgg]]). */
+  def updateMins(mins: Array[Array[Byte]], shingleUtf8: Array[Byte]): Unit = {
+    val d = threadDigest.get()
+    var i = 0
+    while (i < mins.length) {
+      d.reset()
+      d.update(prefixes(i))
+      d.update(shingleUtf8)
+      val dig = d.digest()
+      if (mins(i) == null || less(dig, mins(i))) mins(i) = dig
+      i += 1
+    }
+  }
+
+  /** Elementwise min-merge of two digest buffers (into `a`). */
+  def mergeMins(a: Array[Array[Byte]], b: Array[Array[Byte]]): Array[Array[Byte]] = {
+    var i = 0
+    while (i < a.length) {
+      if (a(i) == null || (b(i) != null && less(b(i), a(i)))) a(i) = b(i)
+      i += 1
+    }
+    a
+  }
+
+  /** Hex-encode a digest buffer as the signature array (null if the
+    * buffer never saw input). */
+  def toSignature(mins: Array[Array[Byte]]): ArrayData =
+    if (mins.length == 0 || mins(0) == null) null
+    else new GenericArrayData(
+      mins.map(m => UTF8String.fromString(toHex(m))).asInstanceOf[Array[Any]])
+
   /** Single-pass k-way MinHash signature over character `shingleLen`-
     * grams: component i = min over shingles of md5(i || ':' || shingle)
-    * as a lowercase hex string (lexicographic min == unsigned 128-bit
-    * min). Matches the DuckDB oracle formula exactly — the oracle
-    * recomputes it with explode + min(md5(...)).
+    * as a lowercase hex string (lexicographic min over hex ==
+    * unsigned 128-bit min over digests, which is how it's computed).
+    * Matches the DuckDB oracle formula exactly — the oracle recomputes
+    * it with explode + min(md5(...)).
     *
     * Runs map-side per document: the signature (k × 32-char hex) is
-    * what shuffles in the LSH band join, never the raw text. */
+    * what shuffles in the LSH band join, never the raw text. Shingles
+    * are de-dupped first (a min over a set equals the min over the
+    * multiset) and digests stay as raw bytes until the final hex
+    * encoding — ~4× fewer allocations than naive per-(i,shingle)
+    * string hashing. */
   def signature(text: UTF8String, k: Int, shingleLen: Int): ArrayData = {
+    require(k <= prefixes.length, s"minhash_sig: k must be <= ${prefixes.length}")
     val s = text.toString
     if (s.length < shingleLen) return null
-    val mins = new Array[String](k)
+    val distinct = new java.util.HashSet[String]()
     var pos = 0
     val last = s.length - shingleLen
     while (pos <= last) {
-      val sh = s.substring(pos, pos + shingleLen)
-      var i = 0
-      while (i < k) {
-        val h = md5Hex(i.toString + ":" + sh)
-        if (mins(i) == null || h.compareTo(mins(i)) < 0) mins(i) = h
-        i += 1
-      }
+      distinct.add(s.substring(pos, pos + shingleLen))
       pos += 1
     }
-    new GenericArrayData(mins.map(UTF8String.fromString(_)).asInstanceOf[Array[Any]])
+    val d = threadDigest.get()
+    val mins = new Array[Array[Byte]](k)
+    val it = distinct.iterator()
+    while (it.hasNext) {
+      val shBytes = it.next().getBytes("UTF-8")
+      var i = 0
+      while (i < k) {
+        d.reset()
+        d.update(prefixes(i))
+        d.update(shBytes)
+        val dig = d.digest()
+        if (mins(i) == null || less(dig, mins(i))) mins(i) = dig
+        i += 1
+      }
+    }
+    new GenericArrayData(
+      mins.map(m => UTF8String.fromString(toHex(m))).asInstanceOf[Array[Any]])
   }
 }
 

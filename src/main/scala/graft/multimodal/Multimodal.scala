@@ -1,0 +1,93 @@
+package graft.multimodal
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal plumbing (SURVEY §2.G): media as opaque `binary` columns
+  * with typed metadata, decoded in partition-batched imperative code.
+  *
+  * The Spark-side plumbing is real: a binary column, a typed
+  * Dataset[Blob], and an iterator-based mapPartitions decode stage —
+  * exactly where a JNI/codec call (image decode, audio resample,
+  * frame sampling) would live on a production cluster, processing
+  * each partition as one batch without per-row driver involvement.
+  * The codec itself is STUBBED ([[FakeCodec]]): this container has no
+  * image/audio libraries, so the "decode" parses deterministic fake
+  * metadata out of the blob bytes. The oracle reproduces the same
+  * bytes from md5 hex, so m1 stays hash-verifiable end to end.
+  *
+  * Scale note: decode is per-partition streaming (no collect, no
+  * driver loop); blobs never shuffle — metadata extraction happens
+  * before any wide operation.
+  */
+object Multimodal {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** One media object: id + encoded bytes. */
+  case class Blob(doc_id: Long, blob: Array[Byte])
+
+  /** Decoded metadata row. */
+  case class BlobMeta(doc_id: Long, n_bytes: Int, width: Int, height: Int,
+                      channels: Int, mean_intensity: Double)
+
+  /** STUB codec — a real implementation would hand `bytes` to an image
+    * library (JNI) here and return true dimensions / pixel stats. The
+    * fake derives deterministic metadata from the first bytes so the
+    * full pipeline (schema, batching, partitioning) is testable. */
+  object FakeCodec {
+    def decode(id: Long, bytes: Array[Byte]): BlobMeta = {
+      def u(i: Int): Int = bytes(i) & 0xff
+      var sum = 0
+      var i = 0
+      while (i < bytes.length) { sum += u(i); i += 1 }
+      BlobMeta(
+        doc_id = id,
+        n_bytes = bytes.length,
+        width = 1 + (u(0) % 128),
+        height = 1 + (u(1) % 128),
+        channels = 1 + (u(2) % 4),
+        mean_intensity = sum / (bytes.length * 255.0))
+    }
+  }
+
+  // ---------------------------------------------------------------------
+  // m1: binary ingestion + batched decode. The blob is synthesized
+  // deterministically (unhex(md5(text)) — a 16-byte "encoded image")
+  // because the test corpus has no real media; everything downstream
+  // treats it as opaque bytes.
+  // ---------------------------------------------------------------------
+  def m1BlobMeta(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select($"doc_id", unhex(md5($"text")).as("blob"))
+      .as[Blob]
+      .mapPartitions { it => it.map(b => FakeCodec.decode(b.doc_id, b.blob)) }
+      .toDF()
+      .orderBy($"doc_id")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "m1_blob_meta" -> (m1BlobMeta _),
+  )
+
+  // The oracle rebuilds each blob byte from the md5 hex pair
+  // (strpos-based hex→int), so it checks the decode stub bit-for-bit.
+  private def hexDigit(pos: Int): String =
+    s"(strpos('0123456789abcdef', substr(h, $pos, 1)) - 1)"
+  private def byteAt(j: Int): String =
+    s"(${hexDigit(2 * j + 1)} * 16 + ${hexDigit(2 * j + 2)})"
+  private val sumBytes = (0 until 16).map(byteAt).mkString(" + ")
+
+  val oracles: Map[String, String] = Map(
+    "m1_blob_meta" ->
+      s"""WITH b AS (SELECT doc_id, md5(text) AS h FROM documents)
+          SELECT doc_id, 16 AS n_bytes,
+                 CAST(1 + ${byteAt(0)} % 128 AS INT) AS width,
+                 CAST(1 + ${byteAt(1)} % 128 AS INT) AS height,
+                 CAST(1 + ${byteAt(2)} % 4 AS INT) AS channels,
+                 CAST($sumBytes AS DOUBLE) / (16 * 255.0) AS mean_intensity
+          FROM b ORDER BY doc_id""",
+  )
+}

@@ -1,0 +1,159 @@
+package graft.sim
+
+import graft.Tables
+import graft.functions.GraftFunctions.cosineSim
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the embeddings table (SURVEY §2.E):
+  * brute-force cosine top-k as the correctness baseline, block
+  * nested-loop batched k-NN, and an IVF-style ANN as the scale path.
+  *
+  * Scale notes (100 TB): the brute-force variants broadcast the QUERY
+  * side (bounded: one vector / 20 vectors) against the distributed
+  * corpus — map-side cosine inside whole-stage codegen (CosineSim
+  * static call), then a per-query top-k window over the already-scored
+  * rows. v3 is the shape that survives a billion-vector corpus:
+  * centroid assignment bounds each query's candidate set to 2 of
+  * n_clusters partitions (here: label-derived centroids, probe 2),
+  * turning O(n·q) into O(n·q·probes/clusters) — the standard IVF
+  * trade of recall for throughput; the recall-vs-brute spec pins it.
+  */
+object Sim {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  // ---------------------------------------------------------------------
+  // v1: brute-force cosine top-10 for one query vector (vec_id 0),
+  // excluding itself. Query side broadcast; single pass over corpus.
+  // ---------------------------------------------------------------------
+  def v1KnnBrute(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, d)
+    val q = e.filter($"vec_id" === 0).select($"embedding".as("q_emb"))
+    e.filter($"vec_id" =!= 0)
+      .crossJoin(broadcast(q))
+      .select($"vec_id", $"label", cosineSim($"embedding", $"q_emb").as("cos"))
+      .orderBy($"cos".desc, $"vec_id")
+      .limit(10)
+  }
+
+  // ---------------------------------------------------------------------
+  // v2: batched k-NN — top-5 neighbors for each of 20 query vectors
+  // (vec_id < 20) over the rest of the corpus (vec_id >= 20). Block
+  // nested loop: queries broadcast, cosine map-side, per-query top-k
+  // via a window over scored rows.
+  // ---------------------------------------------------------------------
+  def v2KnnBatch(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, d)
+    val q = e.filter($"vec_id" < 20)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_emb"))
+    val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id")
+    e.filter($"vec_id" >= 20)
+      .crossJoin(broadcast(q))
+      .select($"q_id", $"vec_id", cosineSim($"embedding", $"q_emb").as("cos"))
+      .withColumn("rnk", row_number().over(w))
+      .filter($"rnk" <= 5)
+      .select($"q_id", $"rnk", $"vec_id", $"cos")
+      .orderBy($"q_id", $"rnk")
+  }
+
+  // ---------------------------------------------------------------------
+  // v3 (rows-only; recall-vs-brute spec in SimSpec): IVF-style ANN.
+  // Coarse quantizer = per-label mean vector (deterministic, no
+  // iterative k-means); every corpus vector is assigned to its nearest
+  // centroid; each query (vec_id < 5) probes its 2 nearest centroids
+  // and brute-forces only vectors assigned there.
+  // ---------------------------------------------------------------------
+  val Probes = 2
+  val TopK = 5
+
+  /** Per-label mean embedding — posexplode → per-(label, dim) mean →
+    * reassembled in dim order. All distributed; centroid count =
+    * cluster count (bounded), so the result is broadcastable. */
+  private[sim] def centroids(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.embeddings(s, d)
+      .select($"label", posexplode($"embedding").as(Seq("pos", "v")))
+      .groupBy($"label", $"pos")
+      .agg(avg($"v").as("m"))
+      .groupBy($"label")
+      .agg(array_sort(collect_list(struct($"pos", $"m"))).as("pm"))
+      .select($"label".as("c_id"),
+        transform($"pm", p => p("m").cast("float")).as("c_emb"))
+  }
+
+  def v3IvfAnn(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, d)
+    val c = centroids(s, d)
+    // assignment: nearest centroid per corpus vector (centroids broadcast)
+    val wAssign = Window.partitionBy($"vec_id").orderBy($"c_cos".desc, $"c_id")
+    val assigned = e.crossJoin(broadcast(c))
+      .select($"vec_id", $"label", $"embedding", $"c_id",
+        cosineSim($"embedding", $"c_emb").as("c_cos"))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter($"rn" === 1)
+      .select($"vec_id", $"label", $"embedding", $"c_id".as("cluster"))
+    // queries probe their 2 nearest centroids
+    val q = e.filter($"vec_id" < 5)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_emb"))
+    val wProbe = Window.partitionBy($"q_id").orderBy($"q_cos".desc, $"c_id")
+    val probes = q.crossJoin(broadcast(c))
+      .select($"q_id", $"q_emb", $"c_id", cosineSim($"q_emb", $"c_emb").as("q_cos"))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter($"rn" <= Probes)
+      .select($"q_id", $"q_emb", $"c_id".as("cluster"))
+    // search only the probed clusters
+    val wTop = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id")
+    probes.join(assigned, "cluster")
+      .filter($"vec_id" =!= $"q_id")
+      .select($"q_id", $"vec_id", $"cluster",
+        cosineSim($"q_emb", $"embedding").as("cos"))
+      .withColumn("rnk", row_number().over(wTop))
+      .filter($"rnk" <= TopK)
+      .select($"q_id", $"rnk", $"vec_id", $"cluster", $"cos")
+      .orderBy($"q_id", $"rnk")
+  }
+
+  /** Collected centroids for the recall spec (tiny: one per label). */
+  def centroidsForTest(s: SparkSession, d: String): Seq[(Int, Seq[Float])] = {
+    import s.implicits._
+    centroids(s, d).select($"c_id", $"c_emb").as[(Int, Seq[Float])].collect().toSeq
+  }
+
+  val queries: Map[String, Q] = Map(
+    "v1_knn_brute" -> (v1KnnBrute _),
+    "v2_knn_batch" -> (v2KnnBatch _),
+    "v3_ivf_ann" -> (v3IvfAnn _),
+  )
+
+  private def dot(x: String, y: String): String =
+    s"list_sum(list_transform(range(1, 65), i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)))"
+
+  private def cos(x: String, y: String): String =
+    s"${dot(x, y)} / (sqrt(${dot(x, x)}) * sqrt(${dot(y, y)}))"
+
+  // v3 rows-only: the centroid means are float-truncated Spark-side;
+  // recall is pinned by the spec instead of a SQL oracle.
+  val oracles: Map[String, String] = Map(
+    "v1_knn_brute" ->
+      s"""WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0)
+          SELECT vec_id, label, ${cos("embedding", "q_emb")} AS cos
+          FROM embeddings, q WHERE vec_id <> 0
+          ORDER BY cos DESC, vec_id LIMIT 10""",
+    "v2_knn_batch" ->
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 20),
+          scored AS (
+            SELECT q.q_id, e.vec_id, ${cos("e.embedding", "q.q_emb")} AS cos
+            FROM embeddings e, q WHERE e.vec_id >= 20),
+          rk AS (
+            SELECT q_id, vec_id, cos,
+                   CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS INT) AS rnk
+            FROM scored)
+          SELECT q_id, rnk, vec_id, cos FROM rk WHERE rnk <= 5
+          ORDER BY q_id, rnk""",
+  )
+}

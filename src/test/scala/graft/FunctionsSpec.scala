@@ -1,0 +1,136 @@
+package graft
+
+import graft.functions.GraftFunctions
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class FunctionsSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def textsDf = {
+    val s = spark
+    import s.implicits._
+    Tables.documents(s, SfDir).select($"doc_id", $"text")
+  }
+
+  test("simhash64 is deterministic and token-order invariant") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      ("a", "alpha beta gamma delta"),
+      ("b", "delta gamma beta alpha"), // same token multiset
+      ("c", "totally different words here entirely unrelated content")
+    ).toDF("id", "t").select($"id", GraftFunctions.simhash64($"t").as("h"))
+    val m = df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m("a") == m("b"), "simhash must not depend on token order")
+    assert(m("a") != m("c"))
+  }
+
+  test("simhash64 hamming distance is small for near-dup, larger for unrelated") {
+    val s = spark
+    import s.implicits._
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val nearDup = base.replace("tok30", "tokX") // 1 of 60 tokens changed
+    val unrelated = (1 to 60).map(i => s"other$i").mkString(" ")
+    val df = Seq(("b", base), ("n", nearDup), ("u", unrelated))
+      .toDF("id", "t").select($"id", GraftFunctions.simhash64($"t").as("h"))
+    val m = df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(m("b"), m("n")) < ham(m("b"), m("u")),
+      s"near-dup hamming ${ham(m("b"), m("n"))} should be < unrelated ${ham(m("b"), m("u"))}")
+    assert(ham(m("b"), m("n")) <= 16)
+  }
+
+  test("winnow guarantees a shared fingerprint for long shared substrings") {
+    val s = spark
+    import s.implicits._
+    // shared run of length 40 >= w + k - 1 = 4 + 8 - 1 = 11
+    val shared = "the quick brown fox jumps over the lazy"
+    val t1 = s"prefix one $shared suffix alpha"
+    val t2 = s"completely different beginning $shared and another end"
+    val df = Seq(("x", t1), ("y", t2)).toDF("id", "t")
+      .select($"id", GraftFunctions.winnow($"t", 8, 4).as("fp"))
+    val m = df.collect().map(r => r.getString(0) -> r.getSeq[Long](1).toSet).toMap
+    assert(m("x").intersect(m("y")).nonEmpty,
+      "winnowing must fingerprint any shared substring of length >= w+k-1")
+  }
+
+  test("winnow fingerprints are a subset of all k-gram hashes, sorted distinct") {
+    val s = spark
+    import s.implicits._
+    val t = "abcdefghijklmnopqrstuvwxyz0123456789"
+    val fp = Seq(Tuple1(t)).toDF("t")
+      .select(GraftFunctions.winnow($"t", 5, 3).as("fp"))
+      .collect()(0).getSeq[Long](0)
+    assert(fp == fp.sorted && fp.distinct.size == fp.size)
+    val bytes = t.getBytes("UTF-8")
+    val all = (0 to bytes.length - 5)
+      .map(i => graft.functions.SimHashImpl.fnv1a(bytes, i, i + 5)).toSet
+    assert(fp.toSet.subsetOf(all))
+  }
+
+  test("minhash_sig matches a reference explode+min computation") {
+    val s = spark
+    import s.implicits._
+    val got = textsDf.limit(20)
+      .select($"doc_id", GraftFunctions.minhashSig($"text", 6, 5).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val texts = textsDf.limit(20).collect().map(r => r.getLong(0) -> r.getString(1))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def md5hex(x: String): String =
+      md.digest(x.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    for ((id, t) <- texts) {
+      val shingles = (0 to t.length - 5).map(i => t.substring(i, i + 5))
+      val expected = (0 until 6).map(i => shingles.map(sh => md5hex(s"$i:$sh")).min)
+      assert(got(id) == expected, s"doc $id signature mismatch")
+    }
+  }
+
+  test("minhash_agg over exploded shingles equals map-side minhash_sig") {
+    val s = spark
+    import s.implicits._
+    val sig = textsDf
+      .select($"doc_id", GraftFunctions.minhashSig($"text", 8, 5).as("sig"))
+      .filter($"sig".isNotNull)
+    val agg = textsDf
+      .filter(length($"text") >= 5)
+      .select($"doc_id", explode(
+        transform(sequence(lit(1), length($"text") - 4),
+          i => $"text".substr(i, lit(5)))).as("sh"))
+      .groupBy($"doc_id")
+      .agg(GraftFunctions.minhashAgg($"sh", 8).as("sig2"))
+    val joined = sig.join(agg, "doc_id")
+      .filter(not($"sig" === $"sig2"))
+    assert(joined.count() == 0, "aggregate and scalar MinHash paths must agree")
+  }
+
+  test("cosine_sim computes exact values and handles zero vectors") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (Array(1.0f, 0.0f), Array(0.0f, 1.0f), 0.0),
+      (Array(1.0f, 0.0f), Array(1.0f, 0.0f), 1.0),
+      (Array(3.0f, 4.0f), Array(3.0f, 4.0f), 1.0),
+      (Array(0.0f, 0.0f), Array(1.0f, 1.0f), 0.0) // zero-norm guard
+    ).toDF("a", "b", "want")
+      .select(GraftFunctions.cosineSim($"a", $"b").as("got"), $"want")
+    df.collect().foreach { r =>
+      assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-12)
+    }
+  }
+
+  test("custom functions are callable from SQL via GraftExtensions") {
+    val s = spark
+    Tables.documents(s, SfDir).createOrReplaceTempView("docs_sql_test")
+    val rows = s.sql(
+      """SELECT simhash64(text) AS h, minhash_sig(text, 4, 5) AS sig,
+                winnow(text, 8, 4) AS fp
+         FROM docs_sql_test LIMIT 5""").collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      assert(r.getSeq[String](1).size == 4)
+      assert(r.getSeq[Long](2).nonEmpty)
+    }
+  }
+}

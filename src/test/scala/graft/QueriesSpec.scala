@@ -1,0 +1,127 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Behavioral specs for the query surface, on sf0.001 (hash-level
+  * correctness is gated by Verify + the DuckDB oracle at sf0.01; these
+  * pin semantic invariants the hash compare can't express, and cover
+  * the rows-only queries d4/v3/t5 that have no oracle). */
+class QueriesSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("every SparkEntry query runs and every oracle key has a query") {
+    val qs = SparkEntry.queries
+    assert(SparkEntry.oracleSql.keySet.subsetOf(qs.keySet))
+    qs.foreach { case (name, fn) =>
+      val n = fn(spark, SfDir).count()
+      assert(n >= 0, s"$name failed")
+      // rows-only queries (no oracle) must be non-empty for the driver
+      if (!SparkEntry.oracleSql.contains(name))
+        assert(n > 0, s"rows-only query $name returned 0 rows")
+    }
+  }
+
+  test("flagship entry returns rows at sf0.001") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("s10 sessionization: session counts equal gap-starts plus one per inverter") {
+    val s = spark
+    import s.implicits._
+    val sessions = solar.Solar.s10Sessionize(s, SfDir)
+    val nSessions = sessions.count()
+    val feed = Tables.events(s, SfDir).withColumnRenamed("user_id", "inverter")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"inverter").orderBy($"ts", $"event_id")
+    val gaps = feed
+      .withColumn("gap_us", unix_micros($"ts") - unix_micros(lag($"ts", 1).over(w)))
+      .filter($"gap_us" > 2L * 3600 * 1000000).count()
+    val inverters = feed.select($"inverter").distinct().count()
+    assert(nSessions == gaps + inverters)
+  }
+
+  test("e5 as-of join matches a brute-force latest-prior-order computation") {
+    val s = spark
+    import s.implicits._
+    val got = events.Events.e5AsofJoin(s, SfDir)
+      .select($"event_id", $"o_orderkey").as[(Long, Long)].collect().toMap
+    // brute force: max orderdate <= ts, then max orderkey among those
+    val od = Tables.orders(s, SfDir)
+      .groupBy($"o_custkey", $"o_orderdate")
+      .agg(max($"o_orderkey").as("ok"))
+    val brute = Tables.events(s, SfDir)
+      .join(od, $"user_id" === $"o_custkey" && $"ts" >= $"o_orderdate")
+      .groupBy($"event_id")
+      .agg(max_by($"ok", struct($"o_orderdate", $"ok")).as("want_ok"))
+      .as[(Long, Long)].collect().toMap
+    assert(got.keySet == brute.keySet)
+    got.foreach { case (ev, ok) => assert(ok == brute(ev), s"event $ev") }
+  }
+
+  test("d4 simhash candidates: hamming is symmetric-free and within threshold") {
+    val s = spark
+    import s.implicits._
+    val rows = dedup.Dedup.d4Simhash(s, SfDir)
+      .select($"doc_a", $"doc_b", $"hamming")
+      .as[(Long, Long, Int)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (a, b, h) =>
+      assert(a < b, "pairs must be canonical (doc_a < doc_b)")
+      assert(h >= 0 && h <= dedup.Dedup.HammingMax)
+    }
+    assert(rows.map(r => (r._1, r._2)).distinct.length == rows.length)
+  }
+
+  test("d3 minhash est_jaccard is a plausible estimate of true jaccard") {
+    val s = spark
+    import s.implicits._
+    val est = dedup.Dedup.d3MinhashLsh(s, SfDir)
+      .select($"doc_a", $"doc_b", $"est_jaccard").as[(Long, Long, Double)]
+      .collect().take(30)
+    assert(est.nonEmpty)
+    val texts = Tables.documents(s, SfDir)
+      .select($"doc_id", $"text").as[(Long, String)].collect().toMap
+    def shingleSet(t: String) = (0 to t.length - 5).map(i => t.substring(i, i + 5)).toSet
+    est.foreach { case (a, b, e) =>
+      val sa = shingleSet(texts(a)); val sb = shingleSet(texts(b))
+      val j = sa.intersect(sb).size.toDouble / sa.union(sb).size
+      assert(math.abs(e - j) < 0.45, s"pair ($a,$b): est $e vs true $j")
+    }
+  }
+
+  test("v3 IVF results are the exact top-k within the probed clusters") {
+    val s = spark
+    import s.implicits._
+    val got = sim.Sim.v3IvfAnn(s, SfDir)
+      .select($"q_id", $"rnk", $"vec_id").as[(Long, Int, Long)].collect()
+      .groupBy(_._1).map { case (q, rs) => q -> rs.sortBy(_._2).map(_._3).toSeq }
+    assert(got.nonEmpty)
+    // recompute: centroid assignment + probes + brute top-k in-test
+    val c = sim.Sim.centroidsForTest(s, SfDir)
+    val e = Tables.embeddings(s, SfDir)
+      .select($"vec_id", $"embedding").as[(Long, Seq[Float])].collect()
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i)
+        i += 1
+      }
+      if (na == 0 || nb == 0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val assign = e.map { case (id, emb) =>
+      id -> c.maxBy { case (cid, ce) => (cos(emb, ce), -cid) }._1
+    }.toMap
+    val byId = e.toMap
+    got.foreach { case (q, gotIds) =>
+      val probed = c.map { case (cid, ce) => cid -> cos(byId(q), ce) }
+        .toSeq.sortBy { case (cid, sc) => (-sc, cid) }.take(sim.Sim.Probes).map(_._1).toSet
+      val want = e.filter { case (id, _) => id != q && probed.contains(assign(id)) }
+        .map { case (id, emb) => (id, cos(byId(q), emb)) }
+        .sortBy { case (id, sc) => (-sc, id) }
+        .take(sim.Sim.TopK).map(_._1).toSeq
+      assert(gotIds == want, s"query $q")
+    }
+  }
+}
