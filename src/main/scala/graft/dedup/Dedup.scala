@@ -58,6 +58,9 @@ object Dedup {
     import s.implicits._
     Tables.documents(s, d)
       .filter(length($"text") >= ShingleLen)
+      // same single-input-split compensation as d3: the array build +
+      // distinct is CPU-bound and the local corpus is one file split
+      .repartition(s.sparkContext.defaultParallelism)
       .select($"doc_id", shingles($"text", ShingleLen).as("sh"))
       .select($"doc_id",
         size($"sh").as("n_shingles"),
@@ -74,9 +77,22 @@ object Dedup {
   // ---------------------------------------------------------------------
   def d3MinhashLsh(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val sig = Tables.documents(s, d)
+    // The local test corpus is one small parquet file = ONE input split,
+    // which would serialize the CPU-heavy signature kernel onto a single
+    // core. On a real cluster the scan yields thousands of splits and
+    // this repartition is unnecessary; here it restores the parallelism
+    // a 100 TB scan gets for free (shuffling only the raw docs once,
+    // before the expensive map stage).
+    //
+    // The short-doc guard is a cheap length predicate, NOT
+    // `sig.isNotNull`: a null-check on the signature would be pushed
+    // below the repartition and evaluate the whole MinHash kernel a
+    // second time, single-threaded, at the scan.
+    val docs = Tables.documents(s, d)
+      .filter(length($"text") >= ShingleLen)
+      .repartition(s.sparkContext.defaultParallelism)
+    val sig = docs
       .select($"doc_id", GraftFunctions.minhashSig($"text", K, ShingleLen).as("sig"))
-      .filter($"sig".isNotNull)
     val bandStructs = (0 until Bands).map { bd =>
       struct(lit(bd).as("band"),
         md5(concat_ws("|", slice($"sig", bd * Rows + 1, Rows))).as("bkey"))
@@ -95,10 +111,16 @@ object Dedup {
       .orderBy($"doc_a", $"doc_b")
   }
 
-  /** Band-bucket self-join: same band id + band key, doc_a < doc_b. */
+  /** Band-bucket self-join: same band id + band key, doc_a < doc_b.
+    *
+    * Forced sort-merge: both sides then shuffle identically on
+    * (band, bkey) and Spark's ReuseExchange evaluates the expensive
+    * signature subtree ONCE (a broadcast join would compute it twice —
+    * and at 100 TB the signature table isn't broadcastable anyway, so
+    * the shuffle join is also the only scale-correct choice). */
   private def a2b(bands: DataFrame): DataFrame = {
     val a = bands.as("a")
-    val b = bands.as("b")
+    val b = bands.as("b").hint("merge")
     a.join(b,
       col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
         col("a.doc_id") < col("b.doc_id"))

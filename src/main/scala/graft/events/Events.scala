@@ -69,14 +69,22 @@ object Events {
       .select($"user_id", date_trunc("day", $"ts").as("day"))
       .distinct()
     val first = act.groupBy($"user_id").agg(min($"day").as("cohort"))
-    act.join(first, "user_id")
-      .groupBy($"cohort")
+    // Reduce to one row per user (return-day flags) BEFORE the cohort
+    // rollup: a multi-countDistinct over the raw activity join would
+    // expand every row 3× through Spark's distinct-aggregate rewrite
+    // and re-shuffle the expansion; per-user boolean flags aggregate
+    // with cheap map-side partials on the same user_id key the
+    // first-day aggregate already shuffled on.
+    val perUser = act.join(first, "user_id")
+      .groupBy($"user_id", $"cohort")
       .agg(
-        countDistinct($"user_id").as("n_users"),
-        countDistinct(when($"day" === $"cohort" + expr("INTERVAL 1 DAY"), $"user_id"))
-          .as("retained_d1"),
-        countDistinct(when($"day" === $"cohort" + expr("INTERVAL 7 DAY"), $"user_id"))
-          .as("retained_d7"))
+        max(when($"day" === $"cohort" + expr("INTERVAL 1 DAY"), 1).otherwise(0)).as("f1"),
+        max(when($"day" === $"cohort" + expr("INTERVAL 7 DAY"), 1).otherwise(0)).as("f7"))
+    perUser.groupBy($"cohort")
+      .agg(
+        count(lit(1)).as("n_users"),
+        sum($"f1").as("retained_d1"),
+        sum($"f7").as("retained_d7"))
       .orderBy($"cohort")
   }
 
