@@ -147,30 +147,15 @@ object Events {
       .groupBy($"o_custkey", $"o_orderdate")
       .agg(max($"o_orderkey").as("o_orderkey"),
            max_by($"o_totalprice", $"o_orderkey").as("o_totalprice"))
-    val right = od.select(
-      $"o_custkey".as("user_id"), $"o_orderdate".as("t"), lit(0).as("tag"),
-      lit(null).cast("long").as("event_id"), lit(null).cast("timestamp").as("ts"),
-      lit(null).cast("string").as("event_type"),
-      $"o_orderkey", $"o_orderdate", $"o_totalprice")
-    val left = Tables.events(s, d).select(
-      $"user_id", $"ts".as("t"), lit(1).as("tag"),
-      $"event_id", $"ts", $"event_type",
-      lit(null).cast("long").as("o_orderkey"),
-      lit(null).cast("timestamp").as("o_orderdate"),
-      lit(null).cast("double").as("o_totalprice"))
-    // At equal times the order row (tag 0) sorts before the event row,
-    // giving inclusive `ts >= o_orderdate` as-of semantics.
-    val w = Window.partitionBy($"user_id")
-      .orderBy($"t", $"tag", $"o_orderkey", $"event_id")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    right.unionByName(left)
-      .withColumn("m_orderkey", last($"o_orderkey", ignoreNulls = true).over(w))
-      .withColumn("m_orderdate", last($"o_orderdate", ignoreNulls = true).over(w))
-      .withColumn("m_totalprice", last($"o_totalprice", ignoreNulls = true).over(w))
-      .filter($"tag" === 1 && $"m_orderkey".isNotNull)
+    val ev = Tables.events(s, d)
+      .select($"event_id", $"user_id", $"ts", $"event_type")
+    graft.plans.AsOfJoin.asOf(ev, od,
+        leftKey = "user_id", leftTime = "ts",
+        rightKey = "o_custkey", rightTime = "o_orderdate",
+        tieBreak = Seq("o_orderkey"))
+      .filter($"o_orderkey".isNotNull) // inner as-of
       .select($"event_id", $"user_id", $"ts", $"event_type",
-        $"m_orderkey".as("o_orderkey"), $"m_orderdate".as("o_orderdate"),
-        $"m_totalprice".as("o_totalprice"))
+        $"o_orderkey", $"o_orderdate", $"o_totalprice")
       .orderBy($"event_id")
   }
 

@@ -1,0 +1,85 @@
+package graft
+
+import graft.plans.{AsOfJoin, SkewJoin}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class PlansSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("AsOfJoin: left-outer semantics, inclusive at equal timestamps, tie-break by greatest") {
+    val s = spark
+    import s.implicits._
+    def t(x: String) = java.sql.Timestamp.valueOf(x)
+    val quotes = Seq(
+      (1L, t("2026-01-01 10:00:00"), 100.0, 7L),
+      (1L, t("2026-01-01 10:00:00"), 101.0, 9L), // same ts: greater qid must win
+      (1L, t("2026-01-01 11:00:00"), 110.0, 11L),
+      (2L, t("2026-01-01 09:00:00"), 50.0, 5L)
+    ).toDF("q_key", "q_ts", "px", "qid")
+    val trades = Seq(
+      (1L, t("2026-01-01 09:30:00"), "early"),   // before any quote -> nulls
+      (1L, t("2026-01-01 10:00:00"), "attime"),  // inclusive: matches 10:00, qid 9
+      (1L, t("2026-01-01 10:30:00"), "mid"),     // matches 10:00, qid 9
+      (1L, t("2026-01-01 12:00:00"), "late"),    // matches 11:00
+      (2L, t("2026-01-01 09:00:00"), "other"),   // other key, inclusive
+      (3L, t("2026-01-01 10:00:00"), "nokey")    // key with no quotes
+    ).toDF("key", "ts", "tag")
+    val got = AsOfJoin.asOf(trades, quotes, "key", "ts", "q_key", "q_ts",
+        tieBreak = Seq("qid"))
+      .select($"tag", $"px", $"qid")
+      .collect().map(r => (r.getString(0),
+        if (r.isNullAt(1)) None else Some(r.getDouble(1)),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSet
+    assert(got == Set(
+      ("early", None, None),
+      ("attime", Some(101.0), Some(9L)),
+      ("mid", Some(101.0), Some(9L)),
+      ("late", Some(110.0), Some(11L)),
+      ("other", Some(50.0), Some(5L)),
+      ("nokey", None, None)))
+  }
+
+  test("SkewJoin.salted produces exactly the rows of the plain equi-join") {
+    val s = spark
+    import s.implicits._
+    val ev = Tables.events(s, SfDir).select($"event_id", $"user_id", $"event_type")
+    val users = Tables.events(s, SfDir)
+      .groupBy($"user_id").agg(count(lit(1)).as("user_events"))
+      .withColumnRenamed("user_id", "u_id")
+    val plain = ev.join(users, $"user_id" === $"u_id")
+      .select($"event_id", $"user_events").as[(Long, Long)].collect().sorted.toSeq
+    val salted = SkewJoin.salted(ev, users, "user_id", "u_id", 8, "event_id")
+      .select($"event_id", $"user_events").as[(Long, Long)].collect().sorted.toSeq
+    assert(salted == plain)
+  }
+
+  test("end-to-end ingestion pipeline: stream decode -> hourly agg -> MergeTree layout") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    // the reference daemon loop, Spark-native: raw feed arrives as a
+    // stream, per-batch it is decoded + appended in MergeTree layout
+    val dir = java.nio.file.Files.createTempDirectory("graft_e2e").toString
+    val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Ev]
+    val q = stream.toDF()
+      .withColumn("inverter", lit(7L))
+      .writeStream
+      .option("checkpointLocation", s"$dir/ckpt")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        graft.streaming.MergeTreeSink.write(b, s"$dir/out/batch=$id", "ts", "inverter")
+      }
+      .start()
+    try {
+      stream.addData(
+        Ev(java.sql.Timestamp.valueOf("2026-01-15 10:00:00"), "view", 1.0),
+        Ev(java.sql.Timestamp.valueOf("2026-02-15 10:00:00"), "view", 2.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = s.read.parquet(s"$dir/out/batch=0")
+    assert(out.count() == 2)
+    val months = new java.io.File(s"$dir/out/batch=0").listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted
+    assert(months.toSeq == Seq("month=202601", "month=202602"))
+  }
+}
