@@ -127,6 +127,43 @@ object Dedup {
   }
 
   // ---------------------------------------------------------------------
+  // d6: exact n-gram Jaccard verification of the LSH candidates — the
+  // second half of the canonical dedup pipeline (candidate generation
+  // via d3's banded MinHash, then exact set verification only on the
+  // bounded candidate set, never all-pairs). Shingle sets are
+  // recomputed map-side after joining candidate ids back to text;
+  // intersect/union are array set-ops inside codegen.
+  //
+  // Verification is gated on n_bands >= 2: exact verification ships
+  // two full shingle sets per pair, so its cost is candidates ×
+  // set-size. Single-band matches on this (pathologically self-
+  // similar) corpus are ~1.5% of ALL pairs — quadratic — while
+  // multi-band agreement is the high-precision subset (P ≈ C(b,2)·j^2r
+  // vs b·j^r). At 100 TB the same gate is what keeps the verify stage
+  // linear; recall-sensitive deployments raise band count instead.
+  // ---------------------------------------------------------------------
+  val JaccardThreshold = 0.2
+  val MinBands = 2
+
+  def d6NgramJaccard(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val cand = d3MinhashLsh(s, d)
+      .filter($"n_bands" >= MinBands)
+      .select($"doc_a", $"doc_b", $"est_jaccard")
+    val sh = Tables.documents(s, d)
+      .filter(length($"text") >= ShingleLen)
+      .select($"doc_id", array_distinct(shingles($"text", ShingleLen)).as("sh"))
+    cand
+      .join(sh.select($"doc_id".as("doc_a"), $"sh".as("sh_a")), "doc_a")
+      .join(sh.select($"doc_id".as("doc_b"), $"sh".as("sh_b")), "doc_b")
+      .select($"doc_a", $"doc_b", $"est_jaccard",
+        (size(array_intersect($"sh_a", $"sh_b")).cast("double") /
+          size(array_union($"sh_a", $"sh_b"))).as("jaccard"))
+      .filter($"jaccard" >= JaccardThreshold)
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  // ---------------------------------------------------------------------
   // d4 (rows-only; Hamming-property spec in DedupSpec): SimHash near-dup
   // candidates — bucket on any equal 16-bit band of the 64-bit
   // fingerprint, exact Hamming distance within buckets only.
@@ -177,6 +214,7 @@ object Dedup {
     "d2_shingle_stats" -> (d2ShingleStats _),
     "d3_minhash_lsh" -> (d3MinhashLsh _),
     "d4_simhash" -> (d4Simhash _),
+    "d6_ngram_jaccard" -> (d6NgramJaccard _),
     "d5_embed_neardup" -> (d5EmbedNeardup _),
   )
 
@@ -220,6 +258,37 @@ object Dedup {
          SELECT doc_a, doc_b, n_bands, matches,
                 CAST(matches AS DOUBLE) / 12 AS est_jaccard
          FROM cand ORDER BY doc_a, doc_b""",
+    "d6_ngram_jaccard" ->
+      """WITH sh AS (
+           SELECT doc_id, unnest(list_transform(range(1, len(text) - 3), i -> substr(text, i, 5))) AS sh
+           FROM documents WHERE len(text) >= 5),
+         hx AS (
+           SELECT doc_id, i, min(md5(CAST(i AS VARCHAR) || ':' || sh)) AS mh
+           FROM sh, range(12) r(i) GROUP BY doc_id, i),
+         sig AS (SELECT doc_id, list(mh ORDER BY i) AS sig FROM hx GROUP BY doc_id),
+         bands AS (
+           SELECT doc_id, sig, CAST(b AS INT) AS band,
+                  md5(sig[b*3+1] || '|' || sig[b*3+2] || '|' || sig[b*3+3]) AS bkey
+           FROM sig, range(4) rb(b)),
+         cand AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  max(CAST(len(list_filter(range(1, 13), i -> a.sig[i] = b.sig[i])) AS INT)) AS matches
+           FROM bands a JOIN bands b
+             ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+           GROUP BY 1, 2
+           HAVING count(*) >= 2),
+         ds AS (
+           SELECT doc_id,
+                  list_distinct(list_transform(range(1, len(text) - 3), i -> substr(text, i, 5))) AS s
+           FROM documents WHERE len(text) >= 5),
+         j AS (
+           SELECT doc_a, doc_b, CAST(matches AS DOUBLE) / 12 AS est_jaccard,
+                  CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+                    / len(list_distinct(list_concat(sa.s, sb.s))) AS jaccard
+           FROM cand JOIN ds sa ON cand.doc_a = sa.doc_id
+                     JOIN ds sb ON cand.doc_b = sb.doc_id)
+         SELECT doc_a, doc_b, est_jaccard, jaccard
+         FROM j WHERE jaccard >= 0.2 ORDER BY doc_a, doc_b""",
     "d5_embed_neardup" ->
       s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
                  ${dot("a.embedding", "b.embedding")}

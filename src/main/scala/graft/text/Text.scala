@@ -38,18 +38,24 @@ object Text {
   )
 
   // ---------------------------------------------------------------------
-  // t1: tokenization stats — counts, distinct counts, average token
-  // length. All array expressions, evaluated map-side.
+  // t1: tokenization stats — whitespace token counts plus a BPE-style
+  // pre-tokenizer count (letter runs / digit runs / single symbols,
+  // the usual byte-pair pre-split). All array expressions, map-side.
   // ---------------------------------------------------------------------
+  private val PreTokenRe = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+
   def t1Tokens(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     Tables.documents(s, d)
-      .select($"doc_id", toks($"text").as("t"))
+      .select($"doc_id", toks($"text").as("t"),
+        size(regexp_extract_all(lower($"text"), lit(PreTokenRe), lit(0)))
+          .as("n_subtokens"))
       .select(
         $"doc_id",
         size($"t").as("n_tokens"),
         size(array_distinct($"t")).as("n_distinct"),
-        aggregate($"t", lit(0L), (acc, x) => acc + length(x)).as("sum_len"))
+        aggregate($"t", lit(0L), (acc, x) => acc + length(x)).as("sum_len"),
+        $"n_subtokens")
       .withColumn("avg_token_len", $"sum_len".cast("double") / $"n_tokens")
       .orderBy($"doc_id")
   }
@@ -163,11 +169,12 @@ object Text {
   val oracles: Map[String, String] = Map(
     "t1_tokens" ->
       """WITH tk AS (
-           SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+           SELECT doc_id, text, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
            FROM documents)
          SELECT doc_id, CAST(len(t) AS INT) AS n_tokens,
                 CAST(len(list_distinct(t)) AS INT) AS n_distinct,
                 CAST(list_sum(list_transform(t, x -> len(x))) AS BIGINT) AS sum_len,
+                CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS INT) AS n_subtokens,
                 CAST(list_sum(list_transform(t, x -> len(x))) AS DOUBLE) / len(t) AS avg_token_len
          FROM tk ORDER BY doc_id""",
     "t2_langid" ->
