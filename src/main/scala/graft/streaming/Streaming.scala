@@ -1,8 +1,9 @@
 package graft.streaming
 
 import graft.{Exact, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Structured-Streaming re-expression of the reference's ingestion
   * loop (SURVEY §2.H).
@@ -47,6 +48,52 @@ object Streaming {
       .select($"window.start".as("hour"), $"event_type", $"n",
         $"avg_value", $"max_value")
       .orderBy($"hour", $"event_type")
+  }
+
+  /** One raw counter reading. Values are fixed-point cents (the feed
+    * carries 2-decimal readings) so state and deltas stay exact. */
+  case class Reading(inverter: Long, ts: java.sql.Timestamp, event_id: Long, cents: Long)
+
+  /** One emitted counter increment; `is_reset` marks a drop in the
+    * monotonic counter (device restart → the new value IS the
+    * increment, the reference's reset-clamp rule, cf. s6). */
+  case class CounterDelta(inverter: Long, ts: java.sql.Timestamp,
+                          delta_cents: Long, is_reset: Boolean)
+
+  /** Cross-batch state: the last counter reading (public — the state
+    * encoder's generated code must reach the constructor). */
+  case class CounterState(lastCents: Long)
+
+  /** Stateful streaming counter-delta via flatMapGroupsWithState: the
+    * per-inverter last reading is the ONLY state carried across
+    * micro-batches, so an unbounded feed runs in bounded memory
+    * (state size = #inverters × 8 bytes — exactly the accumulator the
+    * reference daemon keeps per inverter between polls). Within a
+    * batch, readings are ordered by (ts, event_id); production pairs
+    * this with a watermark that drops late rows before the stateful
+    * stage. Works identically on a batch Dataset (empty initial
+    * state), which is how StreamingSpec pins stream == batch (s6).
+    */
+  def statefulCounterDelta(ds: Dataset[Reading]): Dataset[CounterDelta] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.groupByKey(_.inverter)
+      .flatMapGroupsWithState[CounterState, CounterDelta](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (inv: Long, it: Iterator[Reading], state: GroupState[CounterState]) =>
+          val sorted = it.toIndexedSeq.sortBy(r => (r.ts.getTime, r.event_id))
+          var last = state.getOption.map(_.lastCents)
+          val out = sorted.flatMap { r =>
+            val d = last.map { p =>
+              if (r.cents >= p) CounterDelta(inv, r.ts, r.cents - p, is_reset = false)
+              else CounterDelta(inv, r.ts, r.cents, is_reset = true)
+            }
+            last = Some(r.cents)
+            d
+          }
+          last.foreach(c => state.update(CounterState(c)))
+          out.iterator
+      }
   }
 
   val queries: Map[String, Q] = Map(

@@ -38,6 +38,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.size == 4) // (h0 view, h0 click, h1 view, h2 purchase)
   }
 
+  test("stateful counter-delta: streamed micro-batches equal the batch s6 rollup") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    // the real purchase feed as exact-cents readings, split into two
+    // micro-batches at the median timestamp (per-inverter order holds)
+    val readings = Tables.events(s, SfDir)
+      .filter($"event_type" === "purchase")
+      .select($"user_id".as("inverter"), $"ts", $"event_id",
+        round($"value" * 100).cast("long").as("cents"))
+      .as[Streaming.Reading]
+      .collect().sortBy(r => r.ts.getTime)
+    val (b1, b2) = readings.splitAt(readings.length / 2)
+
+    val stream = MemoryStream[Streaming.Reading]
+    val q = Streaming.statefulCounterDelta(stream.toDS())
+      .writeStream.format("memory").queryName("deltas_spec").outputMode("append").start()
+    try {
+      stream.addData(b1.toSeq: _*); q.processAllAvailable()
+      stream.addData(b2.toSeq: _*); q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = s.table("deltas_spec")
+      .groupBy($"inverter")
+      .agg((sum($"delta_cents") / 100.0).as("total_increase"),
+        count(lit(1)).as("n_deltas"),
+        sum(when($"is_reset", 1L).otherwise(0L)).as("n_resets"))
+    val batch = solar.Solar.s6CounterDelta(s, SfDir)
+    val mismatch = streamed.as("a").join(batch.as("b"), "inverter")
+      .filter(abs($"a.total_increase" - $"b.total_increase") > 1e-9 ||
+        $"a.n_deltas" =!= $"b.n_deltas" || $"a.n_resets" =!= $"b.n_resets")
+    assert(streamed.count() == batch.count())
+    assert(mismatch.count() == 0,
+      "stateful streaming deltas must match the batch window computation")
+  }
+
   test("BufferedStreamSink lands every micro-batch exactly once, idempotently") {
     val s = spark
     import s.implicits._
