@@ -55,10 +55,14 @@ object AsOfJoin {
     val w = Window.partitionBy(col("__key")).orderBy(ord: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    val carried = rightPayload.foldLeft(rightSide.unionByName(leftSide)) {
-      case (df, c) => df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }
-    carried.filter(col("__tag") === 1)
-      .select((leftCols ++ rightPayload).map(col): _*)
+    // Carry into FRESH names: overwriting the payload columns in place
+    // would make later carries window-order by the already-carried
+    // tie-break column — a second Sort+Window stage for nothing. With
+    // distinct output names all carries share ONE window (one sort).
+    val carries = rightPayload.map(c => last(col(c), ignoreNulls = true).over(w).as(s"__m_$c"))
+    rightSide.unionByName(leftSide)
+      .select(col("*") +: carries: _*)
+      .filter(col("__tag") === 1)
+      .select((leftCols.map(col) ++ rightPayload.map(c => col(s"__m_$c").as(c))): _*)
   }
 }

@@ -207,15 +207,28 @@ object Relational {
       .orderBy($"nationkey")
   }
 
-  /** Multi count(DISTINCT) in one grouped pass. */
+  /** Multi count(DISTINCT) as independent two-phase aggregations.
+    *
+    * Scale note: a single groupBy with three countDistincts goes
+    * through Catalyst's distinct-aggregate rewrite, which EXPANDs
+    * every input row 3× (one replica per distinct column) and shuffles
+    * the expansion. Computing each distinct count as its own
+    * dedup-then-count (map-side partial dedup, key-only shuffles) and
+    * joining the 3-row-per-flag results costs three small shuffles
+    * instead of one 3×-wide one — at 100 TB the expansion is the
+    * difference between shuffling 300 TB and shuffling the key
+    * columns. */
   def q21DistinctCounts(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    Tables.lineitem(s, d)
-      .groupBy($"l_returnflag")
-      .agg(countDistinct($"l_orderkey").as("n_orders"),
-           countDistinct($"l_partkey").as("n_parts"),
-           countDistinct($"l_suppkey").as("n_supps"),
-           count(lit(1)).as("n_rows"))
+    val l = Tables.lineitem(s, d)
+    def distinctCount(key: String, as: String) =
+      l.select($"l_returnflag", col(key)).distinct()
+        .groupBy($"l_returnflag").agg(count(lit(1)).as(as))
+    l.groupBy($"l_returnflag").agg(count(lit(1)).as("n_rows"))
+      .join(distinctCount("l_orderkey", "n_orders"), "l_returnflag")
+      .join(distinctCount("l_partkey", "n_parts"), "l_returnflag")
+      .join(distinctCount("l_suppkey", "n_supps"), "l_returnflag")
+      .select($"l_returnflag", $"n_orders", $"n_parts", $"n_supps", $"n_rows")
       .orderBy($"l_returnflag")
   }
 
