@@ -293,7 +293,83 @@ object Solar {
       .orderBy($"rnk", $"inverter")
   }
 
+  // ---------------------------------------------------------------------
+  // s13: catalog-driven register decode — the reference's decode loop is
+  // TABLE-driven: a register map with scale/quantity per metric
+  // (registers.txt:28-65 defines INPUT registers with scale 0.1/0.01
+  // and u32 (hi,lo) pairs via quantity=2; solarman.py:254-308 walks
+  // it). The catalog here is a literal broadcastable dim joined to the
+  // feed; decode arithmetic stays decimal-exact so the rollup is
+  // order-independent.
+  // ---------------------------------------------------------------------
+  private val registerCatalog: Seq[(String, String, String, Double, Int)] = Seq(
+    ("view", "dc_voltage", "V", 0.1, 1),
+    ("click", "dc_amps", "A", 0.1, 1),
+    ("purchase", "ac_watts", "W", 1.0, 2),
+    ("signup", "ac_frequency", "Hz", 0.01, 1),
+    ("error", "inverter_temp", "C", 0.1, 1),
+  )
+
+  def s13CatalogDecode(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val cat = registerCatalog.toDF("event_type", "register", "unit", "scale", "quantity")
+    feed(s, d)
+      .join(broadcast(cat), "event_type")
+      .groupBy($"register", $"unit", $"quantity")
+      .agg(
+        count(lit(1)).as("n"),
+        (sum(dec($"value") * dec($"scale")).cast("double") / count(lit(1)))
+          .as("avg_scaled"),
+        max(dec($"value") * dec($"scale")).cast("double").as("max_scaled"))
+      .orderBy($"register")
+  }
+
+  // ---------------------------------------------------------------------
+  // s14: exact quantiles per inverter via explicit rank selection
+  // (lower median and p90 as the ceil(q·n)-th order statistic) —
+  // deterministic in both engines, unlike interpolated percentile
+  // implementations whose FP interpolation differs. One shared
+  // (inverter, value) sort serves both ranks.
+  // ---------------------------------------------------------------------
+  def s14Quantiles(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"inverter").orderBy($"value", $"event_id")
+    val cw = Window.partitionBy($"inverter")
+    feed(s, d)
+      .filter($"event_type" === "view")
+      .select($"inverter", $"value", $"event_id")
+      .withColumn("rn", row_number().over(w))
+      .withColumn("cnt", count(lit(1)).over(cw))
+      .filter($"rn" === expr("(cnt + 1) div 2") || $"rn" === expr("(cnt * 9 + 9) div 10"))
+      .groupBy($"inverter")
+      .agg(
+        max($"cnt").as("n"),
+        min($"value").as("median"), // lower of the two selected ranks
+        max($"value").as("p90"))
+      .orderBy($"inverter")
+  }
+
+  // ---------------------------------------------------------------------
+  // s15: daily fleet activity — exact distinct counts (ClickHouse
+  // uniqExact). The approximate variant (uniq ≈ approx_count_distinct
+  // / HyperLogLog++) is pinned by a relative-error spec in
+  // QueriesSpec rather than an oracle, since sketches aren't
+  // cross-engine reproducible.
+  // ---------------------------------------------------------------------
+  def s15DailyActive(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    feed(s, d)
+      .groupBy(date_trunc("day", $"ts").as("day"))
+      .agg(
+        countDistinct($"inverter").as("uniq_inverters"),
+        count(lit(1)).as("n_events"))
+      .orderBy($"day")
+  }
+
   val queries: Map[String, Q] = Map(
+    "s13_catalog_decode" -> (s13CatalogDecode _),
+    "s14_quantiles" -> (s14Quantiles _),
+    "s15_daily_active" -> (s15DailyActive _),
     "s1_decode" -> (s1Decode _),
     "s2_derived_power" -> (s2DerivedPower _),
     "s3_efficiency" -> (s3Efficiency _),
@@ -311,6 +387,35 @@ object Solar {
   // DuckDB oracles — each mirrors the Spark arithmetic exactly
   // (decimal sums, integer microseconds, double division).
   val oracles: Map[String, String] = Map(
+    "s13_catalog_decode" ->
+      """WITH cat(event_type, register, unit, scale, quantity) AS (
+           VALUES ('view', 'dc_voltage', 'V', 0.1, 1),
+                  ('click', 'dc_amps', 'A', 0.1, 1),
+                  ('purchase', 'ac_watts', 'W', 1.0, 2),
+                  ('signup', 'ac_frequency', 'Hz', 0.01, 1),
+                  ('error', 'inverter_temp', 'C', 0.1, 1))
+         SELECT register, unit, quantity, count(*) AS n,
+                CAST(sum(CAST(value AS DECIMAL(18,2)) * CAST(scale AS DECIMAL(18,2))) AS DOUBLE)
+                  / count(*) AS avg_scaled,
+                CAST(max(CAST(value AS DECIMAL(18,2)) * CAST(scale AS DECIMAL(18,2))) AS DOUBLE) AS max_scaled
+         FROM events JOIN cat USING (event_type)
+         GROUP BY 1, 2, 3 ORDER BY register""",
+    "s14_quantiles" ->
+      """WITH r AS (
+           SELECT user_id AS inverter, value,
+                  row_number() OVER (PARTITION BY user_id ORDER BY value, event_id) AS rn,
+                  count(*) OVER (PARTITION BY user_id) AS cnt
+           FROM events WHERE event_type = 'view')
+         SELECT inverter, max(cnt) AS n,
+                min(value) AS median, max(value) AS p90
+         FROM r
+         WHERE rn = (cnt + 1) // 2 OR rn = (cnt * 9 + 9) // 10
+         GROUP BY inverter ORDER BY inverter""",
+    "s15_daily_active" ->
+      """SELECT date_trunc('day', ts) AS day,
+                count(DISTINCT user_id) AS uniq_inverters,
+                count(*) AS n_events
+         FROM events GROUP BY 1 ORDER BY day""",
     "s1_decode" ->
       """SELECT event_id, user_id AS inverter, ts,
            CASE event_type WHEN 'view' THEN 'dc_voltage' WHEN 'click' THEN 'dc_amps'

@@ -90,6 +90,21 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("approximate uniq (HLL++) stays within 5% of s15's exact distinct counts") {
+    val s = spark
+    import s.implicits._
+    val approx = Tables.events(s, SfDir)
+      .groupBy(date_trunc("day", $"ts").as("day"))
+      .agg(approx_count_distinct($"user_id").as("approx_uniq"))
+    val exact = solar.Solar.s15DailyActive(s, SfDir)
+    val rows = exact.join(approx, "day")
+      .select($"uniq_inverters", $"approx_uniq").as[(Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (ex, ap) =>
+      assert(math.abs(ap - ex).toDouble / ex <= 0.05, s"approx $ap vs exact $ex")
+    }
+  }
+
   test("v3 IVF results are the exact top-k within the probed clusters") {
     val s = spark
     import s.implicits._
