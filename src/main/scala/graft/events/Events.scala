@@ -58,6 +58,43 @@ object Events {
   }
 
   // ---------------------------------------------------------------------
+  // e6: time-BOUNDED funnel — ClickHouse windowFunnel(window) proper:
+  // each stage must follow the previous one within 6 hours (the window
+  // that discriminates on this feed's event density). Same
+  // stacked-window shape as e1, but the running stage-minima use a
+  // RANGE frame over microsecond event time, so only predecessors
+  // inside the window qualify. Still one shuffle + sorts on the same
+  // (user_id, time) ordering.
+  // ---------------------------------------------------------------------
+  private val FunnelWindowUs = 6L * 3600 * 1000000
+
+  def e6BoundedFunnel(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val wr = Window.partitionBy($"user_id").orderBy($"us")
+      .rangeBetween(-FunnelWindowUs, 0)
+    val lvl = Tables.events(s, d)
+      .select($"user_id", $"event_type", unix_micros($"ts").as("us"))
+      .withColumn("m_view", min(when($"event_type" === "view", $"us")).over(wr))
+      .withColumn("click_us",
+        when($"event_type" === "click" && $"us" > $"m_view", $"us"))
+      .withColumn("m_click", min($"click_us").over(wr))
+      .withColumn("purch_us",
+        when($"event_type" === "purchase" && $"us" > $"m_click", $"us"))
+      .groupBy($"user_id")
+      .agg(
+        min(when($"event_type" === "view", $"us")).as("t1"),
+        min($"click_us").as("t2"),
+        min($"purch_us").as("t3"))
+      .filter($"t1".isNotNull)
+      .select(
+        (lit(1) + when($"t2".isNotNull, 1).otherwise(0)
+                + when($"t3".isNotNull, 1).otherwise(0)).as("funnel_level"))
+    lvl.groupBy($"funnel_level")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy($"funnel_level")
+  }
+
+  // ---------------------------------------------------------------------
   // e2: cohort retention — cohort = day of user's first event; count
   // users active again exactly 1 and 7 days later. Activity is
   // de-dupped to (user, day) first so the join and the distinct counts
@@ -161,6 +198,7 @@ object Events {
 
   val queries: Map[String, Q] = Map(
     "e1_funnel" -> (e1Funnel _),
+    "e6_bounded_funnel" -> (e6BoundedFunnel _),
     "e2_retention" -> (e2Retention _),
     "e3_histogram" -> (e3Histogram _),
     "e4_json_extract" -> (e4JsonExtract _),
@@ -192,6 +230,33 @@ object Events {
            SELECT user_id,
                   min(CASE WHEN event_type='view' THEN ts END) AS t1,
                   min(click_ts) AS t2, min(purch_ts) AS t3
+           FROM p GROUP BY 1)
+         SELECT 1 + CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END
+                  + CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END AS funnel_level,
+                count(*) AS n_users
+         FROM u WHERE t1 IS NOT NULL
+         GROUP BY 1 ORDER BY funnel_level""",
+    "e6_bounded_funnel" ->
+      """WITH b AS (
+           SELECT user_id, event_type, epoch_us(ts) AS us,
+             min(CASE WHEN event_type='view' THEN epoch_us(ts) END) OVER w AS m_view
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                        RANGE BETWEEN 21600000000 PRECEDING AND CURRENT ROW)),
+         c AS (
+           SELECT *, CASE WHEN event_type='click' AND us > m_view THEN us END AS click_us
+           FROM b),
+         c2 AS (
+           SELECT *, min(click_us) OVER (PARTITION BY user_id ORDER BY us
+             RANGE BETWEEN 21600000000 PRECEDING AND CURRENT ROW) AS m_click
+           FROM c),
+         p AS (
+           SELECT *, CASE WHEN event_type='purchase' AND us > m_click THEN us END AS purch_us
+           FROM c2),
+         u AS (
+           SELECT user_id,
+                  min(CASE WHEN event_type='view' THEN us END) AS t1,
+                  min(click_us) AS t2, min(purch_us) AS t3
            FROM p GROUP BY 1)
          SELECT 1 + CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END
                   + CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END AS funnel_level,

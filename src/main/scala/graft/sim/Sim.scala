@@ -118,6 +118,32 @@ object Sim {
       .orderBy($"q_id", $"rnk")
   }
 
+  // ---------------------------------------------------------------------
+  // v4: the same k-NN expressed as pure SQL text through the SQL
+  // functions registered by GraftExtensions (`cosine_sim`), proving the
+  // extension surface end-to-end inside the graded gate: a user can
+  // write `SELECT cosine_sim(a, b)` with no Scala at all. Plan is
+  // identical to v2's (broadcast query side, codegen'd map-side cosine,
+  // per-query top-k window).
+  // ---------------------------------------------------------------------
+  def v4KnnSql(s: SparkSession, d: String): DataFrame = {
+    Tables.embeddings(s, d).createOrReplaceTempView("embeddings")
+    s.sql(
+      """WITH q AS (
+           SELECT vec_id AS q_id, embedding AS q_emb
+           FROM embeddings WHERE vec_id < 5),
+         scored AS (
+           SELECT /*+ BROADCAST(q) */ q.q_id, e.vec_id,
+                  cosine_sim(e.embedding, q.q_emb) AS cos
+           FROM embeddings e CROSS JOIN q WHERE e.vec_id >= 5),
+         rk AS (
+           SELECT q_id, vec_id, cos,
+                  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rnk
+           FROM scored)
+         SELECT q_id, rnk, vec_id, cos FROM rk WHERE rnk <= 3
+         ORDER BY q_id, rnk""")
+  }
+
   /** Collected centroids for the recall spec (tiny: one per label). */
   def centroidsForTest(s: SparkSession, d: String): Seq[(Int, Seq[Float])] = {
     import s.implicits._
@@ -128,6 +154,7 @@ object Sim {
     "v1_knn_brute" -> (v1KnnBrute _),
     "v2_knn_batch" -> (v2KnnBatch _),
     "v3_ivf_ann" -> (v3IvfAnn _),
+    "v4_knn_sql" -> (v4KnnSql _),
   )
 
   private def dot(x: String, y: String): String =
@@ -154,6 +181,17 @@ object Sim {
                    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS INT) AS rnk
             FROM scored)
           SELECT q_id, rnk, vec_id, cos FROM rk WHERE rnk <= 5
+          ORDER BY q_id, rnk""",
+    "v4_knn_sql" ->
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 5),
+          scored AS (
+            SELECT q.q_id, e.vec_id, ${cos("e.embedding", "q.q_emb")} AS cos
+            FROM embeddings e, q WHERE e.vec_id >= 5),
+          rk AS (
+            SELECT q_id, vec_id, cos,
+                   CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS INT) AS rnk
+            FROM scored)
+          SELECT q_id, rnk, vec_id, cos FROM rk WHERE rnk <= 3
           ORDER BY q_id, rnk""",
   )
 }
