@@ -232,6 +232,95 @@ object Relational {
       .orderBy($"l_returnflag")
   }
 
+  /** TPC-H Q8-style national market share: fraction of a region's
+    * yearly part-type revenue supplied by one nation.
+    *
+    * Scale note: nation/region are fixed-cardinality → broadcast;
+    * part is filtered to one type but still scale-proportional → AQE
+    * decides. The supplier-nation lookup re-broadcasts nation under a
+    * second alias — two 25-row broadcasts, never a shuffle. */
+  def q8MarketShare(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val volume = dec($"l_extendedprice") * (lit(1).cast(DecimalType(18, 2)) - dec($"l_discount"))
+    val r = Tables.region(s, d).filter($"r_name" === "ASIA")
+    val cn = Tables.nation(s, d)
+      .select($"n_nationkey".as("cn_nationkey"), $"n_regionkey".as("cn_regionkey"))
+    val sn = Tables.nation(s, d)
+      .select($"n_nationkey".as("sn_nationkey"), $"n_name".as("supp_nation"))
+    val p = Tables.part(s, d).filter($"p_type" === "ECONOMY")
+    val o = Tables.orders(s, d)
+      .filter($"o_orderdate" >= lit("1995-01-01").cast("timestamp") &&
+              $"o_orderdate" <  lit("1997-01-01").cast("timestamp"))
+    Tables.lineitem(s, d)
+      .join(p.select($"p_partkey"), $"l_partkey" === $"p_partkey")
+      .join(o, $"l_orderkey" === $"o_orderkey")
+      .join(Tables.customer(s, d), $"o_custkey" === $"c_custkey")
+      .join(broadcast(cn), $"c_nationkey" === $"cn_nationkey")
+      .join(broadcast(r), $"cn_regionkey" === $"r_regionkey")
+      .join(Tables.supplier(s, d), $"l_suppkey" === $"s_suppkey")
+      .join(broadcast(sn), $"s_nationkey" === $"sn_nationkey")
+      .groupBy(year($"o_orderdate").as("o_year"))
+      .agg((sum(when($"supp_nation" === "NATION_3", volume)
+              .otherwise(lit(0).cast(DecimalType(18, 2)))).cast("double") /
+            sum(volume).cast("double")).as("mkt_share"))
+      .orderBy($"o_year")
+  }
+
+  /** TPC-H Q13-style customer distribution: left-outer join + two-level
+    * aggregation (orders per customer → customers per order-count).
+    * Both aggregates key on already-shuffled columns; the second input
+    * is one row per customer, so the distribution rollup is tiny. */
+  def q13Distribution(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val o = Tables.orders(s, d).filter($"o_orderpriority" =!= "1-URGENT")
+    Tables.customer(s, d)
+      .join(o, $"c_custkey" === $"o_custkey", "left_outer")
+      .groupBy($"c_custkey")
+      .agg(count($"o_orderkey").as("c_count"))
+      .groupBy($"c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy($"custdist".desc, $"c_count".desc)
+  }
+
+  /** TPC-H Q15-style top supplier: revenue per supplier over a quarter,
+    * keep the max (scalar-subquery max re-expressed as a 1-row
+    * broadcast join on the aggregate — no second scan of lineitem). */
+  def q15TopSupplier(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val rev = Tables.lineitem(s, d)
+      .filter($"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
+              $"l_shipdate" <  lit("1996-04-01").cast("timestamp"))
+      .groupBy($"l_suppkey")
+      .agg(sum(dec($"l_extendedprice") * (lit(1).cast(DecimalType(18, 2)) - dec($"l_discount")))
+        .cast("double").as("total_revenue"))
+    val maxRev = rev.agg(max($"total_revenue").as("max_rev"))
+    rev.join(broadcast(maxRev), $"total_revenue" === $"max_rev")
+      .join(Tables.supplier(s, d), $"l_suppkey" === $"s_suppkey")
+      .select($"s_suppkey", $"s_name", $"total_revenue")
+      .orderBy($"s_suppkey")
+  }
+
+  /** TPC-H Q22-style idle high-balance customers: scalar average
+    * (1-row broadcast) + anti-join against recent orders (dormant
+    * since 2000), rolled up by segment. The acctbal comparison is a
+    * plain double compare of identically-computed values — no
+    * arithmetic drift. The order-date filter is parquet-pushed before
+    * the anti-join shuffle. */
+  def q22IdleCustomers(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val c = Tables.customer(s, d)
+    val avgBal = c.filter($"c_acctbal" > 0.0).agg(davg($"c_acctbal").as("avg_bal"))
+    val recent = Tables.orders(s, d)
+      .filter($"o_orderdate" >= lit("2000-01-01").cast("timestamp"))
+    c.join(broadcast(avgBal))
+      .filter($"c_acctbal" > $"avg_bal")
+      .join(recent, $"c_custkey" === $"o_custkey", "left_anti")
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("numcust"),
+           dsum($"c_acctbal").as("totacctbal"))
+      .orderBy($"c_mktsegment")
+  }
+
   val queries: Map[String, Q] = Map(
     "q1_agg" -> (q1Agg _),
     "q3_shipping" -> (q3Shipping _),
@@ -245,6 +334,10 @@ object Relational {
     "q18_having" -> (q18Having _),
     "q19_union" -> (q19Union _),
     "q21_distinct_counts" -> (q21DistinctCounts _),
+    "q8_market_share" -> (q8MarketShare _),
+    "q13_distribution" -> (q13Distribution _),
+    "q15_top_supplier" -> (q15TopSupplier _),
+    "q22_idle_customers" -> (q22IdleCustomers _),
   )
 
   // DuckDB oracle SQL — every expression mirrors the Spark plan's
@@ -354,5 +447,52 @@ object Relational {
          COUNT(DISTINCT l_suppkey) AS n_supps,
          COUNT(*) AS n_rows
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q8_market_share" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+         CAST(SUM(CASE WHEN sn.n_name = 'NATION_3'
+                       THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+                       ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) /
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS mkt_share
+         FROM lineitem
+         JOIN part ON l_partkey = p_partkey
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation cn ON c_nationkey = cn.n_nationkey
+         JOIN region ON cn.n_regionkey = r_regionkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation sn ON s_nationkey = sn.n_nationkey
+         WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+           AND o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+         GROUP BY 1 ORDER BY o_year""",
+    "q13_distribution" ->
+      """SELECT c_count, COUNT(*) AS custdist FROM (
+           SELECT c_custkey, COUNT(o_orderkey) AS c_count
+           FROM customer LEFT OUTER JOIN orders
+             ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+           GROUP BY c_custkey)
+         GROUP BY c_count ORDER BY custdist DESC, c_count DESC""",
+    "q15_top_supplier" ->
+      """WITH rev AS (
+           SELECT l_suppkey,
+                  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS total_revenue
+           FROM lineitem
+           WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+           GROUP BY l_suppkey)
+         SELECT s_suppkey, s_name, total_revenue
+         FROM rev JOIN supplier ON l_suppkey = s_suppkey
+         WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+         ORDER BY s_suppkey""",
+    "q22_idle_customers" ->
+      """WITH a AS (
+           SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_bal
+           FROM customer WHERE c_acctbal > 0.0)
+         SELECT c_mktsegment, COUNT(*) AS numcust,
+                CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+         FROM customer, a
+         WHERE c_acctbal > avg_bal
+           AND NOT EXISTS (SELECT 1 FROM orders
+                           WHERE o_custkey = c_custkey
+                             AND o_orderdate >= TIMESTAMP '2000-01-01')
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
   )
 }
