@@ -50,6 +50,47 @@ object Streaming {
       .orderBy($"hour", $"event_type")
   }
 
+  /** Sliding-window rollup: 1-hour windows every 15 minutes — the
+    * streaming "downsample with overlap" read the reference's hourly
+    * dashboards imply. Each event lands in exactly 4 windows; Spark
+    * expands map-side (no extra shuffle vs the tumbling case). */
+  def slidingTransform(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.withWatermark("ts", "2 hours")
+      .groupBy(window($"ts", "1 hour", "15 minutes"), $"event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        davg($"value").as("avg_value"),
+        max($"value").as("max_value"))
+  }
+
+  // ---------------------------------------------------------------------
+  // st2: driver-checked batch-equivalent plan of the sliding-window
+  // aggregation (same slidingTransform; stream covered by
+  // StreamingSpec).
+  // ---------------------------------------------------------------------
+  def st2SlidingWindow(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    slidingTransform(Tables.events(s, d))
+      .select($"window.start".as("w_start"), $"event_type", $"n",
+        $"avg_value", $"max_value")
+      .orderBy($"w_start", $"event_type")
+  }
+
+  /** Watermarked streaming dedup — drops re-delivered events (at-least-
+    * once upstream, the reference's retry loop re-sends on failed
+    * inserts, solarman.py:207-216) while keeping state bounded: an
+    * event_id is remembered only within the watermark horizon.
+    * Batch-side the same call degrades to a plain dropDuplicates
+    * (Spark rejects the within-watermark variant on batch plans,
+    * where it is equivalent anyway). */
+  def dedupTransform(df: DataFrame): DataFrame =
+    if (df.isStreaming)
+      df.withWatermark("ts", "2 hours")
+        .dropDuplicatesWithinWatermark("event_id")
+    else df.dropDuplicates("event_id")
+
   /** One raw counter reading. Values are fixed-point cents (the feed
     * carries 2-decimal readings) so state and deltas stay exact. */
   case class Reading(inverter: Long, ts: java.sql.Timestamp, event_id: Long, cents: Long)
@@ -98,6 +139,7 @@ object Streaming {
 
   val queries: Map[String, Q] = Map(
     "st1_stream_hourly" -> (st1StreamHourly _),
+    "st2_sliding_window" -> (st2SlidingWindow _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -107,5 +149,17 @@ object Streaming {
                 CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_value,
                 max(value) AS max_value
          FROM events GROUP BY 1, 2 ORDER BY hour, event_type""",
+    // Spark's sliding window: an event at t belongs to the 4 15-min-
+    // aligned starts in (t-1h, t] — i.e. floor15(t) - k*15min, k=0..3.
+    "st2_sliding_window" ->
+      """WITH g AS (SELECT unnest(range(0, 4)) AS k),
+         w AS (
+           SELECT time_bucket(INTERVAL '15 minutes', ts) - k * INTERVAL '15 minutes' AS w_start,
+                  event_type, value
+           FROM events, g)
+         SELECT w_start, event_type, count(*) AS n,
+                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_value,
+                max(value) AS max_value
+         FROM w GROUP BY 1, 2 ORDER BY w_start, event_type""",
   )
 }

@@ -9,6 +9,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 case class Ev(ts: Timestamp, event_type: String, value: Double)
+case class EvId(event_id: Long, ts: Timestamp, event_type: String, value: Double)
 
 class StreamingSpec extends AnyFunSuite {
   import TestSpark._
@@ -36,6 +37,50 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(_.toSeq).toSet
     assert(streamed == batch)
     assert(batch.size == 4) // (h0 view, h0 click, h1 view, h2 purchase)
+  }
+
+  test("sliding-window streaming aggregation equals the batch plan; 4 windows per event") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val data = Seq(
+      Ev(ts(0, 0), "view", 1.0), Ev(ts(0, 20), "view", 3.0),
+      Ev(ts(1, 10), "click", 2.0))
+    val stream = MemoryStream[Ev]
+    stream.addData(data: _*)
+    val q = Streaming.slidingTransform(stream.toDF())
+      .writeStream.format("memory").queryName("st2_spec").outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val cols = Seq($"window.start".as("w"), $"event_type", $"n", $"avg_value", $"max_value")
+    val streamed = s.table("st2_spec").select(cols: _*).collect().map(_.toSeq).toSet
+    val batch = Streaming.slidingTransform(data.toDF()).select(cols: _*).collect().map(_.toSeq).toSet
+    assert(streamed == batch)
+    // every event falls in exactly 4 sliding windows
+    assert(batch.toSeq.map(_(2).asInstanceOf[Long]).sum == 4L * data.size)
+  }
+
+  test("watermarked streaming dedup drops cross-batch re-deliveries, keeps state bounded") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val e1 = EvId(1L, ts(0, 1), "view", 1.0)
+    val e2 = EvId(2L, ts(0, 2), "view", 2.0)
+    val e3 = EvId(3L, ts(0, 3), "click", 3.0)
+    val stream = MemoryStream[EvId]
+    val q = Streaming.dedupTransform(stream.toDF())
+      .writeStream.format("memory").queryName("dedup_spec").outputMode("append").start()
+    try {
+      stream.addData(e1, e2, e1) // in-batch duplicate
+      q.processAllAvailable()
+      stream.addData(e2, e3)     // cross-batch re-delivery + new event
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = s.table("dedup_spec").select($"event_id").as[Long].collect().sorted
+    assert(out.toSeq == Seq(1L, 2L, 3L),
+      s"each event_id must survive exactly once, got ${out.mkString(",")}")
+    // batch path: same call degrades to plain dropDuplicates semantics
+    val batchN = Streaming.dedupTransform(Seq(e1, e2, e1, e2, e3).toDF()).count()
+    assert(batchN == 3L)
   }
 
   test("stateful counter-delta: streamed micro-batches equal the batch s6 rollup") {
