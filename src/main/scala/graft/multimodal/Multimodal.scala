@@ -68,8 +68,44 @@ object Multimodal {
       .orderBy($"doc_id")
   }
 
+  /** One sampled "frame" of a blob (m2). */
+  case class Frame(doc_id: Long, frame_idx: Int, offset: Int, mean_byte: Double)
+
+  val FrameBytes = 4
+  val FrameStride = 2 // sample every 2nd frame
+
+  // ---------------------------------------------------------------------
+  // m2: frame-sampling plumbing — one blob expands to many typed rows
+  // (the video/audio shape: decode container → sample every k-th
+  // frame → per-frame features). The flatMap runs inside
+  // mapPartitions, so a partition's blobs are one imperative batch and
+  // the row explosion happens executor-side; only the (small) frame
+  // metadata ever reaches a shuffle. Frame extraction is stubbed like
+  // m1's codec (fixed-width byte windows of the fake blob).
+  // ---------------------------------------------------------------------
+  def m2FrameSample(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select($"doc_id", unhex(md5($"text")).as("blob"))
+      .as[Blob]
+      .mapPartitions { it =>
+        it.flatMap { b =>
+          (0 until b.blob.length / FrameBytes by FrameStride).iterator.map { fi =>
+            val off = fi * FrameBytes
+            var sum = 0
+            var j = 0
+            while (j < FrameBytes) { sum += b.blob(off + j) & 0xff; j += 1 }
+            Frame(b.doc_id, fi, off, sum / (FrameBytes * 255.0))
+          }
+        }
+      }
+      .toDF()
+      .orderBy($"doc_id", $"frame_idx")
+  }
+
   val queries: Map[String, Q] = Map(
     "m1_blob_meta" -> (m1BlobMeta _),
+    "m2_frame_sample" -> (m2FrameSample _),
   )
 
   // The oracle rebuilds each blob byte from the md5 hex pair
@@ -89,5 +125,18 @@ object Multimodal {
                  CAST(1 + ${byteAt(2)} % 4 AS INT) AS channels,
                  CAST($sumBytes AS DOUBLE) / (16 * 255.0) AS mean_intensity
           FROM b ORDER BY doc_id""",
+    // Sampled frames (idx 0 and 2 of 4): per-frame byte-window means,
+    // rebuilt from the md5 hex exactly like m1.
+    "m2_frame_sample" -> {
+      def frame(fi: Int): String = {
+        val off = fi * 4
+        val sum = (off until off + 4).map(byteAt).mkString(" + ")
+        s"""SELECT doc_id, CAST($fi AS INT) AS frame_idx, CAST($off AS INT) AS offset,
+                   CAST($sum AS DOUBLE) / (4 * 255.0) AS mean_byte FROM b"""
+      }
+      s"""WITH b AS (SELECT doc_id, md5(text) AS h FROM documents)
+          ${frame(0)} UNION ALL ${frame(2)}
+          ORDER BY doc_id, frame_idx"""
+    },
   )
 }

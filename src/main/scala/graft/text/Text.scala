@@ -146,12 +146,38 @@ object Text {
       .orderBy($"n_shared".desc, $"doc_a", $"doc_b")
   }
 
+  // ---------------------------------------------------------------------
+  // t6: corpus-level top-k word bigrams — the n-gram frequency table
+  // a tokenizer-training / contamination-check pass computes. Bigram
+  // arrays are built map-side (zip of the token array with its tail,
+  // no self-join); explode feeds a count aggregate whose map-side
+  // partial combine collapses each partition's duplicates before the
+  // shuffle, so shuffled rows ≈ distinct bigrams per partition, not
+  // corpus tokens. Top-k via TakeOrderedAndProject (no global sort).
+  // ---------------------------------------------------------------------
+  val TopNgrams = 20
+
+  def t6TopkNgrams(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val t = toks(lower($"text"))
+    Tables.documents(s, d)
+      .select(explode(zip_with(
+        slice(t, lit(1), size(t) - 1),
+        slice(t, lit(2), size(t) - 1),
+        (a, b) => concat_ws(" ", a, b))).as("ngram"))
+      .groupBy($"ngram")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"ngram")
+      .limit(TopNgrams)
+  }
+
   val queries: Map[String, Q] = Map(
     "t1_tokens" -> (t1Tokens _),
     "t2_langid" -> (t2Langid _),
     "t3_quality" -> (t3Quality _),
     "t4_fingerprint" -> (t4Fingerprint _),
     "t5_winnow" -> (t5Winnow _),
+    "t6_topk_ngrams" -> (t6TopkNgrams _),
   )
 
   private def sqlList(words: Seq[String]): String =
@@ -209,5 +235,14 @@ object Text {
       """SELECT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fingerprint,
                 count(*) AS n_docs, min(doc_id) AS min_doc_id
          FROM documents GROUP BY 1 ORDER BY fingerprint""",
+    "t6_topk_ngrams" ->
+      """WITH tk AS (
+           SELECT list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+           FROM documents),
+         b AS (
+           SELECT unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS ngram
+           FROM tk)
+         SELECT ngram, count(*) AS n
+         FROM b GROUP BY 1 ORDER BY n DESC, ngram LIMIT 20""",
   )
 }
