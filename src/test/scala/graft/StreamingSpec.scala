@@ -165,4 +165,23 @@ class StreamingSpec extends AnyFunSuite {
     // round trip preserves the data
     assert(s.read.parquet(dir).count() == feed.count())
   }
+
+  test("MergeTreeSink layout prunes partitions: a one-month filter reads one directory") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("graft_mts_prune").toString
+    val feed = Tables.events(s, SfDir).withColumnRenamed("user_id", "inverter")
+    MergeTreeSink.write(feed, dir, "ts", "inverter")
+    val months = s.read.parquet(dir).select($"month").distinct().as[Int].collect().sorted
+    assert(months.length >= 1)
+    val one = s.read.parquet(dir).filter($"month" === months.head)
+    // partition pruning: only files under the selected month= directory are read
+    val touched = one.select(input_file_name()).distinct().as[String].collect()
+      .map(f => f.split("/").reverse.dropWhile(!_.startsWith("month=")).head).distinct
+    assert(touched.toSeq == Seq(s"month=${months.head}"),
+      s"one-month scan must touch exactly one partition dir, got ${touched.mkString(",")}")
+    // and the pruned scan returns exactly that month's rows
+    val expected = feed.filter(year($"ts") * 100 + month($"ts") === months.head).count()
+    assert(one.count() == expected)
+  }
 }
