@@ -164,6 +164,48 @@ object Dedup {
   }
 
   // ---------------------------------------------------------------------
+  // d7: duplicate CLUSTERS — connected components over the verified
+  // LSH pair graph (the dedup endgame: near-dup pairs → clusters →
+  // keep one doc per cluster). Distributed min-label propagation:
+  // every doc starts labeled with its own id; each round every doc
+  // takes the min of its own and its neighbors' labels; fixpoint =
+  // components. The driver coordinates O(component-diameter) rounds
+  // (typically 2–4 on near-dup graphs) but only a change COUNT ever
+  // crosses to the driver — labels stay distributed. Edges are
+  // materialized once up front (localCheckpoint: an iterative
+  // algorithm re-reads its input every round; recomputing the MinHash
+  // pipeline per round would be quadratic work), and each round's
+  // labels are checkpointed so lineage stays O(1) instead of growing
+  // per iteration — the standard Spark iterative-graph pattern.
+  // ---------------------------------------------------------------------
+  def d7DupClusters(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val pairs = d3MinhashLsh(s, d)
+      .filter($"n_bands" >= MinBands)
+      .select($"doc_a", $"doc_b")
+      .localCheckpoint()
+    val edges = pairs
+      .union(pairs.select($"doc_b".as("doc_a"), $"doc_a".as("doc_b")))
+      .toDF("src", "dst")
+    var labels = edges.select($"src".as("doc")).distinct()
+      .withColumn("lbl", $"doc")
+      .localCheckpoint()
+    var changed = 1L
+    while (changed > 0) {
+      val nbrMin = edges.join(labels, edges("dst") === labels("doc"))
+        .groupBy($"src").agg(min($"lbl").as("nlbl"))
+      val next = labels.join(nbrMin, labels("doc") === nbrMin("src"), "left")
+        .select($"doc", $"lbl", least($"lbl", coalesce($"nlbl", $"lbl")).as("nxt"))
+        .localCheckpoint()
+      changed = next.filter($"nxt" < $"lbl").count()
+      labels = next.select($"doc", $"nxt".as("lbl"))
+    }
+    labels.groupBy($"lbl".as("cluster"))
+      .agg(count(lit(1)).as("cluster_size"), max($"doc").as("max_doc"))
+      .orderBy($"cluster")
+  }
+
+  // ---------------------------------------------------------------------
   // d4 (rows-only; Hamming-property spec in DedupSpec): SimHash near-dup
   // candidates — bucket on any equal 16-bit band of the 64-bit
   // fingerprint, exact Hamming distance within buckets only.
@@ -216,6 +258,7 @@ object Dedup {
     "d4_simhash" -> (d4Simhash _),
     "d6_ngram_jaccard" -> (d6NgramJaccard _),
     "d5_embed_neardup" -> (d5EmbedNeardup _),
+    "d7_dup_clusters" -> (d7DupClusters _),
   )
 
   /** Dot product of two float vectors in DuckDB SQL, double-accumulated
@@ -300,5 +343,35 @@ object Dedup {
                   / (sqrt(${dot("a.embedding", "a.embedding")})
                      * sqrt(${dot("b.embedding", "b.embedding")})) > 0.4
           ORDER BY vec_a, vec_b""",
+    // d7: same candidate CTE as d6, then connected components as a
+    // recursive transitive closure (components are LSH-bounded and
+    // small, so the closure stays tiny) labeled by min reachable id.
+    "d7_dup_clusters" ->
+      """WITH RECURSIVE sh AS (
+           SELECT doc_id, unnest(list_transform(range(1, len(text) - 3), i -> substr(text, i, 5))) AS sh
+           FROM documents WHERE len(text) >= 5),
+         hx AS (
+           SELECT doc_id, i, min(md5(CAST(i AS VARCHAR) || ':' || sh)) AS mh
+           FROM sh, range(12) r(i) GROUP BY doc_id, i),
+         sig AS (SELECT doc_id, list(mh ORDER BY i) AS sig FROM hx GROUP BY doc_id),
+         bands AS (
+           SELECT doc_id, CAST(b AS INT) AS band,
+                  md5(sig[b*3+1] || '|' || sig[b*3+2] || '|' || sig[b*3+3]) AS bkey
+           FROM sig, range(4) rb(b)),
+         cand AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM bands a JOIN bands b
+             ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+           GROUP BY 1, 2
+           HAVING count(*) >= 2),
+         e AS (SELECT doc_a AS src, doc_b AS dst FROM cand
+               UNION ALL SELECT doc_b, doc_a FROM cand),
+         reach(src, dst) AS (
+           SELECT src, src FROM e
+           UNION
+           SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src),
+         lbl AS (SELECT src AS doc, min(dst) AS cluster FROM reach GROUP BY 1)
+         SELECT cluster, count(*) AS cluster_size, max(doc) AS max_doc
+         FROM lbl GROUP BY 1 ORDER BY cluster""",
   )
 }

@@ -366,7 +366,27 @@ object Solar {
       .orderBy($"day")
   }
 
+  // ---------------------------------------------------------------------
+  // s16: per-inverter-day availability — fraction of the day's 96
+  // 15-minute slots with at least one reading, the fleet-monitoring
+  // complement of s8's gap list. Slot ids are computed map-side
+  // (epoch-aligned time_bucket); the (inverter, day, slot) distinct
+  // and the per-day count share one shuffle key prefix.
+  // ---------------------------------------------------------------------
+  def s16Uptime(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    feed(s, d)
+      .select($"inverter", date_trunc("day", $"ts").as("day"),
+        window($"ts", "15 minutes")("start").as("slot"))
+      .distinct()
+      .groupBy($"inverter", $"day")
+      .agg(count(lit(1)).as("n_slots"))
+      .withColumn("uptime_pct", $"n_slots".cast("double") / 96.0 * 100.0)
+      .orderBy($"inverter", $"day")
+  }
+
   val queries: Map[String, Q] = Map(
+    "s16_uptime" -> (s16Uptime _),
     "s13_catalog_decode" -> (s13CatalogDecode _),
     "s14_quantiles" -> (s14Quantiles _),
     "s15_daily_active" -> (s15DailyActive _),
@@ -416,6 +436,14 @@ object Solar {
                 count(DISTINCT user_id) AS uniq_inverters,
                 count(*) AS n_events
          FROM events GROUP BY 1 ORDER BY day""",
+    "s16_uptime" ->
+      """WITH sl AS (
+           SELECT DISTINCT user_id AS inverter, date_trunc('day', ts) AS day,
+                  time_bucket(INTERVAL '15 minutes', ts) AS slot
+           FROM events)
+         SELECT inverter, day, count(*) AS n_slots,
+                CAST(count(*) AS DOUBLE) / 96.0 * 100.0 AS uptime_pct
+         FROM sl GROUP BY 1, 2 ORDER BY inverter, day""",
     "s1_decode" ->
       """SELECT event_id, user_id AS inverter, ts,
            CASE event_type WHEN 'view' THEN 'dc_voltage' WHEN 'click' THEN 'dc_amps'
