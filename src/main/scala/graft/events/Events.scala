@@ -196,9 +196,45 @@ object Events {
       .orderBy($"event_id")
   }
 
+  // ---------------------------------------------------------------------
+  // e7: top event-type 3-grams — ClickHouse sequence-mining idiom
+  // (which ordered behavior patterns are most common). Per-user event
+  // sequences are assembled map-side AFTER the groupBy shuffle:
+  // sort_array over (ts, event_id, type) structs gives a deterministic
+  // per-user timeline without a window sort; 3-grams come from zipping
+  // the sequence with its two shifted tails (array expressions, no
+  // explode until the final count). Two shuffles total: user grouping,
+  // then the (tiny) n-gram count.
+  // ---------------------------------------------------------------------
+  val TopSequences = 15
+
+  def e7TopSequences(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val seqCol = transform(
+      sort_array(collect_list(struct($"ts", $"event_id", $"event_type"))),
+      e => e("event_type"))
+    val grams = Tables.events(s, d)
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+      .groupBy($"user_id")
+      .agg(seqCol.as("seq"))
+      .filter(size($"seq") >= 3)
+      .select(explode(zip_with(
+        zip_with(
+          slice($"seq", lit(1), size($"seq") - 2),
+          slice($"seq", lit(2), size($"seq") - 2),
+          (a, b) => concat_ws(">", a, b)),
+        slice($"seq", lit(3), size($"seq") - 2),
+        (ab, c) => concat_ws(">", ab, c))).as("pattern"))
+    grams.groupBy($"pattern")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"pattern")
+      .limit(TopSequences)
+  }
+
   val queries: Map[String, Q] = Map(
     "e1_funnel" -> (e1Funnel _),
     "e6_bounded_funnel" -> (e6BoundedFunnel _),
+    "e7_top_sequences" -> (e7TopSequences _),
     "e2_retention" -> (e2Retention _),
     "e3_histogram" -> (e3Histogram _),
     "e4_json_extract" -> (e4JsonExtract _),
@@ -263,6 +299,16 @@ object Events {
                 count(*) AS n_users
          FROM u WHERE t1 IS NOT NULL
          GROUP BY 1 ORDER BY funnel_level""",
+    "e7_top_sequences" ->
+      """WITH sq AS (
+           SELECT user_id, list(event_type ORDER BY ts, event_id) AS seq
+           FROM events GROUP BY 1),
+         g AS (
+           SELECT unnest(list_transform(range(1, len(seq) - 1),
+                    i -> seq[i] || '>' || seq[i+1] || '>' || seq[i+2])) AS pattern
+           FROM sq)
+         SELECT pattern, count(*) AS n
+         FROM g GROUP BY 1 ORDER BY n DESC, pattern LIMIT 15""",
     "e2_retention" ->
       """WITH act AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events),
          fst AS (SELECT user_id, min(day) AS cohort FROM act GROUP BY 1)

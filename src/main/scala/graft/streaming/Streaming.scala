@@ -91,6 +91,20 @@ object Streaming {
         .dropDuplicatesWithinWatermark("event_id")
     else df.dropDuplicates("event_id")
 
+  /** Stream-stream interval join: enrich an event stream with the
+    * order stream's rows from the trailing 2-hour interval. Both sides
+    * carry watermarks and the join condition bounds event time on both
+    * sides, so Spark can expire join state — the unbounded-feed-safe
+    * form of e5's enrichment. On batch inputs the watermarks are
+    * no-ops and this is a plain range join (how StreamingSpec pins
+    * stream == batch). */
+  def enrichTransform(events: DataFrame, orders: DataFrame): DataFrame = {
+    val e = events.withWatermark("ts", "1 hour")
+    val o = orders.withWatermark("o_ts", "1 hour")
+    e.join(o, expr(
+      "user_id = o_user AND o_ts >= ts - INTERVAL 2 HOURS AND o_ts <= ts"))
+  }
+
   /** One raw counter reading. Values are fixed-point cents (the feed
     * carries 2-decimal readings) so state and deltas stay exact. */
   case class Reading(inverter: Long, ts: java.sql.Timestamp, event_id: Long, cents: Long)

@@ -10,6 +10,7 @@ import org.scalatest.funsuite.AnyFunSuite
 
 case class Ev(ts: Timestamp, event_type: String, value: Double)
 case class EvId(event_id: Long, ts: Timestamp, event_type: String, value: Double)
+case class Ord(o_id: Long, o_user: Long, o_ts: Timestamp)
 
 class StreamingSpec extends AnyFunSuite {
   import TestSpark._
@@ -117,6 +118,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.count() == batch.count())
     assert(mismatch.count() == 0,
       "stateful streaming deltas must match the batch window computation")
+  }
+
+  test("stream-stream interval join equals the batch range join") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val evs = Seq(
+      EvId(1L, ts(2, 0), "view", 1.0), EvId(2L, ts(3, 0), "view", 2.0),
+      EvId(3L, ts(9, 0), "click", 3.0))
+    // orders: one inside each event's 2h interval, one outside
+    val ords = Seq(Ord(10L, 1L, ts(1, 30)), Ord(11L, 1L, ts(2, 30)),
+      Ord(12L, 1L, ts(8, 45)), Ord(13L, 1L, ts(4, 0)))
+    val se = MemoryStream[EvId]; val so = MemoryStream[Ord]
+    val q = Streaming.enrichTransform(
+        se.toDF().withColumnRenamed("event_id", "eid")
+          .select($"eid", $"ts", col("value"), lit(1L).as("user_id")),
+        so.toDF())
+      .writeStream.format("memory").queryName("enrich_spec").outputMode("append").start()
+    try {
+      se.addData(evs: _*); so.addData(ords: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = s.table("enrich_spec").select($"eid", $"o_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = Streaming.enrichTransform(
+        evs.toDF().withColumnRenamed("event_id", "eid")
+          .select($"eid", $"ts", col("value"), lit(1L).as("user_id")),
+        ords.toDF())
+      .select($"eid", $"o_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == batch)
+    // each event matched only its trailing-2h orders:
+    // e1@2:00←{10@1:30}, e2@3:00←{10@1:30, 11@2:30}, e3@9:00←{12@8:45}
+    assert(batch == Set((1L, 10L), (2L, 10L), (2L, 11L), (3L, 12L)))
   }
 
   test("BufferedStreamSink lands every micro-batch exactly once, idempotently") {
