@@ -27,6 +27,10 @@ object GraftExtensions extends SparkSessionExtensionsProvider {
   }
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // Grouped top-k: optimizer rule rewrites the filter(row_number <= k)
+    // idiom into the heap-based two-phase operator; the strategy plans it.
+    ext.injectOptimizerRule(_ => graft.plans.TopKRewrite)
+    ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
     ext.injectFunction((
       FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),

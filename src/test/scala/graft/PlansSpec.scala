@@ -54,6 +54,46 @@ class PlansSpec extends AnyFunSuite {
     assert(salted == plain)
   }
 
+  test("TopKRewrite replaces the row_number window idiom with the heap operator, same results") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    def topkDf = {
+      val w = Window.partitionBy($"event_type").orderBy($"value".desc, $"event_id")
+      Tables.events(s, SfDir)
+        .select($"event_id", $"event_type", $"value")
+        .withColumn("rnk", row_number().over(w))
+        .filter($"rnk" <= 5)
+        .select($"event_type", $"rnk", $"event_id", $"value")
+    }
+    val withRule = topkDf
+    val plan = withRule.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKFinal"), s"expected TopKFinalExec in plan:\n$plan")
+    assert(plan.contains("TopKPartial"), "expected the map-side partial phase")
+    assert(!plan.contains("WindowExec") && !plan.contains("Window ("),
+      "the window node must be gone")
+    val got = withRule.collect().map(_.toSeq).toSet
+    s.conf.set(graft.plans.TopKRewrite.ConfKey, "false")
+    try {
+      val reference = topkDf
+      assert(!reference.queryExecution.executedPlan.toString.contains("TopKFinal"),
+        "conf flag must disable the rewrite")
+      assert(reference.collect().map(_.toSeq).toSet == got,
+        "heap operator must reproduce the window plan's rows exactly")
+    } finally s.conf.set(graft.plans.TopKRewrite.ConfKey, "true")
+  }
+
+  test("TopKRewrite leaves rank()-based and non-literal-bound windows untouched") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"event_type").orderBy($"value".desc)
+    val rankPlan = Tables.events(s, SfDir)
+      .withColumn("r", rank().over(w)).filter($"r" <= 3)
+      .queryExecution.executedPlan.toString
+    assert(!rankPlan.contains("TopKFinal"), "rank() ties may exceed k — must not rewrite")
+  }
+
   test("end-to-end ingestion pipeline: stream decode -> hourly agg -> MergeTree layout") {
     val s = spark
     import s.implicits._
