@@ -105,6 +105,35 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("approx_percentile stays within rank tolerance of s14's exact quantiles") {
+    val s = spark
+    import s.implicits._
+    // accuracy 1000 → rank error <= n/1000; the per-inverter groups are
+    // a few hundred rows here, so the sketch should land within a few
+    // value-neighbors of the exact order statistic. Pin it by rank:
+    // the approx median's rank must be within 1% of n of the true
+    // median rank (the sketch's contract, scale-independent).
+    val approx = Tables.events(s, SfDir)
+      .filter($"event_type" === "view")
+      .groupBy($"user_id".as("inverter"))
+      .agg(percentile_approx($"value", lit(0.5), lit(1000)).as("ap_median"))
+    val vals = Tables.events(s, SfDir)
+      .filter($"event_type" === "view")
+      .select($"user_id".as("inverter"), $"value")
+    val rows = vals.join(approx, "inverter")
+      .groupBy($"inverter")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when($"value" <= $"ap_median", 1L).otherwise(0L)).as("rank_of_ap"))
+      .select($"n", $"rank_of_ap").as[(Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (n, rk) =>
+      val lo = n / 2.0 - n / 100.0 - 1
+      val hi = n / 2.0 + n / 100.0 + 1
+      assert(rk >= lo && rk <= hi, s"approx median rank $rk outside [$lo,$hi] for n=$n")
+    }
+  }
+
   test("v3 IVF results are the exact top-k within the probed clusters") {
     val s = spark
     import s.implicits._
