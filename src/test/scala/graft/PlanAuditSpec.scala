@@ -1,0 +1,76 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Regression guards for the plan properties PLANS.md documents —
+  * the scale behaviors (pushdown, join shape, shared sorts) that
+  * correctness oracles can't see. Each assertion reads the physical
+  * plan the optimizer actually produced. */
+class PlanAuditSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def plan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, SfDir)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q6: every predicate reaches the parquet scan; schema pruned to referenced columns") {
+    // AQE wraps stages in QueryStageExec leaves that tree collection
+    // does not descend into; the scan properties are static, so audit
+    // the non-adaptive plan.
+    val s = spark
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    val scans = try {
+      SparkEntry.queries("q6_forecast")(s, SfDir)
+        .queryExecution.executedPlan.collectWithSubqueries {
+          case sc: org.apache.spark.sql.execution.FileSourceScanExec => sc
+        }
+    } finally s.conf.set("spark.sql.adaptive.enabled", "true")
+    assert(scans.nonEmpty, "expected a parquet scan")
+    val meta = scans.head.metadata
+    val pushed = meta("PushedFilters")
+    assert(pushed.contains("l_shipdate") && pushed.contains("l_discount") &&
+      pushed.contains("LessThan(l_quantity,24"),
+      s"all predicates must be pushed, got $pushed")
+    val readSchema = meta("ReadSchema")
+    assert(!readSchema.contains("l_orderkey") && !readSchema.contains("l_returnflag"),
+      s"scan must prune to referenced columns, got $readSchema")
+  }
+
+  test("q17: lineitem is semi-join-filtered BEFORE the per-partkey aggregate") {
+    val p = plan("q17_avg_subquery")
+    val semiIdx = p.indexOf("LeftSemi")
+    assert(semiIdx >= 0, "expected a left-semi join against the Brand#1 part keys")
+  }
+
+  test("e5: the as-of join carries all columns through ONE window over one sort") {
+    val p = plan("e5_asof_join")
+    val windows = "\\bWindow\\b".r.findAllIn(p).size
+    assert(windows == 1, s"as-of composition must use exactly one Window node, got $windows:\n$p")
+  }
+
+  test("d3: LSH self-join is sort-merge (shared exchange), not broadcast") {
+    val p = plan("d3_minhash_lsh")
+    assert(p.contains("SortMergeJoin"), "banded self-join must be sort-merge for ReuseExchange")
+    assert(!p.contains("BroadcastHashJoin"), "a broadcast side would evaluate the signature twice")
+  }
+
+  test("v2: the k-NN top-k plans as the heap operator, not a window sort") {
+    val p = plan("v2_knn_batch")
+    assert(p.contains("TopKFinal") && p.contains("TopKPartial"),
+      s"expected the grouped top-k operator:\n$p")
+  }
+
+  test("q5: broadcast HINTS only on fixed-cardinality dims (region, nation)") {
+    // At tiny SFs the planner may broadcast everything from file-size
+    // estimates — that's AQE's runtime call, not ours. What must hold
+    // in the CODE is that only bounded-cardinality tables carry an
+    // explicit hint: exactly 2 here (region + nation); customer/
+    // supplier/orders/lineitem are left to the optimizer.
+    val df = SparkEntry.queries("q5_local_supplier")(spark, SfDir)
+    val hints = df.queryExecution.analyzed.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+    }
+    assert(hints.size == 2, s"expected exactly 2 broadcast hints, got ${hints.size}")
+  }
+}
