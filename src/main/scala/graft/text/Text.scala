@@ -171,6 +171,29 @@ object Text {
       .limit(TopNgrams)
   }
 
+  // ---------------------------------------------------------------------
+  // t7: deterministic train/val/test split — content-addressed
+  // bucketing on md5(doc_id), the reproducible alternative to random
+  // sampling: any engine (and any rerun, at any scale, on any
+  // partitioning) assigns each document to the same split. Buckets
+  // 0-7 train, 8 val, 9 test. Pure map-side hash + one small rollup.
+  // ---------------------------------------------------------------------
+  def t7SampleSplit(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val bucket = pmod(conv(substring(md5($"doc_id".cast("string")), 1, 6), 16, 10)
+      .cast("long"), lit(10L))
+    Tables.documents(s, d)
+      .select($"doc_id", length($"text").as("len"), bucket.as("b"))
+      .withColumn("split",
+        when($"b" <= 7, "train").when($"b" === 8, "val").otherwise("test"))
+      .groupBy($"split")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum($"len").as("sum_chars"),
+        (sum($"len").cast("double") / count(lit(1))).as("avg_chars"))
+      .orderBy($"split")
+  }
+
   val queries: Map[String, Q] = Map(
     "t1_tokens" -> (t1Tokens _),
     "t2_langid" -> (t2Langid _),
@@ -178,6 +201,7 @@ object Text {
     "t4_fingerprint" -> (t4Fingerprint _),
     "t5_winnow" -> (t5Winnow _),
     "t6_topk_ngrams" -> (t6TopkNgrams _),
+    "t7_sample_split" -> (t7SampleSplit _),
   )
 
   private def sqlList(words: Seq[String]): String =
@@ -244,5 +268,24 @@ object Text {
            FROM tk)
          SELECT ngram, count(*) AS n
          FROM b GROUP BY 1 ORDER BY n DESC, ngram LIMIT 20""",
+    // first-6-hex-digit value of md5(doc_id), mod 10 → split bucket
+    "t7_sample_split" -> {
+      val value = (1 to 6).map { i =>
+        val w = math.pow(16, 6 - i).toLong
+        s"(strpos('0123456789abcdef', substr(h, $i, 1)) - 1) * $w"
+      }.mkString(" + ")
+      s"""WITH b AS (
+           SELECT doc_id, len(text) AS len, md5(CAST(doc_id AS VARCHAR)) AS h
+           FROM documents),
+         s AS (
+           SELECT len, ($value) % 10 AS bk FROM b),
+         sp AS (
+           SELECT len, CASE WHEN bk <= 7 THEN 'train' WHEN bk = 8 THEN 'val' ELSE 'test' END AS split
+           FROM s)
+         SELECT split, count(*) AS n_docs,
+                CAST(sum(len) AS BIGINT) AS sum_chars,
+                CAST(sum(len) AS DOUBLE) / count(*) AS avg_chars
+         FROM sp GROUP BY 1 ORDER BY split"""
+    },
   )
 }
