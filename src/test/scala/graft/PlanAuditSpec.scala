@@ -61,6 +61,16 @@ class PlanAuditSpec extends AnyFunSuite {
       s"expected the grouped top-k operator:\n$p")
   }
 
+  test("red-flag sweep: no query in the whole surface plans a CartesianProduct") {
+    // Cross joins exist (k-NN query sides) but must always be
+    // broadcast nested-loop against a bounded side, never an unbounded
+    // cartesian shuffle product.
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val p = fn(spark, SfDir).queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"), s"$name plans a CartesianProduct")
+    }
+  }
+
   test("q5: broadcast HINTS only on fixed-cardinality dims (region, nation)") {
     // At tiny SFs the planner may broadcast everything from file-size
     // estimates — that's AQE's runtime call, not ours. What must hold
