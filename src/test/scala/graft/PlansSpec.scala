@@ -83,6 +83,45 @@ class PlansSpec extends AnyFunSuite {
     } finally s.conf.set(graft.plans.TopKRewrite.ConfKey, "true")
   }
 
+  test("TopKRewrite handles the global (no-partition) window and k > group size") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // global top-3 by value: empty partitionSpec → AllTuples distribution
+    val wg = Window.orderBy($"value".desc, $"event_id")
+    val globalTop = Tables.events(s, SfDir)
+      .select($"event_id", $"value")
+      .withColumn("rnk", row_number().over(wg))
+      .filter($"rnk" <= 3)
+    assert(globalTop.queryExecution.executedPlan.toString.contains("TopKFinal"))
+    val got = globalTop.select($"rnk", $"event_id").as[(Int, Long)].collect().sortBy(_._1)
+    val expected = Tables.events(s, SfDir)
+      .select($"event_id", $"value")
+      .orderBy($"value".desc, $"event_id").limit(3)
+      .select($"event_id").as[Long].collect()
+    assert(got.map(_._2).toSeq == expected.toSeq)
+    assert(got.map(_._1).toSeq == Seq(1, 2, 3))
+    // k far above every group size: all rows survive with dense ranks
+    val w = Window.partitionBy($"event_type").orderBy($"event_id")
+    val all = Tables.events(s, SfDir)
+      .withColumn("rnk", row_number().over(w)).filter($"rnk" <= 1000000)
+    assert(all.count() == Tables.events(s, SfDir).count())
+  }
+
+  test("TopKRewrite fires through an attribute-only Project between Filter and Window") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"event_type").orderBy($"value".desc, $"event_id")
+    val df = Tables.events(s, SfDir)
+      .withColumn("rnk", row_number().over(w))
+      .select($"event_type", $"rnk", $"event_id") // project BEFORE the filter
+      .filter($"rnk" <= 2)
+    assert(df.queryExecution.executedPlan.toString.contains("TopKFinal"),
+      "rewrite must fire through the attribute-only Project")
+    assert(df.groupBy($"event_type").count().collect().forall(_.getLong(1) <= 2))
+  }
+
   test("TopKRewrite leaves rank()-based and non-literal-bound windows untouched") {
     val s = spark
     import s.implicits._
