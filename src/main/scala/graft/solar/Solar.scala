@@ -385,7 +385,39 @@ object Solar {
       .orderBy($"inverter", $"day")
   }
 
+  // ---------------------------------------------------------------------
+  // s17: TIME-WEIGHTED average power per inverter-day — the correct
+  // mean for irregularly-sampled telemetry (a plain avg over-weights
+  // bursts of fast polls). Zero-order hold: each reading holds until
+  // the next; weight = microseconds to the next reading within the
+  // day (the day's last reading carries no weight). All arithmetic
+  // stays integral until one final double division: weights are long
+  // micros, values fixed-point cents, the weighted sum an exact
+  // decimal — order-independent, map-side combinable, and
+  // bit-identical in the oracle.
+  // ---------------------------------------------------------------------
+  def s17TimeWeighted(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"inverter", $"day").orderBy($"us", $"event_id")
+    feed(s, d)
+      .filter($"event_type" === "purchase")
+      .select($"inverter", date_trunc("day", $"ts").as("day"),
+        unix_micros($"ts").as("us"), $"event_id",
+        round($"value" * 100).cast("long").as("cents"))
+      .withColumn("dur_us", lead($"us", 1).over(w) - $"us")
+      .groupBy($"inverter", $"day")
+      .agg(
+        count(lit(1)).as("n"),
+        sum($"dur_us").as("held_us"),
+        sum($"dur_us".cast(DecimalType(38, 0)) * $"cents").as("wsum"))
+      .filter($"held_us" > 0)
+      .select($"inverter", $"day", $"n",
+        ($"wsum".cast("double") / $"held_us".cast("double") / 100.0).as("tw_avg_watts"))
+      .orderBy($"inverter", $"day")
+  }
+
   val queries: Map[String, Q] = Map(
+    "s17_time_weighted" -> (s17TimeWeighted _),
     "s16_uptime" -> (s16Uptime _),
     "s13_catalog_decode" -> (s13CatalogDecode _),
     "s14_quantiles" -> (s14Quantiles _),
@@ -436,6 +468,23 @@ object Solar {
                 count(DISTINCT user_id) AS uniq_inverters,
                 count(*) AS n_events
          FROM events GROUP BY 1 ORDER BY day""",
+    "s17_time_weighted" ->
+      """WITH p AS (
+           SELECT user_id AS inverter, date_trunc('day', ts) AS day,
+                  epoch_us(ts) AS us, event_id,
+                  CAST(round(value * 100) AS BIGINT) AS cents
+           FROM events WHERE event_type = 'purchase'),
+         d AS (
+           SELECT *, lead(us) OVER (PARTITION BY inverter, day ORDER BY us, event_id) - us AS dur_us
+           FROM p),
+         g AS (
+           SELECT inverter, day, count(*) AS n,
+                  CAST(sum(dur_us) AS BIGINT) AS held_us,
+                  sum(CAST(dur_us AS DECIMAL(38,0)) * cents) AS wsum
+           FROM d GROUP BY 1, 2)
+         SELECT inverter, day, n,
+                CAST(wsum AS DOUBLE) / CAST(held_us AS DOUBLE) / 100.0 AS tw_avg_watts
+         FROM g WHERE held_us > 0 ORDER BY inverter, day""",
     "s16_uptime" ->
       """WITH sl AS (
            SELECT DISTINCT user_id AS inverter, date_trunc('day', ts) AS day,
