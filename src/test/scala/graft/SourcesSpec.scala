@@ -1,0 +1,57 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SourcesSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def writeCatalog(): String = {
+    val f = Files.createTempFile("registers", ".txt")
+    Files.writeString(f, """# name  address  quantity  scale  unit
+      |dc_voltage   109  1  0.1   V
+      |dc_amps      110  1  0.1   A
+      |ac_watts     117  2  1.0   W
+      |ac_frequency 119  1  0.01  Hz
+      |
+      |# comments and blank lines are skipped
+      |inverter_temp 121 1  0.1   C
+      |""".stripMargin)
+    f.toString
+  }
+
+  test("register-catalog DSv2 source reads the typed catalog") {
+    val s = spark
+    import s.implicits._
+    val cat = s.read.format("register-catalog").load(writeCatalog())
+    assert(cat.schema.fieldNames.toSeq ==
+      Seq("name", "address", "quantity", "scale", "unit"))
+    val rows = cat.orderBy($"address")
+      .as[(String, Int, Int, Double, String)].collect().toSeq
+    assert(rows.size == 5)
+    assert(rows.head == ("dc_voltage", 109, 1, 0.1, "V"))
+    assert(rows.exists(r => r._1 == "ac_watts" && r._3 == 2 && r._4 == 1.0))
+  }
+
+  test("the catalog source drives a broadcast decode join over the feed") {
+    val s = spark
+    import s.implicits._
+    val cat = s.read.format("register-catalog").load(writeCatalog())
+    // map the feed's event types onto register names (the s1/s13
+    // convention), then decode raw values with catalog scales
+    val reg = typedLit(Map(
+      "view" -> "dc_voltage", "click" -> "dc_amps", "purchase" -> "ac_watts",
+      "signup" -> "ac_frequency", "churn" -> "inverter_temp"))
+    val decoded = Tables.events(s, SfDir)
+      .select($"event_id",
+        coalesce(reg($"event_type"), lit("inverter_temp")).as("name"), $"value")
+      .join(broadcast(cat), "name")
+      .select($"event_id", $"name", ($"value" * $"scale").as("decoded"), $"unit")
+    assert(decoded.count() == Tables.events(s, SfDir).count(),
+      "every feed row must resolve a catalog register")
+    val v = decoded.filter($"name" === "ac_frequency").select($"decoded").as[Double].head()
+    assert(v > 0, "scaled decode must produce values")
+  }
+}
