@@ -266,6 +266,25 @@ object Dedup {
   private def dot(x: String, y: String): String =
     s"list_sum(list_transform(range(1, 65), i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)))"
 
+  /** Shared MinHash+LSH oracle CTE chain (doc shingles → k-way md5-min
+    * signature → banded keys), built from the SAME Scala constants the
+    * Spark plans use so K/Bands/ShingleLen can never drift between the
+    * code and its three oracles (d3/d6/d7). */
+  private val lshCte: String = {
+    val bandExprs = (1 to Rows).map(r => s"sig[b*$Rows+$r]").mkString(" || '|' || ")
+    s"""sh AS (
+           SELECT doc_id, unnest(list_transform(range(1, len(text) - ${ShingleLen - 2}), i -> substr(text, i, $ShingleLen))) AS sh
+           FROM documents WHERE len(text) >= $ShingleLen),
+         hx AS (
+           SELECT doc_id, i, min(md5(CAST(i AS VARCHAR) || ':' || sh)) AS mh
+           FROM sh, range($K) r(i) GROUP BY doc_id, i),
+         sig AS (SELECT doc_id, list(mh ORDER BY i) AS sig FROM hx GROUP BY doc_id),
+         bands AS (
+           SELECT doc_id, sig, CAST(b AS INT) AS band,
+                  md5($bandExprs) AS bkey
+           FROM sig, range($Bands) rb(b))"""
+  }
+
   // d4 is rows-only (custom SimHash expression not SQL-expressible in
   // DuckDB); covered by the Hamming-property spec.
   val oracles: Map[String, String] = Map(
@@ -281,57 +300,37 @@ object Dedup {
                 CAST(len(list_distinct(s)) AS DOUBLE) / len(s) AS distinct_ratio
          FROM sh ORDER BY doc_id""",
     "d3_minhash_lsh" ->
-      """WITH sh AS (
-           SELECT doc_id, unnest(list_transform(range(1, len(text) - 3), i -> substr(text, i, 5))) AS sh
-           FROM documents WHERE len(text) >= 5),
-         hx AS (
-           SELECT doc_id, i, min(md5(CAST(i AS VARCHAR) || ':' || sh)) AS mh
-           FROM sh, range(12) r(i) GROUP BY doc_id, i),
-         sig AS (SELECT doc_id, list(mh ORDER BY i) AS sig FROM hx GROUP BY doc_id),
-         bands AS (
-           SELECT doc_id, sig, CAST(b AS INT) AS band,
-                  md5(sig[b*3+1] || '|' || sig[b*3+2] || '|' || sig[b*3+3]) AS bkey
-           FROM sig, range(4) rb(b)),
+      s"""WITH $lshCte,
          cand AS (
            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_bands,
-                  max(CAST(len(list_filter(range(1, 13), i -> a.sig[i] = b.sig[i])) AS INT)) AS matches
+                  max(CAST(len(list_filter(range(1, ${K + 1}), i -> a.sig[i] = b.sig[i])) AS INT)) AS matches
            FROM bands a JOIN bands b
              ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
            GROUP BY 1, 2)
          SELECT doc_a, doc_b, n_bands, matches,
-                CAST(matches AS DOUBLE) / 12 AS est_jaccard
+                CAST(matches AS DOUBLE) / $K AS est_jaccard
          FROM cand ORDER BY doc_a, doc_b""",
     "d6_ngram_jaccard" ->
-      """WITH sh AS (
-           SELECT doc_id, unnest(list_transform(range(1, len(text) - 3), i -> substr(text, i, 5))) AS sh
-           FROM documents WHERE len(text) >= 5),
-         hx AS (
-           SELECT doc_id, i, min(md5(CAST(i AS VARCHAR) || ':' || sh)) AS mh
-           FROM sh, range(12) r(i) GROUP BY doc_id, i),
-         sig AS (SELECT doc_id, list(mh ORDER BY i) AS sig FROM hx GROUP BY doc_id),
-         bands AS (
-           SELECT doc_id, sig, CAST(b AS INT) AS band,
-                  md5(sig[b*3+1] || '|' || sig[b*3+2] || '|' || sig[b*3+3]) AS bkey
-           FROM sig, range(4) rb(b)),
+      s"""WITH $lshCte,
          cand AS (
            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                  max(CAST(len(list_filter(range(1, 13), i -> a.sig[i] = b.sig[i])) AS INT)) AS matches
+                  max(CAST(len(list_filter(range(1, ${K + 1}), i -> a.sig[i] = b.sig[i])) AS INT)) AS matches
            FROM bands a JOIN bands b
              ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
            GROUP BY 1, 2
-           HAVING count(*) >= 2),
+           HAVING count(*) >= $MinBands),
          ds AS (
            SELECT doc_id,
-                  list_distinct(list_transform(range(1, len(text) - 3), i -> substr(text, i, 5))) AS s
-           FROM documents WHERE len(text) >= 5),
+                  list_distinct(list_transform(range(1, len(text) - ${ShingleLen - 2}), i -> substr(text, i, $ShingleLen))) AS s
+           FROM documents WHERE len(text) >= $ShingleLen),
          j AS (
-           SELECT doc_a, doc_b, CAST(matches AS DOUBLE) / 12 AS est_jaccard,
+           SELECT doc_a, doc_b, CAST(matches AS DOUBLE) / $K AS est_jaccard,
                   CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
                     / len(list_distinct(list_concat(sa.s, sb.s))) AS jaccard
            FROM cand JOIN ds sa ON cand.doc_a = sa.doc_id
                      JOIN ds sb ON cand.doc_b = sb.doc_id)
          SELECT doc_a, doc_b, est_jaccard, jaccard
-         FROM j WHERE jaccard >= 0.2 ORDER BY doc_a, doc_b""",
+         FROM j WHERE jaccard >= $JaccardThreshold ORDER BY doc_a, doc_b""",
     "d5_embed_neardup" ->
       s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
                  ${dot("a.embedding", "b.embedding")}
@@ -347,23 +346,13 @@ object Dedup {
     // recursive transitive closure (components are LSH-bounded and
     // small, so the closure stays tiny) labeled by min reachable id.
     "d7_dup_clusters" ->
-      """WITH RECURSIVE sh AS (
-           SELECT doc_id, unnest(list_transform(range(1, len(text) - 3), i -> substr(text, i, 5))) AS sh
-           FROM documents WHERE len(text) >= 5),
-         hx AS (
-           SELECT doc_id, i, min(md5(CAST(i AS VARCHAR) || ':' || sh)) AS mh
-           FROM sh, range(12) r(i) GROUP BY doc_id, i),
-         sig AS (SELECT doc_id, list(mh ORDER BY i) AS sig FROM hx GROUP BY doc_id),
-         bands AS (
-           SELECT doc_id, CAST(b AS INT) AS band,
-                  md5(sig[b*3+1] || '|' || sig[b*3+2] || '|' || sig[b*3+3]) AS bkey
-           FROM sig, range(4) rb(b)),
+      s"""WITH RECURSIVE $lshCte,
          cand AS (
            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
            FROM bands a JOIN bands b
              ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
            GROUP BY 1, 2
-           HAVING count(*) >= 2),
+           HAVING count(*) >= $MinBands),
          e AS (SELECT doc_a AS src, doc_b AS dst FROM cand
                UNION ALL SELECT doc_b, doc_a FROM cand),
          reach(src, dst) AS (

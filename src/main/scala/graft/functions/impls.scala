@@ -205,13 +205,17 @@ object MinHashImpl {
     * string hashing. */
   def signature(text: UTF8String, k: Int, shingleLen: Int): ArrayData = {
     require(k <= prefixes.length, s"minhash_sig: k must be <= ${prefixes.length}")
-    val s = text.toString
-    if (s.length < shingleLen) return null
+    // Shingle by Unicode CODE POINTS, not UTF-16 units: Spark's
+    // length()/substr() and DuckDB's len()/substr() both count code
+    // points, so a UTF-16 substring would split surrogate pairs and
+    // break oracle parity on any non-BMP text.
+    val cps = text.toString.codePoints().toArray
+    if (cps.length < shingleLen) return null
     val distinct = new java.util.HashSet[String]()
     var pos = 0
-    val last = s.length - shingleLen
+    val last = cps.length - shingleLen
     while (pos <= last) {
-      distinct.add(s.substring(pos, pos + shingleLen))
+      distinct.add(new String(cps, pos, shingleLen))
       pos += 1
     }
     val d = threadDigest.get()

@@ -40,29 +40,36 @@ object AsOfJoin {
     require(leftCols.intersect(rightPayload).isEmpty,
       s"column collision: ${leftCols.intersect(rightPayload).mkString(",")}")
 
+    // The payload is carried as ONE struct, not per-column: a struct
+    // row is non-null even when its fields are null, so
+    // last(ignoreNulls) always carries the payload of the MATCHED
+    // right row atomically. Per-column carries would skip a NULL field
+    // back to an older right row and emit a mixed row that never
+    // existed. (The struct also keeps all carries in one window over
+    // one sort.)
+    val payloadType = org.apache.spark.sql.types.StructType(
+      rightPayload.map(c => org.apache.spark.sql.types.StructField(
+        c, right.schema(c).dataType, nullable = true)))
     val rightSide = right.select(
       (col(rightKey).as("__key") +: col(rightTime).cast("timestamp").as("__t")
         +: lit(0).as("__tag")
-        +: (leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-            rightPayload.map(col))): _*)
+        +: struct(rightPayload.map(col): _*).as("__p")
+        +: leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c))): _*)
     val leftSide = left.select(
       (col(leftKey).as("__key") +: col(leftTime).cast("timestamp").as("__t")
         +: lit(1).as("__tag")
-        +: (leftCols.map(col) ++
-            rightPayload.map(c => lit(null).cast(right.schema(c).dataType).as(c)))): _*)
+        +: lit(null).cast(payloadType).as("__p")
+        +: leftCols.map(col)): _*)
 
-    val ord: Seq[Column] = col("__t") +: col("__tag") +: tieBreak.map(col)
+    val ord: Seq[Column] = col("__t") +: col("__tag") +:
+      tieBreak.map(c => col("__p").getField(c))
     val w = Window.partitionBy(col("__key")).orderBy(ord: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    // Carry into FRESH names: overwriting the payload columns in place
-    // would make later carries window-order by the already-carried
-    // tie-break column — a second Sort+Window stage for nothing. With
-    // distinct output names all carries share ONE window (one sort).
-    val carries = rightPayload.map(c => last(col(c), ignoreNulls = true).over(w).as(s"__m_$c"))
     rightSide.unionByName(leftSide)
-      .select(col("*") +: carries: _*)
+      .select(col("*") +: Seq(last(col("__p"), ignoreNulls = true).over(w).as("__m")): _*)
       .filter(col("__tag") === 1)
-      .select((leftCols.map(col) ++ rightPayload.map(c => col(s"__m_$c").as(c))): _*)
+      .select((leftCols.map(col) ++
+        rightPayload.map(c => col("__m").getField(c).as(c))): _*)
   }
 }

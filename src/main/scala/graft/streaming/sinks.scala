@@ -23,6 +23,11 @@ object MergeTreeSink {
       .repartition(col("month"), col(keyCol))
       .sortWithinPartitions(col("month"), col(keyCol), col(tsCol))
       .write.mode(SaveMode.Overwrite)
+      // DYNAMIC partition overwrite: only the months present in this
+      // write are replaced — MergeTree's partition-replace semantics.
+      // The default static mode would wipe every existing month
+      // directory on each incremental ingest to the same table path.
+      .option("partitionOverwriteMode", "dynamic")
       .partitionBy("month")
       .parquet(path)
   }
@@ -44,10 +49,11 @@ object MergeTreeSink {
   */
 class BufferedStreamSink(path: String, maxPending: Int = 4, maxRetries: Int = 3) {
   private val pending = new Semaphore(maxPending)
-  @volatile private var retriesSeen = 0
+  // atomic: up to maxPending writeBatch calls may retry concurrently
+  private val retriesSeen = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** Visible for the spec: total retry attempts that occurred. */
-  def retries: Int = retriesSeen
+  def retries: Int = retriesSeen.get()
 
   def writeBatch(batch: Dataset[Row], batchId: Long): Unit = {
     pending.acquire()
@@ -61,7 +67,7 @@ class BufferedStreamSink(path: String, maxPending: Int = 4, maxRetries: Int = 3)
         } catch {
           case e: Exception =>
             attempt += 1
-            retriesSeen += 1
+            retriesSeen.incrementAndGet()
             if (attempt > maxRetries) throw e
         }
       }

@@ -159,11 +159,14 @@ object Text {
 
   def t6TopkNgrams(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val t = toks(lower($"text"))
     Tables.documents(s, d)
+      .select(toks(lower($"text")).as("t"))
+      // a 0/1-token doc has no bigrams — and slice() throws on the
+      // negative length the unguarded expression would produce
+      .filter(size($"t") >= 2)
       .select(explode(zip_with(
-        slice(t, lit(1), size(t) - 1),
-        slice(t, lit(2), size(t) - 1),
+        slice($"t", lit(1), size($"t") - 1),
+        slice($"t", lit(2), size($"t") - 1),
         (a, b) => concat_ws(" ", a, b))).as("ngram"))
       .groupBy($"ngram")
       .agg(count(lit(1)).as("n"))

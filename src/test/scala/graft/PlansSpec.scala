@@ -40,6 +40,23 @@ class PlansSpec extends AnyFunSuite {
       ("nokey", None, None)))
   }
 
+  test("AsOfJoin carries the matched row ATOMICALLY when its payload has nulls") {
+    val s = spark
+    import s.implicits._
+    def t(x: String) = java.sql.Timestamp.valueOf(x)
+    // latest right row has px = NULL: the match must return that NULL,
+    // not resurrect the older row's px (per-column carries would mix rows)
+    val quotes = Seq(
+      (1L, t("2026-01-01 10:00:00"), Some(100.0), 7L),
+      (1L, t("2026-01-01 11:00:00"), None: Option[Double], 9L)
+    ).toDF("q_key", "q_ts", "px", "qid")
+    val trades = Seq((1L, t("2026-01-01 12:00:00"), "x")).toDF("key", "ts", "tag")
+    val r = AsOfJoin.asOf(trades, quotes, "key", "ts", "q_key", "q_ts", Seq("qid"))
+      .select($"qid", $"px").collect().head
+    assert(r.getLong(0) == 9L)
+    assert(r.isNullAt(1), "px must be the matched row's NULL, not a stale non-null")
+  }
+
   test("SkewJoin.salted produces exactly the rows of the plain equi-join") {
     val s = spark
     import s.implicits._

@@ -201,6 +201,24 @@ class StreamingSpec extends AnyFunSuite {
     assert(s.read.parquet(dir).count() == feed.count())
   }
 
+  test("MergeTreeSink incremental writes replace only the touched months") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("graft_mts_incr").toString
+    def mk(ts: String, v: Double) =
+      Seq((7L, java.sql.Timestamp.valueOf(ts), v)).toDF("inverter", "ts", "value")
+    MergeTreeSink.write(mk("2026-01-15 10:00:00", 1.0), dir, "ts", "inverter")
+    MergeTreeSink.write(mk("2026-02-15 10:00:00", 2.0), dir, "ts", "inverter")
+    val months = s.read.parquet(dir).select($"month").distinct().as[Int].collect().sorted
+    assert(months.toSeq == Seq(202601, 202602),
+      s"February's write must not wipe January, got ${months.mkString(",")}")
+    // re-writing a month replaces just that month
+    MergeTreeSink.write(mk("2026-01-20 10:00:00", 9.0), dir, "ts", "inverter")
+    val jan = s.read.parquet(dir).filter($"month" === 202601).select($"value").as[Double].collect()
+    assert(jan.toSeq == Seq(9.0), "January must be replaced, not appended")
+    assert(s.read.parquet(dir).filter($"month" === 202602).count() == 1)
+  }
+
   test("MergeTreeSink layout prunes partitions: a one-month filter reads one directory") {
     val s = spark
     import s.implicits._
