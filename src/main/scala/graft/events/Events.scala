@@ -231,10 +231,37 @@ object Events {
       .limit(TopSequences)
   }
 
+  // ---------------------------------------------------------------------
+  // e8: INTERVAL join — the general non-equi range join (e5's as-of is
+  // the "latest single match" special case): each purchase aggregates
+  // the same user's views from the trailing 6 hours. Plans as an equi
+  // shuffle on user_id with the time range as a join filter — the only
+  // scale-safe shape for fact-fact interval joins (no time-bucket
+  // cross-products, no per-row lookups).
+  // ---------------------------------------------------------------------
+  private val LookbackUs = 6L * 3600 * 1000000
+
+  def e8IntervalJoin(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, d)
+    val v = ev.filter($"event_type" === "view")
+      .select($"user_id".as("v_user"), unix_micros($"ts").as("v_us"), $"value")
+    val p = ev.filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", unix_micros($"ts").as("p_us"))
+    p.join(v, $"user_id" === $"v_user" &&
+        $"v_us" >= $"p_us" - LookbackUs && $"v_us" <= $"p_us")
+      .groupBy($"event_id")
+      .agg(
+        count(lit(1)).as("n_views"),
+        davg($"value").as("avg_view_value"))
+      .orderBy($"event_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "e1_funnel" -> (e1Funnel _),
     "e6_bounded_funnel" -> (e6BoundedFunnel _),
     "e7_top_sequences" -> (e7TopSequences _),
+    "e8_interval_join" -> (e8IntervalJoin _),
     "e2_retention" -> (e2Retention _),
     "e3_histogram" -> (e3Histogram _),
     "e4_json_extract" -> (e4JsonExtract _),
@@ -309,6 +336,18 @@ object Events {
            FROM sq)
          SELECT pattern, count(*) AS n
          FROM g GROUP BY 1 ORDER BY n DESC, pattern LIMIT 15""",
+    "e8_interval_join" ->
+      """WITH v AS (
+           SELECT user_id AS v_user, epoch_us(ts) AS v_us, value
+           FROM events WHERE event_type = 'view'),
+         p AS (
+           SELECT event_id, user_id, epoch_us(ts) AS p_us
+           FROM events WHERE event_type = 'purchase')
+         SELECT event_id, count(*) AS n_views,
+                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_view_value
+         FROM p JOIN v
+           ON user_id = v_user AND v_us >= p_us - 21600000000 AND v_us <= p_us
+         GROUP BY event_id ORDER BY event_id""",
     "e2_retention" ->
       """WITH act AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events),
          fst AS (SELECT user_id, min(day) AS cohort FROM act GROUP BY 1)
