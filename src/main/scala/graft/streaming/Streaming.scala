@@ -78,6 +78,29 @@ object Streaming {
       .orderBy($"w_start", $"event_type")
   }
 
+  /** Native session windows: dynamic gap-based sessions (30 min) per
+    * user — the Structured-Streaming-capable operator behind s10's
+    * manual cumsum sessionization (in a stream it needs only a
+    * watermark on ts). Session start = first event, end = last event
+    * + gap; events merge while consecutive gaps are < 30 min. */
+  def sessionTransform(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val in = if (df.isStreaming) df.withWatermark("ts", "1 hour") else df
+    in.groupBy($"user_id", session_window($"ts", "30 minutes"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        davg($"value").as("avg_value"))
+  }
+
+  def st3SessionWindow(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    sessionTransform(Tables.events(s, d))
+      .select($"user_id", $"session_window.start".as("s_start"),
+        $"session_window.end".as("s_end"), $"n_events", $"avg_value")
+      .orderBy($"user_id", $"s_start")
+  }
+
   /** Watermarked streaming dedup — drops re-delivered events (at-least-
     * once upstream, the reference's retry loop re-sends on failed
     * inserts, solarman.py:207-216) while keeping state bounded: an
@@ -154,6 +177,7 @@ object Streaming {
   val queries: Map[String, Q] = Map(
     "st1_stream_hourly" -> (st1StreamHourly _),
     "st2_sliding_window" -> (st2SlidingWindow _),
+    "st3_session_window" -> (st3SessionWindow _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -175,5 +199,23 @@ object Streaming {
                 CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_value,
                 max(value) AS max_value
          FROM w GROUP BY 1, 2 ORDER BY w_start, event_type""",
+    // Spark session_window semantics: a gap >= 30 min starts a new
+    // session; end = last event + gap.
+    "st3_session_window" ->
+      """WITH x AS (
+           SELECT user_id, ts, event_id, value, epoch_us(ts) AS us,
+                  lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+           FROM events),
+         y AS (
+           SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us >= 1800000000 THEN 1 ELSE 0 END AS new_s
+           FROM x),
+         z AS (
+           SELECT *, CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+           FROM y)
+         SELECT user_id, min(ts) AS s_start, max(ts) + INTERVAL 30 MINUTE AS s_end,
+                count(*) AS n_events,
+                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_value
+         FROM z GROUP BY user_id, sid ORDER BY user_id, s_start""",
   )
 }

@@ -60,6 +60,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.toSeq.map(_(2).asInstanceOf[Long]).sum == 4L * data.size)
   }
 
+  test("session windows finalize in the stream exactly as the batch computes them") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    case class UEv(user_id: Long, ts: Timestamp, value: Double)
+    val jan = Seq( // user 1: two sessions (65 min apart); user 2: one
+      (1L, ts(10, 0), 1.0), (1L, ts(10, 20), 3.0), (1L, ts(11, 25), 5.0),
+      (2L, ts(10, 0), 7.0))
+      .map(t => Ev(t._2, "view", t._3) -> t._1)
+    val stream = MemoryStream[EvId]
+    val q = Streaming.sessionTransform(
+        stream.toDF().select($"event_id".as("user_id"), $"ts", $"value"))
+      .select($"user_id", $"session_window.start".as("s"), $"n_events", $"avg_value")
+      .writeStream.format("memory").queryName("sess_spec").outputMode("append").start()
+    try {
+      stream.addData(jan.map { case (e, u) => EvId(u, e.ts, e.event_type, e.value) }: _*)
+      q.processAllAvailable()
+      // advance the watermark far past January's sessions to emit them
+      stream.addData(EvId(9L, Timestamp.valueOf("2026-03-01 00:00:00"), "view", 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = s.table("sess_spec").collect().map(_.toSeq).toSet
+    val batchIn = jan.map { case (e, u) => (u, e.ts, e.value) }.toDF("user_id", "ts", "value")
+    val batch = Streaming.sessionTransform(batchIn)
+      .select($"user_id", $"session_window.start".as("s"), $"n_events", $"avg_value")
+      .collect().map(_.toSeq).toSet
+    assert(batch.size == 3, s"expected 3 sessions, got $batch")
+    assert(streamed == batch,
+      s"streamed sessions $streamed must equal batch sessions $batch")
+  }
+
   test("watermarked streaming dedup drops cross-batch re-deliveries, keeps state bounded") {
     val s = spark
     import s.implicits._
