@@ -206,6 +206,26 @@ object Dedup {
   }
 
   // ---------------------------------------------------------------------
+  // d8: the AGGREGATE MinHash path in the graded gate — signatures from
+  // exploded shingle feeds via the MinHashAgg TypedImperativeAggregate
+  // (single-pass, map-side min-merged partial buffers), the shape used
+  // when shingles arrive as rows (e.g. from an upstream tokenizer)
+  // rather than as document text. Same signature formula as d3's
+  // scalar kernel, so the oracle reuses the identical CTE.
+  // ---------------------------------------------------------------------
+  def d8SigAgg(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .filter(length($"text") >= ShingleLen)
+      .repartition(s.sparkContext.defaultParallelism)
+      .select($"doc_id", explode(shingles($"text", ShingleLen)).as("sh"))
+      .groupBy($"doc_id")
+      .agg(GraftFunctions.minhashAgg($"sh", K).as("sig"))
+      .select($"doc_id", $"sig"(0).as("mh_first"), $"sig"(K - 1).as("mh_last"))
+      .orderBy($"doc_id")
+  }
+
+  // ---------------------------------------------------------------------
   // d4 (rows-only; Hamming-property spec in DedupSpec): SimHash near-dup
   // candidates — bucket on any equal 16-bit band of the 64-bit
   // fingerprint, exact Hamming distance within buckets only.
@@ -259,6 +279,7 @@ object Dedup {
     "d6_ngram_jaccard" -> (d6NgramJaccard _),
     "d5_embed_neardup" -> (d5EmbedNeardup _),
     "d7_dup_clusters" -> (d7DupClusters _),
+    "d8_sig_agg" -> (d8SigAgg _),
   )
 
   /** Dot product of two float vectors in DuckDB SQL, double-accumulated
@@ -342,6 +363,10 @@ object Dedup {
                   / (sqrt(${dot("a.embedding", "a.embedding")})
                      * sqrt(${dot("b.embedding", "b.embedding")})) > 0.4
           ORDER BY vec_a, vec_b""",
+    "d8_sig_agg" ->
+      s"""WITH $lshCte
+          SELECT doc_id, sig[1] AS mh_first, sig[$K] AS mh_last
+          FROM sig ORDER BY doc_id""",
     // d7: same candidate CTE as d6, then connected components as a
     // recursive transitive closure (components are LSH-bounded and
     // small, so the closure stays tiny) labeled by min reachable id.
