@@ -139,6 +139,28 @@ class PlansSpec extends AnyFunSuite {
     assert(df.groupBy($"event_type").count().collect().forall(_.getLong(1) <= 2))
   }
 
+  test("TopKRewrite equivalence property: random tie-heavy data, varied k and bounds") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(42) // fixed seed: deterministic spec
+    for (trial <- 1 to 4) {
+      val nGroups = 1 + rnd.nextInt(6)
+      val n = 50 + rnd.nextInt(400)
+      val k = 1 + rnd.nextInt(7)
+      // few distinct values → heavy ties; unique id breaks them totally
+      val rows = (0 until n).map(i => (rnd.nextInt(nGroups), rnd.nextInt(5), i.toLong))
+      val df = rows.toDF("g", "v", "id")
+      val w = Window.partitionBy($"g").orderBy($"v".desc, $"id")
+      def run() = df.withColumn("rnk", row_number().over(w)).filter($"rnk" <= k)
+        .select($"g", $"rnk", $"id").collect().map(_.toSeq).toSet
+      val withOp = run()
+      s.conf.set(graft.plans.TopKRewrite.ConfKey, "false")
+      val reference = try run() finally s.conf.set(graft.plans.TopKRewrite.ConfKey, "true")
+      assert(withOp == reference, s"trial $trial (groups=$nGroups n=$n k=$k) diverged")
+    }
+  }
+
   test("TopKRewrite leaves rank()-based and non-literal-bound windows untouched") {
     val s = spark
     import s.implicits._
