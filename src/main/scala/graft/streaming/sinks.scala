@@ -83,4 +83,16 @@ class BufferedStreamSink(path: String, maxPending: Int = 4, maxRetries: Int = 3)
       .trigger(Trigger.ProcessingTime(intervalMs))
       .foreachBatch((b: Dataset[Row], id: Long) => writeBatch(b, id))
       .start()
+
+  /** Drain-and-stop mode: process everything currently available in
+    * bounded micro-batches, then terminate — the batch-backfill /
+    * catch-up run of the same pipeline (checkpoint-compatible with
+    * the continuous `start`). */
+  def drainAvailable(df: DataFrame, checkpoint: String): StreamingQuery =
+    df.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch((b: Dataset[Row], id: Long) => writeBatch(b, id))
+      .start()
 }

@@ -232,6 +232,23 @@ class StreamingSpec extends AnyFunSuite {
     assert(s.read.parquet(dir).count() == feed.count())
   }
 
+  test("BufferedStreamSink drainAvailable processes all pending data then terminates") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val dir = Files.createTempDirectory("graft_drain").toString
+    val sink = new BufferedStreamSink(s"$dir/data")
+    val stream = MemoryStream[Ev]
+    stream.addData(Ev(ts(0, 1), "view", 1.0), Ev(ts(0, 2), "view", 2.0))
+    val q = sink.drainAvailable(stream.toDF(), s"$dir/ckpt")
+    assert(q.awaitTermination(60000), "AvailableNow query must self-terminate")
+    assert(s.read.parquet(s"$dir/data").count() == 2)
+    // a second catch-up run on the same checkpoint is a no-op (no new data)
+    val q2 = sink.drainAvailable(stream.toDF(), s"$dir/ckpt")
+    assert(q2.awaitTermination(60000))
+    assert(s.read.parquet(s"$dir/data").count() == 2, "re-drain must not duplicate")
+  }
+
   test("MergeTreeSink incremental writes replace only the touched months") {
     val s = spark
     import s.implicits._
