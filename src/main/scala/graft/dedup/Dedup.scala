@@ -5,8 +5,10 @@ import graft.functions.GraftFunctions
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Deduplication for the training-data pipeline (SURVEY §2.D): exact,
-  * shingle-profile, MinHash+LSH, SimHash, and embedding-cosine.
+/** Deduplication for the training-data pipeline (SURVEY §2.D): exact
+  * (d1), shingle-profile (d2), MinHash+LSH candidates (d3) → exact
+  * Jaccard verify (d6) → connected-component clusters (d7), SimHash
+  * (d4), embedding-cosine (d5), and the aggregate signature path (d8).
   *
   * Scale notes (100 TB):
   *  - d1/d2: map-side hashing / shingling; the only shuffle carries

@@ -7,8 +7,9 @@ import org.apache.spark.sql.functions._
 
 /** Event-stream analytics (SURVEY §2.C) — the ClickHouse-idiom query
   * family a user of the reference's events table writes next after the
-  * rollups: windowFunnel, cohort retention, histograms, JSON property
-  * extraction, and ASOF JOIN.
+  * rollups: windowFunnel (plain e1 + time-bounded e6), cohort
+  * retention, histograms, JSON property extraction, ASOF JOIN (e5) and
+  * its general interval-join cousin (e8), and sequence mining (e7).
   *
   * Scale notes (100 TB): every query shuffles on `user_id` at most
   * twice; the funnel is a ClickHouse `windowFunnel` re-expressed as

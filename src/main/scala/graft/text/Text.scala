@@ -7,7 +7,8 @@ import org.apache.spark.sql.functions._
 
 /** Text analysis for the training-data pipeline (SURVEY §2.F):
   * tokenization stats, language ID, quality scoring, document
-  * fingerprinting, and winnowing.
+  * fingerprinting, winnowing, corpus n-gram frequencies, and
+  * deterministic train/val/test splitting.
   *
   * Scale notes (100 TB): every per-document metric is a pure codegen'd
   * Column expression over the text — scan-rate, zero shuffles until
