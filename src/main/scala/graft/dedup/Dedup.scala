@@ -13,10 +13,11 @@ import org.apache.spark.sql.functions._
   * Scale notes (100 TB):
   *  - d1/d2: map-side hashing / shingling; the only shuffle carries
   *    (hash, doc_id) or per-doc counts — never text.
-  *  - d3: the MinHash signature (k=12 md5-hex minima) is computed
+  *  - d3: the MinHash signature (k=12 minima of 8-hex-char md5
+  *    slices — ⌈k/4⌉ = 3 digests per shingle, not k) is computed
   *    map-side by the MinHashSig Catalyst expression in a single pass
   *    per document (no shingle explode, no shingle shuffle). Only
-  *    (band_id, band_key, doc_id, signature) rows — k×32 bytes per
+  *    (band_id, band_key, doc_id, signature) rows — k×8 bytes per
   *    doc — shuffle into the banded LSH self-join, which is blocked by
   *    band bucket, never all-pairs.
   *  - d4: 64-bit SimHash map-side; candidate buckets via the 4×16-bit
@@ -180,6 +181,17 @@ object Dedup {
   // labels are checkpointed so lineage stays O(1) instead of growing
   // per iteration — the standard Spark iterative-graph pattern.
   // ---------------------------------------------------------------------
+  /** Free the storage blocks behind a `localCheckpoint()`ed plan.
+    * `Dataset.unpersist` only consults the CacheManager, which knows
+    * nothing about checkpoint blocks — those are a persist on the
+    * underlying internal RDD, reachable through the plan's LogicalRDD
+    * leaf. Only call on plans that are never executed again. */
+  private def releaseCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
   def d7DupClusters(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val pairs = d3MinhashLsh(s, d)
@@ -200,8 +212,17 @@ object Dedup {
         .select($"doc", $"lbl", least($"lbl", coalesce($"nlbl", $"lbl")).as("nxt"))
         .localCheckpoint()
       changed = next.filter($"nxt" < $"lbl").count()
+      // the superseded round's blocks are dead the moment `next` is
+      // materialized — release them eagerly so iteration memory stays
+      // O(1) rounds, not O(rounds) (and repeated invocations in a
+      // shared JVM don't accumulate orphaned checkpoint blocks while
+      // waiting for the ContextCleaner)
+      releaseCheckpoint(labels)
       labels = next.select($"doc", $"nxt".as("lbl"))
     }
+    // the returned plan reads only the final labels checkpoint; the
+    // candidate-pair feed is done
+    releaseCheckpoint(pairs)
     labels.groupBy($"lbl".as("cluster"))
       .agg(count(lit(1)).as("cluster_size"), max($"doc").as("max_doc"))
       .orderBy($"cluster")
@@ -265,11 +286,18 @@ object Dedup {
     val e = Tables.embeddings(s, d)
     val a = e.as("a")
     val b = e.as("b")
+    // The threshold filter is fused INTO the projection as
+    // explode(filter(array(cos), > t)): an empty array drops the row,
+    // a surviving row emits its cosine — one CosineSim evaluation per
+    // pair. A plain project-then-filter gets optimizer-pushed into the
+    // join condition AND kept in the projection, evaluating the
+    // 64-float kernel twice per surviving pair (r3 finding).
     a.join(b, $"a.label" === $"b.label" && $"a.vec_id" < $"b.vec_id")
       .select($"a.vec_id".as("vec_a"), $"b.vec_id".as("vec_b"),
         $"a.label".as("label"),
-        GraftFunctions.cosineSim($"a.embedding", $"b.embedding").as("cos"))
-      .filter($"cos" > CosThreshold)
+        explode(filter(
+          array(GraftFunctions.cosineSim($"a.embedding", $"b.embedding")),
+          c => c > CosThreshold)).as("cos"))
       .orderBy($"vec_a", $"vec_b")
   }
 
@@ -289,17 +317,20 @@ object Dedup {
   private def dot(x: String, y: String): String =
     s"list_sum(list_transform(range(1, 65), i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)))"
 
-  /** Shared MinHash+LSH oracle CTE chain (doc shingles → k-way md5-min
-    * signature → banded keys), built from the SAME Scala constants the
-    * Spark plans use so K/Bands/ShingleLen can never drift between the
-    * code and its three oracles (d3/d6/d7). */
+  /** Shared MinHash+LSH oracle CTE chain (doc shingles → k-way
+    * sliced-md5-min signature, component i = min of
+    * `substr(md5((i//4) || ':' || sh), 1+8*(i%4), 8)` → banded keys),
+    * built from the SAME Scala constants the Spark plans use so
+    * K/Bands/ShingleLen can never drift between the code and its
+    * three oracles (d3/d6/d7). */
   private val lshCte: String = {
     val bandExprs = (1 to Rows).map(r => s"sig[b*$Rows+$r]").mkString(" || '|' || ")
     s"""sh AS (
            SELECT doc_id, unnest(list_transform(range(1, len(text) - ${ShingleLen - 2}), i -> substr(text, i, $ShingleLen))) AS sh
            FROM documents WHERE len(text) >= $ShingleLen),
          hx AS (
-           SELECT doc_id, i, min(md5(CAST(i AS VARCHAR) || ':' || sh)) AS mh
+           SELECT doc_id, i,
+                  min(substr(md5(CAST(i // 4 AS VARCHAR) || ':' || sh), 1 + 8 * (i % 4), 8)) AS mh
            FROM sh, range($K) r(i) GROUP BY doc_id, i),
          sig AS (SELECT doc_id, list(mh ORDER BY i) AS sig FROM hx GROUP BY doc_id),
          bands AS (

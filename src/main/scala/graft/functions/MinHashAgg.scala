@@ -9,22 +9,24 @@ import org.apache.spark.unsafe.types.UTF8String
 /** k-way MinHash as a `TypedImperativeAggregate` over an exploded
   * shingle feed: `minhash_agg(shingle, k)` grouped by document yields
   * exactly the signature [[MinHashSig]] computes map-side from the
-  * whole text (same md5(i || ':' || shingle) hex minima — the
+  * whole text (same sliced-md5 minima, component i = min of
+  * `substr(md5((i div 4) || ':' || sh), 1 + 8*(i mod 4), 8)` — the
   * equivalence is pinned by FunctionsSpec).
   *
   * The scalar expression is the right shape when the document text is
   * one column (zero extra shuffle); this aggregate is the right shape
   * when shingles ARRIVE as rows — e.g. a streaming feed or an already-
-  * exploded n-gram table — because its partial buffers (k × 16-byte
-  * digests) min-merge map-side, so the shuffle carries one small
-  * buffer per (group × partition), never the shingles themselves.
+  * exploded n-gram table — because its partial buffers (k unsigned
+  * 32-bit minima) min-merge map-side, so the shuffle carries one
+  * 8k-byte buffer per (group × partition), never the shingles
+  * themselves.
   */
 case class MinHashAgg(
     child: Expression,
     k: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[Array[Array[Byte]]] {
+  extends TypedImperativeAggregate[Array[Long]] {
 
   require(k > 0 && k <= 64, "minhash_agg(shingle, k): k must be in [1, 64]")
 
@@ -33,44 +35,32 @@ case class MinHashAgg(
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "minhash_agg"
 
-  override def createAggregationBuffer(): Array[Array[Byte]] =
-    new Array[Array[Byte]](k)
+  override def createAggregationBuffer(): Array[Long] =
+    Array.fill(k)(MinHashImpl.Empty)
 
-  override def update(buf: Array[Array[Byte]], input: InternalRow): Array[Array[Byte]] = {
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
     val v = child.eval(input)
     if (v != null) MinHashImpl.updateMins(buf, v.asInstanceOf[UTF8String].getBytes)
     buf
   }
 
-  override def merge(a: Array[Array[Byte]], b: Array[Array[Byte]]): Array[Array[Byte]] =
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] =
     MinHashImpl.mergeMins(a, b)
 
-  override def eval(buf: Array[Array[Byte]]): Any = MinHashImpl.toSignature(buf)
+  override def eval(buf: Array[Long]): Any = MinHashImpl.toSignature(buf)
 
-  override def serialize(buf: Array[Array[Byte]]): Array[Byte] = {
-    val out = new Array[Byte](k * 17)
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val out = java.nio.ByteBuffer.allocate(k * 8)
     var i = 0
-    while (i < k) {
-      if (buf(i) != null) {
-        out(i * 17) = 1
-        System.arraycopy(buf(i), 0, out, i * 17 + 1, 16)
-      }
-      i += 1
-    }
-    out
+    while (i < k) { out.putLong(buf(i)); i += 1 }
+    out.array()
   }
 
-  override def deserialize(bytes: Array[Byte]): Array[Array[Byte]] = {
-    val buf = new Array[Array[Byte]](k)
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val in = java.nio.ByteBuffer.wrap(bytes)
+    val buf = new Array[Long](k)
     var i = 0
-    while (i < k) {
-      if (bytes(i * 17) == 1) {
-        val d = new Array[Byte](16)
-        System.arraycopy(bytes, i * 17 + 1, d, 0, 16)
-        buf(i) = d
-      }
-      i += 1
-    }
+    while (i < k) { buf(i) = in.getLong(); i += 1 }
     buf
   }
 

@@ -54,9 +54,10 @@ case class Winnow(child: Expression, k: Int, w: Int) extends UnaryExpression {
 }
 
 /** k-way MinHash signature over character shingles; component i is the
-  * hex-string minimum of md5(i || ':' || shingle) — oracle-reproducible
-  * (md5 is identical in DuckDB). NULL for texts shorter than one
-  * shingle. */
+  * minimum over shingles of the 8-hex-char slice
+  * `substr(md5((i div 4) || ':' || shingle), 1 + 8*(i mod 4), 8)` —
+  * oracle-reproducible (md5 is identical in DuckDB) at ⌈k/4⌉ digests
+  * per shingle. NULL for texts shorter than one shingle. */
 case class MinHashSig(child: Expression, k: Int, shingleLen: Int) extends UnaryExpression {
   require(k > 0 && shingleLen > 0, "minhash_sig(text, k, len): k and len must be positive")
   override def dataType: DataType = ArrayType(StringType, containsNull = false)

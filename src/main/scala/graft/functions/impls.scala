@@ -125,116 +125,125 @@ object MinHashImpl {
   }
   private val HexChars = "0123456789abcdef".toCharArray
 
-  def md5Hex(s: String): String = {
-    val d = threadDigest.get()
-    d.reset()
-    toHex(d.digest(s.getBytes("UTF-8")))
-  }
+  /** "Empty" sentinel for a min buffer entry: real components are
+    * unsigned 32-bit values, so MaxValue is unreachable. */
+  val Empty: Long = Long.MaxValue
 
-  private def toHex(b: Array[Byte]): String = {
-    val out = new Array[Char](b.length * 2)
-    var i = 0
-    while (i < b.length) {
-      out(2 * i) = HexChars((b(i) >> 4) & 0xf)
-      out(2 * i + 1) = HexChars(b(i) & 0xf)
-      i += 1
-    }
-    new String(out)
-  }
-
+  /** Digest-group prefixes "g:" for g = 0..15 → up to k = 64. */
   private val prefixes: Array[Array[Byte]] =
-    (0 until 64).map(i => (i.toString + ":").getBytes("UTF-8")).toArray
+    (0 until 16).map(g => (g.toString + ":").getBytes("UTF-8")).toArray
 
-  /** Unsigned lexicographic compare of two 16-byte digests — the same
-    * order as comparing their lowercase hex strings. */
-  private def less(a: Array[Byte], b: Array[Byte]): Boolean = {
-    var i = 0
-    while (i < a.length) {
-      val x = a(i) & 0xff
-      val y = b(i) & 0xff
-      if (x != y) return x < y
-      i += 1
-    }
-    false
+  /** Slice `o` (bytes [4o, 4o+4), big-endian) of a 16-byte digest as an
+    * unsigned 32-bit value — the same order as comparing the digest's
+    * lowercase-hex characters [8o, 8o+8). */
+  @inline private def slice(dig: Array[Byte], o: Int): Long = {
+    val b = o * 4
+    ((dig(b) & 0xffL) << 24) | ((dig(b + 1) & 0xffL) << 16) |
+      ((dig(b + 2) & 0xffL) << 8) | (dig(b + 3) & 0xffL)
   }
 
-  /** Fold one shingle into a running k-way min-digest buffer (shared
-    * by the scalar [[signature]] path and [[MinHashAgg]]). */
-  def updateMins(mins: Array[Array[Byte]], shingleUtf8: Array[Byte]): Unit = {
+  /** Fold one shingle (UTF-8 bytes [from, until)) into a running k-way
+    * min buffer: component i takes the min of slice (i mod 4) of
+    * md5((i div 4) || ':' || shingle) — ⌈k/4⌉ digests per shingle, not
+    * k (the slicing is what makes the kernel 4× cheaper than one md5
+    * per component while staying DuckDB-expressible:
+    * `substr(md5((i//4) || ':' || sh), 1 + 8*(i%4), 8)`). */
+  def updateMinsRange(mins: Array[Long], bytes: Array[Byte], from: Int, until: Int): Unit = {
     val d = threadDigest.get()
+    val k = mins.length
+    var g = 0
     var i = 0
-    while (i < mins.length) {
+    while (i < k) {
       d.reset()
-      d.update(prefixes(i))
-      d.update(shingleUtf8)
+      d.update(prefixes(g))
+      d.update(bytes, from, until - from)
       val dig = d.digest()
-      if (mins(i) == null || less(dig, mins(i))) mins(i) = dig
-      i += 1
+      val lim = math.min(i + 4, k)
+      var o = 0
+      while (i < lim) {
+        val v = slice(dig, o)
+        if (v < mins(i)) mins(i) = v
+        o += 1
+        i += 1
+      }
+      g += 1
     }
   }
 
-  /** Elementwise min-merge of two digest buffers (into `a`). */
-  def mergeMins(a: Array[Array[Byte]], b: Array[Array[Byte]]): Array[Array[Byte]] = {
+  /** Fold one whole shingle byte array (shared by [[MinHashAgg]]). */
+  def updateMins(mins: Array[Long], shingleUtf8: Array[Byte]): Unit =
+    updateMinsRange(mins, shingleUtf8, 0, shingleUtf8.length)
+
+  /** Elementwise min-merge of two min buffers (into `a`). */
+  def mergeMins(a: Array[Long], b: Array[Long]): Array[Long] = {
     var i = 0
     while (i < a.length) {
-      if (a(i) == null || (b(i) != null && less(b(i), a(i)))) a(i) = b(i)
+      if (b(i) < a(i)) a(i) = b(i)
       i += 1
     }
     a
   }
 
-  /** Hex-encode a digest buffer as the signature array (null if the
-    * buffer never saw input). */
-  def toSignature(mins: Array[Array[Byte]]): ArrayData =
-    if (mins.length == 0 || mins(0) == null) null
-    else new GenericArrayData(
-      mins.map(m => UTF8String.fromString(toHex(m))).asInstanceOf[Array[Any]])
+  private def hex8(v: Long): UTF8String = {
+    val out = new Array[Byte](8)
+    var i = 0
+    while (i < 8) {
+      out(i) = HexChars(((v >>> ((7 - i) * 4)) & 0xfL).toInt).toByte
+      i += 1
+    }
+    UTF8String.fromBytes(out)
+  }
+
+  /** Hex-encode a min buffer as the signature array of 8-hex-char
+    * strings (null if the buffer never saw input). */
+  def toSignature(mins: Array[Long]): ArrayData =
+    if (mins.length == 0 || mins(0) == Empty) null
+    else new GenericArrayData(mins.map(m => hex8(m)).asInstanceOf[Array[Any]])
 
   /** Single-pass k-way MinHash signature over character `shingleLen`-
-    * grams: component i = min over shingles of md5(i || ':' || shingle)
-    * as a lowercase hex string (lexicographic min over hex ==
-    * unsigned 128-bit min over digests, which is how it's computed).
-    * Matches the DuckDB oracle formula exactly — the oracle recomputes
-    * it with explode + min(md5(...)).
+    * grams: component i = min over shingles of the 8-hex-char slice
+    * `substr(md5((i div 4) || ':' || shingle), 1 + 8*(i mod 4), 8)` —
+    * an unsigned 32-bit min computed on raw digest bytes, identical to
+    * the lexicographic min over the hex slices the DuckDB oracle takes.
     *
-    * Runs map-side per document: the signature (k × 32-char hex) is
+    * Runs map-side per document: the signature (k × 8-char hex) is
     * what shuffles in the LSH band join, never the raw text. Shingles
     * are de-dupped first (a min over a set equals the min over the
-    * multiset) and digests stay as raw bytes until the final hex
-    * encoding — ~4× fewer allocations than naive per-(i,shingle)
-    * string hashing. */
+    * multiset) and hashed straight from the document's UTF-8 bytes
+    * (consecutive code points are a contiguous byte range), so the
+    * hot loop allocates nothing but the MD5 digests — ⌈k/4⌉ of them
+    * per distinct shingle. */
   def signature(text: UTF8String, k: Int, shingleLen: Int): ArrayData = {
-    require(k <= prefixes.length, s"minhash_sig: k must be <= ${prefixes.length}")
+    require(k <= 4 * prefixes.length, s"minhash_sig: k must be <= ${4 * prefixes.length}")
     // Shingle by Unicode CODE POINTS, not UTF-16 units: Spark's
     // length()/substr() and DuckDB's len()/substr() both count code
     // points, so a UTF-16 substring would split surrogate pairs and
-    // break oracle parity on any non-BMP text.
-    val cps = text.toString.codePoints().toArray
-    if (cps.length < shingleLen) return null
-    val distinct = new java.util.HashSet[String]()
-    var pos = 0
-    val last = cps.length - shingleLen
-    while (pos <= last) {
-      distinct.add(new String(cps, pos, shingleLen))
-      pos += 1
+    // break oracle parity on any non-BMP text. A code point starts at
+    // every UTF-8 byte that is not a continuation byte (10xxxxxx).
+    val bytes = text.getBytes
+    val n = bytes.length
+    val starts = new Array[Int](n + 1)
+    var ncp = 0
+    var b = 0
+    while (b < n) {
+      if ((bytes(b) & 0xc0) != 0x80) { starts(ncp) = b; ncp += 1 }
+      b += 1
     }
-    val d = threadDigest.get()
-    val mins = new Array[Array[Byte]](k)
-    val it = distinct.iterator()
-    while (it.hasNext) {
-      val shBytes = it.next().getBytes("UTF-8")
-      var i = 0
-      while (i < k) {
-        d.reset()
-        d.update(prefixes(i))
-        d.update(shBytes)
-        val dig = d.digest()
-        if (mins(i) == null || less(dig, mins(i))) mins(i) = dig
-        i += 1
-      }
+    starts(ncp) = n
+    if (ncp < shingleLen) return null
+    val seen = new java.util.HashSet[java.nio.ByteBuffer]()
+    val mins = Array.fill(k)(Empty)
+    var p = 0
+    val last = ncp - shingleLen
+    while (p <= last) {
+      val from = starts(p)
+      val until = starts(p + shingleLen)
+      // ByteBuffer.wrap equality is content-based over [from, until)
+      if (seen.add(java.nio.ByteBuffer.wrap(bytes, from, until - from)))
+        updateMinsRange(mins, bytes, from, until)
+      p += 1
     }
-    new GenericArrayData(
-      mins.map(m => UTF8String.fromString(toHex(m))).asInstanceOf[Array[Any]])
+    toSignature(mins)
   }
 }
 

@@ -54,12 +54,23 @@ object Relational {
       .limit(10)
   }
 
-  /** EXISTS → left-semi join with a non-equi conjunct. */
+  /** EXISTS → left-semi join with a non-equi conjunct.
+    *
+    * EXISTS(lineitem with l_shipdate > o_orderdate) is equivalent to
+    * max(l_shipdate) per orderkey > o_orderdate, so lineitem collapses
+    * to one (orderkey, max) row BEFORE the join: the partial aggregate
+    * combines map-side and the semi-join's shuffle carries one row per
+    * order instead of every lineitem — the non-equi conjunct then
+    * compares against a unique-keyed side (r3 regression fix: the raw
+    * semi-join had to carry l_shipdate through the full-width
+    * shuffle). */
   def q4Semijoin(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val o = Tables.orders(s, d)
-    val l = Tables.lineitem(s, d)
-    o.join(l, $"l_orderkey" === $"o_orderkey" && $"l_shipdate" > $"o_orderdate", "left_semi")
+    val lmax = Tables.lineitem(s, d)
+      .groupBy($"l_orderkey")
+      .agg(max($"l_shipdate").as("l_maxship"))
+    o.join(lmax, $"l_orderkey" === $"o_orderkey" && $"l_maxship" > $"o_orderdate", "left_semi")
       .groupBy($"o_orderpriority")
       .agg(count(lit(1)).as("order_count"))
       .orderBy($"o_orderpriority")

@@ -66,15 +66,34 @@ object Streaming {
   }
 
   // ---------------------------------------------------------------------
-  // st2: driver-checked batch-equivalent plan of the sliding-window
-  // aggregation (same slidingTransform; stream covered by
-  // StreamingSpec).
+  // st2: driver-checked batch-equivalent of the sliding-window
+  // aggregation, computed TWO-LEVEL: window('1 hour','15 minutes')
+  // Expands every event ×4 before the partial aggregate, which is pure
+  // map-side CPU waste when the hop divides the width. Instead,
+  // aggregate to 15-min TUMBLING buckets first (one partial per
+  // bucket), then roll each bucket into the 4 sliding windows that
+  // contain it — the ×4 expansion applies to bucket rows, not event
+  // rows. count/sum/max are decomposable and avg is the exact decimal
+  // sum over the final count, so the result is bit-identical to
+  // slidingTransform's (pinned by StreamingSpec; the streaming path
+  // keeps slidingTransform, whose state store needs the per-window
+  // rows).
   // ---------------------------------------------------------------------
   def st2SlidingWindow(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    slidingTransform(Tables.events(s, d))
-      .select($"window.start".as("w_start"), $"event_type", $"n",
-        $"avg_value", $"max_value")
+    val buckets = Tables.events(s, d)
+      .groupBy(window($"ts", "15 minutes"), $"event_type")
+      .agg(count(lit(1)).as("bn"), sum(dec($"value")).as("bsum"), max($"value").as("bmax"))
+      .select($"window.start".as("b_start"), $"event_type", $"bn", $"bsum", $"bmax")
+    buckets
+      .select($"b_start", $"event_type", $"bn", $"bsum", $"bmax",
+        explode(array((0 until 4).map(lit): _*)).as("k"))
+      .select(expr("timestampadd(MINUTE, -15 * k, b_start)").as("w_start"),
+        $"event_type", $"bn", $"bsum", $"bmax")
+      .groupBy($"w_start", $"event_type")
+      .agg(sum($"bn").as("n"), sum($"bsum").as("vsum"), max($"bmax").as("max_value"))
+      .select($"w_start", $"event_type", $"n",
+        ($"vsum".cast("double") / $"n").as("avg_value"), $"max_value")
       .orderBy($"w_start", $"event_type")
   }
 

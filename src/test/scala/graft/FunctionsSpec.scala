@@ -82,7 +82,11 @@ class FunctionsSpec extends AnyFunSuite {
       md.digest(x.getBytes("UTF-8")).map(b => f"$b%02x").mkString
     for ((id, t) <- texts) {
       val shingles = (0 to t.length - 5).map(i => t.substring(i, i + 5))
-      val expected = (0 until 6).map(i => shingles.map(sh => md5hex(s"$i:$sh")).min)
+      // component i = min over shingles of the 8-hex-char slice (i mod 4)
+      // of md5((i div 4) || ':' || shingle)
+      val expected = (0 until 6).map { i =>
+        shingles.map(sh => md5hex(s"${i / 4}:$sh").substring(8 * (i % 4), 8 * (i % 4) + 8)).min
+      }
       assert(got(id) == expected, s"doc $id signature mismatch")
     }
   }

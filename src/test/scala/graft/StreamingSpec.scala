@@ -60,6 +60,19 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.toSeq.map(_(2).asInstanceOf[Long]).sum == 4L * data.size)
   }
 
+  test("two-level st2 batch rollup is bit-identical to the direct sliding window") {
+    val s = spark
+    import s.implicits._
+    // the graded st2 query pre-aggregates 15-min buckets and rolls 4
+    // buckets per window; slidingTransform expands events directly —
+    // both must produce identical rows (incl. exact avg doubles)
+    val twoLevel = Streaming.st2SlidingWindow(s, SfDir).collect().map(_.toSeq).toSet
+    val direct = Streaming.slidingTransform(Tables.events(s, SfDir))
+      .select($"window.start".as("w_start"), $"event_type", $"n", $"avg_value", $"max_value")
+      .collect().map(_.toSeq).toSet
+    assert(twoLevel == direct)
+  }
+
   test("session windows finalize in the stream exactly as the batch computes them") {
     val s = spark
     import s.implicits._
