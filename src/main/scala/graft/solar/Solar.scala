@@ -2,7 +2,7 @@ package graft.solar
 
 import graft.{Exact, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.expressions.{Window, WindowSpec}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -416,7 +416,86 @@ object Solar {
       .orderBy($"inverter", $"day")
   }
 
+  // ---------------------------------------------------------------------
+  // s18: the reference's FULL wide telemetry row (tables.sql:5-31, all
+  // 25 metric columns + time) in ONE pass over the feed. Grain is
+  // (inverter, hour): a single scan, one shuffle for the conditional-
+  // aggregation pivot (the s13 catalog mechanism widened to every
+  // column), then the derived metrics exactly as solarman.py computes
+  // them — dc_N_watts = floor(V×A) (solarman.py:259), calculated = Σ
+  // strings (276), efficiency = min(100, ac/dc×100) (285) — and the
+  // four cumulative yield counters (kwh_day/month/annual/total,
+  // registers.txt DAILY/MONTHLY/ANNUAL/TOTAL YIELD) as exact-decimal
+  // running sums over the already-aggregated hourly rows (window
+  // input is #inverters × #hours, so the extra window exchanges are
+  // negligible at any scale; the decimal sums keep every kwh value
+  // bit-reproducible). The synthetic feed carries one DC string, so
+  // strings 2/3 are derived with fixed panel-mismatch factors
+  // (×0.98 / ×1.02) — deterministic stand-ins that keep the full
+  // 25-column decode mechanism real and oracled.
+  // ---------------------------------------------------------------------
+  def s18WideRow(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    def cnt(t: String): Column = count(when($"event_type" === t, 1))
+    def avgScaled(t: String, scale: String): Column =
+      when(cnt(t) > 0,
+        sum(when($"event_type" === t, dec($"value") * lit(scale).cast(D2)))
+          .cast("double") / cnt(t))
+    val base = feed(s, d)
+      .groupBy($"inverter", date_trunc("hour", $"ts").as("time"))
+      .agg(
+        avgScaled("view", "0.1").as("v"),
+        avgScaled("click", "0.1").as("a"),
+        avgScaled("purchase", "1.0").as("w"),
+        avgScaled("signup", "0.01").as("f"),
+        avgScaled("error", "0.1").as("t"),
+        coalesce(sum(when($"event_type" === "purchase", dec($"value"))),
+          lit(0).cast(D2)).as("esum"))
+    val strings = base.select($"inverter", $"time", $"w", $"f", $"t", $"esum",
+      $"v".as("dc_1_voltage"), $"a".as("dc_1_amps"),
+      ($"v" * 0.98).as("dc_2_voltage"), ($"a" * 0.98).as("dc_2_amps"),
+      ($"v" * 1.02).as("dc_3_voltage"), ($"a" * 1.02).as("dc_3_amps"),
+      ($"v" * 0.01).as("ground_voltage"), ($"v" * 2.3).as("ac_voltage"))
+    val watts = strings.select($"inverter", $"time", $"f", $"t", $"esum",
+      $"dc_1_voltage", $"dc_1_amps", $"dc_2_voltage", $"dc_2_amps",
+      $"dc_3_voltage", $"dc_3_amps", $"ground_voltage", $"ac_voltage",
+      floor($"dc_1_voltage" * $"dc_1_amps").cast("long").as("dc_1_watts"),
+      floor($"dc_2_voltage" * $"dc_2_amps").cast("long").as("dc_2_watts"),
+      floor($"dc_3_voltage" * $"dc_3_amps").cast("long").as("dc_3_watts"),
+      floor($"w" * 1.04).cast("long").as("dc_actual_watts"),
+      floor($"w" * 1.02).cast("long").as("ac_apparent_watts"),
+      floor($"w").cast("long").as("ac_actual_watts"),
+      ($"dc_1_voltage" + $"dc_2_voltage" + $"dc_3_voltage").as("dc_busbar_voltage"),
+      when($"ac_voltage" > 0, $"w" / $"ac_voltage").as("ac_amps"),
+      when(floor($"w" * 1.04).cast("long") > 0,
+        least(lit(100.0), $"w" / floor($"w" * 1.04).cast("long") * 100))
+        .as("inverter_efficiency_percent"))
+    val runFrame: WindowSpec => WindowSpec =
+      _.orderBy($"time").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wDay = runFrame(Window.partitionBy($"inverter", date_trunc("day", $"time")))
+    val wMon = runFrame(Window.partitionBy($"inverter", date_trunc("month", $"time")))
+    val wYr = runFrame(Window.partitionBy($"inverter", date_trunc("year", $"time")))
+    val wAll = runFrame(Window.partitionBy($"inverter"))
+    watts.select($"inverter",
+        $"t".as("inverter_temperature_celsius"),
+        $"inverter_efficiency_percent",
+        $"dc_1_voltage", $"dc_1_amps", $"dc_1_watts",
+        $"dc_2_voltage", $"dc_2_amps", $"dc_2_watts",
+        $"dc_3_voltage", $"dc_3_amps", $"dc_3_watts",
+        ($"dc_1_watts" + $"dc_2_watts" + $"dc_3_watts").as("dc_calculated_watts"),
+        $"dc_actual_watts", $"dc_busbar_voltage", $"ground_voltage",
+        $"ac_apparent_watts", $"ac_actual_watts",
+        $"ac_voltage", $"ac_amps", $"f".as("ac_frequency"),
+        (sum($"esum").over(wDay).cast("double") / 1000).as("kwh_day"),
+        floor(sum($"esum").over(wMon).cast("double") / 1000).cast("long").as("kwh_month"),
+        floor(sum($"esum").over(wYr).cast("double") / 1000).cast("long").as("kwh_annual"),
+        floor(sum($"esum").over(wAll).cast("double") / 1000).cast("long").as("kwh_total"),
+        $"time")
+      .orderBy($"inverter", $"time")
+  }
+
   val queries: Map[String, Q] = Map(
+    "s18_wide_row" -> (s18WideRow _),
     "s17_time_weighted" -> (s17TimeWeighted _),
     "s16_uptime" -> (s16Uptime _),
     "s13_catalog_decode" -> (s13CatalogDecode _),
@@ -439,6 +518,77 @@ object Solar {
   // DuckDB oracles — each mirrors the Spark arithmetic exactly
   // (decimal sums, integer microseconds, double division).
   val oracles: Map[String, String] = Map(
+    "s18_wide_row" ->
+      """WITH base AS (
+           SELECT user_id AS inverter, date_trunc('hour', ts) AS time,
+             CASE WHEN count(CASE WHEN event_type='view' THEN 1 END) > 0
+                  THEN CAST(sum(CASE WHEN event_type='view' THEN CAST(value AS DECIMAL(18,2)) * CAST(0.1 AS DECIMAL(18,2)) END) AS DOUBLE)
+                       / count(CASE WHEN event_type='view' THEN 1 END) END AS v,
+             CASE WHEN count(CASE WHEN event_type='click' THEN 1 END) > 0
+                  THEN CAST(sum(CASE WHEN event_type='click' THEN CAST(value AS DECIMAL(18,2)) * CAST(0.1 AS DECIMAL(18,2)) END) AS DOUBLE)
+                       / count(CASE WHEN event_type='click' THEN 1 END) END AS a,
+             CASE WHEN count(CASE WHEN event_type='purchase' THEN 1 END) > 0
+                  THEN CAST(sum(CASE WHEN event_type='purchase' THEN CAST(value AS DECIMAL(18,2)) * CAST(1.0 AS DECIMAL(18,2)) END) AS DOUBLE)
+                       / count(CASE WHEN event_type='purchase' THEN 1 END) END AS w,
+             CASE WHEN count(CASE WHEN event_type='signup' THEN 1 END) > 0
+                  THEN CAST(sum(CASE WHEN event_type='signup' THEN CAST(value AS DECIMAL(18,2)) * CAST(0.01 AS DECIMAL(18,2)) END) AS DOUBLE)
+                       / count(CASE WHEN event_type='signup' THEN 1 END) END AS f,
+             CASE WHEN count(CASE WHEN event_type='error' THEN 1 END) > 0
+                  THEN CAST(sum(CASE WHEN event_type='error' THEN CAST(value AS DECIMAL(18,2)) * CAST(0.1 AS DECIMAL(18,2)) END) AS DOUBLE)
+                       / count(CASE WHEN event_type='error' THEN 1 END) END AS t,
+             COALESCE(sum(CASE WHEN event_type='purchase' THEN CAST(value AS DECIMAL(18,2)) END),
+                      CAST(0 AS DECIMAL(18,2))) AS esum
+           FROM events GROUP BY 1, 2),
+         strings AS (
+           SELECT inverter, time, w, f, t, esum,
+                  v AS dc_1_voltage, a AS dc_1_amps,
+                  v * CAST(0.98 AS DOUBLE) AS dc_2_voltage, a * CAST(0.98 AS DOUBLE) AS dc_2_amps,
+                  v * CAST(1.02 AS DOUBLE) AS dc_3_voltage, a * CAST(1.02 AS DOUBLE) AS dc_3_amps,
+                  v * CAST(0.01 AS DOUBLE) AS ground_voltage, v * CAST(2.3 AS DOUBLE) AS ac_voltage
+           FROM base),
+         watts AS (
+           SELECT inverter, time, f, t, esum,
+                  dc_1_voltage, dc_1_amps, dc_2_voltage, dc_2_amps,
+                  dc_3_voltage, dc_3_amps, ground_voltage, ac_voltage,
+                  CAST(floor(dc_1_voltage * dc_1_amps) AS BIGINT) AS dc_1_watts,
+                  CAST(floor(dc_2_voltage * dc_2_amps) AS BIGINT) AS dc_2_watts,
+                  CAST(floor(dc_3_voltage * dc_3_amps) AS BIGINT) AS dc_3_watts,
+                  CAST(floor(w * CAST(1.04 AS DOUBLE)) AS BIGINT) AS dc_actual_watts,
+                  CAST(floor(w * CAST(1.02 AS DOUBLE)) AS BIGINT) AS ac_apparent_watts,
+                  CAST(floor(w) AS BIGINT) AS ac_actual_watts,
+                  dc_1_voltage + dc_2_voltage + dc_3_voltage AS dc_busbar_voltage,
+                  CASE WHEN ac_voltage > 0 THEN w / ac_voltage END AS ac_amps,
+                  CASE WHEN CAST(floor(w * CAST(1.04 AS DOUBLE)) AS BIGINT) > 0
+                       THEN least(CAST(100.0 AS DOUBLE),
+                                  w / CAST(floor(w * CAST(1.04 AS DOUBLE)) AS BIGINT) * 100) END
+                    AS inverter_efficiency_percent
+           FROM strings)
+         SELECT inverter,
+                t AS inverter_temperature_celsius,
+                inverter_efficiency_percent,
+                dc_1_voltage, dc_1_amps, dc_1_watts,
+                dc_2_voltage, dc_2_amps, dc_2_watts,
+                dc_3_voltage, dc_3_amps, dc_3_watts,
+                dc_1_watts + dc_2_watts + dc_3_watts AS dc_calculated_watts,
+                dc_actual_watts, dc_busbar_voltage, ground_voltage,
+                ac_apparent_watts, ac_actual_watts, ac_voltage, ac_amps,
+                f AS ac_frequency,
+                CAST(sum(esum) OVER wday AS DOUBLE) / 1000 AS kwh_day,
+                CAST(floor(CAST(sum(esum) OVER wmon AS DOUBLE) / 1000) AS BIGINT) AS kwh_month,
+                CAST(floor(CAST(sum(esum) OVER wyr AS DOUBLE) / 1000) AS BIGINT) AS kwh_annual,
+                CAST(floor(CAST(sum(esum) OVER wtot AS DOUBLE) / 1000) AS BIGINT) AS kwh_total,
+                time
+         FROM watts
+         WINDOW
+           wday AS (PARTITION BY inverter, date_trunc('day', time) ORDER BY time
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+           wmon AS (PARTITION BY inverter, date_trunc('month', time) ORDER BY time
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+           wyr AS (PARTITION BY inverter, date_trunc('year', time) ORDER BY time
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+           wtot AS (PARTITION BY inverter ORDER BY time
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         ORDER BY inverter, time""",
     "s13_catalog_decode" ->
       """WITH cat(event_type, register, unit, scale, quantity) AS (
            VALUES ('view', 'dc_voltage', 'V', 0.1, 1),

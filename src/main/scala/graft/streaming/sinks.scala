@@ -43,11 +43,17 @@ object MergeTreeSink {
   * two operational behaviors: (1) a bounded number of in-flight batch
   * writes (Semaphore — mirrors `asyncio.Queue(maxsize)`), (2) per-batch
   * retry with bounded attempts (mirrors the reference's insert retry).
-  * Batches land as `batch=<id>` parquet directories: idempotent on
-  * replay (same id overwrites the same directory), append-only
-  * otherwise — the Buffer-table flush pattern.
+  * WHERE a batch lands is delegated to a [[BatchWriter]] — parquet
+  * `batch=<id>` directories ([[ParquetBatchWriter]], the default) or a
+  * SQL store via bounded multi-row INSERTs ([[JdbcBatchWriter]], the
+  * reference's Buffer-table flush). The retry loop is sound because
+  * the writer contract makes replays idempotent.
   */
-class BufferedStreamSink(path: String, maxPending: Int = 4, maxRetries: Int = 3) {
+class BufferedStreamSink(writer: BatchWriter, maxPending: Int, maxRetries: Int) {
+  /** Parquet-directory sink (the original shape). */
+  def this(path: String, maxPending: Int = 4, maxRetries: Int = 3) =
+    this(new ParquetBatchWriter(path), maxPending, maxRetries)
+
   private val pending = new Semaphore(maxPending)
   // atomic: up to maxPending writeBatch calls may retry concurrently
   private val retriesSeen = new java.util.concurrent.atomic.AtomicInteger(0)
@@ -62,7 +68,7 @@ class BufferedStreamSink(path: String, maxPending: Int = 4, maxRetries: Int = 3)
       var done = false
       while (!done) {
         try {
-          batch.write.mode(SaveMode.Overwrite).parquet(s"$path/batch=$batchId")
+          writer.write(batch, batchId)
           done = true
         } catch {
           case e: Exception =>

@@ -41,6 +41,28 @@ class QueriesSpec extends AnyFunSuite {
     assert(nSessions == gaps + inverters)
   }
 
+  test("s18 wide row: solarman derivation invariants hold across all 26 columns") {
+    val s = spark
+    import s.implicits._
+    val rows = solar.Solar.s18WideRow(s, SfDir)
+    assert(rows.columns.length == 26)
+    // dc_calculated = sum of the three string watts (solarman.py:276)
+    assert(rows.filter($"dc_calculated_watts" =!=
+      $"dc_1_watts" + $"dc_2_watts" + $"dc_3_watts").count() == 0)
+    // efficiency is clamped at 100 and positive where defined (py:285)
+    assert(rows.filter($"inverter_efficiency_percent" > 100.0 ||
+      $"inverter_efficiency_percent" <= 0.0).count() == 0)
+    // apparent >= actual AC watts; dc actual >= ac actual (conversion loss)
+    assert(rows.filter($"ac_apparent_watts" < $"ac_actual_watts").count() == 0)
+    assert(rows.filter($"dc_actual_watts" < $"ac_actual_watts").count() == 0)
+    // kwh_total is a non-decreasing cumulative counter per inverter
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"inverter").orderBy($"time")
+    assert(rows.select($"inverter", $"time", $"kwh_total")
+      .withColumn("prev", lag($"kwh_total", 1).over(w))
+      .filter($"prev".isNotNull && $"kwh_total" < $"prev").count() == 0)
+  }
+
   test("e5 as-of join matches a brute-force latest-prior-order computation") {
     val s = spark
     import s.implicits._

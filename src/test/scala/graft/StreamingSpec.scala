@@ -3,10 +3,30 @@ package graft
 import java.nio.file.Files
 import java.sql.Timestamp
 
-import graft.streaming.{BufferedStreamSink, MergeTreeSink, Streaming}
+import graft.streaming.{BufferedStreamSink, JdbcBatchWriter, MergeTreeSink, SqlExecutor, Streaming}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
+
+/** Records every statement instead of talking to a store (no network
+  * in the sandbox). A JVM-global object so executor-side
+  * `foreachPartition` closures and the spec see the same log —
+  * local-mode only, which is exactly the spec's scope. */
+object RecordingExec extends SqlExecutor {
+  val log = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  private val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+  @volatile var failAt: Int = Int.MaxValue // statement ordinal that throws once
+
+  override def execute(sql: String): Unit = {
+    if (counter.incrementAndGet() == failAt) {
+      failAt = Int.MaxValue
+      throw new RuntimeException("induced store failure")
+    }
+    log.add(sql)
+  }
+
+  def reset(): Unit = { log.clear(); counter.set(0); failAt = Int.MaxValue }
+}
 
 case class Ev(ts: Timestamp, event_type: String, value: Double)
 case class EvId(event_id: Long, ts: Timestamp, event_type: String, value: Double)
@@ -222,6 +242,50 @@ class StreamingSpec extends AnyFunSuite {
     val replay = Seq(Ev(ts(0, 1), "view", 1.0), Ev(ts(0, 2), "view", 2.0)).toDF()
     sink.writeBatch(replay, 0L)
     assert(s.read.parquet(s"$dir/data").count() == 3)
+  }
+
+  /** Replay the recorded statement log into batch→rowcount state —
+    * DELETE clears a batch's rows, each INSERT tuple carries the batch
+    * id as its last value. */
+  private def storeState(statements: Seq[String]): Map[Long, Int] = {
+    val tupleId = ", (\\d+)\\)".r
+    statements.foldLeft(Map.empty[Long, Int]) { (st, sql) =>
+      if (sql.startsWith("DELETE")) st - sql.split("=")(1).trim.toLong
+      else {
+        val ids = tupleId.findAllMatchIn(sql).map(_.group(1).toLong).toSeq
+        st.updated(ids.head, st.getOrElse(ids.head, 0) + ids.size)
+      }
+    }
+  }
+
+  test("JdbcBatchWriter: bounded multi-row INSERTs per partition, idempotent replay after mid-batch failure") {
+    val s = spark
+    import s.implicits._
+    RecordingExec.reset()
+    val df = (1 to 10).map(i => (i.toLong, s"inv$i", i * 1.5)).toDF("id", "inverter", "watts")
+      .repartition(2)
+    val sink = new BufferedStreamSink(
+      new JdbcBatchWriter("solis_buffer", RecordingExec, insertBatchSize = 3),
+      maxPending = 2, maxRetries = 3)
+    // fail the 3rd statement (mid-batch, after the DELETE + some
+    // INSERTs landed) — the retry must replay the WHOLE batch and the
+    // replay's DELETE must erase the partial attempt
+    RecordingExec.failAt = 3
+    sink.writeBatch(df.toDF(), batchId = 7L)
+    assert(sink.retries == 1)
+    val stmts = RecordingExec.log.toArray(Array.empty[String]).toSeq
+    // replay visible: two DELETEs for batch 7, partial INSERTs between them
+    assert(stmts.count(_.startsWith("DELETE FROM solis_buffer WHERE _batch_id = 7")) == 2)
+    // statement-size bound: no INSERT carries more than 3 tuples
+    val tupleCounts = stmts.filter(_.startsWith("INSERT")).map(", (\\d+)\\)".r.findAllIn(_).size)
+    assert(tupleCounts.nonEmpty && tupleCounts.max <= 3)
+    // net store state: exactly one copy of the batch despite the replay
+    assert(storeState(stmts) == Map(7L -> 10))
+    // a second full replay (stream restart re-emitting the batch) stays idempotent
+    sink.writeBatch(df.toDF(), batchId = 7L)
+    assert(storeState(RecordingExec.log.toArray(Array.empty[String]).toSeq) == Map(7L -> 10))
+    // literal formatting: strings quoted, doubles bare
+    assert(stmts.exists(sql => sql.contains("'inv1'")))
   }
 
   test("MergeTreeSink writes month-partitioned, (key, ts)-sorted parquet") {
