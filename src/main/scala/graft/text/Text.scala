@@ -182,10 +182,15 @@ object Text {
   // partitioning) assigns each document to the same split. Buckets
   // 0-7 train, 8 val, 9 test. Pure map-side hash + one small rollup.
   // ---------------------------------------------------------------------
+  /** Content-addressed 10-way split bucket: value of the first 6 hex
+    * digits of md5(doc_id), mod 10 (shared by t7 and t8). */
+  private def bucket10: Column =
+    pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 6), 16, 10)
+      .cast("long"), lit(10L))
+
   def t7SampleSplit(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val bucket = pmod(conv(substring(md5($"doc_id".cast("string")), 1, 6), 16, 10)
-      .cast("long"), lit(10L))
+    val bucket = bucket10
     Tables.documents(s, d)
       .select($"doc_id", length($"text").as("len"), bucket.as("b"))
       .withColumn("split",
@@ -198,7 +203,46 @@ object Text {
       .orderBy($"split")
   }
 
+  // ---------------------------------------------------------------------
+  // t8: train/test CONTAMINATION check — the decontamination pass every
+  // pre-training pipeline runs before evaluation: word 5-grams of each
+  // test document are probed against the distinct 5-gram set of the
+  // train split (t7's content-addressed buckets), reporting per-doc
+  // leaked-n-gram counts and ratio. Shapes that survive 100 TB: n-grams
+  // are built map-side (array expressions, no self-join); both sides
+  // reduce to DISTINCT (map-side partial) before the probe join, so
+  // the shuffle carries each distinct n-gram once per side — and in
+  // production the join key would be a 64-bit n-gram hash rather than
+  // the string (same plan, smaller bytes; kept as the string here for
+  // oracle exactness).
+  // ---------------------------------------------------------------------
+  val ContamN = 5
+
+  def t8Contamination(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val grams = Tables.documents(s, d)
+      .select($"doc_id", toks(lower($"text")).as("t"),
+        when(bucket10 <= 7, "train").when(bucket10 === 8, "val")
+          .otherwise("test").as("split"))
+      .filter(size($"t") >= ContamN)
+      .select($"doc_id", $"split",
+        explode(transform(sequence(lit(1), size($"t") - (ContamN - 1)),
+          i => concat_ws(" ", slice($"t", i, lit(ContamN))))).as("ng"))
+    val train = grams.filter($"split" === "train").select($"ng").distinct()
+    val test = grams.filter($"split" === "test").select($"doc_id", $"ng").distinct()
+    val totals = test.groupBy($"doc_id").agg(count(lit(1)).as("n_ngrams"))
+    val leaked = test.join(train, "ng")
+      .groupBy($"doc_id").agg(count(lit(1)).as("n_contaminated"))
+    totals.join(leaked, Seq("doc_id"), "left")
+      .select($"doc_id", $"n_ngrams",
+        coalesce($"n_contaminated", lit(0L)).as("n_contaminated"))
+      .withColumn("contamination_ratio",
+        $"n_contaminated".cast("double") / $"n_ngrams")
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "t8_contamination" -> (t8Contamination _),
     "t1_tokens" -> (t1Tokens _),
     "t2_langid" -> (t2Langid _),
     "t3_quality" -> (t3Quality _),
@@ -273,23 +317,50 @@ object Text {
          SELECT ngram, count(*) AS n
          FROM b GROUP BY 1 ORDER BY n DESC, ngram LIMIT 20""",
     // first-6-hex-digit value of md5(doc_id), mod 10 → split bucket
-    "t7_sample_split" -> {
-      val value = (1 to 6).map { i =>
-        val w = math.pow(16, 6 - i).toLong
-        s"(strpos('0123456789abcdef', substr(h, $i, 1)) - 1) * $w"
-      }.mkString(" + ")
+    "t7_sample_split" ->
       s"""WITH b AS (
            SELECT doc_id, len(text) AS len, md5(CAST(doc_id AS VARCHAR)) AS h
            FROM documents),
          s AS (
-           SELECT len, ($value) % 10 AS bk FROM b),
+           SELECT len, ($hexBucketSql) % 10 AS bk FROM b),
          sp AS (
            SELECT len, CASE WHEN bk <= 7 THEN 'train' WHEN bk = 8 THEN 'val' ELSE 'test' END AS split
            FROM s)
          SELECT split, count(*) AS n_docs,
                 CAST(sum(len) AS BIGINT) AS sum_chars,
                 CAST(sum(len) AS DOUBLE) / count(*) AS avg_chars
-         FROM sp GROUP BY 1 ORDER BY split"""
-    },
+         FROM sp GROUP BY 1 ORDER BY split""",
+    "t8_contamination" ->
+      s"""WITH b AS (
+           SELECT doc_id, lower(text) AS text, md5(CAST(doc_id AS VARCHAR)) AS h
+           FROM documents),
+         s AS (
+           SELECT doc_id, text, ($hexBucketSql) % 10 AS bk FROM b),
+         tk AS (
+           SELECT doc_id,
+                  CASE WHEN bk <= 7 THEN 'train' WHEN bk = 8 THEN 'val' ELSE 'test' END AS split,
+                  list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t
+           FROM s),
+         g AS (
+           SELECT doc_id, split,
+                  unnest(list_transform(range(1, len(t) - ${ContamN - 2}),
+                         i -> array_to_string(t[i:i+${ContamN - 1}], ' '))) AS ng
+           FROM tk WHERE len(t) >= $ContamN),
+         tr AS (SELECT DISTINCT ng FROM g WHERE split = 'train'),
+         te AS (SELECT DISTINCT doc_id, ng FROM g WHERE split = 'test'),
+         tot AS (SELECT doc_id, count(*) AS n_ngrams FROM te GROUP BY 1),
+         ct AS (SELECT doc_id, count(*) AS n_contaminated
+                FROM te JOIN tr USING (ng) GROUP BY 1)
+         SELECT tot.doc_id, tot.n_ngrams,
+                COALESCE(ct.n_contaminated, 0) AS n_contaminated,
+                CAST(COALESCE(ct.n_contaminated, 0) AS DOUBLE) / tot.n_ngrams AS contamination_ratio
+         FROM tot LEFT JOIN ct USING (doc_id) ORDER BY doc_id""",
   )
+
+  /** SQL for the integer value of the first 6 hex digits of column `h`
+    * (shared by the t7/t8 oracles — mirrors [[bucket10]]). */
+  private lazy val hexBucketSql: String = (1 to 6).map { i =>
+    val w = math.pow(16, 6 - i).toLong
+    s"(strpos('0123456789abcdef', substr(h, $i, 1)) - 1) * $w"
+  }.mkString(" + ")
 }
