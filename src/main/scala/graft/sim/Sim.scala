@@ -61,28 +61,33 @@ object Sim {
   }
 
   // ---------------------------------------------------------------------
-  // v3 (rows-only; recall-vs-brute spec in SimSpec): IVF-style ANN.
-  // Coarse quantizer = per-label mean vector (deterministic, no
-  // iterative k-means); every corpus vector is assigned to its nearest
-  // centroid; each query (vec_id < 5) probes its 2 nearest centroids
-  // and brute-forces only vectors assigned there.
+  // v3: IVF-style ANN, DuckDB-oracled end to end. Every corpus vector
+  // is assigned to its nearest centroid; each query (vec_id < 5)
+  // probes its 2 nearest centroids and brute-forces only vectors
+  // assigned there. The recall-vs-brute spec in QueriesSpec
+  // additionally pins the semantics the hash compare can't (exact
+  // top-k within probed clusters).
   // ---------------------------------------------------------------------
   val Probes = 2
   val TopK = 5
 
-  /** Per-label mean embedding — posexplode → per-(label, dim) mean →
-    * reassembled in dim order. All distributed; centroid count =
-    * cluster count (bounded), so the result is broadcastable. */
+  /** Coarse quantizer: one deterministic SEED embedding per label
+    * (the label's min-vec_id vector). Selection instead of float
+    * averaging, deliberately: (a) `min_by` is a map-side-combinable
+    * aggregate — quantizer "training" is one cheap pass at any corpus
+    * size, where a mean would need an order-dependent double sum;
+    * (b) zero float arithmetic means the quantizer, the assignment
+    * and therefore the whole IVF pipeline are bit-reproducible in the
+    * DuckDB oracle (`arg_min`). Production IVF runs k-means on a
+    * sample; the seed quantizer is its reproducible 0-iteration
+    * analogue and the probed-cluster recall spec is agnostic to the
+    * choice. Centroid count = label count (bounded) → broadcastable. */
   private[sim] def centroids(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     Tables.embeddings(s, d)
-      .select($"label", posexplode($"embedding").as(Seq("pos", "v")))
-      .groupBy($"label", $"pos")
-      .agg(avg($"v").as("m"))
       .groupBy($"label")
-      .agg(array_sort(collect_list(struct($"pos", $"m"))).as("pm"))
-      .select($"label".as("c_id"),
-        transform($"pm", p => p("m").cast("float")).as("c_emb"))
+      .agg(min_by($"embedding", $"vec_id").as("c_emb"))
+      .select($"label".as("c_id"), $"c_emb")
   }
 
   def v3IvfAnn(s: SparkSession, d: String): DataFrame = {
@@ -163,9 +168,35 @@ object Sim {
   private def cos(x: String, y: String): String =
     s"${dot(x, y)} / (sqrt(${dot(x, x)}) * sqrt(${dot(y, y)}))"
 
-  // v3 rows-only: the centroid means are float-truncated Spark-side;
-  // recall is pinned by the spec instead of a SQL oracle.
   val oracles: Map[String, String] = Map(
+    "v3_ivf_ann" ->
+      s"""WITH c AS (
+            SELECT label AS c_id, arg_min(embedding, vec_id) AS c_emb
+            FROM embeddings GROUP BY 1),
+          a AS (
+            SELECT vec_id, embedding, c_id, ${cos("embedding", "c_emb")} AS c_cos
+            FROM embeddings, c),
+          ar AS (
+            SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY c_cos DESC, c_id) AS rn
+            FROM a),
+          assigned AS (SELECT vec_id, embedding, c_id AS cluster FROM ar WHERE rn = 1),
+          q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 5),
+          p AS (SELECT q_id, q_emb, c_id, ${cos("q_emb", "c_emb")} AS q_cos FROM q, c),
+          pr AS (
+            SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY q_cos DESC, c_id) AS rn
+            FROM p),
+          probes AS (SELECT q_id, q_emb, c_id AS cluster FROM pr WHERE rn <= $Probes),
+          sc AS (
+            SELECT probes.q_id, assigned.vec_id, probes.cluster,
+                   ${cos("q_emb", "embedding")} AS cos
+            FROM probes JOIN assigned USING (cluster)
+            WHERE assigned.vec_id <> probes.q_id),
+          rk AS (
+            SELECT q_id, vec_id, cluster, cos,
+                   CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS INT) AS rnk
+            FROM sc)
+          SELECT q_id, rnk, vec_id, cluster, cos FROM rk WHERE rnk <= $TopK
+          ORDER BY q_id, rnk""",
     "v1_knn_brute" ->
       s"""WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0)
           SELECT vec_id, label, ${cos("embedding", "q_emb")} AS cos
