@@ -249,7 +249,7 @@ object Dedup {
   }
 
   // ---------------------------------------------------------------------
-  // d4 (rows-only; Hamming-property spec in DedupSpec): SimHash near-dup
+  // d4 (Hamming-property spec in DedupSpec + FNV oracle): SimHash near-dup
   // candidates — bucket on any equal 16-bit band of the 64-bit
   // fingerprint, exact Hamming distance within buckets only.
   // ---------------------------------------------------------------------
@@ -339,9 +339,45 @@ object Dedup {
            FROM sig, range($Bands) rb(b))"""
   }
 
-  // d4 is rows-only (custom SimHash expression not SQL-expressible in
-  // DuckDB); covered by the Hamming-property spec.
+  /** d4's DuckDB oracle rebuilds the 64-bit SimHash from the
+    * definition: per-token FNV-1a (HUGEINT mod-2^64, see
+    * [[graft.OracleSql]]), each token votes ±1 per bit, fingerprint =
+    * sign bits; then the same 4×16-bit band buckets and Hamming count
+    * the Spark plan computes. */
+  private val d4Oracle: String = {
+    import graft.OracleSql._
+    s"""WITH tok AS (
+         SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS ts
+         FROM documents),
+       hsv AS (
+         SELECT doc_id, list_transform(ts, tt -> ${fnvU("tt")}) AS hv
+         FROM tok),
+       fpv AS (
+         SELECT doc_id,
+                list_reduce(list_prepend(0::HUGEINT, list_transform(range(0, 64), bb ->
+                  CASE WHEN 2 * len(list_filter(hv, x -> (x // ${pow2("bb")}) % 2 = 1)) > len(hv)
+                       THEN ${pow2("bb")} ELSE 0::HUGEINT END)),
+                  (sa, sb) -> sa + sb) AS ufp
+         FROM hsv),
+       bands AS (
+         SELECT doc_id, ufp, CAST(bd AS INT) AS band,
+                (ufp // ${pow2("(16 * bd)")}) % 65536 AS bval
+         FROM fpv, range(0, 4) r(bd)),
+       cand AS (
+         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.ufp AS ua, b.ufp AS ub
+         FROM bands a JOIN bands b
+           ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id),
+       hm AS (
+         SELECT doc_a, doc_b,
+                CAST(len(list_filter(range(0, 64), bb ->
+                  (ua // ${pow2("bb")}) % 2 <> (ub // ${pow2("bb")}) % 2)) AS INT) AS hamming
+         FROM cand)
+       SELECT doc_a, doc_b, hamming FROM hm
+       WHERE hamming <= $HammingMax ORDER BY hamming, doc_a, doc_b"""
+  }
+
   val oracles: Map[String, String] = Map(
+    "d4_simhash" -> d4Oracle,
     "d1_exact" ->
       """SELECT md5(text) AS h, count(*) AS n_docs, min(doc_id) AS keep_doc_id
          FROM documents GROUP BY 1 ORDER BY h""",

@@ -125,7 +125,7 @@ object Text {
   }
 
   // ---------------------------------------------------------------------
-  // t5: winnowing (rows-only; behavioral spec in TextSpec) — per-doc
+  // t5: winnowing (behavioral spec in TextSpec + FNV oracle) — per-doc
   // fingerprint sets from the custom Winnow expression (k-gram rolling
   // hash, window-min selection), then overlap pairs. Fingerprints
   // occurring in >20 docs are dropped (stop-fingerprints) before the
@@ -263,8 +263,45 @@ object Text {
     s"WHEN s_$l = m THEN '$l'"
   }.mkString(" ") + " END"
 
-  // t5 is not SQL-expressible (custom winnowing expression) → rows-only.
+  /** t5's DuckDB oracle rebuilds winnowing from the definition: k-gram
+    * rolling FNV hashes (signed-long view, [[graft.OracleSql]]), then
+    * the DISTINCT selected values per document. Rightmost-tie
+    * selection affects selected POSITIONS only, never values, so the
+    * distinct selected set equals the distinct sliding-window minima
+    * (global min when the doc has ≤ w k-grams) — which windowed SQL
+    * expresses directly. */
+  private val t5Oracle: String = {
+    import graft.OracleSql._
+    val k = 8
+    val w = 4
+    s"""WITH st AS (
+         SELECT doc_id, text, unnest(range(1, len(text) - ${k - 2})) AS i
+         FROM documents),
+       pos AS (
+         SELECT doc_id, i, ${toSigned(fnvU(s"substr(text, i, $k)"))} AS h
+         FROM st),
+       wmn AS (
+         SELECT doc_id, i, h,
+                min(h) OVER (PARTITION BY doc_id ORDER BY i
+                             ROWS BETWEEN CURRENT ROW AND ${w - 1} FOLLOWING) AS wmin,
+                count(*) OVER (PARTITION BY doc_id) AS n
+         FROM pos),
+       sel AS (
+         SELECT DISTINCT doc_id, wmin AS fp FROM wmn WHERE n > $w AND i <= n - ${w - 1}
+         UNION
+         SELECT doc_id, min(h) AS fp FROM pos GROUP BY doc_id HAVING count(*) <= $w),
+       rare AS (SELECT fp FROM sel GROUP BY fp HAVING count(*) BETWEEN 2 AND 20),
+       pr AS (
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+         FROM sel a JOIN rare r ON a.fp = r.fp
+                    JOIN sel b ON b.fp = a.fp AND a.doc_id < b.doc_id
+         GROUP BY 1, 2)
+       SELECT doc_a, doc_b, n_shared FROM pr WHERE n_shared >= 3
+       ORDER BY n_shared DESC, doc_a, doc_b"""
+  }
+
   val oracles: Map[String, String] = Map(
+    "t5_winnow" -> t5Oracle,
     "t1_tokens" ->
       """WITH tk AS (
            SELECT doc_id, text, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t

@@ -6,7 +6,7 @@ import org.scalatest.funsuite.AnyFunSuite
 /** Behavioral specs for the query surface, on sf0.001 (hash-level
   * correctness is gated by Verify + the DuckDB oracle at sf0.01; these
   * pin semantic invariants the hash compare can't express, and cover
-  * the rows-only queries d4/v3/t5 that have no oracle). */
+  * properties of the custom-kernel queries d4/v3/t5). */
 class QueriesSpec extends AnyFunSuite {
   import TestSpark._
 
