@@ -133,6 +133,29 @@ object Streaming {
         .dropDuplicatesWithinWatermark("event_id")
     else df.dropDuplicates("event_id")
 
+  /** Streaming corpus-ingest pipeline — the training-data preparation
+    * loop (SURVEY §2.F/D) as one composable transform over a document
+    * feed: quality-gate each arriving doc (t3's token-count filter),
+    * fingerprint its content (t4's md5), and drop exact duplicates /
+    * re-deliveries. On a stream the dedup state is bounded by the
+    * watermark horizon (an exact-dedup pass over an unbounded corpus
+    * feed cannot keep every fingerprint forever; the horizon is the
+    * dedup window, exactly how at-scale ingest dedup is run); on a
+    * batch Dataset the same call is a plain fingerprint dropDuplicates
+    * (stream==batch pinned by StreamingSpec). */
+  def corpusIngestTransform(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val scored = df
+      .withColumn("n_tokens",
+        size(filter(split($"text", "\\s+"), t => t =!= "")))
+      .filter($"n_tokens" >= 10 && $"n_tokens" <= 2000)
+      .withColumn("fp", md5($"text"))
+    if (scored.isStreaming)
+      scored.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark("fp")
+    else scored.dropDuplicates("fp")
+  }
+
   /** Stream-stream interval join: enrich an event stream with the
     * order stream's rows from the trailing 2-hour interval. Both sides
     * carry watermarks and the join condition bounds event time on both

@@ -28,6 +28,7 @@ object RecordingExec extends SqlExecutor {
   def reset(): Unit = { log.clear(); counter.set(0); failAt = Int.MaxValue }
 }
 
+case class Doc(ts: Timestamp, doc_id: Long, text: String)
 case class Ev(ts: Timestamp, event_type: String, value: Double)
 case class EvId(event_id: Long, ts: Timestamp, event_type: String, value: Double)
 case class Ord(o_id: Long, o_user: Long, o_ts: Timestamp)
@@ -242,6 +243,34 @@ class StreamingSpec extends AnyFunSuite {
     val replay = Seq(Ev(ts(0, 1), "view", 1.0), Ev(ts(0, 2), "view", 2.0)).toDF()
     sink.writeBatch(replay, 0L)
     assert(s.read.parquet(s"$dir/data").count() == 3)
+  }
+
+  test("corpus ingest pipeline: quality gate + watermarked exact dedup, stream == batch") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val good = (1 to 12).map(i => s"tok$i").mkString(" ") // 12 tokens: passes
+    val short = "too short"                               // 2 tokens: filtered
+    val docs = Seq(
+      Doc(ts(0, 0), 1L, good),
+      Doc(ts(0, 5), 2L, short),
+      Doc(ts(0, 10), 3L, good), // exact duplicate content of doc 1
+      Doc(ts(0, 15), 4L, good + " extra"))
+    val stream = MemoryStream[Doc]
+    val q = Streaming.corpusIngestTransform(stream.toDF())
+      .writeStream.format("memory").queryName("corpus_spec").outputMode("append").start()
+    try {
+      stream.addData(docs.take(2): _*)
+      q.processAllAvailable()
+      // duplicate arrives in a LATER micro-batch: cross-batch state must drop it
+      stream.addData(docs.drop(2): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = s.table("corpus_spec").select($"doc_id").as[Long].collect().toSet
+    val batch = Streaming.corpusIngestTransform(docs.toDF())
+      .select($"doc_id").as[Long].collect().toSet
+    assert(streamed == Set(1L, 4L), "quality-filtered short doc, deduped doc 3")
+    assert(streamed == batch)
   }
 
   /** Replay the recorded statement log into batch→rowcount state —
