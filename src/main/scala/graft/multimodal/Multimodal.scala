@@ -103,9 +103,47 @@ object Multimodal {
       .orderBy($"doc_id", $"frame_idx")
   }
 
+  /** One resized thumbnail's metadata (m3). */
+  case class Thumb(doc_id: Long, src_w: Int, src_h: Int, dst_w: Int, dst_h: Int,
+                   thumb_bytes: Int, checksum: Int)
+
+  val ThumbMax = 64
+
+  // ---------------------------------------------------------------------
+  // m3: batched resize/thumbnail stage — the image-preprocessing step
+  // of a multimodal training pipeline (decode → fit into a 64×64 box
+  // preserving aspect ratio → resample). Same honest stubbing as
+  // m1/m2: the geometry (integer aspect-fit) is real preprocessing
+  // arithmetic and the "resample" is a deterministic position-weighted
+  // byte checksum standing in for the pixel kernel; a production
+  // implementation swaps FakeCodec + the checksum loop for the image
+  // library inside the same mapPartitions batch.
+  // ---------------------------------------------------------------------
+  def m3Resize(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select($"doc_id", unhex(md5($"text")).as("blob"))
+      .as[Blob]
+      .mapPartitions { it =>
+        it.map { b =>
+          val m = FakeCodec.decode(b.doc_id, b.blob)
+          val longest = math.max(m.width, m.height)
+          val dw = math.max(1, m.width * ThumbMax / longest)
+          val dh = math.max(1, m.height * ThumbMax / longest)
+          var cs = 0
+          var i = 0
+          while (i < b.blob.length) { cs = (cs + (b.blob(i) & 0xff) * (i + 1)) % 9973; i += 1 }
+          Thumb(b.doc_id, m.width, m.height, dw, dh, dw * dh * m.channels, cs)
+        }
+      }
+      .toDF()
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "m1_blob_meta" -> (m1BlobMeta _),
     "m2_frame_sample" -> (m2FrameSample _),
+    "m3_resize" -> (m3Resize _),
   )
 
   // The oracle rebuilds each blob byte from the md5 hex pair
@@ -125,6 +163,28 @@ object Multimodal {
                  CAST(1 + ${byteAt(2)} % 4 AS INT) AS channels,
                  CAST($sumBytes AS DOUBLE) / (16 * 255.0) AS mean_intensity
           FROM b ORDER BY doc_id""",
+    // Aspect-fit geometry + position-weighted checksum, rebuilt from
+    // the md5 hex exactly like m1 (integer division truncates
+    // identically: all values positive).
+    "m3_resize" -> {
+      val weighted = (0 until 16).map(j => s"${byteAt(j)} * ${j + 1}").mkString(" + ")
+      s"""WITH b AS (SELECT doc_id, md5(text) AS h FROM documents),
+          m AS (
+            SELECT doc_id,
+                   CAST(1 + ${byteAt(0)} % 128 AS INT) AS src_w,
+                   CAST(1 + ${byteAt(1)} % 128 AS INT) AS src_h,
+                   CAST(1 + ${byteAt(2)} % 4 AS INT) AS c,
+                   CAST(($weighted) % 9973 AS INT) AS checksum
+            FROM b),
+          g AS (
+            SELECT doc_id, src_w, src_h, c, checksum,
+                   CAST(greatest(1, src_w * 64 // greatest(src_w, src_h)) AS INT) AS dst_w,
+                   CAST(greatest(1, src_h * 64 // greatest(src_w, src_h)) AS INT) AS dst_h
+            FROM m)
+          SELECT doc_id, src_w, src_h, dst_w, dst_h,
+                 CAST(dst_w * dst_h * c AS INT) AS thumb_bytes, checksum
+          FROM g ORDER BY doc_id"""
+    },
     // Sampled frames (idx 0 and 2 of 4): per-frame byte-window means,
     // rebuilt from the md5 hex exactly like m1.
     "m2_frame_sample" -> {

@@ -91,6 +91,31 @@ class FunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("minhash_sig shingles by code points on non-BMP text (UTF-8 byte walk)") {
+    val s = spark
+    import s.implicits._
+    // 😀 is a surrogate pair in UTF-16 and 4 bytes in UTF-8; the kernel
+    // must shingle code points, never UTF-16 units or raw bytes
+    val t = "a😀b😀c😀d" // 7 code points → 5 shingles of length 3
+    val got = Seq(Tuple1(t)).toDF("t")
+      .select(GraftFunctions.minhashSig($"t", 6, 3).as("sig"))
+      .collect()(0).getSeq[String](0)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def md5hex(x: String): String =
+      md.digest(x.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    val cps = t.codePoints().toArray
+    val shingles = (0 to cps.length - 3).map(i => new String(cps, i, 3))
+    val expected = (0 until 6).map { i =>
+      shingles.map(sh => md5hex(s"${i / 4}:$sh").substring(8 * (i % 4), 8 * (i % 4) + 8)).min
+    }
+    assert(shingles.length == 5)
+    assert(got == expected)
+    // a text shorter than one shingle yields NULL, not an empty array
+    val short = Seq(Tuple1("😀😀")).toDF("t")
+      .select(GraftFunctions.minhashSig($"t", 4, 3).as("sig")).collect()(0)
+    assert(short.isNullAt(0))
+  }
+
   test("minhash_agg over exploded shingles equals map-side minhash_sig") {
     val s = spark
     import s.implicits._
