@@ -134,6 +134,58 @@ class FunctionsSpec extends AnyFunSuite {
     assert(joined.count() == 0, "aggregate and scalar MinHash paths must agree")
   }
 
+  test("winnow guarantee holds on randomized strings (property, seeded)") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val rnd = new scala.util.Random(7) // fixed seed: deterministic spec
+    val k = 8
+    val w = 4
+    def randStr(n: Int): String =
+      (1 to n).map(_ => ('a' + rnd.nextInt(4)).toChar).mkString // tiny alphabet → repeats
+    def fps(t: String): Set[Long] = {
+      val arr = graft.functions.WinnowImpl.winnow(UTF8String.fromString(t), k, w)
+      (0 until arr.numElements()).map(arr.getLong).toSet
+    }
+    for (_ <- 1 to 40) {
+      // any shared substring of length >= w + k - 1 must yield a shared fingerprint
+      val shared = randStr(w + k - 1 + rnd.nextInt(10))
+      val t1 = randStr(rnd.nextInt(30)) + shared + randStr(rnd.nextInt(30))
+      val t2 = randStr(rnd.nextInt(30)) + shared + randStr(rnd.nextInt(30))
+      assert(fps(t1).intersect(fps(t2)).nonEmpty, s"no shared fp for shared='$shared'")
+      // fingerprints are a subset of the text's own k-gram hashes
+      val bytes = t1.getBytes("UTF-8")
+      val all = (0 to bytes.length - k)
+        .map(i => graft.functions.SimHashImpl.fnv1a(bytes, i, i + k)).toSet
+      assert(fps(t1).subsetOf(all))
+    }
+  }
+
+  test("minhash kernel equals the naive reference on randomized unicode text (property, seeded)") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val rnd = new scala.util.Random(11)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def md5hex(x: String): String =
+      md.digest(x.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    val alphabet = "abñ😀中 " // 1-, 2-, 3- and 4-byte UTF-8 + repeats
+    val cpAlphabet = alphabet.codePoints().toArray
+    for (trial <- 1 to 50) {
+      val n = 1 + rnd.nextInt(40)
+      val cps = (1 to n).map(_ => cpAlphabet(rnd.nextInt(cpAlphabet.length))).toArray
+      val t = new String(cps, 0, cps.length)
+      val k = 1 + rnd.nextInt(12)
+      val len = 1 + rnd.nextInt(6)
+      val got = graft.functions.MinHashImpl.signature(UTF8String.fromString(t), k, len)
+      if (cps.length < len) assert(got == null, s"trial $trial: expected null")
+      else {
+        val shingles = (0 to cps.length - len).map(i => new String(cps, i, len))
+        val want = (0 until k).map { i =>
+          shingles.map(sh => md5hex(s"${i / 4}:$sh").substring(8 * (i % 4), 8 * (i % 4) + 8)).min
+        }
+        val gotSeq = (0 until got.numElements()).map(j => got.getUTF8String(j).toString)
+        assert(gotSeq == want, s"trial $trial: text='$t' k=$k len=$len")
+      }
+    }
+  }
+
   test("cosine_sim computes exact values and handles zero vectors") {
     val s = spark
     import s.implicits._
