@@ -1,0 +1,154 @@
+package graft.sources
+
+import java.util
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2 MICRO-BATCH STREAMING source simulating the
+  * reference's register poll loop (solarman.py:36-58: an asyncio
+  * timer reads every configured register from every inverter each
+  * interval). Spark-natively the poll loop IS a streaming source:
+  * each micro-batch is one poll sweep, offsets count polls, and the
+  * fleet × register fan-out is the batch's row set — so the whole
+  * daemon becomes `readStream.format("register-poll") → decode →
+  * window → sink`, with Structured Streaming owning scheduling,
+  * retries and exactly-once progress (the checkpoint replaces the
+  * daemon's ad-hoc retry queue).
+  *
+  * Readings are DETERMINISTIC functions of (poll, inverter,
+  * register): this sandbox has no Modbus devices, and determinism is
+  * what lets the spec replay a drained stream and assert exact rows
+  * (a production implementation would issue the actual register read
+  * inside [[PollPartitionReader]] — one partition per inverter, so
+  * each executor polls its own devices in parallel).
+  *
+  * Options: `inverters` (fleet size, default 3), `maxPolls` (bound for
+  * Trigger.AvailableNow drains, default Long.MaxValue), `intervalMs`
+  * (timestamp spacing of simulated polls, default 1000).
+  */
+class RegisterPollSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "register-poll"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    RegisterPollSource.Schema
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val opts = new CaseInsensitiveStringMap(properties)
+    new RegisterPollTable(
+      inverters = opts.getOrDefault("inverters", "3").toLong,
+      maxPolls = opts.getOrDefault("maxPolls", Long.MaxValue.toString).toLong,
+      intervalMs = opts.getOrDefault("intervalMs", "1000").toLong)
+  }
+}
+
+object RegisterPollSource {
+  val Schema: StructType = StructType(Seq(
+    StructField("poll", LongType, nullable = false),
+    StructField("inverter", LongType, nullable = false),
+    StructField("register", StringType, nullable = false),
+    StructField("raw", LongType, nullable = false),
+    StructField("scaled", DoubleType, nullable = false),
+    StructField("ts", TimestampType, nullable = false)))
+
+  /** The polled register map (a slice of registers.txt's catalog). */
+  val Registers: Seq[(String, Double)] =
+    Seq("dc_voltage" -> 0.1, "ac_watts" -> 1.0, "ac_frequency" -> 0.01)
+
+  /** 2026-01-01T00:00:00Z in microseconds. */
+  val EpochBaseUs: Long = 1767225600000000L
+
+  /** Deterministic raw reading for (poll, inverter, register idx). */
+  def raw(poll: Long, inverter: Long, reg: Int): Long =
+    math.floorMod(poll * 2654435761L + inverter * 40503L + reg * 69427L, 10000L)
+}
+
+/** Offset = number of completed poll sweeps. */
+private case class PollOffset(polls: Long) extends Offset {
+  override def json(): String = polls.toString
+}
+
+private class RegisterPollTable(inverters: Long, maxPolls: Long, intervalMs: Long)
+  extends Table with SupportsRead {
+  override def name(): String = s"register-poll($inverters inverters)"
+  override def schema(): StructType = RegisterPollSource.Schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder with Scan {
+      override def build(): Scan = this
+      override def readSchema(): StructType = RegisterPollSource.Schema
+      override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+        new RegisterPollStream(inverters, maxPolls, intervalMs)
+    }
+}
+
+private class RegisterPollStream(inverters: Long, maxPolls: Long, intervalMs: Long)
+  extends MicroBatchStream with SupportsTriggerAvailableNow {
+
+  // One poll sweep becomes available per latestOffset() call (the
+  // trigger cadence IS the poll cadence), bounded by maxPolls so
+  // drains terminate. Under Trigger.AvailableNow, everything up to
+  // maxPolls is drained as the available data.
+  private var available = 0L
+  private var drainAll = false
+
+  override def initialOffset(): Offset = PollOffset(0L)
+  override def latestOffset(): Offset = {
+    if (available < maxPolls) available += 1
+    PollOffset(available)
+  }
+  override def prepareForTriggerAvailableNow(): Unit = { drainAll = true }
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset =
+    if (drainAll) PollOffset(maxPolls) else latestOffset()
+  override def deserializeOffset(json: String): Offset = PollOffset(json.toLong)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[PollOffset].polls
+    val e = end.asInstanceOf[PollOffset].polls
+    // one partition per inverter: each executor polls its own devices
+    (0L until inverters).map(inv => PollPartition(s, e, inv, intervalMs)).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+        new PollPartitionReader(partition.asInstanceOf[PollPartition])
+    }
+}
+
+private case class PollPartition(startPoll: Long, endPoll: Long, inverter: Long,
+                                 intervalMs: Long) extends InputPartition
+
+/** Emits one row per (poll in (start, end], register) for this
+  * partition's inverter — where a production reader would issue the
+  * Modbus/HTTP register reads. */
+private class PollPartitionReader(p: PollPartition) extends PartitionReader[InternalRow] {
+  import RegisterPollSource._
+  private val rows =
+    for {
+      poll <- Iterator.range(p.startPoll, p.endPoll)
+      (reg, scale) <- Registers.iterator.zipWithIndex.map { case (r, i) => (r, i) }
+    } yield {
+      val (name, sc) = reg
+      val r = raw(poll, p.inverter, scale)
+      InternalRow(poll, p.inverter, UTF8String.fromString(name), r,
+        r * sc, EpochBaseUs + poll * p.intervalMs * 1000L)
+    }
+  private var row: InternalRow = _
+  override def next(): Boolean = if (rows.hasNext) { row = rows.next(); true } else false
+  override def get(): InternalRow = row
+  override def close(): Unit = ()
+}

@@ -35,6 +35,37 @@ class SourcesSpec extends AnyFunSuite {
     assert(rows.exists(r => r._1 == "ac_watts" && r._3 == 2 && r._4 == 1.0))
   }
 
+  test("register-poll DSv2 streaming source: bounded drain yields the exact poll sweep rows") {
+    val s = spark
+    import s.implicits._
+    val ckpt = Files.createTempDirectory("poll_ckpt").toString
+    val q = s.readStream.format("register-poll")
+      .option("inverters", 2)
+      .option("maxPolls", 2)
+      .option("intervalMs", 1000)
+      .load()
+      .writeStream.format("memory").queryName("poll_spec")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination(60000) finally q.stop()
+    val rows = s.table("poll_spec")
+      .select($"poll", $"inverter", $"register", $"raw", $"scaled")
+      .as[(Long, Long, String, Long, Double)].collect().toSeq
+    // 2 polls × 2 inverters × 3 registers
+    assert(rows.size == 12, s"got ${rows.size} rows")
+    val regs = sources.RegisterPollSource.Registers
+    rows.foreach { case (poll, inv, reg, raw, scaled) =>
+      val idx = regs.indexWhere(_._1 == reg)
+      assert(idx >= 0)
+      assert(raw == sources.RegisterPollSource.raw(poll, inv, idx),
+        s"raw mismatch at poll=$poll inv=$inv reg=$reg")
+      assert(scaled == raw * regs(idx)._2)
+    }
+    // every (poll, inverter, register) combination appears exactly once
+    assert(rows.map(r => (r._1, r._2, r._3)).distinct.size == 12)
+  }
+
   test("the catalog source drives a broadcast decode join over the feed") {
     val s = spark
     import s.implicits._
