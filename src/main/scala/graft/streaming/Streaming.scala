@@ -133,6 +133,33 @@ object Streaming {
         .dropDuplicatesWithinWatermark("event_id")
     else df.dropDuplicates("event_id")
 
+  /** The WHOLE reference daemon as one declarative pipeline
+    * (solarman.py end to end): polled register readings (the
+    * register-poll DSv2 source) are decoded against the register
+    * catalog (broadcast dim from the register-catalog DSv2 source —
+    * solarman.py's table-driven decode walk) and rolled up into
+    * watermarked hourly per-(inverter, register) aggregates, ready
+    * for a buffered sink. Everything the 420-line daemon does —
+    * scheduling, retry, batching, insert — is owned by Structured
+    * Streaming + the sink; this function is only the data logic, and
+    * it runs identically on a batch DataFrame (spec pins
+    * stream == batch). */
+  def daemonPipeline(readings: DataFrame, catalog: DataFrame): DataFrame = {
+    val spark = readings.sparkSession
+    import spark.implicits._
+    readings
+      .join(broadcast(catalog.select($"name", $"unit")),
+        readings("register") === catalog("name"))
+      .withWatermark("ts", "90 minutes")
+      .groupBy(window($"ts", "1 hour"), $"inverter", $"register", $"unit")
+      .agg(
+        count(lit(1)).as("n"),
+        davg($"scaled").as("avg_value"),
+        max($"scaled").as("max_value"))
+      .select($"window.start".as("hour"), $"inverter", $"register", $"unit",
+        $"n", $"avg_value", $"max_value")
+  }
+
   /** Streaming corpus-ingest pipeline — the training-data preparation
     * loop (SURVEY §2.F/D) as one composable transform over a document
     * feed: quality-gate each arriving doc (t3's token-count filter),

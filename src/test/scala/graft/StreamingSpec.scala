@@ -245,6 +245,55 @@ class StreamingSpec extends AnyFunSuite {
     assert(s.read.parquet(s"$dir/data").count() == 3)
   }
 
+  test("daemon end-to-end: poll source -> catalog decode -> hourly rollup -> buffered sink") {
+    val s = spark
+    import s.implicits._
+    // the reference daemon, Spark-native: both DSv2 sources + the
+    // pipeline transform + the buffered sink in one running stream
+    val catFile = Files.createTempFile("daemon_registers", ".txt")
+    Files.writeString(catFile, """dc_voltage   109  1  0.1   V
+      |ac_watts     117  2  1.0   W
+      |ac_frequency 119  1  0.01  Hz
+      |""".stripMargin)
+    val catalog = s.read.format("register-catalog").load(catFile.toString)
+    val polls = 12
+    val readings = s.readStream.format("register-poll")
+      .option("inverters", 2).option("maxPolls", polls)
+      .option("intervalMs", 3600000) // 1 poll per hour of event time
+      .load()
+    val sinkDir = Files.createTempDirectory("daemon_sink").toString
+    val ckpt = Files.createTempDirectory("daemon_ckpt").toString
+    val sink = new BufferedStreamSink(sinkDir)
+    val q = Streaming.daemonPipeline(readings, catalog)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch((b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        sink.writeBatch(b, id))
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = s.read.parquet(sinkDir).drop("batch")
+      .collect().map(_.toSeq).toSet
+    // batch equivalent over the identical (deterministic) readings
+    val regs = sources.RegisterPollSource.Registers
+    val base = sources.RegisterPollSource.EpochBaseUs
+    val batchReadings = (for {
+      poll <- 0 until polls
+      inv <- 0 until 2
+      (rn, sc) <- regs.zipWithIndex.map { case ((n, scl), i) => (n, (scl, i)) }
+    } yield {
+      val raw = sources.RegisterPollSource.raw(poll.toLong, inv.toLong, sc._2)
+      (poll.toLong, inv.toLong, rn, raw, raw * sc._1,
+        new Timestamp((base + poll * 3600000L * 1000L) / 1000L))
+    }).toDF("poll", "inverter", "register", "raw", "scaled", "ts")
+    val batch = Streaming.daemonPipeline(batchReadings, catalog)
+      .collect().map(_.toSeq).toSet
+    assert(streamed.nonEmpty && streamed.subsetOf(batch),
+      "streamed finalized windows must be a subset of the batch rollup with equal values")
+    // the watermark (90 min) must have finalized at least hours 0..7
+    val hours = streamed.map(r => r.head.asInstanceOf[Timestamp].getTime).toSeq.sorted
+    assert(hours.distinct.size >= 8, s"expected >= 8 finalized hours, got ${hours.distinct.size}")
+  }
+
   test("corpus ingest pipeline: quality gate + watermarked exact dedup, stream == batch") {
     val s = spark
     import s.implicits._
