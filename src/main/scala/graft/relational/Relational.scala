@@ -243,6 +243,27 @@ object Relational {
       .orderBy($"l_returnflag")
   }
 
+  /** TPC-H Q16-style supplier variety per part group.
+    *
+    * The dataset carries no partsupp table; the part↔supplier
+    * relationship is derived from OBSERVED lineitem pairs — a
+    * map-side-partial `distinct` collapses the fact table to one row
+    * per (part, supplier) before anything joins, so the join and the
+    * distinct-supplier count run over the relationship's cardinality,
+    * not the fact table's. The single countDistinct avoids the
+    * multi-distinct expand (cf. q21). */
+  def q16PartSuppliers(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ps = Tables.lineitem(s, d).select($"l_partkey", $"l_suppkey").distinct()
+    val p = Tables.part(s, d)
+      .filter($"p_brand" =!= "Brand#1" &&
+        $"p_size".isin(1, 4, 7, 10, 13, 16, 19, 22))
+    p.join(ps, $"p_partkey" === $"l_partkey")
+      .groupBy($"p_brand", $"p_type", $"p_size")
+      .agg(countDistinct($"l_suppkey").as("supplier_cnt"))
+      .orderBy($"supplier_cnt".desc, $"p_brand", $"p_type", $"p_size")
+  }
+
   /** TPC-H Q8-style national market share: fraction of a region's
     * yearly part-type revenue supplied by one nation.
     *
@@ -345,6 +366,7 @@ object Relational {
     "q18_having" -> (q18Having _),
     "q19_union" -> (q19Union _),
     "q21_distinct_counts" -> (q21DistinctCounts _),
+    "q16_part_suppliers" -> (q16PartSuppliers _),
     "q8_market_share" -> (q8MarketShare _),
     "q13_distribution" -> (q13Distribution _),
     "q15_top_supplier" -> (q15TopSupplier _),
@@ -355,6 +377,14 @@ object Relational {
   // arithmetic exactly (decimal sums, double division) so results are
   // bit-identical, not merely close.
   val oracles: Map[String, String] = Map(
+    "q16_part_suppliers" ->
+      """WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+         SELECT p_brand, p_type, p_size,
+                count(DISTINCT l_suppkey) AS supplier_cnt
+         FROM part JOIN ps ON p_partkey = l_partkey
+         WHERE p_brand <> 'Brand#1' AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+         GROUP BY 1, 2, 3
+         ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""",
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
          CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
