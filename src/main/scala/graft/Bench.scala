@@ -25,6 +25,11 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t = try {
         runOnce(fn) // warmup — discarded
+        // collect the previous queries' garbage OUTSIDE the timed
+        // section: in a 69-plan JVM the accumulated debt otherwise
+        // lands as a multi-second pause inside whichever query runs
+        // next (observed 0.9 s → 6 s inflation)
+        System.gc()
         math.min(runOnce(fn), runOnce(fn))
       } catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
