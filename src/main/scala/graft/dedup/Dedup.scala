@@ -301,7 +301,32 @@ object Dedup {
       .orderBy($"vec_a", $"vec_b")
   }
 
+  // ---------------------------------------------------------------------
+  // d9: the dedup ENDGAME artifact — the keep-list manifest a corpus
+  // build actually ships. Greedy pair-purge: every doc that is the
+  // LARGER id in any high-confidence candidate pair (>= MinBands band
+  // agreement) is purged; the manifest is the anti-join of documents
+  // against that purge set. Greedy-by-id is the standard single-pass
+  // rule (keeps the min of every direct-duplicate relation; d7 holds
+  // the exact connected-component variant when transitive merging is
+  // wanted). Anti-join on doc_id only — the purge set is ids, never
+  // text — so at 100 TB the shuffle carries 8-byte keys and AQE can
+  // broadcast the (always much smaller) purge side.
+  // ---------------------------------------------------------------------
+  def d9KeepList(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val purge = d3MinhashLsh(s, d)
+      .filter($"n_bands" >= MinBands)
+      .select($"doc_b".as("doc_id"))
+      .distinct()
+    Tables.documents(s, d)
+      .select($"doc_id", $"n_chars")
+      .join(purge, Seq("doc_id"), "left_anti")
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "d9_keep_list" -> (d9KeepList _),
     "d1_exact" -> (d1Exact _),
     "d2_shingle_stats" -> (d2ShingleStats _),
     "d3_minhash_lsh" -> (d3MinhashLsh _),
@@ -377,6 +402,17 @@ object Dedup {
   }
 
   val oracles: Map[String, String] = Map(
+    "d9_keep_list" ->
+      s"""WITH $lshCte,
+         cand AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM bands a JOIN bands b
+             ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+           GROUP BY 1, 2
+           HAVING count(*) >= $MinBands)
+         SELECT doc_id, n_chars FROM documents
+         WHERE doc_id NOT IN (SELECT doc_b FROM cand)
+         ORDER BY doc_id""",
     "d4_simhash" -> d4Oracle,
     "d1_exact" ->
       """SELECT md5(text) AS h, count(*) AS n_docs, min(doc_id) AS keep_doc_id
