@@ -26,6 +26,27 @@ class QueriesSpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("driver contract: every oracle has an ORDER BY (positional row compare)") {
+    // the driver's hash gate compares rows positionally; an oracle
+    // without a deterministic total order would flake — unless the
+    // result is a single global-aggregate row, where order is moot
+    SparkEntry.oracleSql.foreach { case (name, sql) =>
+      if (!sql.toUpperCase.contains("ORDER BY"))
+        assert(SparkEntry.queries(name)(spark, SfDir).count() == 1,
+          s"$name oracle lacks ORDER BY and is not a single-row aggregate")
+    }
+    // and every graded query is distinct-named across modules (a
+    // duplicate key would silently shadow a module's query)
+    val all = Seq(
+      relational.Relational.queries, solar.Solar.queries,
+      events.Events.queries, text.Text.queries, dedup.Dedup.queries,
+      sim.Sim.queries, multimodal.Multimodal.queries,
+      streaming.Streaming.queries)
+    val keys = all.flatMap(_.keys)
+    assert(keys.size == keys.distinct.size, "duplicate query keys across modules")
+    assert(SparkEntry.queries.size == keys.size)
+  }
+
   test("s10 sessionization: session counts equal gap-starts plus one per inverter") {
     val s = spark
     import s.implicits._
