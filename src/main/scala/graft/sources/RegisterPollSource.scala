@@ -43,21 +43,59 @@ class RegisterPollSource extends TableProvider with DataSourceRegister {
       partitioning: Array[Transform],
       properties: util.Map[String, String]): Table = {
     val opts = new CaseInsensitiveStringMap(properties)
+    val intervalMs = opts.getOrDefault("intervalMs", "1000").toLong
+    // fleet config: a targets file (the reference's targets.json in the
+    // same whitespace-catalog style as registers.txt) or a synthetic
+    // fleet of `inverters` identical targets
+    val targets = Option(opts.get("targets")) match {
+      case Some(path) => RegisterPollSource.loadTargets(path, intervalMs)
+      case None =>
+        (0L until opts.getOrDefault("inverters", "3").toLong)
+          .map(i => PollTarget(i, s"inv$i", 1700000000L + i, intervalMs))
+    }
     new RegisterPollTable(
-      inverters = opts.getOrDefault("inverters", "3").toLong,
+      targets = targets,
       maxPolls = opts.getOrDefault("maxPolls", Long.MaxValue.toString).toLong,
-      intervalMs = opts.getOrDefault("intervalMs", "1000").toLong)
+      intervalMs = intervalMs)
   }
 }
+
+/** One configured logging-stick target (targets.json:
+  * name/serial_number/interval — ip/port/slave id are connection
+  * details that live where the device read happens). A target with a
+  * slower `intervalMs` than the sweep cadence only emits on the
+  * sweeps its interval divides. */
+case class PollTarget(idx: Long, name: String, serial: Long, intervalMs: Long)
 
 object RegisterPollSource {
   val Schema: StructType = StructType(Seq(
     StructField("poll", LongType, nullable = false),
     StructField("inverter", LongType, nullable = false),
+    StructField("target", StringType, nullable = false),
+    StructField("serial", LongType, nullable = false),
     StructField("register", StringType, nullable = false),
     StructField("raw", LongType, nullable = false),
     StructField("scaled", DoubleType, nullable = false),
     StructField("ts", TimestampType, nullable = false)))
+
+  /** Targets file: one `name serial interval_s` line per logging
+    * stick (comments/blank lines skipped) — targets.json re-expressed
+    * in the registers.txt catalog style. */
+  def loadTargets(path: String, defaultIntervalMs: Long): Seq[PollTarget] = {
+    val src = scala.io.Source.fromFile(path)
+    try {
+      src.getLines().map(_.trim)
+        .filter(l => l.nonEmpty && !l.startsWith("#"))
+        .zipWithIndex
+        .map { case (line, i) =>
+          val f = line.split("\\s+")
+          require(f.length >= 2, s"register-poll targets: expected 'name serial [interval_s]', got '$line'")
+          val iv = if (f.length >= 3) f(2).toLong * 1000L else defaultIntervalMs
+          PollTarget(i.toLong, f(0), f(1).toLong, iv)
+        }
+        .toSeq
+    } finally src.close()
+  }
 
   /** The polled register map (a slice of registers.txt's catalog). */
   val Registers: Seq[(String, Double)] =
@@ -76,9 +114,9 @@ private case class PollOffset(polls: Long) extends Offset {
   override def json(): String = polls.toString
 }
 
-private class RegisterPollTable(inverters: Long, maxPolls: Long, intervalMs: Long)
+private class RegisterPollTable(targets: Seq[PollTarget], maxPolls: Long, intervalMs: Long)
   extends Table with SupportsRead {
-  override def name(): String = s"register-poll($inverters inverters)"
+  override def name(): String = s"register-poll(${targets.size} targets)"
   override def schema(): StructType = RegisterPollSource.Schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
@@ -88,11 +126,11 @@ private class RegisterPollTable(inverters: Long, maxPolls: Long, intervalMs: Lon
       override def build(): Scan = this
       override def readSchema(): StructType = RegisterPollSource.Schema
       override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-        new RegisterPollStream(inverters, maxPolls, intervalMs)
+        new RegisterPollStream(targets, maxPolls, intervalMs)
     }
 }
 
-private class RegisterPollStream(inverters: Long, maxPolls: Long, intervalMs: Long)
+private class RegisterPollStream(targets: Seq[PollTarget], maxPolls: Long, intervalMs: Long)
   extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   // One poll sweep becomes available per latestOffset() call (the
@@ -118,8 +156,8 @@ private class RegisterPollStream(inverters: Long, maxPolls: Long, intervalMs: Lo
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[PollOffset].polls
     val e = end.asInstanceOf[PollOffset].polls
-    // one partition per inverter: each executor polls its own devices
-    (0L until inverters).map(inv => PollPartition(s, e, inv, intervalMs)).toArray
+    // one partition per target: each executor polls its own devices
+    targets.map(t => PollPartition(s, e, t, intervalMs)).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -129,23 +167,26 @@ private class RegisterPollStream(inverters: Long, maxPolls: Long, intervalMs: Lo
     }
 }
 
-private case class PollPartition(startPoll: Long, endPoll: Long, inverter: Long,
-                                 intervalMs: Long) extends InputPartition
+private case class PollPartition(startPoll: Long, endPoll: Long, target: PollTarget,
+                                 sweepMs: Long) extends InputPartition
 
 /** Emits one row per (poll in (start, end], register) for this
-  * partition's inverter — where a production reader would issue the
-  * Modbus/HTTP register reads. */
+  * partition's target, honoring the target's own poll interval (a
+  * 60 s target on a 30 s sweep emits every 2nd sweep) — where a
+  * production reader would issue the Modbus/HTTP register reads. */
 private class PollPartitionReader(p: PollPartition) extends PartitionReader[InternalRow] {
   import RegisterPollSource._
   private val rows =
     for {
       poll <- Iterator.range(p.startPoll, p.endPoll)
-      (reg, scale) <- Registers.iterator.zipWithIndex.map { case (r, i) => (r, i) }
+      if (poll * p.sweepMs) % p.target.intervalMs == 0
+      (reg, regIdx) <- Registers.iterator.zipWithIndex
     } yield {
       val (name, sc) = reg
-      val r = raw(poll, p.inverter, scale)
-      InternalRow(poll, p.inverter, UTF8String.fromString(name), r,
-        r * sc, EpochBaseUs + poll * p.intervalMs * 1000L)
+      val r = raw(poll, p.target.idx, regIdx)
+      InternalRow(poll, p.target.idx, UTF8String.fromString(p.target.name),
+        p.target.serial, UTF8String.fromString(name), r,
+        r * sc, EpochBaseUs + poll * p.sweepMs * 1000L)
     }
   private var row: InternalRow = _
   override def next(): Boolean = if (rows.hasNext) { row = rows.next(); true } else false

@@ -66,6 +66,38 @@ class SourcesSpec extends AnyFunSuite {
     assert(rows.map(r => (r._1, r._2, r._3)).distinct.size == 12)
   }
 
+  test("register-poll targets file: per-target fleet config with per-target cadence") {
+    val s = spark
+    import s.implicits._
+    // targets.json re-expressed: garage polls every sweep (30s), roof
+    // only every 2nd sweep (60s)
+    val tf = Files.createTempFile("targets", ".txt")
+    Files.writeString(tf, """# name   serial      interval_s
+      |garage   1234567890  30
+      |roof     9876543210  60
+      |""".stripMargin)
+    val ckpt = Files.createTempDirectory("poll_t_ckpt").toString
+    val q = s.readStream.format("register-poll")
+      .option("targets", tf.toString)
+      .option("maxPolls", 4)
+      .option("intervalMs", 30000) // sweep = 30s
+      .load()
+      .writeStream.format("memory").queryName("poll_targets_spec")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination(60000) finally q.stop()
+    val rows = s.table("poll_targets_spec")
+      .select($"target", $"serial", $"poll").as[(String, Long, Long)].collect().toSeq
+    val byTarget = rows.groupBy(_._1)
+    // garage: 4 sweeps × 3 registers; roof (2× interval): sweeps 0,2 only
+    assert(byTarget("garage").size == 12)
+    assert(byTarget("roof").size == 6)
+    assert(byTarget("roof").map(_._3).toSet == Set(0L, 2L))
+    assert(byTarget("garage").head._2 == 1234567890L)
+    assert(byTarget("roof").head._2 == 9876543210L)
+  }
+
   test("the catalog source drives a broadcast decode join over the feed") {
     val s = spark
     import s.implicits._
