@@ -149,6 +149,33 @@ object Sim {
          ORDER BY q_id, rnk""")
   }
 
+  // ---------------------------------------------------------------------
+  // v5: int8 QUANTIZATION of the embedding column — the storage-
+  // compression pass a billion-vector ANN corpus runs before indexing
+  // (4× smaller vectors, SIMD-friendly distance kernels). Max-abs
+  // scaling per vector; emitted as per-vector quantization metadata
+  // (scale + quantized-value stats) so the whole transform stays
+  // scan-rate map-side array expressions — nothing shuffles but the
+  // final (tiny) ordered projection. floor() keeps the float→int
+  // step explicit and engine-identical (a bare int cast truncates in
+  // Spark but rounds in DuckDB).
+  // ---------------------------------------------------------------------
+  def v5Quantize(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.embeddings(s, d)
+      .select($"vec_id", $"label", size($"embedding").as("n_dims"),
+        array_max(transform($"embedding", x => abs(x.cast("double")))).as("scale"),
+        $"embedding")
+      .select($"vec_id", $"label", $"n_dims", $"scale",
+        transform($"embedding", x =>
+          when($"scale" > 0, floor(x.cast("double") / $"scale" * 127).cast("long"))
+            .otherwise(0L)).as("qs"))
+      .select($"vec_id", $"label", $"n_dims", $"scale",
+        aggregate($"qs", lit(0L), (a, x) => a + x).as("q_sum"),
+        array_min($"qs").as("q_min"), array_max($"qs").as("q_max"))
+      .orderBy($"vec_id")
+  }
+
   /** Collected centroids for the recall spec (tiny: one per label). */
   def centroidsForTest(s: SparkSession, d: String): Seq[(Int, Seq[Float])] = {
     import s.implicits._
@@ -160,6 +187,7 @@ object Sim {
     "v2_knn_batch" -> (v2KnnBatch _),
     "v3_ivf_ann" -> (v3IvfAnn _),
     "v4_knn_sql" -> (v4KnnSql _),
+    "v5_quantize" -> (v5Quantize _),
   )
 
   private def dot(x: String, y: String): String =
@@ -169,6 +197,23 @@ object Sim {
     s"${dot(x, y)} / (sqrt(${dot(x, x)}) * sqrt(${dot(y, y)}))"
 
   val oracles: Map[String, String] = Map(
+    "v5_quantize" ->
+      """WITH b AS (
+           SELECT vec_id, label, len(embedding) AS n_dims,
+                  list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS scale,
+                  embedding
+           FROM embeddings),
+         q AS (
+           SELECT vec_id, label, CAST(n_dims AS INT) AS n_dims, scale,
+                  list_transform(embedding, x -> CASE WHEN scale > 0
+                    THEN CAST(floor(CAST(x AS DOUBLE) / scale * 127) AS BIGINT)
+                    ELSE 0 END) AS qs
+           FROM b)
+         SELECT vec_id, label, n_dims, scale,
+                CAST(list_sum(qs) AS BIGINT) AS q_sum,
+                CAST(list_min(qs) AS BIGINT) AS q_min,
+                CAST(list_max(qs) AS BIGINT) AS q_max
+         FROM q ORDER BY vec_id""",
     "v3_ivf_ann" ->
       s"""WITH c AS (
             SELECT label AS c_id, arg_min(embedding, vec_id) AS c_emb
