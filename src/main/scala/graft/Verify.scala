@@ -9,6 +9,9 @@ object Verify {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val spark = Tables.session(cpus)
     new java.io.File(outDir).mkdirs()
+    val unknown = only.filterNot(SparkEntry.queries.contains)
+    require(unknown.isEmpty,
+      s"unknown query name(s): ${unknown.mkString(", ")} — see SparkEntry.queries")
     val selected =
       if (only.isEmpty) SparkEntry.queries
       else SparkEntry.queries.view.filterKeys(only.contains).toMap
@@ -31,7 +34,13 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    // in filtered (dev) mode the oracle map shrinks with the dump, so
+    // the checker reports only the requested queries; the driver's
+    // unfiltered invocation always writes the full map
+    val oracles =
+      if (only.isEmpty) SparkEntry.oracleSql
+      else SparkEntry.oracleSql.view.filterKeys(only.contains).toMap
+    val json = oracles
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -135,20 +135,32 @@ private class RegisterPollStream(targets: Seq[PollTarget], maxPolls: Long, inter
 
   // One poll sweep becomes available per latestOffset() call (the
   // trigger cadence IS the poll cadence), bounded by maxPolls so
-  // drains terminate. Under Trigger.AvailableNow, everything up to
-  // maxPolls is drained as the available data.
+  // drains terminate. Under Trigger.AvailableNow, a bounded fleet
+  // (finite maxPolls) drains to maxPolls; an unbounded one drains
+  // exactly the sweep in flight — a fixed target captured at prepare
+  // time, so the drain terminates instead of planning an endless
+  // batch.
   private var available = 0L
-  private var drainAll = false
+  private var drainTarget = -1L
 
   override def initialOffset(): Offset = PollOffset(0L)
   override def latestOffset(): Offset = {
     if (available < maxPolls) available += 1
     PollOffset(available)
   }
-  override def prepareForTriggerAvailableNow(): Unit = { drainAll = true }
+  override def prepareForTriggerAvailableNow(): Unit =
+    drainTarget = if (maxPolls != Long.MaxValue) maxPolls else available + 1
   override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
-  override def latestOffset(start: Offset, limit: ReadLimit): Offset =
-    if (drainAll) PollOffset(maxPolls) else latestOffset()
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    // a restarted query resumes from its checkpoint: never regress
+    // behind the committed start offset (a fresh instance's counter
+    // starts at 0 — re-emitting polls the sink already committed
+    // would break the exactly-once contract)
+    val committed = start.asInstanceOf[PollOffset].polls
+    available = math.max(available, committed)
+    if (drainTarget >= 0) PollOffset(math.max(committed, drainTarget))
+    else latestOffset()
+  }
   override def deserializeOffset(json: String): Offset = PollOffset(json.toLong)
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()

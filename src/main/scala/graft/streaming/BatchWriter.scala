@@ -77,13 +77,30 @@ class JdbcBatchWriter(table: String, exec: SqlExecutor, insertBatchSize: Int = 1
 }
 
 object JdbcBatchWriter {
-  /** Plain-SQL literal for a row value (quoted + escaped strings,
-    * ISO timestamps, NULL for null). */
+  /** Plain-SQL literal for a row value: quoted strings with both
+    * quote AND backslash escaping (backslash-escaping stores — the
+    * reference's ClickHouse, MySQL — would otherwise let a trailing
+    * backslash eat the closing quote: literal breakout), ISO
+    * timestamps/dates, NULL for null, plain rendering for
+    * numerics/booleans. Non-finite doubles and non-scalar values are
+    * rejected loudly — silently emitting `NaN` or `[D@1a2b3c` would
+    * corrupt the store. */
   def sqlLiteral(v: Any): String = v match {
     case null => "NULL"
-    case s: String => "'" + s.replace("'", "''") + "'"
+    case s: String => "'" + s.replace("\\", "\\\\").replace("'", "''") + "'"
     case t: Timestamp => "'" + t.toString + "'"
     case d: java.sql.Date => "'" + d.toString + "'"
-    case other => other.toString
+    case d: Double =>
+      require(!d.isNaN && !d.isInfinite, s"non-finite double not SQL-expressible: $d")
+      d.toString
+    case f: Float =>
+      require(!f.isNaN && !f.isInfinite, s"non-finite float not SQL-expressible: $f")
+      f.toString
+    case n @ (_: Byte | _: Short | _: Int | _: Long | _: Boolean | _: java.math.BigDecimal |
+              _: scala.math.BigDecimal) => n.toString
+    case other =>
+      throw new IllegalArgumentException(
+        s"JdbcBatchWriter: unsupported literal type ${other.getClass.getName} " +
+          "(flatten arrays/structs before the sink)")
   }
 }

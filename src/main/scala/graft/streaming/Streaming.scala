@@ -174,9 +174,9 @@ object Streaming {
     val spark = df.sparkSession
     import spark.implicits._
     val scored = df
-      .withColumn("n_tokens",
-        size(filter(split($"text", "\\s+"), t => t =!= "")))
-      .filter($"n_tokens" >= 10 && $"n_tokens" <= 2000)
+      .withColumn("n_tokens", size(graft.text.Text.toks($"text")))
+      .filter($"n_tokens" >= graft.text.Text.MinTokens &&
+        $"n_tokens" <= graft.text.Text.MaxTokens)
       .withColumn("fp", md5($"text"))
     if (scored.isStreaming)
       scored.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark("fp")

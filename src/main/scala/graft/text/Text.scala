@@ -23,9 +23,22 @@ object Text {
 
   type Q = (SparkSession, String) => DataFrame
 
-  /** Whitespace tokens with empties removed (leading-space artifacts). */
-  private def toks(c: Column): Column =
+  /** Whitespace tokens with empties removed (leading-space artifacts).
+    * `private[graft]` so the streaming corpus-ingest gate tokenizes
+    * identically to the batch quality query. */
+  private[graft] def toks(c: Column): Column =
     filter(split(c, "\\s+"), t => t =!= "")
+
+  /** t3's keep-gate token bounds (shared with the streaming ingest
+    * pipeline so the two gates cannot drift). */
+  val MinTokens = 10
+  val MaxTokens = 2000
+
+  /** Winnowing parameters, shared by the t5 query, its oracle and the
+    * fingerprint expression call (same no-drift discipline as the
+    * dedup module's lshCte constants). */
+  val WinnowK = 8
+  val WinnowW = 4
 
   /** Language marker profiles — deterministic stopword lists. `zh` has
     * no Latin-script stopwords (a production system scores CJK unigram
@@ -103,7 +116,7 @@ object Text {
       .withColumn("digit_ratio", $"n_digits".cast("double") / $"n_chars")
       .withColumn("punct_ratio", $"n_punct".cast("double") / $"n_chars")
       .withColumn("keep",
-        $"n_tokens" >= 10 && $"n_tokens" <= 2000 && $"stop_ratio" >= 0.005)
+        $"n_tokens" >= MinTokens && $"n_tokens" <= MaxTokens && $"stop_ratio" >= 0.005)
       .select($"doc_id", $"n_chars", $"n_tokens", $"n_stop", $"stop_ratio",
         $"digit_ratio", $"punct_ratio", $"keep")
       .orderBy($"doc_id")
@@ -134,7 +147,7 @@ object Text {
   def t5Winnow(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val fps = Tables.documents(s, d)
-      .select($"doc_id", explode(GraftFunctions.winnow($"text", 8, 4)).as("fp"))
+      .select($"doc_id", explode(GraftFunctions.winnow($"text", WinnowK, WinnowW)).as("fp"))
     val rare = fps.groupBy($"fp")
       .agg(count(lit(1)).as("nd"))
       .filter($"nd" >= 2 && $"nd" <= 20)
@@ -272,8 +285,8 @@ object Text {
     * expresses directly. */
   private val t5Oracle: String = {
     import graft.OracleSql._
-    val k = 8
-    val w = 4
+    val k = WinnowK
+    val w = WinnowW
     s"""WITH st AS (
          SELECT doc_id, text, unnest(range(1, len(text) - ${k - 2})) AS i
          FROM documents),
@@ -337,7 +350,7 @@ object Text {
                 CAST(n_stop AS DOUBLE) / n_tokens AS stop_ratio,
                 CAST(n_digits AS DOUBLE) / n_chars AS digit_ratio,
                 CAST(n_punct AS DOUBLE) / n_chars AS punct_ratio,
-                (n_tokens >= 10 AND n_tokens <= 2000
+                (n_tokens >= $MinTokens AND n_tokens <= $MaxTokens
                  AND CAST(n_stop AS DOUBLE) / n_tokens >= 0.005) AS keep
          FROM c ORDER BY doc_id""",
     "t4_fingerprint" ->

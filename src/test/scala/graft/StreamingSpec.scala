@@ -316,10 +316,14 @@ class StreamingSpec extends AnyFunSuite {
       q.processAllAvailable()
     } finally q.stop()
     val streamed = s.table("corpus_spec").select($"doc_id").as[Long].collect().toSet
-    val batch = Streaming.corpusIngestTransform(docs.toDF())
-      .select($"doc_id").as[Long].collect().toSet
+    // stream order is deterministic (doc 1 arrives a batch before its
+    // duplicate doc 3); batch dropDuplicates keeps an ARBITRARY row
+    // per fingerprint, so compare the batch side by fingerprint set
+    val batchFps = Streaming.corpusIngestTransform(docs.toDF())
+      .select($"fp").as[String].collect().toSet
+    val streamedFps = s.table("corpus_spec").select($"fp").as[String].collect().toSet
     assert(streamed == Set(1L, 4L), "quality-filtered short doc, deduped doc 3")
-    assert(streamed == batch)
+    assert(streamedFps == batchFps)
   }
 
   /** Replay the recorded statement log into batch→rowcount state —
