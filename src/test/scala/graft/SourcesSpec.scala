@@ -98,6 +98,34 @@ class SourcesSpec extends AnyFunSuite {
     assert(byTarget("roof").head._2 == 9876543210L)
   }
 
+  test("register-poll restart resumes from the checkpoint without re-emitting committed polls") {
+    val s = spark
+    import s.implicits._
+    val ckpt = Files.createTempDirectory("poll_restart_ckpt").toString
+    val sinkDir = Files.createTempDirectory("poll_restart_sink").toString
+    val sink = new graft.streaming.BufferedStreamSink(sinkDir)
+    def drain(maxPolls: Int): Unit = {
+      val q = s.readStream.format("register-poll")
+        .option("inverters", 1)
+        .option("maxPolls", maxPolls)
+        .load()
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch((b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+          sink.writeBatch(b, id))
+        .start()
+      try q.awaitTermination(60000) finally q.stop()
+    }
+    drain(2) // first run commits polls 0..1
+    // restart: a fresh stream instance (available = 0) must resume at
+    // the committed offset 2, not regress and re-emit polls 0..1
+    drain(4)
+    val polls = s.read.parquet(sinkDir).select($"poll").as[Long].collect().toSeq
+    assert(polls.sorted == Seq(0L, 1L, 2L, 3L).flatMap(p => Seq.fill(3)(p)),
+      s"expected each poll exactly once per register, got ${polls.groupBy(identity).view.mapValues(_.size).toMap}")
+  }
+
   test("the catalog source drives a broadcast decode join over the feed") {
     val s = spark
     import s.implicits._
