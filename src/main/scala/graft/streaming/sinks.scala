@@ -4,7 +4,7 @@ import java.util.concurrent.Semaphore
 
 import org.apache.spark.sql.{DataFrame, Dataset, Row, SaveMode}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 /** MergeTree-layout parquet sink — the Spark-native equivalent of the
   * reference's storage table `PARTITION BY toYYYYMM(time) ORDER BY
