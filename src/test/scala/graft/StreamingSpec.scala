@@ -370,6 +370,20 @@ class StreamingSpec extends AnyFunSuite {
     assert(stmts.exists(sql => sql.contains("'inv1'")))
   }
 
+  test("sqlLiteral escapes quotes AND backslashes, rejects non-finite/non-scalar values") {
+    import graft.streaming.JdbcBatchWriter.sqlLiteral
+    assert(sqlLiteral("o'brien") == "'o''brien'")
+    // a trailing backslash must not eat the closing quote on
+    // backslash-escaping stores (ClickHouse/MySQL)
+    assert(sqlLiteral("inv\\") == "'inv\\\\'")
+    assert(sqlLiteral(null) == "NULL")
+    assert(sqlLiteral(1.5d) == "1.5")
+    assert(sqlLiteral(42L) == "42")
+    intercept[IllegalArgumentException](sqlLiteral(Double.NaN))
+    intercept[IllegalArgumentException](sqlLiteral(Double.PositiveInfinity))
+    intercept[IllegalArgumentException](sqlLiteral(Array(1.0f)))
+  }
+
   test("MergeTreeSink writes month-partitioned, (key, ts)-sorted parquet") {
     val s = spark
     import s.implicits._
