@@ -9,7 +9,13 @@ package graft
   * (verified: fnv1a("hello") = 11831194018420276491 in both). Only
   * valid for ASCII text (`ord(substr)` = byte value); the synthetic
   * corpus is pure ASCII at every scale factor, which the oracles'
-  * host queries rely on.
+  * host queries rely on. Further whitespace caveat: the engines'
+  * `\s` classes differ at the edges (Java includes \x0B, RE2
+  * includes \f but not \x0B, the SimHash kernel treats only
+  * space/\t/\n/\r as token breaks) — equivalent on this corpus,
+  * which contains neither \f nor \x0B at any scale factor
+  * (verified), but a corpus with those control chars would need one
+  * shared explicit character class.
   */
 object OracleSql {
   val FnvOffset = "14695981039346656037"

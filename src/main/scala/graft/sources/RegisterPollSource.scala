@@ -182,10 +182,12 @@ private class RegisterPollStream(targets: Seq[PollTarget], maxPolls: Long, inter
 private case class PollPartition(startPoll: Long, endPoll: Long, target: PollTarget,
                                  sweepMs: Long) extends InputPartition
 
-/** Emits one row per (poll in (start, end], register) for this
-  * partition's target, honoring the target's own poll interval (a
-  * 60 s target on a 30 s sweep emits every 2nd sweep) — where a
-  * production reader would issue the Modbus/HTTP register reads. */
+/** Emits one row per (poll in [start, end), register) for this
+  * partition's target — poll p is produced by the batch whose offset
+  * range covers it, each exactly once — honoring the target's own
+  * poll interval (a 60 s target on a 30 s sweep emits every 2nd
+  * sweep). This is where a production reader would issue the
+  * Modbus/HTTP register reads. */
 private class PollPartitionReader(p: PollPartition) extends PartitionReader[InternalRow] {
   import RegisterPollSource._
   private val rows =

@@ -46,10 +46,14 @@ trait SqlExecutor extends Serializable {
   *    shape that survives a 100 TB backfill;
   *  - `insertBatchSize` bounds statement size (the reference's
   *    bounded-queue batching);
-  *  - every row carries the micro-batch id in a `_batch_id` column and
-  *    `write` first deletes that id's rows, so a replayed batch
-  *    REPLACES its previous partial attempt instead of duplicating it
-  *    (the parquet writer's overwrite semantics as DELETE+INSERT).
+  *  - every row carries the micro-batch id (`_batch_id`) and its
+  *    task's partition id (`_part_id`). Idempotence holds at BOTH
+  *    replay granularities: each TASK first deletes its own
+  *    (batch, partition) slice — so a Spark task retry / speculative
+  *    re-run replaces its previous partial attempt instead of
+  *    duplicating it — and `write` first deletes the whole batch id,
+  *    covering a full micro-batch replay whose partitioning changed
+  *    (e.g. AQE picked a different layout on the retried attempt).
   *
   * Retry/backpressure live one level up in [[BufferedStreamSink]];
   * this class only knows how to land one batch idempotently.
@@ -59,15 +63,20 @@ class JdbcBatchWriter(table: String, exec: SqlExecutor, insertBatchSize: Int = 1
 
   override def write(batch: Dataset[Row], batchId: Long): Unit = {
     val cols = batch.columns
-    val colList = (cols :+ "_batch_id").mkString(", ")
+    val colList = (cols ++ Seq("_part_id", "_batch_id")).mkString(", ")
     exec.execute(s"DELETE FROM $table WHERE _batch_id = $batchId")
     val e = exec // avoid closing over `this`
     val bs = insertBatchSize
     val t = table
     batch.foreachPartition { (rows: Iterator[Row]) =>
+      val partId = org.apache.spark.TaskContext.getPartitionId()
+      // task-granular replay: a re-run task (failure, speculation)
+      // replaces exactly its own slice
+      e.execute(s"DELETE FROM $t WHERE _batch_id = $batchId AND _part_id = $partId")
       rows.grouped(bs).foreach { chunk =>
         val values = chunk.map { r =>
-          (r.toSeq.map(JdbcBatchWriter.sqlLiteral) :+ batchId.toString)
+          (r.toSeq.map(JdbcBatchWriter.sqlLiteral) ++
+            Seq(partId.toString, batchId.toString))
             .mkString("(", ", ", ")")
         }.mkString(", ")
         e.execute(s"INSERT INTO $t ($colList) VALUES $values")
@@ -85,10 +94,17 @@ object JdbcBatchWriter {
     * numerics/booleans. Non-finite doubles and non-scalar values are
     * rejected loudly — silently emitting `NaN` or `[D@1a2b3c` would
     * corrupt the store. */
+  private val UtcTs = java.time.format.DateTimeFormatter
+    .ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS")
+    .withZone(java.time.ZoneOffset.UTC)
+
   def sqlLiteral(v: Any): String = v match {
     case null => "NULL"
     case s: String => "'" + s.replace("\\", "\\\\").replace("'", "''") + "'"
-    case t: Timestamp => "'" + t.toString + "'"
+    // explicit UTC render: Timestamp.toString formats in the executor
+    // JVM's default timezone, which would make the stored literal
+    // depend on where the task ran
+    case t: Timestamp => "'" + UtcTs.format(t.toInstant) + "'"
     case d: java.sql.Date => "'" + d.toString + "'"
     case d: Double =>
       require(!d.isNaN && !d.isInfinite, s"non-finite double not SQL-expressible: $d")

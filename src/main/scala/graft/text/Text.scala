@@ -243,12 +243,13 @@ object Text {
           i => concat_ws(" ", slice($"t", i, lit(ContamN))))).as("ng"))
     val train = grams.filter($"split" === "train").select($"ng").distinct()
     val test = grams.filter($"split" === "test").select($"doc_id", $"ng").distinct()
-    val totals = test.groupBy($"doc_id").agg(count(lit(1)).as("n_ngrams"))
-    val leaked = test.join(train, "ng")
-      .groupBy($"doc_id").agg(count(lit(1)).as("n_contaminated"))
-    totals.join(leaked, Seq("doc_id"), "left")
-      .select($"doc_id", $"n_ngrams",
-        coalesce($"n_contaminated", lit(0L)).as("n_contaminated"))
+    // ONE pass over the test side: the left probe join marks hits and
+    // a single aggregate produces both counts (count(hit) skips nulls)
+    // — a separate totals/leaked pair would re-scan + re-explode the
+    // whole corpus per reference
+    test.join(train.withColumn("hit", lit(1)), Seq("ng"), "left")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_ngrams"), count($"hit").as("n_contaminated"))
       .withColumn("contamination_ratio",
         $"n_contaminated".cast("double") / $"n_ngrams")
       .orderBy($"doc_id")

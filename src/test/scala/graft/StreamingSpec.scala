@@ -326,18 +326,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamedFps == batchFps)
   }
 
-  /** Replay the recorded statement log into batch→rowcount state —
-    * DELETE clears a batch's rows, each INSERT tuple carries the batch
-    * id as its last value. */
+  /** Replay the recorded statement log into batch→rowcount state.
+    * A whole-batch DELETE clears every partition slice of that batch;
+    * a task-level DELETE clears one (batch, partition) slice; each
+    * INSERT tuple carries (part_id, batch_id) as its last two
+    * values. */
   private def storeState(statements: Seq[String]): Map[Long, Int] = {
-    val tupleId = ", (\\d+)\\)".r
-    statements.foldLeft(Map.empty[Long, Int]) { (st, sql) =>
-      if (sql.startsWith("DELETE")) st - sql.split("=")(1).trim.toLong
-      else {
-        val ids = tupleId.findAllMatchIn(sql).map(_.group(1).toLong).toSeq
-        st.updated(ids.head, st.getOrElse(ids.head, 0) + ids.size)
+    val tupleIds = ", (\\d+), (\\d+)\\)".r
+    val taskDel = "_batch_id = (\\d+) AND _part_id = (\\d+)".r
+    val byPart = scala.collection.mutable.Map[(Long, Long), Int]()
+    statements.foreach { sql =>
+      if (sql.startsWith("DELETE")) {
+        taskDel.findFirstMatchIn(sql) match {
+          case Some(m) => byPart.remove((m.group(2).toLong, m.group(1).toLong))
+          case None =>
+            val b = sql.split("=").last.trim.toLong
+            byPart.keys.filter(_._2 == b).toSeq.foreach(byPart.remove)
+        }
+      } else {
+        val ms = tupleIds.findAllMatchIn(sql).toSeq
+        val key = (ms.head.group(1).toLong, ms.head.group(2).toLong) // (part, batch)
+        byPart(key) = byPart.getOrElse(key, 0) + ms.size
       }
     }
+    byPart.toMap.groupBy(_._1._2).view.mapValues(_.values.sum).toMap
   }
 
   test("JdbcBatchWriter: bounded multi-row INSERTs per partition, idempotent replay after mid-batch failure") {
@@ -356,10 +368,13 @@ class StreamingSpec extends AnyFunSuite {
     sink.writeBatch(df.toDF(), batchId = 7L)
     assert(sink.retries == 1)
     val stmts = RecordingExec.log.toArray(Array.empty[String]).toSeq
-    // replay visible: two DELETEs for batch 7, partial INSERTs between them
-    assert(stmts.count(_.startsWith("DELETE FROM solis_buffer WHERE _batch_id = 7")) == 2)
+    // replay visible: two WHOLE-BATCH deletes (original + sink retry)
+    // plus per-task slice deletes before each task's inserts
+    assert(stmts.count(s => s.startsWith("DELETE") && !s.contains("_part_id")) == 2)
+    assert(stmts.exists(s => s.startsWith("DELETE") && s.contains("_part_id")))
     // statement-size bound: no INSERT carries more than 3 tuples
-    val tupleCounts = stmts.filter(_.startsWith("INSERT")).map(", (\\d+)\\)".r.findAllIn(_).size)
+    val tupleCounts = stmts.filter(_.startsWith("INSERT"))
+      .map(", (\\d+), (\\d+)\\)".r.findAllIn(_).size)
     assert(tupleCounts.nonEmpty && tupleCounts.max <= 3)
     // net store state: exactly one copy of the batch despite the replay
     assert(storeState(stmts) == Map(7L -> 10))
