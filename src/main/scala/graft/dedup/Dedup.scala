@@ -41,6 +41,31 @@ object Dedup {
   private def shingles(c: Column, n: Int): Column =
     transform(sequence(lit(1), length(c) - (n - 1)), i => c.substr(i, lit(n)))
 
+  /** Restore map-stage parallelism for the CPU-heavy shingle/signature
+    * kernels — but ONLY when the scan actually under-splits.
+    *
+    * The local test corpus is one small parquet file = ONE input split,
+    * which would serialize those kernels onto a single core. On a real
+    * cluster the scan yields thousands of splits, and an unconditional
+    * repartition here would full-shuffle the raw corpus TEXT — the one
+    * thing this family otherwise never shuffles (signatures and ids
+    * shuffle; text doesn't). So the exchange is gated on the physical
+    * scan's split count (`spark.graft.localSplitFix=auto`, default):
+    * it runs only when the scan yields fewer splits than the session's
+    * parallelism, i.e. never at 100 TB. `off` never repartitions, `on`
+    * always does. Deciding reads the planned scan's partition count —
+    * no job is launched.
+    */
+  private def withScanParallelism(s: SparkSession, df: DataFrame): DataFrame = {
+    val target = s.sparkContext.defaultParallelism
+    val need = s.conf.get("spark.graft.localSplitFix", "auto") match {
+      case "on"  => true
+      case "off" => false
+      case _     => df.queryExecution.toRdd.getNumPartitions < target
+    }
+    if (need) df.repartition(target) else df
+  }
+
   // ---------------------------------------------------------------------
   // d1: exact dedup — md5 hash-groupBy, keep min doc_id per group.
   // ---------------------------------------------------------------------
@@ -59,11 +84,8 @@ object Dedup {
   // ---------------------------------------------------------------------
   def d2ShingleStats(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    Tables.documents(s, d)
-      .filter(length($"text") >= ShingleLen)
-      // same single-input-split compensation as d3: the array build +
-      // distinct is CPU-bound and the local corpus is one file split
-      .repartition(s.sparkContext.defaultParallelism)
+    withScanParallelism(s, Tables.documents(s, d)
+      .filter(length($"text") >= ShingleLen))
       .select($"doc_id", shingles($"text", ShingleLen).as("sh"))
       .select($"doc_id",
         size($"sh").as("n_shingles"),
@@ -80,20 +102,12 @@ object Dedup {
   // ---------------------------------------------------------------------
   def d3MinhashLsh(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    // The local test corpus is one small parquet file = ONE input split,
-    // which would serialize the CPU-heavy signature kernel onto a single
-    // core. On a real cluster the scan yields thousands of splits and
-    // this repartition is unnecessary; here it restores the parallelism
-    // a 100 TB scan gets for free (shuffling only the raw docs once,
-    // before the expensive map stage).
-    //
     // The short-doc guard is a cheap length predicate, NOT
     // `sig.isNotNull`: a null-check on the signature would be pushed
     // below the repartition and evaluate the whole MinHash kernel a
     // second time, single-threaded, at the scan.
-    val docs = Tables.documents(s, d)
-      .filter(length($"text") >= ShingleLen)
-      .repartition(s.sparkContext.defaultParallelism)
+    val docs = withScanParallelism(s, Tables.documents(s, d)
+      .filter(length($"text") >= ShingleLen))
     val sig = docs
       .select($"doc_id", GraftFunctions.minhashSig($"text", K, ShingleLen).as("sig"))
     val bandStructs = (0 until Bands).map { bd =>
@@ -238,9 +252,8 @@ object Dedup {
   // ---------------------------------------------------------------------
   def d8SigAgg(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    Tables.documents(s, d)
-      .filter(length($"text") >= ShingleLen)
-      .repartition(s.sparkContext.defaultParallelism)
+    withScanParallelism(s, Tables.documents(s, d)
+      .filter(length($"text") >= ShingleLen))
       .select($"doc_id", explode(shingles($"text", ShingleLen)).as("sh"))
       .groupBy($"doc_id")
       .agg(GraftFunctions.minhashAgg($"sh", K).as("sig"))

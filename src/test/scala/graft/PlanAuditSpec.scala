@@ -71,6 +71,31 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("d3/d8: raw-text repartition is GATED on scan splits — absent when the scan is already parallel") {
+    // Locally the corpus is one parquet split, so the local-split fix
+    // round-robins the docs across cores (auto mode fires). But on a
+    // cluster — modeled here by shrinking maxPartitionBytes until the
+    // scan yields >= defaultParallelism splits — the same code must NOT
+    // full-shuffle the corpus text: the gate sees enough splits and
+    // skips the exchange. `off` must also never repartition.
+    def roundRobins(name: String): Int =
+      "RoundRobinPartitioning".r
+        .findAllIn(SparkEntry.queries(name)(spark, SfDir)
+          .queryExecution.executedPlan.toString).size
+    for (name <- Seq("d3_minhash_lsh", "d8_sig_agg", "d2_shingle_stats")) {
+      assert(roundRobins(name) > 0,
+        s"$name: single-split local scan should trigger the parallelism fix")
+      val mpb = spark.conf.get("spark.sql.files.maxPartitionBytes")
+      spark.conf.set("spark.sql.files.maxPartitionBytes", "4096")
+      try assert(roundRobins(name) == 0,
+        s"$name: a many-split scan (cluster shape) must not repartition raw text")
+      finally spark.conf.set("spark.sql.files.maxPartitionBytes", mpb)
+      spark.conf.set("spark.graft.localSplitFix", "off")
+      try assert(roundRobins(name) == 0, s"$name: localSplitFix=off must disable the exchange")
+      finally spark.conf.unset("spark.graft.localSplitFix")
+    }
+  }
+
   test("q5: broadcast HINTS only on fixed-cardinality dims (region, nation)") {
     // At tiny SFs the planner may broadcast everything from file-size
     // estimates — that's AQE's runtime call, not ours. What must hold
