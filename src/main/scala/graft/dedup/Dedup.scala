@@ -110,10 +110,6 @@ object Dedup {
       .filter(length($"text") >= ShingleLen))
     val sig = docs
       .select($"doc_id", GraftFunctions.minhashSig($"text", K, ShingleLen).as("sig"))
-    val bandStructs = (0 until Bands).map { bd =>
-      struct(lit(bd).as("band"),
-        md5(concat_ws("|", slice($"sig", bd * Rows + 1, Rows))).as("bkey"))
-    }
     val bands = sig
       .select($"doc_id", $"sig", explode(array(bandStructs: _*)).as("bb"))
       .select($"doc_id", $"sig", $"bb.band".as("band"), $"bb.bkey".as("bkey"))
@@ -126,6 +122,34 @@ object Dedup {
       .withColumn("est_jaccard", $"matches".cast("double") / K)
       .select($"doc_a", $"doc_b", $"n_bands", $"matches", $"est_jaccard")
       .orderBy($"doc_a", $"doc_b")
+  }
+
+  /** Per-band (band id, band key) structs over a `sig` column. */
+  private def bandStructs: Seq[Column] = (0 until Bands).map { bd =>
+    struct(lit(bd).as("band"),
+      md5(concat_ws("|", slice(col("sig"), bd * Rows + 1, Rows))).as("bkey"))
+  }
+
+  /** Lean LSH candidate-pair feed: (doc_a, doc_b, n_bands) only.
+    *
+    * d7/d9 need the candidate pairs and their band-agreement count but
+    * not d3's per-pair signature-match columns — so this variant drops
+    * `sig` BEFORE the banded self-join and the shuffle carries only
+    * (band, bkey, doc_id) rows, not two k-component signatures per
+    * side. Same bands, same join, same grouping as d3, so the d7/d9
+    * oracles share d3's candidate CTE unchanged. */
+  private[graft] def lshCandidates(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = withScanParallelism(s, Tables.documents(s, d)
+      .filter(length($"text") >= ShingleLen))
+    val bands = docs
+      .select($"doc_id", GraftFunctions.minhashSig($"text", K, ShingleLen).as("sig"))
+      .select($"doc_id", explode(array(bandStructs: _*)).as("bb"))
+      .select($"doc_id", $"bb.band".as("band"), $"bb.bkey".as("bkey"))
+    a2b(bands)
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+      .groupBy($"doc_a", $"doc_b")
+      .agg(count(lit(1)).as("n_bands"))
   }
 
   /** Band-bucket self-join: same band id + band key, doc_a < doc_b.
@@ -206,37 +230,107 @@ object Dedup {
       case _ => ()
     }
 
+  /** Alternating large-star / small-star contraction (Kiveris,
+    * Lattanzi, Mirrokni, Rastogi & Vassilvitskii, "Connected
+    * Components in MapReduce and Beyond", SoCC'14): large-star hangs
+    * every larger neighbor off the neighborhood minimum, small-star
+    * collapses each node's smaller neighbors onto their minimum.
+    * Converges to a star forest centered at component minima in
+    * O(log²) rounds — on a chain of length L that is ~log L rounds
+    * where plain min-label propagation needs L (see the chain-fixture
+    * spec). Each round is two groupBy-min + one anti-join over the
+    * EDGE list only (the LSH candidate pairs — a sliver of the
+    * corpus), labels never materialize until the end, and each
+    * round's edges are checkpointed so lineage stays O(1); only
+    * counts cross to the driver.
+    *
+    * Returns (labels: doc → component-min, rounds taken).
+    */
+  private[graft] def starContract(s: SparkSession, pairs: DataFrame): (DataFrame, Int) = {
+    import s.implicits._
+
+    // One contraction round. Invariant in and out: edges point larger →
+    // smaller (u > v), and components of the edge graph are exactly the
+    // components of the input pair graph. Intermediate stages tolerate
+    // duplicate edges (mins are dup-insensitive); only the final
+    // distinct dedups, keeping shuffle count per round at four.
+    def round(edges: DataFrame): DataFrame = {
+      val bi = edges.union(edges.select($"v".as("u"), $"u".as("v")))
+      val lmin = bi.groupBy($"u").agg(min($"v").as("mn"))
+      // large-star: each undirected edge, seen from its smaller
+      // endpoint u, re-hangs the larger endpoint onto u's minimum
+      val large = bi.filter($"v" > $"u")
+        .join(lmin, "u")
+        .select($"v".as("lu"), least($"u", $"mn").as("lv"))
+      // small-star: every node and its smaller neighbors collapse
+      // onto the group minimum
+      val smin = large.groupBy($"lu").agg(min($"lv").as("mn"))
+      large.join(smin, "lu")
+        .select($"lv".as("u"), $"mn".as("v"))
+        .union(smin.select($"lu".as("u"), $"mn".as("v")))
+        .filter($"u" =!= $"v")
+        .distinct()
+    }
+
+    // Star-forest fixpoint test over the (checkpointed) edge set: a
+    // star forest is exactly "every source has one outgoing edge and
+    // no target is also a source"; with the larger→smaller invariant
+    // each star's center is then its component minimum. Detects
+    // convergence in the round it happens — no compare-to-previous
+    // pass — and reads only cached blocks.
+    def violationCount(edges: DataFrame): Long =
+      edges.select($"u".as("id"), lit(1).as("s"), lit(0).as("t"))
+        .union(edges.select($"v".as("id"), lit(0).as("s"), lit(1).as("t")))
+        .groupBy($"id").agg(sum($"s").as("s"), max($"t").as("t"))
+        .filter($"s" > 1 || ($"s" === 1 && $"t" === 1))
+        .count()
+
+    var edges = pairs
+      .select(greatest($"doc_a", $"doc_b").as("u"), least($"doc_a", $"doc_b").as("v"))
+      .distinct()
+      .localCheckpoint()
+    var rounds = 0
+    var violations = Long.MaxValue
+    // ONE round per materialization: a round references its input
+    // several times (the bidirectional view, both star joins, the
+    // jump), so composing unmaterialized rounds multiplies those
+    // references into an exponentially growing plan — each round must
+    // checkpoint before the next (measured: 2-round composition was
+    // 5× slower than the checkpoints it saved).
+    while (violations > 0) {
+      assert(rounds < 64, "star contraction failed to converge")
+      val next = round(edges).localCheckpoint()
+      rounds += 1
+      // test only every second round: iterative-loop latency is driver
+      // job round-trips, not data volume, and a contraction round past
+      // the fixpoint is the identity — so overshooting by one round
+      // costs less than testing after every round
+      if (rounds % 2 == 0) violations = violationCount(next)
+      // the superseded blocks are dead the moment `next` is
+      // materialized — release them eagerly so iteration memory stays
+      // O(1) rounds, not O(rounds)
+      releaseCheckpoint(edges)
+      edges = next
+    }
+    // star forest: centers carry no outgoing edge and label
+    // themselves; every other node points directly at its component
+    // minimum
+    val nodes = edges.select($"u".as("doc")).union(edges.select($"v".as("doc"))).distinct()
+    val labels = nodes
+      .join(edges.select($"u".as("doc"), $"v".as("lbl")), Seq("doc"), "left")
+      .select($"doc", coalesce($"lbl", $"doc").as("lbl"))
+    (labels, rounds)
+  }
+
   def d7DupClusters(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val pairs = d3MinhashLsh(s, d)
+    // the lean candidate feed flows STRAIGHT into starContract's
+    // initial edge checkpoint — one materialization, not a pairs
+    // checkpoint plus an edges checkpoint of the same rows
+    val pairs = lshCandidates(s, d)
       .filter($"n_bands" >= MinBands)
       .select($"doc_a", $"doc_b")
-      .localCheckpoint()
-    val edges = pairs
-      .union(pairs.select($"doc_b".as("doc_a"), $"doc_a".as("doc_b")))
-      .toDF("src", "dst")
-    var labels = edges.select($"src".as("doc")).distinct()
-      .withColumn("lbl", $"doc")
-      .localCheckpoint()
-    var changed = 1L
-    while (changed > 0) {
-      val nbrMin = edges.join(labels, edges("dst") === labels("doc"))
-        .groupBy($"src").agg(min($"lbl").as("nlbl"))
-      val next = labels.join(nbrMin, labels("doc") === nbrMin("src"), "left")
-        .select($"doc", $"lbl", least($"lbl", coalesce($"nlbl", $"lbl")).as("nxt"))
-        .localCheckpoint()
-      changed = next.filter($"nxt" < $"lbl").count()
-      // the superseded round's blocks are dead the moment `next` is
-      // materialized — release them eagerly so iteration memory stays
-      // O(1) rounds, not O(rounds) (and repeated invocations in a
-      // shared JVM don't accumulate orphaned checkpoint blocks while
-      // waiting for the ContextCleaner)
-      releaseCheckpoint(labels)
-      labels = next.select($"doc", $"nxt".as("lbl"))
-    }
-    // the returned plan reads only the final labels checkpoint; the
-    // candidate-pair feed is done
-    releaseCheckpoint(pairs)
+    val (labels, _) = starContract(s, pairs)
     labels.groupBy($"lbl".as("cluster"))
       .agg(count(lit(1)).as("cluster_size"), max($"doc").as("max_doc"))
       .orderBy($"cluster")
@@ -328,7 +422,7 @@ object Dedup {
   // ---------------------------------------------------------------------
   def d9KeepList(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val purge = d3MinhashLsh(s, d)
+    val purge = lshCandidates(s, d)
       .filter($"n_bands" >= MinBands)
       .select($"doc_b".as("doc_id"))
       .distinct()

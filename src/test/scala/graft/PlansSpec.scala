@@ -172,6 +172,33 @@ class PlansSpec extends AnyFunSuite {
     assert(!rankPlan.contains("TopKFinal"), "rank() ties may exceed k — must not rewrite")
   }
 
+  test("star contraction: a chain graph converges in O(log n) rounds with exact min labels") {
+    // min-label propagation moves the minimum ONE hop per round, so a
+    // 64-node chain would need ~63 rounds; large-star/small-star
+    // contracts path length geometrically. The bound here (8) is the
+    // observed log-shape ceiling; the point is rounds << n.
+    val s = spark
+    import s.implicits._
+    val n = 64
+    val chain = (1 until n).map(i => (i.toLong, i.toLong + 1)).toDF("doc_a", "doc_b")
+    val (labels, rounds) = graft.dedup.Dedup.starContract(s, chain)
+    assert(rounds <= 8, s"chain of $n nodes took $rounds rounds — contraction isn't logarithmic")
+    val out = labels.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out.size == n, s"every chain node must be labeled, got ${out.size}")
+    assert(out.values.forall(_ == 1L), "every node's component label must be the chain minimum")
+  }
+
+  test("star contraction: two components with shuffled ids resolve to their own minima") {
+    val s = spark
+    import s.implicits._
+    // component A: {3,7,12,20} as a star around 20; component B: {5,9,40} as a triangle
+    val pairs = Seq((20L, 3L), (20L, 7L), (20L, 12L), (5L, 9L), (9L, 40L), (40L, 5L))
+      .toDF("doc_a", "doc_b")
+    val (labels, _) = graft.dedup.Dedup.starContract(s, pairs)
+    val out = labels.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out == Map(3L -> 3L, 7L -> 3L, 12L -> 3L, 20L -> 3L, 5L -> 5L, 9L -> 5L, 40L -> 5L))
+  }
+
   test("end-to-end ingestion pipeline: stream decode -> hourly agg -> MergeTree layout") {
     val s = spark
     import s.implicits._
