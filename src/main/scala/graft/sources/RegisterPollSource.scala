@@ -33,6 +33,21 @@ import org.apache.spark.unsafe.types.UTF8String
   * Options: `inverters` (fleet size, default 3), `maxPolls` (bound for
   * Trigger.AvailableNow drains, default Long.MaxValue), `intervalMs`
   * (timestamp spacing of simulated polls, default 1000).
+  *
+  * Retry options (the reference's device-read failure semantics —
+  * solarman.py:340-361 retries each register read with a 1 s sleep
+  * between attempts; solarman.py:316-337 reconnects when the socket
+  * has died and tries again): `readRetries` (attempts per connection,
+  * default 3), `retryBackoffMs` (sleep between attempts, default 0 so
+  * specs run fast; the daemon uses 1000), and the deterministic
+  * failure injection `failEvery` / `failAttempts` (every read whose
+  * key-hash % failEvery == 0 throws on its first failAttempts
+  * attempts, then succeeds — default 0 = no injected failures). A
+  * read that exhausts its per-connection budget triggers ONE
+  * reconnect with a fresh budget; if it still fails the task throws
+  * and Spark replays the partition — the offset contract makes that
+  * replay exactly-once, so transient device failures never drop or
+  * duplicate a sweep's rows.
   */
 class RegisterPollSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "register-poll"
@@ -56,7 +71,12 @@ class RegisterPollSource extends TableProvider with DataSourceRegister {
     new RegisterPollTable(
       targets = targets,
       maxPolls = opts.getOrDefault("maxPolls", Long.MaxValue.toString).toLong,
-      intervalMs = intervalMs)
+      intervalMs = intervalMs,
+      policy = ReadPolicy(
+        readRetries = opts.getOrDefault("readRetries", "3").toInt,
+        backoffMs = opts.getOrDefault("retryBackoffMs", "0").toLong,
+        failEvery = opts.getOrDefault("failEvery", "0").toLong,
+        failAttempts = opts.getOrDefault("failAttempts", "2").toInt))
   }
 }
 
@@ -66,6 +86,16 @@ class RegisterPollSource extends TableProvider with DataSourceRegister {
   * slower `intervalMs` than the sweep cadence only emits on the
   * sweeps its interval divides. */
 case class PollTarget(idx: Long, name: String, serial: Long, intervalMs: Long)
+
+/** Device-read retry policy plus deterministic failure injection (the
+  * sandbox's stand-in for flaky Modbus sockets). `failEvery = 0`
+  * disables injection; otherwise every read whose key-hash %
+  * failEvery == 0 throws on its first `failAttempts` attempts and
+  * succeeds after — deterministic, so a replayed partition observes
+  * the same failures and the same final rows. */
+case class ReadPolicy(readRetries: Int, backoffMs: Long, failEvery: Long, failAttempts: Int) {
+  require(readRetries >= 1, s"readRetries must be >= 1, got $readRetries")
+}
 
 object RegisterPollSource {
   val Schema: StructType = StructType(Seq(
@@ -107,14 +137,34 @@ object RegisterPollSource {
   /** Deterministic raw reading for (poll, inverter, register idx). */
   def raw(poll: Long, inverter: Long, reg: Int): Long =
     math.floorMod(poll * 2654435761L + inverter * 40503L + reg * 69427L, 10000L)
+
+  /** Injected transient-failure count for one read: how many leading
+    * attempts of (poll, inverter, reg) throw before the read
+    * succeeds. Keyed on the read identity so retries and replays see
+    * identical behavior. */
+  def injectedFailures(poll: Long, inverter: Long, reg: Int, policy: ReadPolicy): Int =
+    if (policy.failEvery <= 0) 0
+    else if (math.floorMod(poll * 7919L + inverter * 104729L + reg * 1299721L,
+      policy.failEvery) == 0L) policy.failAttempts
+    else 0
+
+  /** Observability for specs (single-JVM local mode): total retried
+    * read attempts and socket reconnects across all partitions. */
+  val retriedReads = new java.util.concurrent.atomic.AtomicLong(0L)
+  val reconnects = new java.util.concurrent.atomic.AtomicLong(0L)
 }
+
+/** A simulated register read failed (the sandbox analogue of a Modbus
+  * timeout / closed-socket IOError). */
+class DeviceReadException(msg: String) extends java.io.IOException(msg)
 
 /** Offset = number of completed poll sweeps. */
 private case class PollOffset(polls: Long) extends Offset {
   override def json(): String = polls.toString
 }
 
-private class RegisterPollTable(targets: Seq[PollTarget], maxPolls: Long, intervalMs: Long)
+private class RegisterPollTable(targets: Seq[PollTarget], maxPolls: Long, intervalMs: Long,
+                                policy: ReadPolicy)
   extends Table with SupportsRead {
   override def name(): String = s"register-poll(${targets.size} targets)"
   override def schema(): StructType = RegisterPollSource.Schema
@@ -126,11 +176,12 @@ private class RegisterPollTable(targets: Seq[PollTarget], maxPolls: Long, interv
       override def build(): Scan = this
       override def readSchema(): StructType = RegisterPollSource.Schema
       override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-        new RegisterPollStream(targets, maxPolls, intervalMs)
+        new RegisterPollStream(targets, maxPolls, intervalMs, policy)
     }
 }
 
-private class RegisterPollStream(targets: Seq[PollTarget], maxPolls: Long, intervalMs: Long)
+private class RegisterPollStream(targets: Seq[PollTarget], maxPolls: Long, intervalMs: Long,
+                                 policy: ReadPolicy)
   extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   // One poll sweep becomes available per latestOffset() call (the
@@ -169,7 +220,7 @@ private class RegisterPollStream(targets: Seq[PollTarget], maxPolls: Long, inter
     val s = start.asInstanceOf[PollOffset].polls
     val e = end.asInstanceOf[PollOffset].polls
     // one partition per target: each executor polls its own devices
-    targets.map(t => PollPartition(s, e, t, intervalMs)).toArray
+    targets.map(t => PollPartition(s, e, t, intervalMs, policy)).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -180,16 +231,48 @@ private class RegisterPollStream(targets: Seq[PollTarget], maxPolls: Long, inter
 }
 
 private case class PollPartition(startPoll: Long, endPoll: Long, target: PollTarget,
-                                 sweepMs: Long) extends InputPartition
+                                 sweepMs: Long, policy: ReadPolicy) extends InputPartition
 
 /** Emits one row per (poll in [start, end), register) for this
   * partition's target — poll p is produced by the batch whose offset
   * range covers it, each exactly once — honoring the target's own
   * poll interval (a 60 s target on a 30 s sweep emits every 2nd
   * sweep). This is where a production reader would issue the
-  * Modbus/HTTP register reads. */
+  * Modbus/HTTP register reads — through [[readRegister]], which
+  * carries the daemon's retry/reconnect semantics. */
 private class PollPartitionReader(p: PollPartition) extends PartitionReader[InternalRow] {
   import RegisterPollSource._
+
+  /** One register read with the daemon's failure handling: up to
+    * `readRetries` attempts on the current connection with
+    * `backoffMs` between them (solarman.py:340-361), then ONE
+    * reconnect — the daemon's response to a socket that died under it
+    * (solarman.py:316-337) — with a fresh attempt budget. If the read
+    * still fails, rethrow: the task fails and Spark replays the
+    * partition, which the offset contract makes exactly-once. */
+  private def readRegister(poll: Long, regIdx: Int): Long = {
+    val failures = injectedFailures(poll, p.target.idx, regIdx, p.policy)
+    var attempt = 0
+    var reconnected = false
+    while (true) {
+      attempt += 1
+      try {
+        if (attempt <= failures)
+          throw new DeviceReadException(
+            s"read failed: target=${p.target.name} poll=$poll reg=$regIdx attempt=$attempt")
+        return raw(poll, p.target.idx, regIdx)
+      } catch {
+        case e: DeviceReadException =>
+          val budgetLeft = attempt % p.policy.readRetries != 0
+          if (budgetLeft) retriedReads.incrementAndGet()
+          else if (!reconnected) { reconnected = true; reconnects.incrementAndGet() }
+          else throw e
+          if (p.policy.backoffMs > 0) Thread.sleep(p.policy.backoffMs)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   private val rows =
     for {
       poll <- Iterator.range(p.startPoll, p.endPoll)
@@ -197,7 +280,7 @@ private class PollPartitionReader(p: PollPartition) extends PartitionReader[Inte
       (reg, regIdx) <- Registers.iterator.zipWithIndex
     } yield {
       val (name, sc) = reg
-      val r = raw(poll, p.target.idx, regIdx)
+      val r = readRegister(poll, regIdx)
       InternalRow(poll, p.target.idx, UTF8String.fromString(p.target.name),
         p.target.serial, UTF8String.fromString(name), r,
         r * sc, EpochBaseUs + poll * p.sweepMs * 1000L)

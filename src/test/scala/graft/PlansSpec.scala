@@ -71,6 +71,63 @@ class PlansSpec extends AnyFunSuite {
     assert(salted == plain)
   }
 
+  test("SkewJoin.salted balances a hot key across tasks (task-metrics audit)") {
+    val s = spark
+    import s.implicits._
+    val sc = s.sparkContext
+    // skew fixture: one user owns 90% of a 100k-row left side. With
+    // AQE's skew handling off (the cases SkewJoin targets are exactly
+    // the ones AQE cannot split) the hot key's entire probe side lands
+    // on ONE sort-merge task; salting spreads it over 8.
+    val hot = s.range(90000L).select(lit(7L).as("user_id"), $"id".as("event_id"))
+    val cold = s.range(10000L)
+      .select((($"id" % 100L) + 100L).as("user_id"), ($"id" + 90000L).as("event_id"))
+    val left = hot.union(cold)
+    val right = s.range(200L).select($"id".as("u_id"), ($"id" * 3L).as("weight"))
+
+    def maxTaskShuffleRows(run: => Unit): Long = {
+      val seen = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          if (e.taskMetrics != null) seen.add(e.taskMetrics.shuffleReadMetrics.recordsRead)
+      }
+      sc.addSparkListener(listener)
+      try {
+        run
+        // listener delivery is async — poll until the task count settles
+        var prev = -1; var settled = 0; var waited = 0
+        while (settled < 2 && waited < 10000) {
+          Thread.sleep(200); waited += 200
+          val n = seen.size()
+          if (n == prev) settled += 1 else { settled = 0; prev = n }
+        }
+      } finally sc.removeSparkListener(listener)
+      import scala.jdk.CollectionConverters._
+      seen.asScala.foldLeft(0L)(math.max)
+    }
+
+    val conf = s.conf
+    val aqe = conf.get("spark.sql.adaptive.enabled")
+    val bc = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    conf.set("spark.sql.adaptive.enabled", "false")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plainMax = maxTaskShuffleRows(
+        left.join(right, $"user_id" === $"u_id")
+          .write.format("noop").mode("overwrite").save())
+      val saltedMax = maxTaskShuffleRows(
+        SkewJoin.salted(left, right, "user_id", "u_id", 8, "event_id")
+          .write.format("noop").mode("overwrite").save())
+      assert(plainMax >= 80000L,
+        s"fixture should concentrate the hot key in one task, got max=$plainMax")
+      assert(saltedMax * 2 < plainMax,
+        s"salting should cut the max task at least 2x: plain=$plainMax salted=$saltedMax")
+    } finally {
+      conf.set("spark.sql.adaptive.enabled", aqe)
+      conf.set("spark.sql.autoBroadcastJoinThreshold", bc)
+    }
+  }
+
   test("TopKRewrite replaces the row_number window idiom with the heap operator, same results") {
     val s = spark
     import s.implicits._

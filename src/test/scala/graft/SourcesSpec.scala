@@ -126,6 +126,89 @@ class SourcesSpec extends AnyFunSuite {
       s"expected each poll exactly once per register, got ${polls.groupBy(identity).view.mapValues(_.size).toMap}")
   }
 
+  test("register-poll retry seam: transient read failures are retried without dropping rows") {
+    val s = spark
+    import s.implicits._
+    val r0 = sources.RegisterPollSource.retriedReads.get()
+    val c0 = sources.RegisterPollSource.reconnects.get()
+    val ckpt = Files.createTempDirectory("poll_retry_ckpt").toString
+    // EVERY read throws on its first 2 attempts; budget is 3 per
+    // connection, so each read succeeds on attempt 3 with no reconnect
+    val q = s.readStream.format("register-poll")
+      .option("inverters", 2).option("maxPolls", 3)
+      .option("failEvery", 1).option("failAttempts", 2).option("readRetries", 3)
+      .load()
+      .writeStream.format("memory").queryName("poll_retry_spec")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination(60000) finally q.stop()
+    val rows = s.table("poll_retry_spec")
+      .select($"poll", $"inverter", $"register", $"raw")
+      .as[(Long, Long, String, Long)].collect().toSeq
+    // all 3 polls × 2 inverters × 3 registers arrive, values exact
+    assert(rows.size == 18, s"got ${rows.size} rows")
+    assert(rows.map(r => (r._1, r._2, r._3)).distinct.size == 18)
+    val regs = sources.RegisterPollSource.Registers
+    rows.foreach { case (poll, inv, reg, raw) =>
+      assert(raw == sources.RegisterPollSource.raw(poll, inv, regs.indexWhere(_._1 == reg)))
+    }
+    // 18 reads × 2 transient failures each, all absorbed by retries
+    assert(sources.RegisterPollSource.retriedReads.get() - r0 == 36L)
+    assert(sources.RegisterPollSource.reconnects.get() - c0 == 0L)
+  }
+
+  test("register-poll retry seam: an exhausted read budget reconnects and recovers") {
+    val s = spark
+    import s.implicits._
+    val c0 = sources.RegisterPollSource.reconnects.get()
+    val ckpt = Files.createTempDirectory("poll_reconn_ckpt").toString
+    // 3 failures vs a per-connection budget of 3: the third failure
+    // kills the connection, the reader reconnects (solarman.py's
+    // dead-socket path) and the read succeeds on the fresh connection
+    val q = s.readStream.format("register-poll")
+      .option("inverters", 1).option("maxPolls", 2)
+      .option("failEvery", 1).option("failAttempts", 3).option("readRetries", 3)
+      .load()
+      .writeStream.format("memory").queryName("poll_reconn_spec")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination(60000) finally q.stop()
+    val rows = s.table("poll_reconn_spec")
+      .select($"poll", $"register", $"raw").as[(Long, String, Long)].collect().toSeq
+    assert(rows.size == 6, s"got ${rows.size} rows")
+    assert(rows.map(r => (r._1, r._2)).distinct.size == 6)
+    assert(sources.RegisterPollSource.reconnects.get() - c0 == 6L,
+      "every read should have burned its budget and reconnected exactly once")
+  }
+
+  test("register-poll retry seam: failures across a restart neither drop nor duplicate rows") {
+    val s = spark
+    import s.implicits._
+    val ckpt = Files.createTempDirectory("poll_retry_restart_ckpt").toString
+    val sinkDir = Files.createTempDirectory("poll_retry_restart_sink").toString
+    val sink = new graft.streaming.BufferedStreamSink(sinkDir)
+    def drain(maxPolls: Int): Unit = {
+      val q = s.readStream.format("register-poll")
+        .option("inverters", 1).option("maxPolls", maxPolls)
+        .option("failEvery", 2).option("failAttempts", 2).option("readRetries", 3)
+        .load()
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch((b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+          sink.writeBatch(b, id))
+        .start()
+      try q.awaitTermination(60000) finally q.stop()
+    }
+    drain(2)
+    drain(4) // restart resumes at poll 2 with the same injected-failure pattern
+    val polls = s.read.parquet(sinkDir).select($"poll").as[Long].collect().toSeq
+    assert(polls.sorted == Seq(0L, 1L, 2L, 3L).flatMap(p => Seq.fill(3)(p)),
+      s"expected each poll exactly once per register, got ${polls.groupBy(identity).view.mapValues(_.size).toMap}")
+  }
+
   test("the catalog source drives a broadcast decode join over the feed") {
     val s = spark
     import s.implicits._
