@@ -54,14 +54,27 @@ object Dedup {
     * it runs only when the scan yields fewer splits than the session's
     * parallelism, i.e. never at 100 TB. `off` never repartitions, `on`
     * always does. Deciding reads the planned scan's partition count —
-    * no job is launched.
+    * no job is launched — and the probe is memoized per (session, dir,
+    * maxPartitionBytes): the d-family builders share one corpus scan
+    * shape, so one physical-planning pass serves d2/d3/d6/d7/d8/d9 in
+    * a run instead of each builder re-listing the files. Changing
+    * `spark.sql.files.maxPartitionBytes` (the conf that decides split
+    * count) invalidates the memo by key.
     */
+  private val splitProbe =
+    new java.util.concurrent.ConcurrentHashMap[(String, String, String), Integer]()
+
   private def withScanParallelism(s: SparkSession, df: DataFrame): DataFrame = {
     val target = s.sparkContext.defaultParallelism
     val need = s.conf.get("spark.graft.localSplitFix", "auto") match {
       case "on"  => true
       case "off" => false
-      case _     => df.queryExecution.toRdd.getNumPartitions < target
+      case _ =>
+        val key = (System.identityHashCode(s).toString,
+          df.queryExecution.analyzed.semanticHash().toString,
+          s.conf.get("spark.sql.files.maxPartitionBytes"))
+        splitProbe.computeIfAbsent(key,
+          _ => Integer.valueOf(df.queryExecution.toRdd.getNumPartitions)) < target
     }
     if (need) df.repartition(target) else df
   }

@@ -248,8 +248,14 @@ private class PollPartitionReader(p: PollPartition) extends PartitionReader[Inte
     * `backoffMs` between them (solarman.py:340-361), then ONE
     * reconnect — the daemon's response to a socket that died under it
     * (solarman.py:316-337) — with a fresh attempt budget. If the read
-    * still fails, rethrow: the task fails and Spark replays the
-    * partition, which the offset contract makes exactly-once. */
+    * still fails, rethrow: the task fails, and for a TRANSIENT fault
+    * Spark's partition replay (which the offset contract makes
+    * exactly-once) gets a clean attempt. Note the test injection is
+    * deterministic, so it models only the absorbable case: injected
+    * failure counts must stay within the 2×readRetries budget
+    * (retries + one reconnect) or every replay fails identically and
+    * the query dies — and local mode has maxTaskFailures=1, so there
+    * is no replay at all there, just the query failing. */
   private def readRegister(poll: Long, regIdx: Int): Long = {
     val failures = injectedFailures(poll, p.target.idx, regIdx, p.policy)
     var attempt = 0

@@ -86,24 +86,32 @@ class PlansSpec extends AnyFunSuite {
     val right = s.range(200L).select($"id".as("u_id"), ($"id" * 3L).as("weight"))
 
     def maxTaskShuffleRows(run: => Unit): Long = {
-      val seen = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+      // restrict the metric to THIS action's stages (via a job group) and
+      // settle listener delivery with the bus's own barrier rather than
+      // wall-clock polling — an unrelated stage or a late task-end event
+      // can't skew the max
+      val stages = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+      val seen = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Long)]()
       val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          if (j.properties != null &&
+            "graft-skew-audit" == j.properties.getProperty("spark.jobGroup.id"))
+            j.stageIds.foreach(id => stages.add(id))
         override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
-          if (e.taskMetrics != null) seen.add(e.taskMetrics.shuffleReadMetrics.recordsRead)
+          if (e.taskMetrics != null)
+            seen.add((e.stageId, e.taskMetrics.shuffleReadMetrics.recordsRead))
       }
+      org.apache.spark.SparkTestHooks.waitUntilListenerBusEmpty(sc) // flush prior actions
       sc.addSparkListener(listener)
       try {
-        run
-        // listener delivery is async — poll until the task count settles
-        var prev = -1; var settled = 0; var waited = 0
-        while (settled < 2 && waited < 10000) {
-          Thread.sleep(200); waited += 200
-          val n = seen.size()
-          if (n == prev) settled += 1 else { settled = 0; prev = n }
-        }
+        sc.setJobGroup("graft-skew-audit", "skew-join task-metrics audit")
+        try run
+        finally sc.clearJobGroup()
+        org.apache.spark.SparkTestHooks.waitUntilListenerBusEmpty(sc)
       } finally sc.removeSparkListener(listener)
       import scala.jdk.CollectionConverters._
-      seen.asScala.foldLeft(0L)(math.max)
+      seen.asScala.collect { case (sid, n) if stages.contains(sid) => n }
+        .foldLeft(0L)(math.max)
     }
 
     val conf = s.conf
