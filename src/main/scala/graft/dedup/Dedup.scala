@@ -54,27 +54,58 @@ object Dedup {
     * it runs only when the scan yields fewer splits than the session's
     * parallelism, i.e. never at 100 TB. `off` never repartitions, `on`
     * always does. Deciding reads the planned scan's partition count —
-    * no job is launched — and the probe is memoized per (session, dir,
-    * maxPartitionBytes): the d-family builders share one corpus scan
-    * shape, so one physical-planning pass serves d2/d3/d6/d7/d8/d9 in
-    * a run instead of each builder re-listing the files. Changing
+    * no job is launched — and the probe is memoized per (plan,
+    * file-index fingerprint, maxPartitionBytes) within a session: the
+    * d-family builders share one corpus scan shape, so one
+    * physical-planning pass serves d2/d3/d6/d7/d8/d9 in a run instead
+    * of each builder re-planning the scan.
+    *
+    * Memo safety: the session axis is a WeakHashMap keyed on the
+    * SparkSession itself (entries die with the session; no recycled
+    * identity hash can ever alias two sessions), and the key includes
+    * a (#files, total bytes) fingerprint of every file-backed leaf in
+    * the plan — a corpus dir that grows or shrinks between calls in a
+    * long-lived session changes the fingerprint and re-probes, so a
+    * stale small split count can never suppress-or-force the
+    * repartition for changed data. The fingerprint reads the
+    * already-listed FileIndex (no filesystem pass). Changing
     * `spark.sql.files.maxPartitionBytes` (the conf that decides split
-    * count) invalidates the memo by key.
+    * count) likewise invalidates by key.
     */
   private val splitProbe =
-    new java.util.concurrent.ConcurrentHashMap[(String, String, String), Integer]()
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession,
+        java.util.concurrent.ConcurrentHashMap[(String, String, String), Integer]]())
+
+  /** (#files, total bytes) of each file-backed leaf relation. */
+  private def scanFingerprint(df: DataFrame): String =
+    df.queryExecution.analyzed.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation match {
+          case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            s"${h.location.inputFiles.length}:${h.location.sizeInBytes}"
+          case r => r.getClass.getName
+        }
+    }.mkString(";")
+
+  /** Planned (not launched) split count of `df`'s scan, memoized —
+    * package-visible so the staleness spec can observe re-probes. */
+  private[graft] def probedSplits(s: SparkSession, df: DataFrame): Int = {
+    val key = (df.queryExecution.analyzed.semanticHash().toString,
+      scanFingerprint(df),
+      s.conf.get("spark.sql.files.maxPartitionBytes"))
+    splitProbe
+      .computeIfAbsent(s, _ => new java.util.concurrent.ConcurrentHashMap[(String, String, String), Integer]())
+      .computeIfAbsent(key, _ => Integer.valueOf(df.queryExecution.toRdd.getNumPartitions))
+      .intValue()
+  }
 
   private def withScanParallelism(s: SparkSession, df: DataFrame): DataFrame = {
     val target = s.sparkContext.defaultParallelism
     val need = s.conf.get("spark.graft.localSplitFix", "auto") match {
       case "on"  => true
       case "off" => false
-      case _ =>
-        val key = (System.identityHashCode(s).toString,
-          df.queryExecution.analyzed.semanticHash().toString,
-          s.conf.get("spark.sql.files.maxPartitionBytes"))
-        splitProbe.computeIfAbsent(key,
-          _ => Integer.valueOf(df.queryExecution.toRdd.getNumPartitions)) < target
+      case _     => probedSplits(s, df) < target
     }
     if (need) df.repartition(target) else df
   }
@@ -184,12 +215,24 @@ object Dedup {
   // d6: exact n-gram Jaccard verification of the LSH candidates — the
   // second half of the canonical dedup pipeline (candidate generation
   // via d3's banded MinHash, then exact set verification only on the
-  // bounded candidate set, never all-pairs). Shingle sets are
-  // recomputed map-side after joining candidate ids back to text;
-  // intersect/union are array set-ops inside codegen.
+  // bounded candidate set, never all-pairs).
+  //
+  // The verify stage never ships raw text: each doc's distinct shingle
+  // set is hashed map-side to 60-bit longs (first 15 hex chars of the
+  // shingle's md5 — the same digest family the MinHash kernel slices),
+  // so only fixed-width `array<long>` crosses the shuffle into the
+  // candidate joins, and intersect runs on primitive longs instead of
+  // UTF8 strings. Hashed-set Jaccard equals string-set Jaccard except
+  // under 60-bit collisions (P ≈ n²/2^61 per pair — negligible), and
+  // the oracle hashes identically so the comparison is still exact.
+  // Union size is derived as |A|+|B|−|A∩B| rather than materializing
+  // array_union, and the intersect is computed in its own projection
+  // (CollapseProject keeps non-cheap aliases unduplicated) with the
+  // threshold filter fused as explode(filter(...)) so the kernel is
+  // evaluated once per pair (same r3 finding as d5).
   //
   // Verification is gated on n_bands >= 2: exact verification ships
-  // two full shingle sets per pair, so its cost is candidates ×
+  // two full shingle-hash sets per pair, so its cost is candidates ×
   // set-size. Single-band matches on this (pathologically self-
   // similar) corpus are ~1.5% of ALL pairs — quadratic — while
   // multi-band agreement is the high-precision subset (P ≈ C(b,2)·j^2r
@@ -199,21 +242,31 @@ object Dedup {
   val JaccardThreshold = 0.2
   val MinBands = 2
 
+  /** Distinct 60-bit shingle-hash set: distinct raw shingles first (md5
+    * only on distinct values), then an outer distinct to keep strict
+    * set semantics even under a hash collision. */
+  private def shingleHashes(c: Column): Column =
+    array_distinct(transform(array_distinct(shingles(c, ShingleLen)),
+      x => conv(substring(md5(x), 1, 15), 16, 10).cast("long")))
+
   def d6NgramJaccard(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val cand = d3MinhashLsh(s, d)
       .filter($"n_bands" >= MinBands)
       .select($"doc_a", $"doc_b", $"est_jaccard")
-    val sh = Tables.documents(s, d)
-      .filter(length($"text") >= ShingleLen)
-      .select($"doc_id", array_distinct(shingles($"text", ShingleLen)).as("sh"))
+    val sh = withScanParallelism(s, Tables.documents(s, d)
+      .filter(length($"text") >= ShingleLen))
+      .select($"doc_id", shingleHashes($"text").as("sh"))
+      .select($"doc_id", $"sh", size($"sh").as("n"))
     cand
-      .join(sh.select($"doc_id".as("doc_a"), $"sh".as("sh_a")), "doc_a")
-      .join(sh.select($"doc_id".as("doc_b"), $"sh".as("sh_b")), "doc_b")
+      .join(sh.select($"doc_id".as("doc_a"), $"sh".as("sh_a"), $"n".as("n_a")), "doc_a")
+      .join(sh.select($"doc_id".as("doc_b"), $"sh".as("sh_b"), $"n".as("n_b")), "doc_b")
       .select($"doc_a", $"doc_b", $"est_jaccard",
-        (size(array_intersect($"sh_a", $"sh_b")).cast("double") /
-          size(array_union($"sh_a", $"sh_b"))).as("jaccard"))
-      .filter($"jaccard" >= JaccardThreshold)
+        size(array_intersect($"sh_a", $"sh_b")).cast("double").as("inter"),
+        ($"n_a" + $"n_b").cast("double").as("tot"))
+      .select($"doc_a", $"doc_b", $"est_jaccard",
+        explode(filter(array($"inter" / ($"tot" - $"inter")),
+          j => j >= JaccardThreshold)).as("jaccard"))
       .orderBy($"doc_a", $"doc_b")
   }
 
@@ -567,16 +620,18 @@ object Dedup {
            HAVING count(*) >= $MinBands),
          ds AS (
            SELECT doc_id,
-                  list_distinct(list_transform(range(1, len(text) - ${ShingleLen - 2}), i -> substr(text, i, $ShingleLen))) AS s
+                  list_distinct(list_transform(
+                    list_distinct(list_transform(range(1, len(text) - ${ShingleLen - 2}), i -> substr(text, i, $ShingleLen))),
+                    x -> CAST('0x' || substr(md5(x), 1, 15) AS BIGINT))) AS s
            FROM documents WHERE len(text) >= $ShingleLen),
          j AS (
            SELECT doc_a, doc_b, CAST(matches AS DOUBLE) / $K AS est_jaccard,
-                  CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
-                    / len(list_distinct(list_concat(sa.s, sb.s))) AS jaccard
+                  CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) AS inter,
+                  CAST(len(sa.s) + len(sb.s) AS DOUBLE) AS tot
            FROM cand JOIN ds sa ON cand.doc_a = sa.doc_id
                      JOIN ds sb ON cand.doc_b = sb.doc_id)
-         SELECT doc_a, doc_b, est_jaccard, jaccard
-         FROM j WHERE jaccard >= $JaccardThreshold ORDER BY doc_a, doc_b""",
+         SELECT doc_a, doc_b, est_jaccard, inter / (tot - inter) AS jaccard
+         FROM j WHERE inter / (tot - inter) >= $JaccardThreshold ORDER BY doc_a, doc_b""",
     "d5_embed_neardup" ->
       s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
                  ${dot("a.embedding", "b.embedding")}

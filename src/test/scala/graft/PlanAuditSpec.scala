@@ -96,6 +96,24 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("splitProbe memo: a grown corpus dir re-probes instead of serving a stale split count") {
+    // The probe memo is keyed on a (#files, bytes) fingerprint of the
+    // scan's FileIndex: in a long-lived session a dir that gains files
+    // between builder calls must see a fresh split count — a stale
+    // small count would force the full-text repartition the gate
+    // exists to prevent.
+    import java.nio.file.{Files, Paths}
+    val src = Paths.get(SfDir, "documents.parquet")
+    val dir = Files.createTempDirectory("graft-splitprobe")
+    Files.copy(src, dir.resolve("part-000.parquet"))
+    def docs = spark.read.parquet(dir.toString)
+    val first = graft.dedup.Dedup.probedSplits(spark, docs)
+    (1 to 8).foreach(i => Files.copy(src, dir.resolve(f"part-$i%03d.parquet")))
+    val second = graft.dedup.Dedup.probedSplits(spark, docs)
+    assert(second > first,
+      s"grown dir must re-probe, not reuse the memo: first=$first second=$second")
+  }
+
   test("q5: broadcast HINTS only on fixed-cardinality dims (region, nation)") {
     // At tiny SFs the planner may broadcast everything from file-size
     // estimates — that's AQE's runtime call, not ours. What must hold
