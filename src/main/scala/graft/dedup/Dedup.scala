@@ -370,7 +370,9 @@ object Dedup {
       // test only every second round: iterative-loop latency is driver
       // job round-trips, not data volume, and a contraction round past
       // the fixpoint is the identity — so overshooting by one round
-      // costs less than testing after every round
+      // costs less than testing after every round. Re-measured in r8:
+      // testing every round is SLOWER here (3.8–4.0 s vs 3.5–3.9 s,
+      // 3×3 BenchOne A/B) because convergence lands on an even round.
       if (rounds % 2 == 0) violations = violationCount(next)
       // the superseded blocks are dead the moment `next` is
       // materialized — release them eagerly so iteration memory stays
