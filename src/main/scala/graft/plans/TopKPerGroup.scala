@@ -29,9 +29,13 @@ import org.apache.spark.sql.types.IntegerType
   * so at 100 TB the exchange carries at most k rows per (group,
   * input-partition) instead of the full fact table.
   *
-  * The rewrite only fires on `row_number` (never `rank`, whose ties
-  * can exceed k rows), only on a literal bound, and can be disabled
-  * with `spark.graft.topkRewrite.enabled=false` (the A/B lever the
+  * The rewrite fires on `row_number` and on `rank` (tie-aware: a row
+  * qualifies for `rank() <= k` iff fewer than k rows are strictly
+  * better, so the kernel keeps boundary ties — the kept set can
+  * exceed k rows exactly when the output itself does — and the final
+  * phase emits SQL rank semantics with gaps), only on a literal
+  * bound, and can be disabled with
+  * `spark.graft.topkRewrite.enabled=false` (the A/B lever the
   * equivalence spec uses).
   */
 object TopKRewrite extends Rule[LogicalPlan] {
@@ -59,23 +63,31 @@ object TopKRewrite extends Rule[LogicalPlan] {
     if (bounds.isEmpty) None else Some(bounds.min)
   }
 
-  /** Matches a Window computing exactly one row_number with the
-    * default running row frame. */
-  private object RowNumberWindow {
-    def unapply(p: LogicalPlan): Option[(Attribute, Seq[Expression], Seq[SortOrder], LogicalPlan)] = p match {
+  /** Matches a Window computing exactly one row_number or rank with
+    * the default running row frame; yields (rankAttr, rankLike=ties,
+    * partition, order, child). */
+  private object RankingWindow {
+    def unapply(p: LogicalPlan): Option[(Attribute, Boolean, Seq[Expression], Seq[SortOrder], LogicalPlan)] = p match {
       case LogicalWindow(
-          Seq(alias @ Alias(WindowExpression(RowNumber(),
+          Seq(alias @ Alias(WindowExpression(rankFn,
             WindowSpecDefinition(part, order,
               SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow))), _)),
           _, _, child, _) if order.nonEmpty =>
-        // Spark's own InsertWindowGroupLimit may already have wrapped
-        // the child; strip it — its pre-filter pass requires the very
-        // sort this operator exists to avoid.
-        val grandchild = child match {
-          case WindowGroupLimit(_, _, _, _, c) => c
-          case c => c
+        val ties = rankFn match {
+          case RowNumber() => Some(false)
+          case _: Rank     => Some(true)
+          case _           => None // dense_rank etc.: kept set is unbounded
         }
-        Some((alias.toAttribute, part, order, grandchild))
+        ties.map { t =>
+          // Spark's own InsertWindowGroupLimit may already have wrapped
+          // the child; strip it — its pre-filter pass requires the very
+          // sort this operator exists to avoid.
+          val grandchild = child match {
+            case WindowGroupLimit(_, _, _, _, c) => c
+            case c => c
+          }
+          (alias.toAttribute, t, part, order, grandchild)
+        }
       case _ => None
     }
   }
@@ -83,17 +95,17 @@ object TopKRewrite extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!enabled) return plan
     plan.transformUp {
-      case f @ Filter(cond, RowNumberWindow(rank, part, order, child)) =>
+      case f @ Filter(cond, RankingWindow(rank, ties, part, order, child)) =>
         bound(cond, rank) match {
           case Some(k) if k >= 1 =>
-            Filter(cond, TopKPerGroupNode(part, order, k, rank, child))
+            Filter(cond, TopKPerGroupNode(part, order, k, rank, child, ties))
           case _ => f
         }
-      case f @ Filter(cond, Project(projList, RowNumberWindow(rank, part, order, child)))
+      case f @ Filter(cond, Project(projList, RankingWindow(rank, ties, part, order, child)))
           if projList.forall(_.isInstanceOf[Attribute]) =>
         bound(cond, rank) match {
           case Some(k) if k >= 1 =>
-            Filter(cond, Project(projList, TopKPerGroupNode(part, order, k, rank, child)))
+            Filter(cond, Project(projList, TopKPerGroupNode(part, order, k, rank, child, ties)))
           case _ => f
         }
     }
@@ -108,7 +120,8 @@ case class TopKPerGroupNode(
     order: Seq[SortOrder],
     k: Int,
     rankAttr: Attribute,
-    child: LogicalPlan) extends UnaryNode {
+    child: LogicalPlan,
+    rankLike: Boolean = false) extends UnaryNode {
   override def output: Seq[Attribute] = child.output :+ rankAttr
   override def producedAttributes: AttributeSet = AttributeSet(rankAttr)
   override def maxRows: Option[Long] = child.maxRows
@@ -118,21 +131,37 @@ case class TopKPerGroupNode(
 
 object TopKStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case TopKPerGroupNode(group, order, k, rankAttr, child) =>
-      val partial = TopKPartialExec(group, order, k, planLater(child))
-      TopKFinalExec(group, order, k, rankAttr, partial) :: Nil
+    case TopKPerGroupNode(group, order, k, rankAttr, child, ties) =>
+      val partial = TopKPartialExec(group, order, k, planLater(child), ties)
+      TopKFinalExec(group, order, k, rankAttr, partial, ties) :: Nil
     case _ => Nil
   }
 }
 
 /** Shared heap kernel: bounded per-group top-k over a partition.
-  * Returns group key → the (unsorted) best-k rows. */
+  * Returns group key → the (unsorted) kept rows.
+  *
+  * row_number mode (`ties=false`): exactly min(k, n) rows per group —
+  * a worse incoming row is dropped, a better one evicts the current
+  * worst in O(log k).
+  *
+  * rank mode (`ties=true`): a row qualifies iff fewer than k rows are
+  * strictly better (SQL rank ≤ k), so rows tying the k-th best are
+  * kept too. Invariant maintained per group: the heap holds exactly
+  * the currently-qualifying rows. An incoming row strictly worse than
+  * the heap max (with ≥ k rows held) has ≥ k strict betters → drop; a
+  * boundary tie keeps the strict-better count unchanged → keep; a
+  * strictly better row is inserted and then whole worst-tie-groups
+  * are pruned while ≥ k rows beat them. Memory is k plus the boundary
+  * tie group — the size of the operator's own output, the inherent
+  * floor for rank semantics. */
 private[plans] object TopKKernel {
   def topk(
       it: Iterator[InternalRow],
       keyProj: UnsafeProjection,
       ord: Ordering[InternalRow],
-      k: Int): mutable.LinkedHashMap[UnsafeRow, mutable.PriorityQueue[InternalRow]] = {
+      k: Int,
+      ties: Boolean): mutable.LinkedHashMap[UnsafeRow, mutable.PriorityQueue[InternalRow]] = {
     // PriorityQueue dequeues the MAX of `ord` = the worst-ranked kept
     // row, so a better incoming row evicts it in O(log k).
     val heaps = mutable.LinkedHashMap.empty[UnsafeRow, mutable.PriorityQueue[InternalRow]]
@@ -146,10 +175,34 @@ private[plans] object TopKKernel {
           heaps.put(key.copy(), pq)
         case Some(pq) =>
           if (pq.size < k) pq.enqueue(row.copy())
-          else if (ord.compare(row, pq.head) < 0) { pq.dequeue(); pq.enqueue(row.copy()) }
+          else {
+            val cmp = ord.compare(row, pq.head)
+            if (cmp < 0) {
+              if (ties) { pq.enqueue(row.copy()); pruneRank(pq, ord, k) }
+              else { pq.dequeue(); pq.enqueue(row.copy()) }
+            } else if (cmp == 0 && ties) pq.enqueue(row.copy())
+          }
       }
     }
     heaps
+  }
+
+  /** Drop whole worst-tie-groups while at least k kept rows are
+    * strictly better than them. */
+  private def pruneRank(
+      pq: mutable.PriorityQueue[InternalRow],
+      ord: Ordering[InternalRow],
+      k: Int): Unit = {
+    var done = false
+    while (!done && pq.size > k) {
+      val top = pq.dequeue()
+      val group = mutable.ArrayBuffer(top)
+      while (pq.nonEmpty && ord.compare(pq.head, top) == 0) group += pq.dequeue()
+      if (pq.size < k) { // the tie group still qualifies — restore it
+        group.foreach(pq.enqueue(_))
+        done = true
+      } // else: ≥ k strict betters → rank > k → stay dropped, re-check new max
+    }
   }
 }
 
@@ -161,18 +214,20 @@ case class TopKPartialExec(
     groupExprs: Seq[Expression],
     order: Seq[SortOrder],
     k: Int,
-    child: SparkPlan) extends UnaryExecNode {
+    child: SparkPlan,
+    rankLike: Boolean = false) extends UnaryExecNode {
   override def output: Seq[Attribute] = child.output
   override protected def doExecute(): RDD[InternalRow] = {
     val out = child.output
     val group = groupExprs
     val ord = order
     val kk = k
+    val ties = rankLike
     child.execute().mapPartitions ({ it =>
       val keyProj = UnsafeProjection.create(group, out)
       val rowOrd = RowOrdering.create(ord, out)
       val toUnsafe = UnsafeProjection.create(out, out)
-      TopKKernel.topk(it, keyProj, rowOrd, kk).iterator
+      TopKKernel.topk(it, keyProj, rowOrd, kk, ties).iterator
         .flatMap(_._2.iterator)
         .map(toUnsafe)
     }, preservesPartitioning = true)
@@ -183,14 +238,17 @@ case class TopKPartialExec(
 
 /** Reduce-side phase: groups are co-located (clustered distribution →
   * EnsureRequirements inserts the single shuffle), merge the partial
-  * top-ks, emit each group's k rows in rank order with the 1-based
-  * rank column. */
+  * top-ks, emit each group's kept rows in rank order with the 1-based
+  * rank column — consecutive for row_number, SQL gap semantics
+  * (tied rows share a rank, the next distinct value skips) when
+  * `rankLike`. */
 case class TopKFinalExec(
     groupExprs: Seq[Expression],
     order: Seq[SortOrder],
     k: Int,
     rankAttr: Attribute,
-    child: SparkPlan) extends UnaryExecNode {
+    child: SparkPlan,
+    rankLike: Boolean = false) extends UnaryExecNode {
   override def output: Seq[Attribute] = child.output :+ rankAttr
   override def requiredChildDistribution: Seq[Distribution] =
     if (groupExprs.isEmpty) AllTuples :: Nil
@@ -201,20 +259,29 @@ case class TopKFinalExec(
     val group = groupExprs
     val ord = order
     val kk = k
+    val ties = rankLike
     child.execute().mapPartitions ({ it =>
       val keyProj = UnsafeProjection.create(group, childOut)
       val rowOrd = RowOrdering.create(ord, childOut)
       val toUnsafe = UnsafeProjection.create(out, out)
       val rankRow = new SpecificInternalRow(Seq(IntegerType))
       val joined = new JoinedRow
-      TopKKernel.topk(it, keyProj, rowOrd, kk).iterator.flatMap { case (_, pq) =>
+      TopKKernel.topk(it, keyProj, rowOrd, kk, ties).iterator.flatMap { case (_, pq) =>
         // dequeue yields worst-first; fill the array back-to-front so
         // index order is rank order
         val rows = new Array[InternalRow](pq.size)
         var i = pq.size - 1
         while (i >= 0) { rows(i) = pq.dequeue(); i -= 1 }
+        val ranks = new Array[Int](rows.length)
+        var j = 0
+        while (j < rows.length) {
+          ranks(j) =
+            if (ties && j > 0 && rowOrd.compare(rows(j), rows(j - 1)) == 0) ranks(j - 1)
+            else j + 1
+          j += 1
+        }
         rows.iterator.zipWithIndex.map { case (row, idx) =>
-          rankRow.setInt(0, idx + 1)
+          rankRow.setInt(0, ranks(idx))
           toUnsafe(joined(row, rankRow))
         }
       }

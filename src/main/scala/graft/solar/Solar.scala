@@ -276,9 +276,13 @@ object Solar {
   }
 
   // ---------------------------------------------------------------------
-  // s12: top-k inverters by energy with rank(). The rank window is a
-  // single partition, but it runs over the already-aggregated
-  // per-inverter totals (cardinality = #inverters), not the raw feed.
+  // s12: top-k inverters by energy with rank(). TopKRewrite replaces
+  // the global rank window with the tie-aware heap operator: the
+  // map-side partial shrinks every partition to ≤ k rows (+ boundary
+  // ties) before the AllTuples exchange, so no single-partition
+  // WindowExec sort remains — the final phase ranks a ≤ k·partitions
+  // row set. (Pre-aggregation already bounds the input to #inverters;
+  // the rewrite removes the one-partition sort on top of it.)
   // ---------------------------------------------------------------------
   def s12TopInverters(s: SparkSession, d: String): DataFrame = {
     import s.implicits._

@@ -114,6 +114,39 @@ class PlanAuditSpec extends AnyFunSuite {
       s"grown dir must re-probe, not reuse the memo: first=$first second=$second")
   }
 
+  test("d6: AQE stage reuse computes each corpus-side kernel ONCE in the final plan") {
+    // PLANS.md asserts the two candidate→sh joins share one evaluation
+    // of the corpus shingle-hash set (and d3's banded self-join one
+    // evaluation of the MinHash signatures) via AQE stage reuse. Pin
+    // it: execute, then count kernel subtrees in the FINAL adaptive
+    // plan — a future change that breaks exchange canonicalization
+    // would silently double the corpus-side hash work.
+    val df = SparkEntry.queries("d6_ngram_jaccard")(spark, SfDir)
+    df.collect() // drive AQE to its final plan
+    val full = df.queryExecution.executedPlan.toString
+    assert(full.contains("isFinalPlan=true"), "expected an executed adaptive plan")
+    val fin = full.indexOf("== Initial Plan ==") match {
+      case -1 => full
+      case i  => full.substring(0, i)
+    }
+    val shingleKernels = "conv\\(substring\\(md5\\(".r.findAllIn(fin).size
+    assert(shingleKernels == 1,
+      s"corpus shingle-hash set must be computed once, found $shingleKernels evaluations:\n$fin")
+    val minhashKernels = "minhash_sig\\(".r.findAllIn(fin).size
+    assert(minhashKernels == 1,
+      s"MinHash signature must be computed once across the banded self-join, found $minhashKernels:\n$fin")
+    assert(fin.contains("ReusedExchange"),
+      "expected at least one ReusedExchange carrying the shared corpus stage")
+  }
+
+  test("s12: the global rank() window plans as the tie-aware heap operator, no WindowExec") {
+    val p = plan("s12_top_inverters")
+    assert(p.contains("TopKFinal") && p.contains("TopKPartial"),
+      s"expected the grouped top-k operator on the global rank window:\n$p")
+    assert(!p.contains("WindowExec") && !p.contains("Window ("),
+      s"no single-partition window sort may remain:\n$p")
+  }
+
   test("q5: broadcast HINTS only on fixed-cardinality dims (region, nation)") {
     // At tiny SFs the planner may broadcast everything from file-size
     // estimates — that's AQE's runtime call, not ours. What must hold

@@ -226,15 +226,43 @@ class PlansSpec extends AnyFunSuite {
     }
   }
 
-  test("TopKRewrite leaves rank()-based and non-literal-bound windows untouched") {
+  test("TopKRewrite handles rank(): tie-aware heap matches the window plan, gaps included") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(7) // fixed seed: deterministic spec
+    for (trial <- 1 to 4) {
+      val nGroups = 1 + rnd.nextInt(5)
+      val n = 50 + rnd.nextInt(400)
+      val k = 1 + rnd.nextInt(6)
+      // few distinct values and NO unique tiebreak in the order → rank
+      // gaps and boundary tie groups larger than k are both exercised
+      val rows = (0 until n).map(i => (rnd.nextInt(nGroups), rnd.nextInt(5), i.toLong))
+      val df = rows.toDF("g", "v", "id")
+      val w = Window.partitionBy($"g").orderBy($"v".desc)
+      def ranked = df.withColumn("rnk", rank().over(w)).filter($"rnk" <= k)
+        .select($"g", $"rnk", $"v", $"id")
+      assert(ranked.queryExecution.executedPlan.toString.contains("TopKFinal"),
+        s"trial $trial: rank() window must rewrite to the heap operator")
+      val withOp = ranked.collect().map(_.toSeq).toSet
+      s.conf.set(graft.plans.TopKRewrite.ConfKey, "false")
+      val reference = try ranked.collect().map(_.toSeq).toSet
+      finally s.conf.set(graft.plans.TopKRewrite.ConfKey, "true")
+      assert(withOp == reference,
+        s"trial $trial (groups=$nGroups n=$n k=$k) diverged from the window plan")
+    }
+  }
+
+  test("TopKRewrite leaves dense_rank untouched (kept set per group is unbounded)") {
     val s = spark
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy($"event_type").orderBy($"value".desc)
-    val rankPlan = Tables.events(s, SfDir)
-      .withColumn("r", rank().over(w)).filter($"r" <= 3)
+    val p = Tables.events(s, SfDir)
+      .withColumn("r", dense_rank().over(w)).filter($"r" <= 3)
       .queryExecution.executedPlan.toString
-    assert(!rankPlan.contains("TopKFinal"), "rank() ties may exceed k — must not rewrite")
+    assert(!p.contains("TopKFinal"),
+      "dense_rank admits arbitrarily many rows per rank — must not rewrite")
   }
 
   test("star contraction: a chain graph converges in O(log n) rounds with exact min labels") {

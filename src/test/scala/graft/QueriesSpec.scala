@@ -249,4 +249,59 @@ class QueriesSpec extends AnyFunSuite {
       assert(refinedObj != seedObj, "refinement was a no-op")
     } finally s.conf.unset("spark.graft.ivf.refine")
   }
+
+  test("v3 IVF: multi-iteration Lloyd (ivf.refine.iters 1..3) is monotone; sampled training converges") {
+    // Lloyd's per-iteration guarantee: argmax-cosine assignment and the
+    // mean-direction M-step each improve the quantizer objective, so
+    // the trajectory over iterations must be non-decreasing (measured
+    // at sample fraction 1.0, where the training set IS the corpus —
+    // under sampling the guarantee holds on the sample only, so the
+    // sampled path is asserted for shape/convergence, not monotonicity).
+    val s = spark
+    import s.implicits._
+    val e = Tables.embeddings(s, SfDir)
+      .select($"vec_id", $"embedding").as[(Long, Seq[Float])].collect()
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i)
+        i += 1
+      }
+      if (na == 0 || nb == 0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def objective(cs: Seq[(Int, Seq[Float])]): Double = {
+      val per = e.map { case (_, emb) => cs.map { case (_, ce) => cos(emb, ce) }.max }
+      per.sum / per.length
+    }
+    def centroidsAt(iters: Int): Seq[(Int, Seq[Float])] = {
+      if (iters > 0) s.conf.set("spark.graft.ivf.refine.iters", iters.toString)
+      try sim.Sim.centroidsForTest(s, SfDir)
+      finally s.conf.unset("spark.graft.ivf.refine.iters")
+    }
+    val objs = (0 to 3).map(it => objective(centroidsAt(it)))
+    info(s"objective trajectory (iters 0..3): ${objs.map(o => f"$o%.6f").mkString(" -> ")}")
+    (1 to 3).foreach { i =>
+      assert(objs(i) >= objs(i - 1) - 1e-6,
+        s"iteration $i decreased the objective: ${objs.mkString(", ")}")
+    }
+    assert(objs(1) != objs(0), "first refinement was a no-op")
+    // production shape: train on a 50% sample for 2 iterations — the
+    // centroid id set is preserved (one per label), centroids move,
+    // and the graded v3 query still runs green on the refined quantizer
+    val seedCs = centroidsAt(0)
+    s.conf.set("spark.graft.ivf.refine.iters", "2")
+    s.conf.set("spark.graft.ivf.refine.sample", "0.5")
+    try {
+      val sampled = sim.Sim.centroidsForTest(s, SfDir)
+      assert(sampled.map(_._1).sorted == seedCs.map(_._1).sorted,
+        "sampled training must keep one centroid per label")
+      assert(sampled.toSet != seedCs.toSet, "sampled training must move the centroids")
+      assert(SparkEntry.queries("v3_ivf_ann")(s, SfDir).collect().nonEmpty,
+        "v3 must stay runnable on the sampled-trained quantizer")
+    } finally {
+      s.conf.unset("spark.graft.ivf.refine.iters")
+      s.conf.unset("spark.graft.ivf.refine.sample")
+    }
+  }
 }
