@@ -255,8 +255,77 @@ object Text {
       .orderBy($"doc_id")
   }
 
+  // ---------------------------------------------------------------------
+  // t9: within-document REPETITION filter — the Gopher-style quality
+  // rule (Rae et al. 2021 §A1.1: fraction of duplicated word n-grams)
+  // that removes boilerplate/spam before pre-training. Word bigrams
+  // are built map-side (zip of the token array with its tail — same
+  // kernel as t6, per-doc instead of corpus-wide); the duplicate
+  // fraction is 1 − distinct/total. Pure scan-rate array expressions,
+  // zero shuffles before the output sort.
+  // ---------------------------------------------------------------------
+  /** Max duplicate-bigram fraction a kept document may have (splits
+    * this corpus ~4:1 keep:drop; Gopher's production rule uses a
+    * family of n-gram sizes with per-size thresholds). */
+  val RepetitionMax = 0.05
+
+  def t9Repetition(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select($"doc_id", toks(lower($"text")).as("t"))
+      // a 0/1-token doc has no bigrams (and slice() would throw)
+      .filter(size($"t") >= 2)
+      .select($"doc_id", size($"t").as("n_tokens"),
+        zip_with(
+          slice($"t", lit(1), size($"t") - 1),
+          slice($"t", lit(2), size($"t") - 1),
+          (a, b) => concat_ws(" ", a, b)).as("bg"))
+      .select($"doc_id", $"n_tokens",
+        size($"bg").as("n_bigrams"),
+        size(array_distinct($"bg")).as("n_distinct"))
+      .withColumn("dup_ratio",
+        lit(1.0) - $"n_distinct".cast("double") / $"n_bigrams")
+      .withColumn("keep", $"dup_ratio" <= RepetitionMax)
+      .orderBy($"doc_id")
+  }
+
+  // ---------------------------------------------------------------------
+  // t10: SEQUENCE PACKING — the concat-stream chunking every
+  // pre-training data loader runs: documents are concatenated in a
+  // deterministic order and split into fixed-length context windows;
+  // each doc gets the sequence id and offset where its tokens land.
+  // Packing is per (source, shard) with shard = doc_id div 1000:
+  // production packers work shard-local (a global concat order would
+  // serialize the corpus), and the bounded shard size (≤1000 docs)
+  // caps every window partition at any corpus scale — the window
+  // shuffle is on (source, shard), perfectly parallel and skew-free
+  // at 100 TB by construction, and each partition's running token
+  // sum is a ≤1000-row in-memory scan. Only (ids, counts) shuffle;
+  // text never leaves the map side.
+  // ---------------------------------------------------------------------
+  val PackLen = 512L
+  val ShardDocs = 1000L
+
+  def t10SeqPack(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"source", $"shard").orderBy($"doc_id")
+    Tables.documents(s, d)
+      .select($"doc_id", $"source",
+        expr(s"doc_id div $ShardDocs").as("shard"),
+        size(toks($"text")).as("n_tokens"))
+      .withColumn("tok_start",
+        sum($"n_tokens").over(w).cast("long") - $"n_tokens")
+      .select($"doc_id", $"source", $"shard", $"n_tokens", $"tok_start",
+        expr(s"tok_start div $PackLen").as("seq_id"),
+        pmod($"tok_start", lit(PackLen)).as("seq_offset"))
+      .orderBy($"source", $"shard", $"doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "t8_contamination" -> (t8Contamination _),
+    "t9_repetition" -> (t9Repetition _),
+    "t10_seq_pack" -> (t10SeqPack _),
     "t1_tokens" -> (t1Tokens _),
     "t2_langid" -> (t2Langid _),
     "t3_quality" -> (t3Quality _),
@@ -316,6 +385,34 @@ object Text {
 
   val oracles: Map[String, String] = Map(
     "t5_winnow" -> t5Oracle,
+    "t9_repetition" ->
+      s"""WITH tk AS (
+           SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS t
+           FROM documents),
+         bg AS (
+           SELECT doc_id, CAST(len(t) AS INT) AS n_tokens,
+                  list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]) AS bg
+           FROM tk WHERE len(t) >= 2)
+         SELECT doc_id, n_tokens,
+                CAST(len(bg) AS INT) AS n_bigrams,
+                CAST(len(list_distinct(bg)) AS INT) AS n_distinct,
+                CAST(1 AS DOUBLE) - CAST(len(list_distinct(bg)) AS DOUBLE) / len(bg) AS dup_ratio,
+                (CAST(1 AS DOUBLE) - CAST(len(list_distinct(bg)) AS DOUBLE) / len(bg)) <= $RepetitionMax AS keep
+         FROM bg ORDER BY doc_id""",
+    "t10_seq_pack" ->
+      s"""WITH tk AS (
+           SELECT doc_id, source, doc_id // $ShardDocs AS shard,
+                  CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS INT) AS n_tokens
+           FROM documents),
+         c AS (
+           SELECT doc_id, source, shard, n_tokens,
+                  CAST(sum(n_tokens) OVER (PARTITION BY source, shard ORDER BY doc_id
+                       ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS tok_start
+           FROM tk)
+         SELECT doc_id, source, shard, n_tokens, tok_start,
+                CAST(tok_start // $PackLen AS BIGINT) AS seq_id,
+                CAST(tok_start % $PackLen AS BIGINT) AS seq_offset
+         FROM c ORDER BY source, shard, doc_id""",
     "t1_tokens" ->
       """WITH tk AS (
            SELECT doc_id, text, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t

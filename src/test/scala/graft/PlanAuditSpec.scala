@@ -147,6 +147,25 @@ class PlanAuditSpec extends AnyFunSuite {
       s"no single-partition window sort may remain:\n$p")
   }
 
+  test("red-flag sweep: no query plans a global (single-partition) window") {
+    // A WindowExec with an empty partition spec funnels its whole
+    // input through ONE task — the classic silent scale-killer. s12
+    // was the last one (closed by the r9 rank-mode TopKRewrite); this
+    // sweep keeps the property across every graded query. AQE off so
+    // collectWithSubqueries can see through the whole tree.
+    val s = spark
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+        val globals = fn(s, SfDir).queryExecution.executedPlan.collectWithSubqueries {
+          case w: org.apache.spark.sql.execution.window.WindowExec
+              if w.partitionSpec.isEmpty => w
+        }
+        assert(globals.isEmpty, s"$name plans a global single-partition window")
+      }
+    } finally s.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("q5: broadcast HINTS only on fixed-cardinality dims (region, nation)") {
     // At tiny SFs the planner may broadcast everything from file-size
     // estimates — that's AQE's runtime call, not ours. What must hold
