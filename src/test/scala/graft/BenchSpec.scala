@@ -1,0 +1,18 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The bench harness is graded code (BENCH_r{N}.json comes from it) —
+  * exercise its methodology end-to-end so a broken sentinel or sampler
+  * fails CI, not the round artifact. */
+class BenchSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("BenchCore: baseline is positive; measure returns a finite positive minimum") {
+    val base = BenchCore.baseline(spark)
+    assert(base > 0 && base < 30, s"calibration baseline out of range: $base s")
+    val t = BenchCore.measure(spark, SfDir, (s, d) => Tables.region(s, d),
+      want = 1, maxAttempts = 2)
+    assert(t > 0 && t < 60, s"measured time out of range: $t s")
+  }
+}
