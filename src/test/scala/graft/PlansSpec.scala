@@ -253,6 +253,24 @@ class PlansSpec extends AnyFunSuite {
     }
   }
 
+  test("TopKRewrite rank() edge: an all-tied group keeps every row at rank 1 even with k=1") {
+    // SQL rank gives every tied row rank 1, so rank() <= 1 over an
+    // all-equal column keeps the WHOLE group — the maximal-tie path
+    // where the heap's kept set legitimately exceeds k on both the
+    // partial and final phases.
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val df = (0 until 20).map(i => (i % 2, 7, i.toLong)).toDF("g", "v", "id")
+      .repartition(4) // ties must survive the cross-partition merge
+    val w = Window.partitionBy($"g").orderBy($"v".desc)
+    val ranked = df.withColumn("rnk", rank().over(w)).filter($"rnk" <= 1)
+    assert(ranked.queryExecution.executedPlan.toString.contains("TopKFinal"))
+    val got = ranked.select($"g", $"rnk", $"id").collect()
+    assert(got.length == 20, s"all tied rows must survive, got ${got.length}")
+    assert(got.forall(_.getInt(1) == 1), "every tied row carries rank 1")
+  }
+
   test("TopKRewrite leaves dense_rank untouched (kept set per group is unbounded)") {
     val s = spark
     import s.implicits._
