@@ -1,23 +1,88 @@
 package graft
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Dev tool: empirical scaling probe for the document-family queries
-  * (PLANS.md "Measured scaling probe"). Builds an 8× content-distinct
-  * documents corpus in /tmp — 8 copies of the base corpus, each with
-  * its vowels rotated by the copy index so copies don't trivially
-  * collide in LSH buckets (each copy preserves its internal near-dup
-  * structure; cross-copy texts differ) — then times the named queries
-  * on both corpora with the [[BenchCore]] methodology and prints the
-  * ratio. Linear-at-8× is the evidence the 100 TB claims rest on;
-  * anything super-linear is a red flag to chase in the plan.
+/** Dev tool: empirical scaling probe (PLANS.md "Measured scaling
+  * probe"). Builds an 8× corpus in /tmp and times named queries on
+  * both corpora with the [[BenchCore]] methodology, printing ratios —
+  * linear-at-8× is the evidence the 100 TB claims rest on; anything
+  * super-linear is a red flag to chase in the plan.
   *
-  * `runMain graft.ScaleProbe [name...]` (defaults to d6/d7/d9 — the
-  * r9 additions; d3/t8/t1/d2/d1 were measured in r7).
+  * Copies are content-decorrelated so the blow-up is real, not
+  * degenerate self-similarity:
+  * - documents: per-copy vowel rotation (copies don't trivially
+  *   collide in LSH buckets; the 5-cycle still makes copies 0/5, 1/6,
+  *   2/7 exact cross-copy dups — noted with the d6 measurement);
+  * - embeddings: per-copy dimension rotation (norm-preserving, breaks
+  *   cross-copy cosine alignment), vec_id offset keeps the bounded
+  *   query sides (vec_id < 5/20) pinned to copy 0;
+  * - events + orders: aligned id offsets (user_id ↔ o_custkey move
+  *   together) so per-user join semantics hold within each copy and
+  *   copies never join across.
+  *
+  * `runMain graft.ScaleProbe [name...]` (defaults to d6/d7/d9).
   */
 object ScaleProbe {
   val Copies = 8
   val ProbeDir = "/tmp/graft_scaleprobe8x"
+
+  private def haveTable(t: String): Boolean =
+    new java.io.File(s"$ProbeDir/$t.parquet").exists()
+
+  private def writeCopies(name: String, copies: Seq[DataFrame]): Unit = {
+    copies.reduce(_ unionAll _)
+      .repartition(Copies)
+      .write.mode("overwrite").parquet(s"$ProbeDir/$name.parquet")
+    println(s"[probe] built ${Copies}x $name at $ProbeDir")
+  }
+
+  private def build(spark: SparkSession, base: String): Unit = {
+    import spark.implicits._
+    val ks = 0 until Copies
+    if (!haveTable("documents")) {
+      val docs = Tables.documents(spark, base)
+      val vows = "aeiou"
+      writeCopies("documents", ks.map { k =>
+        val rot = vows.drop(k % 5) + vows.take(k % 5)
+        docs.select(
+          ($"doc_id" + lit(k * 10000000L)).as("doc_id"),
+          translate($"text", vows, rot).as("text"),
+          $"lang", $"source", $"n_chars")
+      })
+    }
+    if (!haveTable("embeddings")) {
+      val emb = Tables.embeddings(spark, base)
+      writeCopies("embeddings", ks.map { k =>
+        val rotated =
+          if (k == 0) $"embedding"
+          else concat(
+            slice($"embedding", k + 1, sim.Sim.Dims - k),
+            slice($"embedding", 1, k))
+        emb.select(
+          ($"vec_id" + lit(k * 10000000L)).as("vec_id"),
+          $"label", rotated.as("embedding"))
+      })
+    }
+    if (!haveTable("events")) {
+      val ev = Tables.events(spark, base)
+      val rest = ev.columns.filterNot(c => c == "event_id" || c == "user_id").map(col)
+      writeCopies("events", ks.map { k =>
+        ev.select(Seq(
+          ($"event_id" + lit(k * 100000000L)).as("event_id"),
+          ($"user_id" + lit(k * 10000000L)).as("user_id")) ++ rest: _*)
+      })
+    }
+    if (!haveTable("orders")) {
+      val od = Tables.orders(spark, base)
+      val rest = od.columns.filterNot(c => c == "o_orderkey" || c == "o_custkey").map(col)
+      writeCopies("orders", ks.map { k =>
+        od.select(Seq(
+          ($"o_orderkey" + lit(k * 100000000L)).as("o_orderkey"),
+          ($"o_custkey" + lit(k * 10000000L)).as("o_custkey")) ++ rest: _*)
+      })
+    }
+  }
 
   def main(args: Array[String]): Unit = {
     val names =
@@ -25,25 +90,7 @@ object ScaleProbe {
       else Seq("d6_ngram_jaccard", "d7_dup_clusters", "d9_keep_list")
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Tables.session(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
-    import spark.implicits._
-
-    if (!new java.io.File(s"$ProbeDir/documents.parquet").exists()) {
-      val docs = Tables.documents(spark, base)
-      val vows = "aeiou"
-      (0 until Copies)
-        .map { k =>
-          val rot = vows.drop(k % 5) + vows.take(k % 5)
-          docs.select(
-            ($"doc_id" + lit(k * 10000000L)).as("doc_id"),
-            translate($"text", vows, rot).as("text"),
-            $"lang", $"source", $"n_chars")
-        }
-        .reduce(_ unionAll _)
-        .repartition(Copies)
-        .write.mode("overwrite").parquet(s"$ProbeDir/documents.parquet")
-      println(s"[probe] built ${Copies}x corpus at $ProbeDir")
-    }
-
+    build(spark, base)
     for (name <- names) {
       val fn = SparkEntry.queries(name)
       val tBase = BenchCore.measure(spark, base, fn)
