@@ -82,8 +82,11 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val spark = Tables.session(cpus)
 
+    // clean-sample count per query (wall-time lever: 2 ≈ the old
+    // best-of-2 wall cost, still sentinel-gated; default 3)
+    val samples = sys.env.getOrElse("SPARK_GRAFT_BENCH_SAMPLES", "3").toInt
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t = try BenchCore.measure(spark, sfDir, fn)
+      val t = try BenchCore.measure(spark, sfDir, fn, want = samples, maxAttempts = samples + 2)
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
         -1.0
