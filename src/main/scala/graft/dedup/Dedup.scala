@@ -311,8 +311,15 @@ object Dedup {
     * counts cross to the driver.
     *
     * Returns (labels: doc → component-min, rounds taken).
+    *
+    * `canonicalDistinct = true` declares the input pairs already
+    * distinct with doc_a < doc_b (true for the LSH candidate feed,
+    * whose banded self-join enforces the ascending orientation and
+    * whose groupBy dedups) — skipping the defensive orient+distinct
+    * exchange in front of the first checkpoint.
     */
-  private[graft] def starContract(s: SparkSession, pairs: DataFrame): (DataFrame, Int) = {
+  private[graft] def starContract(s: SparkSession, pairs: DataFrame,
+                                  canonicalDistinct: Boolean = false): (DataFrame, Int) = {
     import s.implicits._
 
     // One contraction round. Invariant in and out: edges point larger →
@@ -351,10 +358,12 @@ object Dedup {
         .filter($"s" > 1 || ($"s" === 1 && $"t" === 1))
         .count()
 
-    var edges = pairs
-      .select(greatest($"doc_a", $"doc_b").as("u"), least($"doc_a", $"doc_b").as("v"))
-      .distinct()
-      .localCheckpoint()
+    val oriented =
+      if (canonicalDistinct) pairs.select($"doc_b".as("u"), $"doc_a".as("v"))
+      else pairs
+        .select(greatest($"doc_a", $"doc_b").as("u"), least($"doc_a", $"doc_b").as("v"))
+        .distinct()
+    var edges = oriented.localCheckpoint()
     var rounds = 0
     var violations = Long.MaxValue
     // ONE round per materialization: a round references its input
@@ -398,7 +407,9 @@ object Dedup {
     val pairs = lshCandidates(s, d)
       .filter($"n_bands" >= MinBands)
       .select($"doc_a", $"doc_b")
-    val (labels, _) = starContract(s, pairs)
+    // the banded self-join enforces doc_a < doc_b and the n_bands
+    // groupBy dedups → skip the defensive orient+distinct exchange
+    val (labels, _) = starContract(s, pairs, canonicalDistinct = true)
     labels.groupBy($"lbl".as("cluster"))
       .agg(count(lit(1)).as("cluster_size"), max($"doc").as("max_doc"))
       .orderBy($"cluster")

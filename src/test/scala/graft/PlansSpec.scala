@@ -299,6 +299,20 @@ class PlansSpec extends AnyFunSuite {
     assert(out.values.forall(_ == 1L), "every node's component label must be the chain minimum")
   }
 
+  test("star contraction: canonicalDistinct fast path labels identically to the defensive path") {
+    val s = spark
+    import s.implicits._
+    // canonical feed: doc_a < doc_b, distinct — what lshCandidates emits
+    val pairs = Seq((3L, 20L), (7L, 20L), (12L, 20L), (5L, 9L), (9L, 40L), (5L, 40L))
+      .toDF("doc_a", "doc_b")
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val defensive = toMap(graft.dedup.Dedup.starContract(s, pairs)._1)
+    val fast = toMap(graft.dedup.Dedup.starContract(s, pairs, canonicalDistinct = true)._1)
+    assert(fast == defensive, "fast path must produce the same component labels")
+    assert(fast == Map(3L -> 3L, 7L -> 3L, 12L -> 3L, 20L -> 3L, 5L -> 5L, 9L -> 5L, 40L -> 5L))
+  }
+
   test("star contraction: two components with shuffled ids resolve to their own minima") {
     val s = spark
     import s.implicits._
