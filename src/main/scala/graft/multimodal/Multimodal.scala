@@ -140,10 +140,58 @@ object Multimodal {
       .orderBy($"doc_id")
   }
 
+  /** One frame-to-frame transition (m4). */
+  case class Shot(doc_id: Long, frame_idx: Int, cos_prev: Double, is_boundary: Boolean)
+
+  /** Cosine below this between consecutive frames marks a cut. */
+  val ShotThreshold = 0.85
+
+  // ---------------------------------------------------------------------
+  // m4: SHOT-BOUNDARY detection — the scene-segmentation pass a video
+  // training pipeline runs before captioning/sampling: consecutive
+  // frames are featurized and a similarity drop marks a cut. The frame
+  // sequence of one container lives inside one blob, so the whole
+  // computation stays INSIDE the imperative decode batch (a video
+  // decoder is sequential within its container) — per-transition
+  // cosine over the per-frame byte vectors, zero shuffles before the
+  // output sort; at scale this is scan-rate over blobs exactly like
+  // m1–m3. Featurization is the same stub seam (4-byte windows of the
+  // fake blob standing in for a vision encoder); the cosine and the
+  // threshold gate are the real arithmetic, and the oracle rebuilds
+  // them byte-for-byte from the md5 hex.
+  // ---------------------------------------------------------------------
+  def m4ShotBoundaries(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select($"doc_id", unhex(md5($"text")).as("blob"))
+      .as[Blob]
+      .mapPartitions { it =>
+        it.flatMap { b =>
+          val nFrames = b.blob.length / FrameBytes
+          (1 until nFrames).iterator.map { fi =>
+            var dot = 0.0; var na = 0.0; var nb = 0.0
+            var j = 0
+            while (j < FrameBytes) {
+              val x = (b.blob((fi - 1) * FrameBytes + j) & 0xff).toDouble
+              val y = (b.blob(fi * FrameBytes + j) & 0xff).toDouble
+              dot += x * y; na += x * x; nb += y * y
+              j += 1
+            }
+            val cos = if (na == 0 || nb == 0) 0.0
+            else dot / (math.sqrt(na) * math.sqrt(nb))
+            Shot(b.doc_id, fi, cos, cos < ShotThreshold)
+          }
+        }
+      }
+      .toDF()
+      .orderBy($"doc_id", $"frame_idx")
+  }
+
   val queries: Map[String, Q] = Map(
     "m1_blob_meta" -> (m1BlobMeta _),
     "m2_frame_sample" -> (m2FrameSample _),
     "m3_resize" -> (m3Resize _),
+    "m4_shot_boundaries" -> (m4ShotBoundaries _),
   )
 
   // The oracle rebuilds each blob byte from the md5 hex pair
@@ -184,6 +232,29 @@ object Multimodal {
           SELECT doc_id, src_w, src_h, dst_w, dst_h,
                  CAST(dst_w * dst_h * c AS INT) AS thumb_bytes, checksum
           FROM g ORDER BY doc_id"""
+    },
+    // Consecutive-frame cosine over the 4-byte frame vectors, rebuilt
+    // from the md5 hex like m1; the int sums are exact in double and
+    // the final sqrt/divide are single shared IEEE ops.
+    "m4_shot_boundaries" -> {
+      def transition(fi: Int): String = {
+        val a = (0 until FrameBytes).map(j => byteAt((fi - 1) * FrameBytes + j))
+        val b = (0 until FrameBytes).map(j => byteAt(fi * FrameBytes + j))
+        val dot = a.zip(b).map { case (x, y) => s"$x * $y" }.mkString(" + ")
+        val na = a.map(x => s"$x * $x").mkString(" + ")
+        val nb = b.map(y => s"$y * $y").mkString(" + ")
+        s"""SELECT doc_id, CAST($fi AS INT) AS frame_idx,
+                   CASE WHEN ($na) = 0 OR ($nb) = 0 THEN CAST(0 AS DOUBLE)
+                        ELSE CAST($dot AS DOUBLE) /
+                             (sqrt(CAST($na AS DOUBLE)) * sqrt(CAST($nb AS DOUBLE)))
+                   END AS cos_prev
+            FROM b"""
+      }
+      val transitions = (1 until 16 / FrameBytes).map(transition).mkString(" UNION ALL ")
+      s"""WITH b AS (SELECT doc_id, md5(text) AS h FROM documents),
+          t AS ($transitions)
+          SELECT doc_id, frame_idx, cos_prev, cos_prev < $ShotThreshold AS is_boundary
+          FROM t ORDER BY doc_id, frame_idx"""
     },
     // Sampled frames (idx 0 and 2 of 4): per-frame byte-window means,
     // rebuilt from the md5 hex exactly like m1.
