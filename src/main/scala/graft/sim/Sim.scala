@@ -2,7 +2,7 @@ package graft.sim
 
 import graft.Tables
 import graft.functions.GraftFunctions.cosineSim
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -253,6 +253,92 @@ object Sim {
       .orderBy($"vec_id")
   }
 
+  // ---------------------------------------------------------------------
+  // v6: PRODUCT QUANTIZATION + asymmetric distance (PQ/ADC, Jégou et
+  // al., "Product Quantization for Nearest Neighbor Search", TPAMI'11)
+  // — the compression side of the industry billion-scale ANN pair
+  // (IVF partitions the corpus, PQ compresses the residuals/vectors):
+  // each vector is encoded as M=8 sub-space codeword ids (8 bytes for
+  // a 64-dim float vector, 32× smaller), and query↔vector distance is
+  // approximated by summing per-subspace query→codeword lookup
+  // tables — no original vectors touched at query time.
+  //
+  // Scale shape: the codebook is bounded (one codeword per (subspace,
+  // label) — the same deterministic label-seed selection as v3's
+  // quantizer, so the whole pipeline stays bit-reproducible in the
+  // oracle; production trains per-subspace k-means on a sample).
+  // Encoding is one broadcast join + a map-side-combinable argmin per
+  // (vector, subspace): the shuffle after the partial min_by carries
+  // n×M (id, code) rows, never vectors, and the encoded corpus is
+  // n×8 bytes. ADC scoring is pure map-side: per-query lookup tables
+  // (Q×M×K doubles, tiny) broadcast against the encoded corpus, the
+  // distance is a fixed-m-order fold (deterministic IEEE sum, matched
+  // exactly by the oracle's ordered list_sum), and the per-query
+  // top-k plans as the TopKPerGroup heap operator.
+  // ---------------------------------------------------------------------
+  val PqM = 16     // subspaces
+  val PqDsub = 4   // dims per subspace (PqM × PqDsub = Dims)
+  val PqTopK = 5
+  val PqQueries = 5
+
+  /** Squared L2 between subspace `m` of two 64-dim float arrays —
+    * element order j=1..PqDsub, each op single IEEE double. */
+  private def subL2(a: Column, b: Column, m: Column): Column =
+    aggregate(
+      zip_with(
+        slice(a, m * PqDsub + 1, lit(PqDsub)),
+        slice(b, m * PqDsub + 1, lit(PqDsub)),
+        (x, y) => (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
+      lit(0.0), (acc, v) => acc + v)
+
+  def v6PqAdc(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, d)
+    // bounded codebook: (m, c_id, c_emb) — one row per subspace × label seed
+    val cb = e.groupBy($"label")
+      .agg(min_by($"embedding", $"vec_id").as("c_emb"))
+      .select($"label".as("c_id"), $"c_emb",
+        explode(array((0 until PqM).map(lit): _*)).as("m"))
+    // encode: per (vector, subspace) the nearest codeword id; the
+    // broadcast product reduces map-side (min_by partials), then the
+    // codes pivot to an m-ordered array — n rows × 8 small ints
+    val codes = e.filter($"vec_id" >= PqQueries)
+      .crossJoin(broadcast(cb))
+      .select($"vec_id", $"m", $"c_id", subL2($"embedding", $"c_emb", $"m").as("l2"))
+      .groupBy($"vec_id", $"m")
+      .agg(min_by($"c_id", struct($"l2", $"c_id")).as("code"))
+      .groupBy($"vec_id")
+      .agg(transform(array_sort(collect_list(struct($"m", $"code"))),
+        x => x.getField("code")).as("codes"))
+    // per-query ADC tables: subspace-m row = codeword-id → partial-l2
+    // map (map lookup, no density assumption on codeword ids)
+    val qtab = e.filter($"vec_id" < PqQueries)
+      .crossJoin(broadcast(cb))
+      .select($"vec_id".as("q_id"), $"m", $"c_id",
+        subL2($"embedding", $"c_emb", $"m").as("part"))
+      .groupBy($"q_id", $"m")
+      .agg(map_from_entries(collect_list(struct($"c_id", $"part"))).as("row"))
+      .groupBy($"q_id")
+      // maps aren't orderable, so sort the (m, row) structs by m with
+      // an explicit comparator before projecting the rows out
+      .agg(transform(
+        array_sort(collect_list(struct($"m", $"row")), (l, r) =>
+          when(l.getField("m") < r.getField("m"), -1)
+            .when(l.getField("m") > r.getField("m"), 1)
+            .otherwise(0)),
+        x => x.getField("row")).as("tables"))
+    // ADC: map-side table lookups summed in fixed m order
+    val w = Window.partitionBy($"q_id").orderBy($"adist".asc, $"vec_id")
+    codes.crossJoin(broadcast(qtab))
+      .select($"q_id", $"vec_id",
+        aggregate(zip_with($"tables", $"codes", (t, c) => element_at(t, c)),
+          lit(0.0), (acc, v) => acc + v).as("adist"))
+      .withColumn("rnk", row_number().over(w))
+      .filter($"rnk" <= PqTopK)
+      .select($"q_id", $"rnk", $"vec_id", $"adist")
+      .orderBy($"q_id", $"rnk")
+  }
+
   /** Collected centroids for the recall spec (tiny: one per label). */
   def centroidsForTest(s: SparkSession, d: String): Seq[(Int, Seq[Float])] = {
     import s.implicits._
@@ -265,15 +351,54 @@ object Sim {
     "v3_ivf_ann" -> (v3IvfAnn _),
     "v4_knn_sql" -> (v4KnnSql _),
     "v5_quantize" -> (v5Quantize _),
+    "v6_pq_adc" -> (v6PqAdc _),
   )
 
   private def dot(x: String, y: String): String =
     s"list_sum(list_transform(range(1, 65), i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)))"
 
+  /** Subspace-m squared L2 between two 64-dim lists (mirrors [[subL2]]:
+    * element order j=1..PqDsub, (x−y)·(x−y) per element, left-fold sum). */
+  private def pqSubL2(a: String, b: String): String = {
+    val t = s"(CAST($a[CAST(cb.m * $PqDsub + j AS INT)] AS DOUBLE)" +
+      s" - CAST($b[CAST(cb.m * $PqDsub + j AS INT)] AS DOUBLE))"
+    s"list_sum(list_transform(range(1, ${PqDsub + 1}), j -> $t * $t))"
+  }
+
   private def cos(x: String, y: String): String =
     s"${dot(x, y)} / (sqrt(${dot(x, x)}) * sqrt(${dot(y, y)}))"
 
   val oracles: Map[String, String] = Map(
+    "v6_pq_adc" ->
+      s"""WITH ms AS (SELECT CAST(unnest(range(0, $PqM)) AS INT) AS m),
+          seed AS (SELECT label AS c_id, arg_min(embedding, vec_id) AS c_emb
+                   FROM embeddings GROUP BY 1),
+          cb AS (SELECT ms.m, seed.c_id, seed.c_emb FROM seed, ms),
+          l2e AS (
+            SELECT e.vec_id, cb.m, cb.c_id,
+                   ${pqSubL2("e.embedding", "cb.c_emb")} AS l2
+            FROM embeddings e, cb WHERE e.vec_id >= $PqQueries),
+          codes AS (
+            SELECT vec_id, m, c_id FROM (
+              SELECT vec_id, m, c_id,
+                     row_number() OVER (PARTITION BY vec_id, m ORDER BY l2, c_id) AS rn
+              FROM l2e) t WHERE rn = 1),
+          qp AS (
+            SELECT e.vec_id AS q_id, cb.m, cb.c_id,
+                   ${pqSubL2("e.embedding", "cb.c_emb")} AS part
+            FROM embeddings e, cb WHERE e.vec_id < $PqQueries),
+          dmat AS (
+            SELECT qp.q_id, codes.vec_id, qp.m, qp.part
+            FROM qp JOIN codes ON qp.m = codes.m AND qp.c_id = codes.c_id),
+          dist AS (
+            SELECT q_id, vec_id, list_sum(list(part ORDER BY m)) AS adist
+            FROM dmat GROUP BY 1, 2),
+          rk AS (
+            SELECT q_id, vec_id, adist,
+                   CAST(row_number() OVER (PARTITION BY q_id ORDER BY adist, vec_id) AS INT) AS rnk
+            FROM dist)
+          SELECT q_id, rnk, vec_id, adist FROM rk WHERE rnk <= $PqTopK
+          ORDER BY q_id, rnk""",
     "v5_quantize" ->
       """WITH b AS (
            SELECT vec_id, label, len(embedding) AS n_dims,

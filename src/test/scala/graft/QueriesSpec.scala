@@ -212,6 +212,42 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("v6 PQ/ADC: approximate top-5 recalls most of the exact-L2 top-5") {
+    // The oracle pins bit-exactness of the PQ pipeline; this pins the
+    // SEMANTIC quality the hash can't see — the 8-byte codes + lookup
+    // tables must still rank near-neighbors like the uncompressed
+    // vectors do. Floor is deliberately modest: 64-dim near-random
+    // vectors at 8×8 PQ with label-seeded codebooks is a hard
+    // compression regime (production uses k-means-trained codebooks).
+    val s = spark
+    import s.implicits._
+    val got = sim.Sim.v6PqAdc(s, SfDir)
+      .select($"q_id", $"rnk", $"vec_id").as[(Long, Int, Long)].collect()
+      .groupBy(_._1).map { case (q, rs) => q -> rs.sortBy(_._2).map(_._3).toSet }
+    assert(got.size == sim.Sim.PqQueries)
+    val e = Tables.embeddings(s, SfDir)
+      .select($"vec_id", $"embedding").as[(Long, Seq[Float])].collect()
+    def l2(a: Seq[Float], b: Seq[Float]): Double = {
+      var acc = 0.0
+      var i = 0
+      while (i < a.length) {
+        val d = a(i).toDouble - b(i).toDouble; acc += d * d; i += 1
+      }
+      acc
+    }
+    val byId = e.toMap
+    val recalls = got.map { case (q, approx) =>
+      val exact = e.filter(_._1 >= sim.Sim.PqQueries)
+        .map { case (id, emb) => (id, l2(byId(q), emb)) }
+        .sortBy { case (id, d) => (d, id) }
+        .take(sim.Sim.PqTopK).map(_._1).toSet
+      approx.intersect(exact).size.toDouble / sim.Sim.PqTopK
+    }
+    val mean = recalls.sum / recalls.size
+    info(f"PQ/ADC recall@5 vs exact L2: $mean%.2f")
+    assert(mean >= 0.4, f"PQ recall collapsed: $mean%.2f")
+  }
+
   test("v3 IVF: one Lloyd refinement (spark.graft.ivf.refine) improves the quantizer objective") {
     // Lloyd's guarantee is monotone improvement of the quantization
     // objective — mean cosine of each vector to its NEAREST centroid —
