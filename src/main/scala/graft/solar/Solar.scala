@@ -354,6 +354,49 @@ object Solar {
   }
 
   // ---------------------------------------------------------------------
+  // s19: reading ANOMALY detection — the data-quality pass a fleet
+  // pipeline runs before trusting telemetry: per-inverter robust
+  // outlier flags via median / MAD (median absolute deviation), the
+  // standard robust-statistics rule (|x − median| > 3·MAD). Both
+  // medians are exact rank-selected order statistics (s14's pattern —
+  // deterministic in both engines, unlike interpolated percentiles);
+  // the deviations and the 3·MAD comparison are single shared IEEE
+  // ops. Shapes: two shared (inverter, ·) sorts for the rank
+  // selections; the per-inverter median/MAD rows are fleet-bounded →
+  // AQE broadcasts them back onto the feed; output is one row per
+  // inverter.
+  // ---------------------------------------------------------------------
+  val MadK = 3
+
+  def s19Anomaly(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val cw = Window.partitionBy($"inverter")
+    val base = feed(s, d)
+      .filter($"event_type" === "view")
+      .select($"inverter", $"value", $"event_id")
+    def lowerMedian(df: DataFrame, c: String, as: String): DataFrame = {
+      val w = Window.partitionBy($"inverter").orderBy(col(c), $"event_id")
+      df.withColumn("rn", row_number().over(w))
+        .withColumn("cnt", count(lit(1)).over(cw))
+        .filter($"rn" === expr("(cnt + 1) div 2"))
+        .select($"inverter", col(c).as(as))
+    }
+    val med = lowerMedian(base, "value", "med")
+    val dev = base.join(med, "inverter")
+      .withColumn("dev", abs($"value" - $"med"))
+    val mad = lowerMedian(dev, "dev", "mad")
+    dev.join(mad, "inverter")
+      .groupBy($"inverter")
+      .agg(
+        count(lit(1)).as("n"),
+        min($"med").as("median"),
+        min($"mad").as("mad"),
+        sum(when($"dev" > $"mad" * MadK, 1L).otherwise(0L)).as("n_anomalies"),
+        max($"dev").as("max_dev"))
+      .orderBy($"inverter")
+  }
+
+  // ---------------------------------------------------------------------
   // s15: daily fleet activity — exact distinct counts (ClickHouse
   // uniqExact). The approximate variant (uniq ≈ approx_count_distinct
   // / HyperLogLog++) is pinned by a relative-error spec in
@@ -505,6 +548,7 @@ object Solar {
     "s13_catalog_decode" -> (s13CatalogDecode _),
     "s14_quantiles" -> (s14Quantiles _),
     "s15_daily_active" -> (s15DailyActive _),
+    "s19_anomaly" -> (s19Anomaly _),
     "s1_decode" -> (s1Decode _),
     "s2_derived_power" -> (s2DerivedPower _),
     "s3_efficiency" -> (s3Efficiency _),
@@ -617,6 +661,31 @@ object Solar {
          FROM r
          WHERE rn = (cnt + 1) // 2 OR rn = (cnt * 9 + 9) // 10
          GROUP BY inverter ORDER BY inverter""",
+    "s19_anomaly" ->
+      s"""WITH b AS (
+           SELECT user_id AS inverter, value, event_id
+           FROM events WHERE event_type = 'view'),
+         r1 AS (
+           SELECT inverter, value,
+                  row_number() OVER (PARTITION BY inverter ORDER BY value, event_id) AS rn,
+                  count(*) OVER (PARTITION BY inverter) AS cnt
+           FROM b),
+         med AS (SELECT inverter, value AS med FROM r1 WHERE rn = (cnt + 1) // 2),
+         dv AS (
+           SELECT b.inverter, b.value, b.event_id, med.med,
+                  abs(b.value - med.med) AS dev
+           FROM b JOIN med USING (inverter)),
+         r2 AS (
+           SELECT inverter, dev,
+                  row_number() OVER (PARTITION BY inverter ORDER BY dev, event_id) AS rn,
+                  count(*) OVER (PARTITION BY inverter) AS cnt
+           FROM dv),
+         mad AS (SELECT inverter, dev AS mad FROM r2 WHERE rn = (cnt + 1) // 2)
+         SELECT dv.inverter, count(*) AS n, min(dv.med) AS median, min(mad.mad) AS mad,
+                CAST(sum(CASE WHEN dv.dev > mad.mad * $MadK THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies,
+                max(dv.dev) AS max_dev
+         FROM dv JOIN mad USING (inverter)
+         GROUP BY 1 ORDER BY 1""",
     "s15_daily_active" ->
       """SELECT date_trunc('day', ts) AS day,
                 count(DISTINCT user_id) AS uniq_inverters,
