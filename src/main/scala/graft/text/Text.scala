@@ -322,10 +322,67 @@ object Text {
       .orderBy($"source", $"shard", $"doc_id")
   }
 
+  // ---------------------------------------------------------------------
+  // t11: BM25 relevance scoring — the canonical retrieval scorer, used
+  // in training-data curation to pull query-relevant subsets out of a
+  // web corpus (quality-classifier seeding, domain filtering). Corpus
+  // statistics (N, total doc length, per-term document frequencies)
+  // reduce to ONE broadcastable row; per-document term frequencies and
+  // the score are then pure map-side expressions against that row, so
+  // the whole scorer is scan-rate at any corpus size, and the top-k
+  // plans as the heap operator.
+  //
+  // The idf factor uses the rational Robertson form WITHOUT the log —
+  // ln() is not a correctly-rounded operation and differs in the last
+  // ulp across libm implementations, which would break the bit-exact
+  // oracle; the rational variant is monotone in the same df and keeps
+  // every op a single shared IEEE divide/multiply/add. (A production
+  // scorer would apply ln; the ranking this produces differs only
+  // when term idfs span orders of magnitude.) Per-term contributions
+  // are summed in FIXED literal order on both engines.
+  // ---------------------------------------------------------------------
+  val Bm25K1 = 1.2
+  val Bm25B = 0.75
+  val Bm25TopK = 20
+  val Bm25Terms: Seq[String] = Seq("spark", "join", "window")
+
+  def t11Bm25(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val tfCols = Bm25Terms.zipWithIndex.map {
+      case (term, i) => size(filter($"t", x => x === term)).as(s"tf_$i")
+    }
+    val docs = Tables.documents(s, d)
+      .select($"doc_id", toks(lower($"text")).as("t"))
+      .select(Seq($"doc_id", size($"t").as("dl")) ++ tfCols: _*)
+    val dfCols = Bm25Terms.indices.map(i =>
+      sum(when(col(s"tf_$i") > 0, 1L).otherwise(0L)).as(s"df_$i"))
+    val stats = docs.agg(count(lit(1)).as("n_docs"),
+      sum($"dl").as("sum_dl") +: dfCols: _*)
+    val scored = docs.crossJoin(broadcast(stats))
+      .withColumn("avgdl", $"sum_dl".cast("double") / $"n_docs")
+      .withColumn("score", Bm25Terms.indices.map { i =>
+        val tf = col(s"tf_$i").cast("double")
+        val df = col(s"df_$i").cast("double")
+        val idf = ($"n_docs".cast("double") - df + 0.5) / (df + 0.5)
+        idf * (tf * lit(Bm25K1 + 1.0)) /
+          (tf + lit(Bm25K1) * (lit(1.0 - Bm25B) + lit(Bm25B) * $"dl".cast("double") / $"avgdl"))
+      }.reduce(_ + _))
+    // global top-k: TopKRewrite replaces this with the heap operator
+    // (map-side partial → AllTuples merge of ≤ k rows per partition)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy($"score".desc, $"doc_id")
+    scored
+      .withColumn("rnk", row_number().over(w))
+      .filter($"rnk" <= Bm25TopK)
+      .select($"rnk", $"doc_id", $"dl", $"score")
+      .orderBy($"rnk")
+  }
+
   val queries: Map[String, Q] = Map(
     "t8_contamination" -> (t8Contamination _),
     "t9_repetition" -> (t9Repetition _),
     "t10_seq_pack" -> (t10SeqPack _),
+    "t11_bm25" -> (t11Bm25 _),
     "t1_tokens" -> (t1Tokens _),
     "t2_langid" -> (t2Langid _),
     "t3_quality" -> (t3Quality _),
@@ -383,8 +440,46 @@ object Text {
        ORDER BY n_shared DESC, doc_a, doc_b"""
   }
 
+  /** t11's DuckDB oracle — same fixed-order per-term sum, same single
+    * IEEE ops, rational idf (see [[t11Bm25]]). */
+  private val t11Oracle: String = {
+    val tfCols = Bm25Terms.zipWithIndex.map { case (term, i) =>
+      s"CAST(len(list_filter(t, x -> x = '$term')) AS INT) AS tf_$i"
+    }.mkString(", ")
+    val dfCols = Bm25Terms.indices.map(i =>
+      s"CAST(sum(CASE WHEN tf_$i > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_$i").mkString(", ")
+    // constants enter as CAST(... AS DOUBLE) so DuckDB performs the
+    // SAME runtime IEEE ops as the Spark plan's Scala-folded doubles
+    // (a bare 1.2 literal is a DuckDB DECIMAL — different rounding)
+    val k1 = s"CAST($Bm25K1 AS DOUBLE)"
+    val b = s"CAST($Bm25B AS DOUBLE)"
+    val contribs = Bm25Terms.indices.map { i =>
+      s"""((CAST(n_docs AS DOUBLE) - CAST(df_$i AS DOUBLE) + 0.5) / (CAST(df_$i AS DOUBLE) + 0.5))
+          * (CAST(tf_$i AS DOUBLE) * ($k1 + 1.0))
+          / (CAST(tf_$i AS DOUBLE) + $k1 * (1.0 - $b + $b * CAST(dl AS DOUBLE) / avgdl))"""
+    }.mkString(" + ")
+    s"""WITH tk AS (
+         SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS t
+         FROM documents),
+       docs AS (
+         SELECT doc_id, CAST(len(t) AS INT) AS dl, $tfCols FROM tk),
+       stats AS (
+         SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl, $dfCols
+         FROM docs),
+       sc AS (
+         SELECT doc_id, dl, CAST(sum_dl AS DOUBLE) / n_docs AS avgdl,
+                $contribs AS score
+         FROM docs, stats),
+       rk AS (
+         SELECT doc_id, dl, score,
+                CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rnk
+         FROM sc)
+       SELECT rnk, doc_id, dl, score FROM rk WHERE rnk <= $Bm25TopK ORDER BY rnk"""
+  }
+
   val oracles: Map[String, String] = Map(
     "t5_winnow" -> t5Oracle,
+    "t11_bm25" -> t11Oracle,
     "t9_repetition" ->
       s"""WITH tk AS (
            SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS t
