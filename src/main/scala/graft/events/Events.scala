@@ -258,7 +258,37 @@ object Events {
       .orderBy($"event_id")
   }
 
+  // ---------------------------------------------------------------------
+  // e9: FIRST-TOUCH attribution — for each purchase, credit the
+  // earliest view inside the trailing 6 h window (the marketing-
+  // attribution idiom; ClickHouse pairs it with windowFunnel). Same
+  // equi-key-bounded interval join as e8, but the aggregate is a
+  // composite argmin (`min_by` over a (v_us, view_id) struct —
+  // map-side combinable, so the shuffle carries one candidate per
+  // (purchase, map partition), not the window's full view fan-out).
+  // ---------------------------------------------------------------------
+  def e9Attribution(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, d)
+    val v = ev.filter($"event_type" === "view")
+      .select($"user_id".as("v_user"), $"event_id".as("view_id"),
+        unix_micros($"ts").as("v_us"))
+    val p = ev.filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", unix_micros($"ts").as("p_us"))
+    p.join(v, $"user_id" === $"v_user" &&
+        $"v_us" >= $"p_us" - LookbackUs && $"v_us" <= $"p_us")
+      .groupBy($"event_id", $"user_id", $"p_us") // event_id unique per purchase
+      .agg(
+        count(lit(1)).as("n_views"),
+        min_by(struct($"view_id", $"v_us"), struct($"v_us", $"view_id")).as("first"))
+      .select($"event_id", $"user_id", $"n_views",
+        $"first.view_id".as("first_view_id"),
+        ($"p_us" - $"first.v_us").as("gap_us"))
+      .orderBy($"event_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "e9_attribution" -> (e9Attribution _),
     "e1_funnel" -> (e1Funnel _),
     "e6_bounded_funnel" -> (e6BoundedFunnel _),
     "e7_top_sequences" -> (e7TopSequences _),
@@ -273,6 +303,22 @@ object Events {
   // BIGINT) is HUGEINT — always CAST back to BIGINT; double divisions
   // are left as single IEEE ops (bit-identical across engines).
   val oracles: Map[String, String] = Map(
+    "e9_attribution" ->
+      """WITH v AS (
+           SELECT user_id AS v_user, event_id AS view_id, epoch_us(ts) AS v_us
+           FROM events WHERE event_type = 'view'),
+         p AS (
+           SELECT event_id, user_id, epoch_us(ts) AS p_us
+           FROM events WHERE event_type = 'purchase'),
+         j AS (
+           SELECT p.event_id, p.user_id, p.p_us, v.view_id, v.v_us,
+                  row_number() OVER (PARTITION BY p.event_id ORDER BY v.v_us, v.view_id) AS rn,
+                  count(*) OVER (PARTITION BY p.event_id) AS n_views
+           FROM p JOIN v ON p.user_id = v.v_user
+             AND v.v_us >= p.p_us - 21600000000 AND v.v_us <= p.p_us)
+         SELECT event_id, user_id, n_views, view_id AS first_view_id,
+                p_us - v_us AS gap_us
+         FROM j WHERE rn = 1 ORDER BY event_id""",
     "e1_funnel" ->
       """WITH b AS (
            SELECT user_id, ts, event_id, event_type,
