@@ -16,8 +16,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Load sentinel: the round-8 graded artifact reported 5.7 s for a
   * query that quietly runs 1.9 s because an unrelated process spiked
   * the machine mid-bench. To keep graded numbers honest, a fixed
-  * CPU-bound calibration plan is timed at startup (baseline = min of
-  * 5); a timed sample only counts as CLEAN if the calibration run taken
+  * CPU-bound calibration plan is timed at startup ([[initBaseline]],
+  * called from both mains right after session creation; baseline =
+  * min of 5, and every later calibration run can only tighten it);
+  * a timed sample only counts as CLEAN if the calibration run taken
   * right after it stays within 2× of that baseline. Sampling continues
   * (with short backoff) until 3 clean samples exist or the attempt cap
   * is hit; the minimum over ALL samples is reported — load only ever
@@ -41,6 +43,16 @@ object BenchCore {
     (1 to 5).map(_ => calibrateOnce(spark)).min
   }
 
+  /** Compute the sentinel baseline NOW (idempotent). [[Bench]] and
+    * [[BenchOne]] call this right after session creation, before any
+    * query runs, so the baseline is genuinely a startup measurement
+    * rather than whatever the machine looked like after the first
+    * query's timed sample. */
+  def initBaseline(spark: SparkSession): Double = {
+    if (base < 0) base = baseline(spark)
+    base
+  }
+
   def runOnce(spark: SparkSession, sfDir: String,
               fn: (SparkSession, String) => DataFrame): Double = {
     val t0 = System.nanoTime()
@@ -58,21 +70,23 @@ object BenchCore {
     var best = Double.MaxValue
     var clean = 0
     var attempts = 0
+    initBaseline(spark)
     while (clean < want && attempts < maxAttempts) {
       val t = runOnce(spark, sfDir, fn)
       attempts += 1
       if (t < best) best = t
-      if (calibrateOnce(spark) <= 2.0 * cachedBaseline(spark)) clean += 1
+      val c = calibrateOnce(spark)
+      // Load only ever inflates the calibration plan, so every later
+      // run can only TIGHTEN the baseline — a loaded first computation
+      // cannot leave the 2x cleanliness gate permanently permissive.
+      if (c < base) base = c
+      if (c <= 2.0 * base) clean += 1
       else Thread.sleep(200L * attempts) // loaded — back off before resampling
     }
     best
   }
 
   private var base: Double = -1.0
-  private def cachedBaseline(spark: SparkSession): Double = {
-    if (base < 0) base = baseline(spark)
-    base
-  }
 }
 
 /** Benchmark main — one JSON line on stdout for the driver. */
@@ -81,10 +95,12 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val spark = Tables.session(cpus)
+    BenchCore.initBaseline(spark) // sentinel baseline before any query runs
 
     // clean-sample count per query (wall-time lever: 2 ≈ the old
-    // best-of-2 wall cost, still sentinel-gated; default 3)
-    val samples = sys.env.getOrElse("SPARK_GRAFT_BENCH_SAMPLES", "3").toInt
+    // best-of-2 wall cost, still sentinel-gated; default 3; clamped —
+    // 0/negative would skip the loop and report Double.MaxValue)
+    val samples = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_SAMPLES", "3").toInt)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t = try BenchCore.measure(spark, sfDir, fn, want = samples, maxAttempts = samples + 2)
       catch { case e: Throwable =>
@@ -96,7 +112,17 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // Truncation-proof copy: the round-9 graded artifact lost its tail
+    // (d1-d9/e1/e2 missing) to stdout capture truncation; the same JSON
+    // line on disk means nobody reconstructs numbers from prose.
+    try {
+      val out = new java.io.File("target/bench_full.json")
+      out.getParentFile.mkdirs()
+      val w = new java.io.PrintWriter(out)
+      try w.println(line) finally w.close()
+    } catch { case e: Throwable => System.err.println(s"[bench] file write failed: ${e.getMessage}") }
     spark.stop()
   }
 }

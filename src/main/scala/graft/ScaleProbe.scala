@@ -22,10 +22,35 @@ import org.apache.spark.sql.functions._
   *   copies never join across.
   *
   * `runMain graft.ScaleProbe [name...]` (defaults to d6/d7/d9).
+  * `SPARK_GRAFT_PROBE_COPIES` overrides the blow-up factor (default 8;
+  * 64 pins the d7 contraction-round claim further out).
   */
 object ScaleProbe {
-  val Copies = 8
-  val ProbeDir = "/tmp/graft_scaleprobe8x"
+  val Copies = math.max(2, sys.env.getOrElse("SPARK_GRAFT_PROBE_COPIES", "8").toInt)
+  val ProbeDir = s"/tmp/graft_scaleprobe${Copies}x"
+  private val SourceMarker = s"$ProbeDir/SOURCE_DIR"
+
+  /** A cached probe corpus is only valid for the base dir it was built
+    * from — a run after changing SPARK_GRAFT_SF_DIR must rebuild, not
+    * silently measure ratios against a stale corpus. */
+  private def ensureFreshFor(base: String): Unit = {
+    val marker = new java.io.File(SourceMarker)
+    val recorded =
+      if (marker.exists()) scala.io.Source.fromFile(marker).mkString.trim else ""
+    if (recorded != base) {
+      val dir = new java.io.File(ProbeDir)
+      if (dir.exists()) {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete()
+        }
+        rm(dir)
+      }
+      dir.mkdirs()
+      val w = new java.io.PrintWriter(marker)
+      try w.print(base) finally w.close()
+    }
+  }
 
   private def haveTable(t: String): Boolean =
     new java.io.File(s"$ProbeDir/$t.parquet").exists()
@@ -39,6 +64,7 @@ object ScaleProbe {
 
   private def build(spark: SparkSession, base: String): Unit = {
     import spark.implicits._
+    ensureFreshFor(base)
     val ks = 0 until Copies
     if (!haveTable("documents")) {
       val docs = Tables.documents(spark, base)
@@ -54,11 +80,12 @@ object ScaleProbe {
     if (!haveTable("embeddings")) {
       val emb = Tables.embeddings(spark, base)
       writeCopies("embeddings", ks.map { k =>
+        val r = k % sim.Sim.Dims // rotate mod Dims so any copy count is safe
         val rotated =
-          if (k == 0) $"embedding"
+          if (r == 0) $"embedding"
           else concat(
-            slice($"embedding", k + 1, sim.Sim.Dims - k),
-            slice($"embedding", 1, k))
+            slice($"embedding", r + 1, sim.Sim.Dims - r),
+            slice($"embedding", 1, r))
         emb.select(
           ($"vec_id" + lit(k * 10000000L)).as("vec_id"),
           $"label", rotated.as("embedding"))

@@ -15,4 +15,14 @@ class BenchSpec extends AnyFunSuite {
       want = 1, maxAttempts = 2)
     assert(t > 0 && t < 60, s"measured time out of range: $t s")
   }
+
+  test("BenchCore: initBaseline is idempotent and only ever tightens") {
+    val first = BenchCore.initBaseline(spark)
+    assert(first > 0 && first < 30, s"startup baseline out of range: $first s")
+    assert(BenchCore.initBaseline(spark) <= first, "repeat call must not loosen")
+    // measure()'s post-sample calibrations may tighten the cached value
+    BenchCore.measure(spark, SfDir, (s, d) => Tables.region(s, d),
+      want = 1, maxAttempts = 2)
+    assert(BenchCore.initBaseline(spark) <= first, "calibration must not loosen")
+  }
 }
