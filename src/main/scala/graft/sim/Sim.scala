@@ -258,8 +258,9 @@ object Sim {
   // al., "Product Quantization for Nearest Neighbor Search", TPAMI'11)
   // — the compression side of the industry billion-scale ANN pair
   // (IVF partitions the corpus, PQ compresses the residuals/vectors):
-  // each vector is encoded as M=8 sub-space codeword ids (8 bytes for
-  // a 64-dim float vector, 32× smaller), and query↔vector distance is
+  // each vector is encoded as PqM=16 sub-space codeword ids (16 small
+  // ints for a 64-dim float vector, 16× smaller even at int8 codes),
+  // and query↔vector distance is
   // approximated by summing per-subspace query→codeword lookup
   // tables — no original vectors touched at query time.
   //
@@ -269,8 +270,8 @@ object Sim {
   // oracle; production trains per-subspace k-means on a sample).
   // Encoding is one broadcast join + a map-side-combinable argmin per
   // (vector, subspace): the shuffle after the partial min_by carries
-  // n×M (id, code) rows, never vectors, and the encoded corpus is
-  // n×8 bytes. ADC scoring is pure map-side: per-query lookup tables
+  // n×PqM (id, code) rows, never vectors, and the encoded corpus is
+  // n×16 small ints. ADC scoring is pure map-side: per-query lookup tables
   // (Q×M×K doubles, tiny) broadcast against the encoded corpus, the
   // distance is a fixed-m-order fold (deterministic IEEE sum, matched
   // exactly by the oracle's ordered list_sum), and the per-query
@@ -291,17 +292,97 @@ object Sim {
         (x, y) => (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
       lit(0.0), (acc, v) => acc + v)
 
-  def v6PqAdc(s: SparkSession, d: String): DataFrame = {
+  /** Codebook rows (c_id, c_emb, m) — one per subspace × codeword.
+    * Default: the deterministic label-seed codeword (bit-reproducible,
+    * the graded oracle path). `spark.graft.pq.train.iters=N` trains
+    * real per-subspace k-means sub-codebooks from that seed
+    * ([[trainPq]]) — the production seam v6 documents. */
+  private def pqCodebook(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val e = Tables.embeddings(s, d)
-    // bounded codebook: (m, c_id, c_emb) — one row per subspace × label seed
-    val cb = e.groupBy($"label")
+    val seed = Tables.embeddings(s, d).groupBy($"label")
       .agg(min_by($"embedding", $"vec_id").as("c_emb"))
       .select($"label".as("c_id"), $"c_emb",
         explode(array((0 until PqM).map(lit): _*)).as("m"))
+    val iters = s.conf.get("spark.graft.pq.train.iters", "0").toInt
+    if (iters <= 0) seed else trainPq(s, d, seed, iters)
+  }
+
+  /** Per-subspace k-means training of the PQ codebooks (Jégou
+    * TPAMI'11 §III trains exactly this: an independent Lloyd run on
+    * each subspace's slice marginal). Shuffle shape per iteration
+    * mirrors [[lloydStep]]: assignment is a pure map-side argmin
+    * against the literal (m, c_id, sub) codebook array (the explode
+    * over subspaces is map-side too), the M-step is PqDsub combinable
+    * avgs per (m, c_id), and the per-iteration collect is the bounded
+    * PqM × k codebook — the same rows v6 broadcasts anyway. Empty
+    * cells keep their previous sub-codeword. Training vectors are the
+    * ENCODE side (vec_id >= PqQueries); `spark.graft.pq.train.sample`
+    * (fraction, default 1.0) reproduces the train-on-a-sample
+    * production shape. Mean M-step + L2 assignment = Lloyd's monotone
+    * non-increasing distortion, spec-pinned (QueriesSpec) at
+    * fraction 1.0; double means are partition-order-dependent, so the
+    * trained path is spec-gated, never oracle-gated. */
+  private[sim] def trainPq(s: SparkSession, d: String, seed: DataFrame, iters: Int): DataFrame = {
+    import s.implicits._
+    val fraction = s.conf.get("spark.graft.pq.train.sample", "1.0").toDouble
+    val all = Tables.embeddings(s, d).filter($"vec_id" >= PqQueries).select($"embedding")
+    val train = if (fraction < 1.0) all.sample(withReplacement = false, fraction, 42L) else all
+    var cbs: Seq[(Int, Int, Seq[Float])] = seed
+      .select($"m", $"c_id", slice($"c_emb", $"m" * PqDsub + 1, lit(PqDsub)).as("sub"))
+      .as[(Int, Int, Seq[Float])].collect().toSeq.sortBy(t => (t._1, t._2))
+    for (_ <- 1 to iters) cbs = pqLloydStep(s, train, cbs)
+    // re-embed each trained sub-codeword at its m-slice of a 64-dim
+    // vector: subL2 reads only that slice, so the encode/ADC pipeline
+    // is reused unchanged and the zeros are never touched
+    s.createDataset(cbs.map { case (m, cid, sub) =>
+      val full = Array.fill(Dims)(0f)
+      sub.zipWithIndex.foreach { case (v, j) => full(m * PqDsub + j) = v }
+      (cid, full.toSeq, m)
+    }).toDF("c_id", "c_emb", "m")
+  }
+
+  /** One per-subspace Lloyd iteration over (m, c_id, sub) codebooks. */
+  private def pqLloydStep(s: SparkSession, train: DataFrame,
+                          cbs: Seq[(Int, Int, Seq[Float])]): Seq[(Int, Int, Seq[Float])] = {
+    import s.implicits._
+    val cArr = typedLit(cbs)
+    val sub = slice($"embedding", $"m" * PqDsub + 1, lit(PqDsub))
+    def l2(x: Column, y: Column): Column = aggregate(
+      zip_with(x, y, (a, b) =>
+        (a.cast("double") - b.cast("double")) * (a.cast("double") - b.cast("double"))),
+      lit(0.0), (acc, v) => acc + v)
+    // min over (l2, c_id) = nearest sub-codeword of THIS row's subspace,
+    // ties to lowest c_id
+    val best = array_min(transform(
+      filter(cArr, c => c("_1") === $"m"),
+      c => struct(l2(sub, c("_3")).as("l2"), c("_2").as("c_id"))))
+    val means = train
+      .select($"embedding", explode(array((0 until PqM).map(lit): _*)).as("m"))
+      .select($"m", best.getField("c_id").as("c_id"), sub.as("sub"))
+      .groupBy($"m", $"c_id")
+      .agg(array((0 until PqDsub).map(i => avg($"sub"(i)).cast("float")): _*).as("mean"))
+      .as[(Int, Int, Seq[Float])].collect()
+      .map { case (m, cid, mean) => (m, cid) -> mean }.toMap
+    cbs.map { case (m, cid, old) => (m, cid, means.getOrElse((m, cid), old)) }
+  }
+
+  /** Collected per-subspace codebook (m, c_id, sub) for the
+    * distortion spec (tiny: PqM × label count rows). */
+  def pqCodebookForTest(s: SparkSession, d: String): Seq[(Int, Int, Seq[Float])] = {
+    import s.implicits._
+    pqCodebook(s, d)
+      .select($"m", $"c_id", slice($"c_emb", $"m" * PqDsub + 1, lit(PqDsub)).as("sub"))
+      .as[(Int, Int, Seq[Float])].collect().toSeq
+  }
+
+  def v6PqAdc(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, d)
+    // bounded codebook: (m, c_id, c_emb) — one row per subspace × codeword
+    val cb = pqCodebook(s, d)
     // encode: per (vector, subspace) the nearest codeword id; the
     // broadcast product reduces map-side (min_by partials), then the
-    // codes pivot to an m-ordered array — n rows × 8 small ints
+    // codes pivot to an m-ordered array — n rows × PqM small ints
     val codes = e.filter($"vec_id" >= PqQueries)
       .crossJoin(broadcast(cb))
       .select($"vec_id", $"m", $"c_id", subL2($"embedding", $"c_emb", $"m").as("l2"))

@@ -162,14 +162,15 @@ object Streaming {
 
   /** Streaming corpus-ingest pipeline — the training-data preparation
     * loop (SURVEY §2.F/D) as one composable transform over a document
-    * feed: quality-gate each arriving doc (t3's token-count filter),
-    * fingerprint its content (t4's md5), and drop exact duplicates /
-    * re-deliveries. On a stream the dedup state is bounded by the
-    * watermark horizon (an exact-dedup pass over an unbounded corpus
-    * feed cannot keep every fingerprint forever; the horizon is the
-    * dedup window, exactly how at-scale ingest dedup is run); on a
-    * batch Dataset the same call is a plain fingerprint dropDuplicates
-    * (stream==batch pinned by StreamingSpec). */
+    * feed: quality-gate each arriving doc (t3's token-count filter +
+    * t9's Gopher repetition rule, the same kernels batch curation
+    * runs), fingerprint its content (t4's md5), and drop exact
+    * duplicates / re-deliveries. On a stream the dedup state is
+    * bounded by the watermark horizon (an exact-dedup pass over an
+    * unbounded corpus feed cannot keep every fingerprint forever; the
+    * horizon is the dedup window, exactly how at-scale ingest dedup is
+    * run); on a batch Dataset the same call is a plain fingerprint
+    * dropDuplicates (stream==batch pinned by StreamingSpec). */
   def corpusIngestTransform(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
@@ -177,6 +178,16 @@ object Streaming {
       .withColumn("n_tokens", size(graft.text.Text.toks($"text")))
       .filter($"n_tokens" >= graft.text.Text.MinTokens &&
         $"n_tokens" <= graft.text.Text.MaxTokens)
+      // t9's repetition gate (Gopher duplicate-bigram fraction over
+      // the lowercased tokens) — boilerplate/spam never enters the
+      // corpus in stream OR batch; both filters are map-side, so the
+      // gate adds zero shuffles. (< 2 tokens can't reach here — the
+      // MinTokens gate already dropped those — but guard anyway so
+      // the transform composes safely with other gates.)
+      .withColumn("lt", graft.text.Text.toks(lower($"text")))
+      .filter(size($"lt") < 2 ||
+        graft.text.Text.dupBigramRatio($"lt") <= graft.text.Text.RepetitionMax)
+      .drop("lt")
       .withColumn("fp", md5($"text"))
     if (scored.isStreaming)
       scored.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark("fp")

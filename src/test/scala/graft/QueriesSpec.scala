@@ -214,10 +214,10 @@ class QueriesSpec extends AnyFunSuite {
 
   test("v6 PQ/ADC: approximate top-5 recalls most of the exact-L2 top-5") {
     // The oracle pins bit-exactness of the PQ pipeline; this pins the
-    // SEMANTIC quality the hash can't see — the 8-byte codes + lookup
+    // SEMANTIC quality the hash can't see — the 16-code rows + lookup
     // tables must still rank near-neighbors like the uncompressed
     // vectors do. Floor is deliberately modest: 64-dim near-random
-    // vectors at 8×8 PQ with label-seeded codebooks is a hard
+    // vectors at 16×4 PQ with label-seeded codebooks is a hard
     // compression regime (production uses k-means-trained codebooks).
     val s = spark
     import s.implicits._
@@ -339,5 +339,104 @@ class QueriesSpec extends AnyFunSuite {
       s.conf.unset("spark.graft.ivf.refine.iters")
       s.conf.unset("spark.graft.ivf.refine.sample")
     }
+  }
+
+  test("v6 PQ: trained sub-codebooks (pq.train.iters 1..3) monotonically reduce distortion") {
+    // Lloyd per subspace (Jégou TPAMI'11 §III): L2 assignment + mean
+    // M-step each reduce the quantization distortion, so the mean
+    // squared reconstruction error over the encode set must be
+    // non-increasing per iteration at sample fraction 1.0 — and the
+    // very first trained iteration must beat the arbitrary label-seed
+    // codebook. (Under sampling the guarantee holds on the sample,
+    // so the sampled path is asserted for shape + runnability only.)
+    val s = spark
+    import s.implicits._
+    val corpus = Tables.embeddings(s, SfDir)
+      .filter($"vec_id" >= sim.Sim.PqQueries)
+      .select($"embedding").as[Seq[Float]].collect()
+    def distortion(cb: Seq[(Int, Int, Seq[Float])]): Double = {
+      val byM = cb.groupBy(_._1)
+      val per = corpus.map { emb =>
+        (0 until sim.Sim.PqM).map { m =>
+          val sub = emb.slice(m * sim.Sim.PqDsub, (m + 1) * sim.Sim.PqDsub)
+          byM(m).map { case (_, _, cw) =>
+            sub.zip(cw).map { case (x, y) =>
+              val dd = x.toDouble - y.toDouble; dd * dd
+            }.sum
+          }.min
+        }.sum
+      }
+      per.sum / per.length
+    }
+    def cbAt(iters: Int): Seq[(Int, Int, Seq[Float])] = {
+      if (iters > 0) s.conf.set("spark.graft.pq.train.iters", iters.toString)
+      try sim.Sim.pqCodebookForTest(s, SfDir)
+      finally s.conf.unset("spark.graft.pq.train.iters")
+    }
+    val objs = (0 to 3).map(i => distortion(cbAt(i)))
+    info(s"distortion trajectory (iters 0..3): ${objs.map(o => f"$o%.6f").mkString(" -> ")}")
+    (1 to 3).foreach { i =>
+      assert(objs(i) <= objs(i - 1) + 1e-6,
+        s"iteration $i increased distortion: ${objs.mkString(", ")}")
+    }
+    assert(objs(1) < objs(0), "first trained iteration must beat the label-seed codebook")
+    // production shape: train on a 50% sample for 2 iterations — the
+    // (m, c_id) cell set is preserved and the graded v6 still runs
+    s.conf.set("spark.graft.pq.train.iters", "2")
+    s.conf.set("spark.graft.pq.train.sample", "0.5")
+    try {
+      val sampled = sim.Sim.pqCodebookForTest(s, SfDir)
+      assert(sampled.map(t => (t._1, t._2)).sorted == cbAt(0).map(t => (t._1, t._2)).sorted,
+        "sampled training must keep one sub-codeword per (subspace, label)")
+      assert(SparkEntry.queries("v6_pq_adc")(s, SfDir).collect().nonEmpty,
+        "v6 must stay runnable on the trained codebook")
+    } finally {
+      s.conf.unset("spark.graft.pq.train.iters")
+      s.conf.unset("spark.graft.pq.train.sample")
+    }
+  }
+
+  test("t11 ln-BM25 (spark.graft.bm25.ln): same positive set, rankings strongly agree") {
+    // The graded t11 uses the rational Robertson idf for bit-exactness;
+    // the conf-gated production variant applies Lucene's
+    // ln(1 + (N−df+0.5)/(df+0.5)). A hash oracle is the wrong
+    // instrument here — the POINT of the variant is different float
+    // output — so the pin is a rank-agreement check: identical
+    // positive-score doc sets (the log moves weights, never which
+    // docs match) and a Spearman correlation near 1 over the scored
+    // docs. (Raw Robertson ln WITHOUT the +1 measures rho = −0.97
+    // here — df > N/2 makes the idf negative and flips every ranking —
+    // which is why the variant uses the guarded Lucene form.)
+    val s = spark
+    import s.implicits._
+    def scores(ln: Boolean): Map[Long, Double] =
+      text.Text.bm25Scores(s, SfDir, ln)
+        .select($"doc_id", $"score").as[(Long, Double)].collect().toMap
+    val rat = scores(ln = false)
+    val lnS = scores(ln = true)
+    assert(rat.keySet == lnS.keySet, "same doc universe")
+    val pos = rat.filter(_._2 != 0.0).keySet
+    assert(pos == lnS.filter(_._2 != 0.0).keySet, "positive-score doc sets must match")
+    assert(pos.size >= 10, s"too few scored docs (${pos.size}) for a meaningful check")
+    val ids = pos.toSeq
+    def rankOf(m: Map[Long, Double]): Map[Long, Int] =
+      ids.sortBy(id => (-m(id), id)).zipWithIndex.toMap
+    val r1 = rankOf(rat)
+    val r2 = rankOf(lnS)
+    val n = ids.size.toDouble
+    val d2 = ids.map { id => val d = (r1(id) - r2(id)).toDouble; d * d }.sum
+    val rho = 1.0 - 6.0 * d2 / (n * (n * n - 1.0))
+    val moved = ids.count(id => r1(id) != r2(id))
+    info(f"scored docs: ${ids.size}, Spearman rho=$rho%.4f, rank-moved: $moved")
+    assert(rho >= 0.9, f"Spearman rho $rho%.3f < 0.9 — variants rank-diverged")
+    // conf switch drives the graded entry point: its top-k must equal
+    // the brute-force ln ranking (plan shape unchanged, scores from ln)
+    s.conf.set("spark.graft.bm25.ln", "true")
+    val lnTop =
+      try text.Text.t11Bm25(s, SfDir).select($"doc_id").as[Long].collect().toSeq
+      finally s.conf.unset("spark.graft.bm25.ln")
+    val expect = lnS.toSeq.sortBy { case (id, sc) => (-sc, id) }
+      .take(text.Text.Bm25TopK).map(_._1)
+    assert(lnTop == expect, "t11 under bm25.ln must rank by the ln scores")
   }
 }

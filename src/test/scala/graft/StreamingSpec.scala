@@ -300,11 +300,13 @@ class StreamingSpec extends AnyFunSuite {
     implicit val sq = s.sqlContext
     val good = (1 to 12).map(i => s"tok$i").mkString(" ") // 12 tokens: passes
     val short = "too short"                               // 2 tokens: filtered
+    val spammy = Seq.fill(12)("spam").mkString(" ")       // dup-bigram ratio 10/11: t9 gate drops
     val docs = Seq(
       Doc(ts(0, 0), 1L, good),
       Doc(ts(0, 5), 2L, short),
       Doc(ts(0, 10), 3L, good), // exact duplicate content of doc 1
-      Doc(ts(0, 15), 4L, good + " extra"))
+      Doc(ts(0, 15), 4L, good + " extra"),
+      Doc(ts(0, 20), 5L, spammy))
     val stream = MemoryStream[Doc]
     val q = Streaming.corpusIngestTransform(stream.toDF())
       .writeStream.format("memory").queryName("corpus_spec").outputMode("append").start()
@@ -322,7 +324,8 @@ class StreamingSpec extends AnyFunSuite {
     val batchFps = Streaming.corpusIngestTransform(docs.toDF())
       .select($"fp").as[String].collect().toSet
     val streamedFps = s.table("corpus_spec").select($"fp").as[String].collect().toSet
-    assert(streamed == Set(1L, 4L), "quality-filtered short doc, deduped doc 3")
+    assert(streamed == Set(1L, 4L),
+      "quality-filtered short doc, deduped doc 3, repetition-gated doc 5")
     assert(streamedFps == batchFps)
   }
 
