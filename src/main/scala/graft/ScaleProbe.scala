@@ -24,10 +24,23 @@ import org.apache.spark.sql.functions._
   * `runMain graft.ScaleProbe [name...]` (defaults to d6/d7/d9).
   * `SPARK_GRAFT_PROBE_COPIES` overrides the blow-up factor (default 8;
   * 64 pins the d7 contraction-round claim further out).
+  *
+  * `SPARK_GRAFT_PROBE_SKEW=1` builds a HOT-KEY variant of the events
+  * copies — one user owns ~30% of all view rows — and reports, for
+  * each probed query, whether AQE's skew-join split fired on the
+  * final plan (defaults to e8/e9, the user_id-shuffled interval
+  * joins; the realistic skew case is exactly one hot user). The AQE
+  * skew thresholds are scaled down to match the probe corpus size —
+  * at production partition sizes the stock 256 MB thresholds play the
+  * same role; what the probe pins is that the hot key stays INSIDE
+  * the AQE safety net (both joins plan as SMJ with a plain equi key +
+  * range filter), rather than escaping it via a non-splittable shape.
   */
 object ScaleProbe {
   val Copies = math.max(2, sys.env.getOrElse("SPARK_GRAFT_PROBE_COPIES", "8").toInt)
-  val ProbeDir = s"/tmp/graft_scaleprobe${Copies}x"
+  val Skew = sys.env.get("SPARK_GRAFT_PROBE_SKEW").contains("1")
+  val HotUser = 1L
+  val ProbeDir = s"/tmp/graft_scaleprobe${Copies}x" + (if (Skew) "_skew" else "")
   private val SourceMarker = s"$ProbeDir/SOURCE_DIR"
 
   /** A cached probe corpus is only valid for the base dir it was built
@@ -95,9 +108,18 @@ object ScaleProbe {
       val ev = Tables.events(spark, base)
       val rest = ev.columns.filterNot(c => c == "event_id" || c == "user_id").map(col)
       writeCopies("events", ks.map { k =>
-        ev.select(Seq(
+        val copy = ev.select(Seq(
           ($"event_id" + lit(k * 100000000L)).as("event_id"),
           ($"user_id" + lit(k * 10000000L)).as("user_id")) ++ rest: _*)
+        // hot-key variant: ~30% of every copy's views reassigned to ONE
+        // global user (deterministic by event_id, ts untouched) — the
+        // user_id shuffle partition holding HotUser carries ~30% of all
+        // view rows, the realistic interval-join skew case
+        if (Skew)
+          copy.withColumn("user_id",
+            when($"event_type" === "view" && pmod($"event_id", lit(10)) < 3, lit(HotUser))
+              .otherwise($"user_id"))
+        else copy
       })
     }
     if (!haveTable("orders")) {
@@ -114,15 +136,53 @@ object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val names =
       if (args.nonEmpty) args.toSeq
+      else if (Skew) Seq("e8_interval_join", "e9_attribution")
       else Seq("d6_ngram_jaccard", "d7_dup_clusters", "d9_keep_list")
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Tables.session(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
+    if (Skew) {
+      // scale the AQE skew-split thresholds to the probe corpus (the
+      // stock 256 MB gates are sized for production partitions; the
+      // hot partition here is ~47k view rows ≈ sub-MB COMPRESSED
+      // shuffle bytes, which is what the threshold compares against)
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "256k")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64k")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      // at probe scale AQE broadcasts the (small) purchase side and no
+      // user_id shuffle exists at all — measured first: skew-split
+      // false because the join never shuffled. Production interval
+      // joins are fact-fact (both sides far above any broadcast
+      // threshold) and plan as SMJ; force that shape so the probe
+      // tests the hot key against the machinery that would face it
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    }
     build(spark, base)
     for (name <- names) {
       val fn = SparkEntry.queries(name)
       val tBase = BenchCore.measure(spark, base, fn)
       val tBig = BenchCore.measure(spark, ProbeDir, fn)
       println(f"$name: base=$tBase%.2f s  ${Copies}x=$tBig%.2f s  ratio=${tBig / tBase}%.1fx")
+      if (Skew) {
+        // the action must run on THIS df's QueryExecution — a noop
+        // write executes a separate cloned plan and leaves this one
+        // isFinalPlan=false with no skew info
+        def fired(): Boolean = {
+          val df = fn(spark, ProbeDir)
+          df.collect()
+          df.queryExecution.executedPlan.toString.contains("skew=true")
+        }
+        val plain = fired()
+        println(s"$name: AQE skew-split fired on the hot-user corpus: $plain")
+        if (!plain) {
+          // a downstream agg that reuses the join's partitioning (e.g.
+          // e9's groupBy includes user_id) pins the distribution and
+          // AQE won't split unless allowed to add the exchange back
+          spark.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+          try println(s"$name: ... with forceOptimizeSkewedJoin=true: ${fired()}")
+          finally spark.conf.unset("spark.sql.adaptive.forceOptimizeSkewedJoin")
+        }
+      }
     }
     spark.stop()
   }
