@@ -163,6 +163,9 @@ object ScaleProbe {
       val tBase = BenchCore.measure(spark, base, fn)
       val tBig = BenchCore.measure(spark, ProbeDir, fn)
       println(f"$name: base=$tBase%.2f s  ${Copies}x=$tBig%.2f s  ratio=${tBig / tBase}%.1fx")
+      if (name == "d7_dup_clusters")
+        println(s"$name: contraction rounds base=${dedup.Dedup.d7Rounds(spark, base)} " +
+          s"${Copies}x=${dedup.Dedup.d7Rounds(spark, ProbeDir)}")
       if (Skew) {
         // the action must run on THIS df's QueryExecution — a noop
         // write executes a separate cloned plan and leaves this one

@@ -399,6 +399,19 @@ object Dedup {
     (labels, rounds)
   }
 
+  /** Rounds-to-convergence of d7's star contraction on the corpus at
+    * `d` (dev/probe instrumentation — ScaleProbe prints this next to
+    * the 8×/64× ratios so the O(log²) round-count claim is pinned
+    * empirically, not asserted). */
+  def d7Rounds(s: SparkSession, d: String): Int = {
+    import s.implicits._
+    val pairs = lshCandidates(s, d)
+      .filter($"n_bands" >= MinBands)
+      .select($"doc_a", $"doc_b")
+    val (_, rounds) = starContract(s, pairs, canonicalDistinct = true)
+    rounds
+  }
+
   def d7DupClusters(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     // the lean candidate feed flows STRAIGHT into starContract's

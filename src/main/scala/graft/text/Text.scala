@@ -303,6 +303,72 @@ object Text {
   }
 
   // ---------------------------------------------------------------------
+  // t12: REPETITION RULE FAMILY — the full Gopher-style battery
+  // (Rae et al. 2021 Table A1 pairs per-size duplicate-n-gram
+  // fractions with top-n-gram mass fractions; t9 is the single
+  // bigram rule). Per doc: duplicate fraction (1 − distinct/total)
+  // for word 2- and 3-grams, plus the top-gram fraction — the share
+  // of n-gram slots the single most frequent gram occupies (token-
+  // slot proxy of Gopher's character fraction; bounded (0,1], unlike
+  // occurrences×n/n_tokens which exceeds 1 on degenerate docs). A doc
+  // is kept only if ALL four signals pass.
+  //
+  // Scale shape: ZERO shuffles before the output sort — n-gram
+  // arrays are built map-side (t6/t8 kernels) and the top-gram count
+  // is the longest run of the SORTED gram array ([[maxRun]], a pure
+  // codegen'd higher-order aggregate), not an explode + per-(doc,
+  // gram) groupBy, so nothing leaves the map side; the oracle
+  // rebuilds the same counts via unnest+GROUP BY, where the shuffle
+  // is DuckDB's problem.
+  // ---------------------------------------------------------------------
+  val Dup2Max = 0.20
+  val Dup3Max = 0.18
+  val Top2Max = 0.18
+  val Top3Max = 0.16
+
+  /** Highest occurrence count of any element of a string array —
+    * computed map-side as the longest run of the sorted array. The
+    * empty-string initial `prev` can't collide: grams are non-empty. */
+  private def maxRun(arr: Column): Column =
+    aggregate(array_sort(arr),
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"), acc.getField("run") + 1L)
+          .otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+
+  /** Word n-gram array for n >= 2 (t8's sequence/slice kernel). */
+  private def wordNgrams(t: Column, n: Int): Column =
+    transform(sequence(lit(1), size(t) - (n - 1)),
+      i => concat_ws(" ", slice(t, i, lit(n))))
+
+  def t12RepetitionFamily(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select($"doc_id", toks(lower($"text")).as("t"))
+      .filter(size($"t") >= 3) // need at least one trigram
+      .select($"doc_id", size($"t").as("n_tokens"),
+        wordBigrams($"t").as("g2"), wordNgrams($"t", 3).as("g3"))
+      .select($"doc_id", $"n_tokens",
+        size($"g2").as("total2"), size(array_distinct($"g2")).as("distinct2"),
+        maxRun($"g2").as("top2"),
+        size($"g3").as("total3"), size(array_distinct($"g3")).as("distinct3"),
+        maxRun($"g3").as("top3"))
+      .select($"doc_id", $"n_tokens",
+        (lit(1.0) - $"distinct2".cast("double") / $"total2").as("dup2_frac"),
+        ($"top2".cast("double") / $"total2").as("top2_frac"),
+        (lit(1.0) - $"distinct3".cast("double") / $"total3").as("dup3_frac"),
+        ($"top3".cast("double") / $"total3").as("top3_frac"))
+      .withColumn("keep",
+        $"dup2_frac" <= Dup2Max && $"dup3_frac" <= Dup3Max &&
+          $"top2_frac" <= Top2Max && $"top3_frac" <= Top3Max)
+      .orderBy($"doc_id")
+  }
+
+  // ---------------------------------------------------------------------
   // t10: SEQUENCE PACKING — the concat-stream chunking every
   // pre-training data loader runs: documents are concatenated in a
   // deterministic order and split into fixed-length context windows;
@@ -416,6 +482,7 @@ object Text {
   val queries: Map[String, Q] = Map(
     "t8_contamination" -> (t8Contamination _),
     "t9_repetition" -> (t9Repetition _),
+    "t12_repetition_family" -> (t12RepetitionFamily _),
     "t10_seq_pack" -> (t10SeqPack _),
     "t11_bm25" -> (t11Bm25 _),
     "t1_tokens" -> (t1Tokens _),
@@ -515,6 +582,36 @@ object Text {
   val oracles: Map[String, String] = Map(
     "t5_winnow" -> t5Oracle,
     "t11_bm25" -> t11Oracle,
+    "t12_repetition_family" ->
+      s"""WITH tk AS (
+           SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS t
+           FROM documents),
+         gr AS (
+           SELECT doc_id, CAST(len(t) AS INT) AS n_tokens,
+                  list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]) AS g2,
+                  list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS g3
+           FROM tk WHERE len(t) >= 3),
+         u2 AS (SELECT doc_id, unnest(g2) AS g FROM gr),
+         c2 AS (SELECT doc_id, g, count(*) AS c FROM u2 GROUP BY 1, 2),
+         a2 AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS total2,
+                       count(*) AS distinct2, CAST(max(c) AS BIGINT) AS top2
+                FROM c2 GROUP BY 1),
+         u3 AS (SELECT doc_id, unnest(g3) AS g FROM gr),
+         c3 AS (SELECT doc_id, g, count(*) AS c FROM u3 GROUP BY 1, 2),
+         a3 AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS total3,
+                       count(*) AS distinct3, CAST(max(c) AS BIGINT) AS top3
+                FROM c3 GROUP BY 1),
+         f AS (
+           SELECT gr.doc_id, gr.n_tokens,
+                  CAST(1 AS DOUBLE) - CAST(distinct2 AS DOUBLE) / total2 AS dup2_frac,
+                  CAST(top2 AS DOUBLE) / total2 AS top2_frac,
+                  CAST(1 AS DOUBLE) - CAST(distinct3 AS DOUBLE) / total3 AS dup3_frac,
+                  CAST(top3 AS DOUBLE) / total3 AS top3_frac
+           FROM gr JOIN a2 USING (doc_id) JOIN a3 USING (doc_id))
+         SELECT doc_id, n_tokens, dup2_frac, top2_frac, dup3_frac, top3_frac,
+                (dup2_frac <= $Dup2Max AND dup3_frac <= $Dup3Max AND
+                 top2_frac <= $Top2Max AND top3_frac <= $Top3Max) AS keep
+         FROM f ORDER BY doc_id""",
     "t9_repetition" ->
       s"""WITH tk AS (
            SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS t
