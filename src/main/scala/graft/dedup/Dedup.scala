@@ -524,7 +524,37 @@ object Dedup {
       .orderBy($"doc_id")
   }
 
+  // ---------------------------------------------------------------------
+  // d10: SEMANTIC dedup keep-list (SemDeDup, Abbas et al. 2023,
+  // arXiv:2303.09540) — the embedding-space counterpart of d9: docs
+  // that SAY the same thing (cosine above threshold inside a cluster
+  // block) are deduplicated even when their text n-grams don't
+  // overlap at all, the pass SemDeDup showed removes semantic
+  // near-duplicates LSH can't see. Same greedy-by-id endgame rule as
+  // d9 applied to d5's cluster-blocked pair generation: the larger
+  // vec_id of every above-threshold pair is purged, the manifest is
+  // an ids-only anti-join. Scale shape: the pair space is bounded by
+  // the cluster blocking (never all-pairs; SemDeDup's own k-means
+  // blocking — here the label clusters v3/v6 also use), the cosine is
+  // one codegen'd CosineSim eval in the join filter (nothing is
+  // projected, so no double-evaluation), and the purge side is
+  // 8-byte ids — AQE-broadcastable at any corpus scale.
+  // ---------------------------------------------------------------------
+  def d10SemanticKeep(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, d)
+    val purge = e.as("a").join(e.as("b"),
+        $"a.label" === $"b.label" && $"a.vec_id" < $"b.vec_id" &&
+          GraftFunctions.cosineSim($"a.embedding", $"b.embedding") > CosThreshold)
+      .select($"b.vec_id".as("vec_id"))
+      .distinct()
+    e.select($"vec_id", $"label")
+      .join(purge, Seq("vec_id"), "left_anti")
+      .orderBy($"vec_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "d10_semantic_keep" -> (d10SemanticKeep _),
     "d9_keep_list" -> (d9KeepList _),
     "d1_exact" -> (d1Exact _),
     "d2_shingle_stats" -> (d2ShingleStats _),
@@ -658,6 +688,17 @@ object Dedup {
                      JOIN ds sb ON cand.doc_b = sb.doc_id)
          SELECT doc_a, doc_b, est_jaccard, inter / (tot - inter) AS jaccard
          FROM j WHERE inter / (tot - inter) >= $JaccardThreshold ORDER BY doc_a, doc_b""",
+    "d10_semantic_keep" ->
+      s"""WITH p AS (
+            SELECT DISTINCT b.vec_id AS vid
+            FROM embeddings a JOIN embeddings b
+              ON a.label = b.label AND a.vec_id < b.vec_id
+            WHERE ${dot("a.embedding", "b.embedding")}
+                    / (sqrt(${dot("a.embedding", "a.embedding")})
+                       * sqrt(${dot("b.embedding", "b.embedding")})) > $CosThreshold)
+          SELECT e.vec_id, e.label FROM embeddings e
+          WHERE e.vec_id NOT IN (SELECT vid FROM p)
+          ORDER BY e.vec_id""",
     "d5_embed_neardup" ->
       s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
                  ${dot("a.embedding", "b.embedding")}

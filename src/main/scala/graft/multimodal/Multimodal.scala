@@ -187,7 +187,59 @@ object Multimodal {
       .orderBy($"doc_id", $"frame_idx")
   }
 
+  /** One fixed-hop audio chunk (m5). */
+  case class Chunk(doc_id: Long, sample_rate: Int, n_samples: Int,
+                   chunk_idx: Int, start_sample: Int, end_sample: Int,
+                   n_chunk_samples: Int, energy: Int)
+
+  /** Whisper-style chunking geometry: fixed window, 25% overlap. */
+  val ChunkSamples = 16000
+  val ChunkHop = 12000
+
+  // ---------------------------------------------------------------------
+  // m5: AUDIO CHUNKING — the segmentation pass a speech training
+  // pipeline runs before feature extraction (Whisper-style fixed
+  // windows with overlap): one audio blob fans out to its chunk rows
+  // with sample geometry and a per-chunk energy feature. Same honest
+  // stubbing as m1-m4: the container probe (sample rate, sample
+  // count) and the energy are deterministic functions of the fake
+  // blob bytes standing in for an audio decoder, while the chunk
+  // geometry — ceil-div chunk count, hop/window arithmetic, the
+  // short final chunk — is the real production arithmetic, all
+  // rebuilt byte-for-byte by the oracle from the md5 hex. The fan-out
+  // is a flatMap inside the mapPartitions batch (m2's shape): blobs
+  // never shuffle, only chunk metadata rows leave the map side.
+  // ---------------------------------------------------------------------
+  def m5AudioChunks(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select($"doc_id", unhex(md5($"text")).as("blob"))
+      .as[Blob]
+      .mapPartitions { it =>
+        it.flatMap { b =>
+          def u(i: Int): Int = b.blob(i) & 0xff
+          val rate = if (u(2) % 2 == 0) 16000 else 8000
+          val nSamples = 8000 + (u(0) * 256 + u(1))
+          var cs = 0
+          var i = 0
+          while (i < b.blob.length) { cs = (cs + (b.blob(i) & 0xff) * (i + 1)) % 9973; i += 1 }
+          val nChunks =
+            if (nSamples <= ChunkSamples) 1
+            else 1 + (nSamples - ChunkSamples + ChunkHop - 1) / ChunkHop
+          (0 until nChunks).iterator.map { ci =>
+            val start = ci * ChunkHop
+            val end = math.min(start + ChunkSamples, nSamples)
+            Chunk(b.doc_id, rate, nSamples, ci, start, end, end - start,
+              (cs + ci * 131) % 9973)
+          }
+        }
+      }
+      .toDF()
+      .orderBy($"doc_id", $"chunk_idx")
+  }
+
   val queries: Map[String, Q] = Map(
+    "m5_audio_chunks" -> (m5AudioChunks _),
     "m1_blob_meta" -> (m1BlobMeta _),
     "m2_frame_sample" -> (m2FrameSample _),
     "m3_resize" -> (m3Resize _),
@@ -203,6 +255,36 @@ object Multimodal {
   private val sumBytes = (0 until 16).map(byteAt).mkString(" + ")
 
   val oracles: Map[String, String] = Map(
+    // Container probe + chunk geometry rebuilt from the md5 hex; the
+    // ceil-div chunk count and hop arithmetic use only positive ints,
+    // so // truncation matches Scala's /.
+    "m5_audio_chunks" -> {
+      val weighted = (0 until 16).map(j => s"${byteAt(j)} * ${j + 1}").mkString(" + ")
+      s"""WITH b AS (SELECT doc_id, md5(text) AS h FROM documents),
+          m AS (
+            SELECT doc_id,
+                   CASE WHEN ${byteAt(2)} % 2 = 0 THEN 16000 ELSE 8000 END AS sample_rate,
+                   8000 + ${byteAt(0)} * 256 + ${byteAt(1)} AS n_samples,
+                   ($weighted) % 9973 AS cs
+            FROM b),
+          n AS (
+            SELECT *, CASE WHEN n_samples <= $ChunkSamples THEN 1
+                           ELSE 1 + (n_samples - $ChunkSamples + ${ChunkHop - 1}) // $ChunkHop
+                      END AS n_chunks
+            FROM m),
+          c AS (
+            SELECT doc_id, sample_rate, n_samples, cs,
+                   CAST(unnest(range(n_chunks)) AS INT) AS chunk_idx
+            FROM n)
+          SELECT doc_id, CAST(sample_rate AS INT) AS sample_rate,
+                 CAST(n_samples AS INT) AS n_samples, chunk_idx,
+                 CAST(chunk_idx * $ChunkHop AS INT) AS start_sample,
+                 CAST(least(chunk_idx * $ChunkHop + $ChunkSamples, n_samples) AS INT) AS end_sample,
+                 CAST(least(chunk_idx * $ChunkHop + $ChunkSamples, n_samples)
+                      - chunk_idx * $ChunkHop AS INT) AS n_chunk_samples,
+                 CAST((cs + chunk_idx * 131) % 9973 AS INT) AS energy
+          FROM c ORDER BY doc_id, chunk_idx"""
+    },
     "m1_blob_meta" ->
       s"""WITH b AS (SELECT doc_id, md5(text) AS h FROM documents)
           SELECT doc_id, 16 AS n_bytes,
