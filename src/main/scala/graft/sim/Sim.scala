@@ -420,6 +420,59 @@ object Sim {
       .orderBy($"q_id", $"rnk")
   }
 
+  // ---------------------------------------------------------------------
+  // v7: QUANTIZED COARSE SCORE + EXACT RERANK — the standard two-stage
+  // retrieval shape of production vector stores (int8/SIMD coarse scan
+  // → float rerank of a shortlist; FAISS's scalar-quantizer + refine
+  // pairing). Stage 1 scores every (query, corpus) pair with the
+  // INTEGER dot product of v5's int8 max-abs quantization — exact
+  // integer arithmetic, bit-stable in any engine — rescaled by the two
+  // max-abs scales to approximate the float dot; stage 2 re-scores
+  // only the per-query top-RerankC shortlist with the exact float
+  // cosine and emits the top-[[TopK]].
+  //
+  // Scale shape: queries broadcast (bounded, 20); quantization and the
+  // integer dot are map-side; both per-query top-k windows plan as the
+  // TopKPerGroup heap, so the stage-1 shuffle carries at most
+  // q×RerankC shortlist rows PER MAP PARTITION (vectors included —
+  // bounded by the heap, not by corpus size), and stage 2 touches
+  // only the shortlist. The float work drops from n×q cosines to
+  // q×RerankC — the int8 scan is the cheap pass, exactly why vector
+  // stores run this shape.
+  // ---------------------------------------------------------------------
+  val RerankC = 20
+
+  def v7QuantizedRerank(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, d)
+    // v5's max-abs int8 rule, packaged per row (scale + quantized ints)
+    def quant(emb: Column): Column = {
+      val scale = array_max(transform(emb, x => abs(x.cast("double"))))
+      struct(scale.as("scale"),
+        transform(emb, x =>
+          when(scale > 0, floor(x.cast("double") / scale * 127).cast("long"))
+            .otherwise(0L)).as("qs"))
+    }
+    val q = e.filter($"vec_id" < 20)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_emb"), quant($"embedding").as("qq"))
+    val corpus = e.filter($"vec_id" >= 20)
+      .select($"vec_id", $"embedding", quant($"embedding").as("cq"))
+    val idot = aggregate(zip_with($"qq.qs", $"cq.qs", (x, y) => x * y), lit(0L), _ + _)
+    val w1 = Window.partitionBy($"q_id").orderBy($"approx".desc, $"vec_id")
+    val shortlist = corpus.crossJoin(broadcast(q))
+      .select($"q_id", $"q_emb", $"vec_id", $"embedding",
+        (idot.cast("double") * ($"qq.scale" / 127.0) * ($"cq.scale" / 127.0)).as("approx"))
+      .withColumn("rn", row_number().over(w1))
+      .filter($"rn" <= RerankC)
+    val w2 = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id")
+    shortlist
+      .select($"q_id", $"vec_id", $"approx", cosineSim($"embedding", $"q_emb").as("cos"))
+      .withColumn("rnk", row_number().over(w2))
+      .filter($"rnk" <= TopK)
+      .select($"q_id", $"rnk", $"vec_id", $"cos", $"approx")
+      .orderBy($"q_id", $"rnk")
+  }
+
   /** Collected centroids for the recall spec (tiny: one per label). */
   def centroidsForTest(s: SparkSession, d: String): Seq[(Int, Seq[Float])] = {
     import s.implicits._
@@ -433,6 +486,7 @@ object Sim {
     "v4_knn_sql" -> (v4KnnSql _),
     "v5_quantize" -> (v5Quantize _),
     "v6_pq_adc" -> (v6PqAdc _),
+    "v7_quantized_rerank" -> (v7QuantizedRerank _),
   )
 
   private def dot(x: String, y: String): String =
@@ -530,6 +584,42 @@ object Sim {
           SELECT vec_id, label, ${cos("embedding", "q_emb")} AS cos
           FROM embeddings, q WHERE vec_id <> 0
           ORDER BY cos DESC, vec_id LIMIT 10""",
+    // v7: v5's quantization rule per vector, exact integer dot (order-
+    // free), one left-assoc rescale chain, then the two row_number
+    // stages mirror the two heap top-ks.
+    "v7_quantized_rerank" ->
+      s"""WITH b AS (
+            SELECT vec_id, embedding,
+                   list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS scale
+            FROM embeddings),
+          qz AS (
+            SELECT vec_id, embedding, scale,
+                   list_transform(embedding, x -> CASE WHEN scale > 0
+                     THEN CAST(floor(CAST(x AS DOUBLE) / scale * 127) AS BIGINT)
+                     ELSE 0 END) AS qs
+            FROM b),
+          qs AS (SELECT vec_id AS q_id, embedding AS q_emb, scale AS q_scale, qs AS q_qs
+                 FROM qz WHERE vec_id < 20),
+          cs AS (SELECT vec_id, embedding, scale AS c_scale, qs AS c_qs
+                 FROM qz WHERE vec_id >= 20),
+          sc AS (
+            SELECT q_id, vec_id, q_emb, embedding,
+                   CAST(list_sum(list_transform(range(1, 65), i -> q_qs[i] * c_qs[i])) AS DOUBLE)
+                     * (q_scale / 127.0) * (c_scale / 127.0) AS approx
+            FROM qs, cs),
+          r1 AS (
+            SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY approx DESC, vec_id) AS rn
+            FROM sc),
+          sl AS (SELECT * FROM r1 WHERE rn <= $RerankC),
+          r2 AS (
+            SELECT q_id, vec_id, approx, ${cos("embedding", "q_emb")} AS cos
+            FROM sl),
+          rk AS (
+            SELECT q_id, vec_id, approx, cos,
+                   CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS INT) AS rnk
+            FROM r2)
+          SELECT q_id, rnk, vec_id, cos, approx FROM rk WHERE rnk <= $TopK
+          ORDER BY q_id, rnk""",
     "v2_knn_batch" ->
       s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 20),
           scored AS (

@@ -397,6 +397,44 @@ object Solar {
   }
 
   // ---------------------------------------------------------------------
+  // s20: GAP FILL — ClickHouse's `ORDER BY … WITH FILL` / `interpolate`
+  // materialized: the dashboard-ready regular 15-min series per
+  // inverter, empty slots forward-filled with the last known reading
+  // (zero-order hold — s17 computes the ZOH integral, this emits the
+  // ZOH series itself). Each inverter's grid spans ITS OWN [first,
+  // last] slot; slot value is the argMax-by-(ts, event_id) last
+  // reading (s7's deterministic rule), fill via last(_, ignoreNulls)
+  // over the (inverter, slot) window. Scale shape: grid size is
+  // bounded per inverter (slots of the covered span, not corpus
+  // rows); the explode is map-side from a 2-column (lo, hi) aggregate;
+  // one (inverter) window sort — same key every s-family window uses.
+  // The first grid slot always holds a reading (it IS the min reading
+  // slot), so the fill never sees leading nulls.
+  // ---------------------------------------------------------------------
+  def s20GapFill(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val slot = window($"ts", "15 minutes")("start")
+    val slotted = feed(s, d)
+      .filter($"event_type" === "view")
+      .select($"inverter", slot.as("slot"), $"ts", $"event_id", $"value")
+    val ag = slotted
+      .groupBy($"inverter", $"slot")
+      .agg(count(lit(1)).as("n"),
+        max_by($"value", struct($"ts", $"event_id")).as("slot_last"))
+    val grid = ag.groupBy($"inverter")
+      .agg(min($"slot").as("lo"), max($"slot").as("hi"))
+      .select($"inverter",
+        explode(sequence($"lo", $"hi", expr("INTERVAL 15 minutes"))).as("slot"))
+    val w = Window.partitionBy($"inverter").orderBy($"slot")
+    grid.join(ag, Seq("inverter", "slot"), "left")
+      .select($"inverter", $"slot",
+        coalesce($"n", lit(0L)).as("n_readings"),
+        last($"slot_last", ignoreNulls = true).over(w).as("value_filled"),
+        $"slot_last".isNull.as("filled"))
+      .orderBy($"inverter", $"slot")
+  }
+
+  // ---------------------------------------------------------------------
   // s15: daily fleet activity — exact distinct counts (ClickHouse
   // uniqExact). The approximate variant (uniq ≈ approx_count_distinct
   // / HyperLogLog++) is pinned by a relative-error spec in
@@ -561,6 +599,7 @@ object Solar {
     "s10_sessionize" -> (s10Sessionize _),
     "s11_rollup" -> (s11Rollup _),
     "s12_top_inverters" -> (s12TopInverters _),
+    "s20_gap_fill" -> (s20GapFill _),
   )
 
   // DuckDB oracles — each mirrors the Spark arithmetic exactly
@@ -809,6 +848,36 @@ object Solar {
                 (epoch_us(ts) - epoch_us(prev_ts)) / 60000000.0 AS gap_minutes
          FROM g WHERE epoch_us(ts) - epoch_us(prev_ts) > 86400000000
          ORDER BY inverter, gap_start""",
+    // WITH FILL materialization: grid per inverter via generate_series
+    // (inclusive on both ends, like Spark's sequence); slot last
+    // reading via s7's row_number rule; forward fill via IGNORE NULLS.
+    "s20_gap_fill" ->
+      """WITH sl AS (
+           SELECT user_id AS inverter, time_bucket(INTERVAL '15 minutes', ts) AS slot,
+                  ts, event_id, value
+           FROM events WHERE event_type = 'view'),
+         c AS (SELECT inverter, slot, count(*) AS n FROM sl GROUP BY 1, 2),
+         lastr AS (
+           SELECT inverter, slot, value AS slot_last FROM (
+             SELECT inverter, slot, value,
+                    row_number() OVER (PARTITION BY inverter, slot
+                                       ORDER BY ts DESC, event_id DESC) AS rn
+             FROM sl) WHERE rn = 1),
+         ag AS (SELECT c.inverter, c.slot, c.n, lastr.slot_last
+                FROM c JOIN lastr USING (inverter, slot)),
+         bounds AS (SELECT inverter, min(slot) AS lo, max(slot) AS hi FROM ag GROUP BY 1),
+         grid AS (
+           SELECT inverter, unnest(generate_series(lo, hi, INTERVAL 15 minute)) AS slot
+           FROM bounds),
+         j AS (
+           SELECT g.inverter, g.slot, ag.n, ag.slot_last
+           FROM grid g LEFT JOIN ag ON g.inverter = ag.inverter AND g.slot = ag.slot)
+         SELECT inverter, slot, coalesce(n, 0) AS n_readings,
+                last_value(slot_last IGNORE NULLS) OVER (
+                  PARTITION BY inverter ORDER BY slot
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_filled,
+                slot_last IS NULL AS filled
+         FROM j ORDER BY inverter, slot""",
     "s9_downsample" ->
       """SELECT user_id AS inverter, time_bucket(INTERVAL '15 minutes', ts) AS bucket,
            CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_value,

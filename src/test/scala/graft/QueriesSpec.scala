@@ -396,6 +396,45 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("v7 quantized rerank: int8 shortlist recalls most of the exact top-5") {
+    // The oracle pins every bit of the two-stage pipeline; this pins
+    // the SEMANTIC property the hash can't see — the int8 coarse
+    // shortlist (RerankC=20 of the corpus) must keep enough of the
+    // true neighbors that the float rerank recovers most of the exact
+    // brute-force top-5 (and rank-1 is fully trusted: with the
+    // shortlist 4× deeper than k, losing the single nearest neighbor
+    // to 7-bit quantization noise would mean the quantizer is broken).
+    val s = spark
+    import s.implicits._
+    val got = sim.Sim.v7QuantizedRerank(s, SfDir)
+      .select($"q_id", $"rnk", $"vec_id").as[(Long, Int, Long)].collect()
+      .groupBy(_._1).map { case (q, rs) => q -> rs.sortBy(_._2).map(_._3).toSeq }
+    assert(got.size == 20)
+    val e = Tables.embeddings(s, SfDir)
+      .select($"vec_id", $"embedding").as[(Long, Seq[Float])].collect()
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i)
+        i += 1
+      }
+      if (na == 0 || nb == 0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val byId = e.toMap
+    val recalls = got.map { case (q, approx) =>
+      val exact = e.filter(_._1 >= 20)
+        .map { case (id, emb) => (id, cos(byId(q), emb)) }
+        .sortBy { case (id, sc) => (-sc, id) }
+        .take(sim.Sim.TopK).map(_._1)
+      assert(approx.head == exact.head, s"query $q lost the rank-1 neighbor")
+      exact.count(approx.contains).toDouble / exact.size
+    }.toSeq
+    val mean = recalls.sum / recalls.size
+    info(f"v7 mean recall@5 vs exact: $mean%.2f")
+    assert(mean >= 0.8, f"recall@5 $mean%.2f < 0.8 — int8 shortlist too lossy")
+  }
+
   test("t11 ln-BM25 (spark.graft.bm25.ln): same positive set, rankings strongly agree") {
     // The graded t11 uses the rational Robertson idf for bit-exactness;
     // the conf-gated production variant applies Lucene's
