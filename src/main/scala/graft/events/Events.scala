@@ -127,6 +127,37 @@ object Events {
   }
 
   // ---------------------------------------------------------------------
+  // e10: ROLLING ACTIVES — DAU + trailing-7-day WAU per day, the
+  // rolling-distinct dashboard analytic (ClickHouse runs it with
+  // uniq states merged over a date range). Sliding DISTINCT doesn't
+  // decompose like sums, so the scale-correct shape is: dedup to
+  // (user, day) FIRST (cardinality = active-user-days, not events),
+  // explode each pair into the ≤7 report days it contributes to
+  // (map-side ×7 on the deduped pairs), keep only observed days,
+  // then one combine-enabled distinct count per report day. No
+  // per-day set unions on the driver, no window over collected sets.
+  // ---------------------------------------------------------------------
+  def e10RollingActives(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val act = Tables.events(s, d)
+      .select($"user_id", date_trunc("day", $"ts").as("day"))
+      .distinct()
+    val days = act.select($"day").distinct()
+    val dau = act.groupBy($"day").agg(countDistinct($"user_id").as("dau"))
+    // activity on day d counts toward report days d..d+6; semi-join
+    // clips the fan-out to days that actually occur in the feed
+    val wau = act
+      .select($"user_id", explode(sequence($"day",
+        $"day" + expr("INTERVAL 6 DAYS"), expr("INTERVAL 1 DAY"))).as("day"))
+      .join(days, Seq("day"), "left_semi")
+      .groupBy($"day")
+      .agg(countDistinct($"user_id").as("wau"))
+    dau.join(wau, "day")
+      .select($"day", $"dau", $"wau")
+      .orderBy($"day")
+  }
+
+  // ---------------------------------------------------------------------
   // e3: fixed-width histogram of `value` — 10 buckets of width 50 over
   // [0, 500), under/overflow clamped into the edge buckets
   // (width_bucket semantics). Bucket id computed map-side; single
@@ -288,6 +319,7 @@ object Events {
   }
 
   val queries: Map[String, Q] = Map(
+    "e10_rolling_actives" -> (e10RollingActives _),
     "e9_attribution" -> (e9Attribution _),
     "e1_funnel" -> (e1Funnel _),
     "e6_bounded_funnel" -> (e6BoundedFunnel _),
@@ -303,6 +335,19 @@ object Events {
   // BIGINT) is HUGEINT — always CAST back to BIGINT; double divisions
   // are left as single IEEE ops (bit-identical across engines).
   val oracles: Map[String, String] = Map(
+    "e10_rolling_actives" ->
+      """WITH ud AS (
+           SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events),
+         days AS (SELECT DISTINCT day FROM ud),
+         dau AS (SELECT day, count(*) AS dau FROM ud GROUP BY 1),
+         wau AS (
+           SELECT d.day, count(DISTINCT u.user_id) AS wau
+           FROM days d JOIN ud u
+             ON u.day >= d.day - INTERVAL 6 DAY AND u.day <= d.day
+           GROUP BY 1)
+         SELECT dau.day AS day, dau.dau, wau.wau
+         FROM dau JOIN wau ON dau.day = wau.day
+         ORDER BY dau.day""",
     "e9_attribution" ->
       """WITH v AS (
            SELECT user_id AS v_user, event_id AS view_id, epoch_us(ts) AS v_us
