@@ -396,6 +396,79 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("s20 gap fill: grid tiles each inverter's span; filled slots carry the last reading forward") {
+    // The oracle pins bytes; this pins the WITH FILL semantics: the
+    // grid is exactly the contiguous 15-min lattice of each
+    // inverter's [first, last] reading slot, rows flagged `filled`
+    // repeat the previous row's value (zero-order hold), and rows
+    // with readings are never flagged.
+    val s = spark
+    import s.implicits._
+    val rows = solar.Solar.s20GapFill(s, SfDir)
+      .select($"inverter", $"slot".cast("long"), $"n_readings", $"value_filled", $"filled")
+      .as[(Long, Long, Long, Double, Boolean)].collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (inv, rs) =>
+      val sorted = rs.sortBy(_._2)
+      sorted.sliding(2).foreach {
+        case Array((_, s1, _, v1, _), (_, s2, _, v2, f2)) =>
+          assert(s2 - s1 == 900L, s"inverter $inv grid gap ${s2 - s1}s != 15 min")
+          if (f2) assert(v2 == v1, s"inverter $inv filled slot $s2 broke the ZOH carry")
+        case _ =>
+      }
+      assert(!sorted.head._5, s"inverter $inv first grid slot cannot be a fill")
+      sorted.foreach { case (_, slot, n, _, filled) =>
+        assert(filled == (n == 0L), s"inverter $inv slot $slot: filled flag vs n_readings")
+      }
+    }
+  }
+
+  test("m5 audio chunks: fixed-hop windows tile each blob's sample range") {
+    val s = spark
+    import s.implicits._
+    val rows = multimodal.Multimodal.m5AudioChunks(s, SfDir)
+      .select($"doc_id", $"n_samples", $"chunk_idx", $"start_sample", $"end_sample")
+      .as[(Long, Int, Int, Int, Int)].collect()
+    val win = multimodal.Multimodal.ChunkSamples
+    val hop = multimodal.Multimodal.ChunkHop
+    rows.groupBy(_._1).foreach { case (doc, rs) =>
+      val sorted = rs.sortBy(_._3)
+      val n = sorted.head._2
+      assert(sorted.map(_._3).toSeq == sorted.indices.toSeq, s"doc $doc chunk idx gap")
+      sorted.foreach { case (_, _, ci, start, end) =>
+        assert(start == ci * hop, s"doc $doc chunk $ci start")
+        assert(end == math.min(start + win, n), s"doc $doc chunk $ci end")
+      }
+      assert(sorted.last._5 == n, s"doc $doc final chunk must end at n_samples")
+      // full coverage: every sample index is inside some chunk
+      assert(sorted.head._4 == 0 && sorted.sliding(2).forall {
+        case Array((_, _, _, _, e1), (_, _, _, s2, _)) => s2 <= e1
+        case _ => true
+      }, s"doc $doc chunks leave a gap")
+    }
+  }
+
+  test("d10 semantic keep: greedy purge is sound and minimal vs the d5 pair set") {
+    // Sound: no above-threshold pair survives with BOTH endpoints
+    // kept. Minimal: every purged vector is the larger endpoint of at
+    // least one pair (nothing is dropped without a reason).
+    val s = spark
+    import s.implicits._
+    val kept = dedup.Dedup.d10SemanticKeep(s, SfDir)
+      .select($"vec_id").as[Long].collect().toSet
+    val pairs = dedup.Dedup.d5EmbedNeardup(s, SfDir)
+      .select($"vec_a", $"vec_b").as[(Long, Long)].collect()
+    assert(pairs.nonEmpty, "threshold produced no pairs — spec would be vacuous")
+    pairs.foreach { case (a, b) =>
+      assert(!(kept(a) && kept(b)), s"pair ($a, $b) survived with both endpoints kept")
+    }
+    val all = Tables.embeddings(s, SfDir).select($"vec_id").as[Long].collect().toSet
+    val purged = all -- kept
+    val purgeReasons = pairs.map(_._2).toSet
+    assert(purged == purgeReasons,
+      s"purge set must be exactly the larger endpoints of the pair set")
+  }
+
   test("v7 quantized rerank: int8 shortlist recalls most of the exact top-5") {
     // The oracle pins every bit of the two-stage pipeline; this pins
     // the SEMANTIC property the hash can't see — the int8 coarse
