@@ -127,6 +127,54 @@ object Events {
   }
 
   // ---------------------------------------------------------------------
+  // e11: SESSION-SCOPED FUNNEL — the per-session conversion readout
+  // product analytics actually ships (a purchase in tomorrow's session
+  // doesn't convert today's): s10's gap-sessionization rule composed
+  // with e1's ordered-stage detection, stages evaluated INSIDE each
+  // (user, session). funnel_level 0 = session with no view (ClickHouse
+  // windowFunnel's 0), 1..3 = stages completed strictly in order.
+  // Shapes: one shuffle on user_id; the session-id cumsum and the
+  // stage minima share the (user_id, ts, event_id) sort (sid is
+  // monotone in that order, so the (user, sid) stage windows re-sort
+  // already-clustered rows, no second exchange).
+  // ---------------------------------------------------------------------
+  private val SessionGapUs = 30L * 60 * 1000000
+
+  def e11SessionFunnel(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val wOrd = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val cum = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sess = Tables.events(s, d)
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+      .withColumn("gap_us",
+        unix_micros($"ts") - unix_micros(lag($"ts", 1).over(wOrd)))
+      .withColumn("new_s",
+        when($"gap_us".isNull || $"gap_us" > SessionGapUs, 1L).otherwise(0L))
+      .withColumn("sid", sum($"new_s").over(cum))
+    val wf = Window.partitionBy($"user_id", $"sid").orderBy($"ts", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess
+      .withColumn("min_view", min(when($"event_type" === "view", $"ts")).over(wf))
+      .withColumn("click_ts",
+        when($"event_type" === "click" && $"ts" > $"min_view", $"ts"))
+      .withColumn("min_click", min($"click_ts").over(wf))
+      .withColumn("purch_ts",
+        when($"event_type" === "purchase" && $"ts" > $"min_click", $"ts"))
+      .groupBy($"user_id", $"sid")
+      .agg(
+        count(lit(1)).as("n_events"),
+        min($"ts").as("s_start"),
+        min(when($"event_type" === "view", $"ts")).as("t1"),
+        min($"click_ts").as("t2"),
+        min($"purch_ts").as("t3"))
+      .select($"user_id", $"sid", $"s_start", $"n_events",
+        when($"t1".isNull, 0)
+          .otherwise(lit(1) + when($"t2".isNotNull, 1).otherwise(0)
+                            + when($"t3".isNotNull, 1).otherwise(0)).as("funnel_level"))
+      .orderBy($"user_id", $"sid")
+  }
+
+  // ---------------------------------------------------------------------
   // e10: ROLLING ACTIVES — DAU + trailing-7-day WAU per day, the
   // rolling-distinct dashboard analytic (ClickHouse runs it with
   // uniq states merged over a date range). Sliding DISTINCT doesn't
@@ -319,6 +367,7 @@ object Events {
   }
 
   val queries: Map[String, Q] = Map(
+    "e11_session_funnel" -> (e11SessionFunnel _),
     "e10_rolling_actives" -> (e10RollingActives _),
     "e9_attribution" -> (e9Attribution _),
     "e1_funnel" -> (e1Funnel _),
@@ -335,6 +384,42 @@ object Events {
   // BIGINT) is HUGEINT — always CAST back to BIGINT; double divisions
   // are left as single IEEE ops (bit-identical across engines).
   val oracles: Map[String, String] = Map(
+    // s10's session rule (gap > 30 min) then e1's running-stage-minima
+    // logic inside each (user, sid) — all windows on the shared
+    // (ts, event_id) order.
+    "e11_session_funnel" ->
+      """WITH x AS (
+           SELECT user_id, ts, event_id, event_type, epoch_us(ts) AS us,
+                  lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+           FROM events),
+         y AS (
+           SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 ELSE 0 END AS new_s
+           FROM x),
+         z AS (
+           SELECT *, CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+           FROM y),
+         f AS (
+           SELECT *, min(CASE WHEN event_type = 'view' THEN ts END) OVER
+                       (PARTITION BY user_id, sid ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS min_view
+           FROM z),
+         g AS (SELECT *, CASE WHEN event_type = 'click' AND ts > min_view THEN ts END AS click_ts FROM f),
+         h AS (
+           SELECT *, min(click_ts) OVER (PARTITION BY user_id, sid ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS min_click
+           FROM g),
+         i AS (SELECT *, CASE WHEN event_type = 'purchase' AND ts > min_click THEN ts END AS purch_ts FROM h),
+         a AS (
+           SELECT user_id, sid, count(*) AS n_events, min(ts) AS s_start,
+                  min(CASE WHEN event_type = 'view' THEN ts END) AS t1,
+                  min(click_ts) AS t2, min(purch_ts) AS t3
+           FROM i GROUP BY 1, 2)
+         SELECT user_id, sid, s_start, n_events,
+                CASE WHEN t1 IS NULL THEN 0
+                     ELSE 1 + (CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END)
+                            + (CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END) END AS funnel_level
+         FROM a ORDER BY user_id, sid""",
     "e10_rolling_actives" ->
       """WITH ud AS (
            SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events),
