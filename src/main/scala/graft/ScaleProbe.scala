@@ -49,7 +49,9 @@ object ScaleProbe {
   private def ensureFreshFor(base: String): Unit = {
     val marker = new java.io.File(SourceMarker)
     val recorded =
-      if (marker.exists()) scala.io.Source.fromFile(marker).mkString.trim else ""
+      if (marker.exists())
+        java.nio.file.Files.readString(marker.toPath).trim
+      else ""
     if (recorded != base) {
       val dir = new java.io.File(ProbeDir)
       if (dir.exists()) {
@@ -140,33 +142,44 @@ object ScaleProbe {
       else Seq("d6_ngram_jaccard", "d7_dup_clusters", "d9_keep_list")
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Tables.session(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
-    if (Skew) {
-      // scale the AQE skew-split thresholds to the probe corpus (the
-      // stock 256 MB gates are sized for production partitions; the
-      // hot partition here is ~47k view rows ≈ sub-MB COMPRESSED
-      // shuffle bytes, which is what the threshold compares against)
-      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "256k")
-      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64k")
-      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
-      // at probe scale AQE broadcasts the (small) purchase side and no
-      // user_id shuffle exists at all — measured first: skew-split
-      // false because the join never shuffled. Production interval
-      // joins are fact-fact (both sides far above any broadcast
-      // threshold) and plan as SMJ; force that shape so the probe
-      // tests the hot key against the machinery that would face it
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
-    }
+    // Skew-mode session overrides, scoped to the PROBE-corpus work only
+    // so the base-dir times (and therefore the printed base/big ratios)
+    // are measured under the session's default confs:
+    //  - the AQE skew-split thresholds are scaled to the probe corpus
+    //    (the stock 256 MB gates are sized for production partitions;
+    //    the hot partition here is ~47k view rows ≈ sub-MB COMPRESSED
+    //    shuffle bytes, which is what the threshold compares against);
+    //  - broadcast joins are disabled because at probe scale AQE
+    //    broadcasts the (small) purchase side and no user_id shuffle
+    //    exists at all. Production interval joins are fact-fact (both
+    //    sides far above any broadcast threshold) and plan as SMJ;
+    //    forcing that shape tests the hot key against the machinery
+    //    that would face it.
+    val skewConfs = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "256k",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "64k",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    def underSkewConfs[T](body: => T): T =
+      if (!Skew) body
+      else {
+        val saved = skewConfs.map { case (k, _) => k -> spark.conf.getOption(k) }
+        skewConfs.foreach { case (k, v) => spark.conf.set(k, v) }
+        try body
+        finally saved.foreach { case (k, o) =>
+          o.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+      }
     build(spark, base)
     for (name <- names) {
       val fn = SparkEntry.queries(name)
       val tBase = BenchCore.measure(spark, base, fn)
-      val tBig = BenchCore.measure(spark, ProbeDir, fn)
+      val tBig = underSkewConfs(BenchCore.measure(spark, ProbeDir, fn))
       println(f"$name: base=$tBase%.2f s  ${Copies}x=$tBig%.2f s  ratio=${tBig / tBase}%.1fx")
       if (name == "d7_dup_clusters")
         println(s"$name: contraction rounds base=${dedup.Dedup.d7Rounds(spark, base)} " +
           s"${Copies}x=${dedup.Dedup.d7Rounds(spark, ProbeDir)}")
-      if (Skew) {
+      if (Skew) underSkewConfs {
         // the action must run on THIS df's QueryExecution — a noop
         // write executes a separate cloned plan and leaves this one
         // isFinalPlan=false with no skew info

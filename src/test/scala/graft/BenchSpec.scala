@@ -18,7 +18,10 @@ class BenchSpec extends AnyFunSuite {
 
   test("BenchCore: initBaseline is idempotent and only ever tightens") {
     val first = BenchCore.initBaseline(spark)
-    assert(first > 0 && first < 30, s"startup baseline out of range: $first s")
+    // sanity floor only — a tight wall-clock ceiling here would flake on
+    // a loaded machine independent of any code defect (r10 ADVICE); the
+    // loose 60 s bound matches the measure() test's
+    assert(first > 0 && first < 60, s"startup baseline out of range: $first s")
     assert(BenchCore.initBaseline(spark) <= first, "repeat call must not loosen")
     // measure()'s post-sample calibrations may tighten the cached value
     BenchCore.measure(spark, SfDir, (s, d) => Tables.region(s, d),
