@@ -411,7 +411,13 @@ object Solar {
   // The first grid slot always holds a reading (it IS the min reading
   // slot), so the fill never sees leading nulls.
   // ---------------------------------------------------------------------
-  def s20GapFill(s: SparkSession, d: String): DataFrame = {
+  /** Shared s20/s21 skeleton: the per-inverter regular 15-min grid
+    * (each inverter spans ITS OWN [first, last] reading slot — grid
+    * rows come from a 2-column (lo, hi) aggregate + map-side sequence
+    * explode, bounded by the time span, not corpus rows) left-joined
+    * with the per-(inverter, slot) reading aggregate (slot value =
+    * s7's deterministic argMax-by-(ts, event_id) last reading). */
+  private def slotGrid(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val slot = window($"ts", "15 minutes")("start")
     val slotted = feed(s, d)
@@ -425,11 +431,55 @@ object Solar {
       .agg(min($"slot").as("lo"), max($"slot").as("hi"))
       .select($"inverter",
         explode(sequence($"lo", $"hi", expr("INTERVAL 15 minutes"))).as("slot"))
-    val w = Window.partitionBy($"inverter").orderBy($"slot")
     grid.join(ag, Seq("inverter", "slot"), "left")
+  }
+
+  def s20GapFill(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"inverter").orderBy($"slot")
+    slotGrid(s, d)
       .select($"inverter", $"slot",
         coalesce($"n", lit(0L)).as("n_readings"),
         last($"slot_last", ignoreNulls = true).over(w).as("value_filled"),
+        $"slot_last".isNull.as("filled"))
+      .orderBy($"inverter", $"slot")
+  }
+
+  // ---------------------------------------------------------------------
+  // s21: WITH FILL INTERPOLATE (linear) — ClickHouse's other dashboard
+  // fill mode: empty grid slots take the straight line between the
+  // previous and next known readings instead of s20's zero-order hold.
+  // Same grid skeleton as s20 ([[slotGrid]]); the fill needs BOTH
+  // neighbors, so two ignoreNulls window passes over the SAME
+  // (inverter, slot) sort — last() over the trailing frame, first()
+  // over the leading frame; Spark plans both WindowExecs off one
+  // exchange + one sort. The interpolation fraction is exact integer
+  // microsecond deltas divided once in double (single shared IEEE
+  // divide, then one multiply + one add — mirrored op-for-op by the
+  // oracle). Boundary slots always hold readings (the grid spans
+  // [min, max] reading slots), so every gap is interior and prev/next
+  // are always present — no extrapolation case exists.
+  // ---------------------------------------------------------------------
+  def s21Interpolate(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val wb = Window.partitionBy($"inverter").orderBy($"slot")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = Window.partitionBy($"inverter").orderBy($"slot")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val us = unix_micros($"slot")
+    slotGrid(s, d)
+      .withColumn("prev_v", last($"slot_last", ignoreNulls = true).over(wb))
+      .withColumn("prev_us",
+        last(when($"slot_last".isNotNull, us), ignoreNulls = true).over(wb))
+      .withColumn("next_v", first($"slot_last", ignoreNulls = true).over(wf))
+      .withColumn("next_us",
+        first(when($"slot_last".isNotNull, us), ignoreNulls = true).over(wf))
+      .select($"inverter", $"slot",
+        coalesce($"n", lit(0L)).as("n_readings"),
+        when($"slot_last".isNotNull, $"slot_last")
+          .otherwise($"prev_v" + ($"next_v" - $"prev_v") *
+            ((us - $"prev_us").cast("double") /
+              ($"next_us" - $"prev_us").cast("double"))).as("value_interp"),
         $"slot_last".isNull.as("filled"))
       .orderBy($"inverter", $"slot")
   }
@@ -600,7 +650,33 @@ object Solar {
     "s11_rollup" -> (s11Rollup _),
     "s12_top_inverters" -> (s12TopInverters _),
     "s20_gap_fill" -> (s20GapFill _),
+    "s21_interpolate" -> (s21Interpolate _),
   )
+
+  /** Shared s20/s21 oracle skeleton (mirrors [[slotGrid]]): grid per
+    * inverter via generate_series (inclusive on both ends, like
+    * Spark's sequence); slot last reading via s7's row_number rule. */
+  private val slotGridCte: String =
+    """sl AS (
+           SELECT user_id AS inverter, time_bucket(INTERVAL '15 minutes', ts) AS slot,
+                  ts, event_id, value
+           FROM events WHERE event_type = 'view'),
+         c AS (SELECT inverter, slot, count(*) AS n FROM sl GROUP BY 1, 2),
+         lastr AS (
+           SELECT inverter, slot, value AS slot_last FROM (
+             SELECT inverter, slot, value,
+                    row_number() OVER (PARTITION BY inverter, slot
+                                       ORDER BY ts DESC, event_id DESC) AS rn
+             FROM sl) WHERE rn = 1),
+         ag AS (SELECT c.inverter, c.slot, c.n, lastr.slot_last
+                FROM c JOIN lastr USING (inverter, slot)),
+         bounds AS (SELECT inverter, min(slot) AS lo, max(slot) AS hi FROM ag GROUP BY 1),
+         grid AS (
+           SELECT inverter, unnest(generate_series(lo, hi, INTERVAL 15 minute)) AS slot
+           FROM bounds),
+         j AS (
+           SELECT g.inverter, g.slot, ag.n, ag.slot_last
+           FROM grid g LEFT JOIN ag ON g.inverter = ag.inverter AND g.slot = ag.slot)"""
 
   // DuckDB oracles — each mirrors the Spark arithmetic exactly
   // (decimal sums, integer microseconds, double division).
@@ -848,36 +924,41 @@ object Solar {
                 (epoch_us(ts) - epoch_us(prev_ts)) / 60000000.0 AS gap_minutes
          FROM g WHERE epoch_us(ts) - epoch_us(prev_ts) > 86400000000
          ORDER BY inverter, gap_start""",
-    // WITH FILL materialization: grid per inverter via generate_series
-    // (inclusive on both ends, like Spark's sequence); slot last
-    // reading via s7's row_number rule; forward fill via IGNORE NULLS.
+    // WITH FILL materialization: shared grid skeleton (slotGridCte);
+    // forward fill via IGNORE NULLS.
     "s20_gap_fill" ->
-      """WITH sl AS (
-           SELECT user_id AS inverter, time_bucket(INTERVAL '15 minutes', ts) AS slot,
-                  ts, event_id, value
-           FROM events WHERE event_type = 'view'),
-         c AS (SELECT inverter, slot, count(*) AS n FROM sl GROUP BY 1, 2),
-         lastr AS (
-           SELECT inverter, slot, value AS slot_last FROM (
-             SELECT inverter, slot, value,
-                    row_number() OVER (PARTITION BY inverter, slot
-                                       ORDER BY ts DESC, event_id DESC) AS rn
-             FROM sl) WHERE rn = 1),
-         ag AS (SELECT c.inverter, c.slot, c.n, lastr.slot_last
-                FROM c JOIN lastr USING (inverter, slot)),
-         bounds AS (SELECT inverter, min(slot) AS lo, max(slot) AS hi FROM ag GROUP BY 1),
-         grid AS (
-           SELECT inverter, unnest(generate_series(lo, hi, INTERVAL 15 minute)) AS slot
-           FROM bounds),
-         j AS (
-           SELECT g.inverter, g.slot, ag.n, ag.slot_last
-           FROM grid g LEFT JOIN ag ON g.inverter = ag.inverter AND g.slot = ag.slot)
+      s"""WITH $slotGridCte
          SELECT inverter, slot, coalesce(n, 0) AS n_readings,
                 last_value(slot_last IGNORE NULLS) OVER (
                   PARTITION BY inverter ORDER BY slot
                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_filled,
                 slot_last IS NULL AS filled
          FROM j ORDER BY inverter, slot""",
+    // WITH FILL INTERPOLATE (linear): both ignoreNulls neighbors over
+    // the shared grid, exact integer microsecond deltas, one shared
+    // IEEE divide/multiply/add — mirrors s21Interpolate op-for-op.
+    "s21_interpolate" ->
+      s"""WITH $slotGridCte,
+         pn AS (
+           SELECT inverter, slot, n, slot_last,
+                  last_value(slot_last IGNORE NULLS) OVER wb AS prev_v,
+                  last_value(CASE WHEN slot_last IS NOT NULL THEN epoch_us(slot) END IGNORE NULLS)
+                    OVER wb AS prev_us,
+                  first_value(slot_last IGNORE NULLS) OVER wf AS next_v,
+                  first_value(CASE WHEN slot_last IS NOT NULL THEN epoch_us(slot) END IGNORE NULLS)
+                    OVER wf AS next_us
+           FROM j
+           WINDOW wb AS (PARTITION BY inverter ORDER BY slot
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                  wf AS (PARTITION BY inverter ORDER BY slot
+                         ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+         SELECT inverter, slot, coalesce(n, 0) AS n_readings,
+                CASE WHEN slot_last IS NOT NULL THEN slot_last
+                     ELSE prev_v + (next_v - prev_v) *
+                          (CAST(epoch_us(slot) - prev_us AS DOUBLE)
+                           / CAST(next_us - prev_us AS DOUBLE)) END AS value_interp,
+                slot_last IS NULL AS filled
+         FROM pn ORDER BY inverter, slot""",
     "s9_downsample" ->
       """SELECT user_id AS inverter, time_bucket(INTERVAL '15 minutes', ts) AS bucket,
            CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_value,
