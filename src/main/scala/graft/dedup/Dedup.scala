@@ -553,7 +553,80 @@ object Dedup {
       .orderBy($"vec_id")
   }
 
+  // ---------------------------------------------------------------------
+  // d11: EXACT SUBSTRING dedup (Lee et al. 2022, "Deduplicating
+  // Training Data Makes Language Models Better", arXiv:2107.06499) —
+  // cross-document repeated token SPANS, the dedup modality the rest
+  // of the family doesn't cover (d1 is whole-doc exact, d3–d6 whole-
+  // doc near-dup, d10 semantic). Lee et al. find verbatim spans with
+  // a corpus-wide suffix array; the Spark-first shape replaces that
+  // single-machine structure with ANCHOR GRAMS: every [[AnchorLen]]-
+  // token window is hashed map-side, a gram that occurs in ≥ 2
+  // distinct documents marks its positions as duplicated, and
+  // consecutive duplicated positions chain into maximal spans — a
+  // span of L ≥ AnchorLen duplicated tokens is exactly a run of
+  // L − AnchorLen + 1 duplicated anchors, so `max_span_tokens` =
+  // longest run + AnchorLen − 1 recovers the true maximal span
+  // length. Emitted per doc: anchor totals, duplicated-anchor count +
+  // fraction, the longest duplicated span, and the keep gate.
+  //
+  // Scale shape: the anchor explode shuffles (gh, doc_id, pos) triples
+  // — ~24 bytes per token, never text; the gram→doc-count aggregate is
+  // a two-phase countDistinct (map-side partial dedup of within-doc
+  // repeats); the dup-gram set is gh-only (8 bytes) and joins back by
+  // gh; per-doc span assembly is one groupBy(doc_id) whose
+  // collect_list is bounded by DOC length (positions of one doc), so
+  // no partition ever holds corpus-scale state. No suffix array, no
+  // all-pairs, nothing driver-side.
+  // ---------------------------------------------------------------------
+  val AnchorLen = 5
+  val DupAnchorMax = 0.2
+
+  def d11SubstringDup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val toked = withScanParallelism(s, Tables.documents(s, d))
+      .select($"doc_id", graft.text.Text.toks(lower($"text")).as("t"))
+      .filter(size($"t") >= AnchorLen)
+    val totals = toked.select($"doc_id", size($"t").as("n_tokens"),
+      (size($"t") - (AnchorLen - 1)).as("n_anchors"))
+    // (doc_id, pos, 60-bit gram hash) per anchor slot — built map-side
+    val grams = toked
+      .select($"doc_id",
+        explode(transform(sequence(lit(1), size($"t") - (AnchorLen - 1)), i =>
+          struct(i.as("pos"),
+            conv(substring(md5(concat_ws(" ", slice($"t", i, lit(AnchorLen)))), 1, 15), 16, 10)
+              .cast("long").as("gh")))).as("g"))
+      .select($"doc_id", $"g.pos".as("pos"), $"g.gh".as("gh"))
+    val dupGrams = grams
+      .groupBy($"gh").agg(countDistinct($"doc_id").as("nd"))
+      .filter($"nd" >= 2)
+      .select($"gh")
+    // longest run of consecutive duplicated positions, computed from
+    // the per-doc sorted position list (bounded by doc length)
+    val maxRun = aggregate(sort_array(collect_list($"pos")),
+      struct(lit(-2).as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev") + 1, acc.getField("run") + 1L)
+          .otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+    val perDoc = grams.join(dupGrams, "gh")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("nd"), maxRun.as("max_run"))
+    totals.join(perDoc, Seq("doc_id"), "left")
+      .select($"doc_id", $"n_tokens", $"n_anchors",
+        coalesce($"nd", lit(0L)).as("n_dup_anchors"),
+        (coalesce($"nd", lit(0L)).cast("double") / $"n_anchors").as("dup_anchor_frac"),
+        when($"max_run".isNull, 0L)
+          .otherwise($"max_run" + (AnchorLen - 1)).as("max_span_tokens"))
+      .withColumn("keep", $"dup_anchor_frac" <= DupAnchorMax)
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "d11_substring_dup" -> (d11SubstringDup _),
     "d10_semantic_keep" -> (d10SemanticKeep _),
     "d9_keep_list" -> (d9KeepList _),
     "d1_exact" -> (d1Exact _),
@@ -631,6 +704,44 @@ object Dedup {
   }
 
   val oracles: Map[String, String] = Map(
+    // d11: same anchor-gram construction (60-bit md5-slice hashes of
+    // space-joined token 5-grams), duplicated positions via a
+    // count(DISTINCT doc_id) >= 2 gram set, maximal spans via the
+    // gaps-and-islands idiom (pos − row_number() groups), span length
+    // = run + AnchorLen − 1.
+    "d11_substring_dup" ->
+      s"""WITH tok AS (
+           SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS t
+           FROM documents),
+         tt AS (SELECT doc_id, t FROM tok WHERE len(t) >= $AnchorLen),
+         g AS (
+           SELECT doc_id,
+                  CAST(unnest(range(1, len(t) - ${AnchorLen - 2})) AS INT) AS pos,
+                  unnest(list_transform(range(1, len(t) - ${AnchorLen - 2}), i ->
+                    CAST('0x' || substr(md5(array_to_string(t[i:i+${AnchorLen - 1}], ' ')), 1, 15) AS BIGINT))) AS gh
+           FROM tt),
+         gd AS (SELECT gh FROM (
+                  SELECT gh, count(DISTINCT doc_id) AS ndocs FROM g GROUP BY 1)
+                WHERE ndocs >= 2),
+         dup AS (SELECT g.doc_id, g.pos FROM g JOIN gd USING (gh)),
+         isl AS (SELECT doc_id, pos,
+                        pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+                 FROM dup),
+         runs AS (SELECT doc_id, grp, count(*) AS run FROM isl GROUP BY 1, 2),
+         ds AS (SELECT doc_id, CAST(sum(run) AS BIGINT) AS nd,
+                       CAST(max(run) AS BIGINT) AS max_run
+                FROM runs GROUP BY 1),
+         tot AS (SELECT doc_id, CAST(len(t) AS INT) AS n_tokens,
+                        CAST(len(t) - ${AnchorLen - 1} AS INT) AS n_anchors
+                 FROM tt)
+         SELECT tot.doc_id, n_tokens, n_anchors,
+                coalesce(ds.nd, 0) AS n_dup_anchors,
+                CAST(coalesce(ds.nd, 0) AS DOUBLE) / n_anchors AS dup_anchor_frac,
+                CASE WHEN ds.max_run IS NULL THEN 0
+                     ELSE ds.max_run + ${AnchorLen - 1} END AS max_span_tokens,
+                CAST(coalesce(ds.nd, 0) AS DOUBLE) / n_anchors <= $DupAnchorMax AS keep
+         FROM tot LEFT JOIN ds ON tot.doc_id = ds.doc_id
+         ORDER BY tot.doc_id""",
     "d9_keep_list" ->
       s"""WITH $lshCte,
          cand AS (
