@@ -54,6 +54,12 @@ object GraftExtensions extends SparkSessionExtensionsProvider {
       new ExpressionInfo(classOf[MinHashAgg].getName, "minhash_agg"),
       (args: Seq[Expression]) =>
         MinHashAgg(args(0), intArg("minhash_agg", 1, args(1)))))
+    ext.injectFunction((
+      FunctionIdentifier("approx_topk"),
+      new ExpressionInfo(classOf[ApproxTopKAgg].getName, "approx_topk"),
+      (args: Seq[Expression]) =>
+        ApproxTopKAgg(args(0), intArg("approx_topk", 1, args(1)),
+          intArg("approx_topk", 2, args(2)))))
   }
 }
 
@@ -69,4 +75,6 @@ object GraftFunctions {
   def cosineSim(a: Column, b: Column): Column = call_function("cosine_sim", a, b)
   def minhashAgg(shingle: Column, k: Int): Column =
     call_function("minhash_agg", shingle, lit(k))
+  def approxTopK(item: Column, k: Int, w: Int): Column =
+    call_function("approx_topk", item, lit(k), lit(w))
 }

@@ -479,7 +479,42 @@ object Text {
       .orderBy($"rnk")
   }
 
+  // ---------------------------------------------------------------------
+  // t13: APPROXIMATE heavy hitters — t6's corpus top-k bigrams through
+  // the [[graft.functions.ApproxTopKAgg]] Misra-Gries summary
+  // (ClickHouse `topK`): one bounded w-entry sketch per map partition
+  // merges to the answer, so the shuffle carries w entries per
+  // partition instead of every distinct n-gram — the shape that
+  // survives a corpus whose distinct-gram cardinality itself is
+  // corpus-sized. Sketch contents inside the ±n/(w+1) error band are
+  // partition-order dependent (as with any mergeable sketch), so this
+  // is a rows-only driver entry; the error bound, the
+  // heavy-hitter-presence guarantee and agreement with t6's exact
+  // counts are pinned by TopKAggSpec — s15's accepted HLL pattern.
+  // ---------------------------------------------------------------------
+  /** Sketch capacity. Sized as n/(w+1) ≤ ~the corpus's top counts —
+    * on this deliberately flat synthetic corpus (top bigram ≈ 48 of
+    * ~27k slots at sf0.01) that needs w ≫ k; production topK picks
+    * w = k × load_factor against Zipfian text, where the heavies
+    * clear the bound at tiny capacities. State stays bounded either
+    * way: w entries per (group × partition). */
+  val TopKSketchW = 2048
+
+  def t13ApproxTopk(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(toks(lower($"text")).as("t"))
+      .filter(size($"t") >= 2)
+      .select(explode(wordBigrams($"t")).as("ngram"))
+      .agg(graft.functions.GraftFunctions
+        .approxTopK($"ngram", TopNgrams, TopKSketchW).as("tk"))
+      .select(posexplode($"tk"))
+      .select(($"pos" + 1).as("rank"),
+        $"col.item".as("ngram"), $"col.est".as("est_count"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "t13_approx_topk" -> (t13ApproxTopk _),
     "t8_contamination" -> (t8Contamination _),
     "t9_repetition" -> (t9Repetition _),
     "t12_repetition_family" -> (t12RepetitionFamily _),

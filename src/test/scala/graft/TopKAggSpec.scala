@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the Misra-Gries guarantees of [[graft.functions.ApproxTopKAgg]]
+  * (t13's engine): with n total updates and capacity w, every estimate
+  * is an underestimate off by at most n/(w+1), and every item with
+  * true count > n/(w+1) is present — REGARDLESS of partitioning /
+  * merge order (the mergeable-summaries property, Agarwal et al.
+  * 2012). Sketches aren't cross-engine reproducible, so this spec is
+  * t13's correctness gate (s15's accepted HLL pattern).
+  */
+class TopKAggSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  /** Full summary (k = w) of a feed at a given partitioning. */
+  private def summary(items: Seq[String], parts: Int, w: Int): Map[String, Long] =
+    spark.createDataset(items).toDF("item")
+      .repartition(parts)
+      .agg(functions.GraftFunctions.approxTopK(col("item"), w, w).as("tk"))
+      .select(explode(col("tk")).as("e"))
+      .select(col("e.item"), col("e.est"))
+      .as[(String, Long)].collect().toMap
+
+  test("approx_topk: MG bound + heavy-hitter presence on a skewed feed, any partitioning") {
+    val w = 128
+    // 5 heavy items (400..2000 occurrences) + 20k distinct tail items
+    // crafted to force constant eviction pressure
+    val heavies = (1 to 5).flatMap(i => Seq.fill(i * 400)(s"heavy_$i"))
+    val tail = (1 to 20000).map(i => s"tail_$i")
+    val items = heavies ++ tail
+    val exact = items.groupBy(identity).map { case (s, o) => s -> o.size.toLong }
+    val n = items.size.toLong
+    val bound = n / (w + 1)
+    for (parts <- Seq(1, 7, 32)) {
+      val sk = summary(items, parts, w)
+      sk.foreach { case (item, est) =>
+        val truth = exact(item)
+        assert(est <= truth, s"parts=$parts: $item overestimated ($est > $truth)")
+        assert(truth - est <= bound,
+          s"parts=$parts: $item error ${truth - est} exceeds n/(w+1)=$bound")
+      }
+      (1 to 5).foreach { i =>
+        assert(exact(s"heavy_$i") > bound, "test feed must keep heavies above the bound")
+        assert(sk.contains(s"heavy_$i"),
+          s"parts=$parts: heavy_$i (count ${exact(s"heavy_$i")} > $bound) missing from summary")
+      }
+      // heavies outrank the tail: tail estimates can never exceed their
+      // true count of 1, heavies sit at >= truth - bound >> 1
+      val topK = sk.toSeq.sortBy { case (s, c) => (-c, s) }.take(5).map(_._1).toSet
+      assert((1 to 5).forall(i => topK.contains(s"heavy_$i")),
+        s"parts=$parts: top-5 of the summary should be exactly the heavies, got $topK")
+    }
+  }
+
+  test("t13: sketch respects the MG bound against exact corpus bigram counts") {
+    val w = text.Text.TopKSketchW
+    val pairs = Tables.documents(spark, SfDir)
+      .select(filter(split(lower(col("text")), "\\s+"), t => t =!= "").as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(explode(zip_with(
+        slice(col("t"), lit(1), size(col("t")) - 1),
+        slice(col("t"), lit(2), size(col("t")) - 1),
+        (a, b) => concat_ws(" ", a, b))).as("ngram"))
+    val exact = pairs.groupBy("ngram").count().as[(String, Long)].collect().toMap
+    val n = exact.values.sum
+    val bound = n / (w + 1)
+    // full summary (k = w): every estimate within the band, every item
+    // whose true count clears the band present
+    val full = pairs
+      .agg(functions.GraftFunctions.approxTopK(col("ngram"), w, w).as("tk"))
+      .select(explode(col("tk")).as("e"))
+      .select(col("e.item"), col("e.est")).as[(String, Long)].collect().toMap
+    full.foreach { case (item, est) =>
+      val truth = exact(item)
+      assert(est <= truth && truth - est <= bound,
+        s"$item: est $est vs exact $truth outside -$bound..0")
+    }
+    exact.filter(_._2 > bound).keys.foreach { hh =>
+      assert(full.contains(hh), s"heavy hitter $hh (count ${exact(hh)} > $bound) missing")
+    }
+    // the graded t13 entry: top-TopNgrams slice of the same summary,
+    // every emitted estimate bound-consistent with the exact count
+    val got = text.Text.queries("t13_approx_topk")(spark, SfDir)
+      .select(col("ngram"), col("est_count")).as[(String, Long)].collect()
+    assert(got.length == text.Text.TopNgrams)
+    got.foreach { case (ngram, est) =>
+      val truth = exact(ngram)
+      assert(est <= truth && truth - est <= bound,
+        s"t13 $ngram: est $est vs exact $truth outside -$bound..0")
+    }
+  }
+
+  test("approx_topk: SQL surface through GraftExtensions") {
+    spark.createDataset(Seq("a", "a", "a", "b", "b", "c")).toDF("item")
+      .createOrReplaceTempView("topk_feed")
+    val rows = spark.sql(
+      "SELECT approx_topk(item, 2, 8) AS tk FROM topk_feed")
+      .select(explode(col("tk")).as("e"))
+      .select(col("e.item"), col("e.est")).as[(String, Long)].collect().toSeq
+    assert(rows == Seq(("a", 3L), ("b", 2L)))
+  }
+}
