@@ -473,6 +473,96 @@ object Sim {
       .orderBy($"q_id", $"rnk")
   }
 
+  // ---------------------------------------------------------------------
+  // v8: IVF-PQ — the composition production vector stores actually run
+  // (FAISS `IVFxx,PQyy`: coarse quantizer partitions the corpus, PQ
+  // compresses what's inside each cell, queries probe a few cells and
+  // score by ADC): v3's cluster probing joined with v6's PQ encode +
+  // ADC tables, metric-consistent END TO END in squared L2 (FAISS's
+  // default METRIC_L2 — assignment, probing and ADC all minimize the
+  // same distance; v3's standalone cosine rule stays its own query).
+  // Codes are computed on raw vectors; FAISS's residual encode
+  // (vector − centroid before PQ) is the documented production seam —
+  // it needs residual-trained codebooks, i.e. the conf-gated trainPq
+  // path fed residuals, and breaks none of the plumbing below.
+  //
+  // Scale shape: centroids and codebook are bounded → broadcast;
+  // assignment + encode are map-side argmins over those broadcasts
+  // (min_by partials combine map-side); after encode the corpus is
+  // (vec_id, cluster, 16 codes) — vectors never shuffle post-encode.
+  // The probe join keys on cluster with a 10-row probe list
+  // (broadcast), ADC is a map-side fixed-order fold against the
+  // broadcast query tables, and the per-query top-k plans as the
+  // TopKPerGroup heap. Query cost drops from scanning n codes to
+  // n × probes / n_clusters — the IVF trade — on top of PQ's 16×
+  // compression: exactly why the composition is the billion-scale
+  // default.
+  // ---------------------------------------------------------------------
+  /** Full-vector squared L2, element order i=1..Dims, one IEEE
+    * multiply/subtract per element, left-fold sum (the 64-dim analogue
+    * of [[subL2]]; mirrored by the oracle's ordered list_sum). */
+  private def l2Full(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) =>
+        (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
+      lit(0.0), (acc, v) => acc + v)
+
+  def v8IvfPq(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, d)
+    val c = centroids(s, d)
+    val cb = pqCodebook(s, d)
+    // corpus → nearest-by-L2 centroid (tie: lowest c_id)
+    val wAssign = Window.partitionBy($"vec_id").orderBy($"d2".asc, $"c_id")
+    val assigned = e.filter($"vec_id" >= PqQueries)
+      .crossJoin(broadcast(c))
+      .select($"vec_id", $"embedding", $"c_id", l2Full($"embedding", $"c_emb").as("d2"))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter($"rn" === 1)
+      .select($"vec_id", $"embedding", $"c_id".as("cluster"))
+    // PQ encode inside each cell (v6's encode, cluster carried along)
+    val codes = assigned
+      .crossJoin(broadcast(cb))
+      .select($"vec_id", $"cluster", $"m", $"c_id", subL2($"embedding", $"c_emb", $"m").as("l2"))
+      .groupBy($"vec_id", $"cluster", $"m")
+      .agg(min_by($"c_id", struct($"l2", $"c_id")).as("code"))
+      .groupBy($"vec_id", $"cluster")
+      .agg(transform(array_sort(collect_list(struct($"m", $"code"))),
+        x => x.getField("code")).as("codes"))
+    val q = e.filter($"vec_id" < PqQueries)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_emb"))
+    // queries probe their Probes nearest-by-L2 cells
+    val wProbe = Window.partitionBy($"q_id").orderBy($"d2".asc, $"c_id")
+    val probes = q.crossJoin(broadcast(c))
+      .select($"q_id", $"c_id", l2Full($"q_emb", $"c_emb").as("d2"))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter($"rn" <= Probes)
+      .select($"q_id", $"c_id".as("cluster"))
+    // per-query ADC lookup tables (v6's, map keyed by codeword id)
+    val qtab = q.crossJoin(broadcast(cb))
+      .select($"q_id", $"m", $"c_id", subL2($"q_emb", $"c_emb", $"m").as("part"))
+      .groupBy($"q_id", $"m")
+      .agg(map_from_entries(collect_list(struct($"c_id", $"part"))).as("row"))
+      .groupBy($"q_id")
+      .agg(transform(
+        array_sort(collect_list(struct($"m", $"row")), (l, r) =>
+          when(l.getField("m") < r.getField("m"), -1)
+            .when(l.getField("m") > r.getField("m"), 1)
+            .otherwise(0)),
+        x => x.getField("row")).as("tables"))
+    // ADC over probed cells only; fixed m-order fold; heap top-k
+    val w = Window.partitionBy($"q_id").orderBy($"adist".asc, $"vec_id")
+    probes.join(codes, "cluster")
+      .join(broadcast(qtab), "q_id")
+      .select($"q_id", $"vec_id", $"cluster",
+        aggregate(zip_with($"tables", $"codes", (t, cd) => element_at(t, cd)),
+          lit(0.0), (acc, v) => acc + v).as("adist"))
+      .withColumn("rnk", row_number().over(w))
+      .filter($"rnk" <= PqTopK)
+      .select($"q_id", $"rnk", $"vec_id", $"cluster", $"adist")
+      .orderBy($"q_id", $"rnk")
+  }
+
   /** Collected centroids for the recall spec (tiny: one per label). */
   def centroidsForTest(s: SparkSession, d: String): Seq[(Int, Seq[Float])] = {
     import s.implicits._
@@ -487,6 +577,7 @@ object Sim {
     "v5_quantize" -> (v5Quantize _),
     "v6_pq_adc" -> (v6PqAdc _),
     "v7_quantized_rerank" -> (v7QuantizedRerank _),
+    "v8_ivf_pq" -> (v8IvfPq _),
   )
 
   private def dot(x: String, y: String): String =
@@ -503,7 +594,62 @@ object Sim {
   private def cos(x: String, y: String): String =
     s"${dot(x, y)} / (sqrt(${dot(x, x)}) * sqrt(${dot(y, y)}))"
 
+  /** Full-vector squared L2 (mirrors [[l2Full]]: index order, one IEEE
+    * multiply per element, ordered list_sum). */
+  private def l2sql(x: String, y: String): String =
+    s"list_sum(list_transform(range(1, ${Dims + 1}), i -> " +
+      s"(CAST($x[i] AS DOUBLE) - CAST($y[i] AS DOUBLE)) * (CAST($x[i] AS DOUBLE) - CAST($y[i] AS DOUBLE))))"
+
   val oracles: Map[String, String] = Map(
+    // v8: v3's probe skeleton + v6's code/table CTEs, all-L2, ADC
+    // restricted to probed cells.
+    "v8_ivf_pq" ->
+      s"""WITH c AS (
+            SELECT label AS c_id, arg_min(embedding, vec_id) AS c_emb
+            FROM embeddings GROUP BY 1),
+          ms AS (SELECT CAST(unnest(range(0, $PqM)) AS INT) AS m),
+          cb AS (SELECT ms.m, c.c_id, c.c_emb FROM c, ms),
+          aa AS (
+            SELECT e.vec_id, e.embedding, c.c_id, ${l2sql("e.embedding", "c.c_emb")} AS d2
+            FROM embeddings e, c WHERE e.vec_id >= $PqQueries),
+          assigned AS (
+            SELECT vec_id, embedding, c_id AS cluster FROM (
+              SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, c_id) AS rn
+              FROM aa) WHERE rn = 1),
+          l2e AS (
+            SELECT a.vec_id, a.cluster, cb.m, cb.c_id,
+                   ${pqSubL2("a.embedding", "cb.c_emb")} AS l2
+            FROM assigned a, cb),
+          codes AS (
+            SELECT vec_id, cluster, m, c_id FROM (
+              SELECT vec_id, cluster, m, c_id,
+                     row_number() OVER (PARTITION BY vec_id, m ORDER BY l2, c_id) AS rn
+              FROM l2e) t WHERE rn = 1),
+          qq AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+                 WHERE vec_id < $PqQueries),
+          pp AS (
+            SELECT q.q_id, c.c_id, ${l2sql("q.q_emb", "c.c_emb")} AS d2
+            FROM qq q, c),
+          probes AS (
+            SELECT q_id, c_id AS cluster FROM (
+              SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY d2, c_id) AS rn
+              FROM pp) WHERE rn <= $Probes),
+          qp AS (
+            SELECT q.q_id, cb.m, cb.c_id, ${pqSubL2("q.q_emb", "cb.c_emb")} AS part
+            FROM qq q, cb),
+          dmat AS (
+            SELECT qp.q_id, codes.vec_id, codes.cluster, qp.m, qp.part
+            FROM qp JOIN codes ON qp.m = codes.m AND qp.c_id = codes.c_id
+                    JOIN probes ON probes.q_id = qp.q_id AND probes.cluster = codes.cluster),
+          dist AS (
+            SELECT q_id, vec_id, cluster, list_sum(list(part ORDER BY m)) AS adist
+            FROM dmat GROUP BY 1, 2, 3),
+          rk AS (
+            SELECT q_id, vec_id, cluster, adist,
+                   CAST(row_number() OVER (PARTITION BY q_id ORDER BY adist, vec_id) AS INT) AS rnk
+            FROM dist)
+          SELECT q_id, rnk, vec_id, cluster, adist FROM rk WHERE rnk <= $PqTopK
+          ORDER BY q_id, rnk""",
     "v6_pq_adc" ->
       s"""WITH ms AS (SELECT CAST(unnest(range(0, $PqM)) AS INT) AS m),
           seed AS (SELECT label AS c_id, arg_min(embedding, vec_id) AS c_emb

@@ -248,6 +248,61 @@ class QueriesSpec extends AnyFunSuite {
     assert(mean >= 0.4, f"PQ recall collapsed: $mean%.2f")
   }
 
+  test("v8 IVF-PQ: probed-cell ADC top-5 recalls the exact-L2 top-5") {
+    // The oracle pins bit-exactness; this pins semantic quality: the
+    // composition's loss must be the SUM of its parts' documented
+    // losses — IVF pruning (candidates only from probed cells) and PQ
+    // compression — not a composition bug. Checked both ways: vs the
+    // global exact top-5 (end-to-end recall, floored at v6's 0.4 band)
+    // and vs the exact top-5 WITHIN probed cells (isolates PQ loss —
+    // if this is far below v6's recall the probe wiring is broken).
+    val s = spark
+    import s.implicits._
+    val rows = sim.Sim.v8IvfPq(s, SfDir)
+      .select($"q_id", $"rnk", $"vec_id", $"cluster")
+      .as[(Long, Int, Long, Int)].collect()
+    val got = rows.groupBy(_._1).map { case (q, rs) => q -> rs.map(_._3).toSet }
+    assert(got.size == sim.Sim.PqQueries)
+    val e = Tables.embeddings(s, SfDir)
+      .select($"vec_id", $"label", $"embedding").as[(Long, Int, Seq[Float])].collect()
+    def l2(a: Seq[Float], b: Seq[Float]): Double = {
+      var acc = 0.0
+      var i = 0
+      while (i < a.length) {
+        val d = a(i).toDouble - b(i).toDouble; acc += d * d; i += 1
+      }
+      acc
+    }
+    val byId = e.map { case (id, _, emb) => id -> emb }.toMap
+    val cents = e.groupBy(_._2).map { case (lbl, vs) => lbl -> vs.minBy(_._1)._3 }
+    def nearestCells(v: Seq[Float], n: Int): Set[Int] =
+      cents.map { case (cid, ce) => cid -> l2(v, ce) }
+        .toSeq.sortBy { case (cid, d) => (d, cid) }.take(n).map(_._1).toSet
+    val assign = e.filter(_._1 >= sim.Sim.PqQueries)
+      .map { case (id, _, emb) => id -> nearestCells(emb, 1).head }.toMap
+    val corpus = e.filter(_._1 >= sim.Sim.PqQueries)
+    val (recallGlobal, recallProbed) = got.toSeq.map { case (q, approx) =>
+      val probed = nearestCells(byId(q), sim.Sim.Probes)
+      // structural: every emitted candidate must come from a probed cell
+      rows.filter(_._1 == q).foreach { case (_, _, id, cl) =>
+        assert(probed.contains(cl) && assign(id) == cl,
+          s"query $q: candidate $id from unprobed/misassigned cell $cl")
+      }
+      def top5(cand: Seq[(Long, Int, Seq[Float])]): Set[Long] =
+        cand.map { case (id, _, emb) => (id, l2(byId(q), emb)) }
+          .sortBy { case (id, d) => (d, id) }.take(sim.Sim.PqTopK).map(_._1).toSet
+      val exactAll = top5(corpus.toSeq)
+      val exactProbed = top5(corpus.filter(c => probed.contains(assign(c._1))).toSeq)
+      (approx.intersect(exactAll).size.toDouble / sim.Sim.PqTopK,
+        approx.intersect(exactProbed).size.toDouble / sim.Sim.PqTopK)
+    }.unzip
+    val mg = recallGlobal.sum / recallGlobal.size
+    val mp = recallProbed.sum / recallProbed.size
+    info(f"IVF-PQ recall@5: $mg%.2f vs global exact, $mp%.2f vs probed-cell exact")
+    assert(mp >= 0.4, f"PQ loss inside probed cells collapsed: $mp%.2f")
+    assert(mg >= 0.2, f"end-to-end IVF-PQ recall collapsed: $mg%.2f")
+  }
+
   test("v3 IVF: one Lloyd refinement (spark.graft.ivf.refine) improves the quantizer objective") {
     // Lloyd's guarantee is monotone improvement of the quantization
     // objective — mean cosine of each vector to its NEAREST centroid —
