@@ -163,8 +163,8 @@ object Streaming {
   /** Streaming corpus-ingest pipeline — the training-data preparation
     * loop (SURVEY §2.F/D) as one composable transform over a document
     * feed: quality-gate each arriving doc (t3's token-count filter +
-    * t9's Gopher repetition rule, the same kernels batch curation
-    * runs), fingerprint its content (t4's md5), and drop exact
+    * t12's full Gopher repetition battery, the same kernels batch
+    * curation runs), fingerprint its content (t4's md5), and drop exact
     * duplicates / re-deliveries. On a stream the dedup state is
     * bounded by the watermark horizon (an exact-dedup pass over an
     * unbounded corpus feed cannot keep every fingerprint forever; the
@@ -178,16 +178,34 @@ object Streaming {
       .withColumn("n_tokens", size(graft.text.Text.toks($"text")))
       .filter($"n_tokens" >= graft.text.Text.MinTokens &&
         $"n_tokens" <= graft.text.Text.MaxTokens)
-      // t9's repetition gate (Gopher duplicate-bigram fraction over
-      // the lowercased tokens) — boilerplate/spam never enters the
-      // corpus in stream OR batch; both filters are map-side, so the
-      // gate adds zero shuffles. (< 2 tokens can't reach here — the
-      // MinTokens gate already dropped those — but guard anyway so
-      // the transform composes safely with other gates.)
+      // the FULL t12 Gopher repetition battery (Rae 2021 Table A1:
+      // duplicate 2-/3-gram fractions + top-gram slot fractions, the
+      // same kernel t12 runs in batch — shared via repetitionSignals,
+      // so gate and query can never drift) — boilerplate/spam never
+      // enters the corpus in stream OR batch; all four signals are
+      // map-side array expressions, so the gate adds zero shuffles.
+      // The battery REPLACED the earlier single t9 rule (r11): at the
+      // published thresholds t9's tight 0.05 duplicate-bigram cut
+      // strictly dominates every battery signal, so stacking both
+      // would silently reduce the battery to the single rule; the
+      // battery is Gopher's production gate, t9 remains its own
+      // stricter single-signal query. (< 3 tokens can't reach here —
+      // the MinTokens gate already dropped those — but guard anyway
+      // so the transform composes safely with other gates.)
+      // The battery kernel needs ≥ 3 tokens (its trigram sequence() is
+      // invalid below that), and an `size < 3 ||` short-circuit is NOT
+      // a safe guard — optimizer/codegen may evaluate the right branch
+      // on short rows anyway (observed: slice(start=0) task failure).
+      // So the signals are computed on a padded stand-in array for
+      // short rows and the real gate keys on the size check; short
+      // rows keep their bypass semantics with a total expression.
       .withColumn("lt", graft.text.Text.toks(lower($"text")))
-      .filter(size($"lt") < 2 ||
-        graft.text.Text.dupBigramRatio($"lt") <= graft.text.Text.RepetitionMax)
-      .drop("lt")
+      .withColumn("lt3",
+        when(size($"lt") >= 3, $"lt")
+          .otherwise(array(lit("a"), lit("b"), lit("c"))))
+      .filter(size($"lt") < 3 ||
+        graft.text.Text.repetitionKeep(graft.text.Text.repetitionSignals($"lt3")))
+      .drop("lt", "lt3")
       .withColumn("fp", md5($"text"))
     if (scored.isStreaming)
       scored.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark("fp")

@@ -345,23 +345,33 @@ object Text {
     transform(sequence(lit(1), size(t) - (n - 1)),
       i => concat_ws(" ", slice(t, i, lit(n))))
 
+  /** The four Gopher battery signals of a token array with ≥ 3 tokens,
+    * as one struct — shared by the t12 query and the streaming corpus
+    * gate so the two can never drift. All map-side array expressions. */
+  private[graft] def repetitionSignals(t: Column): Column = {
+    val g2 = wordBigrams(t)
+    val g3 = wordNgrams(t, 3)
+    struct(
+      (lit(1.0) - size(array_distinct(g2)).cast("double") / size(g2)).as("dup2_frac"),
+      (maxRun(g2).cast("double") / size(g2)).as("top2_frac"),
+      (lit(1.0) - size(array_distinct(g3)).cast("double") / size(g3)).as("dup3_frac"),
+      (maxRun(g3).cast("double") / size(g3)).as("top3_frac"))
+  }
+
+  /** t12's composite keep gate over [[repetitionSignals]]. */
+  private[graft] def repetitionKeep(sig: Column): Column =
+    sig.getField("dup2_frac") <= Dup2Max && sig.getField("dup3_frac") <= Dup3Max &&
+      sig.getField("top2_frac") <= Top2Max && sig.getField("top3_frac") <= Top3Max
+
   def t12RepetitionFamily(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     Tables.documents(s, d)
       .select($"doc_id", toks(lower($"text")).as("t"))
       .filter(size($"t") >= 3) // need at least one trigram
       .select($"doc_id", size($"t").as("n_tokens"),
-        wordBigrams($"t").as("g2"), wordNgrams($"t", 3).as("g3"))
+        repetitionSignals($"t").as("sig"))
       .select($"doc_id", $"n_tokens",
-        size($"g2").as("total2"), size(array_distinct($"g2")).as("distinct2"),
-        maxRun($"g2").as("top2"),
-        size($"g3").as("total3"), size(array_distinct($"g3")).as("distinct3"),
-        maxRun($"g3").as("top3"))
-      .select($"doc_id", $"n_tokens",
-        (lit(1.0) - $"distinct2".cast("double") / $"total2").as("dup2_frac"),
-        ($"top2".cast("double") / $"total2").as("top2_frac"),
-        (lit(1.0) - $"distinct3".cast("double") / $"total3").as("dup3_frac"),
-        ($"top3".cast("double") / $"total3").as("top3_frac"))
+        $"sig.dup2_frac", $"sig.top2_frac", $"sig.dup3_frac", $"sig.top3_frac")
       .withColumn("keep",
         $"dup2_frac" <= Dup2Max && $"dup3_frac" <= Dup3Max &&
           $"top2_frac" <= Top2Max && $"top3_frac" <= Top3Max)

@@ -300,13 +300,18 @@ class StreamingSpec extends AnyFunSuite {
     implicit val sq = s.sqlContext
     val good = (1 to 12).map(i => s"tok$i").mkString(" ") // 12 tokens: passes
     val short = "too short"                               // 2 tokens: filtered
-    val spammy = Seq.fill(12)("spam").mkString(" ")       // dup-bigram ratio 10/11: t9 gate drops
+    val spammy = Seq.fill(12)("spam").mkString(" ")       // dup2 10/11: battery drops
+    // one repeated bigram in 20 tokens: dup2 = 1/19 ≈ 0.053 — fails
+    // t9's tight 0.05 single rule but passes every t12 battery signal;
+    // kept ⇒ the gate really is the battery, not the old single rule
+    val mildlyRep = ((1 to 18).map(i => s"w$i") ++ Seq("w1", "w2")).mkString(" ")
     val docs = Seq(
       Doc(ts(0, 0), 1L, good),
       Doc(ts(0, 5), 2L, short),
       Doc(ts(0, 10), 3L, good), // exact duplicate content of doc 1
       Doc(ts(0, 15), 4L, good + " extra"),
-      Doc(ts(0, 20), 5L, spammy))
+      Doc(ts(0, 20), 5L, spammy),
+      Doc(ts(0, 25), 6L, mildlyRep))
     val stream = MemoryStream[Doc]
     val q = Streaming.corpusIngestTransform(stream.toDF())
       .writeStream.format("memory").queryName("corpus_spec").outputMode("append").start()
@@ -324,8 +329,9 @@ class StreamingSpec extends AnyFunSuite {
     val batchFps = Streaming.corpusIngestTransform(docs.toDF())
       .select($"fp").as[String].collect().toSet
     val streamedFps = s.table("corpus_spec").select($"fp").as[String].collect().toSet
-    assert(streamed == Set(1L, 4L),
-      "quality-filtered short doc, deduped doc 3, repetition-gated doc 5")
+    assert(streamed == Set(1L, 4L, 6L),
+      "quality-filtered short doc, deduped doc 3, battery-gated doc 5; " +
+        "doc 6 (dup2 ≈ 0.053: t9-tight fails, battery passes) must be KEPT")
     assert(streamedFps == batchFps)
   }
 
