@@ -185,25 +185,39 @@ object Events {
   // then one combine-enabled distinct count per report day. No
   // per-day set unions on the driver, no window over collected sets.
   // ---------------------------------------------------------------------
-  def e10RollingActives(s: SparkSession, d: String): DataFrame = {
+  /** The generalized rolling-actives plan behind e10: DAU + trailing
+    * `days`-day rolling distinct per report day. Window length is a
+    * PARAMETER (7 → WAU, 28 → MAU: the same dashboard's other line) —
+    * the plan shape is invariant in it; only the map-side explode
+    * factor scales. Cost model (PLANS.md): the exploded relation is
+    * (active-user-days × days) rows of (user_id, day) — dedup to
+    * (user, day) FIRST keeps the base cardinality at active-user-days,
+    * not events, so a 4× window (7→28) costs exactly 4× the explode
+    * rows through the same combine-enabled distinct; nothing else in
+    * the plan changes. */
+  private[graft] def rollingActives(s: SparkSession, d: String, days: Int): DataFrame = {
+    require(days >= 1, s"rolling window must be >= 1 day, got $days")
     import s.implicits._
     val act = Tables.events(s, d)
       .select($"user_id", date_trunc("day", $"ts").as("day"))
       .distinct()
-    val days = act.select($"day").distinct()
+    val reportDays = act.select($"day").distinct()
     val dau = act.groupBy($"day").agg(countDistinct($"user_id").as("dau"))
-    // activity on day d counts toward report days d..d+6; semi-join
-    // clips the fan-out to days that actually occur in the feed
-    val wau = act
+    // activity on day d counts toward report days d..d+(days-1);
+    // semi-join clips the fan-out to days that actually occur
+    val roll = act
       .select($"user_id", explode(sequence($"day",
-        $"day" + expr("INTERVAL 6 DAYS"), expr("INTERVAL 1 DAY"))).as("day"))
-      .join(days, Seq("day"), "left_semi")
+        $"day" + expr(s"INTERVAL ${days - 1} DAYS"), expr("INTERVAL 1 DAY"))).as("day"))
+      .join(reportDays, Seq("day"), "left_semi")
       .groupBy($"day")
-      .agg(countDistinct($"user_id").as("wau"))
-    dau.join(wau, "day")
-      .select($"day", $"dau", $"wau")
+      .agg(countDistinct($"user_id").as("rolling"))
+    dau.join(roll, "day")
+      .select($"day", $"dau", $"rolling")
       .orderBy($"day")
   }
+
+  def e10RollingActives(s: SparkSession, d: String): DataFrame =
+    rollingActives(s, d, 7).withColumnRenamed("rolling", "wau")
 
   // ---------------------------------------------------------------------
   // e3: fixed-width histogram of `value` — 10 buckets of width 50 over

@@ -248,6 +248,30 @@ class QueriesSpec extends AnyFunSuite {
     assert(mean >= 0.4, f"PQ recall collapsed: $mean%.2f")
   }
 
+  test("e10 generalized window: 28-day rolling actives match brute-force recomputation") {
+    // e10's graded 7-day WAU is oracle-exact; this pins the window
+    // PARAMETER (the 28-day MAU line of the same dashboard) against an
+    // in-memory brute force over the raw (user, day) pairs.
+    val s = spark
+    import s.implicits._
+    val days = 28
+    val got = events.Events.rollingActives(s, SfDir, days)
+      .as[(java.sql.Timestamp, Long, Long)].collect()
+    val act = Tables.events(s, SfDir)
+      .select($"user_id", date_trunc("day", $"ts").as("day"))
+      .distinct().as[(Long, java.sql.Timestamp)].collect()
+    def ld(t: java.sql.Timestamp) = t.toLocalDateTime.toLocalDate
+    val expect = act.map(_._2).distinct.sorted.map { d =>
+      val lo = ld(d).minusDays(days - 1)
+      val dau = act.filter(a => a._2 == d).map(_._1).distinct.length.toLong
+      val roll = act.filter { case (_, ad) =>
+        val l = ld(ad); !l.isBefore(lo) && !l.isAfter(ld(d))
+      }.map(_._1).distinct.length.toLong
+      (d, dau, roll)
+    }
+    assert(got.toSeq == expect.toSeq)
+  }
+
   test("v8 IVF-PQ: probed-cell ADC top-5 recalls the exact-L2 top-5") {
     // The oracle pins bit-exactness; this pins semantic quality: the
     // composition's loss must be the SUM of its parts' documented
