@@ -326,6 +326,73 @@ object Events {
   }
 
   // ---------------------------------------------------------------------
+  // e12: ClickHouse `sequenceMatch` / `sequenceCount` — the event-
+  // pattern-matching aggregates (reference dashboards pair them with
+  // windowFunnel; CH docs: pattern conditions match a SUBSEQUENCE of
+  // the user's ts-ordered events, `(?t<=N)` guards the gap between two
+  // matched events). Two patterns over each user's timeline:
+  //   matched    = sequenceMatch('(?1)(?t<=21600)(?2)(?3)'):
+  //                ∃ view → click within 6 h of that view → purchase
+  //                strictly later (all in (ts, event_id) order).
+  //   n_matches  = sequenceCount('(?1)(?2)') with CH's restart-after-
+  //                match semantics: a greedy state machine counting
+  //                non-overlapping view→click completions.
+  //
+  // Both are ONE left-to-right fold over the user's sorted timeline, so
+  // they share e7's assembly: one user_id shuffle, sort_array over
+  // (us, event_id, code) structs, then a codegen'd higher-order
+  // `aggregate` carrying (max prior view, min valid click, matched,
+  // machine state, count) — no window sort, no self-joins, per-user
+  // state is five scalars regardless of corpus size. The exists-chain
+  // is fold-correct because the time guard only ever needs the LATEST
+  // prior view (if any view is inside the click's window, the max one
+  // is) and the purchase only needs the EARLIEST valid click.
+  // ---------------------------------------------------------------------
+  private val SeqGapUs = 6L * 3600 * 1000000
+
+  def e12SequenceMatch(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val NegInf = Long.MinValue / 4
+    val PosInf = Long.MaxValue / 4
+    val seqCol = sort_array(collect_list(struct(
+      unix_micros($"ts").as("us"), $"event_id",
+      when($"event_type" === "view", 1L)
+        .when($"event_type" === "click", 2L)
+        .when($"event_type" === "purchase", 3L)
+        .otherwise(0L).as("tc"))))
+    // acc reflects STRICTLY PRIOR rows when x is examined (fold order),
+    // mirroring the oracle's `ROWS ... AND 1 PRECEDING` frames.
+    val fold = aggregate(seqCol,
+      struct(lit(NegInf).as("maxv"), lit(PosInf).as("minvc"),
+        lit(false).as("m"), lit(0L).as("st"), lit(0L).as("cnt")),
+      (acc, x) => {
+        val us = x.getField("us")
+        val tc = x.getField("tc")
+        val validClick = tc === 2L && acc.getField("maxv") >= us - SeqGapUs
+        struct(
+          when(tc === 1L, greatest(acc.getField("maxv"), us))
+            .otherwise(acc.getField("maxv")).as("maxv"),
+          when(validClick, least(acc.getField("minvc"), us))
+            .otherwise(acc.getField("minvc")).as("minvc"),
+          (acc.getField("m") ||
+            (tc === 3L && acc.getField("minvc") < lit(PosInf))).as("m"),
+          when(tc === 1L && acc.getField("st") === 0L, 1L)
+            .when(tc === 2L && acc.getField("st") === 1L, 0L)
+            .otherwise(acc.getField("st")).as("st"),
+          (acc.getField("cnt") +
+            when(tc === 2L && acc.getField("st") === 1L, 1L)
+              .otherwise(0L)).as("cnt"))
+      },
+      acc => struct(acc.getField("m").as("m"), acc.getField("cnt").as("cnt")))
+    Tables.events(s, d)
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+      .groupBy($"user_id")
+      .agg(fold.as("r"))
+      .select($"user_id", $"r.m".as("matched"), $"r.cnt".as("n_matches"))
+      .orderBy($"user_id")
+  }
+
+  // ---------------------------------------------------------------------
   // e8: INTERVAL join — the general non-equi range join (e5's as-of is
   // the "latest single match" special case): each purchase aggregates
   // the same user's views from the trailing 6 hours. Plans as an equi
@@ -388,6 +455,7 @@ object Events {
     "e6_bounded_funnel" -> (e6BoundedFunnel _),
     "e7_top_sequences" -> (e7TopSequences _),
     "e8_interval_join" -> (e8IntervalJoin _),
+    "e12_sequence_match" -> (e12SequenceMatch _),
     "e2_retention" -> (e2Retention _),
     "e3_histogram" -> (e3Histogram _),
     "e4_json_extract" -> (e4JsonExtract _),
@@ -447,6 +515,43 @@ object Events {
          SELECT dau.day AS day, dau.dau, wau.wau
          FROM dau JOIN wau ON dau.day = wau.day
          ORDER BY dau.day""",
+    // The matched flag mirrors the fold with prior-row-only window
+    // frames; the greedy counter is the SAME state machine run by
+    // DuckDB's list_reduce over the (ts, event_id)-ordered code list,
+    // with (count, state) packed into one integer (acc = cnt*2 + st;
+    // both legal transitions are exactly +1).
+    "e12_sequence_match" ->
+      """WITH o AS (
+           SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
+         w1 AS (
+           SELECT *, max(CASE WHEN event_type = 'view' THEN us END) OVER
+                       (PARTITION BY user_id ORDER BY us, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS max_view
+           FROM o),
+         w2 AS (
+           SELECT *, CASE WHEN event_type = 'click' AND max_view IS NOT NULL
+                               AND max_view >= us - 21600000000 THEN us END AS valid_click
+           FROM w1),
+         w3 AS (
+           SELECT *, min(valid_click) OVER (PARTITION BY user_id ORDER BY us, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS min_vc
+           FROM w2),
+         m AS (
+           SELECT user_id, bool_or(event_type = 'purchase' AND min_vc IS NOT NULL) AS matched
+           FROM w3 GROUP BY 1),
+         c AS (
+           SELECT user_id,
+                  CAST(list_reduce(
+                    list_prepend(0, list(CASE WHEN event_type = 'view' THEN 1
+                                              WHEN event_type = 'click' THEN 2
+                                              ELSE 0 END ORDER BY us, event_id)),
+                    (acc, x) -> acc + (CASE WHEN x = 1 AND acc % 2 = 0 THEN 1
+                                            WHEN x = 2 AND acc % 2 = 1 THEN 1
+                                            ELSE 0 END)) // 2 AS BIGINT) AS n_matches
+           FROM o GROUP BY 1)
+         SELECT m.user_id, m.matched, c.n_matches
+         FROM m JOIN c ON m.user_id = c.user_id
+         ORDER BY m.user_id""",
     "e9_attribution" ->
       """WITH v AS (
            SELECT user_id AS v_user, event_id AS view_id, epoch_us(ts) AS v_us

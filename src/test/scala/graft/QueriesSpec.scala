@@ -272,6 +272,74 @@ class QueriesSpec extends AnyFunSuite {
     assert(got.toSeq == expect.toSeq)
   }
 
+  test("e12 sequenceMatch/sequenceCount: fold matches brute force; adversarial feed") {
+    // The oracle pins hash-exactness vs DuckDB's list_reduce mirror;
+    // this pins the SEMANTICS against an independent algorithm (the
+    // exists-chain by exhaustive triple scan, the greedy counter by a
+    // direct state machine) on sf0.001 AND on a crafted feed covering
+    // the edge cases: click outside the 6 h guard, purchase before any
+    // valid click, restart-after-match, interleaved extra views.
+    val s = spark
+    import s.implicits._
+    val H6 = 6L * 3600 * 1000000
+    def brute(evs: Seq[(Long, Long, String)]): (Boolean, Long) = {
+      // evs already (us, event_id)-sorted: (us, event_id, type)
+      val matched = evs.indices.exists { i =>
+        evs(i)._3 == "view" && evs.indices.exists { j =>
+          j > i && evs(j)._3 == "click" && evs(j)._1 - evs(i)._1 <= H6 &&
+            evs.indices.exists(k => k > j && evs(k)._3 == "purchase")
+        }
+      }
+      var st = 0; var cnt = 0L
+      evs.foreach {
+        case (_, _, "view") if st == 0  => st = 1
+        case (_, _, "click") if st == 1 => cnt += 1; st = 0
+        case _                          =>
+      }
+      (matched, cnt)
+    }
+    def check(dir: String): Unit = {
+      val got = events.Events.e12SequenceMatch(s, dir)
+        .as[(Long, Boolean, Long)].collect().toSeq
+      val raw = Tables.events(s, dir)
+        .select($"user_id", unix_micros($"ts"), $"event_id", $"event_type")
+        .as[(Long, Long, Long, String)].collect()
+      val expect = raw.groupBy(_._1).toSeq.sortBy(_._1).map { case (u, rs) =>
+        val (m, c) = brute(rs.map(r => (r._2, r._3, r._4)).sortBy(r => (r._1, r._2)).toSeq)
+        (u, m, c)
+      }
+      assert(got == expect)
+    }
+    check(SfDir)
+    val dir = java.nio.file.Files.createTempDirectory("e12feed").toString
+    val base = 1700000000000000L
+    def ev(id: Long, u: Long, offUs: Long, t: String) =
+      (id, new java.sql.Timestamp((base + offUs) / 1000), u, t, 1.0, "{}")
+    Seq(
+      // u1: click 7 h after the only view (guard fails) then purchase
+      ev(1, 1, 0, "view"), ev(2, 1, 7L * 3600 * 1000000, "click"),
+      ev(3, 1, 8L * 3600 * 1000000, "purchase"),
+      // u2: purchase BEFORE the valid click, then view+click (no trailing
+      //     purchase) — matched=false but greedy count sees 2 pairs
+      ev(4, 2, 0, "view"), ev(5, 2, 1000000, "purchase"),
+      ev(6, 2, 2000000, "click"), ev(7, 2, 3000000, "view"),
+      ev(8, 2, 4000000, "click"),
+      // u3: full chain with noise + a second greedy restart
+      ev(9, 3, 0, "error"), ev(10, 3, 1000000, "view"), ev(11, 3, 2000000, "view"),
+      ev(12, 3, H6 + 1000000, "click"), // within 6 h of the SECOND view only
+      ev(13, 3, H6 + 2000000, "purchase"), ev(14, 3, H6 + 3000000, "view"),
+      ev(15, 3, H6 + 4000000, "click"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    check(dir)
+    val crafted = events.Events.e12SequenceMatch(s, dir)
+      .as[(Long, Boolean, Long)].collect()
+      .map { case (u, m, c) => u -> ((m, c)) }.toMap
+    assert(crafted(1L) == ((false, 1L))) // count has no time guard; match does
+    assert(crafted(2L) == ((false, 2L)))
+    assert(crafted(3L) == ((true, 2L)))
+  }
+
   test("v8 IVF-PQ: probed-cell ADC top-5 recalls the exact-L2 top-5") {
     // The oracle pins bit-exactness; this pins semantic quality: the
     // composition's loss must be the SUM of its parts' documented
