@@ -175,6 +175,59 @@ object Events {
   }
 
   // ---------------------------------------------------------------------
+  // e13: ClickHouse `maxIntersections` — peak CONCURRENCY over the
+  // session intervals (the "max simultaneous users" dashboard number;
+  // CH pairs maxIntersections/maxIntersectionsPosition with the same
+  // interval feeds). Sessions are e11's rule (30-min gap per user);
+  // each [start, end] session becomes two boundary rows (+1 at start,
+  // -1 at end, CLOSED intervals: +1 sorts before -1 at equal us so a
+  // session ending exactly when another starts counts as overlap),
+  // and the peak is the max of the running boundary sum.
+  //
+  // Scale shape: the sweep input is 2 rows per SESSION (not per
+  // event) carrying (day, us, ±1) — the session reduction has already
+  // collapsed the corpus. The running sum partitions on the report
+  // day (the dashboard grain, same day-bounded window family as
+  // s16/s20); the peak is invariant to intra-tie permutation because
+  // ties order all +1s first, so per-day determinism needs no further
+  // tie keys. A corpus whose SINGLE day outgrows one partition would
+  // switch to the classic two-pass range-partitioned prefix sum; at
+  // the day grain that cardinality is sessions-per-day, which is
+  // bounded by fleet size × day length, not by corpus history.
+  // ---------------------------------------------------------------------
+  def e13MaxConcurrency(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val wOrd = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val cum = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sess = Tables.events(s, d)
+      .select($"user_id", $"ts", $"event_id")
+      .withColumn("gap_us",
+        unix_micros($"ts") - unix_micros(lag($"ts", 1).over(wOrd)))
+      .withColumn("new_s",
+        when($"gap_us".isNull || $"gap_us" > SessionGapUs, 1L).otherwise(0L))
+      .withColumn("sid", sum($"new_s").over(cum))
+      .groupBy($"user_id", $"sid")
+      .agg(min($"ts").as("s_start"),
+        min(unix_micros($"ts")).as("a_us"),
+        max(unix_micros($"ts")).as("b_us"))
+      .select(date_trunc("day", $"s_start").as("day"), $"a_us", $"b_us")
+    val bounds = sess.select($"day", explode(array(
+      struct($"a_us".as("us"), lit(1).as("delta")),
+      struct($"b_us".as("us"), lit(-1).as("delta")))).as("b"))
+      .select($"day", $"b.us".as("us"), $"b.delta".as("delta"))
+    val sweep = Window.partitionBy($"day").orderBy($"us".asc, $"delta".desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val peaks = bounds
+      .withColumn("cur", sum($"delta").over(sweep))
+      .groupBy($"day")
+      .agg(max($"cur").as("peak_concurrent"))
+    sess.groupBy($"day").agg(count(lit(1)).as("n_started"))
+      .join(peaks, "day")
+      .select($"day", $"n_started", $"peak_concurrent")
+      .orderBy($"day")
+  }
+
+  // ---------------------------------------------------------------------
   // e10: ROLLING ACTIVES — DAU + trailing-7-day WAU per day, the
   // rolling-distinct dashboard analytic (ClickHouse runs it with
   // uniq states merged over a date range). Sliding DISTINCT doesn't
@@ -456,6 +509,7 @@ object Events {
     "e7_top_sequences" -> (e7TopSequences _),
     "e8_interval_join" -> (e8IntervalJoin _),
     "e12_sequence_match" -> (e12SequenceMatch _),
+    "e13_max_concurrency" -> (e13MaxConcurrency _),
     "e2_retention" -> (e2Retention _),
     "e3_histogram" -> (e3Histogram _),
     "e4_json_extract" -> (e4JsonExtract _),
@@ -552,6 +606,38 @@ object Events {
          SELECT m.user_id, m.matched, c.n_matches
          FROM m JOIN c ON m.user_id = c.user_id
          ORDER BY m.user_id""",
+    // e11's session rule, then the sweep: the per-day max of the
+    // running ±1 sum is permutation-invariant within (us, delta) ties
+    // (+1s sort first), so ORDER BY us, delta DESC is deterministic
+    // where it matters.
+    "e13_max_concurrency" ->
+      """WITH x AS (
+           SELECT user_id, ts, event_id, epoch_us(ts) AS us,
+                  lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+           FROM events),
+         y AS (
+           SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 ELSE 0 END AS new_s
+           FROM x),
+         z AS (
+           SELECT *, CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+           FROM y),
+         sess AS (
+           SELECT date_trunc('day', min(ts)) AS day, min(us) AS a_us, max(us) AS b_us
+           FROM z GROUP BY user_id, sid),
+         b AS (
+           SELECT day, a_us AS us, 1 AS delta FROM sess
+           UNION ALL
+           SELECT day, b_us AS us, -1 AS delta FROM sess),
+         r AS (
+           SELECT day, CAST(sum(delta) OVER (PARTITION BY day ORDER BY us, delta DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cur
+           FROM b),
+         pk AS (SELECT day, max(cur) AS peak_concurrent FROM r GROUP BY 1),
+         st AS (SELECT day, CAST(count(*) AS BIGINT) AS n_started FROM sess GROUP BY 1)
+         SELECT st.day AS day, st.n_started, pk.peak_concurrent
+         FROM st JOIN pk ON st.day = pk.day
+         ORDER BY st.day""",
     "e9_attribution" ->
       """WITH v AS (
            SELECT user_id AS v_user, event_id AS view_id, epoch_us(ts) AS v_us

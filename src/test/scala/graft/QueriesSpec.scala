@@ -340,6 +340,38 @@ class QueriesSpec extends AnyFunSuite {
     assert(crafted(3L) == ((true, 2L)))
   }
 
+  test("e13 maxIntersections: sweep peak equals point-stabbing brute force") {
+    // The oracle pins the sweep vs DuckDB's identical sweep; this pins
+    // the SEMANTICS with a different algorithm: peak concurrency =
+    // max over boundary points p of |{sessions [a,b] with a<=p<=b}|
+    // (closed intervals — the maximum of the stabbing count is always
+    // attained at some interval start).
+    val s = spark
+    import s.implicits._
+    val wOrd = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val sess = Tables.events(s, SfDir)
+      .select($"user_id", $"ts", $"event_id")
+      .withColumn("gap_us", unix_micros($"ts") - unix_micros(lag($"ts", 1).over(wOrd)))
+      .withColumn("new_s", when($"gap_us".isNull || $"gap_us" > 1800000000L, 1L).otherwise(0L))
+      .withColumn("sid", sum($"new_s").over(
+        wOrd.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy($"user_id", $"sid")
+      .agg(date_trunc("day", min($"ts")).as("day"),
+        min(unix_micros($"ts")).as("a"), max(unix_micros($"ts")).as("b"))
+      .select($"day", $"a", $"b")
+      .as[(java.sql.Timestamp, Long, Long)].collect()
+    val expect = sess.groupBy(_._1).map { case (day, ss) =>
+      val peak = ss.map { case (_, a, _) =>
+        ss.count { case (_, a2, b2) => a2 <= a && a <= b2 }
+      }.max
+      (day, ss.length.toLong, peak.toLong)
+    }.toSeq.sortBy(_._1.getTime)
+    val got = events.Events.e13MaxConcurrency(s, SfDir)
+      .as[(java.sql.Timestamp, Long, Long)].collect().toSeq
+    assert(got == expect)
+  }
+
   test("v8 IVF-PQ: probed-cell ADC top-5 recalls the exact-L2 top-5") {
     // The oracle pins bit-exactness; this pins semantic quality: the
     // composition's loss must be the SUM of its parts' documented
