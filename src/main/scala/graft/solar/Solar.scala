@@ -485,6 +485,57 @@ object Solar {
   }
 
   // ---------------------------------------------------------------------
+  // s22: exponential moving average — the ClickHouse
+  // `exponentialMovingAverage` dashboard smoother, in the sample-index
+  // (pandas-`ewm`, adjust=true) form with BOUNDED 16-sample support so
+  // every weight is an exact rational: reading i-j contributes weight
+  // (3/4)^j, and with the common denominator 4^15 the weighted sum is
+  // pure int64 arithmetic — num = Σ cents_{i-j}·3^j·4^(15-j),
+  // den = Σ_present 3^j·4^(15-j) — with exactly TWO IEEE ops at the
+  // end ((num/den)/100), mirrored op-for-op by the oracle. Truncating
+  // the tail at 16 samples drops < (3/4)^16 ≈ 1% of the mass and is
+  // what makes the operator both bit-reproducible and scale-clean.
+  //
+  // Scale shape: 16 lag() columns over ONE (inverter, ts, event_id)
+  // window sort — Spark plans a single WindowExec (all lags share the
+  // frame), so this is the same one-exchange-one-sort shape as
+  // s6/s7/s10; the arithmetic is codegen'd map-side work after the
+  // sort. No frame collect_list, no per-row array building.
+  // ---------------------------------------------------------------------
+  val EmaWindow = 16
+
+  /** Weight of the j-th most recent sample over denominator 4^15:
+    * 3^j · 4^(EmaWindow-1-j) (decay ratio 3/4). */
+  private val emaW: IndexedSeq[Long] = {
+    val p3 = Iterator.iterate(1L)(_ * 3).take(EmaWindow).toIndexedSeq
+    val p4 = Iterator.iterate(1L)(_ * 4).take(EmaWindow).toIndexedSeq
+    (0 until EmaWindow).map(j => p3(j) * p4(EmaWindow - 1 - j))
+  }
+
+  def s22Ema(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"inverter").orderBy($"ts", $"event_id")
+    val cents = round($"value" * 100).cast("long")
+    def lagC(j: Int): Column = if (j == 0) $"cents" else lag($"cents", j).over(w)
+    val base = feed(s, d)
+      .filter($"event_type" === "purchase") // the ac_watts stream (s1 map)
+      .select($"event_id", $"inverter", $"ts", $"value", cents.as("cents"))
+    val withLags = (0 until EmaWindow).foldLeft(base) { (df, j) =>
+      df.withColumn(s"c_$j", lagC(j))
+    }
+    val num = (0 until EmaWindow).map { j =>
+      coalesce(col(s"c_$j") * emaW(j), lit(0L))
+    }.reduce(_ + _)
+    val den = (0 until EmaWindow).map { j =>
+      when(col(s"c_$j").isNotNull, emaW(j)).otherwise(0L)
+    }.reduce(_ + _)
+    withLags
+      .select($"event_id", $"inverter", $"ts", $"value",
+        ((num.cast("double") / den.cast("double")) / lit(100.0)).as("ema"))
+      .orderBy($"inverter", $"ts", $"event_id")
+  }
+
+  // ---------------------------------------------------------------------
   // s15: daily fleet activity — exact distinct counts (ClickHouse
   // uniqExact). The approximate variant (uniq ≈ approx_count_distinct
   // / HyperLogLog++) is pinned by a relative-error spec in
@@ -651,6 +702,7 @@ object Solar {
     "s12_top_inverters" -> (s12TopInverters _),
     "s20_gap_fill" -> (s20GapFill _),
     "s21_interpolate" -> (s21Interpolate _),
+    "s22_ema" -> (s22Ema _),
   )
 
   /** Shared s20/s21 oracle skeleton (mirrors [[slotGrid]]): grid per
@@ -959,6 +1011,29 @@ object Solar {
                            / CAST(next_us - prev_us AS DOUBLE)) END AS value_interp,
                 slot_last IS NULL AS filled
          FROM pn ORDER BY inverter, slot""",
+    // s22: lag columns + the integer weight table generated from the
+    // SAME emaW constants as the query; the only float ops are the
+    // final (num/den)/100, mirrored op-for-op.
+    "s22_ema" -> {
+      def c(j: Int) = if (j == 0) "cents" else s"c_$j"
+      val lags = (1 until EmaWindow)
+        .map(j => s"lag(cents, $j) OVER w AS c_$j").mkString(", ")
+      val num = (0 until EmaWindow)
+        .map(j => s"COALESCE(${c(j)} * CAST(${emaW(j)} AS BIGINT), 0)").mkString(" + ")
+      val den = (0 until EmaWindow)
+        .map(j => s"CASE WHEN ${c(j)} IS NOT NULL THEN CAST(${emaW(j)} AS BIGINT) ELSE CAST(0 AS BIGINT) END")
+        .mkString(" + ")
+      s"""WITH o AS (
+           SELECT event_id, user_id AS inverter, ts, value,
+                  CAST(round(value * 100) AS BIGINT) AS cents
+           FROM events WHERE event_type = 'purchase'),
+         l AS (
+           SELECT event_id, inverter, ts, value, cents, $lags
+           FROM o WINDOW w AS (PARTITION BY inverter ORDER BY ts, event_id))
+         SELECT event_id, inverter, ts, value,
+                (CAST($num AS DOUBLE) / CAST($den AS DOUBLE)) / 100.0 AS ema
+         FROM l ORDER BY inverter, ts, event_id"""
+    },
     "s9_downsample" ->
       """SELECT user_id AS inverter, time_bucket(INTERVAL '15 minutes', ts) AS bucket,
            CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_value,

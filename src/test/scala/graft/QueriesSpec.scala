@@ -340,6 +340,48 @@ class QueriesSpec extends AnyFunSuite {
     assert(crafted(3L) == ((true, 2L)))
   }
 
+  test("s22 EMA: convex combination of trailing window; crafted step response") {
+    // The oracle pins bit-exactness; these pin the smoothing
+    // semantics: (1) every EMA lies within [min, max] of its trailing
+    // 16-sample window (the integer weights normalize to a convex
+    // combination); (2) on a crafted constant-then-step series the EMA
+    // is exactly the constant before the step and strictly
+    // monotonically approaches the new level after it.
+    val s = spark
+    import s.implicits._
+    val rows = solar.Solar.s22Ema(s, SfDir)
+      .select($"inverter", $"value", $"ema")
+      .as[(Long, Double, Double)].collect()
+    val byInv = rows.zipWithIndex.groupBy(_._1._1)
+    byInv.values.foreach { seq =>
+      val vals = seq.sortBy(_._2).map(_._1._2)
+      val emas = seq.sortBy(_._2).map(_._1._3)
+      emas.indices.foreach { i =>
+        val win = vals.slice(math.max(0, i - 15), i + 1)
+        assert(emas(i) >= win.min - 1e-9 && emas(i) <= win.max + 1e-9,
+          s"ema out of window hull at $i")
+      }
+    }
+    val dir = java.nio.file.Files.createTempDirectory("s22feed").toString
+    val base = 1700000000000000L
+    val feed = (0 until 40).map { i =>
+      val v = if (i < 20) 10.0 else 50.0
+      (i.toLong, new java.sql.Timestamp((base + i * 60000000L) / 1000), 1L,
+        "purchase", v, "{}")
+    }
+    feed.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val crafted = solar.Solar.s22Ema(s, dir)
+      .select($"ema").as[Double].collect()
+    crafted.take(20).foreach(e => assert(math.abs(e - 10.0) < 1e-12))
+    (20 until 35).foreach { i =>
+      assert(crafted(i) > crafted(i - 1) && crafted(i) < 50.0,
+        s"step response not strictly rising at $i")
+    }
+    // once the 16-sample support is fully past the step, EMA == level
+    (35 until 40).foreach(i => assert(math.abs(crafted(i) - 50.0) < 1e-12))
+  }
+
   test("e13 maxIntersections: sweep peak equals point-stabbing brute force") {
     // The oracle pins the sweep vs DuckDB's identical sweep; this pins
     // the SEMANTICS with a different algorithm: peak concurrency =
