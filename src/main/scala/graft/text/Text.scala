@@ -523,7 +523,71 @@ object Text {
         $"col.item".as("ngram"), $"col.est".as("est_count"))
   }
 
+  // ---------------------------------------------------------------------
+  // t14: unigram language-model scoring — the CCNet/Gopher quality
+  // idiom (score each document against a model of the corpus itself;
+  // outliers are boilerplate or noise). The GRADED columns are exact
+  // rationals: mean token probability Σ_tokens c(w) / (n·total) and
+  // the out-of-vocabulary fraction vs the top-[[TopVocab]] vocabulary
+  // — each one double division of two exact int64s, so the oracle is
+  // bit-identical. The production ln-perplexity variant (floating
+  // point, engine-divergent — t11's precedent) is conf-gated behind
+  // spark.graft.unigram.ln=true and pinned by a brute-force spec.
+  //
+  // Scale shape: nothing token-level ever joins — documents reduce
+  // map-side to per-doc DISTINCT (word, k) pairs first (t8's
+  // distinct-reduced discipline), the corpus count table is
+  // vocab-sized, the w-join shuffles only (doc_id, w, k) triples, and
+  // the top-V vocabulary (a constant-sized list) broadcasts. total is
+  // a 1-row broadcast. TopVocab=20 / gate 0.4 are calibrated to this
+  // corpus's 31-word vocabulary (d5-threshold precedent); production
+  // uses the same constants ratio'd to a real vocabulary.
+  // ---------------------------------------------------------------------
+  val TopVocab = 20
+  val OovMax = 0.4
+
+  def t14UnigramLm(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ln = s.conf.getOption("spark.graft.unigram.ln").exists(_.toBoolean)
+    val docWords = Tables.documents(s, d)
+      .select($"doc_id", explode(toks(lower($"text"))).as("w"))
+      .groupBy($"doc_id", $"w").agg(count(lit(1)).as("k"))
+    val cnt = docWords.groupBy($"w").agg(sum($"k").as("c"))
+    val total = cnt.agg(sum($"c").as("total"))
+    val vocab = cnt.orderBy($"c".desc, $"w").limit(TopVocab).select($"w".as("vw"))
+    val aggs = Seq(
+      sum($"k").as("n_tokens"),
+      sum($"k" * $"c").as("sum_cnt"),
+      sum(when($"vw".isNull, $"k").otherwise(0L)).as("n_oov")) ++
+      (if (ln) Seq(sum($"k".cast("double") * log($"c".cast("double"))).as("sum_ln"))
+       else Nil)
+    val per = docWords
+      .join(cnt, "w")
+      .join(broadcast(vocab), $"w" === $"vw", "left")
+      .groupBy($"doc_id")
+      .agg(aggs.head, aggs.tail: _*)
+    val out =
+      if (!ln)
+        per.crossJoin(broadcast(total))
+          .select($"doc_id", $"n_tokens",
+            ($"sum_cnt".cast("double") / ($"n_tokens" * $"total").cast("double"))
+              .as("mean_prob"),
+            ($"n_oov".cast("double") / $"n_tokens".cast("double")).as("oov_frac"))
+      else
+        per.crossJoin(broadcast(total))
+          .select($"doc_id", $"n_tokens",
+            ($"sum_cnt".cast("double") / ($"n_tokens" * $"total").cast("double"))
+              .as("mean_prob"),
+            ($"n_oov".cast("double") / $"n_tokens".cast("double")).as("oov_frac"),
+            (($"sum_ln" - $"n_tokens".cast("double") * log($"total".cast("double")))
+              / $"n_tokens".cast("double")).as("mean_logprob"))
+    out
+      .withColumn("keep", $"oov_frac" <= OovMax)
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "t14_unigram_lm" -> (t14UnigramLm _),
     "t13_approx_topk" -> (t13ApproxTopk _),
     "t8_contamination" -> (t8Contamination _),
     "t9_repetition" -> (t9Repetition _),
@@ -685,6 +749,27 @@ object Text {
                 CAST(tok_start // $PackLen AS BIGINT) AS seq_id,
                 CAST(tok_start % $PackLen AS BIGINT) AS seq_offset
          FROM c ORDER BY source, shard, doc_id""",
+    // t14: graded columns are single divisions of exact int64 sums.
+    "t14_unigram_lm" ->
+      s"""WITH tok AS (
+           SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                 t -> t <> '')) AS w
+           FROM documents),
+         dw AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS k FROM tok GROUP BY 1, 2),
+         cnt AS (SELECT w, CAST(sum(k) AS BIGINT) AS c FROM dw GROUP BY 1),
+         tot AS (SELECT CAST(sum(c) AS BIGINT) AS total FROM cnt),
+         vocab AS (SELECT w FROM cnt ORDER BY c DESC, w LIMIT $TopVocab),
+         per AS (
+           SELECT dw.doc_id, CAST(sum(dw.k) AS BIGINT) AS n_tokens,
+                  CAST(sum(dw.k * cnt.c) AS BIGINT) AS sum_cnt,
+                  CAST(sum(CASE WHEN v.w IS NULL THEN dw.k ELSE 0 END) AS BIGINT) AS n_oov
+           FROM dw JOIN cnt ON dw.w = cnt.w LEFT JOIN vocab v ON dw.w = v.w
+           GROUP BY 1)
+         SELECT doc_id, n_tokens,
+                CAST(sum_cnt AS DOUBLE) / CAST(n_tokens * total AS DOUBLE) AS mean_prob,
+                CAST(n_oov AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS oov_frac,
+                (CAST(n_oov AS DOUBLE) / CAST(n_tokens AS DOUBLE)) <= $OovMax AS keep
+         FROM per, tot ORDER BY doc_id""",
     "t1_tokens" ->
       """WITH tk AS (
            SELECT doc_id, text, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t

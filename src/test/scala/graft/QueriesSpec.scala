@@ -340,6 +340,36 @@ class QueriesSpec extends AnyFunSuite {
     assert(crafted(3L) == ((true, 2L)))
   }
 
+  test("t14 unigram LM: conf-gated ln variant matches brute force; gate non-degenerate") {
+    // Graded columns are oracle-exact; this pins (1) the production
+    // ln-perplexity path (spark.graft.unigram.ln=true, t11's conf-gate
+    // precedent) against an in-memory recomputation of the unigram
+    // model, and (2) that the corpus-calibrated OOV gate actually
+    // splits the corpus (both keeps and drops exist).
+    val s = spark
+    import s.implicits._
+    val base = text.Text.t14UnigramLm(s, SfDir)
+    val keeps = base.groupBy($"keep").count().as[(Boolean, Long)].collect().toMap
+    assert(keeps.getOrElse(true, 0L) > 0 && keeps.getOrElse(false, 0L) > 0,
+      s"OOV gate degenerate: $keeps")
+    assert(!base.columns.contains("mean_logprob"))
+    s.conf.set("spark.graft.unigram.ln", "true")
+    try {
+      val got = text.Text.t14UnigramLm(s, SfDir)
+        .select($"doc_id", $"mean_logprob")
+        .as[(Long, Double)].collect().toMap
+      val docs = Tables.documents(s, SfDir)
+        .select($"doc_id", lower($"text")).as[(Long, String)].collect()
+      val tokd = docs.map { case (id, t) => id -> t.split("\\s+").filter(_.nonEmpty) }
+      val cnt = tokd.flatMap(_._2).groupBy(identity).map { case (w, ws) => w -> ws.length.toLong }
+      val total = cnt.values.sum.toDouble
+      tokd.filter(_._2.nonEmpty).foreach { case (id, ws) =>
+        val exp = ws.map(w => math.log(cnt(w) / total)).sum / ws.length
+        assert(math.abs(got(id) - exp) < 1e-9, s"doc $id: ${got(id)} vs $exp")
+      }
+    } finally s.conf.unset("spark.graft.unigram.ln")
+  }
+
   test("s22 EMA: convex combination of trailing window; crafted step response") {
     // The oracle pins bit-exactness; these pin the smoothing
     // semantics: (1) every EMA lies within [min, max] of its trailing
