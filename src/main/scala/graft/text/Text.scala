@@ -586,7 +586,47 @@ object Text {
       .orderBy($"doc_id")
   }
 
+  // ---------------------------------------------------------------------
+  // t15: PII detection + redaction — the scrubbing pass every released
+  // training corpus runs (emails / IPv4s / phone numbers → typed
+  // placeholder tokens). Semantics are a SEQUENTIAL redaction chain —
+  // emails first, then IPs on the email-redacted text, then phones —
+  // so one span can never double-count across classes; counts are the
+  // match counts at each stage. Patterns avoid lookaround so the same
+  // regex text is valid Java regex (Spark) and RE2 (DuckDB oracle);
+  // the crafted-corpus spec pins the positive-match semantics that
+  // this synthetic corpus (word-soup, zero PII — redaction is the
+  // identity on it) cannot exercise, exactly the FakeCodec/d5
+  // corpus-constraint precedent.
+  //
+  // Scale shape: three regexp passes fused into one codegen'd
+  // projection — scan-rate map-side work, zero shuffles before the
+  // output sort. At 100 TB this is the cheapest pass in the pipeline.
+  // ---------------------------------------------------------------------
+  val PiiEmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PiiIpRe = "\\b\\d{1,3}(\\.\\d{1,3}){3}\\b"
+  val PiiPhoneRe = "\\+\\d{1,3}[ -]\\d{2,4}[ -]\\d{3,4}([ -]\\d{2,4})?"
+
+  def t15PiiRedact(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val afterEmail = regexp_replace($"text", PiiEmailRe, "<EMAIL>")
+    Tables.documents(s, d)
+      .select($"doc_id", $"text",
+        size(regexp_extract_all($"text", lit(PiiEmailRe), lit(0))).as("n_emails"),
+        afterEmail.as("t1"))
+      .select($"doc_id", $"n_emails",
+        size(regexp_extract_all($"t1", lit(PiiIpRe), lit(0))).as("n_ips"),
+        regexp_replace($"t1", PiiIpRe, "<IP>").as("t2"))
+      .select($"doc_id", $"n_emails", $"n_ips",
+        size(regexp_extract_all($"t2", lit(PiiPhoneRe), lit(0))).as("n_phones"),
+        regexp_replace($"t2", PiiPhoneRe, "<PHONE>").as("redacted"))
+      .withColumn("clean", $"n_emails" + $"n_ips" + $"n_phones" === 0)
+      .select($"doc_id", $"n_emails", $"n_ips", $"n_phones", $"redacted", $"clean")
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "t15_pii_redact" -> (t15PiiRedact _),
     "t14_unigram_lm" -> (t14UnigramLm _),
     "t13_approx_topk" -> (t13ApproxTopk _),
     "t8_contamination" -> (t8Contamination _),
@@ -749,6 +789,28 @@ object Text {
                 CAST(tok_start // $PackLen AS BIGINT) AS seq_id,
                 CAST(tok_start % $PackLen AS BIGINT) AS seq_offset
          FROM c ORDER BY source, shard, doc_id""",
+    // t15: same sequential chain; RE2 and Java regex agree on these
+    // lookaround-free patterns, and DuckDB needs the 'g' flag to match
+    // Spark's replace-all semantics.
+    "t15_pii_redact" ->
+      s"""WITH a AS (
+           SELECT doc_id, text,
+                  CAST(len(regexp_extract_all(text, '$PiiEmailRe')) AS INT) AS n_emails,
+                  regexp_replace(text, '$PiiEmailRe', '<EMAIL>', 'g') AS t1
+           FROM documents),
+         b AS (
+           SELECT doc_id, n_emails,
+                  CAST(len(regexp_extract_all(t1, '$PiiIpRe')) AS INT) AS n_ips,
+                  regexp_replace(t1, '$PiiIpRe', '<IP>', 'g') AS t2
+           FROM a),
+         c AS (
+           SELECT doc_id, n_emails, n_ips,
+                  CAST(len(regexp_extract_all(t2, '$PiiPhoneRe')) AS INT) AS n_phones,
+                  regexp_replace(t2, '$PiiPhoneRe', '<PHONE>', 'g') AS redacted
+           FROM b)
+         SELECT doc_id, n_emails, n_ips, n_phones, redacted,
+                (n_emails + n_ips + n_phones) = 0 AS clean
+         FROM c ORDER BY doc_id""",
     // t14: graded columns are single divisions of exact int64 sums.
     "t14_unigram_lm" ->
       s"""WITH tok AS (

