@@ -28,6 +28,35 @@ object Sim {
   // v1: brute-force cosine top-10 for one query vector (vec_id 0),
   // excluding itself. Query side broadcast; single pass over corpus.
   // ---------------------------------------------------------------------
+  // ---------------------------------------------------------------------
+  // v9: RANGE search — FAISS `range_search` (IndexFlat counterpart):
+  // every corpus vector within a similarity RADIUS of each query
+  // (cos >= [[RangeTau]]), not a fixed top-k. The retrieval mode k-NN
+  // can't express: "all near-duplicates / all candidates above a
+  // quality bar" — d5/d10 consume exactly this shape with blocking;
+  // here it's the exact query surface. Queries broadcast (v2's BNL
+  // convention: vec_id < 20 vs the rest), cosine via the codegen'd
+  // CosineSim expression, filter map-side — output is bounded by the
+  // match count, no heap needed, and the scan parallelizes trivially.
+  // At 100 TB the same filter composes with v3's IVF probing (score
+  // only probed cells) exactly as v8 composes PQ — the exact scan is
+  // the correctness baseline. Tau=0.3 is corpus-calibrated (d5
+  // precedent): 63/89/304 pairs at sf0.001/0.01/0.1.
+  // ---------------------------------------------------------------------
+  val RangeTau = 0.3
+
+  def v9RangeSearch(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, d)
+    val q = e.filter($"vec_id" < 20)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_emb"))
+    e.filter($"vec_id" >= 20)
+      .crossJoin(broadcast(q))
+      .select($"q_id", $"vec_id", cosineSim($"embedding", $"q_emb").as("cos"))
+      .filter($"cos" >= RangeTau)
+      .orderBy($"q_id", $"cos".desc, $"vec_id")
+  }
+
   def v1KnnBrute(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val e = Tables.embeddings(s, d)
@@ -571,6 +600,7 @@ object Sim {
 
   val queries: Map[String, Q] = Map(
     "v1_knn_brute" -> (v1KnnBrute _),
+    "v9_range_search" -> (v9RangeSearch _),
     "v2_knn_batch" -> (v2KnnBatch _),
     "v3_ivf_ann" -> (v3IvfAnn _),
     "v4_knn_sql" -> (v4KnnSql _),
@@ -725,6 +755,15 @@ object Sim {
             FROM sc)
           SELECT q_id, rnk, vec_id, cluster, cos FROM rk WHERE rnk <= $TopK
           ORDER BY q_id, rnk""",
+    // v9: same cosine arithmetic as v1, radius filter instead of LIMIT.
+    "v9_range_search" ->
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb
+                     FROM embeddings WHERE vec_id < 20),
+          c AS (
+            SELECT q_id, vec_id, ${cos("embedding", "q_emb")} AS cos
+            FROM embeddings, q WHERE vec_id >= 20)
+          SELECT q_id, vec_id, cos FROM c WHERE cos >= $RangeTau
+          ORDER BY q_id, cos DESC, vec_id""",
     "v1_knn_brute" ->
       s"""WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0)
           SELECT vec_id, label, ${cos("embedding", "q_emb")} AS cos

@@ -536,6 +536,48 @@ object Solar {
   }
 
   // ---------------------------------------------------------------------
+  // s23: WEIGHTED exact median — ClickHouse `quantileExactWeighted
+  // (0.5)(value, weight)` with the hold DURATION as the weight: the
+  // median power level over TIME, not over samples (a fleet that
+  // reports more often when production swings would bias s14's
+  // sample median; s17 is the weighted MEAN of the same ZOH series).
+  // Selection rule is CH's: sort by value, first value whose
+  // cumulative weight reaches half the total. All integer arithmetic
+  // — durations are exact µs from lead(), the crossing test is
+  // cum·2 >= total — and one final cast-divide for the cents.
+  //
+  // Scale shape: two windows on the SAME (inverter) partition key —
+  // the ts-order lead() for durations and the value-order cumulative
+  // sum — so Spark plans one exchange feeding two sorts; the
+  // crossing filter + min-aggregate collapse to one row per inverter
+  // before anything leaves the shuffle. Zero-weight rows (each
+  // inverter's last reading) can never be selected below the
+  // crossing: their cumulative sum equals their predecessor's.
+  // ---------------------------------------------------------------------
+  def s23WeightedMedian(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val wt = Window.partitionBy($"inverter").orderBy($"us", $"event_id")
+    val ord = Window.partitionBy($"inverter").orderBy($"cents", $"us", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy($"inverter")
+    feed(s, d)
+      .filter($"event_type" === "purchase")
+      .select($"inverter", unix_micros($"ts").as("us"), $"event_id",
+        round($"value" * 100).cast("long").as("cents"))
+      .withColumn("dur_us", coalesce(lead($"us", 1).over(wt) - $"us", lit(0L)))
+      .withColumn("cum", sum($"dur_us").over(ord))
+      .withColumn("total", sum($"dur_us").over(tot))
+      .withColumn("n", count(lit(1)).over(tot))
+      .filter($"cum" * 2 >= $"total")
+      .groupBy($"inverter")
+      .agg(max($"n").as("n"), max($"total").as("held_us"),
+        min($"cents").as("med_cents"))
+      .select($"inverter", $"n", $"held_us",
+        ($"med_cents".cast("double") / 100.0).as("wmedian_watts"))
+      .orderBy($"inverter")
+  }
+
+  // ---------------------------------------------------------------------
   // s15: daily fleet activity — exact distinct counts (ClickHouse
   // uniqExact). The approximate variant (uniq ≈ approx_count_distinct
   // / HyperLogLog++) is pinned by a relative-error spec in
@@ -703,6 +745,7 @@ object Solar {
     "s20_gap_fill" -> (s20GapFill _),
     "s21_interpolate" -> (s21Interpolate _),
     "s22_ema" -> (s22Ema _),
+    "s23_weighted_median" -> (s23WeightedMedian _),
   )
 
   /** Shared s20/s21 oracle skeleton (mirrors [[slotGrid]]): grid per
@@ -1034,6 +1077,26 @@ object Solar {
                 (CAST($num AS DOUBLE) / CAST($den AS DOUBLE)) / 100.0 AS ema
          FROM l ORDER BY inverter, ts, event_id"""
     },
+    // s23: CH quantileExactWeighted selection — first value (in value
+    // order) whose cumulative duration reaches half the total.
+    "s23_weighted_median" ->
+      """WITH o AS (
+           SELECT user_id AS inverter, epoch_us(ts) AS us, event_id,
+                  CAST(round(value * 100) AS BIGINT) AS cents
+           FROM events WHERE event_type = 'purchase'),
+         d AS (
+           SELECT *, COALESCE(lead(us) OVER (PARTITION BY inverter ORDER BY us, event_id) - us, 0) AS dur_us
+           FROM o),
+         c AS (
+           SELECT *, CAST(sum(dur_us) OVER (PARTITION BY inverter ORDER BY cents, us, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+                  CAST(sum(dur_us) OVER (PARTITION BY inverter) AS BIGINT) AS total,
+                  CAST(count(*) OVER (PARTITION BY inverter) AS BIGINT) AS n
+           FROM d)
+         SELECT inverter, max(n) AS n, max(total) AS held_us,
+                CAST(min(cents) AS DOUBLE) / 100.0 AS wmedian_watts
+         FROM c WHERE cum * 2 >= total
+         GROUP BY 1 ORDER BY 1""",
     "s9_downsample" ->
       """SELECT user_id AS inverter, time_bucket(INTERVAL '15 minutes', ts) AS bucket,
            CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_value,

@@ -340,6 +340,60 @@ class QueriesSpec extends AnyFunSuite {
     assert(crafted(3L) == ((true, 2L)))
   }
 
+  test("s23 weighted median: matches brute-force CH quantileExactWeighted selection") {
+    val s = spark
+    import s.implicits._
+    val got = solar.Solar.s23WeightedMedian(s, SfDir)
+      .select($"inverter", $"wmedian_watts").as[(Long, Double)].collect().toMap
+    val raw = Tables.events(s, SfDir).filter($"event_type" === "purchase")
+      .select($"user_id", unix_micros($"ts"), $"event_id",
+        round($"value" * 100).cast("long"))
+      .as[(Long, Long, Long, Long)].collect()
+    raw.groupBy(_._1).foreach { case (inv, rs) =>
+      val byTs = rs.sortBy(r => (r._2, r._3))
+      val durs = byTs.zipWithIndex.map { case ((_, us, eid, c), i) =>
+        val d = if (i + 1 < byTs.length) byTs(i + 1)._2 - us else 0L
+        (c, us, eid, d)
+      }
+      val total = durs.map(_._4).sum
+      val ordered = durs.sortBy(t => (t._1, t._2, t._3))
+      var cum = 0L
+      val med = ordered.collectFirst {
+        case (c, _, _, d) if { cum += d; cum * 2 >= total } => c
+      }.get
+      assert(got(inv) == med.toDouble / 100.0, s"inverter $inv")
+    }
+  }
+
+  test("v9 range search: matches brute-force radius scan") {
+    // Independent recomputation of the full radius scan (loop-computed
+    // cosine vs the codegen'd CosineSim expression).
+    val s = spark
+    import s.implicits._
+    val got = sim.Sim.v9RangeSearch(s, SfDir)
+      .select($"q_id", $"vec_id").as[(Long, Long)].collect().toSet
+    val e = Tables.embeddings(s, SfDir)
+      .select($"vec_id", $"embedding").as[(Long, Seq[Float])].collect()
+    def cosd(a: Seq[Float], b: Seq[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val qs = e.filter(_._1 < 20)
+    val corpus = e.filter(_._1 >= 20)
+    val expect = (for {
+      (qid, qe) <- qs
+      (vid, ve) <- corpus
+      if cosd(ve, qe) >= sim.Sim.RangeTau
+    } yield (qid, vid)).toSet
+    assert(got == expect)
+  }
+
   test("t15 PII redaction: crafted positives redact correctly; real corpus is identity") {
     // The graded corpus is synthetic word-soup with zero PII (the
     // oracle proves redaction is the identity on it), so the POSITIVE
