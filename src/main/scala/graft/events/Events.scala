@@ -228,6 +228,56 @@ object Events {
   }
 
   // ---------------------------------------------------------------------
+  // e14: COHORT RETENTION MATRIX — the full day-N retention triangle
+  // (cohort day × day offset 0..6) that e2's single day-0∩day-7 cell
+  // generalizes: users are cohorted by their FIRST active day, and
+  // each (cohort, k) cell counts cohort members active k days later.
+  // Same scale discipline as e10: dedup to (user, day) FIRST (the
+  // cardinality is active-user-days, not events), derive the cohort
+  // day with one user-keyed aggregate, join back on user (the pairs
+  // are already user-clustered), one combine-enabled distinct per
+  // (cohort, k) cell. Nothing driver-side, no per-cohort set unions.
+  // ---------------------------------------------------------------------
+  val CohortDays = 7
+
+  def e14CohortMatrix(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ud = Tables.events(s, d)
+      .select($"user_id", date_trunc("day", $"ts").as("day")).distinct()
+    val first = ud.groupBy($"user_id").agg(min($"day").as("cohort_day"))
+    ud.join(first, "user_id")
+      .withColumn("k", datediff($"day", $"cohort_day"))
+      .filter($"k" < CohortDays)
+      .groupBy($"cohort_day", $"k")
+      .agg(countDistinct($"user_id").as("n_active"))
+      .orderBy($"cohort_day", $"k")
+  }
+
+  // ---------------------------------------------------------------------
+  // e15: ClickHouse `uniqUpTo(N)(x)` — exact distinct count saturating
+  // at N+1, the "has this grain reached N distinct users?" gate whose
+  // per-group state is bounded by the QUESTION (≤ N+1 ids) instead of
+  // the data (s15's exact countDistinct shuffles every id; its HLL
+  // variant answers approximately). Saturation commutes with union,
+  // so unlike sketches the result is deterministic and the oracle
+  // grades it EXACTLY: uniq_up_to(x, n) == LEAST(count(DISTINCT x),
+  // n+1). Custom TypedImperativeAggregate (functions/UniqUpToAgg,
+  // MinHashAgg pattern), registered in SQL via GraftExtensions.
+  // ---------------------------------------------------------------------
+  val UniqUpToN = 10
+
+  def e15UniqUpto(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, d)
+      .groupBy(date_trunc("day", $"ts").as("day"), $"event_type")
+      .agg(
+        graft.functions.GraftFunctions.uniqUpTo($"user_id", UniqUpToN)
+          .as("uniq_upto"),
+        count(lit(1)).as("n_events"))
+      .orderBy($"day", $"event_type")
+  }
+
+  // ---------------------------------------------------------------------
   // e10: ROLLING ACTIVES — DAU + trailing-7-day WAU per day, the
   // rolling-distinct dashboard analytic (ClickHouse runs it with
   // uniq states merged over a date range). Sliding DISTINCT doesn't
@@ -510,6 +560,8 @@ object Events {
     "e8_interval_join" -> (e8IntervalJoin _),
     "e12_sequence_match" -> (e12SequenceMatch _),
     "e13_max_concurrency" -> (e13MaxConcurrency _),
+    "e14_cohort_matrix" -> (e14CohortMatrix _),
+    "e15_uniq_upto" -> (e15UniqUpto _),
     "e2_retention" -> (e2Retention _),
     "e3_histogram" -> (e3Histogram _),
     "e4_json_extract" -> (e4JsonExtract _),
@@ -638,6 +690,23 @@ object Events {
          SELECT st.day AS day, st.n_started, pk.peak_concurrent
          FROM st JOIN pk ON st.day = pk.day
          ORDER BY st.day""",
+    "e14_cohort_matrix" ->
+      s"""WITH ud AS (
+           SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events),
+         f AS (SELECT user_id, min(day) AS cohort_day FROM ud GROUP BY 1),
+         j AS (
+           SELECT ud.user_id, f.cohort_day,
+                  CAST(date_diff('day', f.cohort_day, ud.day) AS INT) AS k
+           FROM ud JOIN f ON ud.user_id = f.user_id)
+         SELECT cohort_day, k, CAST(count(DISTINCT user_id) AS BIGINT) AS n_active
+         FROM j WHERE k < $CohortDays GROUP BY 1, 2 ORDER BY 1, 2""",
+    // e15: saturation commutes with union → the saturated count is
+    // deterministic and expressible exactly.
+    "e15_uniq_upto" ->
+      s"""SELECT date_trunc('day', ts) AS day, event_type,
+                CAST(LEAST(count(DISTINCT user_id), ${UniqUpToN + 1}) AS INT) AS uniq_upto,
+                CAST(count(*) AS BIGINT) AS n_events
+         FROM events GROUP BY 1, 2 ORDER BY day, event_type""",
     "e9_attribution" ->
       """WITH v AS (
            SELECT user_id AS v_user, event_id AS view_id, epoch_us(ts) AS v_us

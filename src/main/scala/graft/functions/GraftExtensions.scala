@@ -60,6 +60,11 @@ object GraftExtensions extends SparkSessionExtensionsProvider {
       (args: Seq[Expression]) =>
         ApproxTopKAgg(args(0), intArg("approx_topk", 1, args(1)),
           intArg("approx_topk", 2, args(2)))))
+    ext.injectFunction((
+      FunctionIdentifier("uniq_up_to"),
+      new ExpressionInfo(classOf[UniqUpToAgg].getName, "uniq_up_to"),
+      (args: Seq[Expression]) =>
+        UniqUpToAgg(args(0), intArg("uniq_up_to", 1, args(1)))))
   }
 }
 
@@ -77,4 +82,6 @@ object GraftFunctions {
     call_function("minhash_agg", shingle, lit(k))
   def approxTopK(item: Column, k: Int, w: Int): Column =
     call_function("approx_topk", item, lit(k), lit(w))
+  def uniqUpTo(x: Column, n: Int): Column =
+    call_function("uniq_up_to", x, lit(n))
 }

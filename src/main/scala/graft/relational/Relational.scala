@@ -353,7 +353,35 @@ object Relational {
       .orderBy($"c_mktsegment")
   }
 
+  // ---------------------------------------------------------------------
+  // q23: distribution-window report — customer spend DECILES within
+  // nation (ntile / percent_rank / cume_dist), the ranking-window
+  // family q7's running sum doesn't cover. Spend is an exact decimal
+  // sum reduced per customer BEFORE the window (the window input is
+  // one row per customer, not per order); nation is a broadcast dim;
+  // the three window functions share one (nation, spend DESC,
+  // custkey) sort. percent_rank/cume_dist are single IEEE divisions
+  // of exact ranks — bit-identical across engines; the (spend,
+  // custkey) order key is tie-free by construction.
+  // ---------------------------------------------------------------------
+  def q23SpendDeciles(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val spend = Tables.orders(s, d)
+      .groupBy($"o_custkey")
+      .agg(dsum($"o_totalprice").as("spend"))
+    val w = Window.partitionBy($"nation").orderBy($"spend".desc, $"c_custkey")
+    Tables.customer(s, d)
+      .join(spend, $"c_custkey" === $"o_custkey")
+      .join(broadcast(Tables.nation(s, d)), $"c_nationkey" === $"n_nationkey")
+      .select($"c_custkey", $"n_name".as("nation"), $"spend")
+      .withColumn("decile", ntile(10).over(w))
+      .withColumn("pct_rank", percent_rank().over(w))
+      .withColumn("cume", cume_dist().over(w))
+      .orderBy($"c_custkey")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q23_spend_deciles" -> (q23SpendDeciles _),
     "q1_agg" -> (q1Agg _),
     "q3_shipping" -> (q3Shipping _),
     "q4_semijoin" -> (q4Semijoin _),
@@ -523,6 +551,23 @@ object Relational {
          FROM rev JOIN supplier ON l_suppkey = s_suppkey
          WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
          ORDER BY s_suppkey""",
+    // q23: ntile→INT to match Spark's int; rank divisions are single
+    // IEEE ops over tie-free exact ranks.
+    "q23_spend_deciles" ->
+      """WITH sp AS (
+           SELECT o_custkey, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+           FROM orders GROUP BY 1),
+         j AS (
+           SELECT c.c_custkey, n.n_name AS nation, sp.spend
+           FROM customer c
+           JOIN sp ON c.c_custkey = sp.o_custkey
+           JOIN nation n ON c.c_nationkey = n.n_nationkey)
+         SELECT c_custkey, nation, spend,
+                CAST(ntile(10) OVER w AS INT) AS decile,
+                percent_rank() OVER w AS pct_rank,
+                cume_dist() OVER w AS cume
+         FROM j WINDOW w AS (PARTITION BY nation ORDER BY spend DESC, c_custkey)
+         ORDER BY c_custkey""",
     "q22_idle_customers" ->
       """WITH a AS (
            SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_bal
