@@ -550,7 +550,36 @@ object Events {
       .orderBy($"event_id")
   }
 
+  // ---------------------------------------------------------------------
+  // e16: ClickHouse `sequenceNextNode('forward', 'first_match')` — for
+  // each user, the event that IMMEDIATELY follows the first 'view' on
+  // their timeline (the "where do users go next" dashboard), rolled up
+  // to counts per next-event-type. Shape: lead(event_type) over the
+  // standard (user_id; ts, event_id) sort gives every event its
+  // successor map-side-after-one-exchange; the first view is then the
+  // row_number()==1 row among views — both windows share the one
+  // user_id hash partitioning, so the query costs one exchange + the
+  // final tiny rollup. Users whose first view is their LAST event get
+  // the explicit '(none)' node (CH returns NULL; the placeholder keeps
+  // the result order engine-agnostic). Scale: per-user state is one
+  // row of lookahead — no per-user arrays, no collect_list.
+  // ---------------------------------------------------------------------
+  def e16NextEvent(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    Tables.events(s, d)
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+      .withColumn("next_type", lead($"event_type", 1).over(w))
+      .filter($"event_type" === "view")
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .groupBy(coalesce($"next_type", lit("(none)")).as("next_type"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy($"next_type")
+  }
+
   val queries: Map[String, Q] = Map(
+    "e16_next_event" -> (e16NextEvent _),
     "e11_session_funnel" -> (e11SessionFunnel _),
     "e10_rolling_actives" -> (e10RollingActives _),
     "e9_attribution" -> (e9Attribution _),
@@ -572,6 +601,22 @@ object Events {
   // BIGINT) is HUGEINT — always CAST back to BIGINT; double divisions
   // are left as single IEEE ops (bit-identical across engines).
   val oracles: Map[String, String] = Map(
+    // e16: same lead + first-view-row selection on the shared
+    // (user_id; ts, event_id) order.
+    "e16_next_event" ->
+      """WITH x AS (
+           SELECT user_id, ts, event_id, event_type,
+                  lead(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS next_type
+           FROM events),
+         fv AS (
+           SELECT *, row_number() OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS rn
+           FROM x WHERE event_type = 'view')
+         SELECT COALESCE(next_type, '(none)') AS next_type,
+                count(*) AS n_users
+         FROM fv WHERE rn = 1
+         GROUP BY 1 ORDER BY 1""",
     // s10's session rule (gap > 30 min) then e1's running-stage-minima
     // logic inside each (user, sid) — all windows on the shared
     // (ts, event_id) order.

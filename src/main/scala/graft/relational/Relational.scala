@@ -380,7 +380,45 @@ object Relational {
       .orderBy($"c_custkey")
   }
 
+  /** q24: CUBE grouping-sets report — revenue totals by (nation,
+    * order-year), every subtotal stratum in one result (s11 covers
+    * ROLLUP's prefix hierarchy; CUBE emits all 4 combinations).
+    *
+    * Scale shape: Spark plans grouping sets as an Expand that
+    * multiplies INPUT rows by the number of sets (×4 here), so the
+    * cube deliberately runs over a PRE-AGGREGATED (nation, year)
+    * rollup (~|nations|×|years| rows) rather than the joined fact
+    * table — the st2 two-level discipline: at 100 TB the fact-side
+    * aggregate shuffles once with map-side combine, and the ×4
+    * expansion applies to a few hundred rollup rows instead of every
+    * lineitem. Decimal partials re-aggregate exactly (sum of sums),
+    * so the result is bit-identical to the direct cube, and the
+    * oracle computes the direct form to prove it. */
+  def q24Cube(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val pre = Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(Tables.customer(s, d)
+        .select($"c_custkey", $"c_nationkey")), $"o_custkey" === $"c_custkey")
+      .join(broadcast(Tables.nation(s, d)), $"c_nationkey" === $"n_nationkey")
+      .groupBy($"n_name".as("nation"), year($"o_orderdate").cast("long").as("o_year"))
+      .agg(
+        sum(dec($"l_extendedprice") * (lit(1).cast(DecimalType(18, 2)) - dec($"l_discount")))
+          .as("rev"),
+        count(lit(1)).as("cnt"))
+    pre
+      .cube($"nation", $"o_year")
+      .agg(
+        grouping($"nation").cast("long").as("g_nation"),
+        grouping($"o_year").cast("long").as("g_year"),
+        sum($"rev").cast("double").as("revenue"),
+        sum($"cnt").as("n_items"))
+      .orderBy($"g_nation", $"g_year",
+        $"nation".asc_nulls_first, $"o_year".asc_nulls_first)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q24_cube" -> (q24Cube _),
     "q23_spend_deciles" -> (q23SpendDeciles _),
     "q1_agg" -> (q1Agg _),
     "q3_shipping" -> (q3Shipping _),
@@ -405,6 +443,23 @@ object Relational {
   // arithmetic exactly (decimal sums, double division) so results are
   // bit-identical, not merely close.
   val oracles: Map[String, String] = Map(
+    // q24: direct CUBE over the joined rows — decimal sums make the
+    // two-level Spark form bit-identical to this single-level one.
+    "q24_cube" ->
+      """WITH j AS (
+           SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                  CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS r
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           JOIN customer ON o_custkey = c_custkey
+           JOIN nation ON c_nationkey = n_nationkey)
+         SELECT nation, o_year,
+                CAST(GROUPING(nation) AS BIGINT) AS g_nation,
+                CAST(GROUPING(o_year) AS BIGINT) AS g_year,
+                CAST(sum(r) AS DOUBLE) AS revenue,
+                count(*) AS n_items
+         FROM j GROUP BY CUBE(nation, o_year)
+         ORDER BY g_nation, g_year, nation NULLS FIRST, o_year NULLS FIRST""",
     "q16_part_suppliers" ->
       """WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
          SELECT p_brand, p_type, p_size,

@@ -722,6 +722,69 @@ object Solar {
       .orderBy($"inverter", $"time")
   }
 
+  // ---------------------------------------------------------------------
+  // s24: moving-window aggregates — ClickHouse's `groupArrayMovingSum(N)`
+  // / `groupArrayMovingAvg(N)` family. ClickHouse emits one array per
+  // group; the row-per-reading form below is the same information
+  // joined back to the timeline (which is how a dashboard consumes
+  // it). A bounded ROWS frame (last MovingN readings) over the
+  // standard (inverter, ts, event_id) sort: both frame aggregates
+  // share one WindowExec off one exchange + one sort, frame state is
+  // O(N) per partition-consumer, and the sum is an exact DECIMAL so
+  // the only IEEE op is the final cast / the single avg division —
+  // mirrored op-for-op by the oracle. Scale shape: identical to
+  // s6/s22 (the per-inverter window family) — nothing grows with
+  // corpus size except the scan.
+  // ---------------------------------------------------------------------
+  val MovingN = 4
+
+  def s24MovingAgg(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"inverter").orderBy($"ts", $"event_id")
+      .rowsBetween(-(MovingN - 1), Window.currentRow)
+    feed(s, d)
+      .filter($"event_type" === "view")
+      .select($"inverter", $"ts", $"event_id", $"value")
+      .withColumn("mov_sum", sum(dec($"value")).over(w).cast("double"))
+      .withColumn("mov_n", count(lit(1)).over(w))
+      .withColumn("mov_avg",
+        sum(dec($"value")).over(w).cast("double") / count(lit(1)).over(w))
+      .orderBy($"inverter", $"ts", $"event_id")
+  }
+
+  // ---------------------------------------------------------------------
+  // s25: map-valued aggregation — ClickHouse's `sumMap` / `maxMap`:
+  // per (inverter, hour), the per-register-stream totals as ALIGNED
+  // key-sorted arrays (CH returns a tuple of key/value arrays; the
+  // map-typed result here is the same shape with deterministic key
+  // order, so it stays hash-comparable). Two-level: the inner
+  // (inverter, hour, register) aggregate is a plain combine-enabled
+  // decimal shuffle — the expensive reduction happens map-side at
+  // corpus scale — and the array assembly runs over the already-
+  // aggregated rows (#inverters × #hours × #streams), where
+  // sort_array(collect_list(struct)) is safe because the collected
+  // set is bounded by the REGISTER CATALOG (≤5 streams), not by
+  // corpus rows. No map-typed shuffle ever carries raw readings.
+  // ---------------------------------------------------------------------
+  def s25SumMap(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val inner = feed(s, d)
+      .groupBy($"inverter", date_trunc("hour", $"ts").as("hour"), $"event_type")
+      .agg(sum(dec($"value")).as("sum_d"), max($"value").as("max_v"),
+        count(lit(1)).as("n"))
+    inner
+      .groupBy($"inverter", $"hour")
+      .agg(
+        sort_array(collect_list(struct($"event_type", $"sum_d", $"max_v", $"n")))
+          .as("kv"))
+      .select($"inverter", $"hour",
+        $"kv.event_type".as("map_keys"),
+        $"kv.sum_d".cast("array<double>").as("sum_values"),
+        $"kv.max_v".as("max_values"),
+        $"kv.n".as("n_values"))
+      .orderBy($"inverter", $"hour")
+  }
+
   val queries: Map[String, Q] = Map(
     "s18_wide_row" -> (s18WideRow _),
     "s17_time_weighted" -> (s17TimeWeighted _),
@@ -746,6 +809,8 @@ object Solar {
     "s21_interpolate" -> (s21Interpolate _),
     "s22_ema" -> (s22Ema _),
     "s23_weighted_median" -> (s23WeightedMedian _),
+    "s24_moving_agg" -> (s24MovingAgg _),
+    "s25_summap" -> (s25SumMap _),
   )
 
   /** Shared s20/s21 oracle skeleton (mirrors [[slotGrid]]): grid per
@@ -1097,6 +1162,33 @@ object Solar {
                 CAST(min(cents) AS DOUBLE) / 100.0 AS wmedian_watts
          FROM c WHERE cum * 2 >= total
          GROUP BY 1 ORDER BY 1""",
+    // s24: same bounded ROWS frame; decimal frame sum, the only float
+    // ops are the final cast and the single avg division.
+    "s24_moving_agg" ->
+      s"""SELECT user_id AS inverter, ts, event_id, value,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS mov_sum,
+           CAST(count(*) OVER w AS BIGINT) AS mov_n,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+             / count(*) OVER w AS mov_avg
+         FROM events WHERE event_type = 'view'
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN ${MovingN - 1} PRECEDING AND CURRENT ROW)
+         ORDER BY inverter, ts, event_id""",
+    // s25: inner per-stream aggregate, then key-ordered list() — the
+    // struct sort key (event_type) is unique within each group, so
+    // both engines assemble identical arrays.
+    "s25_summap" ->
+      """WITH i AS (
+           SELECT user_id AS inverter, date_trunc('hour', ts) AS hour, event_type,
+                  sum(CAST(value AS DECIMAL(18,2))) AS sum_d,
+                  max(value) AS max_v, count(*) AS n
+           FROM events GROUP BY 1, 2, 3)
+         SELECT inverter, hour,
+                list(event_type ORDER BY event_type) AS map_keys,
+                list(CAST(sum_d AS DOUBLE) ORDER BY event_type) AS sum_values,
+                list(max_v ORDER BY event_type) AS max_values,
+                list(CAST(n AS BIGINT) ORDER BY event_type) AS n_values
+         FROM i GROUP BY 1, 2 ORDER BY inverter, hour""",
     "s9_downsample" ->
       """SELECT user_id AS inverter, time_bucket(INTERVAL '15 minutes', ts) AS bucket,
            CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_value,
