@@ -57,6 +57,41 @@ object Sim {
       .orderBy($"q_id", $"cos".desc, $"vec_id")
   }
 
+  // ---------------------------------------------------------------------
+  // v10: MAXIMUM INNER-PRODUCT search (FAISS `IndexFlatIP` / the
+  // recommendation-retrieval metric): top-5 by raw dot product for the
+  // 20-query batch — cosine's unnormalized sibling, the metric when
+  // vector magnitude IS signal (user×item factor models, learned
+  // retrieval heads). Same BNL shape as v2 (queries broadcast, score
+  // map-side, per-query top-k plans as the TopKPartial/TopKFinal
+  // heap), with the dot computed by codegen'd higher-order built-ins:
+  // zip_with multiply + index-ordered left-fold aggregate — one IEEE
+  // multiply-add chain the oracle mirrors term-for-term. At scale MIPS
+  // reduces to cosine via the norm trick (augment corpus vectors with
+  // sqrt(M²−‖x‖²), queries with 0 — Bachrach 2014), so v3's IVF and
+  // v6's PQ compose with THIS metric unchanged; the exact scan here is
+  // the correctness baseline for that path.
+  // ---------------------------------------------------------------------
+  /** Index-ordered exact double dot product of two float vectors. */
+  private def dotCol(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def v10Mips(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, d)
+    val q = e.filter($"vec_id" < 20)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_emb"))
+    val w = Window.partitionBy($"q_id").orderBy($"ip".desc, $"vec_id")
+    e.filter($"vec_id" >= 20)
+      .crossJoin(broadcast(q))
+      .select($"q_id", $"vec_id", dotCol($"embedding", $"q_emb").as("ip"))
+      .withColumn("rnk", row_number().over(w))
+      .filter($"rnk" <= 5)
+      .select($"q_id", $"rnk", $"vec_id", $"ip")
+      .orderBy($"q_id", $"rnk")
+  }
+
   def v1KnnBrute(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val e = Tables.embeddings(s, d)
@@ -602,6 +637,7 @@ object Sim {
     "v1_knn_brute" -> (v1KnnBrute _),
     "v9_range_search" -> (v9RangeSearch _),
     "v2_knn_batch" -> (v2KnnBatch _),
+    "v10_mips" -> (v10Mips _),
     "v3_ivf_ann" -> (v3IvfAnn _),
     "v4_knn_sql" -> (v4KnnSql _),
     "v5_quantize" -> (v5Quantize _),
@@ -804,6 +840,18 @@ object Sim {
                    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS INT) AS rnk
             FROM r2)
           SELECT q_id, rnk, vec_id, cos, approx FROM rk WHERE rnk <= $TopK
+          ORDER BY q_id, rnk""",
+    // v10: same BNL + row_number skeleton as v2, dot product unnormalized.
+    "v10_mips" ->
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 20),
+          scored AS (
+            SELECT q.q_id, e.vec_id, ${dot("e.embedding", "q.q_emb")} AS ip
+            FROM embeddings e, q WHERE e.vec_id >= 20),
+          rk AS (
+            SELECT q_id, vec_id, ip,
+                   CAST(row_number() OVER (PARTITION BY q_id ORDER BY ip DESC, vec_id) AS INT) AS rnk
+            FROM scored)
+          SELECT q_id, rnk, vec_id, ip FROM rk WHERE rnk <= 5
           ORDER BY q_id, rnk""",
     "v2_knn_batch" ->
       s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 20),

@@ -3,6 +3,7 @@ package graft.text
 import graft.Tables
 import graft.functions.GraftFunctions
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text analysis for the training-data pipeline (SURVEY §2.F):
@@ -57,6 +58,42 @@ object Text {
   // the usual byte-pair pre-split). All array expressions, map-side.
   // ---------------------------------------------------------------------
   private val PreTokenRe = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+
+  // ---------------------------------------------------------------------
+  // t16: TOKEN-BUDGET quota sampling — the data-MIXING pass of a
+  // training run (Dolma/Pile recipe shape): each source contributes at
+  // most [[TokenBudget]] tokens, and which documents fill the quota is
+  // decided by CONTENT-ADDRESSED order (md5(text), t7's discipline) so
+  // the sample is reproducible across runs, machines and shard layouts
+  // — not by file order, which at 100 TB is nondeterministic. Shape:
+  // one exchange on source; the per-source hash-ordered cumulative
+  // token sum and the final per-source rollup share that partitioning.
+  // Per-source sort is the honest cost of an EXACT quota (the paper
+  // pipelines sort too); the sort key is (32-char hash, id) — narrow —
+  // and sources are bounded (a catalog, not a cardinality that grows
+  // with corpus rows). A threshold-hash approximation (keep h < p)
+  // would avoid the sort but only hits the budget in expectation; this
+  // operator is the exact form.
+  // ---------------------------------------------------------------------
+  val TokenBudget = 400L
+
+  def t16TokenBudget(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"source").orderBy($"h", $"doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(s, d)
+      .select($"source", $"doc_id", md5($"text").as("h"),
+        size(toks($"text")).cast("long").as("n_tok"))
+      .withColumn("cum_tok", sum($"n_tok").over(w))
+      .withColumn("keep", $"cum_tok" <= TokenBudget)
+      .groupBy($"source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum($"n_tok").as("tokens_total"),
+        sum(when($"keep", 1L).otherwise(0L)).as("n_kept"),
+        sum(when($"keep", $"n_tok").otherwise(0L)).as("tokens_kept"))
+      .orderBy($"source")
+  }
 
   def t1Tokens(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -635,6 +672,7 @@ object Text {
     "t10_seq_pack" -> (t10SeqPack _),
     "t11_bm25" -> (t11Bm25 _),
     "t1_tokens" -> (t1Tokens _),
+    "t16_token_budget" -> (t16TokenBudget _),
     "t2_langid" -> (t2Langid _),
     "t3_quality" -> (t3Quality _),
     "t4_fingerprint" -> (t4Fingerprint _),
@@ -832,6 +870,22 @@ object Text {
                 CAST(n_oov AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS oov_frac,
                 (CAST(n_oov AS DOUBLE) / CAST(n_tokens AS DOUBLE)) <= $OovMax AS keep
          FROM per, tot ORDER BY doc_id""",
+    // t16: same content-addressed per-source cumulative gate.
+    "t16_token_budget" ->
+      s"""WITH x AS (
+           SELECT source, doc_id, md5(text) AS h,
+                  CAST(len(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) AS BIGINT) AS n_tok
+           FROM documents),
+         c AS (
+           SELECT *, CAST(sum(n_tok) OVER (PARTITION BY source ORDER BY h, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tok
+           FROM x)
+         SELECT source,
+                count(*) AS n_docs,
+                CAST(sum(n_tok) AS BIGINT) AS tokens_total,
+                CAST(sum(CASE WHEN cum_tok <= $TokenBudget THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+                CAST(sum(CASE WHEN cum_tok <= $TokenBudget THEN n_tok ELSE 0 END) AS BIGINT) AS tokens_kept
+         FROM c GROUP BY 1 ORDER BY 1""",
     "t1_tokens" ->
       """WITH tk AS (
            SELECT doc_id, text, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
