@@ -65,6 +65,16 @@ object GraftExtensions extends SparkSessionExtensionsProvider {
       new ExpressionInfo(classOf[UniqUpToAgg].getName, "uniq_up_to"),
       (args: Seq[Expression]) =>
         UniqUpToAgg(args(0), intArg("uniq_up_to", 1, args(1)))))
+    ext.injectFunction((
+      FunctionIdentifier("bloom_agg"),
+      new ExpressionInfo(classOf[BloomFilterAgg].getName, "bloom_agg"),
+      (args: Seq[Expression]) =>
+        BloomFilterAgg(args(0), intArg("bloom_agg", 1, args(1)),
+          intArg("bloom_agg", 2, args(2)))))
+    ext.injectFunction((
+      FunctionIdentifier("bloom_contains"),
+      new ExpressionInfo(classOf[BloomContains].getName, "bloom_contains"),
+      (args: Seq[Expression]) => BloomContains(args(0), args(1))))
   }
 }
 
@@ -84,4 +94,8 @@ object GraftFunctions {
     call_function("approx_topk", item, lit(k), lit(w))
   def uniqUpTo(x: Column, n: Int): Column =
     call_function("uniq_up_to", x, lit(n))
+  def bloomAgg(x: Column, numBits: Int, k: Int): Column =
+    call_function("bloom_agg", x, lit(numBits), lit(k))
+  def bloomContains(filter: Column, x: Column): Column =
+    call_function("bloom_contains", filter, x)
 }

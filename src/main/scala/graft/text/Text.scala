@@ -293,6 +293,50 @@ object Text {
   }
 
   // ---------------------------------------------------------------------
+  // t17: BLOOM-FILTER decontamination — t8's question answered the way
+  // a 100 TB pipeline actually runs it (the Dolma release pipeline's
+  // Bloom dedup shape): the train split's distinct-n-gram set reduces
+  // to ONE fixed-size mergeable Bloom filter
+  // ([[graft.functions.BloomFilterAgg]] — bitsets OR-merge map-side,
+  // the shuffle carries 256 KB per partition, not the n-gram set),
+  // which broadcasts to the test side and is probed map-side inside
+  // codegen ([[graft.functions.BloomContains]]). Versus t8's exact
+  // distinct-join: NO shuffle of the reference set at probe time, no
+  // join state — the trade is the sized false-positive rate (~0.2% at
+  // these parameters; never false negatives). The companion spec pins
+  // flagged ⊇ exactly-contaminated per doc and bounds the measured FP
+  // excess against t8's exact answer. Sketch output → rows-only
+  // driver check (t13/s15 precedent); n-gram fingerprints are
+  // xxhash64 (builtin, codegen'd).
+  // ---------------------------------------------------------------------
+  val BloomBits = 1 << 21 // 256 KB — ~20 bits/element headroom at sf0.1
+  val BloomK = 3
+
+  def t17BloomDecontam(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val grams = Tables.documents(s, d)
+      .select($"doc_id", toks(lower($"text")).as("t"),
+        when(bucket10 <= 7, "train").when(bucket10 === 8, "val")
+          .otherwise("test").as("split"))
+      .filter(size($"t") >= ContamN)
+      .select($"doc_id", $"split",
+        explode(transform(sequence(lit(1), size($"t") - (ContamN - 1)),
+          i => concat_ws(" ", slice($"t", i, lit(ContamN))))).as("ng"))
+      .withColumn("fp", xxhash64($"ng"))
+    val filt = grams.filter($"split" === "train")
+      .agg(GraftFunctions.bloomAgg($"fp", BloomBits, BloomK).as("bf"))
+    grams.filter($"split" === "test")
+      .select($"doc_id", $"fp").distinct()
+      .crossJoin(broadcast(filt))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_ngrams"),
+        sum(when(GraftFunctions.bloomContains($"bf", $"fp"), 1L).otherwise(0L))
+          .as("n_flagged"))
+      .withColumn("flagged_ratio", $"n_flagged".cast("double") / $"n_ngrams")
+      .orderBy($"doc_id")
+  }
+
+  // ---------------------------------------------------------------------
   // t9: within-document REPETITION filter — the Gopher-style quality
   // rule (Rae et al. 2021 §A1.1: fraction of duplicated word n-grams)
   // that removes boilerplate/spam before pre-training. Word bigrams
@@ -667,6 +711,7 @@ object Text {
     "t14_unigram_lm" -> (t14UnigramLm _),
     "t13_approx_topk" -> (t13ApproxTopk _),
     "t8_contamination" -> (t8Contamination _),
+    "t17_bloom_decontam" -> (t17BloomDecontam _),
     "t9_repetition" -> (t9Repetition _),
     "t12_repetition_family" -> (t12RepetitionFamily _),
     "t10_seq_pack" -> (t10SeqPack _),
