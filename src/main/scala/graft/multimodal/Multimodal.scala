@@ -238,7 +238,51 @@ object Multimodal {
       .orderBy($"doc_id", $"chunk_idx")
   }
 
+  // ---------------------------------------------------------------------
+  // m6: CROSS-MODAL CAPTION RETRIEVAL — the image↔text alignment join
+  // of a multimodal training pipeline (CLIP-style pairing: for each
+  // image, the nearest text embedding in the shared space). The image
+  // "encoder" is the FakeCodec seam (a production build runs the
+  // vision tower there — one function body, m1's discipline): blob
+  // bytes → a deterministic 64-dim feature inside the mapPartitions
+  // batch, so blobs never shuffle and features leave the map side as
+  // compact float arrays. Retrieval is the exact BNL baseline over
+  // the broadcast caption index with the codegen'd CosineSim, top-1
+  // per image planning as the TopKPartial/TopKFinal heap (v2's
+  // machinery) — at production scale the caption index swaps in v3's
+  // IVF probing / v6's PQ codes unchanged, exactly as the v-family
+  // documents. The oracle rebuilds the feature from the md5 hex
+  // (byteAt, m1 pattern) and replays the same index-ordered cosine.
+  // ---------------------------------------------------------------------
+  val FeatDims = 64
+
+  def m6CaptionRetrieval(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.GraftFunctions.cosineSim
+    val feats = Tables.documents(s, d)
+      .select($"doc_id", unhex(md5($"text")).as("blob"))
+      .as[Blob]
+      .mapPartitions { it =>
+        it.map { b =>
+          // STUB vision tower: tile the 16 blob bytes across 64 dims.
+          val f = Array.tabulate(FeatDims)(i => (b.blob(i % 16) & 0xff).toFloat)
+          (b.doc_id, f)
+        }
+      }
+      .toDF("doc_id", "feature")
+    val caps = Tables.embeddings(s, d).select($"vec_id", $"embedding")
+    val w = Window.partitionBy($"doc_id").orderBy($"cos".desc, $"vec_id")
+    feats.crossJoin(broadcast(caps))
+      .select($"doc_id", $"vec_id", cosineSim($"feature", $"embedding").as("cos"))
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"doc_id", $"vec_id".as("caption_id"), $"cos")
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "m6_caption_retrieval" -> (m6CaptionRetrieval _),
     "m5_audio_chunks" -> (m5AudioChunks _),
     "m1_blob_meta" -> (m1BlobMeta _),
     "m2_frame_sample" -> (m2FrameSample _),
@@ -255,6 +299,32 @@ object Multimodal {
   private val sumBytes = (0 until 16).map(byteAt).mkString(" + ")
 
   val oracles: Map[String, String] = Map(
+    // m6: feature rebuilt from the md5 hex (byteAt), cosine replayed
+    // index-ordered exactly like the Sim oracles, arg-max via
+    // row_number with the same (cos DESC, vec_id) tie rule.
+    "m6_caption_retrieval" -> {
+      val fb = (0 until 16).map(byteAt).mkString("[", ", ", "]")
+      def fAt = "fb[(i - 1) % 16 + 1]"
+      val dotFe =
+        s"list_sum(list_transform(range(1, 65), i -> CAST($fAt AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))"
+      val dotFf =
+        s"list_sum(list_transform(range(1, 65), i -> CAST($fAt AS DOUBLE) * CAST($fAt AS DOUBLE)))"
+      val dotEe =
+        s"list_sum(list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))"
+      s"""WITH b AS (SELECT doc_id, md5(text) AS h FROM documents),
+          f AS (SELECT doc_id, $fb AS fb FROM b),
+          sc AS (
+            SELECT doc_id, vec_id,
+                   $dotFe / (sqrt($dotFf) * sqrt($dotEe)) AS cos
+            FROM f, embeddings),
+          r AS (
+            SELECT doc_id, vec_id, cos,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY cos DESC, vec_id) AS rn
+            FROM sc)
+          SELECT doc_id, vec_id AS caption_id, cos FROM r WHERE rn = 1
+          ORDER BY doc_id"""
+    },
     // Container probe + chunk geometry rebuilt from the md5 hex; the
     // ceil-div chunk count and hop arithmetic use only positive ints,
     // so // truncation matches Scala's /.
