@@ -744,11 +744,12 @@ object Solar {
       .rowsBetween(-(MovingN - 1), Window.currentRow)
     feed(s, d)
       .filter($"event_type" === "view")
-      .select($"inverter", $"ts", $"event_id", $"value")
-      .withColumn("mov_sum", sum(dec($"value")).over(w).cast("double"))
-      .withColumn("mov_n", count(lit(1)).over(w))
-      .withColumn("mov_avg",
-        sum(dec($"value")).over(w).cast("double") / count(lit(1)).over(w))
+      .select($"inverter", $"ts", $"event_id", $"value",
+        sum(dec($"value")).over(w).cast("double").as("mov_sum"),
+        count(lit(1)).over(w).as("mov_n"))
+      // derived from the materialized frame aggregates, NOT a second
+      // window pass — one WindowExec evaluates both frame exprs
+      .withColumn("mov_avg", $"mov_sum" / $"mov_n")
       .orderBy($"inverter", $"ts", $"event_id")
   }
 
