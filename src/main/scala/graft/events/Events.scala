@@ -578,7 +578,40 @@ object Events {
       .orderBy($"next_type")
   }
 
+  // ---------------------------------------------------------------------
+  // e17: ClickHouse `retention(cond1, …, condN)` — the per-user
+  // conditional-chain aggregate: condition i counts only if condition
+  // 1 holds (r_i = c_1 AND c_i), summed corpus-wide into the one-row
+  // retention report. Conditions here are the standard product set:
+  // active on one's own first day (c1 — true by construction, so the
+  // chain is anchored per cohort like CH's typical date-anchored
+  // usage), returned at +1 / +3 / +7 days. Shape: e2/e10 discipline —
+  // dedup activity to (user, day) FIRST (combine-enabled distinct),
+  // one user-keyed min for the anchor, per-user flags on the same
+  // user_id clustering, then a single tiny global sum. No distinct-
+  // aggregate Expand, no per-user arrays.
+  // ---------------------------------------------------------------------
+  def e17Retention(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val act = Tables.events(s, d)
+      .select($"user_id", date_trunc("day", $"ts").as("day"))
+      .distinct()
+    val first = act.groupBy($"user_id").agg(min($"day").as("d0"))
+    act.join(first, "user_id")
+      .groupBy($"user_id")
+      .agg(
+        max(when($"day" === $"d0" + expr("INTERVAL 1 DAY"), 1).otherwise(0)).as("c2"),
+        max(when($"day" === $"d0" + expr("INTERVAL 3 DAY"), 1).otherwise(0)).as("c3"),
+        max(when($"day" === $"d0" + expr("INTERVAL 7 DAY"), 1).otherwise(0)).as("c4"))
+      .agg(
+        count(lit(1)).as("r1_users"),
+        sum($"c2").cast("long").as("r2_day1"),
+        sum($"c3").cast("long").as("r3_day3"),
+        sum($"c4").cast("long").as("r4_day7"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "e17_retention" -> (e17Retention _),
     "e16_next_event" -> (e16NextEvent _),
     "e11_session_funnel" -> (e11SessionFunnel _),
     "e10_rolling_actives" -> (e10RollingActives _),
@@ -601,6 +634,22 @@ object Events {
   // BIGINT) is HUGEINT — always CAST back to BIGINT; double divisions
   // are left as single IEEE ops (bit-identical across engines).
   val oracles: Map[String, String] = Map(
+    // e17: same dedup-first + per-user flags + one global sum.
+    "e17_retention" ->
+      """WITH act AS (
+           SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events),
+         f AS (SELECT user_id, min(day) AS d0 FROM act GROUP BY 1),
+         u AS (
+           SELECT act.user_id,
+                  max(CASE WHEN day = d0 + INTERVAL 1 DAY THEN 1 ELSE 0 END) AS c2,
+                  max(CASE WHEN day = d0 + INTERVAL 3 DAY THEN 1 ELSE 0 END) AS c3,
+                  max(CASE WHEN day = d0 + INTERVAL 7 DAY THEN 1 ELSE 0 END) AS c4
+           FROM act JOIN f ON act.user_id = f.user_id GROUP BY 1)
+         SELECT count(*) AS r1_users,
+                CAST(sum(c2) AS BIGINT) AS r2_day1,
+                CAST(sum(c3) AS BIGINT) AS r3_day3,
+                CAST(sum(c4) AS BIGINT) AS r4_day7
+         FROM u""",
     // e16: same lead + first-view-row selection on the shared
     // (user_id; ts, event_id) order.
     "e16_next_event" ->

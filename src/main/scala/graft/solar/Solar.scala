@@ -786,6 +786,65 @@ object Solar {
       .orderBy($"inverter", $"hour")
   }
 
+  // ---------------------------------------------------------------------
+  // s26: ClickHouse `deltaSum` — total POSITIVE increase of a counter,
+  // ignoring decreases (vs s6's reset-clamp semantics, which credits
+  // the post-reset value: deltaSum answers "how much did the counter
+  // climb", s6 answers "how much energy flowed"). Same one-exchange
+  // (inverter) lag window as s6; the positive-delta filter and the
+  // decimal sum keep partial aggregation map-side and the result
+  // bit-exact. CH's deltaSum is order-sensitive between merge states;
+  // this form is the deterministic timeline-ordered one.
+  // ---------------------------------------------------------------------
+  def s26DeltaSum(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"inverter").orderBy($"ts", $"event_id")
+    feed(s, d)
+      .filter($"event_type" === "purchase")
+      .select($"inverter", $"ts", $"event_id", dec($"value").as("v"))
+      .withColumn("prev", lag($"v", 1).over(w))
+      .withColumn("pos",
+        when($"prev".isNotNull && $"v" > $"prev", $"v" - $"prev"))
+      .groupBy($"inverter")
+      .agg(
+        coalesce(sum($"pos"), lit(0).cast(D2)).cast("double").as("delta_sum"),
+        count($"pos").as("n_pos"),
+        count($"prev").as("n_pairs"))
+      .orderBy($"inverter")
+  }
+
+  // ---------------------------------------------------------------------
+  // s27: ClickHouse `boundingRatio` — the slope between the first and
+  // last reading of each inverter's timeline ((y_last − y_first) /
+  // (t_last − t_first)), the dashboard "average rate over the window"
+  // aggregate. One combine-enabled groupBy: max_by/min_by with the
+  // (us, event_id) struct key are order-free partial aggregates (no
+  // window, no sort), so this is strictly cheaper than the window
+  // form at any scale. Arithmetic: exact cents/microsecond longs; one
+  // IEEE divide + one multiply, mirrored op-for-op by the oracle.
+  // ---------------------------------------------------------------------
+  def s27BoundingRatio(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val us = unix_micros($"ts")
+    feed(s, d)
+      .filter($"event_type" === "purchase")
+      .select($"inverter", us.as("us"), $"event_id",
+        round($"value" * 100).cast("long").as("cents"))
+      .groupBy($"inverter")
+      .agg(
+        count(lit(1)).as("n"),
+        max_by($"cents", struct($"us", $"event_id")).as("c_last"),
+        min_by($"cents", struct($"us", $"event_id")).as("c_first"),
+        max($"us").as("us_max"),
+        min($"us").as("us_min"))
+      .filter($"us_max" > $"us_min")
+      .select($"inverter", $"n",
+        (($"c_last" - $"c_first").cast("double") /
+          ($"us_max" - $"us_min").cast("double") * 36000000.0)
+          .as("rate_per_hour"))
+      .orderBy($"inverter")
+  }
+
   val queries: Map[String, Q] = Map(
     "s18_wide_row" -> (s18WideRow _),
     "s17_time_weighted" -> (s17TimeWeighted _),
@@ -812,6 +871,8 @@ object Solar {
     "s23_weighted_median" -> (s23WeightedMedian _),
     "s24_moving_agg" -> (s24MovingAgg _),
     "s25_summap" -> (s25SumMap _),
+    "s26_delta_sum" -> (s26DeltaSum _),
+    "s27_bounding_ratio" -> (s27BoundingRatio _),
   )
 
   /** Shared s20/s21 oracle skeleton (mirrors [[slotGrid]]): grid per
@@ -1190,6 +1251,45 @@ object Solar {
                 list(max_v ORDER BY event_type) AS max_values,
                 list(CAST(n AS BIGINT) ORDER BY event_type) AS n_values
          FROM i GROUP BY 1, 2 ORDER BY inverter, hour""",
+    // s26: same lag window; only positive deltas summed (decimal).
+    "s26_delta_sum" ->
+      """WITH o AS (
+           SELECT user_id AS inverter, ts, event_id,
+                  CAST(value AS DECIMAL(18,2)) AS v
+           FROM events WHERE event_type = 'purchase'),
+         l AS (
+           SELECT *, lag(v) OVER (PARTITION BY inverter
+                                  ORDER BY ts, event_id) AS prev
+           FROM o),
+         p AS (
+           SELECT *, CASE WHEN prev IS NOT NULL AND v > prev
+                          THEN v - prev END AS pos
+           FROM l)
+         SELECT inverter,
+                CAST(coalesce(sum(pos), 0) AS DOUBLE) AS delta_sum,
+                CAST(count(pos) AS BIGINT) AS n_pos,
+                CAST(count(prev) AS BIGINT) AS n_pairs
+         FROM p GROUP BY 1 ORDER BY 1""",
+    // s27: first/last by the (us, event_id) total order; one divide +
+    // one multiply, exactly as the Spark projection.
+    "s27_bounding_ratio" ->
+      """WITH o AS (
+           SELECT user_id AS inverter, epoch_us(ts) AS us, event_id,
+                  CAST(round(value * 100) AS BIGINT) AS cents
+           FROM events WHERE event_type = 'purchase'),
+         r AS (
+           SELECT *,
+                  row_number() OVER (PARTITION BY inverter ORDER BY us, event_id) AS rn_a,
+                  row_number() OVER (PARTITION BY inverter ORDER BY us DESC, event_id DESC) AS rn_d
+           FROM o),
+         f AS (SELECT inverter, cents AS c_first, us AS us_min FROM r WHERE rn_a = 1),
+         l AS (SELECT inverter, cents AS c_last, us AS us_max FROM r WHERE rn_d = 1),
+         n AS (SELECT inverter, count(*) AS n FROM o GROUP BY 1)
+         SELECT n.inverter, n.n,
+                CAST(c_last - c_first AS DOUBLE)
+                  / CAST(us_max - us_min AS DOUBLE) * 36000000.0 AS rate_per_hour
+         FROM n JOIN f USING (inverter) JOIN l USING (inverter)
+         WHERE us_max > us_min ORDER BY inverter""",
     "s9_downsample" ->
       """SELECT user_id AS inverter, time_bucket(INTERVAL '15 minutes', ts) AS bucket,
            CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_value,
