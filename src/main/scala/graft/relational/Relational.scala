@@ -417,7 +417,33 @@ object Relational {
         $"nation".asc_nulls_first, $"o_year".asc_nulls_first)
   }
 
+  /** q25: trailing-30-day spend per order — the RANGE-BY-VALUE window
+    * frame (q7/s24 cover ROWS frames; dashboards' "trailing 30 days"
+    * needs the value-bounded form, ClickHouse's `RANGE BETWEEN 2592000
+    * PRECEDING`). Frame bounds are epoch-second offsets on the
+    * (customer; order-epoch) sort — both frame aggregates evaluate in
+    * ONE WindowExec on one exchange, and because the frame is defined
+    * by VALUE, peers (same-day orders) are included symmetrically in
+    * both engines regardless of tie order — deterministic without an
+    * id tie-break. Decimal frame sum → exact; the per-customer
+    * partition is bounded by a customer's order history, never corpus
+    * width. */
+  def q25TrailingSpend(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"o_custkey").orderBy($"es")
+      .rangeBetween(-2592000L, 0L) // 30 days of epoch seconds
+    Tables.orders(s, d)
+      .select($"o_orderkey", $"o_custkey", $"o_orderdate",
+        $"o_orderdate".cast("timestamp").cast("long").as("es"),
+        dec($"o_totalprice").as("p"))
+      .select($"o_orderkey", $"o_custkey", $"o_orderdate",
+        sum($"p").over(w).cast("double").as("spend_30d"),
+        count(lit(1)).over(w).as("n_30d"))
+      .orderBy($"o_orderkey")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q25_trailing_spend" -> (q25TrailingSpend _),
     "q24_cube" -> (q24Cube _),
     "q23_spend_deciles" -> (q23SpendDeciles _),
     "q1_agg" -> (q1Agg _),
@@ -443,6 +469,15 @@ object Relational {
   // arithmetic exactly (decimal sums, double division) so results are
   // bit-identical, not merely close.
   val oracles: Map[String, String] = Map(
+    // q25: same epoch-second RANGE frame; decimal frame sum.
+    "q25_trailing_spend" ->
+      """SELECT o_orderkey, o_custkey, o_orderdate,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS spend_30d,
+           CAST(count(*) OVER w AS BIGINT) AS n_30d
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+                      RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW)
+         ORDER BY o_orderkey""",
     // q24: direct CUBE over the joined rows — decimal sums make the
     // two-level Spark form bit-identical to this single-level one.
     "q24_cube" ->

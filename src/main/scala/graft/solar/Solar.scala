@@ -451,9 +451,15 @@ object Solar {
   // previous and next known readings instead of s20's zero-order hold.
   // Same grid skeleton as s20 ([[slotGrid]]); the fill needs BOTH
   // neighbors, so two ignoreNulls window passes over the SAME
-  // (inverter, slot) sort — last() over the trailing frame, first()
-  // over the leading frame; Spark plans both WindowExecs off one
-  // exchange + one sort. The interpolation fraction is exact integer
+  // (inverter) partitioning — last() over the trailing asc frame,
+  // and the FORWARD neighbor as last() over a trailing frame in slot-
+  // DESC order (equivalent to first() over [current, end) in asc
+  // order). Both frames are UnboundedPreceding→CurrentRow, which
+  // Spark's WindowExec evaluates INCREMENTALLY in O(n); the naive
+  // first()-over-unboundedFollowing form re-aggregates the remainder
+  // of the partition per row — O(n²), measured 600 s on the sf0.1
+  // 3.67M-row grid vs ~4 s for this form. One exchange, two sorts
+  // (asc + desc). The interpolation fraction is exact integer
   // microsecond deltas divided once in double (single shared IEEE
   // divide, then one multiply + one add — mirrored op-for-op by the
   // oracle). Boundary slots always hold readings (the grid spans
@@ -464,16 +470,16 @@ object Solar {
     import s.implicits._
     val wb = Window.partitionBy($"inverter").orderBy($"slot")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wf = Window.partitionBy($"inverter").orderBy($"slot")
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val wf = Window.partitionBy($"inverter").orderBy($"slot".desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val us = unix_micros($"slot")
     slotGrid(s, d)
       .withColumn("prev_v", last($"slot_last", ignoreNulls = true).over(wb))
       .withColumn("prev_us",
         last(when($"slot_last".isNotNull, us), ignoreNulls = true).over(wb))
-      .withColumn("next_v", first($"slot_last", ignoreNulls = true).over(wf))
+      .withColumn("next_v", last($"slot_last", ignoreNulls = true).over(wf))
       .withColumn("next_us",
-        first(when($"slot_last".isNotNull, us), ignoreNulls = true).over(wf))
+        last(when($"slot_last".isNotNull, us), ignoreNulls = true).over(wf))
       .select($"inverter", $"slot",
         coalesce($"n", lit(0L)).as("n_readings"),
         when($"slot_last".isNotNull, $"slot_last")
