@@ -442,7 +442,49 @@ object Relational {
       .orderBy($"o_orderkey")
   }
 
+  /** q26: Pearson correlation / population covariance between order
+    * quantity and extended price per return flag — ClickHouse's
+    * `corr`/`covarPop` aggregate family. ONE combine-enabled groupBy
+    * over the exact cross sums n, Σx, Σy, Σxy, Σx², Σy² (x = integer
+    * quantity, y = price cents; y² ≈ 1e14 × 6e5 rows overflows int64
+    * so the wide term goes through DECIMAL(38,0) — map-side partials
+    * stay exact). The closed forms are then evaluated in double with
+    * the operator tree the oracle mirrors op-for-op (sqrt, not pow —
+    * correctly rounded in both engines). corr is scale-invariant so
+    * the cents scaling cancels; covar divides back by 100 once. At
+    * 100 TB: scan + a 3-row shuffle of 6 numbers per group. */
+  def q26Corr(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val D38 = DecimalType(38, 0)
+    Tables.lineitem(s, d)
+      .select($"l_returnflag",
+        $"l_quantity".cast("long").as("x"),
+        (dec($"l_extendedprice") * 100).cast("long").as("y"))
+      .groupBy($"l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        sum($"x".cast(D38)).as("sx"),
+        sum($"y".cast(D38)).as("sy"),
+        sum(($"x" * $"x").cast(D38)).as("sxx"),
+        sum(($"x" * $"y").cast(D38)).as("sxy"),
+        sum($"y".cast(D38) * $"y".cast(D38)).as("syy"))
+      .select($"l_returnflag", $"n",
+        $"n".cast("double").as("nd"),
+        $"sx".cast("double").as("sxd"), $"sy".cast("double").as("syd"),
+        $"sxx".cast("double").as("sxxd"), $"sxy".cast("double").as("sxyd"),
+        $"syy".cast("double").as("syyd"))
+      .select($"l_returnflag", $"n",
+        (($"nd" * $"sxyd" - $"sxd" * $"syd") /
+          (sqrt($"nd" * $"sxxd" - $"sxd" * $"sxd") *
+            sqrt($"nd" * $"syyd" - $"syd" * $"syd"))).as("corr_qty_price"),
+        (($"sxyd" / $"nd" - $"sxd" / $"nd" * ($"syd" / $"nd")) / 100.0)
+          .as("covar_pop"),
+        ($"sxd" / $"nd").as("mean_qty"))
+      .orderBy($"l_returnflag")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q26_corr" -> (q26Corr _),
     "q25_trailing_spend" -> (q25TrailingSpend _),
     "q24_cube" -> (q24Cube _),
     "q23_spend_deciles" -> (q23SpendDeciles _),
@@ -469,6 +511,29 @@ object Relational {
   // arithmetic exactly (decimal sums, double division) so results are
   // bit-identical, not merely close.
   val oracles: Map[String, String] = Map(
+    // q26: same exact cross sums (HUGEINT for y²), same double
+    // operator tree for the closed forms.
+    "q26_corr" ->
+      """WITH raw AS (
+           SELECT l_returnflag,
+                  CAST(l_quantity AS BIGINT) AS x,
+                  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+           FROM lineitem),
+         sums AS (
+           SELECT l_returnflag, count(*) AS n,
+                  CAST(sum(x) AS DOUBLE) AS sxd, CAST(sum(y) AS DOUBLE) AS syd,
+                  CAST(sum(x*x) AS DOUBLE) AS sxxd,
+                  CAST(sum(x*y) AS DOUBLE) AS sxyd,
+                  CAST(sum(CAST(y AS HUGEINT) * y) AS DOUBLE) AS syyd
+           FROM raw GROUP BY 1)
+         SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+                (nd * sxyd - sxd * syd) /
+                  (sqrt(nd * sxxd - sxd * sxd) * sqrt(nd * syyd - syd * syd))
+                  AS corr_qty_price,
+                (sxyd / nd - sxd / nd * (syd / nd)) / 100.0 AS covar_pop,
+                sxd / nd AS mean_qty
+         FROM (SELECT *, CAST(n AS DOUBLE) AS nd FROM sums)
+         ORDER BY l_returnflag""",
     // q25: same epoch-second RANGE frame; decimal frame sum.
     "q25_trailing_spend" ->
       """SELECT o_orderkey, o_custkey, o_orderdate,

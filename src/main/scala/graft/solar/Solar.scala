@@ -851,7 +851,60 @@ object Solar {
       .orderBy($"inverter")
   }
 
+  // ---------------------------------------------------------------------
+  // s28: ClickHouse `skewPop` / `kurtPop` — the statistical-moments
+  // aggregate family (CH also ships stddevPop, emitted here from the
+  // same sums). ONE combine-enabled groupBy over the raw power sums
+  // Σc, Σc², Σc³, Σc⁴ of the cents-scaled reading: c ≤ ~5.6e4 so c³
+  // fits int64 but c⁴ (~1e19) does not — the two wide terms go
+  // through DECIMAL(38,0) (map-side partials stay exact). The
+  // central-moment identities m2/m3/m4 and the final skew/kurt are
+  // evaluated in double with the SAME operator tree the oracle
+  // writes — mirrored op-for-op; m2^(3/2) is spelled m2*sqrt(m2)
+  // because sqrt is correctly rounded in IEEE 754 (Java and C agree
+  // bit-for-bit) while pow carries no such guarantee. Groups with
+  // m2 ≤ 0 (constant or single-reading inverters) are filtered on
+  // the SAME double both engines computed, so the drop is mirrored
+  // too. skew/kurt are scale-invariant, so the cents scaling cancels
+  // mathematically; mean/stddev divide back by 100 once. At 100 TB
+  // this is a scan + one 150-row shuffle of 6 numbers per group.
+  // ---------------------------------------------------------------------
+  def s28Moments(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val D38 = DecimalType(38, 0)
+    feed(s, d)
+      .filter($"event_type" === "purchase")
+      .select($"inverter", (dec($"value") * 100).cast("long").as("c"))
+      .select($"inverter", $"c", ($"c" * $"c").as("c2"))
+      .groupBy($"inverter")
+      .agg(
+        count(lit(1)).as("n"),
+        sum($"c".cast(D38)).as("s1"),
+        sum($"c2".cast(D38)).as("s2"),
+        sum(($"c2" * $"c").cast(D38)).as("s3"),
+        sum($"c2".cast(D38) * $"c2".cast(D38)).as("s4"))
+      .select($"inverter", $"n",
+        ($"s1".cast("double") / $"n".cast("double")).as("mu"),
+        ($"s2".cast("double") / $"n".cast("double")).as("r2"),
+        ($"s3".cast("double") / $"n".cast("double")).as("r3"),
+        ($"s4".cast("double") / $"n".cast("double")).as("r4"))
+      .select($"inverter", $"n", $"mu",
+        ($"r2" - $"mu" * $"mu").as("m2"),
+        ($"r3" - lit(3.0) * $"mu" * $"r2" + lit(2.0) * $"mu" * $"mu" * $"mu")
+          .as("m3"),
+        ($"r4" - lit(4.0) * $"mu" * $"r3" + lit(6.0) * $"mu" * $"mu" * $"r2"
+          - lit(3.0) * $"mu" * $"mu" * $"mu" * $"mu").as("m4"))
+      .filter($"m2" > 0.0)
+      .select($"inverter", $"n",
+        ($"mu" / 100.0).as("mean_v"),
+        (sqrt($"m2") / 100.0).as("stddev_pop"),
+        ($"m3" / ($"m2" * sqrt($"m2"))).as("skew_pop"),
+        ($"m4" / ($"m2" * $"m2")).as("kurt_pop"))
+      .orderBy($"inverter")
+  }
+
   val queries: Map[String, Q] = Map(
+    "s28_moments" -> (s28Moments _),
     "s18_wide_row" -> (s18WideRow _),
     "s17_time_weighted" -> (s17TimeWeighted _),
     "s16_uptime" -> (s16Uptime _),
@@ -909,6 +962,37 @@ object Solar {
   // DuckDB oracles — each mirrors the Spark arithmetic exactly
   // (decimal sums, integer microseconds, double division).
   val oracles: Map[String, String] = Map(
+    // s28: same exact power sums (HUGEINT for c⁴), same double
+    // operator tree for the central moments, sqrt not pow.
+    "s28_moments" ->
+      """WITH raw AS (
+           SELECT user_id AS inverter,
+                  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+           FROM events WHERE event_type = 'purchase'),
+         sums AS (
+           SELECT inverter, count(*) AS n,
+                  CAST(sum(c) AS DOUBLE) AS s1d,
+                  CAST(sum(c*c) AS DOUBLE) AS s2d,
+                  CAST(sum(c*c*c) AS DOUBLE) AS s3d,
+                  CAST(sum(CAST(c*c AS HUGEINT) * (c*c)) AS DOUBLE) AS s4d
+           FROM raw GROUP BY 1),
+         mom AS (
+           SELECT inverter, n,
+                  s1d / CAST(n AS DOUBLE) AS mu, s2d / CAST(n AS DOUBLE) AS r2,
+                  s3d / CAST(n AS DOUBLE) AS r3, s4d / CAST(n AS DOUBLE) AS r4
+           FROM sums),
+         cm AS (
+           SELECT inverter, n, mu,
+                  r2 - mu*mu AS m2,
+                  r3 - 3.0*mu*r2 + 2.0*mu*mu*mu AS m3,
+                  r4 - 4.0*mu*r3 + 6.0*mu*mu*r2 - 3.0*mu*mu*mu*mu AS m4
+           FROM mom)
+         SELECT inverter, CAST(n AS BIGINT) AS n,
+                mu / 100.0 AS mean_v,
+                sqrt(m2) / 100.0 AS stddev_pop,
+                m3 / (m2 * sqrt(m2)) AS skew_pop,
+                m4 / (m2 * m2) AS kurt_pop
+         FROM cm WHERE m2 > 0.0 ORDER BY inverter""",
     "s18_wide_row" ->
       """WITH base AS (
            SELECT user_id AS inverter, date_trunc('hour', ts) AS time,
