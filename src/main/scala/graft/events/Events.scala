@@ -610,7 +610,58 @@ object Events {
         sum($"c4").cast("long").as("r4_day7"))
   }
 
+  // ---------------------------------------------------------------------
+  // e18: ClickHouse `windowFunnel(w, 'strict_order')` — the funnel mode
+  // e1/e6/e11 don't cover: interleaving BREAKS the chain (CH docs'
+  // A→B→D→C example stops at D with level 2; the plain mode's funnels
+  // skip over non-matching events). Per user: the first view opens the
+  // chain; each subsequent event either advances it (next stage, inside
+  // the 6 h window) or ENDS the search at the level reached. One
+  // left-to-right fold over the time-sorted packed stream (e12's
+  // single-aggregate discipline): each event packs into one int64 as
+  // us*8+typecode, the accumulator packs (chain_start_us, level, done)
+  // into bits [63:3]/[2:1]/[0], so state never exceeds 8 bytes per
+  // user and the fold is a codegen'd higher-order aggregate — one
+  // user_id exchange, no window, no join. Sorting by the PACKED value
+  // makes Spark's and DuckDB's orders identical (ties = identical
+  // elements → transition-invariant). At 100 TB this is the cheapest
+  // possible funnel shape: shuffle carries (user, packed-long) pairs.
+  // ---------------------------------------------------------------------
+  def e18FunnelStrict(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val tc = when($"event_type" === "view", 1L)
+      .when($"event_type" === "click", 2L)
+      .when($"event_type" === "purchase", 3L)
+      .otherwise(0L)
+    val packed = sort_array(collect_list(unix_micros($"ts") * 8 + tc))
+    val fold = aggregate(packed, lit(0L), (acc, x) => {
+      val done = acc.bitwiseAND(lit(1L))
+      val level = shiftright(acc, 1).bitwiseAND(lit(3L))
+      val start = shiftright(acc, 3)
+      val us = shiftright(x, 3)
+      val xtc = x.bitwiseAND(lit(7L))
+      when(done === 1L, acc)
+        .when(level === 0L,
+          when(xtc === 1L, shiftleft(us, 3) + 2L).otherwise(acc))
+        .when(level === 1L,
+          when(xtc === 2L && us - start <= FunnelWindowUs, acc + 2L)
+            .otherwise(acc + 1L))
+        .otherwise(
+          when(xtc === 3L && us - start <= FunnelWindowUs, acc + 3L)
+            .otherwise(acc + 1L))
+    })
+    Tables.events(s, d)
+      .select($"user_id", $"ts", $"event_type")
+      .groupBy($"user_id")
+      .agg(fold.as("acc"))
+      .select(shiftright($"acc", 1).bitwiseAND(lit(3L)).as("funnel_level"))
+      .groupBy($"funnel_level")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy($"funnel_level")
+  }
+
   val queries: Map[String, Q] = Map(
+    "e18_funnel_strict" -> (e18FunnelStrict _),
     "e17_retention" -> (e17Retention _),
     "e16_next_event" -> (e16NextEvent _),
     "e11_session_funnel" -> (e11SessionFunnel _),
@@ -634,6 +685,34 @@ object Events {
   // BIGINT) is HUGEINT — always CAST back to BIGINT; double divisions
   // are left as single IEEE ops (bit-identical across engines).
   val oracles: Map[String, String] = Map(
+    // e18: identical bit-packed fold (list_reduce with a prepended
+    // zero accumulator, e12's pattern); same packed sort key.
+    "e18_funnel_strict" ->
+      """WITH o AS (
+           SELECT user_id,
+                  epoch_us(ts) * 8 + (CASE WHEN event_type = 'view' THEN 1
+                                           WHEN event_type = 'click' THEN 2
+                                           WHEN event_type = 'purchase' THEN 3
+                                           ELSE 0 END) AS p
+           FROM events),
+         f AS (
+           SELECT user_id,
+                  list_reduce(list_prepend(CAST(0 AS BIGINT), list(p ORDER BY p)),
+                    (acc, x) -> CASE
+                      WHEN (acc & 1) = 1 THEN acc
+                      WHEN ((acc >> 1) & 3) = 0 THEN
+                        CASE WHEN (x & 7) = 1 THEN ((x >> 3) << 3) + 2 ELSE acc END
+                      WHEN ((acc >> 1) & 3) = 1 THEN
+                        CASE WHEN (x & 7) = 2 AND (x >> 3) - (acc >> 3) <= 21600000000
+                             THEN acc + 2 ELSE acc + 1 END
+                      ELSE
+                        CASE WHEN (x & 7) = 3 AND (x >> 3) - (acc >> 3) <= 21600000000
+                             THEN acc + 3 ELSE acc + 1 END
+                    END) AS acc
+           FROM o GROUP BY 1)
+         SELECT CAST((acc >> 1) & 3 AS BIGINT) AS funnel_level,
+                count(*) AS n_users
+         FROM f GROUP BY 1 ORDER BY 1""",
     // e17: same dedup-first + per-user flags + one global sum.
     "e17_retention" ->
       """WITH act AS (

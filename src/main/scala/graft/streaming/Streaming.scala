@@ -272,13 +272,51 @@ object Streaming {
       }
   }
 
+  // ---------------------------------------------------------------------
+  // st4: graded surface for [[dedupTransform]] — the reference's
+  // at-least-once retry loop re-sends whole insert batches on failure
+  // (solarman.py:207-216), so the ingest path must be idempotent under
+  // re-delivery. The feed here is the events table with a
+  // DETERMINISTIC ~25% re-delivery (md5(event_id) first hex digit in
+  // 0-3 — content-addressed, reproducible across runs and shard
+  // layouts, t7 discipline); re-delivered rows are byte-identical to
+  // their originals, so dropDuplicates' keep-any is value-
+  // deterministic and the post-dedup rollup must equal the CLEAN
+  // table's rollup — which is exactly what the oracle computes.
+  // Stream-side the same transform is watermark-bounded
+  // (dropDuplicatesWithinWatermark; stream==batch in StreamingSpec).
+  // At 100 TB: dedup is one hash shuffle on event_id; the duplicate
+  // surplus never reaches the rollup.
+  // ---------------------------------------------------------------------
+  def st4DedupIngest(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, d)
+    val redelivered = ev.filter(
+      substring(md5($"event_id".cast("string")), 1, 1).isin("0", "1", "2", "3"))
+    dedupTransform(ev.unionByName(redelivered))
+      .groupBy($"event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        dsum($"value").as("sum_value"),
+        countDistinct($"user_id").as("n_users"))
+      .orderBy($"event_type")
+  }
+
   val queries: Map[String, Q] = Map(
+    "st4_dedup_ingest" -> (st4DedupIngest _),
     "st1_stream_hourly" -> (st1StreamHourly _),
     "st2_sliding_window" -> (st2SlidingWindow _),
     "st3_session_window" -> (st3SessionWindow _),
   )
 
   val oracles: Map[String, String] = Map(
+    // st4: dedup must exactly undo the re-delivery, so the oracle is
+    // the CLEAN table's rollup — no duplication modeled at all.
+    "st4_dedup_ingest" ->
+      """SELECT event_type, count(*) AS n,
+                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+                count(DISTINCT user_id) AS n_users
+         FROM events GROUP BY 1 ORDER BY 1""",
     "st1_stream_hourly" ->
       """SELECT time_bucket(INTERVAL '1 hour', ts) AS hour, event_type,
                 count(*) AS n,
