@@ -660,7 +660,44 @@ object Events {
       .orderBy($"funnel_level")
   }
 
+  // ---------------------------------------------------------------------
+  // e19: ClickHouse `intervalLengthSum` — total length of the UNION of
+  // overlapping intervals per user (each event projects a 30-min
+  // activity interval; overlapping readings must not double-count, the
+  // "total active time" dashboard stat). Classic sweep, all-integer
+  // exact: running max interval-end over STRICTLY PRIOR rows (an
+  // UnboundedPreceding frame — incremental O(n), the s21 lesson), a
+  // new segment opens where the start clears it, segment id by
+  // running sum, two combine-enabled aggregates. Everything shares
+  // ONE (user_id) exchange; microsecond longs end to end — no float
+  // tolerance anywhere. Segment membership at equal timestamps is
+  // tie-order-invariant (a tie row's prior running end already covers
+  // it), so (us, event_id) ordering is deterministic in both engines.
+  // ---------------------------------------------------------------------
+  private val ActiveIvUs = 30L * 60 * 1000000
+
+  def e19IntervalSum(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
+    val wPrev = w.rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d)
+      .select($"user_id", unix_micros($"ts").as("us"), $"event_id")
+      .withColumn("prev_end", max($"us" + ActiveIvUs).over(wPrev))
+      .withColumn("new_seg",
+        when($"prev_end".isNull || $"us" > $"prev_end", 1L).otherwise(0L))
+      .withColumn("seg", sum($"new_seg").over(wRun))
+      .groupBy($"user_id", $"seg")
+      .agg(min($"us").as("s_us"), max($"us" + ActiveIvUs).as("e_us"))
+      .groupBy($"user_id")
+      .agg(
+        count(lit(1)).as("n_segments"),
+        sum($"e_us" - $"s_us").as("covered_us"))
+      .orderBy($"user_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "e19_interval_sum" -> (e19IntervalSum _),
     "e18_funnel_strict" -> (e18FunnelStrict _),
     "e17_retention" -> (e17Retention _),
     "e16_next_event" -> (e16NextEvent _),
@@ -685,6 +722,29 @@ object Events {
   // BIGINT) is HUGEINT — always CAST back to BIGINT; double divisions
   // are left as single IEEE ops (bit-identical across engines).
   val oracles: Map[String, String] = Map(
+    // e19: same sweep in integer microseconds; count(*) and sums are
+    // BIGINT-cast to match Spark's long columns.
+    "e19_interval_sum" ->
+      """WITH o AS (
+           SELECT user_id, epoch_us(ts) AS us, event_id FROM events),
+         p AS (
+           SELECT *, max(us + 1800000000) OVER
+                       (PARTITION BY user_id ORDER BY us, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+           FROM o),
+         q AS (
+           SELECT *, CASE WHEN prev_end IS NULL OR us > prev_end THEN 1 ELSE 0 END AS new_seg
+           FROM p),
+         r AS (
+           SELECT *, sum(new_seg) OVER (PARTITION BY user_id ORDER BY us, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg
+           FROM q),
+         segs AS (
+           SELECT user_id, seg, min(us) AS s_us, max(us + 1800000000) AS e_us
+           FROM r GROUP BY 1, 2)
+         SELECT user_id, count(*) AS n_segments,
+                CAST(sum(e_us - s_us) AS BIGINT) AS covered_us
+         FROM segs GROUP BY 1 ORDER BY 1""",
     // e18: identical bit-packed fold (list_reduce with a prepended
     // zero accumulator, e12's pattern); same packed sort key.
     "e18_funnel_strict" ->
