@@ -903,7 +903,63 @@ object Solar {
       .orderBy($"inverter")
   }
 
+  // ---------------------------------------------------------------------
+  // s29: ClickHouse `welchTTest` (the A/B-test aggregate family with
+  // `studentTTest`/`meanZTest`) — is the dc_voltage stream reading
+  // higher than dc_amps on this inverter, accounting for unequal
+  // variances? Welch's t-statistic and Welch–Satterthwaite df per
+  // inverter, computed from the SAME exact power-sum discipline as
+  // s28: one combine-enabled groupBy over conditional n/Σc/Σc² per
+  // group (cents longs, wide sums decimal), closed forms in double
+  // with the oracle's exact operator tree (sqrt, not pow). t and df
+  // are scale-invariant so the cents scaling cancels. Degenerate
+  // inverters (a group with <2 readings, or zero pooled standard
+  // error) are filtered on values both engines computed identically.
+  // p-values need an incomplete-beta special function — out of SQL
+  // scope on both engines; t + df are the portable sufficient pair.
+  // ---------------------------------------------------------------------
+  def s29WelchTtest(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val D38 = DecimalType(38, 0)
+    val g1 = $"event_type" === "view"
+    val g2 = $"event_type" === "click"
+    feed(s, d)
+      .filter($"event_type".isin("view", "click"))
+      .select($"inverter", $"event_type",
+        (dec($"value") * 100).cast("long").as("c"))
+      .groupBy($"inverter")
+      .agg(
+        count(when(g1, 1)).as("n1"),
+        sum(when(g1, $"c").cast(D38)).as("s1"),
+        sum(when(g1, $"c" * $"c").cast(D38)).as("q1"),
+        count(when(g2, 1)).as("n2"),
+        sum(when(g2, $"c").cast(D38)).as("s2"),
+        sum(when(g2, $"c" * $"c").cast(D38)).as("q2"))
+      .filter($"n1" > 1 && $"n2" > 1)
+      .select($"inverter", $"n1", $"n2",
+        $"n1".cast("double").as("n1d"), $"n2".cast("double").as("n2d"),
+        $"s1".cast("double").as("s1d"), $"s2".cast("double").as("s2d"),
+        $"q1".cast("double").as("q1d"), $"q2".cast("double").as("q2d"))
+      .select($"inverter", $"n1", $"n2", $"n1d", $"n2d",
+        ($"s1d" / $"n1d").as("mu1"), ($"s2d" / $"n2d").as("mu2"),
+        (($"q1d" - $"s1d" * $"s1d" / $"n1d") / ($"n1d" - lit(1.0))).as("v1"),
+        (($"q2d" - $"s2d" * $"s2d" / $"n2d") / ($"n2d" - lit(1.0))).as("v2"))
+      .select($"inverter", $"n1", $"n2", $"n1d", $"n2d",
+        $"mu1", $"mu2", $"v1", $"v2",
+        ($"v1" / $"n1d" + $"v2" / $"n2d").as("se2"))
+      .filter($"se2" > 0.0)
+      .select($"inverter",
+        $"n1".as("n_view"), $"n2".as("n_click"),
+        (($"mu1" - $"mu2") / sqrt($"se2")).as("t_stat"),
+        ($"se2" * $"se2" /
+          ($"v1" / $"n1d" * ($"v1" / $"n1d") / ($"n1d" - lit(1.0)) +
+            $"v2" / $"n2d" * ($"v2" / $"n2d") / ($"n2d" - lit(1.0))))
+          .as("df"))
+      .orderBy($"inverter")
+  }
+
   val queries: Map[String, Q] = Map(
+    "s29_welch_ttest" -> (s29WelchTtest _),
     "s28_moments" -> (s28Moments _),
     "s18_wide_row" -> (s18WideRow _),
     "s17_time_weighted" -> (s17TimeWeighted _),
@@ -962,6 +1018,39 @@ object Solar {
   // DuckDB oracles — each mirrors the Spark arithmetic exactly
   // (decimal sums, integer microseconds, double division).
   val oracles: Map[String, String] = Map(
+    // s29: same conditional power sums, same double operator tree.
+    "s29_welch_ttest" ->
+      """WITH raw AS (
+           SELECT user_id AS inverter, event_type,
+                  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+           FROM events WHERE event_type IN ('view', 'click')),
+         sums AS (
+           SELECT inverter,
+                  count(CASE WHEN event_type = 'view' THEN 1 END) AS n1,
+                  CAST(sum(CASE WHEN event_type = 'view' THEN c END) AS DOUBLE) AS s1d,
+                  CAST(sum(CASE WHEN event_type = 'view' THEN c * c END) AS DOUBLE) AS q1d,
+                  count(CASE WHEN event_type = 'click' THEN 1 END) AS n2,
+                  CAST(sum(CASE WHEN event_type = 'click' THEN c END) AS DOUBLE) AS s2d,
+                  CAST(sum(CASE WHEN event_type = 'click' THEN c * c END) AS DOUBLE) AS q2d
+           FROM raw GROUP BY 1),
+         filt AS (
+           SELECT *, CAST(n1 AS DOUBLE) AS n1d, CAST(n2 AS DOUBLE) AS n2d
+           FROM sums WHERE n1 > 1 AND n2 > 1),
+         mv AS (
+           SELECT inverter, n1, n2, n1d, n2d,
+                  s1d / n1d AS mu1, s2d / n2d AS mu2,
+                  (q1d - s1d * s1d / n1d) / (n1d - 1.0) AS v1,
+                  (q2d - s2d * s2d / n2d) / (n2d - 1.0) AS v2
+           FROM filt),
+         se AS (
+           SELECT *, v1 / n1d + v2 / n2d AS se2 FROM mv WHERE v1 / n1d + v2 / n2d > 0.0)
+         SELECT inverter,
+                CAST(n1 AS BIGINT) AS n_view, CAST(n2 AS BIGINT) AS n_click,
+                (mu1 - mu2) / sqrt(se2) AS t_stat,
+                se2 * se2 /
+                  (v1 / n1d * (v1 / n1d) / (n1d - 1.0) +
+                   v2 / n2d * (v2 / n2d) / (n2d - 1.0)) AS df
+         FROM se ORDER BY inverter""",
     // s28: same exact power sums (HUGEINT for c⁴), same double
     // operator tree for the central moments, sqrt not pow.
     "s28_moments" ->
