@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions.expr
-import org.apache.spark.sql.types.{DecimalType, LongType}
+import org.apache.spark.sql.types.{DecimalType, LongType, TimestampNTZType, TimestampType}
 
 /** Schema-pinned loaders for the driver-generated parquet tables.
   *
@@ -31,8 +31,21 @@ object Tables {
     s
   }
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** Parquet load + timestamp normalization. Depending on driver data
+    * generation, timestamp columns arrive either tz-adjusted (Spark
+    * reads TIMESTAMP) or naive micros (Spark 4 infers TIMESTAMP_NTZ,
+    * which `unix_micros`/interval arithmetic reject). Sessions run in
+    * UTC, where the NTZ→TIMESTAMP cast is value-identity, so all
+    * downstream code sees one type regardless of the file's flavor.
+    * The cast is a per-column map-side no-op (same physical micros). */
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    df.schema.fields.foldLeft(df) {
+      case (acc, f) if f.dataType == TimestampNTZType =>
+        acc.withColumn(f.name, acc.col(f.name).cast(TimestampType))
+      case (acc, _) => acc
+    }
+  }
 
   def region(s: SparkSession, d: String): DataFrame   = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame   = load(s, d, "nation")
