@@ -483,7 +483,123 @@ object Relational {
       .orderBy($"l_returnflag")
   }
 
+  // ---------------------------------------------------------------------
+  // q27: ClickHouse `mannWhitneyUTest(x, sample)` — per market
+  // segment, does URGENT-priority spend stochastically dominate
+  // LOW-priority spend? Rank-sum U statistic with the normal
+  // approximation's tie-corrected z. The tie rule needs AVERAGE
+  // fractional ranks over the COMBINED sample; both they and the
+  // per-row tie-group size come exactly from the two-sided rank
+  // identity (s30's discipline):
+  //   2·r = rank_asc + (n + 1 − rank_desc)
+  //   t   = n + 2 − rank_asc − rank_desc
+  // so the rank sum R₁ (as Σ2r) and the correction Σ(t³−t)
+  // (= Σ_rows (t²−1)) are exact integer/decimal aggregates, and
+  // U / μ / σ² / z are double closed forms with the oracle's exact
+  // operator tree. All three rank windows and the aggregate share
+  // ONE hashpartitioning(segment) exchange; the customer dim is
+  // broadcast. Segments where either sample is empty, or where σ²=0
+  // (every value tied), are filtered on values both engines
+  // computed. p-values need erf — out of SQL scope on both engines
+  // (s29 precedent); U and z are the portable sufficient pair.
+  // ---------------------------------------------------------------------
+  def q27MannWhitney(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val D38 = DecimalType(38, 0)
+    val part = Window.partitionBy($"segment")
+    val n = count(lit(1)).over(part)
+    val ra = rank().over(part.orderBy($"v"))
+    val rd = rank().over(part.orderBy($"v".desc))
+    val c = Tables.customer(s, d).select($"c_custkey", $"c_mktsegment")
+    Tables.orders(s, d)
+      .filter($"o_orderpriority".isin("1-URGENT", "5-LOW"))
+      .join(broadcast(c), $"o_custkey" === $"c_custkey")
+      .select($"c_mktsegment".as("segment"),
+        ($"o_orderpriority" === "1-URGENT").as("g1"),
+        (dec($"o_totalprice") * 100).cast("long").as("v"))
+      .select($"segment", $"g1",
+        (ra + n + lit(1L) - rd).as("r2"),
+        (n + lit(2L) - ra - rd).as("t"))
+      .groupBy($"segment")
+      .agg(
+        sum(when($"g1", 1L).otherwise(0L)).as("n1"),
+        sum(when(!$"g1", 1L).otherwise(0L)).as("n2"),
+        sum(when($"g1", $"r2").otherwise(0L).cast(D38)).as("sr2"),
+        sum(($"t" * $"t" - lit(1L)).cast(D38)).as("ties"))
+      .filter($"n1" > 0 && $"n2" > 0)
+      .select($"segment", $"n1", $"n2",
+        $"n1".cast("double").as("n1d"), $"n2".cast("double").as("n2d"),
+        $"sr2".cast("double").as("sr2d"), $"ties".cast("double").as("tiesd"))
+      .select($"segment", $"n1", $"n2", $"n1d", $"n2d", $"tiesd",
+        ($"n1d" + $"n2d").as("nd"),
+        ($"n1d" * $"n2d" + $"n1d" * ($"n1d" + lit(1.0)) / 2.0
+          - $"sr2d" / 2.0).as("u1"))
+      .select($"segment", $"n1", $"n2", $"nd", $"u1",
+        ($"n1d" * $"n2d" / 12.0 *
+          (($"nd" + lit(1.0)) - $"tiesd" / ($"nd" * ($"nd" - lit(1.0)))))
+          .as("sigma2"),
+        ($"n1d" * $"n2d" / 2.0).as("mu"))
+      .filter($"sigma2" > 0.0)
+      .select($"segment",
+        $"n1".as("n_urgent"), $"n2".as("n_low"),
+        $"u1".as("u_stat"),
+        (($"u1" - $"mu") / sqrt($"sigma2")).as("z_stat"))
+      .orderBy($"segment")
+  }
+
+  // ---------------------------------------------------------------------
+  // q28: ClickHouse `cramersV(a, b)` (the categorical-association
+  // family with `contingency`/`theilsU`) — how strongly does a
+  // customer's nation determine their market segment? χ² over the
+  // (segment × nation) contingency table, normalized to [0,1].
+  // Exactness: each cell's χ² term is ((o·n − rt·ct)² / (n·rt·ct))
+  // with the numerator/denominator EXACT decimal products cast to
+  // double once — one IEEE divide per cell — and the χ² total is a
+  // fold over the cells in (seg, nat)-SORTED order on both engines
+  // (double addition is order-dependent; a sorted fold makes the
+  // order part of the contract — DuckDB `list(term ORDER BY ...)`,
+  // Spark `aggregate(sort_array(...))`). Scale shape: the only
+  // fact-sized work is the first groupBy; everything after operates
+  // on the contingency table itself, whose size is the CATEGORY-pair
+  // cardinality (bounded, independent of row count), so the
+  // collect_list is bounded and the dim joins broadcast.
+  // ---------------------------------------------------------------------
+  def q28CramersV(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val D38 = DecimalType(38, 0)
+    val nat = Tables.nation(s, d).select($"n_nationkey", $"n_name")
+    val cells = Tables.customer(s, d)
+      .join(broadcast(nat), $"c_nationkey" === $"n_nationkey")
+      .groupBy($"c_mktsegment".as("seg"), $"n_name".as("nat"))
+      .agg(count(lit(1)).as("o"))
+    val rt = cells.groupBy($"seg").agg(sum($"o").as("rt"))
+    val ct = cells.groupBy($"nat").agg(sum($"o").as("ct"))
+    val tot = cells.agg(sum($"o").as("n"),
+      countDistinct($"seg").as("r"), countDistinct($"nat").as("c"))
+    cells
+      .join(broadcast(rt), "seg")
+      .join(broadcast(ct), "nat")
+      .crossJoin(broadcast(tot))
+      .select($"seg", $"nat", $"n", $"r", $"c",
+        ($"o".cast(D38) * $"n" - $"rt".cast(D38) * $"ct").cast("double").as("numd"),
+        ($"n".cast(D38) * $"rt" * $"ct").cast("double").as("dend"))
+      .select($"seg", $"nat", $"n", $"r", $"c",
+        ($"numd" * $"numd" / $"dend").as("term"))
+      .groupBy($"n", $"r", $"c")
+      .agg(collect_list(struct($"seg", $"nat", $"term")).as("cells"))
+      .select($"n", $"r", $"c",
+        aggregate(sort_array($"cells"), lit(0.0),
+          (acc, x) => acc + x.getField("term")).as("chi2"))
+      .select($"n".as("n_customers"), $"r", $"c", $"chi2",
+        sqrt($"chi2" /
+          ($"n".cast("double") * least($"r" - 1, $"c" - 1).cast("double")))
+          .as("cramers_v"))
+      .orderBy($"n_customers")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q28_cramers_v" -> (q28CramersV _),
+    "q27_mann_whitney" -> (q27MannWhitney _),
     "q26_corr" -> (q26Corr _),
     "q25_trailing_spend" -> (q25TrailingSpend _),
     "q24_cube" -> (q24Cube _),
@@ -511,6 +627,80 @@ object Relational {
   // arithmetic exactly (decimal sums, double division) so results are
   // bit-identical, not merely close.
   val oracles: Map[String, String] = Map(
+    // q28: same exact HUGEINT cell products, one divide per cell,
+    // and the SAME (seg, nat)-sorted fold order for the χ² total.
+    "q28_cramers_v" ->
+      """WITH cells AS (
+           SELECT c_mktsegment AS seg, n_name AS nat, count(*) AS o
+           FROM customer JOIN nation ON c_nationkey = n_nationkey
+           GROUP BY 1, 2),
+         rt AS (SELECT seg, sum(o) AS rt FROM cells GROUP BY 1),
+         ct AS (SELECT nat, sum(o) AS ct FROM cells GROUP BY 1),
+         tot AS (SELECT sum(o) AS n, count(DISTINCT seg) AS r,
+                        count(DISTINCT nat) AS c
+                 FROM cells),
+         t AS (
+           SELECT seg, nat, n, r, c,
+                  CAST(CAST(o AS HUGEINT)*n - CAST(rt AS HUGEINT)*ct AS DOUBLE) AS numd,
+                  CAST(CAST(n AS HUGEINT)*rt*ct AS DOUBLE) AS dend
+           FROM cells JOIN rt USING (seg) JOIN ct USING (nat) CROSS JOIN tot),
+         x AS (SELECT seg, nat, n, r, c, numd*numd/dend AS term FROM t),
+         chi AS (
+           SELECT n, r, c,
+                  list_reduce(list_prepend(0.0, list(term ORDER BY seg, nat)),
+                              (a, b) -> a + b) AS chi2
+           FROM x GROUP BY 1, 2, 3)
+         SELECT CAST(n AS BIGINT) AS n_customers,
+                CAST(r AS BIGINT) AS r, CAST(c AS BIGINT) AS c, chi2,
+                sqrt(chi2 / (CAST(n AS DOUBLE) *
+                             CAST(least(r-1, c-1) AS DOUBLE))) AS cramers_v
+         FROM chi ORDER BY n_customers""",
+    // q27: same two-sided rank identities (exact integers), HUGEINT
+    // rank/tie sums, same double tree for U / μ / σ² / z.
+    "q27_mann_whitney" ->
+      """WITH raw AS (
+           SELECT c_mktsegment AS segment,
+                  o_orderpriority = '1-URGENT' AS g1,
+                  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+           FROM orders JOIN customer ON o_custkey = c_custkey
+           WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+         r AS (
+           SELECT segment, g1,
+                  rank() OVER (PARTITION BY segment ORDER BY v)
+                    + count(*) OVER (PARTITION BY segment) + 1
+                    - rank() OVER (PARTITION BY segment ORDER BY v DESC) AS r2,
+                  count(*) OVER (PARTITION BY segment) + 2
+                    - rank() OVER (PARTITION BY segment ORDER BY v)
+                    - rank() OVER (PARTITION BY segment ORDER BY v DESC) AS t
+           FROM raw),
+         sums AS (
+           SELECT segment,
+                  sum(CASE WHEN g1 THEN 1 ELSE 0 END) AS n1,
+                  sum(CASE WHEN NOT g1 THEN 1 ELSE 0 END) AS n2,
+                  sum(CASE WHEN g1 THEN r2 ELSE 0 END) AS sr2,
+                  sum(t*t - 1) AS ties
+           FROM r GROUP BY 1),
+         f AS (SELECT * FROM sums WHERE n1 > 0 AND n2 > 0),
+         d AS (
+           SELECT segment, n1, n2,
+                  CAST(n1 AS DOUBLE) AS n1d, CAST(n2 AS DOUBLE) AS n2d,
+                  CAST(sr2 AS DOUBLE) AS sr2d, CAST(ties AS DOUBLE) AS tiesd
+           FROM f),
+         u AS (
+           SELECT segment, n1, n2, n1d, n2d, tiesd,
+                  n1d + n2d AS nd,
+                  n1d * n2d + n1d * (n1d + 1.0) / 2.0 - sr2d / 2.0 AS u1
+           FROM d),
+         z AS (
+           SELECT segment, n1, n2, nd, u1,
+                  n1d * n2d / 12.0 *
+                    ((nd + 1.0) - tiesd / (nd * (nd - 1.0))) AS sigma2,
+                  n1d * n2d / 2.0 AS mu
+           FROM u)
+         SELECT segment,
+                CAST(n1 AS BIGINT) AS n_urgent, CAST(n2 AS BIGINT) AS n_low,
+                u1 AS u_stat, (u1 - mu) / sqrt(sigma2) AS z_stat
+         FROM z WHERE sigma2 > 0.0 ORDER BY segment""",
     // q26: same exact cross sums (HUGEINT for y²), same double
     // operator tree for the closed forms.
     "q26_corr" ->

@@ -958,7 +958,110 @@ object Solar {
       .orderBy($"inverter")
   }
 
+  // ---------------------------------------------------------------------
+  // s30: ClickHouse `rankCorr` — Spearman rank correlation between
+  // poll time and reading per inverter on the ac_watts (purchase)
+  // stream: a distribution-free trend detector (is this inverter's
+  // output drifting, regardless of scale or outliers?). Average
+  // fractional ranks (the tie rule Spearman requires) are
+  // materialized EXACTLY as doubled integers:
+  //   2·r = rank_asc + (n + 1 − rank_desc)
+  // so every rank sum below is exact int64/decimal arithmetic, and
+  // Spearman reduces to q26's Pearson closed form over (2rx, 2ry)
+  // (the ×2 cancels mathematically). All four rank windows, the
+  // count window and the final aggregate share ONE
+  // hashpartitioning(inverter) exchange; degenerate groups (all-tied
+  // x or y — zero rank variance) are filtered on exact decimal
+  // values both engines computed identically. At 100 TB: the shuffle
+  // carries (inverter, x, y) triples only and per-inverter series
+  // are time-bounded, so no partition outgrows an executor.
+  // ---------------------------------------------------------------------
+  def s30RankCorr(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val D38 = DecimalType(38, 0)
+    val part = Window.partitionBy($"inverter")
+    val n = count(lit(1)).over(part)
+    val rx2 = rank().over(part.orderBy($"x")) + n + lit(1L) -
+      rank().over(part.orderBy($"x".desc))
+    val ry2 = rank().over(part.orderBy($"y")) + n + lit(1L) -
+      rank().over(part.orderBy($"y".desc))
+    feed(s, d)
+      .filter($"event_type" === "purchase")
+      .select($"inverter",
+        unix_micros($"ts").as("x"),
+        (dec($"value") * 100).cast("long").as("y"))
+      .select($"inverter", rx2.as("rx2"), ry2.as("ry2"))
+      .groupBy($"inverter")
+      .agg(
+        count(lit(1)).as("n"),
+        sum($"rx2".cast(D38)).as("sx"),
+        sum($"ry2".cast(D38)).as("sy"),
+        sum(($"rx2" * $"rx2").cast(D38)).as("sxx"),
+        sum(($"rx2" * $"ry2").cast(D38)).as("sxy"),
+        sum(($"ry2" * $"ry2").cast(D38)).as("syy"))
+      .filter($"n" * $"sxx" - $"sx" * $"sx" > 0 &&
+        $"n" * $"syy" - $"sy" * $"sy" > 0)
+      .select($"inverter", $"n",
+        $"n".cast("double").as("nd"),
+        $"sx".cast("double").as("sxd"), $"sy".cast("double").as("syd"),
+        $"sxx".cast("double").as("sxxd"), $"sxy".cast("double").as("sxyd"),
+        $"syy".cast("double").as("syyd"))
+      .select($"inverter", $"n",
+        (($"nd" * $"sxyd" - $"sxd" * $"syd") /
+          (sqrt($"nd" * $"sxxd" - $"sxd" * $"sxd") *
+            sqrt($"nd" * $"syyd" - $"syd" * $"syd"))).as("spearman"))
+      .orderBy($"inverter")
+  }
+
+  // ---------------------------------------------------------------------
+  // s31: ClickHouse `simpleLinearRegression(x, y)` — per-inverter
+  // least-squares drift line over the dc_voltage (view) stream:
+  // reading = k·(t − t₀) + b with t in seconds since the inverter's
+  // FIRST reading. Centering on per-group min(x) (one unordered
+  // window on the same inverter exchange the aggregate uses) keeps
+  // every cross sum small — Σx² is bounded by the deployment's time
+  // span, not the epoch — which is both the numerically-sane
+  // production form and keeps the closed-form cancellation benign.
+  // Sums are exact decimal; k and b are evaluated in double with the
+  // oracle's operator tree; constant-x groups are dropped on the
+  // exact-decimal determinant both engines computed. Slope is
+  // reported per hour, intercept in volts (cents scaling divides
+  // back once, mirrored).
+  // ---------------------------------------------------------------------
+  def s31Linreg(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val D38 = DecimalType(38, 0)
+    feed(s, d)
+      .filter($"event_type" === "view")
+      .select($"inverter",
+        expr("unix_micros(ts) div 1000000").as("xs"),
+        (dec($"value") * 100).cast("long").as("y"))
+      .withColumn("x", $"xs" - min($"xs").over(Window.partitionBy($"inverter")))
+      .groupBy($"inverter")
+      .agg(
+        count(lit(1)).as("n"),
+        sum($"x".cast(D38)).as("sx"),
+        sum($"y".cast(D38)).as("sy"),
+        sum(($"x" * $"x").cast(D38)).as("sxx"),
+        sum(($"x" * $"y").cast(D38)).as("sxy"))
+      .filter($"n" * $"sxx" - $"sx" * $"sx" > 0)
+      .select($"inverter", $"n",
+        $"n".cast("double").as("nd"),
+        $"sx".cast("double").as("sxd"), $"sy".cast("double").as("syd"),
+        $"sxx".cast("double").as("sxxd"), $"sxy".cast("double").as("sxyd"))
+      .select($"inverter", $"n",
+        (($"nd" * $"sxyd" - $"sxd" * $"syd") /
+          ($"nd" * $"sxxd" - $"sxd" * $"sxd")).as("k"),
+        $"nd", $"sxd", $"syd")
+      .select($"inverter", $"n",
+        ($"k" * 3600.0 / 100.0).as("slope_per_hour"),
+        ((($"syd" - $"k" * $"sxd") / $"nd") / 100.0).as("intercept_v"))
+      .orderBy($"inverter")
+  }
+
   val queries: Map[String, Q] = Map(
+    "s31_linreg" -> (s31Linreg _),
+    "s30_rank_corr" -> (s30RankCorr _),
     "s29_welch_ttest" -> (s29WelchTtest _),
     "s28_moments" -> (s28Moments _),
     "s18_wide_row" -> (s18WideRow _),
@@ -1018,6 +1121,71 @@ object Solar {
   // DuckDB oracles — each mirrors the Spark arithmetic exactly
   // (decimal sums, integer microseconds, double division).
   val oracles: Map[String, String] = Map(
+    // s30: identical doubled-average-rank construction (2r =
+    // rank_asc + n + 1 − rank_desc, exact integers), HUGEINT rank
+    // sums, then q26's Pearson double tree.
+    "s30_rank_corr" ->
+      """WITH raw AS (
+           SELECT user_id AS inverter, epoch_us(ts) AS x,
+                  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+           FROM events WHERE event_type = 'purchase'),
+         r AS (
+           SELECT inverter,
+                  rank() OVER (PARTITION BY inverter ORDER BY x)
+                    + count(*) OVER (PARTITION BY inverter) + 1
+                    - rank() OVER (PARTITION BY inverter ORDER BY x DESC) AS rx2,
+                  rank() OVER (PARTITION BY inverter ORDER BY y)
+                    + count(*) OVER (PARTITION BY inverter) + 1
+                    - rank() OVER (PARTITION BY inverter ORDER BY y DESC) AS ry2
+           FROM raw),
+         sums AS (
+           SELECT inverter, count(*) AS n,
+                  sum(rx2) AS sx, sum(ry2) AS sy,
+                  sum(rx2*rx2) AS sxx, sum(rx2*ry2) AS sxy, sum(ry2*ry2) AS syy
+           FROM r GROUP BY 1),
+         f AS (
+           SELECT * FROM sums
+           WHERE n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0),
+         d AS (
+           SELECT inverter, n, CAST(n AS DOUBLE) AS nd,
+                  CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+                  CAST(sxx AS DOUBLE) AS sxxd, CAST(sxy AS DOUBLE) AS sxyd,
+                  CAST(syy AS DOUBLE) AS syyd
+           FROM f)
+         SELECT inverter, CAST(n AS BIGINT) AS n,
+                (nd*sxyd - sxd*syd) /
+                  (sqrt(nd*sxxd - sxd*sxd) * sqrt(nd*syyd - syd*syd)) AS spearman
+         FROM d ORDER BY inverter""",
+    // s31: same per-group min-centering (integer seconds), exact
+    // HUGEINT cross sums, same double closed form for (k, b).
+    "s31_linreg" ->
+      """WITH raw AS (
+           SELECT user_id AS inverter, epoch_us(ts) // 1000000 AS xs,
+                  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+           FROM events WHERE event_type = 'view'),
+         c AS (
+           SELECT inverter,
+                  xs - min(xs) OVER (PARTITION BY inverter) AS x, y
+           FROM raw),
+         sums AS (
+           SELECT inverter, count(*) AS n,
+                  sum(x) AS sx, sum(y) AS sy,
+                  sum(x*x) AS sxx, sum(x*y) AS sxy
+           FROM c GROUP BY 1),
+         f AS (SELECT * FROM sums WHERE n*sxx - sx*sx > 0),
+         d AS (
+           SELECT inverter, n, CAST(n AS DOUBLE) AS nd,
+                  CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+                  CAST(sxx AS DOUBLE) AS sxxd, CAST(sxy AS DOUBLE) AS sxyd
+           FROM f),
+         k AS (
+           SELECT inverter, n, nd, sxd, syd,
+                  (nd*sxyd - sxd*syd) / (nd*sxxd - sxd*sxd) AS k
+           FROM d)
+         SELECT inverter, CAST(n AS BIGINT) AS n,
+                k * 3600.0 / 100.0 AS slope_per_hour,
+                ((syd - k*sxd) / nd) / 100.0 AS intercept_v
+         FROM k ORDER BY inverter""",
     // s29: same conditional power sums, same double operator tree.
     "s29_welch_ttest" ->
       """WITH raw AS (
