@@ -706,7 +706,56 @@ object Text {
       .orderBy($"doc_id")
   }
 
+  // ---------------------------------------------------------------------
+  // t18: lexical diversity — the exact-rational counterpart of the
+  // ClickHouse `entropy`/`uniq` quality family and the
+  // concentration side of Gopher's lexical filters. Per doc:
+  // type-token ratio (distinct/total), Simpson concentration — the
+  // probability two token draws WITHOUT replacement collide,
+  // Σc(c−1) / (n(n−1)) — and the top-token fraction. Every graded
+  // column is one double division of exact int64s (the ln-entropy
+  // variant is engine-divergent — t11/t14 precedent — and the
+  // Simpson index carries the same ordering information for
+  // filtering). Scale shape: ZERO shuffles before the output sort —
+  // Σc(c−1) and the top count are folds over the SORTED token array
+  // (extending a run from k−1 to k adds 2(k−1) ordered pairs), so
+  // like t12 nothing token-level ever leaves the map side.
+  // ---------------------------------------------------------------------
+
+  /** Σ c·(c−1) over element multiplicities of a string array —
+    * map-side fold over the sorted array. Exact int64; empty-string
+    * initial `prev` can't collide (tokens are non-empty). */
+  private def pairSum(arr: Column): Column =
+    aggregate(array_sort(arr),
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("sum")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"), acc.getField("run") + 1L)
+          .otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          (acc.getField("sum") + lit(2L) * (run - lit(1L))).as("sum"))
+      },
+      acc => acc.getField("sum"))
+
+  def t18Diversity(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select($"doc_id", toks(lower($"text")).as("t"))
+      .select($"doc_id",
+        size($"t").cast("long").as("n_tokens"),
+        size(array_distinct($"t")).cast("long").as("n_distinct"),
+        maxRun($"t").as("top_count"),
+        pairSum($"t").as("pairs"))
+      .select($"doc_id", $"n_tokens", $"n_distinct",
+        ($"n_distinct".cast("double") / $"n_tokens".cast("double")).as("ttr"),
+        when($"n_tokens" > 1L,
+          $"pairs".cast("double") /
+            ($"n_tokens" * ($"n_tokens" - lit(1L))).cast("double")).as("simpson"),
+        ($"top_count".cast("double") / $"n_tokens".cast("double")).as("top_frac"))
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "t18_diversity" -> (t18Diversity _),
     "t15_pii_redact" -> (t15PiiRedact _),
     "t14_unigram_lm" -> (t14UnigramLm _),
     "t13_approx_topk" -> (t13ApproxTopk _),
@@ -812,6 +861,29 @@ object Text {
   }
 
   val oracles: Map[String, String] = Map(
+    // t18: rebuilds the same multiplicities via unnest+GROUP BY
+    // (the shuffle is DuckDB's problem); graded columns are the same
+    // single divisions of exact int64s.
+    "t18_diversity" ->
+      """WITH tk AS (
+           SELECT doc_id,
+                  list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+           FROM documents),
+         w AS (SELECT doc_id, unnest(t) AS w FROM tk),
+         c AS (SELECT doc_id, w, count(*) AS c FROM w GROUP BY 1, 2),
+         agg AS (
+           SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+                  CAST(count(*) AS BIGINT) AS n_distinct,
+                  CAST(max(c) AS BIGINT) AS top_count,
+                  CAST(sum(c*(c-1)) AS BIGINT) AS pairs
+           FROM c GROUP BY 1)
+         SELECT doc_id, n_tokens, n_distinct,
+                CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS ttr,
+                CASE WHEN n_tokens > 1
+                     THEN CAST(pairs AS DOUBLE) /
+                          CAST(n_tokens * (n_tokens - 1) AS DOUBLE) END AS simpson,
+                CAST(top_count AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS top_frac
+         FROM agg ORDER BY doc_id""",
     "t5_winnow" -> t5Oracle,
     "t11_bm25" -> t11Oracle,
     "t12_repetition_family" ->
