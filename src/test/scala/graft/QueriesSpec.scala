@@ -952,4 +952,156 @@ class QueriesSpec extends AnyFunSuite {
       .take(text.Text.Bm25TopK).map(_._1)
     assert(lnTop == expect, "t11 under bm25.ln must rank by the ln scores")
   }
+
+  /** Average fractional ranks (Spearman/Mann-Whitney tie rule). */
+  private def avgRanks(vs: Seq[Long]): Map[Long, Double] = {
+    val sorted = vs.sorted
+    sorted.zipWithIndex.groupBy(_._1).map {
+      case (v, ps) => v -> ps.map(_._2 + 1).sum.toDouble / ps.size
+    }
+  }
+
+  private def cents(c: org.apache.spark.sql.Column) =
+    (c.cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100).cast("long")
+
+  test("s30 Spearman: matches brute-force average-rank Pearson per inverter") {
+    val s = spark
+    import s.implicits._
+    val raw = Tables.events(s, SfDir)
+      .filter($"event_type" === "purchase")
+      .select($"user_id", unix_micros($"ts"), cents($"value"))
+      .as[(Long, Long, Long)].collect().toSeq
+    val got = solar.Solar.s30RankCorr(s, SfDir)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(got.nonEmpty)
+    raw.groupBy(_._1).foreach { case (inv, rows) =>
+      val rx = avgRanks(rows.map(_._2))
+      val ry = avgRanks(rows.map(_._3))
+      val xr = rows.map(r => rx(r._2)); val yr = rows.map(r => ry(r._3))
+      val n = rows.size.toDouble
+      val mx = xr.sum / n; val my = yr.sum / n
+      val cov = xr.zip(yr).map { case (a, b) => (a - mx) * (b - my) }.sum
+      val vx = xr.map(a => (a - mx) * (a - mx)).sum
+      val vy = yr.map(b => (b - my) * (b - my)).sum
+      if (vx > 0 && vy > 0) {
+        val rho = cov / math.sqrt(vx * vy)
+        assert(math.abs(got(inv) - rho) < 1e-9, s"s30 inverter $inv")
+        assert(got(inv) >= -1.0 - 1e-12 && got(inv) <= 1.0 + 1e-12)
+      } else assert(!got.contains(inv), s"s30 degenerate inverter $inv kept")
+    }
+  }
+
+  test("q27 Mann-Whitney: U and tie-corrected z match brute force per segment") {
+    val s = spark
+    import s.implicits._
+    val seg = Tables.customer(s, SfDir).select($"c_custkey", $"c_mktsegment")
+    val raw = Tables.orders(s, SfDir)
+      .filter($"o_orderpriority".isin("1-URGENT", "5-LOW"))
+      .join(seg, $"o_custkey" === $"c_custkey")
+      .select($"c_mktsegment", $"o_orderpriority" === "1-URGENT", cents($"o_totalprice"))
+      .as[(String, Boolean, Long)].collect().toSeq
+    val got = relational.Relational.q27MannWhitney(s, SfDir)
+      .as[(String, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got.nonEmpty)
+    raw.groupBy(_._1).foreach { case (sg, rows) =>
+      val ranks = avgRanks(rows.map(_._3))
+      val g1 = rows.filter(_._2); val g2 = rows.filterNot(_._2)
+      if (g1.nonEmpty && g2.nonEmpty) {
+        val n1 = g1.size.toDouble; val n2 = g2.size.toDouble; val n = n1 + n2
+        val r1 = g1.map(r => ranks(r._3)).sum
+        val u1 = n1 * n2 + n1 * (n1 + 1) / 2 - r1
+        val ties = rows.groupBy(_._3).values
+          .map(g => g.size.toDouble).map(t => t * t * t - t).sum
+        val sigma2 = n1 * n2 / 12 * ((n + 1) - ties / (n * (n - 1)))
+        if (sigma2 > 0) {
+          val (_, gn1, gn2, gu, gz) = got(sg)
+          assert(gn1 == g1.size && gn2 == g2.size, s"q27 counts $sg")
+          assert(math.abs(gu - u1) < 1e-6, s"q27 U $sg")
+          val z = (u1 - n1 * n2 / 2) / math.sqrt(sigma2)
+          assert(math.abs(gz - z) < 1e-9, s"q27 z $sg")
+        }
+      } else assert(!got.contains(sg))
+    }
+  }
+
+  test("s31 linreg: per-inverter least-squares line matches brute force") {
+    val s = spark
+    import s.implicits._
+    val raw = Tables.events(s, SfDir)
+      .filter($"event_type" === "view")
+      .select($"user_id", expr("unix_micros(ts) div 1000000"), cents($"value"))
+      .as[(Long, Long, Long)].collect().toSeq
+    val got = solar.Solar.s31Linreg(s, SfDir)
+      .as[(Long, Long, Double, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got.nonEmpty)
+    raw.groupBy(_._1).foreach { case (inv, rows) =>
+      val x0 = rows.map(_._2).min
+      val xs = rows.map(r => (r._2 - x0).toDouble)
+      val ys = rows.map(_._3.toDouble)
+      val n = rows.size.toDouble
+      val mx = xs.sum / n; val my = ys.sum / n
+      val sxx = xs.map(a => (a - mx) * (a - mx)).sum
+      if (sxx > 0) {
+        val k = xs.zip(ys).map { case (a, b) => (a - mx) * (b - my) }.sum / sxx
+        val b = my - k * mx
+        val (_, gn, gslope, gb) = got(inv)
+        assert(gn == rows.size)
+        assert(math.abs(gslope - k * 3600 / 100) < 1e-6 * (1 + math.abs(gslope)),
+          s"s31 slope inverter $inv")
+        assert(math.abs(gb - b / 100) < 1e-6 * (1 + math.abs(gb)),
+          s"s31 intercept inverter $inv")
+      } else assert(!got.contains(inv))
+    }
+  }
+
+  test("q28 Cramer's V: chi-square and V match brute force; V in [0,1]") {
+    val s = spark
+    import s.implicits._
+    val raw = Tables.customer(s, SfDir)
+      .join(Tables.nation(s, SfDir), $"c_nationkey" === $"n_nationkey")
+      .select($"c_mktsegment", $"n_name")
+      .as[(String, String)].collect().toSeq
+    val cells = raw.groupBy(identity).view.mapValues(_.size.toDouble).toMap
+    val n = raw.size.toDouble
+    val rt = raw.groupBy(_._1).view.mapValues(_.size.toDouble).toMap
+    val ct = raw.groupBy(_._2).view.mapValues(_.size.toDouble).toMap
+    val chi2 = cells.map { case ((sg, nt), o) =>
+      val e = rt(sg) * ct(nt) / n
+      (o - e) * (o - e) / e
+    }.sum
+    val v = math.sqrt(chi2 / (n * math.min(rt.size - 1, ct.size - 1)))
+    val Array((gn, gr, gc, gchi, gv)) = relational.Relational.q28CramersV(s, SfDir)
+      .as[(Long, Long, Long, Double, Double)].collect()
+    assert(gn == raw.size && gr == rt.size && gc == ct.size)
+    assert(math.abs(gchi - chi2) < 1e-6 * (1 + chi2), "q28 chi2")
+    assert(math.abs(gv - v) < 1e-9 && gv >= 0.0 && gv <= 1.0, "q28 V")
+  }
+
+  test("t18 diversity: exact multiset identities per document") {
+    val s = spark
+    import s.implicits._
+    val docs = Tables.documents(s, SfDir)
+      .select($"doc_id", lower($"text")).as[(Long, String)].collect().toSeq
+    val got = t18Rows(s)
+    docs.foreach { case (id, txt) =>
+      val t = txt.split("\\s+").filter(_.nonEmpty)
+      val counts = t.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val nTok = t.length.toLong
+      val (gn, gd, gttr, gsimp, gtop) = got(id)
+      assert(gn == nTok && gd == counts.size.toLong, s"t18 counts doc $id")
+      assert(gttr == gd.toDouble / gn.toDouble, s"t18 ttr doc $id")
+      val pairs = counts.values.map(c => c * (c - 1)).sum
+      if (nTok > 1)
+        assert(gsimp == pairs.toDouble / (nTok * (nTok - 1)).toDouble, s"t18 simpson doc $id")
+      assert(gtop == counts.values.max.toDouble / nTok.toDouble, s"t18 top doc $id")
+    }
+  }
+
+  private def t18Rows(s: org.apache.spark.sql.SparkSession) = {
+    import s.implicits._
+    text.Text.t18Diversity(s, SfDir)
+      .as[(Long, Long, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4, r._5, r._6)).toMap
+  }
 }
