@@ -1059,7 +1059,96 @@ object Solar {
       .orderBy($"inverter")
   }
 
+  // ---------------------------------------------------------------------
+  // s32: ClickHouse `largestTriangleThreeBuckets(n)(x, y)` — the
+  // shape-preserving dashboard downsample (Steinarsson 2013): keep
+  // first and last reading; split the middle into n−2 equal buckets;
+  // in each bucket keep the point forming the LARGEST TRIANGLE with
+  // the previously kept point and the next bucket's centroid. Unlike
+  // s9's bucket averages this preserves spikes — the whole point of
+  // the algorithm. The per-bucket selection depends on the previous
+  // selection, so the middle pass is a sequential fold — expressed
+  // ENTIRELY as codegen'd array expressions after one
+  // groupBy(inverter) shuffle: sort once, precompute bucket
+  // centroids (pass 1), fold buckets left-to-right carrying the last
+  // kept point (pass 2). Nothing leaves the map side after the
+  // shuffle and per-inverter series are time-bounded (s20's
+  // justification), so state is O(series), output O(n). Selection is
+  // not SQL-expressible (sequential argmax chain) → rows-only driver
+  // entry; the spec reimplements full LTTB in Scala and demands
+  // bit-identical selections.
+  // ---------------------------------------------------------------------
+  val LttbPoints = 20
+
+  def s32Lttb(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val D38 = DecimalType(38, 0)
+    val nb = LttbPoints - 2 // middle buckets
+    // 0-based start index of middle bucket k in [1, n-1): exact
+    // integer floor via decimal divide + truncating cast.
+    def lo(k: Column, n: Column): Column =
+      lit(1L) + ((k.cast(D38) * (n - 2)) / lit(nb)).cast("long")
+    def area(px: Column, py: Column, ax: Column, ay: Column, c: Column): Column =
+      abs((px - ax) * (c.getField("y") - py) -
+        (px - c.getField("x").cast("double")) * (ay - py)) * 0.5
+    val n = size($"pts").cast("long")
+    // pass 1: bucket centroids (plain averages; x as double is fine —
+    // centroids are only triangle anchors, never output)
+    val centroid = transform(sequence(lit(0L), lit(nb.toLong - 1)), k => {
+      val cnt = lo(k + 1L, n) - lo(k, n)
+      val sl = slice($"pts", (lo(k, n) + 1L).cast("int"), cnt.cast("int"))
+      struct(
+        (aggregate(sl, lit(0.0), (a, p) => a + p.getField("x").cast("double")) / cnt)
+          .as("x"),
+        (aggregate(sl, lit(0.0), (a, p) => a + p.getField("y")) / cnt).as("y"))
+    })
+    // pass 2: sequential selection. State: (last kept point, output).
+    val first = element_at($"pts", 1)
+    val last = element_at($"pts", -1)
+    val sel = aggregate(
+      sequence(lit(0L), lit(nb.toLong - 1)),
+      struct(first.getField("x").cast("double").as("px"),
+        first.getField("y").as("py"),
+        array(first).as("out")),
+      (acc, k) => {
+        val ax = when(k < nb - 1L,
+          element_at($"cent", (k + 2L).cast("int")).getField("x"))
+          .otherwise(last.getField("x").cast("double"))
+        val ay = when(k < nb - 1L,
+          element_at($"cent", (k + 2L).cast("int")).getField("y"))
+          .otherwise(last.getField("y"))
+        val cnt = lo(k + 1L, n) - lo(k, n)
+        val cand = slice($"pts", (lo(k, n) + 1L).cast("int"), cnt.cast("int"))
+        // first-tie-wins argmax: strict > keeps the earliest best
+        val best = aggregate(cand,
+          struct(lit(-1.0).as("a"), element_at(cand, 1).as("p")),
+          (b, c) => {
+            val ar = area(acc.getField("px"), acc.getField("py"), ax, ay, c)
+            when(ar > b.getField("a"), struct(ar.as("a"), c.as("p")))
+              .otherwise(b)
+          },
+          b => b.getField("p"))
+        struct(best.getField("x").cast("double").as("px"),
+          best.getField("y").as("py"),
+          concat(acc.getField("out"), array(best)).as("out"))
+      },
+      acc => concat(acc.getField("out"), array(last)))
+    feed(s, d)
+      .filter($"event_type" === "purchase")
+      .select($"inverter",
+        struct(unix_micros($"ts").as("x"), $"value".as("y")).as("p"))
+      .groupBy($"inverter")
+      .agg(sort_array(collect_list($"p")).as("pts"))
+      .withColumn("cent", when(size($"pts") > LttbPoints, centroid))
+      .select($"inverter",
+        explode(when(size($"pts") <= LttbPoints, $"pts").otherwise(sel)).as("p"))
+      .select($"inverter",
+        timestamp_micros($"p.x").as("ts"), $"p.y".as("value"))
+      .orderBy($"inverter", $"ts")
+  }
+
   val queries: Map[String, Q] = Map(
+    "s32_lttb" -> (s32Lttb _),
     "s31_linreg" -> (s31Linreg _),
     "s30_rank_corr" -> (s30RankCorr _),
     "s29_welch_ttest" -> (s29WelchTtest _),

@@ -1104,4 +1104,75 @@ class QueriesSpec extends AnyFunSuite {
       .as[(Long, Long, Long, Double, Double, Double)].collect()
       .map(r => r._1 -> (r._2, r._3, r._4, r._5, r._6)).toMap
   }
+
+  /** Reference LTTB (Steinarsson 2013) mirroring the query's exact
+    * arithmetic: (x, y)-sorted input, integer bucket bounds, left-fold
+    * centroids, first-tie-wins argmax, double area ops in the same
+    * order. Selections must be BIT-identical, not merely close. */
+  private def lttbRef(pts0: Seq[(Long, Double)], nOut: Int): Seq[(Long, Double)] = {
+    val pts = pts0.sorted
+    val n = pts.size
+    if (n <= nOut) pts
+    else {
+      val nb = nOut - 2
+      def lo(k: Int): Int = (1 + k.toLong * (n - 2) / nb).toInt
+      val cent = (0 until nb).map { k =>
+        val c = pts.slice(lo(k), lo(k + 1))
+        var sx = 0.0; var sy = 0.0
+        c.foreach { p => sx += p._1.toDouble; sy += p._2 }
+        (sx / c.size, sy / c.size)
+      }
+      var px = pts.head._1.toDouble
+      var py = pts.head._2
+      val out = scala.collection.mutable.Buffer(pts.head)
+      for (k <- 0 until nb) {
+        val (ax, ay) =
+          if (k < nb - 1) cent(k + 1) else (pts.last._1.toDouble, pts.last._2)
+        val cand = pts.slice(lo(k), lo(k + 1))
+        var bestA = -1.0
+        var best = cand.head
+        cand.foreach { c =>
+          val ar = math.abs((px - ax) * (c._2 - py) -
+            (px - c._1.toDouble) * (ay - py)) * 0.5
+          if (ar > bestA) { bestA = ar; best = c }
+        }
+        px = best._1.toDouble; py = best._2
+        out += best
+      }
+      (out :+ pts.last).toSeq
+    }
+  }
+
+  test("s32 LTTB: bit-identical to the Scala reference; endpoints and sizes") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(7)
+    // spiky sine series: 150 pts (selection path), 25 (just above the
+    // keep-all threshold), 8 (below — passthrough)
+    val rows = Seq(150, 25, 8).zipWithIndex.flatMap { case (n, inv) =>
+      (0 until n).map { i =>
+        val xUs = 1700000000000000L + i.toLong * 60000000L
+        val y = math.sin(i / 7.0) * 100 +
+          (if (rnd.nextInt(17) == 0) 500.0 else 0.0) + rnd.nextDouble()
+        (inv.toLong, new java.sql.Timestamp(xUs / 1000), "purchase", y)
+      }
+    }
+    val dir = java.nio.file.Files.createTempDirectory("s32spec").toString
+    rows.toDF("user_id", "ts", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = solar.Solar.s32Lttb(s, dir)
+      .select($"inverter", unix_micros($"ts"), $"value")
+      .as[(Long, Long, Double)].collect().toSeq
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3))).toMap
+    rows.groupBy(_._1).foreach { case (inv, rs) =>
+      val pts = rs.map(r => (r._2.getTime * 1000L, r._4))
+      val expect = lttbRef(pts, solar.Solar.LttbPoints)
+      assert(got(inv) == expect, s"s32 inverter $inv diverged from reference")
+      if (rs.size > solar.Solar.LttbPoints)
+        assert(got(inv).size == solar.Solar.LttbPoints)
+      else assert(got(inv).size == rs.size)
+      assert(got(inv).head == pts.min && got(inv).last == pts.max,
+        "endpoints must be kept")
+    }
+  }
 }
