@@ -281,7 +281,54 @@ object Multimodal {
       .orderBy($"doc_id")
   }
 
+  // ---------------------------------------------------------------------
+  // m7: PERCEPTUAL-HASH IMAGE DEDUP — the image-side counterpart of
+  // the d-family (near-duplicate images survive re-encoding, so
+  // training pipelines dedup on a perceptual hash, not the file
+  // bytes). Average-hash shape: decode → tiny grayscale thumbnail →
+  // one bit per pixel (pixel ≥ thumbnail mean) → group by hash, emit
+  // in-bucket pairs. The decode is the FakeCodec seam (the 16 blob
+  // bytes stand in for the 4×4 thumbnail; a production build computes
+  // real pixels there — same function body, m1's discipline); the
+  // mean comparison is integer-exact (px·16 ≥ Σpx — no division), so
+  // the oracle rebuilds the hash bit-for-bit from the md5 hex. Scale
+  // shape: only (doc_id, ahash) ever leaves the map side; the
+  // groupBy buckets are duplicate clusters (bounded), pairs are
+  // emitted from sorted in-bucket arrays — never an all-pairs join.
+  // ---------------------------------------------------------------------
+  def m7PhashDedup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val hashed = Tables.documents(s, d)
+      .select($"doc_id", unhex(md5($"text")).as("blob"))
+      .as[Blob]
+      .mapPartitions { it =>
+        it.map { b =>
+          // STUB decode: blob bytes as the thumbnail pixels.
+          val px = b.blob.map(_ & 0xff)
+          val sum = px.sum
+          var h = 0
+          var i = 0
+          while (i < px.length) {
+            if (px(i) * px.length >= sum) h |= 1 << i
+            i += 1
+          }
+          (b.doc_id, h)
+        }
+      }
+      .toDF("doc_id", "ahash")
+    hashed
+      .groupBy($"ahash")
+      .agg(sort_array(collect_list($"doc_id")).as("ids"))
+      .filter(size($"ids") > 1)
+      .select($"ahash", explode(flatten(transform($"ids", (a, i) =>
+        transform(slice($"ids", i + 2, size($"ids")),
+          b => struct(a.as("doc_a"), b.as("doc_b")))))).as("p"))
+      .select($"p.doc_a", $"p.doc_b", $"ahash")
+      .orderBy($"doc_a", $"doc_b")
+  }
+
   val queries: Map[String, Q] = Map(
+    "m7_phash_dedup" -> (m7PhashDedup _),
     "m6_caption_retrieval" -> (m6CaptionRetrieval _),
     "m5_audio_chunks" -> (m5AudioChunks _),
     "m1_blob_meta" -> (m1BlobMeta _),
@@ -299,6 +346,19 @@ object Multimodal {
   private val sumBytes = (0 until 16).map(byteAt).mkString(" + ")
 
   val oracles: Map[String, String] = Map(
+    // m7: same byte rebuild, same integer mean rule (px·16 ≥ Σ),
+    // same bit packing; pairs via equality self-join.
+    "m7_phash_dedup" -> {
+      val bits = (0 until 16).map(j =>
+        s"(CASE WHEN ${byteAt(j)} * 16 >= s THEN ${1 << j} ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH b AS (SELECT doc_id, md5(text) AS h FROM documents),
+         s AS (SELECT doc_id, h, $sumBytes AS s FROM b),
+         a AS (SELECT doc_id, CAST($bits AS INT) AS ahash FROM s)
+         SELECT a1.doc_id AS doc_a, a2.doc_id AS doc_b, a1.ahash AS ahash
+         FROM a a1 JOIN a a2 ON a1.ahash = a2.ahash AND a1.doc_id < a2.doc_id
+         ORDER BY doc_a, doc_b"""
+    },
     // m6: feature rebuilt from the md5 hex (byteAt), cosine replayed
     // index-ordered exactly like the Sim oracles, arg-max via
     // row_number with the same (cos DESC, vec_id) tie rule.
