@@ -4,6 +4,7 @@ import graft.{Exact, Tables}
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.DecimalType
 
 /** Structured-Streaming re-expression of the reference's ingestion
   * loop (SURVEY §2.H).
@@ -302,7 +303,67 @@ object Streaming {
       .orderBy($"event_type")
   }
 
+  /** Windowed higher-moment rollup — the streaming face of s28's
+    * `skewPop`/`kurtPop` family. The state per open (hour, stream)
+    * window is ONE row of exact decimal power sums (count/Σc/Σc²/Σc³/
+    * Σc⁴ are all decomposable, so micro-batches merge losslessly and
+    * late data within the watermark revises exactly); the central-
+    * moment closed forms stay a stateless projection AFTER the
+    * aggregate, outside the state store. Batch and stream share this
+    * transform (st1's discipline). */
+  def momentsTransform(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val D38 = DecimalType(38, 0)
+    df.select($"ts", $"event_type", (dec($"value") * 100).cast("long").as("c"))
+      .select($"ts", $"event_type", $"c", ($"c" * $"c").as("c2"))
+      .withWatermark("ts", "2 hours")
+      .groupBy(window($"ts", "1 hour"), $"event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        sum($"c".cast(D38)).as("s1"),
+        sum($"c2".cast(D38)).as("s2"),
+        sum(($"c2" * $"c").cast(D38)).as("s3"),
+        sum($"c2".cast(D38) * $"c2".cast(D38)).as("s4"))
+  }
+
+  /** s28's double closed-form tree over [[momentsTransform]] output —
+    * shared by the batch query and the streaming spec so the finalize
+    * step cannot drift from the oracle. */
+  def momentsFinalize(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select($"window.start".as("hour"), $"event_type", $"n",
+      ($"s1".cast("double") / $"n".cast("double")).as("mu"),
+      ($"s2".cast("double") / $"n".cast("double")).as("r2"),
+      ($"s3".cast("double") / $"n".cast("double")).as("r3"),
+      ($"s4".cast("double") / $"n".cast("double")).as("r4"))
+      .select($"hour", $"event_type", $"n", $"mu",
+        ($"r2" - $"mu" * $"mu").as("m2"),
+        ($"r3" - lit(3.0) * $"mu" * $"r2" + lit(2.0) * $"mu" * $"mu" * $"mu")
+          .as("m3"),
+        ($"r4" - lit(4.0) * $"mu" * $"r3" + lit(6.0) * $"mu" * $"mu" * $"r2"
+          - lit(3.0) * $"mu" * $"mu" * $"mu" * $"mu").as("m4"))
+      .filter($"m2" > 0.0)
+      .select($"hour", $"event_type", $"n",
+        ($"mu" / 100.0).as("mean_v"),
+        (sqrt($"m2") / 100.0).as("stddev_pop"),
+        ($"m3" / ($"m2" * sqrt($"m2"))).as("skew_pop"),
+        ($"m4" / ($"m2" * $"m2")).as("kurt_pop"))
+  }
+
+  // ---------------------------------------------------------------------
+  // st5: driver-checked batch-equivalent of the windowed moments
+  // pipeline (real stream covered by StreamingSpec with MemoryStream).
+  // ---------------------------------------------------------------------
+  def st5StreamMoments(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    momentsFinalize(momentsTransform(Tables.events(s, d)))
+      .orderBy($"hour", $"event_type")
+  }
+
   val queries: Map[String, Q] = Map(
+    "st5_stream_moments" -> (st5StreamMoments _),
     "st4_dedup_ingest" -> (st4DedupIngest _),
     "st1_stream_hourly" -> (st1StreamHourly _),
     "st2_sliding_window" -> (st2SlidingWindow _),
@@ -310,6 +371,37 @@ object Streaming {
   )
 
   val oracles: Map[String, String] = Map(
+    // st5: s28's exact power sums and double tree at the (hour,
+    // event_type) grain (HUGEINT for c⁴).
+    "st5_stream_moments" ->
+      """WITH raw AS (
+           SELECT time_bucket(INTERVAL '1 hour', ts) AS hour, event_type,
+                  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+           FROM events),
+         sums AS (
+           SELECT hour, event_type, count(*) AS n,
+                  CAST(sum(c) AS DOUBLE) AS s1d,
+                  CAST(sum(c*c) AS DOUBLE) AS s2d,
+                  CAST(sum(c*c*c) AS DOUBLE) AS s3d,
+                  CAST(sum(CAST(c*c AS HUGEINT) * (c*c)) AS DOUBLE) AS s4d
+           FROM raw GROUP BY 1, 2),
+         mom AS (
+           SELECT hour, event_type, n,
+                  s1d / CAST(n AS DOUBLE) AS mu, s2d / CAST(n AS DOUBLE) AS r2,
+                  s3d / CAST(n AS DOUBLE) AS r3, s4d / CAST(n AS DOUBLE) AS r4
+           FROM sums),
+         cm AS (
+           SELECT hour, event_type, n, mu,
+                  r2 - mu*mu AS m2,
+                  r3 - 3.0*mu*r2 + 2.0*mu*mu*mu AS m3,
+                  r4 - 4.0*mu*r3 + 6.0*mu*mu*r2 - 3.0*mu*mu*mu*mu AS m4
+           FROM mom)
+         SELECT hour, event_type, CAST(n AS BIGINT) AS n,
+                mu / 100.0 AS mean_v,
+                sqrt(m2) / 100.0 AS stddev_pop,
+                m3 / (m2 * sqrt(m2)) AS skew_pop,
+                m4 / (m2 * m2) AS kurt_pop
+         FROM cm WHERE m2 > 0.0 ORDER BY hour, event_type""",
     // st4: dedup must exactly undo the re-delivery, so the oracle is
     // the CLEAN table's rollup — no duplication modeled at all.
     "st4_dedup_ingest" ->

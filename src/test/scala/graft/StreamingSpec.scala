@@ -61,6 +61,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.size == 4) // (h0 view, h0 click, h1 view, h2 purchase)
   }
 
+  test("windowed moments streaming aggregation equals the batch plan across micro-batches") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val data = Seq(
+      Ev(ts(0, 5), "view", 1.25), Ev(ts(0, 40), "view", 3.5),
+      Ev(ts(0, 50), "view", 2.0), Ev(ts(0, 10), "click", 2.0),
+      Ev(ts(1, 15), "view", 5.0), Ev(ts(1, 20), "view", 4.0),
+      Ev(ts(2, 0), "purchase", 7.5), Ev(ts(2, 30), "purchase", 2.5),
+      Ev(ts(2, 59), "purchase", 4.75))
+    val stream = MemoryStream[Ev]
+    stream.addData(data.take(4): _*)
+    val q = Streaming.momentsTransform(stream.toDF())
+      .writeStream.format("memory").queryName("st5_spec")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      // second micro-batch extends open windows: the decimal power
+      // sums must merge losslessly across batches
+      stream.addData(data.drop(4): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = Streaming.momentsFinalize(s.table("st5_spec"))
+      .collect().map(_.toSeq).toSet
+    val batch = Streaming.momentsFinalize(
+      Streaming.momentsTransform(data.toDF())).collect().map(_.toSeq).toSet
+    assert(streamed == batch)
+    // h0 view, h1 view and h2 purchase survive m2 > 0; the
+    // single-reading click group is filtered on both paths
+    assert(batch.size == 3)
+  }
+
   test("sliding-window streaming aggregation equals the batch plan; 4 windows per event") {
     val s = spark
     import s.implicits._
