@@ -133,6 +133,25 @@ object ScaleProbe {
           ($"o_custkey" + lit(k * 10000000L)).as("o_custkey")) ++ rest: _*)
       })
     }
+    if (!haveTable("customer")) {
+      // c_custkey offsets aligned with orders' o_custkey so the
+      // order→customer join semantics hold within each copy; the
+      // categorical columns (segment, nation) repeat — categories
+      // don't scale with the corpus, which is exactly the q27/q28
+      // contingency assumption.
+      val cu = Tables.customer(spark, base)
+      val rest = cu.columns.filterNot(_ == "c_custkey").map(col)
+      writeCopies("customer", ks.map { k =>
+        cu.select(($"c_custkey" + lit(k * 10000000L)).as("c_custkey") +: rest: _*)
+      })
+    }
+    if (!haveTable("nation")) {
+      // constant dimension: copied once, not blown up (category sets
+      // are fixed at any corpus scale)
+      Tables.nation(spark, base).write.mode("overwrite")
+        .parquet(s"$ProbeDir/nation.parquet")
+      println(s"[probe] copied nation (constant dim) at $ProbeDir")
+    }
   }
 
   def main(args: Array[String]): Unit = {
