@@ -61,6 +61,12 @@ object GraftExtensions extends SparkSessionExtensionsProvider {
         ApproxTopKAgg(args(0), intArg("approx_topk", 1, args(1)),
           intArg("approx_topk", 2, args(2)))))
     ext.injectFunction((
+      FunctionIdentifier("approx_topk_weighted"),
+      new ExpressionInfo(classOf[ApproxTopKAgg].getName, "approx_topk_weighted"),
+      (args: Seq[Expression]) =>
+        ApproxTopKAgg(args(0), intArg("approx_topk_weighted", 2, args(2)),
+          intArg("approx_topk_weighted", 3, args(3)), weight = args(1))))
+    ext.injectFunction((
       FunctionIdentifier("uniq_up_to"),
       new ExpressionInfo(classOf[UniqUpToAgg].getName, "uniq_up_to"),
       (args: Seq[Expression]) =>
@@ -92,6 +98,8 @@ object GraftFunctions {
     call_function("minhash_agg", shingle, lit(k))
   def approxTopK(item: Column, k: Int, w: Int): Column =
     call_function("approx_topk", item, lit(k), lit(w))
+  def approxTopKWeighted(item: Column, weight: Column, k: Int, w: Int): Column =
+    call_function("approx_topk_weighted", item, weight, lit(k), lit(w))
   def uniqUpTo(x: Column, n: Int): Column =
     call_function("uniq_up_to", x, lit(n))
   def bloomAgg(x: Column, numBits: Int, k: Int): Column =

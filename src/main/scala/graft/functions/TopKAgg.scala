@@ -44,6 +44,8 @@ case class ApproxTopKAgg(
     child: Expression,
     k: Int,
     w: Int,
+    weight: Expression =
+      org.apache.spark.sql.catalyst.expressions.Literal(1L),
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[mutable.HashMap[String, Long]] {
@@ -51,7 +53,7 @@ case class ApproxTopKAgg(
   require(k >= 1, "approx_topk(item, k, w): k must be >= 1")
   require(w >= k, "approx_topk(item, k, w): capacity w must be >= k")
 
-  override def children: Seq[Expression] = Seq(child)
+  override def children: Seq[Expression] = Seq(child, weight)
   override def nullable: Boolean = false
   override def prettyName: String = "approx_topk"
   override def dataType: DataType = ArrayType(
@@ -63,19 +65,31 @@ case class ApproxTopKAgg(
   override def createAggregationBuffer(): mutable.HashMap[String, Long] =
     mutable.HashMap.empty
 
+  /** Weighted MG update (Berinde et al. 2010 generalization; with
+    * weight ≡ 1 this is EXACTLY the classic step — every counter is
+    * ≥ 1, so δ = min(min-counter, 1) = 1 and no reinsert happens —
+    * which keeps the unweighted `approx_topk` behavior bit-for-bit).
+    * On a full summary: subtract δ = min(min-counter, wᵢ) from every
+    * counter (dropping zeros frees at least the min slot), then
+    * insert the new item with its surviving weight wᵢ − δ. */
   override def update(buf: mutable.HashMap[String, Long],
                       input: InternalRow): mutable.HashMap[String, Long] = {
     val v = child.eval(input)
-    if (v != null) {
+    val wv = weight.eval(input)
+    if (v != null && wv != null) {
       val s = v.asInstanceOf[UTF8String].toString
-      buf.get(s) match {
-        case Some(c) => buf(s) = c + 1
-        case None if buf.size < w => buf(s) = 1L
-        case None => // full: decrement all, drop zeros (MG step)
+      val wi = wv.asInstanceOf[Long]
+      require(wi >= 0, "approx_topk weight must be >= 0")
+      if (wi > 0) buf.get(s) match {
+        case Some(c) => buf(s) = c + wi
+        case None if buf.size < w => buf(s) = wi
+        case None =>
+          val d = math.min(buf.values.min, wi)
           buf.keys.toArray.foreach { key =>
-            val c = buf(key) - 1
+            val c = buf(key) - d
             if (c <= 0) buf.remove(key) else buf(key) = c
           }
+          if (wi - d > 0) buf(s) = wi - d
       }
     }
     buf
@@ -135,5 +149,5 @@ case class ApproxTopKAgg(
   override def withNewInputAggBufferOffset(newOffset: Int): ApproxTopKAgg =
     copy(inputAggBufferOffset = newOffset)
   override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): ApproxTopKAgg =
-    copy(child = newChildren.head)
+    copy(child = newChildren(0), weight = newChildren(1))
 }

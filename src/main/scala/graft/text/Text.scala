@@ -605,6 +605,30 @@ object Text {
   }
 
   // ---------------------------------------------------------------------
+  // t19: ClickHouse `topKWeighted` — heavy hitters by WEIGHT, not
+  // occurrence: which tokens dominate the corpus's character budget
+  // (weight = token length; the byte-mass question a tokenizer-budget
+  // analysis asks). Same Misra-Gries summary as t13 with the
+  // weighted update (δ = min(min-counter, wᵢ), remainder reinserted;
+  // Berinde et al. 2010 — weight ≡ 1 degenerates to the classic
+  // step bit-for-bit, TopKAggSpec-pinned). Same scale shape: w
+  // entries per (group × partition) shuffle regardless of distinct
+  // cardinality. Rows-only (sketch; W/(w+1) bound spec — t13/s15
+  // precedent).
+  // ---------------------------------------------------------------------
+  def t19TopkWeighted(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(explode(toks(lower($"text"))).as("wd"))
+      .select($"wd", length($"wd").cast("long").as("mass"))
+      .agg(graft.functions.GraftFunctions
+        .approxTopKWeighted($"wd", $"mass", TopNgrams, TopKSketchW).as("tk"))
+      .select(posexplode($"tk"))
+      .select(($"pos" + 1).as("rank"),
+        $"col.item".as("word"), $"col.est".as("est_mass"))
+  }
+
+  // ---------------------------------------------------------------------
   // t14: unigram language-model scoring — the CCNet/Gopher quality
   // idiom (score each document against a model of the corpus itself;
   // outliers are boilerplate or noise). The GRADED columns are exact
@@ -755,6 +779,7 @@ object Text {
   }
 
   val queries: Map[String, Q] = Map(
+    "t19_topk_weighted" -> (t19TopkWeighted _),
     "t18_diversity" -> (t18Diversity _),
     "t15_pii_redact" -> (t15PiiRedact _),
     "t14_unigram_lm" -> (t14UnigramLm _),

@@ -55,6 +55,58 @@ class TopKAggSpec extends AnyFunSuite {
     }
   }
 
+  /** Weighted full summary (k = w) at a given partitioning. */
+  private def wsummary(items: Seq[(String, Long)], parts: Int, w: Int): Map[String, Long] =
+    spark.createDataset(items).toDF("item", "wt")
+      .repartition(parts)
+      .agg(functions.GraftFunctions
+        .approxTopKWeighted(col("item"), col("wt"), w, w).as("tk"))
+      .select(explode(col("tk")).as("e"))
+      .select(col("e.item"), col("e.est"))
+      .as[(String, Long)].collect().toMap
+
+  test("approx_topk_weighted: W/(w+1) bound + presence on a skewed weighted feed") {
+    val w = 64
+    // heavy items carry their mass in FEW large-weight updates; the
+    // tail in many small ones — the shape that stresses the weighted
+    // decrement (delta = min(min-counter, w_i), reinsert remainder)
+    val heavies = (1 to 5).flatMap(i => Seq.fill(8)((s"heavy_$i", i * 500L)))
+    val tail = (1 to 8000).map(i => (s"tail_$i", 1L + i % 3))
+    val items = scala.util.Random.javaRandomToRandom(
+      new java.util.Random(11)).shuffle(heavies ++ tail)
+    val exact = items.groupBy(_._1).map { case (s, o) => s -> o.map(_._2).sum }
+    val totalW = items.map(_._2).sum
+    val bound = totalW / (w + 1)
+    for (parts <- Seq(1, 7, 32)) {
+      val sk = wsummary(items, parts, w)
+      sk.foreach { case (item, est) =>
+        val truth = exact(item)
+        assert(est <= truth, s"parts=$parts: $item overestimated ($est > $truth)")
+        assert(truth - est <= bound,
+          s"parts=$parts: $item error ${truth - est} exceeds W/(w+1)=$bound")
+      }
+      (1 to 5).foreach { i =>
+        assert(exact(s"heavy_$i") > bound)
+        assert(sk.contains(s"heavy_$i"),
+          s"parts=$parts: heavy_$i (mass ${exact(s"heavy_$i")} > $bound) missing")
+      }
+    }
+    // distinct <= w: the weighted summary is EXACT
+    val small = Seq(("a", 10L), ("b", 3L), ("a", 5L), ("c", 7L))
+    assert(wsummary(small, 3, 8) == Map("a" -> 15L, "b" -> 3L, "c" -> 7L))
+  }
+
+  test("approx_topk_weighted with weight 1 is bit-identical to approx_topk") {
+    // single partition: one partial buffer, deterministic update order
+    // (with >1 partial the MERGE ORDER is arrival-dependent — summary
+    // CONTENT then varies within the bound, which is why the bound
+    // specs above are partitioning-quantified and this one is not)
+    val items = (1 to 3000).map(i => s"it_${i % 97}")
+    val unweighted = summary(items, 1, 16)
+    val weighted = wsummary(items.map(_ -> 1L), 1, 16)
+    assert(weighted == unweighted)
+  }
+
   test("t13: sketch respects the MG bound against exact corpus bigram counts") {
     val w = text.Text.TopKSketchW
     val pairs = Tables.documents(spark, SfDir)
