@@ -625,7 +625,59 @@ object Dedup {
       .orderBy($"doc_id")
   }
 
+  /** d12's contamination threshold on the MinHash Jaccard estimate. */
+  val CrossNearDupMin = 0.5
+
+  // ---------------------------------------------------------------------
+  // d12: CROSS-CORPUS near-dup decontamination — t8 asks "which test
+  // docs leak exact train n-grams"; this asks the stronger Dolma/
+  // RefinedWeb question: which test docs are NEAR-DUPLICATES of any
+  // train doc (paraphrases and light edits survive exact-n-gram
+  // checks). Same content-addressed split as t7/t8 (md5 bucket10:
+  // ≤7 train, 9 test), d3's map-side MinHash signatures and banded
+  // LSH — but a train×test band JOIN instead of a self-join, so
+  // candidate generation is blocked by band bucket across the two
+  // corpora and neither side ever all-pairs. Per test doc: how many
+  // train near-dups above the threshold, and the best match
+  // (max estimate, min train_id on ties — deterministic). At 100 TB
+  // the train side's band keys are exactly what an incremental
+  // decontamination service would index.
+  // ---------------------------------------------------------------------
+  def d12CrossNeardup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val b10 = pmod(conv(substring(md5($"doc_id".cast("string")), 1, 6), 16, 10)
+      .cast("long"), lit(10L))
+    val sig = withScanParallelism(s, Tables.documents(s, d)
+      .filter(length($"text") >= ShingleLen))
+      .withColumn("b10", b10)
+      .filter($"b10" <= 7 || $"b10" === 9)
+      .select($"doc_id", ($"b10" <= 7).as("is_train"),
+        GraftFunctions.minhashSig($"text", K, ShingleLen).as("sig"))
+    val bands = sig
+      .select($"doc_id", $"is_train", $"sig", explode(array(bandStructs: _*)).as("bb"))
+      .select($"doc_id", $"is_train", $"sig", $"bb.band".as("band"), $"bb.bkey".as("bkey"))
+    val train = bands.filter($"is_train")
+      .select($"doc_id".as("train_id"), $"sig".as("tsig"), $"band", $"bkey")
+    val test = bands.filter(!$"is_train")
+      .select($"doc_id".as("test_id"), $"sig".as("qsig"), $"band", $"bkey")
+    test.join(train, Seq("band", "bkey"))
+      .select($"test_id", $"train_id",
+        size(filter(zip_with($"qsig", $"tsig", (x, y) => x === y), p => p))
+          .as("matches"))
+      .groupBy($"test_id", $"train_id")
+      .agg(max($"matches").as("matches"))
+      .withColumn("est_jaccard", $"matches".cast("double") / K)
+      .filter($"est_jaccard" >= CrossNearDupMin)
+      .groupBy($"test_id")
+      .agg(count(lit(1)).as("n_neardup_train"),
+        max(struct($"est_jaccard".as("e"), (-$"train_id").as("nid"))).as("b"))
+      .select($"test_id", $"n_neardup_train",
+        $"b.e".as("best_jaccard"), (-$"b.nid").as("best_train_id"))
+      .orderBy($"test_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "d12_cross_neardup" -> (d12CrossNeardup _),
     "d11_substring_dup" -> (d11SubstringDup _),
     "d10_semantic_keep" -> (d10SemanticKeep _),
     "d9_keep_list" -> (d9KeepList _),
@@ -704,6 +756,37 @@ object Dedup {
   }
 
   val oracles: Map[String, String] = Map(
+    // d12: same signature/band rebuild as d3's oracle, same split
+    // arithmetic as t7 (first-6-hex-digits mod 10), train×test band
+    // join, same single divide + threshold compare; best match via
+    // (est DESC, train_id ASC) — the max(struct(e, −id)) rule.
+    "d12_cross_neardup" ->
+      s"""WITH $lshCte,
+         spl AS (
+           SELECT doc_id,
+                  CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6) AS BIGINT) % 10 AS b10
+           FROM documents),
+         tb AS (
+           SELECT bands.doc_id, bands.sig, bands.band, bands.bkey, spl.b10
+           FROM bands JOIN spl USING (doc_id)),
+         cand AS (
+           SELECT te.doc_id AS test_id, tr.doc_id AS train_id,
+                  max(CAST(len(list_filter(range(1, ${K + 1}), i -> te.sig[i] = tr.sig[i])) AS INT)) AS matches
+           FROM tb te JOIN tb tr ON te.band = tr.band AND te.bkey = tr.bkey
+           WHERE te.b10 = 9 AND tr.b10 <= 7
+           GROUP BY 1, 2),
+         est AS (
+           SELECT test_id, train_id, CAST(matches AS DOUBLE) / $K AS est_jaccard
+           FROM cand WHERE CAST(matches AS DOUBLE) / $K >= $CrossNearDupMin),
+         rk AS (
+           SELECT test_id, train_id, est_jaccard,
+                  row_number() OVER (PARTITION BY test_id
+                                     ORDER BY est_jaccard DESC, train_id ASC) AS rn,
+                  count(*) OVER (PARTITION BY test_id) AS n
+           FROM est)
+         SELECT test_id, CAST(n AS BIGINT) AS n_neardup_train,
+                est_jaccard AS best_jaccard, train_id AS best_train_id
+         FROM rk WHERE rn = 1 ORDER BY test_id""",
     // d11: same anchor-gram construction (60-bit md5-slice hashes of
     // space-joined token 5-grams), duplicated positions via a
     // count(DISTINCT doc_id) >= 2 gram set, maximal spans via the
