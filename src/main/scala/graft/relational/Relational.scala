@@ -121,8 +121,14 @@ object Relational {
     * both. */
   def q7WindowRunning(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    // (l_orderkey, l_linenumber) is NOT unique in driver-generated
+    // lineitem (observed at sf0.1), so a ROWS running frame needs the
+    // measure columns as tiebreakers to stay engine-deterministic;
+    // rows identical in ALL sort columns would produce identical
+    // running sums either way.
     val w = Window.partitionBy($"l_suppkey")
-      .orderBy($"l_shipdate", $"l_orderkey", $"l_linenumber")
+      .orderBy($"l_shipdate", $"l_orderkey", $"l_linenumber",
+        $"l_partkey", $"l_quantity", $"l_extendedprice")
     val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     Tables.lineitem(s, d)
       .filter($"l_shipdate" >= lit("1998-01-01").cast("timestamp"))
@@ -807,10 +813,10 @@ object Relational {
     "q7_window_running" ->
       """SELECT l_suppkey, l_shipdate, l_orderkey, l_linenumber,
          ROW_NUMBER() OVER w AS rn,
-         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty
          FROM lineitem
          WHERE l_shipdate >= TIMESTAMP '1998-01-01'
-         WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber)
+         WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber, l_partkey, l_quantity, l_extendedprice)
          ORDER BY l_suppkey, rn""",
     "q10_antijoin" ->
       """SELECT c_mktsegment, COUNT(*) AS n_customers,
