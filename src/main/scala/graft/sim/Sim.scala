@@ -633,7 +633,36 @@ object Sim {
     centroids(s, d).select($"c_id", $"c_emb").as[(Int, Seq[Float])].collect().toSeq
   }
 
+  // ---------------------------------------------------------------------
+  // v11: FILTERED vector search — the production retrieval staple the
+  // v-family didn't cover: top-k under a metadata predicate ("nearest
+  // within my shard/tenant/language"). Strategy is PRE-filtering: the
+  // label predicate becomes the JOIN KEY of the broadcast query side,
+  // so only same-label vectors are ever scored (a hash join the
+  // optimizer can push to the scan) — never the post-filter shape
+  // that computes a global top-k first and keeps too few survivors.
+  // Per-query top-5 plans as the TopKPartial/TopKFinal heap (v2's
+  // machinery): shuffle bounded by k·queries, not corpus.
+  // ---------------------------------------------------------------------
+  def v11FilteredAnn(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, d)
+    val q = e.filter($"vec_id" < 5)
+      .select($"vec_id".as("q_id"), $"label".as("q_label"),
+        $"embedding".as("q_emb"))
+    val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id")
+    e.filter($"vec_id" >= 5)
+      .join(broadcast(q), $"label" === $"q_label")
+      .select($"q_id", $"vec_id", $"label",
+        cosineSim($"embedding", $"q_emb").as("cos"))
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 5)
+      .select($"q_id", $"rn".as("rank"), $"vec_id", $"label", $"cos")
+      .orderBy($"q_id", $"rank")
+  }
+
   val queries: Map[String, Q] = Map(
+    "v11_filtered_ann" -> (v11FilteredAnn _),
     "v1_knn_brute" -> (v1KnnBrute _),
     "v9_range_search" -> (v9RangeSearch _),
     "v2_knn_batch" -> (v2KnnBatch _),
@@ -667,6 +696,24 @@ object Sim {
       s"(CAST($x[i] AS DOUBLE) - CAST($y[i] AS DOUBLE)) * (CAST($x[i] AS DOUBLE) - CAST($y[i] AS DOUBLE))))"
 
   val oracles: Map[String, String] = Map(
+    // v11: same label-equality candidate set, same index-ordered
+    // cosine, same (cos DESC, vec_id) top-5 rule.
+    "v11_filtered_ann" ->
+      s"""WITH q AS (
+            SELECT vec_id AS q_id, label AS q_label, embedding AS q_emb
+            FROM embeddings WHERE vec_id < 5),
+          scored AS (
+            SELECT q_id, e.vec_id, e.label,
+                   ${cos("e.embedding", "q_emb")} AS cos
+            FROM embeddings e JOIN q ON e.label = q_label
+            WHERE e.vec_id >= 5),
+          r AS (
+            SELECT q_id, vec_id, label, cos,
+                   row_number() OVER (PARTITION BY q_id
+                                      ORDER BY cos DESC, vec_id) AS rn
+            FROM scored)
+          SELECT q_id, CAST(rn AS INT) AS rank, vec_id, label, cos
+          FROM r WHERE rn <= 5 ORDER BY q_id, rank""",
     // v8: v3's probe skeleton + v6's code/table CTEs, all-L2, ADC
     // restricted to probed cells.
     "v8_ivf_pq" ->
