@@ -778,7 +778,48 @@ object Text {
       .orderBy($"doc_id")
   }
 
+  // ---------------------------------------------------------------------
+  // t20: CCNet quality partition — the head/middle/tail corpus split
+  // (Wenzek 2020: rank the corpus by LM score, cut into tertiles;
+  // training recipes then sample the buckets at different rates).
+  // Ranking the WHOLE corpus needs a global total order — done with
+  // the distributed-ranking idiom, not a single-partition window:
+  // range-repartition on the (exact-rational, t14) score, local
+  // row_number per range partition, plus per-partition offsets from a
+  // triangular self-join over the tiny (≤ parallelism)-row counts
+  // table. global rank = offset + local rank is invariant to where
+  // the range boundaries land, every window partitions on a bounded
+  // key, and nothing collects. Bucket rule is exact integer
+  // (rank·3 vs n), ties broken by doc_id — fully deterministic.
+  // ---------------------------------------------------------------------
+  def t20QualityBuckets(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val nParts = s.sparkContext.defaultParallelism
+    val scored = t14UnigramLm(s, d).select($"doc_id", $"n_tokens", $"mean_prob")
+    val sorted = scored
+      .repartitionByRange(nParts, $"mean_prob".desc, $"doc_id")
+      .withColumn("pid", spark_partition_id())
+    val counts = sorted.groupBy($"pid").agg(count(lit(1)).as("c"))
+    val offsets = counts.as("a")
+      .join(counts.as("b"), $"b.pid" < $"a.pid", "left")
+      .groupBy($"a.pid")
+      .agg(coalesce(sum($"b.c"), lit(0L)).as("offset"))
+    val total = counts.agg(sum($"c").as("n"))
+    val wLocal = Window.partitionBy($"pid").orderBy($"mean_prob".desc, $"doc_id")
+    sorted
+      .join(broadcast(offsets), "pid")
+      .crossJoin(broadcast(total))
+      .withColumn("rank", $"offset" + row_number().over(wLocal))
+      .withColumn("bucket",
+        when($"rank" * 3 <= $"n", "head")
+          .when($"rank" * 3 <= $"n" * 2, "middle")
+          .otherwise("tail"))
+      .select($"doc_id", $"n_tokens", $"mean_prob", $"rank", $"bucket")
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "t20_quality_buckets" -> (t20QualityBuckets _),
     "t19_topk_weighted" -> (t19TopkWeighted _),
     "t18_diversity" -> (t18Diversity _),
     "t15_pii_redact" -> (t15PiiRedact _),
@@ -1012,6 +1053,35 @@ object Text {
                 CAST(n_oov AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS oov_frac,
                 (CAST(n_oov AS DOUBLE) / CAST(n_tokens AS DOUBLE)) <= $OovMax AS keep
          FROM per, tot ORDER BY doc_id""",
+    // t20: t14's exact mean_prob CTEs, global row_number over the
+    // same (mean_prob DESC, doc_id) order, same integer tertile rule.
+    "t20_quality_buckets" ->
+      s"""WITH tok AS (
+           SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                 t -> t <> '')) AS w
+           FROM documents),
+         dw AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS k FROM tok GROUP BY 1, 2),
+         cnt AS (SELECT w, CAST(sum(k) AS BIGINT) AS c FROM dw GROUP BY 1),
+         tot AS (SELECT CAST(sum(c) AS BIGINT) AS total FROM cnt),
+         per AS (
+           SELECT dw.doc_id, CAST(sum(dw.k) AS BIGINT) AS n_tokens,
+                  CAST(sum(dw.k * cnt.c) AS BIGINT) AS sum_cnt
+           FROM dw JOIN cnt ON dw.w = cnt.w
+           GROUP BY 1),
+         scored AS (
+           SELECT doc_id, n_tokens,
+                  CAST(sum_cnt AS DOUBLE) / CAST(n_tokens * total AS DOUBLE) AS mean_prob
+           FROM per, tot),
+         r AS (
+           SELECT doc_id, n_tokens, mean_prob,
+                  row_number() OVER (ORDER BY mean_prob DESC, doc_id) AS rank,
+                  count(*) OVER () AS n
+           FROM scored)
+         SELECT doc_id, n_tokens, mean_prob, CAST(rank AS BIGINT) AS rank,
+                CASE WHEN rank*3 <= n THEN 'head'
+                     WHEN rank*3 <= n*2 THEN 'middle'
+                     ELSE 'tail' END AS bucket
+         FROM r ORDER BY doc_id""",
     // t16: same content-addressed per-source cumulative gate.
     "t16_token_budget" ->
       s"""WITH x AS (
