@@ -18,6 +18,48 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * output partition's files non-overlapping without a global sort.
   */
 object MergeTreeSink {
+  /** MergeTree's INSERT model: each ingest lands as a NEW sorted part
+    * per month (parquet Append — never touching existing parts), the
+    * way every MergeTree insert creates a part. Parts accumulate until
+    * [[optimizePartition]] merges them; [[write]] remains the
+    * partition-replace re-materialization. */
+  def appendPart(df: DataFrame, path: String, tsCol: String, keyCol: String): Unit = {
+    df.withColumn("month", date_format(col(tsCol), "yyyyMM"))
+      .repartition(col("month"), col(keyCol))
+      .sortWithinPartitions(col("month"), col(keyCol), col(tsCol))
+      .write.mode(SaveMode.Append)
+      .partitionBy("month")
+      .parquet(path)
+  }
+
+  /** ClickHouse `OPTIMIZE TABLE … PARTITION` analog — the background
+    * merge MergeTree runs continuously: each [[write]] leaves one file
+    * per (month, key-hash) task, so a partition accumulates small
+    * files across ingests; this rewrites ONE month into `targetFiles`
+    * range-clustered files (non-overlapping key ranges — tighter than
+    * the hash layout it replaces), preserving (key, ts) sort and
+    * swapping the partition atomically via the dynamic-overwrite
+    * commit. The read is materialized (localCheckpoint, spills to
+    * disk) before the overwrite so the job never scans the directory
+    * it is replacing — the scope of that materialization is one month
+    * partition, the same bounded unit MergeTree merges. */
+  def optimizePartition(spark: org.apache.spark.sql.SparkSession, path: String,
+                        month: String, tsCol: String, keyCol: String,
+                        targetFiles: Int = 1): Unit = {
+    val part = spark.read.parquet(path)
+      .filter(col("month").cast("string") === month)
+    val merged = part
+      .repartitionByRange(targetFiles, col(keyCol), col(tsCol))
+      .sortWithinPartitions(col(keyCol), col(tsCol))
+      .localCheckpoint()
+    merged
+      .withColumn("month", col("month").cast("string"))
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("month")
+      .parquet(path)
+  }
+
   def write(df: DataFrame, path: String, tsCol: String, keyCol: String): Unit = {
     df.withColumn("month", date_format(col(tsCol), "yyyyMM"))
       .repartition(col("month"), col(keyCol))

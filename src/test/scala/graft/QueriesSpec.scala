@@ -1105,6 +1105,26 @@ class QueriesSpec extends AnyFunSuite {
       .map(r => r._1 -> (r._2, r._3, r._4, r._5, r._6)).toMap
   }
 
+  test("t20 distributed ranking: ranks are a permutation, order-consistent, tertiles exact") {
+    val s = spark
+    import s.implicits._
+    val rows = text.Text.t20QualityBuckets(s, SfDir)
+      .select($"doc_id", $"mean_prob", $"rank", $"bucket")
+      .as[(Long, Double, Long, String)].collect()
+    val n = rows.length
+    assert(rows.map(_._3).sorted.toSeq == (1L to n).toSeq,
+      "global ranks must be exactly 1..n — offsets + local row_numbers stitched wrong otherwise")
+    // rank order == (mean_prob DESC, doc_id ASC) order
+    val byRank = rows.sortBy(_._3)
+    assert(byRank.sliding(2).forall {
+      case Array(a, b) => a._2 > b._2 || (a._2 == b._2 && a._1 < b._1)
+      case _           => true
+    }, "rank must follow the (mean_prob DESC, doc_id) total order")
+    val sizes = rows.groupBy(_._4).view.mapValues(_.size).toMap
+    assert(sizes("head") == n / 3 && sizes("middle") == 2 * n / 3 - n / 3 &&
+      sizes("tail") == n - 2 * n / 3, s"tertile sizes off: $sizes")
+  }
+
   /** Reference LTTB (Steinarsson 2013) mirroring the query's exact
     * arithmetic: (x, y)-sorted input, integer bucket bounds, left-fold
     * centroids, first-tie-wins argmax, double area ops in the same

@@ -461,6 +461,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(s.read.parquet(dir).count() == feed.count())
   }
 
+  test("MergeTreeSink.optimizePartition merges one month's files; content, sort, other months intact") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("graft_mts_opt").toString
+    val feed = Tables.events(s, SfDir).withColumnRenamed("user_id", "inverter")
+    // two ingests = two parts per month, MergeTree's INSERT model
+    MergeTreeSink.appendPart(feed.filter(pmod($"event_id", lit(2)) === 0),
+      dir, "ts", "inverter")
+    MergeTreeSink.appendPart(feed.filter(pmod($"event_id", lit(2)) === 1),
+      dir, "ts", "inverter")
+    val monthDirs = new java.io.File(dir).listFiles().filter(_.isDirectory)
+    val target = monthDirs.maxBy(_.listFiles().count(_.getName.endsWith(".parquet")))
+    val month = target.getName.stripPrefix("month=")
+    assert(target.listFiles().count(_.getName.endsWith(".parquet")) > 1,
+      "need a multi-file month for the merge to be meaningful")
+    val beforeRows = s.read.parquet(dir).orderBy($"event_id").collect().toSeq
+    val otherListing = monthDirs.filterNot(_ == target)
+      .map(d => d.getName -> d.listFiles().map(_.getName).toSet).toMap
+    MergeTreeSink.optimizePartition(s, dir, month, "ts", "inverter")
+    val merged = new java.io.File(s"$dir/month=$month")
+      .listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(merged.length == 1, s"expected 1 merged file, got ${merged.length}")
+    assert(s.read.parquet(dir).orderBy($"event_id").collect().toSeq == beforeRows,
+      "optimize must preserve content exactly")
+    monthDirs.filterNot(_ == target).foreach { d =>
+      assert(d.listFiles().map(_.getName).toSet == otherListing(d.getName),
+        s"untouched month ${d.getName} was rewritten")
+    }
+    val rows = s.read.parquet(merged.head.toString)
+      .select($"inverter", unix_micros($"ts")).as[(Long, Long)].collect()
+    assert(rows.toSeq == rows.sortBy(identity[(Long, Long)]).toSeq,
+      "merged file must stay (inverter, ts)-sorted")
+  }
+
   test("BufferedStreamSink drainAvailable processes all pending data then terminates") {
     val s = spark
     import s.implicits._
