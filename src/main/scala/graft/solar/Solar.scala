@@ -1147,7 +1147,33 @@ object Solar {
       .orderBy($"inverter", $"ts")
   }
 
+  // ---------------------------------------------------------------------
+  // s33: ClickHouse `groupBitOr`/`groupBitAnd`/`groupBitXor` — the
+  // bitmask-register analysis every Modbus fleet runs on its status
+  // words: which alarm bits were EVER set (OR), which were ALWAYS set
+  // (AND — stuck-flag detector), and the set-count parity (XOR).
+  // The 16-bit status word is s1's raw_lo decode; everything is
+  // map-side integer arithmetic + one combine-enabled groupBy of
+  // three exact int64 bit-aggregates per inverter. Scales at
+  // scan-rate; shuffle is 3 longs per group.
+  // ---------------------------------------------------------------------
+  def s33BitAggregates(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    feed(s, d)
+      .filter($"event_type" === "error")
+      .select($"inverter",
+        (floor($"value" * 100).cast("long") % 65536).as("w"))
+      .groupBy($"inverter")
+      .agg(
+        count(lit(1)).as("n"),
+        expr("bit_or(w)").as("bits_ever"),
+        expr("bit_and(w)").as("bits_stuck"),
+        expr("bit_xor(w)").as("bits_parity"))
+      .orderBy($"inverter")
+  }
+
   val queries: Map[String, Q] = Map(
+    "s33_bit_aggregates" -> (s33BitAggregates _),
     "s32_lttb" -> (s32Lttb _),
     "s31_linreg" -> (s31Linreg _),
     "s30_rank_corr" -> (s30RankCorr _),
@@ -1210,6 +1236,18 @@ object Solar {
   // DuckDB oracles — each mirrors the Spark arithmetic exactly
   // (decimal sums, integer microseconds, double division).
   val oracles: Map[String, String] = Map(
+    // s33: s1's raw_lo decode, DuckDB's bit_and/bit_or/bit_xor on the
+    // same exact int64 words.
+    "s33_bit_aggregates" ->
+      """WITH w AS (
+           SELECT user_id AS inverter,
+                  CAST(floor(value * 100) AS BIGINT) % 65536 AS w
+           FROM events WHERE event_type = 'error')
+         SELECT inverter, count(*) AS n,
+                CAST(bit_or(w) AS BIGINT) AS bits_ever,
+                CAST(bit_and(w) AS BIGINT) AS bits_stuck,
+                CAST(bit_xor(w) AS BIGINT) AS bits_parity
+         FROM w GROUP BY 1 ORDER BY inverter""",
     // s30: identical doubled-average-rank construction (2r =
     // rank_asc + n + 1 − rank_desc, exact integers), HUGEINT rank
     // sums, then q26's Pearson double tree.
