@@ -1,7 +1,7 @@
 package graft.relational
 
 import graft.{Exact, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -603,7 +603,57 @@ object Relational {
       .orderBy($"n_customers")
   }
 
+  // ---------------------------------------------------------------------
+  // q29: ClickHouse `corrMatrix(x1, …, xn)` — every pairwise Pearson
+  // correlation of (quantity, price, discount) per return flag from
+  // ONE aggregation pass: the matrix aggregate's whole point is that
+  // n measures need one scan computing the n + n + n(n+1)/2 exact
+  // sums (Σxi, Σxi², Σxixj), not n(n−1)/2 separate q26 runs. Closed
+  // forms are q26's mirrored double tree per pair; degenerate pairs
+  // (zero variance) yield NULL on both engines via the same exact-
+  // decimal guard. Output is the tidy upper triangle (m_a < m_b).
+  // ---------------------------------------------------------------------
+  def q29CorrMatrix(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val D38 = DecimalType(38, 0)
+    val sums = Tables.lineitem(s, d)
+      .select($"l_returnflag",
+        $"l_quantity".cast("long").as("x1"),
+        (dec($"l_extendedprice") * 100).cast("long").as("x2"),
+        (dec($"l_discount") * 100).cast("long").as("x3"))
+      .groupBy($"l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        sum($"x1".cast(D38)).as("s1"),
+        sum($"x2".cast(D38)).as("s2"),
+        sum($"x3".cast(D38)).as("s3"),
+        sum(($"x1" * $"x1").cast(D38)).as("q11"),
+        sum($"x2".cast(D38) * $"x2".cast(D38)).as("q22"),
+        sum(($"x3" * $"x3").cast(D38)).as("q33"),
+        sum(($"x1" * $"x2").cast(D38)).as("q12"),
+        sum(($"x1" * $"x3").cast(D38)).as("q13"),
+        sum(($"x2" * $"x3").cast(D38)).as("q23"))
+    def corr(sa: Column, sb: Column, qaa: Column, qbb: Column, qab: Column): Column = {
+      val nd = $"n".cast("double")
+      when(($"n" * qaa - sa * sa > 0) && ($"n" * qbb - sb * sb > 0),
+        (nd * qab.cast("double") - sa.cast("double") * sb.cast("double")) /
+          (sqrt(nd * qaa.cast("double") - sa.cast("double") * sa.cast("double")) *
+            sqrt(nd * qbb.cast("double") - sb.cast("double") * sb.cast("double"))))
+    }
+    sums
+      .select($"l_returnflag", $"n", explode(array(
+        struct(lit("qty").as("m_a"), lit("price").as("m_b"),
+          corr($"s1", $"s2", $"q11", $"q22", $"q12").as("corr")),
+        struct(lit("qty").as("m_a"), lit("disc").as("m_b"),
+          corr($"s1", $"s3", $"q11", $"q33", $"q13").as("corr")),
+        struct(lit("disc").as("m_a"), lit("price").as("m_b"),
+          corr($"s3", $"s2", $"q33", $"q22", $"q23").as("corr")))).as("p"))
+      .select($"l_returnflag", $"n", $"p.m_a", $"p.m_b", $"p.corr")
+      .orderBy($"l_returnflag", $"m_a", $"m_b")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q29_corr_matrix" -> (q29CorrMatrix _),
     "q28_cramers_v" -> (q28CramersV _),
     "q27_mann_whitney" -> (q27MannWhitney _),
     "q26_corr" -> (q26Corr _),
@@ -633,6 +683,46 @@ object Relational {
   // arithmetic exactly (decimal sums, double division) so results are
   // bit-identical, not merely close.
   val oracles: Map[String, String] = Map(
+    // q29: one pass of exact HUGEINT sums, q26's double tree per
+    // pair, same zero-variance NULL guard, same tidy triangle.
+    "q29_corr_matrix" ->
+      """WITH raw AS (
+           SELECT l_returnflag,
+                  CAST(l_quantity AS BIGINT) AS x1,
+                  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS x2,
+                  CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT) AS x3
+           FROM lineitem),
+         sums AS (
+           SELECT l_returnflag, count(*) AS n,
+                  sum(x1) AS s1, sum(x2) AS s2, sum(x3) AS s3,
+                  sum(x1*x1) AS q11, sum(CAST(x2 AS HUGEINT)*x2) AS q22,
+                  sum(x3*x3) AS q33,
+                  sum(x1*x2) AS q12, sum(x1*x3) AS q13,
+                  sum(CAST(x2 AS HUGEINT)*x3) AS q23
+           FROM raw GROUP BY 1),
+         m AS (
+           SELECT l_returnflag, n, 'qty' AS m_a, 'price' AS m_b,
+                  CASE WHEN n*q11 - s1*s1 > 0 AND n*q22 - s2*s2 > 0 THEN
+                    (CAST(n AS DOUBLE)*CAST(q12 AS DOUBLE) - CAST(s1 AS DOUBLE)*CAST(s2 AS DOUBLE)) /
+                    (sqrt(CAST(n AS DOUBLE)*CAST(q11 AS DOUBLE) - CAST(s1 AS DOUBLE)*CAST(s1 AS DOUBLE)) *
+                     sqrt(CAST(n AS DOUBLE)*CAST(q22 AS DOUBLE) - CAST(s2 AS DOUBLE)*CAST(s2 AS DOUBLE))) END AS corr
+           FROM sums
+           UNION ALL
+           SELECT l_returnflag, n, 'qty', 'disc',
+                  CASE WHEN n*q11 - s1*s1 > 0 AND n*q33 - s3*s3 > 0 THEN
+                    (CAST(n AS DOUBLE)*CAST(q13 AS DOUBLE) - CAST(s1 AS DOUBLE)*CAST(s3 AS DOUBLE)) /
+                    (sqrt(CAST(n AS DOUBLE)*CAST(q11 AS DOUBLE) - CAST(s1 AS DOUBLE)*CAST(s1 AS DOUBLE)) *
+                     sqrt(CAST(n AS DOUBLE)*CAST(q33 AS DOUBLE) - CAST(s3 AS DOUBLE)*CAST(s3 AS DOUBLE))) END
+           FROM sums
+           UNION ALL
+           SELECT l_returnflag, n, 'disc', 'price',
+                  CASE WHEN n*q33 - s3*s3 > 0 AND n*q22 - s2*s2 > 0 THEN
+                    (CAST(n AS DOUBLE)*CAST(q23 AS DOUBLE) - CAST(s3 AS DOUBLE)*CAST(s2 AS DOUBLE)) /
+                    (sqrt(CAST(n AS DOUBLE)*CAST(q33 AS DOUBLE) - CAST(s3 AS DOUBLE)*CAST(s3 AS DOUBLE)) *
+                     sqrt(CAST(n AS DOUBLE)*CAST(q22 AS DOUBLE) - CAST(s2 AS DOUBLE)*CAST(s2 AS DOUBLE))) END
+           FROM sums)
+         SELECT l_returnflag, CAST(n AS BIGINT) AS n, m_a, m_b, corr
+         FROM m ORDER BY l_returnflag, m_a, m_b""",
     // q28: same exact HUGEINT cell products, one divide per cell,
     // and the SAME (seg, nat)-sorted fold order for the χ² total.
     "q28_cramers_v" ->
