@@ -145,6 +145,15 @@ object ScaleProbe {
         cu.select(($"c_custkey" + lit(k * 10000000L)).as("c_custkey") +: rest: _*)
       })
     }
+    if (!haveTable("lineitem")) {
+      // l_orderkey offsets aligned with orders' o_orderkey so
+      // order→line join semantics hold within each copy
+      val li = Tables.lineitem(spark, base)
+      val rest = li.columns.filterNot(_ == "l_orderkey").map(col)
+      writeCopies("lineitem", ks.map { k =>
+        li.select(($"l_orderkey" + lit(k * 100000000L)).as("l_orderkey") +: rest: _*)
+      })
+    }
     if (!haveTable("nation")) {
       // constant dimension: copied once, not blown up (category sets
       // are fixed at any corpus scale)
