@@ -217,12 +217,15 @@ object Events {
       .select($"day", $"b.us".as("us"), $"b.delta".as("delta"))
     val sweep = Window.partitionBy($"day").orderBy($"us".asc, $"delta".desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val peaks = bounds
+    // n_started is the per-day count of +1 boundaries — derived from
+    // the SAME sweep input, so the session assembly (two windows + an
+    // aggregate) is evaluated once, not once per output column
+    bounds
       .withColumn("cur", sum($"delta").over(sweep))
       .groupBy($"day")
-      .agg(max($"cur").as("peak_concurrent"))
-    sess.groupBy($"day").agg(count(lit(1)).as("n_started"))
-      .join(peaks, "day")
+      .agg(
+        sum(when($"delta" === 1, 1L).otherwise(0L)).as("n_started"),
+        max($"cur").as("peak_concurrent"))
       .select($"day", $"n_started", $"peak_concurrent")
       .orderBy($"day")
   }

@@ -98,6 +98,12 @@ case class BloomFilterAgg(
   require(numHashes >= 1 && numHashes <= 16,
     "bloom_agg(x, m, k): k must be in [1, 16]")
 
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ByteType | ShortType | IntegerType | LongType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects an integral input, got ${t.sql}")
+  }
+
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false
   override def dataType: DataType = BinaryType

@@ -54,6 +54,22 @@ case class ApproxTopKAgg(
   require(w >= k, "approx_topk(item, k, w): capacity w must be >= k")
 
   override def children: Seq[Expression] = Seq(child, weight)
+
+  // analysis-time contract: a wrong item/weight type should be a
+  // readable error, not an executor ClassCastException mid-job
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+    child.dataType match {
+      case StringType =>
+        weight.dataType match {
+          case ByteType | ShortType | IntegerType | LongType => TypeCheckSuccess
+          case t => TypeCheckFailure(
+            s"$prettyName expects an integral weight, got ${t.sql}")
+        }
+      case t => TypeCheckFailure(s"$prettyName expects a STRING item, got ${t.sql}")
+    }
+  }
   override def nullable: Boolean = false
   override def prettyName: String = "approx_topk"
   override def dataType: DataType = ArrayType(
@@ -78,7 +94,7 @@ case class ApproxTopKAgg(
     val wv = weight.eval(input)
     if (v != null && wv != null) {
       val s = v.asInstanceOf[UTF8String].toString
-      val wi = wv.asInstanceOf[Long]
+      val wi = wv.asInstanceOf[Number].longValue()
       require(wi >= 0, "approx_topk weight must be >= 0")
       if (wi > 0) buf.get(s) match {
         case Some(c) => buf(s) = c + wi

@@ -39,6 +39,14 @@ case class UniqUpToAgg(
   override def dataType: DataType = IntegerType
   override def prettyName: String = "uniq_up_to"
 
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult = child.dataType match {
+    case ByteType | ShortType | IntegerType | LongType =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+      .TypeCheckFailure(s"$prettyName expects an integral input, got ${t.sql}")
+  }
+
   private val cap = n + 1
 
   override def createAggregationBuffer(): java.util.HashSet[Long] =

@@ -578,13 +578,16 @@ object Relational {
       .join(broadcast(nat), $"c_nationkey" === $"n_nationkey")
       .groupBy($"c_mktsegment".as("seg"), $"n_name".as("nat"))
       .agg(count(lit(1)).as("o"))
-    val rt = cells.groupBy($"seg").agg(sum($"o").as("rt"))
-    val ct = cells.groupBy($"nat").agg(sum($"o").as("ct"))
+    // row/column totals as windows OVER the (tiny, category-bounded)
+    // contingency rows themselves — not separate re-aggregations of
+    // the fact-sized first groupBy, which would re-evaluate it per
+    // branch; only the grand-total aggregate remains a second branch
+    val withTotals = cells
+      .withColumn("rt", sum($"o").over(Window.partitionBy($"seg")))
+      .withColumn("ct", sum($"o").over(Window.partitionBy($"nat")))
     val tot = cells.agg(sum($"o").as("n"),
       countDistinct($"seg").as("r"), countDistinct($"nat").as("c"))
-    cells
-      .join(broadcast(rt), "seg")
-      .join(broadcast(ct), "nat")
+    withTotals
       .crossJoin(broadcast(tot))
       .select($"seg", $"nat", $"n", $"r", $"c",
         ($"o".cast(D38) * $"n" - $"rt".cast(D38) * $"ct").cast("double").as("numd"),

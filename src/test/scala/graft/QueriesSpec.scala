@@ -1123,6 +1123,17 @@ class QueriesSpec extends AnyFunSuite {
     val sizes = rows.groupBy(_._4).view.mapValues(_.size).toMap
     assert(sizes("head") == n / 3 && sizes("middle") == 2 * n / 3 - n / 3 &&
       sizes("tail") == n - 2 * n / 3, s"tertile sizes off: $sizes")
+    // the offset stitch reads the range exchange from two plan
+    // branches; prove the result does NOT depend on ReuseExchange
+    // collapsing them (range boundary sampling is deterministic)
+    s.conf.set("spark.sql.exchange.reuse", "false")
+    try {
+      val off = text.Text.t20QualityBuckets(s, SfDir)
+        .select($"doc_id", $"mean_prob", $"rank", $"bucket")
+        .as[(Long, Double, Long, String)].collect()
+      assert(off.sortBy(_._1).toSeq == rows.sortBy(_._1).toSeq,
+        "t20 must be invariant to exchange-reuse being disabled")
+    } finally s.conf.unset("spark.sql.exchange.reuse")
   }
 
   /** Reference LTTB (Steinarsson 2013) mirroring the query's exact

@@ -107,6 +107,29 @@ class TopKAggSpec extends AnyFunSuite {
     assert(weighted == unweighted)
   }
 
+  test("type contract: analysis-time errors for bad inputs; integral weights widen") {
+    // INT-typed weight must widen to long, not ClassCastException
+    val r = Seq("a", "a", "b").toDF("x")
+      .agg(expr("approx_topk_weighted(x, 2, 2, 8)")).collect()
+    assert(r.head.getSeq[org.apache.spark.sql.Row](0)
+      .map(e => (e.getString(0), e.getLong(1))) == Seq(("a", 4L), ("b", 2L)))
+    // wrong item/input types are readable ANALYSIS errors, not
+    // executor ClassCastExceptions mid-job
+    val e1 = intercept[Exception] {
+      Seq(1L).toDF("x").agg(expr("approx_topk(x, 1, 8)")).collect()
+    }
+    assert(e1.getMessage.contains("STRING item"))
+    val e2 = intercept[Exception] {
+      Seq("a").toDF("x").agg(expr("uniq_up_to(x, 5)")).collect()
+    }
+    assert(e2.getMessage.contains("integral input"))
+    val e3 = intercept[Exception] {
+      Seq(("a", "b")).toDF("x", "w")
+        .agg(expr("approx_topk_weighted(x, w, 1, 8)")).collect()
+    }
+    assert(e3.getMessage.contains("integral weight"))
+  }
+
   test("t13: sketch respects the MG bound against exact corpus bigram counts") {
     val w = text.Text.TopKSketchW
     val pairs = Tables.documents(spark, SfDir)
