@@ -65,7 +65,8 @@ object GraftExtensions extends SparkSessionExtensionsProvider {
       new ExpressionInfo(classOf[ApproxTopKAgg].getName, "approx_topk_weighted"),
       (args: Seq[Expression]) =>
         ApproxTopKAgg(args(0), intArg("approx_topk_weighted", 2, args(2)),
-          intArg("approx_topk_weighted", 3, args(3)), weight = args(1))))
+          intArg("approx_topk_weighted", 3, args(3)), weight = args(1),
+          weighted = true)))
     ext.injectFunction((
       FunctionIdentifier("uniq_up_to"),
       new ExpressionInfo(classOf[UniqUpToAgg].getName, "uniq_up_to"),

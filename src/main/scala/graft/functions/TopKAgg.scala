@@ -46,6 +46,7 @@ case class ApproxTopKAgg(
     w: Int,
     weight: Expression =
       org.apache.spark.sql.catalyst.expressions.Literal(1L),
+    weighted: Boolean = false,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[mutable.HashMap[String, Long]] {
@@ -71,7 +72,10 @@ case class ApproxTopKAgg(
     }
   }
   override def nullable: Boolean = false
-  override def prettyName: String = "approx_topk"
+  // analysis errors and plan output must name the SQL function the
+  // user actually called, not the shared implementation class
+  override def prettyName: String =
+    if (weighted) "approx_topk_weighted" else "approx_topk"
   override def dataType: DataType = ArrayType(
     StructType(Seq(
       StructField("item", StringType, nullable = false),
@@ -87,7 +91,14 @@ case class ApproxTopKAgg(
     * which keeps the unweighted `approx_topk` behavior bit-for-bit).
     * On a full summary: subtract δ = min(min-counter, wᵢ) from every
     * counter (dropping zeros frees at least the min slot), then
-    * insert the new item with its surviving weight wᵢ − δ. */
+    * insert the new item with its surviving weight wᵢ − δ.
+    *
+    * Runtime policy for degenerate weights, decided explicitly (the
+    * summary's error bound is stated over non-negative weights only,
+    * and a value-level check can't live in checkInputDataTypes):
+    * null and non-positive weights are SKIPPED, like null items — a
+    * single bad row must not abort a corpus-scale job with an
+    * executor-side require failure. Spec-pinned in TopKAggSpec. */
   override def update(buf: mutable.HashMap[String, Long],
                       input: InternalRow): mutable.HashMap[String, Long] = {
     val v = child.eval(input)
@@ -95,7 +106,6 @@ case class ApproxTopKAgg(
     if (v != null && wv != null) {
       val s = v.asInstanceOf[UTF8String].toString
       val wi = wv.asInstanceOf[Number].longValue()
-      require(wi >= 0, "approx_topk weight must be >= 0")
       if (wi > 0) buf.get(s) match {
         case Some(c) => buf(s) = c + wi
         case None if buf.size < w => buf(s) = wi

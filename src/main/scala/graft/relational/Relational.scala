@@ -580,25 +580,28 @@ object Relational {
       .agg(count(lit(1)).as("o"))
     // row/column totals as windows OVER the (tiny, category-bounded)
     // contingency rows themselves — not separate re-aggregations of
-    // the fact-sized first groupBy, which would re-evaluate it per
-    // branch; only the grand-total aggregate remains a second branch
+    // the fact-sized first groupBy; and the grand totals (n, r, c)
+    // come from the SAME final global aggregate that assembles the
+    // cell list, so the customer-scale subtree is a single plan
+    // branch (no reliance on ReuseExchange, no post-shuffle re-agg).
+    // Per-cell terms are then computed inside the fold — each cell's
+    // (o, rt, ct) against the group's n — with the identical
+    // decimal-then-double op sequence the oracle mirrors.
     val withTotals = cells
       .withColumn("rt", sum($"o").over(Window.partitionBy($"seg")))
       .withColumn("ct", sum($"o").over(Window.partitionBy($"nat")))
-    val tot = cells.agg(sum($"o").as("n"),
-      countDistinct($"seg").as("r"), countDistinct($"nat").as("c"))
     withTotals
-      .crossJoin(broadcast(tot))
-      .select($"seg", $"nat", $"n", $"r", $"c",
-        ($"o".cast(D38) * $"n" - $"rt".cast(D38) * $"ct").cast("double").as("numd"),
-        ($"n".cast(D38) * $"rt" * $"ct").cast("double").as("dend"))
-      .select($"seg", $"nat", $"n", $"r", $"c",
-        ($"numd" * $"numd" / $"dend").as("term"))
-      .groupBy($"n", $"r", $"c")
-      .agg(collect_list(struct($"seg", $"nat", $"term")).as("cells"))
+      .agg(sum($"o").as("n"),
+        countDistinct($"seg").as("r"), countDistinct($"nat").as("c"),
+        collect_list(struct($"seg", $"nat", $"o", $"rt", $"ct")).as("cells"))
       .select($"n", $"r", $"c",
-        aggregate(sort_array($"cells"), lit(0.0),
-          (acc, x) => acc + x.getField("term")).as("chi2"))
+        aggregate(sort_array($"cells"), lit(0.0), (acc, x) => {
+          val numd = (x.getField("o").cast(D38) * $"n" -
+            x.getField("rt").cast(D38) * x.getField("ct")).cast("double")
+          val dend = ($"n".cast(D38) * x.getField("rt") * x.getField("ct"))
+            .cast("double")
+          acc + numd * numd / dend
+        }).as("chi2"))
       .select($"n".as("n_customers"), $"r", $"c", $"chi2",
         sqrt($"chi2" /
           ($"n".cast("double") * least($"r" - 1, $"c" - 1).cast("double")))

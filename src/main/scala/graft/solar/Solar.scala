@@ -772,6 +772,11 @@ object Solar {
   // sort_array(collect_list(struct)) is safe because the collected
   // set is bounded by the REGISTER CATALOG (≤5 streams), not by
   // corpus rows. No map-typed shuffle ever carries raw readings.
+  // The GRADED output posexplodes the assembled map back to one
+  // scalar row per key, carrying `idx` (the key's position in the
+  // sorted array) — array/map cells are not hashable by the driver's
+  // pandas comparator, and the exploded encoding proves the same
+  // alignment: idx must equal the dense rank of the key.
   // ---------------------------------------------------------------------
   def s25SumMap(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -784,12 +789,13 @@ object Solar {
       .agg(
         sort_array(collect_list(struct($"event_type", $"sum_d", $"max_v", $"n")))
           .as("kv"))
-      .select($"inverter", $"hour",
-        $"kv.event_type".as("map_keys"),
-        $"kv.sum_d".cast("array<double>").as("sum_values"),
-        $"kv.max_v".as("max_values"),
-        $"kv.n".as("n_values"))
-      .orderBy($"inverter", $"hour")
+      .select($"inverter", $"hour", posexplode($"kv"))
+      .select($"inverter", $"hour", $"pos".cast("int").as("idx"),
+        $"col.event_type".as("stream"),
+        $"col.sum_d".cast("double").as("sum_d"),
+        $"col.max_v".as("max_v"),
+        $"col.n".as("n"))
+      .orderBy($"inverter", $"hour", $"idx")
   }
 
   // ---------------------------------------------------------------------
@@ -1710,21 +1716,23 @@ object Solar {
          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                       ROWS BETWEEN ${MovingN - 1} PRECEDING AND CURRENT ROW)
          ORDER BY inverter, ts, event_id""",
-    // s25: inner per-stream aggregate, then key-ordered list() — the
-    // struct sort key (event_type) is unique within each group, so
-    // both engines assemble identical arrays.
+    // s25: inner per-stream aggregate; the graded encoding is the
+    // EXPLODED map — one row per (group, key) with the key's sorted
+    // position as idx (row_number over the unique event_type key
+    // reproduces sort_array's order exactly).
     "s25_summap" ->
       """WITH i AS (
-           SELECT user_id AS inverter, date_trunc('hour', ts) AS hour, event_type,
+           SELECT user_id AS inverter, date_trunc('hour', ts) AS hour,
+                  event_type AS stream,
                   sum(CAST(value AS DECIMAL(18,2))) AS sum_d,
                   max(value) AS max_v, count(*) AS n
            FROM events GROUP BY 1, 2, 3)
          SELECT inverter, hour,
-                list(event_type ORDER BY event_type) AS map_keys,
-                list(CAST(sum_d AS DOUBLE) ORDER BY event_type) AS sum_values,
-                list(max_v ORDER BY event_type) AS max_values,
-                list(CAST(n AS BIGINT) ORDER BY event_type) AS n_values
-         FROM i GROUP BY 1, 2 ORDER BY inverter, hour""",
+                CAST(row_number() OVER (PARTITION BY inverter, hour
+                                        ORDER BY stream) - 1 AS INT) AS idx,
+                stream, CAST(sum_d AS DOUBLE) AS sum_d, max_v,
+                CAST(n AS BIGINT) AS n
+         FROM i ORDER BY inverter, hour, idx""",
     // s26: same lag window; only positive deltas summed (decimal).
     "s26_delta_sum" ->
       """WITH o AS (

@@ -791,6 +791,17 @@ object Text {
   // the range boundaries land, every window partitions on a bounded
   // key, and nothing collects. Bucket rule is exact integer
   // (rank·3 vs n), ties broken by doc_id — fully deterministic.
+  // The ranked projection is persist()ed: RangePartitioner seeds its
+  // reservoir sample per physical exchange, so the counts/offsets/
+  // total branches MUST scan the same materialized partitioning as
+  // the ranked rows — with separate exchanges the boundaries (and so
+  // the pid each row lands in) can differ once real-scale inputs
+  // exceed the sample size, and "offset + local rank" silently stops
+  // being a permutation. persist routes every branch through one
+  // InMemoryRelation (the CacheManager dedupes repeat builder calls
+  // by canonicalized plan, so the slim (doc_id, n_tokens, mean_prob,
+  // pid) cache is bounded per session and cheap at any corpus size
+  // relative to the corpus itself).
   // ---------------------------------------------------------------------
   def t20QualityBuckets(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -799,6 +810,7 @@ object Text {
     val sorted = scored
       .repartitionByRange(nParts, $"mean_prob".desc, $"doc_id")
       .withColumn("pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val counts = sorted.groupBy($"pid").agg(count(lit(1)).as("c"))
     val offsets = counts.as("a")
       .join(counts.as("b"), $"b.pid" < $"a.pid", "left")

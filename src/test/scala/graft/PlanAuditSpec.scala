@@ -71,6 +71,25 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("comparator contract: no oracled query emits array/map/struct output columns") {
+    // The driver's pandas comparator sorts and hashes cell values;
+    // array-typed cells raise `unhashable type: 'numpy.ndarray'` and
+    // silently cost the round a green row (the s25 lesson). Schema-only
+    // check — analysis, no execution.
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      if (SparkEntry.oracleSql.contains(name)) {
+        val bad = fn(spark, SfDir).schema.fields.filter(_.dataType match {
+          case _: ArrayType | _: MapType | _: StructType => true
+          case _ => false
+        })
+        assert(bad.isEmpty,
+          s"$name emits non-scalar graded columns [${bad.map(_.name).mkString(", ")}] — " +
+            "stringify or explode them; the driver comparator cannot hash arrays")
+      }
+    }
+  }
+
   test("d3/d8: raw-text repartition is GATED on scan splits — absent when the scan is already parallel") {
     // Locally the corpus is one parquet split, so the local-split fix
     // round-robins the docs across cores (auto mode fires). But on a

@@ -107,6 +107,35 @@ class TopKAggSpec extends AnyFunSuite {
     assert(weighted == unweighted)
   }
 
+  test("runtime policy: null and non-positive weights are SKIPPED, never a job abort") {
+    // a single bad row in a corpus-scale feed must not fail the job
+    // with an executor-side require; the summary is defined over the
+    // positive-weight rows only (same treatment as null items)
+    val rows = Seq(("a", Some(5L)), ("a", Some(-3L)), ("b", None),
+      ("b", Some(0L)), ("b", Some(2L)), (null, Some(9L)))
+    val sk = rows.toDF("item", "wt")
+      .agg(functions.GraftFunctions
+        .approxTopKWeighted(col("item"), col("wt"), 8, 8).as("tk"))
+      .select(explode(col("tk")).as("e"))
+      .select(col("e.item"), col("e.est"))
+      .as[(String, Long)].collect().toMap
+    assert(sk == Map("a" -> 5L, "b" -> 2L))
+  }
+
+  test("prettyName reflects the SQL function actually called") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    assert(functions.ApproxTopKAgg(Literal("x"), 1, 8).prettyName == "approx_topk")
+    assert(functions.ApproxTopKAgg(Literal("x"), 1, 8, weight = Literal(1L),
+      weighted = true).prettyName == "approx_topk_weighted")
+    // and through the SQL registry: the weighted name must appear in
+    // the analysis error for a bad weight type
+    val e = intercept[Exception] {
+      Seq(("a", "b")).toDF("x", "w")
+        .agg(expr("approx_topk_weighted(x, w, 1, 8)")).collect()
+    }
+    assert(e.getMessage.contains("approx_topk_weighted"))
+  }
+
   test("type contract: analysis-time errors for bad inputs; integral weights widen") {
     // INT-typed weight must widen to long, not ClassCastException
     val r = Seq("a", "a", "b").toDF("x")
