@@ -101,19 +101,34 @@ object Events {
   // de-dupped to (user, day) first so the join and the distinct counts
   // stay proportional to active-user-days, not raw events.
   // ---------------------------------------------------------------------
+  /** Shared retention kernel, part 1: the (user_id, day) activity
+    * grain every retention/cohort query (e2/e10/e14/e17) reduces to
+    * FIRST — dedup before anything else, so all downstream joins and
+    * aggregates run at active-user-days cardinality, never event
+    * cardinality. */
+  private[graft] def userDays(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      .distinct()
+
+  /** Shared retention kernel, part 2: the grain with each user's
+    * first active day attached as `anchorCol` — the cohort anchor-min
+    * join. The user-keyed min aggregate and the join back ride the
+    * SAME user_id shuffle key the dedup already clustered on, so this
+    * costs one exchange total on top of the grain. */
+  private[graft] def anchored(act: DataFrame, anchorCol: String): DataFrame =
+    act.join(act.groupBy(col("user_id")).agg(min(col("day")).as(anchorCol)),
+      "user_id")
+
   def e2Retention(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val act = Tables.events(s, d)
-      .select($"user_id", date_trunc("day", $"ts").as("day"))
-      .distinct()
-    val first = act.groupBy($"user_id").agg(min($"day").as("cohort"))
     // Reduce to one row per user (return-day flags) BEFORE the cohort
     // rollup: a multi-countDistinct over the raw activity join would
     // expand every row 3× through Spark's distinct-aggregate rewrite
     // and re-shuffle the expansion; per-user boolean flags aggregate
     // with cheap map-side partials on the same user_id key the
     // first-day aggregate already shuffled on.
-    val perUser = act.join(first, "user_id")
+    val perUser = anchored(userDays(s, d), "cohort")
       .groupBy($"user_id", $"cohort")
       .agg(
         max(when($"day" === $"cohort" + expr("INTERVAL 1 DAY"), 1).otherwise(0)).as("f1"),
@@ -245,10 +260,7 @@ object Events {
 
   def e14CohortMatrix(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val ud = Tables.events(s, d)
-      .select($"user_id", date_trunc("day", $"ts").as("day")).distinct()
-    val first = ud.groupBy($"user_id").agg(min($"day").as("cohort_day"))
-    ud.join(first, "user_id")
+    anchored(userDays(s, d), "cohort_day")
       .withColumn("k", datediff($"day", $"cohort_day"))
       .filter($"k" < CohortDays)
       .groupBy($"cohort_day", $"k")
@@ -304,9 +316,7 @@ object Events {
   private[graft] def rollingActives(s: SparkSession, d: String, days: Int): DataFrame = {
     require(days >= 1, s"rolling window must be >= 1 day, got $days")
     import s.implicits._
-    val act = Tables.events(s, d)
-      .select($"user_id", date_trunc("day", $"ts").as("day"))
-      .distinct()
+    val act = userDays(s, d)
     val reportDays = act.select($"day").distinct()
     val dau = act.groupBy($"day").agg(countDistinct($"user_id").as("dau"))
     // activity on day d counts toward report days d..d+(days-1);
@@ -596,11 +606,7 @@ object Events {
   // ---------------------------------------------------------------------
   def e17Retention(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val act = Tables.events(s, d)
-      .select($"user_id", date_trunc("day", $"ts").as("day"))
-      .distinct()
-    val first = act.groupBy($"user_id").agg(min($"day").as("d0"))
-    act.join(first, "user_id")
+    anchored(userDays(s, d), "d0")
       .groupBy($"user_id")
       .agg(
         max(when($"day" === $"d0" + expr("INTERVAL 1 DAY"), 1).otherwise(0)).as("c2"),

@@ -37,17 +37,33 @@ object Multimodal {
     * fake derives deterministic metadata from the first bytes so the
     * full pipeline (schema, batching, partitioning) is testable. */
   object FakeCodec {
+    /** Every synthetic blob in this corpus is `unhex(md5(text))` —
+      * exactly 16 bytes. The stub stages index into the blob, so the
+      * assumption is CHECKED here once, not buried in per-stage magic
+      * moduli: a production codec replaces this seam (pixels/decode
+      * bodies) and the contract check goes with it. */
+    val StubBlobBytes = 16
+
+    /** Length-checked unsigned view of the blob — the stand-in for
+      * "decoded pixel/sample array" shared by every m-stage. */
+    def pixels(bytes: Array[Byte]): Array[Int] = {
+      require(bytes.length == StubBlobBytes,
+        s"stub codec expects $StubBlobBytes-byte blobs (unhex(md5(text))), " +
+          s"got ${bytes.length}")
+      bytes.map(_ & 0xff)
+    }
+
     def decode(id: Long, bytes: Array[Byte]): BlobMeta = {
-      def u(i: Int): Int = bytes(i) & 0xff
+      val px = pixels(bytes)
       var sum = 0
       var i = 0
-      while (i < bytes.length) { sum += u(i); i += 1 }
+      while (i < px.length) { sum += px(i); i += 1 }
       BlobMeta(
         doc_id = id,
         n_bytes = bytes.length,
-        width = 1 + (u(0) % 128),
-        height = 1 + (u(1) % 128),
-        channels = 1 + (u(2) % 4),
+        width = 1 + (px(0) % 128),
+        height = 1 + (px(1) % 128),
+        channels = 1 + (px(2) % 4),
         mean_intensity = sum / (bytes.length * 255.0))
     }
   }
@@ -217,12 +233,13 @@ object Multimodal {
       .as[Blob]
       .mapPartitions { it =>
         it.flatMap { b =>
-          def u(i: Int): Int = b.blob(i) & 0xff
+          val px = FakeCodec.pixels(b.blob)
+          def u(i: Int): Int = px(i)
           val rate = if (u(2) % 2 == 0) 16000 else 8000
           val nSamples = 8000 + (u(0) * 256 + u(1))
           var cs = 0
           var i = 0
-          while (i < b.blob.length) { cs = (cs + (b.blob(i) & 0xff) * (i + 1)) % 9973; i += 1 }
+          while (i < px.length) { cs = (cs + px(i) * (i + 1)) % 9973; i += 1 }
           val nChunks =
             if (nSamples <= ChunkSamples) 1
             else 1 + (nSamples - ChunkSamples + ChunkHop - 1) / ChunkHop
@@ -265,8 +282,10 @@ object Multimodal {
       .as[Blob]
       .mapPartitions { it =>
         it.map { b =>
-          // STUB vision tower: tile the 16 blob bytes across 64 dims.
-          val f = Array.tabulate(FeatDims)(i => (b.blob(i % 16) & 0xff).toFloat)
+          // STUB vision tower: tile the decoded bytes across 64 dims
+          // (length-driven — the 16-byte contract lives in pixels()).
+          val px = FakeCodec.pixels(b.blob)
+          val f = Array.tabulate(FeatDims)(i => px(i % px.length).toFloat)
           (b.doc_id, f)
         }
       }
@@ -304,7 +323,7 @@ object Multimodal {
       .mapPartitions { it =>
         it.map { b =>
           // STUB decode: blob bytes as the thumbnail pixels.
-          val px = b.blob.map(_ & 0xff)
+          val px = FakeCodec.pixels(b.blob)
           val sum = px.sum
           var h = 0
           var i = 0
