@@ -213,6 +213,63 @@ object Streaming {
     else scored.dropDuplicates("fp")
   }
 
+  /** Unigram-LM quality gate (t14's OOV-fraction rule) against a
+    * PRE-TRAINED top-V vocabulary. A stream cannot self-train the
+    * language model — the corpus count table is a batch artifact,
+    * refreshed offline and shipped to the gate (the CCNet deployment
+    * shape), so the vocabulary is a PARAMETER here, not a join: a
+    * literal array whose membership test is a map-side higher-order
+    * filter. Zero shuffles, zero state; stream == batch trivially and
+    * the spec pins the keep set against batch t14 on the same corpus.
+    * Emits t14's graded `oov_frac` column; keeps docs at or under
+    * [[graft.text.Text.OovMax]]. */
+  def lmGateTransform(df: DataFrame, vocab: Seq[String]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val varr = array(vocab.map(lit): _*)
+    df
+      .withColumn("lmt", graft.text.Text.toks(lower($"text")))
+      .withColumn("oov_frac",
+        size(filter($"lmt", w => !array_contains(varr, w))).cast("double") /
+          size($"lmt").cast("double"))
+      .filter($"oov_frac" <= graft.text.Text.OovMax)
+      .drop("lmt")
+  }
+
+  /** PII scrub stage (t15's fused sequential redaction chain) as a
+    * composable ingest stage: emails, then IPs on the email-redacted
+    * text, then phones — `text` is replaced in place stage by stage
+    * (so a span never double-counts across classes) and the per-class
+    * match counts plus the `pii_clean` flag ride along. Pure
+    * codegen'd projection — zero shuffles, zero state; the regex
+    * semantics themselves are pinned by t15's crafted-corpus spec. */
+  def piiScrubTransform(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    import graft.text.Text.{PiiEmailRe, PiiIpRe, PiiPhoneRe}
+    df
+      .withColumn("n_emails",
+        size(regexp_extract_all($"text", lit(PiiEmailRe), lit(0))))
+      .withColumn("text", regexp_replace($"text", PiiEmailRe, "<EMAIL>"))
+      .withColumn("n_ips",
+        size(regexp_extract_all($"text", lit(PiiIpRe), lit(0))))
+      .withColumn("text", regexp_replace($"text", PiiIpRe, "<IP>"))
+      .withColumn("n_phones",
+        size(regexp_extract_all($"text", lit(PiiPhoneRe), lit(0))))
+      .withColumn("text", regexp_replace($"text", PiiPhoneRe, "<PHONE>"))
+      .withColumn("pii_clean", $"n_emails" + $"n_ips" + $"n_phones" === 0)
+  }
+
+  /** The full release-pipeline ingest: quality battery + exact dedup
+    * ([[corpusIngestTransform]]) → unigram-LM gate (t14) → PII scrub
+    * (t15) — every gate batch curation runs before a corpus release,
+    * in the same order (score on ORIGINAL text, scrub last, so the
+    * LM never sees placeholder tokens). The two added stages are
+    * map-side projections: the composed stream still carries exactly
+    * one stateful operator (the watermarked dedup). */
+  def releaseIngestTransform(df: DataFrame, vocab: Seq[String]): DataFrame =
+    piiScrubTransform(lmGateTransform(corpusIngestTransform(df), vocab))
+
   /** Stream-stream interval join: enrich an event stream with the
     * order stream's rows from the trailing 2-hour interval. Both sides
     * carry watermarks and the join condition bounds event time on both

@@ -367,6 +367,62 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamedFps == batchFps)
   }
 
+  test("release ingest: corpus gate → LM gate → PII scrub; stream == batch; gate IS t14") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val vocab = (1 to 12).map(i => s"tok$i")
+    val base = vocab.mkString(" ")
+    // 16 tokens, 4 OOV (email + xx/yy/zz) = 0.25 ≤ 0.4 → kept, scrubbed
+    val withPii = base + " bob@example.com xx yy zz"
+    // 12 tokens, 7 OOV ≈ 0.58 > 0.4 → LM gate drops (battery passes)
+    val tooOov = ((1 to 5).map(i => s"tok$i") ++ (1 to 7).map(i => s"oov$i")).mkString(" ")
+    val docs = Seq(
+      Doc(ts(1, 0), 11L, base),
+      Doc(ts(1, 5), 12L, withPii),
+      Doc(ts(1, 10), 13L, tooOov),
+      Doc(ts(1, 15), 14L, base)) // exact duplicate of 11, later batch
+    val stream = MemoryStream[Doc]
+    val q = Streaming.releaseIngestTransform(stream.toDF(), vocab)
+      .writeStream.format("memory").queryName("release_spec").outputMode("append").start()
+    try {
+      stream.addData(docs.take(2): _*); q.processAllAvailable()
+      stream.addData(docs.drop(2): _*); q.processAllAvailable()
+    } finally q.stop()
+    val out = s.table("release_spec")
+    assert(out.select($"doc_id").as[Long].collect().toSet == Set(11L, 12L),
+      "OOV doc 13 LM-gated, duplicate doc 14 deduped")
+    val row = out.filter($"doc_id" === 12L)
+      .select($"n_emails", $"n_ips", $"n_phones", $"pii_clean", $"text", $"oov_frac")
+      .as[(Int, Int, Int, Boolean, String, Double)].collect().head
+    assert(row._1 == 1 && row._2 == 0 && row._3 == 0 && !row._4)
+    assert(row._5.contains("<EMAIL>") && !row._5.contains("bob@example.com"),
+      "email must be redacted in the surviving text")
+    assert(row._6 == 4.0 / 16.0, "oov_frac scored on the ORIGINAL text, before scrub")
+    assert(out.filter($"doc_id" === 11L).select($"pii_clean").as[Boolean].head())
+    // stream == batch on content (batch dedup keeps an arbitrary one of 11/14)
+    def content(df: org.apache.spark.sql.DataFrame) =
+      df.select($"fp", $"text", $"oov_frac", $"n_emails", $"pii_clean")
+        .as[(String, String, Double, Int, Boolean)].collect().toSet
+    assert(content(Streaming.releaseIngestTransform(docs.toDF(), vocab)) == content(out))
+    // the LM gate IS t14: same keep set, bit-identical oov_frac, when
+    // handed the vocabulary t14 trains on this corpus
+    val docsDf = Tables.documents(s, SfDir)
+    val topV = docsDf
+      .select(explode(graft.text.Text.toks(lower($"text"))).as("w"))
+      .groupBy($"w").agg(count(lit(1)).as("c"))
+      .orderBy($"c".desc, $"w").limit(graft.text.Text.TopVocab)
+      .select($"w").as[String].collect().toSeq
+    val gate = Streaming.lmGateTransform(docsDf, topV).select($"doc_id", $"oov_frac")
+    val t14 = graft.text.Text.t14UnigramLm(s, SfDir)
+      .filter($"keep").select($"doc_id", $"oov_frac")
+    val n14 = t14.count()
+    val matches = gate.as("g").join(t14.as("t"), "doc_id")
+      .select(($"g.oov_frac" === $"t.oov_frac").as("m")).as[Boolean].collect()
+    assert(gate.count() == n14 && matches.length.toLong == n14 && matches.forall(identity),
+      "streaming LM gate must keep exactly t14's keep set with identical scores")
+  }
+
   /** Replay the recorded statement log into batch→rowcount state.
     * A whole-batch DELETE clears every partition slice of that batch;
     * a task-level DELETE clears one (batch, partition) slice; each
