@@ -676,7 +676,33 @@ object Dedup {
       .orderBy($"test_id")
   }
 
+  // ---------------------------------------------------------------------
+  // d13: the DEDUP REPORT every curation run ships before/after the
+  // keep pass — exact-duplicate cluster-size histogram plus the
+  // corpus-inflation view: for each cluster size, how many clusters,
+  // how many docs they hold, and how many of those a dedup pass would
+  // drop (size − 1 each). From d1's content-hash grain: the first
+  // aggregate is d1's (16-byte hash, count) combine-enabled shuffle;
+  // the histogram is a second aggregate over #clusters rows — both
+  // shuffles carry no text. Corpus-level ratios (inflation factor =
+  // Σ docs / Σ clusters) are derivable by summing this output; the
+  // per-size rows are the report, not a derived scalar.
+  // ---------------------------------------------------------------------
+  def d13ClusterStats(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .groupBy(md5($"text").as("h"))
+      .agg(count(lit(1)).as("sz"))
+      .groupBy($"sz".as("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+      .select($"cluster_size", $"n_clusters",
+        ($"cluster_size" * $"n_clusters").as("n_docs"),
+        (($"cluster_size" - 1) * $"n_clusters").as("n_dup_docs"))
+      .orderBy($"cluster_size")
+  }
+
   val queries: Map[String, Q] = Map(
+    "d13_cluster_stats" -> (d13ClusterStats _),
     "d12_cross_neardup" -> (d12CrossNeardup _),
     "d11_substring_dup" -> (d11SubstringDup _),
     "d10_semantic_keep" -> (d10SemanticKeep _),
@@ -756,6 +782,14 @@ object Dedup {
   }
 
   val oracles: Map[String, String] = Map(
+    // d13: the same two-level count; sums of BIGINT products cast back.
+    "d13_cluster_stats" ->
+      """WITH c AS (
+           SELECT md5(text) AS h, count(*) AS sz FROM documents GROUP BY 1)
+         SELECT sz AS cluster_size, count(*) AS n_clusters,
+                CAST(sz * count(*) AS BIGINT) AS n_docs,
+                CAST((sz - 1) * count(*) AS BIGINT) AS n_dup_docs
+         FROM c GROUP BY sz ORDER BY cluster_size""",
     // d12: same signature/band rebuild as d3's oracle, same split
     // arithmetic as t7 (first-6-hex-digits mod 10), train×test band
     // join, same single divide + threshold compare; best match via

@@ -705,7 +705,34 @@ object Events {
       .orderBy($"user_id")
   }
 
+  // ---------------------------------------------------------------------
+  // e20: ClickHouse `sequenceNextNode` — "after the chain matches,
+  // what comes NEXT?": for every ADJACENT view→click pair in a user's
+  // timeline (strict consecutive events, the CH base-condition form),
+  // the distribution of the immediately-following event type, with
+  // END marking chains that close the timeline. The path-exploration
+  // readout e7's top-sequences can't answer (e7 counts fixed 3-grams;
+  // this conditions on a matched prefix). Shape: both lead() columns
+  // ride ONE (user_id) exchange and one (ts, event_id) sort — a
+  // single WindowExec — then a tiny combine-enabled rollup over ≤
+  // #event_types+1 groups. Nothing else scales with the corpus.
+  // ---------------------------------------------------------------------
+  def e20NextNode(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    Tables.events(s, d)
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+      .withColumn("e1", lead($"event_type", 1).over(w))
+      .withColumn("e2", lead($"event_type", 2).over(w))
+      .filter($"event_type" === "view" && $"e1" === "click")
+      .groupBy(coalesce($"e2", lit("END")).as("next_node"))
+      .agg(count(lit(1)).as("n_matches"),
+        countDistinct($"user_id").as("n_users"))
+      .orderBy($"next_node")
+  }
+
   val queries: Map[String, Q] = Map(
+    "e20_next_node" -> (e20NextNode _),
     "e19_interval_sum" -> (e19IntervalSum _),
     "e18_funnel_strict" -> (e18FunnelStrict _),
     "e17_retention" -> (e17Retention _),
@@ -731,6 +758,20 @@ object Events {
   // BIGINT) is HUGEINT — always CAST back to BIGINT; double divisions
   // are left as single IEEE ops (bit-identical across engines).
   val oracles: Map[String, String] = Map(
+    // e20: same two leads over the identical (user, ts, event_id)
+    // order; END via coalesce.
+    "e20_next_node" ->
+      """WITH l AS (
+           SELECT user_id, event_type,
+                  lead(event_type, 1) OVER w AS e1,
+                  lead(event_type, 2) OVER w AS e2
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+         SELECT coalesce(e2, 'END') AS next_node,
+                count(*) AS n_matches,
+                CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+         FROM l WHERE event_type = 'view' AND e1 = 'click'
+         GROUP BY 1 ORDER BY next_node""",
     // e19: same sweep in integer microseconds; count(*) and sums are
     // BIGINT-cast to match Spark's long columns.
     "e19_interval_sum" ->

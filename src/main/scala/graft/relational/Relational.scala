@@ -423,6 +423,40 @@ object Relational {
         $"nation".asc_nulls_first, $"o_year".asc_nulls_first)
   }
 
+  // ---------------------------------------------------------------------
+  // q30: explicit GROUPING SETS — the grouping form after groupBy,
+  // rollup (s11) and CUBE (q24): the dashboard's EXACT set list
+  // ((flag, status), (flag), ()) — CUBE would also compute the
+  // (status)-only set nobody asked for, a whole extra Expand replica
+  // of the input at 100 TB. Same two-level discipline as q24: the
+  // fact table reduces to the finest grain FIRST (one combine-enabled
+  // shuffle to ≤ |flag × status| rows), the 3-way Expand runs over
+  // that tiny pre-aggregate. grouping_id() distinguishes the NULL of
+  // "all" from a genuine NULL key.
+  // ---------------------------------------------------------------------
+  def q30GroupingSets(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val pre = Tables.lineitem(s, d)
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        sum(dec($"l_quantity")).as("qty"),
+        sum(dec($"l_extendedprice")).as("price"),
+        count(lit(1)).as("cnt"))
+    pre
+      .groupingSets(
+        Seq(Seq($"l_returnflag", $"l_linestatus"), Seq($"l_returnflag"), Seq.empty),
+        $"l_returnflag", $"l_linestatus")
+      .agg(
+        grouping_id().cast("long").as("gid"),
+        sum($"qty").cast("double").as("sum_qty"),
+        sum($"price").cast("double").as("sum_price"),
+        sum($"cnt").as("n_items"))
+      .select($"gid", $"l_returnflag", $"l_linestatus",
+        $"sum_qty", $"sum_price", $"n_items")
+      .orderBy($"gid",
+        $"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)
+  }
+
   /** q25: trailing-30-day spend per order — the RANGE-BY-VALUE window
     * frame (q7/s24 cover ROWS frames; dashboards' "trailing 30 days"
     * needs the value-bounded form, ClickHouse's `RANGE BETWEEN 2592000
@@ -665,6 +699,7 @@ object Relational {
     "q26_corr" -> (q26Corr _),
     "q25_trailing_spend" -> (q25TrailingSpend _),
     "q24_cube" -> (q24Cube _),
+    "q30_grouping_sets" -> (q30GroupingSets _),
     "q23_spend_deciles" -> (q23SpendDeciles _),
     "q1_agg" -> (q1Agg _),
     "q3_shipping" -> (q3Shipping _),
@@ -837,6 +872,23 @@ object Relational {
          ORDER BY o_orderkey""",
     // q24: direct CUBE over the joined rows — decimal sums make the
     // two-level Spark form bit-identical to this single-level one.
+    // q30: same two-level pre-aggregate; DuckDB's GROUPING(a, b)
+    // bitmask equals Spark's grouping_id() column order.
+    "q30_grouping_sets" ->
+      """WITH pre AS (
+           SELECT l_returnflag, l_linestatus,
+                  sum(CAST(l_quantity AS DECIMAL(18,2))) AS qty,
+                  sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS price,
+                  count(*) AS cnt
+           FROM lineitem GROUP BY 1, 2)
+         SELECT CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+                l_returnflag, l_linestatus,
+                CAST(sum(qty) AS DOUBLE) AS sum_qty,
+                CAST(sum(price) AS DOUBLE) AS sum_price,
+                CAST(sum(cnt) AS BIGINT) AS n_items
+         FROM pre
+         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+         ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
     "q24_cube" ->
       """WITH j AS (
            SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,

@@ -1178,7 +1178,46 @@ object Solar {
       .orderBy($"inverter")
   }
 
+  // ---------------------------------------------------------------------
+  // s34: ClickHouse `quantilesExactWeighted(0.25, 0.5, 0.75)(x, w)` —
+  // the multi-quantile form of s23 with an explicit per-reading repeat
+  // weight (here the deterministic sample-count surrogate
+  // event_id % 5 + 1; a real feed carries a read-quality/repeat
+  // column). Exact rule, all-integer: the φ-quantile is the smallest
+  // value whose cumulative weight reaches φ·W — cum·4 ≥ k·W for
+  // k = 1, 2, 3 — evaluated as three conditional mins over ONE
+  // cumulative-weight window. Shapes: one (inverter) exchange; the
+  // cum and total windows share s23's partition; all three quantiles
+  // ride the same WindowExec pass — quantilES, not 3× quantile.
+  // ---------------------------------------------------------------------
+  def s34QuantilesWeighted(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ord = Window.partitionBy($"inverter").orderBy($"cents", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy($"inverter")
+    feed(s, d)
+      .filter($"event_type" === "view")
+      .select($"inverter", $"event_id",
+        round($"value" * 100).cast("long").as("cents"),
+        ($"event_id" % 5 + 1).cast("long").as("wt"))
+      .withColumn("cum", sum($"wt").over(ord))
+      .withColumn("total", sum($"wt").over(tot))
+      .groupBy($"inverter")
+      .agg(
+        count(lit(1)).as("n"),
+        max($"total").as("total_w"),
+        min(when($"cum" * 4 >= $"total", $"cents")).as("c1"),
+        min(when($"cum" * 2 >= $"total", $"cents")).as("c2"),
+        min(when($"cum" * 4 >= $"total" * 3, $"cents")).as("c3"))
+      .select($"inverter", $"n", $"total_w",
+        ($"c1".cast("double") / 100.0).as("q25_watts"),
+        ($"c2".cast("double") / 100.0).as("q50_watts"),
+        ($"c3".cast("double") / 100.0).as("q75_watts"))
+      .orderBy($"inverter")
+  }
+
   val queries: Map[String, Q] = Map(
+    "s34_quantiles_weighted" -> (s34QuantilesWeighted _),
     "s33_bit_aggregates" -> (s33BitAggregates _),
     "s32_lttb" -> (s32Lttb _),
     "s31_linreg" -> (s31Linreg _),
@@ -1242,6 +1281,25 @@ object Solar {
   // DuckDB oracles — each mirrors the Spark arithmetic exactly
   // (decimal sums, integer microseconds, double division).
   val oracles: Map[String, String] = Map(
+    // s34: identical all-integer cumulative-weight rule; the only
+    // IEEE op is the final /100 on each selected exact cents value.
+    "s34_quantiles_weighted" ->
+      """WITH o AS (
+           SELECT user_id AS inverter, event_id,
+                  CAST(round(value * 100) AS BIGINT) AS cents,
+                  (event_id % 5 + 1) AS wt
+           FROM events WHERE event_type = 'view'),
+         c AS (
+           SELECT *,
+                  CAST(sum(wt) OVER (PARTITION BY inverter ORDER BY cents, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+                  CAST(sum(wt) OVER (PARTITION BY inverter) AS BIGINT) AS total
+           FROM o)
+         SELECT inverter, count(*) AS n, max(total) AS total_w,
+                CAST(min(CASE WHEN cum * 4 >= total THEN cents END) AS DOUBLE) / 100.0 AS q25_watts,
+                CAST(min(CASE WHEN cum * 2 >= total THEN cents END) AS DOUBLE) / 100.0 AS q50_watts,
+                CAST(min(CASE WHEN cum * 4 >= total * 3 THEN cents END) AS DOUBLE) / 100.0 AS q75_watts
+         FROM c GROUP BY 1 ORDER BY inverter""",
     // s33: s1's raw_lo decode, DuckDB's bit_and/bit_or/bit_xor on the
     // same exact int64 words.
     "s33_bit_aggregates" ->

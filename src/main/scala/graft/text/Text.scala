@@ -830,7 +830,40 @@ object Text {
       .orderBy($"doc_id")
   }
 
+  // ---------------------------------------------------------------------
+  // t21: quality-weighted corpus sampling — the CCNet/DoReMi recipe
+  // step AFTER t20's partition: each quality bucket is sampled at its
+  // own rate (head kept whole, middle thinned, tail mostly dropped),
+  // with a CONTENT-ADDRESSED deterministic draw (t7's md5 discipline):
+  // no RNG state, bit-reproducible across runs, partitionings and
+  // engines, and the "t21:" salt decorrelates the draw from t7's
+  // split buckets (a doc's sampling fate must be independent across
+  // decisions keyed on the same id). The ≤-per-mille rule is exact
+  // integer. Scale shape: t20's ranking plus one map-side draw+filter
+  // — zero added shuffles; output bounded by the kept sample.
+  // ---------------------------------------------------------------------
+  val SamplePerMille: Map[String, Long] =
+    Map("head" -> 1000L, "middle" -> 500L, "tail" -> 100L)
+
+  def t21BucketSample(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val draw = pmod(
+      conv(substring(md5(concat(lit("t21:"), $"doc_id".cast("string"))), 1, 6),
+        16, 10).cast("long"),
+      lit(1000L))
+    t20QualityBuckets(s, d)
+      .withColumn("draw", draw)
+      .withColumn("rate",
+        when($"bucket" === "head", SamplePerMille("head"))
+          .when($"bucket" === "middle", SamplePerMille("middle"))
+          .otherwise(SamplePerMille("tail")))
+      .filter($"draw" < $"rate")
+      .select($"doc_id", $"n_tokens", $"mean_prob", $"rank", $"bucket", $"draw")
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "t21_bucket_sample" -> (t21BucketSample _),
     "t20_quality_buckets" -> (t20QualityBuckets _),
     "t19_topk_weighted" -> (t19TopkWeighted _),
     "t18_diversity" -> (t18Diversity _),
@@ -1094,6 +1127,46 @@ object Text {
                      WHEN rank*3 <= n*2 THEN 'middle'
                      ELSE 'tail' END AS bucket
          FROM r ORDER BY doc_id""",
+    // t21: t20's rank CTEs + the salted-md5 per-mille draw (t7's hex
+    // conversion) and the exact integer rate rule.
+    "t21_bucket_sample" ->
+      s"""WITH tok AS (
+           SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                 t -> t <> '')) AS w
+           FROM documents),
+         dw AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS k FROM tok GROUP BY 1, 2),
+         cnt AS (SELECT w, CAST(sum(k) AS BIGINT) AS c FROM dw GROUP BY 1),
+         tot AS (SELECT CAST(sum(c) AS BIGINT) AS total FROM cnt),
+         per AS (
+           SELECT dw.doc_id, CAST(sum(dw.k) AS BIGINT) AS n_tokens,
+                  CAST(sum(dw.k * cnt.c) AS BIGINT) AS sum_cnt
+           FROM dw JOIN cnt ON dw.w = cnt.w
+           GROUP BY 1),
+         scored AS (
+           SELECT doc_id, n_tokens,
+                  CAST(sum_cnt AS DOUBLE) / CAST(n_tokens * total AS DOUBLE) AS mean_prob
+           FROM per, tot),
+         r AS (
+           SELECT doc_id, n_tokens, mean_prob,
+                  row_number() OVER (ORDER BY mean_prob DESC, doc_id) AS rank,
+                  count(*) OVER () AS n
+           FROM scored),
+         bk AS (
+           SELECT doc_id, n_tokens, mean_prob, CAST(rank AS BIGINT) AS rank,
+                  CASE WHEN rank*3 <= n THEN 'head'
+                       WHEN rank*3 <= n*2 THEN 'middle'
+                       ELSE 'tail' END AS bucket,
+                  md5('t21:' || CAST(doc_id AS VARCHAR)) AS h
+           FROM r),
+         dd AS (
+           SELECT doc_id, n_tokens, mean_prob, rank, bucket,
+                  CAST(($hexBucketSql) % 1000 AS BIGINT) AS draw
+           FROM bk)
+         SELECT doc_id, n_tokens, mean_prob, rank, bucket, draw
+         FROM dd
+         WHERE draw < CASE bucket WHEN 'head' THEN 1000
+                                  WHEN 'middle' THEN 500 ELSE 100 END
+         ORDER BY doc_id""",
     // t16: same content-addressed per-source cumulative gate.
     "t16_token_budget" ->
       s"""WITH x AS (
