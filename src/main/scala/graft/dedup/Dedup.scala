@@ -701,7 +701,85 @@ object Dedup {
       .orderBy($"cluster_size")
   }
 
+  /** d14 boundary modulus — a token position ends a chunk when the
+    * 60-bit hash of its (token, next-token) bigram ≡ 0 (mod 8), so
+    * chunks average ~8 tokens and boundaries depend only on LOCAL
+    * content (the CDC property: an edit re-chunks its neighborhood,
+    * not the rest of the document). */
+  val CdcModulus = 8
+  val DupChunkMax = 0.5
+
+  // ---------------------------------------------------------------------
+  // d14: CONTENT-DEFINED CHUNKING dedup — the paragraph-grain dedup
+  // pass (Dolma dedupes on '\n'-paragraphs; this corpus has no line
+  // structure, so chunk boundaries come from a content-defined rolling
+  // rule instead — the storage-dedup/CDC shape, and the right answer
+  // whenever "paragraph" isn't in the data). Unlike d11 (which FINDS
+  // maximal duplicated spans), this is the manifest form: a stable
+  // partition of every doc into chunks whose hashes are the dedup
+  // keys a chunk store would index. Per doc: chunk count, duplicated-
+  // chunk count (chunk text appearing in ≥2 docs), dup fraction and
+  // the keep gate.
+  //
+  // Scale shapes: chunking, chunk text assembly and hashing are ALL
+  // map-side array ops inside codegen (boundary list → slice spans,
+  // no explode before hashing); the only shuffles carry (60-bit
+  // chunk hash, doc_id) pairs — never chunk text — one combine-
+  // enabled distinct-doc count per hash plus the per-doc rollup.
+  // Boundaries are content-local, so an insertion re-chunks O(1)
+  // chunks — the incremental-ingest property that makes the chunk
+  // store append-only at 100 TB.
+  // ---------------------------------------------------------------------
+  def d14CdcDedup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val h60 = (c: Column) =>
+      conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    val toked = withScanParallelism(s, Tables.documents(s, d))
+      .select($"doc_id", graft.text.Text.toks(lower($"text")).as("t"))
+      .filter(size($"t") >= 1)
+    // boundary positions (end-of-chunk), then [start, end] spans,
+    // then one 60-bit hash per chunk — all array expressions
+    val chunks = toked
+      .withColumn("ends",
+        concat(
+          filter(sequence(lit(1), size($"t") - 1), i =>
+            h60(concat_ws(" ", element_at($"t", i), element_at($"t", i + 1)))
+              % CdcModulus === 0),
+          array(size($"t"))))
+      // starts[k] = ends[k-1] (0 for the first chunk): a lagged copy
+      // avoids element_at(_, 0), which Spark rejects
+      .withColumn("starts",
+        concat(array(lit(0)), slice($"ends", 1, size($"ends") - 1)))
+      .withColumn("ch",
+        explode(transform(sequence(lit(1), size($"ends")), k =>
+          struct(k.as("chunk_idx"),
+            (element_at($"ends", k) - element_at($"starts", k))
+              .as("chunk_len"),
+            h60(concat_ws(" ",
+              slice($"t", element_at($"starts", k) + 1,
+                element_at($"ends", k) - element_at($"starts", k))))
+              .as("chunk_h")))))
+      .select($"doc_id", $"ch.chunk_idx", $"ch.chunk_len", $"ch.chunk_h")
+    val dupChunks = chunks
+      .groupBy($"chunk_h").agg(countDistinct($"doc_id").as("nd"))
+      .filter($"nd" >= 2)
+      .select($"chunk_h")
+    chunks
+      .join(dupChunks, Seq("chunk_h"), "left_semi")
+      .groupBy($"doc_id").agg(count(lit(1)).as("dup"))
+      .join(chunks.groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_chunks"), sum($"chunk_len").as("n_tokens")),
+        Seq("doc_id"), "right")
+      .select($"doc_id", $"n_tokens", $"n_chunks",
+        coalesce($"dup", lit(0L)).as("n_dup_chunks"),
+        (coalesce($"dup", lit(0L)).cast("double") / $"n_chunks")
+          .as("dup_chunk_frac"))
+      .withColumn("keep", $"dup_chunk_frac" <= DupChunkMax)
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "d14_cdc_dedup" -> (d14CdcDedup _),
     "d13_cluster_stats" -> (d13ClusterStats _),
     "d12_cross_neardup" -> (d12CrossNeardup _),
     "d11_substring_dup" -> (d11SubstringDup _),

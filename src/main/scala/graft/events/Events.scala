@@ -731,7 +731,62 @@ object Events {
       .orderBy($"next_node")
   }
 
+  // ---------------------------------------------------------------------
+  // e21: ClickHouse `windowFunnel(w, 'strict_increase')` — the third
+  // funnel mode (e1/e6 plain, e18 strict_order): non-matching events
+  // are SKIPPED (the chain survives interleaving), but consecutive
+  // matched stages must carry STRICTLY increasing timestamps — two
+  // events logged in the same microsecond cannot witness causality,
+  // so same-ts stage pairs don't advance. Deterministic first-open-
+  // chain variant (the first view opens the only chain considered;
+  // stage k+1 is the first qualifying event after stage k).
+  //
+  // State needs (chain_start, last_matched_ts, level) — 3 longs, too
+  // wide for e18's 8-byte packing — so the fold's accumulator is a
+  // STRUCT: Spark's `aggregate` allows acc type ≠ element type, and
+  // the whole fold stays one codegen'd higher-order aggregate over
+  // the sorted packed stream. One user_id exchange, shuffle carries
+  // (user, packed-long) pairs, no window sort, no joins. Transitions
+  // are provably permutation-invariant within a same-us tie group (at
+  // most one stage can fire per distinct us: every transition sets
+  // last := us and later ones require us > last), so the packed-value
+  // sort order and the oracle's (us, tc) order agree bit-for-bit.
+  // ---------------------------------------------------------------------
+  def e21FunnelInc(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val tc = when($"event_type" === "view", 1L)
+      .when($"event_type" === "click", 2L)
+      .when($"event_type" === "purchase", 3L)
+      .otherwise(0L)
+    val packed = sort_array(collect_list(unix_micros($"ts") * 8 + tc))
+    val init = struct(lit(0L).as("start"), lit(0L).as("last"),
+      lit(0L).as("level"))
+    val fold = aggregate(packed, init, (acc, x) => {
+      val us = shiftright(x, 3)
+      val xtc = x.bitwiseAND(lit(7L))
+      val lvl = acc.getField("level")
+      val st = acc.getField("start")
+      val la = acc.getField("last")
+      val inWin = us - st <= FunnelWindowUs
+      when(lvl === 0L && xtc === 1L,
+        struct(us.as("start"), us.as("last"), lit(1L).as("level")))
+        .when(lvl === 1L && xtc === 2L && us > la && inWin,
+          struct(st.as("start"), us.as("last"), lit(2L).as("level")))
+        .when(lvl === 2L && xtc === 3L && us > la && inWin,
+          struct(st.as("start"), us.as("last"), lit(3L).as("level")))
+        .otherwise(acc)
+    })
+    Tables.events(s, d)
+      .select($"user_id", $"ts", $"event_type")
+      .groupBy($"user_id")
+      .agg(fold.getField("level").as("funnel_level"))
+      .groupBy($"funnel_level")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy($"funnel_level")
+  }
+
   val queries: Map[String, Q] = Map(
+    "e21_funnel_inc" -> (e21FunnelInc _),
     "e20_next_node" -> (e20NextNode _),
     "e19_interval_sum" -> (e19IntervalSum _),
     "e18_funnel_strict" -> (e18FunnelStrict _),
@@ -758,6 +813,47 @@ object Events {
   // BIGINT) is HUGEINT — always CAST back to BIGINT; double divisions
   // are left as single IEEE ops (bit-identical across engines).
   val oracles: Map[String, String] = Map(
+    // e21: DuckDB's list_reduce needs acc type == element type, so
+    // the init struct is prepended and elements carry (us in .start,
+    // tc in .level); the lambda mirrors the Spark fold case-for-case.
+    // Ordered by (us, tc) — the packed-long order — and transitions
+    // are tie-group permutation-invariant (see the Spark comment).
+    "e21_funnel_inc" ->
+      """WITH o AS (
+           SELECT user_id, epoch_us(ts) AS us,
+                  CASE WHEN event_type = 'view' THEN 1
+                       WHEN event_type = 'click' THEN 2
+                       WHEN event_type = 'purchase' THEN 3
+                       ELSE 0 END AS tc
+           FROM events),
+         f AS (
+           SELECT user_id,
+                  list_reduce(
+                    list_prepend(
+                      struct_pack(start := CAST(0 AS BIGINT),
+                                  last  := CAST(0 AS BIGINT),
+                                  level := CAST(0 AS BIGINT)),
+                      list(struct_pack(start := us, last := us,
+                                       level := CAST(tc AS BIGINT))
+                           ORDER BY us, tc)),
+                    (acc, x) -> CASE
+                      WHEN acc.level = 0 AND x.level = 1 THEN
+                        struct_pack(start := x.start, last := x.start,
+                                    level := CAST(1 AS BIGINT))
+                      WHEN acc.level = 1 AND x.level = 2
+                           AND x.start > acc.last
+                           AND x.start - acc.start <= 21600000000 THEN
+                        struct_pack(start := acc.start, last := x.start,
+                                    level := CAST(2 AS BIGINT))
+                      WHEN acc.level = 2 AND x.level = 3
+                           AND x.start > acc.last
+                           AND x.start - acc.start <= 21600000000 THEN
+                        struct_pack(start := acc.start, last := x.start,
+                                    level := CAST(3 AS BIGINT))
+                      ELSE acc END).level AS funnel_level
+           FROM o GROUP BY 1)
+         SELECT funnel_level, count(*) AS n_users
+         FROM f GROUP BY 1 ORDER BY funnel_level""",
     // e20: same two leads over the identical (user, ts, event_id)
     // order; END via coalesce.
     "e20_next_node" ->

@@ -346,7 +346,53 @@ object Multimodal {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  /** One classified media row for the corpus report (m8). */
+  case class ModalityRow(doc_id: Long, modality: String, n_bytes: Int,
+                         width: Int, height: Int, px_sum: Int)
+
+  // ---------------------------------------------------------------------
+  // m8: corpus MODALITY REPORT — the dataset card every multimodal
+  // release ships (counts/bytes/dimension profile per modality, LAION/
+  // Obelics style). The container probe classifies each blob at the
+  // decode seam (production: sniff the container magic; stub: a
+  // deterministic byte rule) and emits metadata-only rows, so the
+  // report is one combine-enabled groupBy over ≤ |modalities| groups —
+  // blobs never shuffle, nothing after the map side scales with the
+  // corpus. Averages follow the Exact discipline: integer sums
+  // (Σwidth, Σheight, Σpx) with ONE IEEE divide each at the end —
+  // no double is ever summed.
+  // ---------------------------------------------------------------------
+  def m8ModalityReport(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select($"doc_id", unhex(md5($"text")).as("blob"))
+      .as[Blob]
+      .mapPartitions { it =>
+        it.map { b =>
+          val px = FakeCodec.pixels(b.blob)
+          val mod = (px(3) % 3) match {
+            case 0 => "image"
+            case 1 => "audio"
+            case _ => "video"
+          }
+          ModalityRow(b.doc_id, mod, b.blob.length,
+            1 + (px(0) % 128), 1 + (px(1) % 128), px.sum)
+        }
+      }
+      .toDF()
+      .groupBy($"modality")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum($"n_bytes").as("total_bytes"),
+        (sum($"width").cast("double") / count(lit(1))).as("avg_width"),
+        (sum($"height").cast("double") / count(lit(1))).as("avg_height"),
+        (sum($"px_sum").cast("double") / (count(lit(1)) * 16 * 255))
+          .as("avg_intensity"))
+      .orderBy($"modality")
+  }
+
   val queries: Map[String, Q] = Map(
+    "m8_modality_report" -> (m8ModalityReport _),
     "m7_phash_dedup" -> (m7PhashDedup _),
     "m6_caption_retrieval" -> (m6CaptionRetrieval _),
     "m5_audio_chunks" -> (m5AudioChunks _),
@@ -365,6 +411,26 @@ object Multimodal {
   private val sumBytes = (0 until 16).map(byteAt).mkString(" + ")
 
   val oracles: Map[String, String] = Map(
+    // m8: same byte rebuild, same modality rule (byte 3 mod 3), same
+    // integer sums; each average is the identical single IEEE divide.
+    "m8_modality_report" ->
+      s"""WITH b AS (SELECT doc_id, md5(text) AS h FROM documents),
+         m AS (
+           SELECT doc_id,
+                  CASE ${byteAt(3)} % 3 WHEN 0 THEN 'image'
+                       WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+                  16 AS n_bytes,
+                  1 + ${byteAt(0)} % 128 AS width,
+                  1 + ${byteAt(1)} % 128 AS height,
+                  $sumBytes AS px_sum
+           FROM b)
+         SELECT modality, count(*) AS n_docs,
+                CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+                CAST(sum(width) AS DOUBLE) / count(*) AS avg_width,
+                CAST(sum(height) AS DOUBLE) / count(*) AS avg_height,
+                CAST(sum(px_sum) AS DOUBLE) / (count(*) * 16 * 255)
+                  AS avg_intensity
+         FROM m GROUP BY 1 ORDER BY modality""",
     // m7: same byte rebuild, same integer mean rule (px·16 ≥ Σ),
     // same bit packing; pairs via equality self-join.
     "m7_phash_dedup" -> {

@@ -692,7 +692,53 @@ object Relational {
       .orderBy($"l_returnflag", $"m_a", $"m_b")
   }
 
+  // ---------------------------------------------------------------------
+  // q31: Pareto / ABC inventory analysis — customers ranked by revenue
+  // within their nation, cumulative revenue share, and the classic
+  // A (first 80% of revenue) / B (80–95%) / C (tail) class. The
+  // "which 20% of customers carry 80% of revenue" report every
+  // commercial OLAP deployment runs.
+  //
+  // Shapes: orders reduce to ONE row per customer first (combine-
+  // enabled decimal sum → exact cents longs), nations broadcast; the
+  // rank, running sum and nation total all ride one (nation) exchange
+  // (row_number + cumulative frame share the sort; the unordered
+  // total needs only the partitioning). Class boundaries are pure
+  // integer comparisons (cum·5 ≤ tot·4, cum·20 ≤ tot·19) — no IEEE
+  // op decides a class, so the A/B/C split is bit-deterministic in
+  // both engines; the only doubles are the display columns (spend,
+  // cum_share), each one divide. At 100 TB the window keys on nation
+  // (~25 groups): if per-group cardinality outgrows a partition, the
+  // t20 distributed-ranking idiom (range repartition + offsets) is
+  // the drop-in replacement — documented, not needed at this grain
+  // (customers-per-nation bounds the sort, not corpus rows).
+  // ---------------------------------------------------------------------
+  def q31Pareto(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val spend = Tables.orders(s, d)
+      .groupBy($"o_custkey")
+      .agg((sum(dec($"o_totalprice")) * 100).cast("long").as("cents"))
+    val rnkW = Window.partitionBy($"nation").orderBy($"cents".desc, $"c_custkey")
+    val cumW = rnkW.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totW = Window.partitionBy($"nation")
+    Tables.customer(s, d)
+      .join(spend, $"c_custkey" === $"o_custkey")
+      .join(broadcast(Tables.nation(s, d)), $"c_nationkey" === $"n_nationkey")
+      .select($"n_name".as("nation"), $"c_custkey", $"cents")
+      .withColumn("rnk", row_number().over(rnkW).cast("long"))
+      .withColumn("cum", sum($"cents").over(cumW))
+      .withColumn("total", sum($"cents").over(totW))
+      .select($"nation", $"rnk", $"c_custkey",
+        ($"cents".cast("double") / 100.0).as("spend"),
+        ($"cum".cast("double") / $"total".cast("double")).as("cum_share"),
+        when($"cum" * 5 <= $"total" * 4, "A")
+          .when($"cum" * 20 <= $"total" * 19, "B")
+          .otherwise("C").as("abc"))
+      .orderBy($"nation", $"rnk")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q31_pareto" -> (q31Pareto _),
     "q29_corr_matrix" -> (q29CorrMatrix _),
     "q28_cramers_v" -> (q28CramersV _),
     "q27_mann_whitney" -> (q27MannWhitney _),
@@ -724,6 +770,34 @@ object Relational {
   // arithmetic exactly (decimal sums, double division) so results are
   // bit-identical, not merely close.
   val oracles: Map[String, String] = Map(
+    // q31: identical exact-cents pipeline; the A/B/C rule is the same
+    // all-integer comparison, so only the two display divides are IEEE.
+    "q31_pareto" ->
+      """WITH sp AS (
+           SELECT o_custkey,
+                  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+           FROM orders GROUP BY 1),
+         c AS (
+           SELECT n_name AS nation, c_custkey, cents
+           FROM customer
+           JOIN sp ON c_custkey = o_custkey
+           JOIN nation ON c_nationkey = n_nationkey),
+         w AS (
+           SELECT *,
+                  CAST(row_number() OVER (PARTITION BY nation
+                        ORDER BY cents DESC, c_custkey) AS BIGINT) AS rnk,
+                  CAST(sum(cents) OVER (PARTITION BY nation
+                        ORDER BY cents DESC, c_custkey
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+                  CAST(sum(cents) OVER (PARTITION BY nation) AS BIGINT) AS total
+           FROM c)
+         SELECT nation, rnk, c_custkey,
+                CAST(cents AS DOUBLE) / 100.0 AS spend,
+                CAST(cum AS DOUBLE) / CAST(total AS DOUBLE) AS cum_share,
+                CASE WHEN cum * 5 <= total * 4 THEN 'A'
+                     WHEN cum * 20 <= total * 19 THEN 'B'
+                     ELSE 'C' END AS abc
+         FROM w ORDER BY nation, rnk""",
     // q29: one pass of exact HUGEINT sums, q26's double tree per
     // pair, same zero-variance NULL guard, same tidy triangle.
     "q29_corr_matrix" ->

@@ -1216,7 +1216,39 @@ object Solar {
       .orderBy($"inverter")
   }
 
+  // ---------------------------------------------------------------------
+  // s35: ClickHouse `nonNegativeDerivative(value, ts, INTERVAL 1 HOUR)`
+  // — per-reading rate of change of the cumulative energy counter,
+  // clamped at zero (counter resets/re-reads must not show as negative
+  // power). s6 aggregates the deltas; this emits the per-row rate
+  // series a dashboard plots. Shapes: the standard one-exchange
+  // (inverter) lag window (shared sort key (ts, event_id)); deltas are
+  // exact cents/µs longs; equal-timestamp pairs yield rate 0 (CH's
+  // dt=0 rule) so there is no divide-by-zero branch in either engine.
+  // The only IEEE ops are one divide + one multiply per row, mirrored
+  // op-for-op by the oracle (s27 discipline).
+  // ---------------------------------------------------------------------
+  def s35NonnegDerivative(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"inverter").orderBy($"ts", $"event_id")
+    feed(s, d)
+      .filter($"event_type" === "purchase")
+      .select($"inverter", $"ts", $"event_id",
+        round($"value" * 100).cast("long").as("cents"),
+        unix_micros($"ts").as("us"))
+      .withColumn("p_cents", lag($"cents", 1).over(w))
+      .withColumn("p_us", lag($"us", 1).over(w))
+      .filter($"p_us".isNotNull)
+      .select($"inverter", $"ts", $"event_id",
+        when($"us" > $"p_us" && $"cents" > $"p_cents",
+          ($"cents" - $"p_cents").cast("double")
+            / ($"us" - $"p_us").cast("double") * 36000000.0)
+          .otherwise(0.0).as("rate_per_hour"))
+      .orderBy($"inverter", $"ts", $"event_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "s35_nonneg_derivative" -> (s35NonnegDerivative _),
     "s34_quantiles_weighted" -> (s34QuantilesWeighted _),
     "s33_bit_aggregates" -> (s33BitAggregates _),
     "s32_lttb" -> (s32Lttb _),
@@ -1281,6 +1313,29 @@ object Solar {
   // DuckDB oracles — each mirrors the Spark arithmetic exactly
   // (decimal sums, integer microseconds, double division).
   val oracles: Map[String, String] = Map(
+    // s35: same lag window; dt=0 / negative-delta pairs are exact-zero
+    // in both engines, so only genuinely increasing pairs ever touch
+    // IEEE arithmetic (one divide + one multiply, s27's op order).
+    "s35_nonneg_derivative" ->
+      """WITH o AS (
+           SELECT user_id AS inverter, ts, event_id,
+                  CAST(round(value * 100) AS BIGINT) AS cents,
+                  epoch_us(ts) AS us
+           FROM events WHERE event_type = 'purchase'),
+         l AS (
+           SELECT *,
+                  lag(cents) OVER (PARTITION BY inverter
+                                   ORDER BY ts, event_id) AS p_cents,
+                  lag(us) OVER (PARTITION BY inverter
+                                ORDER BY ts, event_id) AS p_us
+           FROM o)
+         SELECT inverter, ts, event_id,
+                CASE WHEN us > p_us AND cents > p_cents
+                     THEN CAST(cents - p_cents AS DOUBLE)
+                          / CAST(us - p_us AS DOUBLE) * 36000000.0
+                     ELSE 0.0 END AS rate_per_hour
+         FROM l WHERE p_us IS NOT NULL
+         ORDER BY inverter, ts, event_id""",
     // s34: identical all-integer cumulative-weight rule; the only
     // IEEE op is the final /100 on each selected exact cents value.
     "s34_quantiles_weighted" ->

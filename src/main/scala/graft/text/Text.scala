@@ -862,7 +862,50 @@ object Text {
       .orderBy($"doc_id")
   }
 
+  // ---------------------------------------------------------------------
+  // t22: per-document KEYWORD EXTRACTION — top-3 TF-IDF terms per doc,
+  // the tagging/labeling pass of a curation pipeline (domain routing,
+  // topic mixing, dataset cards). Shapes: per-doc (word, tf) pairs are
+  // computed MAP-SIDE as a fold over the sorted token array (t12
+  // discipline — no per-(doc, word) corpus shuffle; the exploded rows
+  // are distinct words per doc, bounded by doc length); document
+  // frequencies reduce from those same rows with one combine-enabled
+  // shuffle to a vocabulary-sized table that BROADCASTS back (t14's
+  // vocab discipline); the per-doc top-3 plans as the TopKPerGroup
+  // heap. Scoring uses t11's rational Robertson idf — no ln(), every
+  // graded double is one divide + one multiply of exact int64s, so
+  // the ranking is bit-deterministic in both engines.
+  // ---------------------------------------------------------------------
+  val KeywordTopK = 3
+
+  def t22Keywords(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    // sorted tokens → runs: distinct words with counts, all map-side
+    val pairs = Tables.documents(s, d)
+      .select($"doc_id", sort_array(toks(lower($"text"))).as("t"))
+      .select($"doc_id", size($"t").as("dl"),
+        explode(transform(array_distinct($"t"), w =>
+          struct(w.as("word"),
+            size(filter($"t", x => x === w)).cast("long").as("tf")))).as("p"))
+      .select($"doc_id", $"dl", $"p.word", $"p.tf")
+    val dfTab = pairs.groupBy($"word").agg(count(lit(1)).as("df"))
+    val stats = pairs.agg(countDistinct($"doc_id").as("n_docs"))
+    val w = Window.partitionBy($"doc_id").orderBy($"score".desc, $"word")
+    pairs
+      .join(broadcast(dfTab), "word")
+      .crossJoin(broadcast(stats))
+      .withColumn("score",
+        $"tf".cast("double")
+          * (($"n_docs".cast("double") - $"df".cast("double") + 0.5)
+             / ($"df".cast("double") + 0.5)))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter($"rnk" <= KeywordTopK)
+      .select($"doc_id", $"rnk", $"word", $"tf", $"df", $"score")
+      .orderBy($"doc_id", $"rnk")
+  }
+
   val queries: Map[String, Q] = Map(
+    "t22_keywords" -> (t22Keywords _),
     "t21_bucket_sample" -> (t21BucketSample _),
     "t20_quality_buckets" -> (t20QualityBuckets _),
     "t19_topk_weighted" -> (t19TopkWeighted _),
@@ -972,6 +1015,32 @@ object Text {
   }
 
   val oracles: Map[String, String] = Map(
+    // t22: same (word, tf) multiplicities via unnest+GROUP BY, same
+    // rational idf — the score is the identical divide+multiply tree,
+    // the rank the identical (score DESC, word) order.
+    "t22_keywords" ->
+      s"""WITH tk AS (
+           SELECT doc_id,
+                  list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS t
+           FROM documents),
+         u AS (SELECT doc_id, unnest(t) AS word FROM tk),
+         tf AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf
+                FROM u GROUP BY 1, 2),
+         df AS (SELECT word, CAST(count(*) AS BIGINT) AS df
+                FROM tf GROUP BY 1),
+         n AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs FROM tf),
+         sc AS (
+           SELECT f.doc_id, f.word, f.tf, d.df,
+                  CAST(f.tf AS DOUBLE)
+                    * ((CAST(n.n_docs AS DOUBLE) - CAST(d.df AS DOUBLE) + 0.5)
+                       / (CAST(d.df AS DOUBLE) + 0.5)) AS score
+           FROM tf f JOIN df d USING (word) CROSS JOIN n),
+         rk AS (
+           SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+                     ORDER BY score DESC, word) AS BIGINT) AS rnk
+           FROM sc)
+         SELECT doc_id, rnk, word, tf, df, score
+         FROM rk WHERE rnk <= $KeywordTopK ORDER BY doc_id, rnk""",
     // t18: rebuilds the same multiplicities via unnest+GROUP BY
     // (the shuffle is DuckDB's problem); graded columns are the same
     // single divisions of exact int64s.

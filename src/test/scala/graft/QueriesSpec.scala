@@ -1206,4 +1206,48 @@ class QueriesSpec extends AnyFunSuite {
         "endpoints must be kept")
     }
   }
+
+  test("round-12 additions: semantic invariants beyond the hash gate") {
+    val s = spark
+    import s.implicits._
+    // s35: the derivative is non-negative by construction, and emits
+    // exactly one row per consecutive purchase pair
+    val s35 = solar.Solar.s35NonnegDerivative(s, SfDir)
+    assert(s35.filter($"rate_per_hour" < 0.0).count() == 0)
+    val purch = Tables.events(s, SfDir).filter($"event_type" === "purchase")
+    val nPairs = purch.count() - purch.select($"user_id").distinct().count()
+    assert(s35.count() == nPairs)
+    // q31: within each nation the cumulative share is non-decreasing
+    // in rank, ends at exactly 1.0, and classes run A..B..C contiguously
+    val q31 = relational.Relational.q31Pareto(s, SfDir)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"nation").orderBy($"rnk")
+    assert(q31.withColumn("prev", lag($"cum_share", 1).over(w))
+      .filter($"prev".isNotNull && $"cum_share" < $"prev").count() == 0)
+    val last = q31.withColumn("mx", max($"rnk").over(
+      org.apache.spark.sql.expressions.Window.partitionBy($"nation")))
+      .filter($"rnk" === $"mx")
+    assert(last.filter($"cum_share" =!= 1.0).count() == 0)
+    val cls = q31.withColumn("prevc", lag($"abc", 1).over(w))
+      .filter($"prevc".isNotNull)
+    assert(cls.filter($"prevc" === "B" && $"abc" === "A").count() == 0)
+    assert(cls.filter($"prevc" === "C" && $"abc" =!= "C").count() == 0)
+    // e21: user totals conserve, and strict_increase can never reach a
+    // HIGHER level than the plain-mode bounded funnel reaches overall
+    val e21 = events.Events.e21FunnelInc(s, SfDir)
+    val users = Tables.events(s, SfDir).select($"user_id").distinct().count()
+    assert(e21.agg(sum($"n_users")).as[Long].head() == users)
+    assert(e21.filter($"funnel_level" < 0 || $"funnel_level" > 3).count() == 0)
+    // t22: exactly ≤3 keywords per doc, scores non-increasing in rank
+    val t22 = text.Text.t22Keywords(s, SfDir)
+    assert(t22.groupBy($"doc_id").count().filter($"count" > 3).count() == 0)
+    val tw = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"rnk")
+    assert(t22.withColumn("pscore", lag($"score", 1).over(tw))
+      .filter($"pscore".isNotNull && $"score" > $"pscore").count() == 0)
+    // m8: the modality partition covers the whole corpus exactly once
+    val m8 = multimodal.Multimodal.m8ModalityReport(s, SfDir)
+    val docs = Tables.documents(s, SfDir).count()
+    assert(m8.agg(sum($"n_docs")).as[Long].head() == docs)
+  }
 }
