@@ -749,7 +749,7 @@ object Dedup {
       // starts[k] = ends[k-1] (0 for the first chunk): a lagged copy
       // avoids element_at(_, 0), which Spark rejects
       .withColumn("starts",
-        concat(array(lit(0)), slice($"ends", 1, size($"ends") - 1)))
+        concat(array(lit(0)), slice($"ends", lit(1), size($"ends") - 1)))
       .withColumn("ch",
         explode(transform(sequence(lit(1), size($"ends")), k =>
           struct(k.as("chunk_idx"),
@@ -763,17 +763,20 @@ object Dedup {
     val dupChunks = chunks
       .groupBy($"chunk_h").agg(countDistinct($"doc_id").as("nd"))
       .filter($"nd" >= 2)
-      .select($"chunk_h")
+      .select($"chunk_h", lit(1L).as("is_dup"))
+    // marker left-join + ONE per-doc aggregate: the expensive chunk
+    // subtree is consumed exactly twice (the hash-frequency branch and
+    // this probe — the irreducible aggregate→join pair, d11's shape),
+    // never a third time for totals
     chunks
-      .join(dupChunks, Seq("chunk_h"), "left_semi")
-      .groupBy($"doc_id").agg(count(lit(1)).as("dup"))
-      .join(chunks.groupBy($"doc_id")
-        .agg(count(lit(1)).as("n_chunks"), sum($"chunk_len").as("n_tokens")),
-        Seq("doc_id"), "right")
-      .select($"doc_id", $"n_tokens", $"n_chunks",
-        coalesce($"dup", lit(0L)).as("n_dup_chunks"),
-        (coalesce($"dup", lit(0L)).cast("double") / $"n_chunks")
-          .as("dup_chunk_frac"))
+      .join(dupChunks, Seq("chunk_h"), "left")
+      .groupBy($"doc_id")
+      .agg(
+        sum($"chunk_len").as("n_tokens"),
+        count(lit(1)).as("n_chunks"),
+        coalesce(sum($"is_dup"), lit(0L)).as("n_dup_chunks"))
+      .select($"doc_id", $"n_tokens", $"n_chunks", $"n_dup_chunks",
+        ($"n_dup_chunks".cast("double") / $"n_chunks").as("dup_chunk_frac"))
       .withColumn("keep", $"dup_chunk_frac" <= DupChunkMax)
       .orderBy($"doc_id")
   }
@@ -860,6 +863,52 @@ object Dedup {
   }
 
   val oracles: Map[String, String] = Map(
+    // d14: same 60-bit md5-slice hashes, same boundary rule (bigram
+    // hash mod 8), same lagged-ends span arithmetic, same keep compare
+    // on the identical divided double.
+    "d14_cdc_dedup" ->
+      s"""WITH tk AS (
+           SELECT doc_id,
+                  list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS t
+           FROM documents),
+         tk2 AS (SELECT * FROM tk WHERE len(t) >= 1),
+         e AS (
+           SELECT doc_id, t,
+                  list_append(
+                    list_filter(range(1, len(t)), i ->
+                      CAST('0x' || substr(md5(t[i] || ' ' || t[i+1]), 1, 15) AS BIGINT)
+                        % $CdcModulus = 0),
+                    len(t)) AS ends
+           FROM tk2),
+         c AS (
+           SELECT doc_id,
+                  unnest(list_transform(range(1, len(ends) + 1), k ->
+                    struct_pack(
+                      chunk_len := ends[k] -
+                        (CASE WHEN k = 1 THEN 0 ELSE ends[k-1] END),
+                      chunk_h := CAST('0x' || substr(md5(array_to_string(
+                        t[(CASE WHEN k = 1 THEN 0 ELSE ends[k-1] END) + 1 : ends[k]],
+                        ' ')), 1, 15) AS BIGINT)))) AS ch
+           FROM e),
+         cc AS (SELECT doc_id, ch.chunk_len AS chunk_len,
+                       ch.chunk_h AS chunk_h FROM c),
+         dup AS (
+           SELECT chunk_h FROM (
+             SELECT chunk_h, count(DISTINCT doc_id) AS nd
+             FROM cc GROUP BY 1) WHERE nd >= 2),
+         per AS (
+           SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+                  CAST(sum(chunk_len) AS BIGINT) AS n_tokens
+           FROM cc GROUP BY 1),
+         dd AS (
+           SELECT doc_id, CAST(count(*) AS BIGINT) AS dup
+           FROM cc WHERE chunk_h IN (SELECT chunk_h FROM dup)
+           GROUP BY 1)
+         SELECT p.doc_id, p.n_tokens, p.n_chunks,
+                coalesce(dd.dup, 0) AS n_dup_chunks,
+                CAST(coalesce(dd.dup, 0) AS DOUBLE) / p.n_chunks AS dup_chunk_frac,
+                CAST(coalesce(dd.dup, 0) AS DOUBLE) / p.n_chunks <= $DupChunkMax AS keep
+         FROM per p LEFT JOIN dd USING (doc_id) ORDER BY doc_id""",
     // d13: the same two-level count; sums of BIGINT products cast back.
     "d13_cluster_stats" ->
       """WITH c AS (

@@ -419,7 +419,84 @@ object Streaming {
       .orderBy($"hour", $"event_type")
   }
 
+  /** One funnel event: packed = us*8 + typecode (e21's encoding). */
+  case class FunnelEvt(user_id: Long, packed: Long)
+
+  /** Cross-batch funnel state — EXACTLY e21's fold accumulator
+    * (chain start µs, last matched µs, level reached): the batch
+    * fold's accumulator IS the streaming state, so stream and batch
+    * cannot diverge by construction. ≤ 24 bytes per user. */
+  case class FunnelState(start: Long, last: Long, level: Int)
+
+  /** Per-user funnel level emitted after each micro-batch. */
+  case class FunnelLevel(user_id: Long, funnel_level: Long)
+
+  /** e21's strict_increase transition, shared verbatim by every
+    * micro-batch step and the batch form. */
+  private def funnelStep(acc: FunnelState, packed: Long): FunnelState = {
+    val us = packed >> 3
+    val tc = (packed & 7L).toInt
+    if (acc.level == 0 && tc == 1) FunnelState(us, us, 1)
+    else if (acc.level == 1 && tc == 2 && us > acc.last &&
+      us - acc.start <= 21600000000L) FunnelState(acc.start, us, 2)
+    else if (acc.level == 2 && tc == 3 && us > acc.last &&
+      us - acc.start <= 21600000000L) FunnelState(acc.start, us, 3)
+    else acc
+  }
+
+  /** Stateful streaming windowFunnel('strict_increase') via
+    * flatMapGroupsWithState: within a micro-batch events fold in
+    * packed (us, typecode) order — e21's exact sort — and the
+    * accumulator carries across batches, so an unbounded feed runs
+    * the funnel in bounded memory (state = #users × one accumulator).
+    * Emits the level reached after each batch (append mode; the LAST
+    * emission per user is the current answer — the spec reads it via
+    * max, levels are monotone). Production pairs this with a
+    * watermark so late rows can't arrive behind an already-advanced
+    * chain (statefulCounterDelta's discipline); the spec feeds
+    * time-split batches, the contract an event-time-ordered resume
+    * from a checkpoint provides. */
+  def statefulFunnel(ds: Dataset[FunnelEvt]): Dataset[FunnelLevel] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelLevel](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[FunnelEvt], state: GroupState[FunnelState]) =>
+          val sorted = it.map(_.packed).toIndexedSeq.sorted
+          val acc0 = state.getOption.getOrElse(FunnelState(0L, 0L, 0))
+          val acc = sorted.foldLeft(acc0)(funnelStep)
+          state.update(acc)
+          Iterator.single(FunnelLevel(uid, acc.level.toLong))
+      }
+  }
+
+  // ---------------------------------------------------------------------
+  // st6: graded batch-equivalent of the streaming strict_increase
+  // funnel — the same stateful operator run over the batch Dataset
+  // (empty initial state, one "micro-batch"), rolled up to the level
+  // distribution. The oracle is e21's: the stateful operator and the
+  // codegen'd batch fold must agree bit-for-bit, and the cross-
+  // micro-batch resume is pinned by StreamingSpec (state carries the
+  // accumulator, so splitting the feed cannot change the answer).
+  // ---------------------------------------------------------------------
+  def st6StreamFunnel(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val tc = when($"event_type" === "view", 1L)
+      .when($"event_type" === "click", 2L)
+      .when($"event_type" === "purchase", 3L)
+      .otherwise(0L)
+    val evts = Tables.events(s, d)
+      .select($"user_id", (unix_micros($"ts") * 8 + tc).as("packed"))
+      .as[FunnelEvt]
+    statefulFunnel(evts)
+      .groupBy($"funnel_level")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy($"funnel_level")
+  }
+
   val queries: Map[String, Q] = Map(
+    "st6_stream_funnel" -> (st6StreamFunnel _),
     "st5_stream_moments" -> (st5StreamMoments _),
     "st4_dedup_ingest" -> (st4DedupIngest _),
     "st1_stream_hourly" -> (st1StreamHourly _),
@@ -428,6 +505,9 @@ object Streaming {
   )
 
   val oracles: Map[String, String] = Map(
+    // st6: the stateful operator must agree bit-for-bit with e21's
+    // batch fold, so the oracle IS e21's (shared, cannot drift).
+    "st6_stream_funnel" -> graft.events.Events.oracles("e21_funnel_inc"),
     // st5: s28's exact power sums and double tree at the (hour,
     // event_type) grain (HUGEINT for c⁴).
     "st5_stream_moments" ->

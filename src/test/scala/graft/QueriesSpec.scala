@@ -1249,5 +1249,26 @@ class QueriesSpec extends AnyFunSuite {
     val m8 = multimodal.Multimodal.m8ModalityReport(s, SfDir)
     val docs = Tables.documents(s, SfDir).count()
     assert(m8.agg(sum($"n_docs")).as[Long].head() == docs)
+    // d14: chunks tile each doc exactly (Σ chunk_len = token count),
+    // and byte-identical documents are 100% duplicated chunks
+    val d14 = dedup.Dedup.d14CdcDedup(s, SfDir)
+    val tokCounts = Tables.documents(s, SfDir)
+      .select($"doc_id", size(split(trim(lower($"text")), "\\s+")).cast("long").as("n"))
+    assert(d14.join(tokCounts, "doc_id")
+      .filter($"n_tokens" =!= $"n").count() == 0)
+    val dupDocs = Tables.documents(s, SfDir)
+      .groupBy(md5($"text").as("h")).agg(count(lit(1)).as("c"),
+        collect_list($"doc_id").as("ids"))
+      .filter($"c" > 1).select(explode($"ids").as("doc_id"))
+    assert(d14.join(dupDocs, "doc_id")
+      .filter($"dup_chunk_frac" =!= 1.0).count() == 0,
+      "exact-duplicate docs must have every chunk duplicated")
+    // v12: ≤3 neighbors per vector, cosine non-increasing in rank
+    val v12 = sim.Sim.v12KnnGraph(s, SfDir)
+    assert(v12.groupBy($"src").count().filter($"count" > 3).count() == 0)
+    val vw = org.apache.spark.sql.expressions.Window
+      .partitionBy($"src").orderBy($"rnk")
+    assert(v12.withColumn("pcos", lag($"cos", 1).over(vw))
+      .filter($"pcos".isNotNull && $"cos" > $"pcos").count() == 0)
   }
 }

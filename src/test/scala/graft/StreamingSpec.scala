@@ -604,4 +604,43 @@ class StreamingSpec extends AnyFunSuite {
     val expected = feed.filter(year($"ts") * 100 + month($"ts") === months.head).count()
     assert(one.count() == expected)
   }
+
+  test("stateful streaming funnel across micro-batches equals e21's batch fold") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val tc = when($"event_type" === "view", 1L)
+      .when($"event_type" === "click", 2L)
+      .when($"event_type" === "purchase", 3L)
+      .otherwise(0L)
+    val evts = Tables.events(s, SfDir)
+      .select($"user_id", (unix_micros($"ts") * 8 + tc).as("packed"))
+      .as[Streaming.FunnelEvt]
+      .collect().sortBy(_.packed)
+    // three time-ordered micro-batches — the resume-from-checkpoint
+    // shape; the accumulator must carry the chain across the splits
+    val (b1, rest) = evts.splitAt(evts.length / 3)
+    val (b2, b3) = rest.splitAt(rest.length / 2)
+
+    val stream = MemoryStream[Streaming.FunnelEvt]
+    val q = Streaming.statefulFunnel(stream.toDS())
+      .writeStream.format("memory").queryName("funnel_spec")
+      .outputMode("append").start()
+    try {
+      stream.addData(b1.toSeq: _*); q.processAllAvailable()
+      stream.addData(b2.toSeq: _*); q.processAllAvailable()
+      stream.addData(b3.toSeq: _*); q.processAllAvailable()
+    } finally q.stop()
+
+    // levels are monotone, so each user's final answer is the max
+    val streamed = s.table("funnel_spec")
+      .groupBy($"user_id").agg(max($"funnel_level").as("funnel_level"))
+      .groupBy($"funnel_level").agg(count(lit(1)).as("n_users"))
+    val batch = events.Events.e21FunnelInc(s, SfDir)
+    assert(streamed.count() == batch.count())
+    val mismatch = streamed.as("a").join(batch.as("b"), "funnel_level")
+      .filter($"a.n_users" =!= $"b.n_users")
+    assert(mismatch.count() == 0,
+      "cross-micro-batch funnel levels must match the batch fold")
+  }
 }
