@@ -688,16 +688,41 @@ object Sim {
       .withColumn("rn", row_number().over(wAssign))
       .filter($"rn" === 1)
       .select($"vec_id", $"embedding", $"c_id".as("cluster"))
-    val wTop = Window.partitionBy($"src").orderBy($"cos".desc, $"dst")
-    assigned.select($"vec_id".as("src"), $"embedding".as("e_src"), $"cluster")
-      .join(assigned.select($"vec_id".as("dst"), $"embedding".as("e_dst"),
-        $"cluster"), "cluster")
-      .filter($"src" =!= $"dst")
-      .select($"src", $"dst", $"cluster",
-        cosineSim($"e_src", $"e_dst").as("cos"))
-      .withColumn("rnk", row_number().over(wTop).cast("int"))
-      .filter($"rnk" <= KnnGraphK)
-      .select($"src", $"rnk", $"dst", $"cluster", $"cos")
+    // In-cell kNN emitted from the COLLECTED cell (m7's in-bucket
+    // discipline) instead of a cluster self-join: a self-join would
+    // evaluate the assignment subtree twice and shuffle both copies,
+    // while this form is single-branch — ONE (cluster) exchange, and
+    // the entire pair scoring + per-src top-3 selection is a map-side
+    // expression tree over the cell array (cell residency is the IVF
+    // assumption; the big per-cell rows stream inside whole-stage
+    // codegen, never materializing). The explicit comparator mirrors
+    // the oracle's (cos DESC, dst) order without negation tricks.
+    val cmp = (l: Column, r: Column) =>
+      when(l.getField("cos") > r.getField("cos"), -1)
+        .when(l.getField("cos") < r.getField("cos"), 1)
+        .otherwise(
+          when(l.getField("dst") < r.getField("dst"), -1)
+            .when(l.getField("dst") > r.getField("dst"), 1).otherwise(0))
+    assigned
+      .groupBy($"cluster")
+      .agg(collect_list(struct($"vec_id", $"embedding")).as("members"))
+      .select($"cluster", explode(flatten(transform($"members", src =>
+        transform(
+          slice(
+            array_sort(
+              transform(
+                filter($"members", m =>
+                  m.getField("vec_id") =!= src.getField("vec_id")),
+                m => struct(
+                  cosineSim(src.getField("embedding"),
+                    m.getField("embedding")).as("cos"),
+                  m.getField("vec_id").as("dst"))),
+              cmp),
+            1, KnnGraphK),
+          (n, i) => struct(src.getField("vec_id").as("src"),
+            (i + 1).as("rnk"), n.getField("dst").as("dst"),
+            n.getField("cos").as("cos")))))).as("p"))
+      .select($"p.src", $"p.rnk", $"p.dst", $"cluster", $"p.cos")
       .orderBy($"src", $"rnk")
   }
 

@@ -1247,7 +1247,40 @@ object Solar {
       .orderBy($"inverter", $"ts", $"event_id")
   }
 
+  // ---------------------------------------------------------------------
+  // s36: ClickHouse `anyHeavy`/`topK(1)` graded as the EXACT mode —
+  // the most frequent reading value per inverter (stuck-register /
+  // dominant-state detection; CH's anyHeavy is the heavy-hitter
+  // approximation of exactly this, and t13 already carries the
+  // approximate machinery). Deterministic tie rule: highest count,
+  // then SMALLEST value — expressed as max_by over the (count,
+  // −cents) struct key, an order-free combine-enabled aggregate.
+  // Two-level shape: the fact table reduces to (inverter, cents)
+  // counts first (one combine-enabled shuffle); the mode selection
+  // runs over those bounded value-frequency rows — no window, no
+  // sort, nothing corpus-sized after the first aggregate.
+  // ---------------------------------------------------------------------
+  def s36Mode(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    feed(s, d)
+      .filter($"event_type" === "view")
+      .select($"inverter", round($"value" * 100).cast("long").as("cents"))
+      .groupBy($"inverter", $"cents")
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy($"inverter")
+      .agg(
+        sum($"cnt").as("n_readings"),
+        count(lit(1)).as("n_distinct"),
+        max_by($"cents", struct($"cnt", -$"cents")).as("mode_cents"),
+        max($"cnt").as("mode_count"))
+      .select($"inverter", $"n_readings", $"n_distinct",
+        ($"mode_cents".cast("double") / 100.0).as("mode_watts"),
+        $"mode_count")
+      .orderBy($"inverter")
+  }
+
   val queries: Map[String, Q] = Map(
+    "s36_mode" -> (s36Mode _),
     "s35_nonneg_derivative" -> (s35NonnegDerivative _),
     "s34_quantiles_weighted" -> (s34QuantilesWeighted _),
     "s33_bit_aggregates" -> (s33BitAggregates _),
@@ -1313,6 +1346,31 @@ object Solar {
   // DuckDB oracles — each mirrors the Spark arithmetic exactly
   // (decimal sums, integer microseconds, double division).
   val oracles: Map[String, String] = Map(
+    // s36: same two-level counts; the mode row via row_number over the
+    // identical (cnt DESC, cents ASC) order — max_by((cnt, −cents))'s
+    // tie rule spelled out.
+    "s36_mode" ->
+      """WITH o AS (
+           SELECT user_id AS inverter,
+                  CAST(round(value * 100) AS BIGINT) AS cents
+           FROM events WHERE event_type = 'view'),
+         c AS (
+           SELECT inverter, cents, count(*) AS cnt
+           FROM o GROUP BY 1, 2),
+         r AS (
+           SELECT *, row_number() OVER (PARTITION BY inverter
+                     ORDER BY cnt DESC, cents ASC) AS rn
+           FROM c)
+         SELECT r.inverter,
+                CAST(t.n_readings AS BIGINT) AS n_readings,
+                CAST(t.n_distinct AS BIGINT) AS n_distinct,
+                CAST(r.cents AS DOUBLE) / 100.0 AS mode_watts,
+                CAST(r.cnt AS BIGINT) AS mode_count
+         FROM r JOIN (
+           SELECT inverter, sum(cnt) AS n_readings, count(*) AS n_distinct
+           FROM c GROUP BY 1) t USING (inverter)
+         WHERE r.rn = 1
+         ORDER BY inverter""",
     // s35: same lag window; dt=0 / negative-delta pairs are exact-zero
     // in both engines, so only genuinely increasing pairs ever touch
     // IEEE arithmetic (one divide + one multiply, s27's op order).

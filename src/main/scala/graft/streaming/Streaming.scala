@@ -495,7 +495,55 @@ object Streaming {
       .orderBy($"funnel_level")
   }
 
+  /** st7's summary width: ≥ the event-type cardinality, so the
+    * Misra-Gries summary NEVER evicts and the streaming sketch is
+    * EXACT — which is what makes the query oracle-gradeable. The
+    * production setting (w ≪ distinct items) keeps the same plan and
+    * state shape with the ±n/w bound t13's spec pins. */
+  val StreamTopKW = 64
+  val StreamTopK = 3
+
+  /** Windowed streaming heavy-hitters: the mergeable ApproxTopKAgg
+    * summary as STREAMING STATE — per open hour window the state is
+    * one bounded (≤ w entries) map, micro-batches OR into it via the
+    * aggregate's merge (the same partial-merge path the batch plan
+    * uses map-side), so an unbounded feed tracks its top event types
+    * in O(w) per window. Shared by the graded batch plan and the
+    * stream==batch spec (st1 discipline). */
+  def topkTransform(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select($"ts", $"event_type")
+      .withWatermark("ts", "2 hours")
+      .groupBy(window($"ts", "1 hour"))
+      .agg(graft.functions.GraftFunctions
+        .approxTopK($"event_type", StreamTopK, StreamTopKW).as("tk"))
+  }
+
+  /** Explode the summary to scalar graded rows (comparator contract:
+    * no array columns in oracled output). */
+  def topkFinalize(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select($"window.start".as("hour"), posexplode($"tk"))
+      .select($"hour", ($"pos" + 1).cast("long").as("rank"),
+        $"col.item".as("event_type"), $"col.est".as("n_events"))
+  }
+
+  // ---------------------------------------------------------------------
+  // st7: graded batch-equivalent of the streaming windowed top-k
+  // (real stream covered by StreamingSpec). With w ≥ #event types the
+  // summary is exact, so the oracle is plain per-hour counts ranked
+  // by (count DESC, type ASC) — the aggregate's own output order.
+  // ---------------------------------------------------------------------
+  def st7StreamTopk(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    topkFinalize(topkTransform(Tables.events(s, d)))
+      .orderBy($"hour", $"rank")
+  }
+
   val queries: Map[String, Q] = Map(
+    "st7_stream_topk" -> (st7StreamTopk _),
     "st6_stream_funnel" -> (st6StreamFunnel _),
     "st5_stream_moments" -> (st5StreamMoments _),
     "st4_dedup_ingest" -> (st4DedupIngest _),
@@ -505,6 +553,19 @@ object Streaming {
   )
 
   val oracles: Map[String, String] = Map(
+    // st7: with w ≥ cardinality the sketch is exact — per-hour counts
+    // ranked by the aggregate's own (count DESC, item ASC) rule.
+    "st7_stream_topk" ->
+      s"""WITH c AS (
+           SELECT time_bucket(INTERVAL '1 hour', ts) AS hour, event_type,
+                  count(*) AS n
+           FROM events GROUP BY 1, 2),
+         r AS (
+           SELECT *, CAST(row_number() OVER (PARTITION BY hour
+                     ORDER BY n DESC, event_type ASC) AS BIGINT) AS rank
+           FROM c)
+         SELECT hour, rank, event_type, CAST(n AS BIGINT) AS n_events
+         FROM r WHERE rank <= $StreamTopK ORDER BY hour, rank""",
     // st6: the stateful operator must agree bit-for-bit with e21's
     // batch fold, so the oracle IS e21's (shared, cannot drift).
     "st6_stream_funnel" -> graft.events.Events.oracles("e21_funnel_inc"),

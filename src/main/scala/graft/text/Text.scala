@@ -904,7 +904,76 @@ object Text {
       .orderBy($"doc_id", $"rnk")
   }
 
+  /** t23 feature-space size (hashed n-gram buckets) and the target
+    * language defining p_target. */
+  val DsirBuckets = 1024L
+  val DsirTarget = "en"
+
+  // ---------------------------------------------------------------------
+  // t23: DSIR importance weights (Xie et al. 2023, "Data Selection
+  // for Language Models via Importance Resampling") — the data-
+  // SELECTION pass: score every raw document by how target-like its
+  // hashed n-gram profile is, w(x) ∝ p_target(x)/p_raw(x); sampling
+  // by these weights reshapes a raw crawl toward a target domain
+  // (here: the 'en' slice). Features are word uni+bigrams hashed to
+  // 1024 buckets (the paper's hashed n-gram model); both feature
+  // models are add-one-smoothed bucket frequencies.
+  //
+  // Bit-exact discipline: the paper's log-likelihood-ratio is a sum
+  // of ln() terms — not correctly rounded, so (t11's idf precedent)
+  // the graded score is the RATIONAL surrogate Σ c_f·r_f / n with
+  // r_f = (cnt_t+1)(R+B) / ((cnt_r+1)(T+B)), each factor exact-int,
+  // combined in double with three IEEE ops per feature and the sum
+  // folded in sorted-feature order on BOTH engines (the addition
+  // chain is part of the contract). Shapes: per-doc (bucket, count)
+  // pairs fold MAP-SIDE from the sorted feature array (t22
+  // discipline); bucket totals reduce to ONE 1024-row broadcast (the
+  // feature models are corpus-independent in size); per-doc score is
+  // one (doc_id) combine shuffle + a codegen'd ordered fold. Nothing
+  // after the map side scales beyond (docs × distinct buckets/doc).
+  // ---------------------------------------------------------------------
+  def t23Dsir(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val h60 = (c: Column) =>
+      conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    val pairs = Tables.documents(s, d)
+      .select($"doc_id", $"lang", toks(lower($"text")).as("t"))
+      .filter(size($"t") >= 2)
+      .select($"doc_id", $"lang",
+        sort_array(concat(
+          transform($"t", w => h60(w) % DsirBuckets),
+          transform(wordBigrams($"t"), g => h60(g) % DsirBuckets))).as("f"))
+      .select($"doc_id", $"lang",
+        explode(transform(array_distinct($"f"), b =>
+          struct(b.as("h"),
+            size(filter($"f", x => x === b)).cast("long").as("c")))).as("p"))
+      .select($"doc_id", $"lang", $"p.h", $"p.c")
+    val stats = pairs.groupBy($"h").agg(
+      sum($"c").as("cnt_r"),
+      sum(when($"lang" === DsirTarget, $"c").otherwise(0L)).as("cnt_t"))
+    val totals = stats.agg(sum($"cnt_r").as("tot_r"), sum($"cnt_t").as("tot_t"))
+    val fold = aggregate(
+      sort_array(collect_list(struct($"h", $"term"))),
+      lit(0.0), (acc, x) => acc + x.getField("term"))
+    pairs
+      .join(broadcast(stats), "h")
+      .crossJoin(broadcast(totals))
+      .withColumn("term",
+        $"c".cast("double") *
+          ((($"cnt_t" + 1L).cast("double") * ($"tot_r" + DsirBuckets).cast("double"))
+            / (($"cnt_r" + 1L).cast("double") * ($"tot_t" + DsirBuckets).cast("double"))))
+      .groupBy($"doc_id")
+      .agg(
+        sum($"c").as("n_feats"),
+        count(lit(1)).as("n_distinct"),
+        fold.as("score_sum"))
+      .select($"doc_id", $"n_feats", $"n_distinct",
+        ($"score_sum" / $"n_feats".cast("double")).as("dsir_weight"))
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "t23_dsir" -> (t23Dsir _),
     "t22_keywords" -> (t22Keywords _),
     "t21_bucket_sample" -> (t21BucketSample _),
     "t20_quality_buckets" -> (t20QualityBuckets _),
@@ -1015,6 +1084,53 @@ object Text {
   }
 
   val oracles: Map[String, String] = Map(
+    // t23: same 1024-bucket hashed features, same smoothed-ratio
+    // arithmetic (three IEEE ops per feature), same h-sorted addition
+    // chain (list ORDER BY h → left-fold sum, matching Spark's
+    // sort_array fold; 0.0 + x == x so the inits agree).
+    "t23_dsir" ->
+      s"""WITH tk AS (
+           SELECT doc_id, lang,
+                  list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS t
+           FROM documents),
+         tk2 AS (SELECT * FROM tk WHERE len(t) >= 2),
+         fe AS (
+           SELECT doc_id, lang,
+                  list_concat(
+                    list_transform(t, w ->
+                      CAST('0x' || substr(md5(w), 1, 15) AS BIGINT) % $DsirBuckets),
+                    list_transform(range(1, len(t)), i ->
+                      CAST('0x' || substr(md5(t[i] || ' ' || t[i+1]), 1, 15) AS BIGINT)
+                        % $DsirBuckets)) AS f
+           FROM tk2),
+         u AS (SELECT doc_id, lang, unnest(f) AS h FROM fe),
+         p AS (SELECT doc_id, lang, h, CAST(count(*) AS BIGINT) AS c
+               FROM u GROUP BY 1, 2, 3),
+         st AS (
+           SELECT h, CAST(sum(c) AS BIGINT) AS cnt_r,
+                  CAST(sum(CASE WHEN lang = '$DsirTarget' THEN c ELSE 0 END) AS BIGINT) AS cnt_t
+           FROM p GROUP BY 1),
+         tot AS (
+           SELECT CAST(sum(cnt_r) AS BIGINT) AS tot_r,
+                  CAST(sum(cnt_t) AS BIGINT) AS tot_t
+           FROM st),
+         term AS (
+           SELECT p.doc_id, p.h, p.c,
+                  CAST(p.c AS DOUBLE) *
+                    ((CAST(st.cnt_t + 1 AS DOUBLE) * CAST(tot.tot_r + $DsirBuckets AS DOUBLE))
+                     / (CAST(st.cnt_r + 1 AS DOUBLE) * CAST(tot.tot_t + $DsirBuckets AS DOUBLE)))
+                    AS term
+           FROM p JOIN st USING (h) CROSS JOIN tot),
+         sc AS (
+           SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_feats,
+                  CAST(count(*) AS BIGINT) AS n_distinct,
+                  list_sum(list_transform(
+                    list(struct_pack(h := h, term := term) ORDER BY h),
+                    x -> x.term)) AS score_sum
+           FROM term GROUP BY 1)
+         SELECT doc_id, n_feats, n_distinct,
+                score_sum / CAST(n_feats AS DOUBLE) AS dsir_weight
+         FROM sc ORDER BY doc_id""",
     // t22: same (word, tf) multiplicities via unnest+GROUP BY, same
     // rational idf — the score is the identical divide+multiply tree,
     // the rank the identical (score DESC, word) order.

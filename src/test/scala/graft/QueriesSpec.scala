@@ -1270,5 +1270,22 @@ class QueriesSpec extends AnyFunSuite {
       .partitionBy($"src").orderBy($"rnk")
     assert(v12.withColumn("pcos", lag($"cos", 1).over(vw))
       .filter($"pcos".isNotNull && $"cos" > $"pcos").count() == 0)
+    // s36: the mode's count is at least the pigeonhole bound and the
+    // distinct count never exceeds the reading count
+    val s36 = solar.Solar.s36Mode(s, SfDir)
+    assert(s36.filter($"mode_count" * $"n_distinct" < $"n_readings").count() == 0)
+    assert(s36.filter($"n_distinct" > $"n_readings").count() == 0)
+    // t23: weights are positive/finite, and the target language scores
+    // strictly above every other language on average (the DSIR point)
+    val t23 = text.Text.t23Dsir(s, SfDir)
+    assert(t23.filter($"dsir_weight" <= 0.0 || $"dsir_weight".isNull).count() == 0)
+    val byLang = t23.join(Tables.documents(s, SfDir), "doc_id")
+      .groupBy($"lang").agg(avg($"dsir_weight").as("w"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val en = byLang(text.Text.DsirTarget)
+    byLang.foreach { case (l, w) =>
+      if (l != text.Text.DsirTarget)
+        assert(en > w, s"target-language mean weight must exceed $l")
+    }
   }
 }

@@ -643,4 +643,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(mismatch.count() == 0,
       "cross-micro-batch funnel levels must match the batch fold")
   }
+
+  test("windowed streaming top-k sketch merges across micro-batches == batch") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    // skewed types so ranks are meaningful; split mid-window so the
+    // TypedImperativeAggregate state must MERGE across micro-batches
+    val data = Seq(
+      Ev(ts(0, 5), "view", 1.0), Ev(ts(0, 10), "view", 1.0),
+      Ev(ts(0, 15), "view", 1.0), Ev(ts(0, 20), "click", 1.0),
+      Ev(ts(0, 25), "click", 1.0), Ev(ts(0, 40), "purchase", 1.0),
+      Ev(ts(1, 5), "click", 1.0), Ev(ts(1, 10), "click", 1.0),
+      Ev(ts(1, 50), "view", 1.0))
+    val stream = MemoryStream[Ev]
+    stream.addData(data.take(4): _*)
+    val q = Streaming.topkTransform(stream.toDF())
+      .writeStream.format("memory").queryName("st7_spec")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      stream.addData(data.drop(4): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = Streaming.topkFinalize(s.table("st7_spec"))
+      .collect().map(_.toSeq).toSet
+    val batch = Streaming.topkFinalize(
+      Streaming.topkTransform(data.toDF())).collect().map(_.toSeq).toSet
+    assert(streamed == batch)
+    // h0: view(3) > click(2) > purchase(1); h1: click(2) > view(1)
+    val h0 = Streaming.topkFinalize(s.table("st7_spec"))
+      .filter($"rank" === 1).select($"event_type").as[String].collect().toSet
+    assert(h0 == Set("view", "click"))
+  }
 }
