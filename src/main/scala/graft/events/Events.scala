@@ -785,7 +785,125 @@ object Events {
       .orderBy($"funnel_level")
   }
 
+  // ---------------------------------------------------------------------
+  // e22: Markov transition matrix over event types — P(next | current)
+  // from every consecutive pair on each user's timeline (the "path
+  // analysis" / Sankey-edge query). lead(event_type) over the standard
+  // (user_id; ts, event_id) sort gives each event its successor after
+  // ONE exchange; the matrix is a (from, to) count rollup over the
+  // 5×5-bounded type space, the row total rides a window over those
+  // bounded rows, and the probability is one IEEE divide per cell.
+  // Per-user state is one row of lookahead — no arrays, no collects.
+  // ---------------------------------------------------------------------
+  def e22Markov(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    Tables.events(s, d)
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+      .withColumn("next_type", lead($"event_type", 1).over(w))
+      .filter($"next_type".isNotNull)
+      .groupBy($"event_type".as("from_type"), $"next_type".as("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("from_total",
+        sum($"n").over(Window.partitionBy($"from_type")))
+      .select($"from_type", $"to_type", $"n",
+        ($"n".cast("double") / $"from_total".cast("double")).as("p"))
+      .orderBy($"from_type", $"to_type")
+  }
+
+  // ---------------------------------------------------------------------
+  // e23: time-to-conversion distribution per signup cohort — each
+  // user's first signup → first purchase AFTER it, the delay rolled up
+  // per cohort day with EXACT rank-selected median/p90 (s14's order-
+  // statistic discipline: rn == floor((n−1)·q)+1 over the value order,
+  // deterministic — no interpolation ambiguity across engines).
+  // Shapes: the per-user reduce is one combine-enabled groupBy (min
+  // signup + conditional min purchase — no window), the cohort stats
+  // ride one (cohort) exchange whose sort is bounded by users-per-
+  // cohort-day, and delays are exact µs longs until the two display
+  // divides. The conversion rate is cents-free integer n/n division.
+  // ---------------------------------------------------------------------
+  def e23ConversionDelay(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val perUser = Tables.events(s, d)
+      .filter($"event_type".isin("signup", "purchase"))
+      .select($"user_id", $"event_type", unix_micros($"ts").as("us"))
+      .groupBy($"user_id")
+      .agg(
+        min(when($"event_type" === "signup", $"us")).as("s_us"),
+        min(when($"event_type" === "purchase", $"us")).as("p_us_any"))
+      .filter($"s_us".isNotNull)
+      .withColumn("p_us", when($"p_us_any" > $"s_us", $"p_us_any"))
+    // first purchase strictly after first signup; users whose only
+    // purchases precede signup count as unconverted on both engines
+    val cohorts = perUser
+      .withColumn("cohort", expr("timestamp_micros(s_us div 86400000000 * 86400000000)"))
+      .withColumn("delay_us", $"p_us" - $"s_us")
+    val rnkW = Window.partitionBy($"cohort").orderBy($"delay_us", $"user_id")
+    val conv = cohorts.filter($"delay_us".isNotNull)
+      .withColumn("rn", row_number().over(rnkW).cast("long"))
+      .withColumn("nc", count(lit(1)).over(Window.partitionBy($"cohort")))
+      .groupBy($"cohort")
+      .agg(
+        max($"nc").as("n_converted"),
+        min(when($"rn" === expr("(nc - 1) div 2 + 1"), $"delay_us")).as("med_us"),
+        min(when($"rn" === expr("(nc - 1) * 9 div 10 + 1"), $"delay_us")).as("p90_us"))
+    cohorts
+      .groupBy($"cohort")
+      .agg(count(lit(1)).as("n_users"))
+      .join(conv, Seq("cohort"), "left")
+      .select($"cohort", $"n_users",
+        coalesce($"n_converted", lit(0L)).as("n_converted"),
+        (coalesce($"n_converted", lit(0L)).cast("double") /
+          $"n_users".cast("double")).as("conversion_rate"),
+        ($"med_us".cast("double") / 1000000.0).as("median_delay_s"),
+        ($"p90_us".cast("double") / 1000000.0).as("p90_delay_s"))
+      .orderBy($"cohort")
+  }
+
+  // ---------------------------------------------------------------------
+  // e24: RFM segmentation — recency / frequency / monetary scores per
+  // user with FIXED business thresholds (the scale-honest form: pure
+  // map-side scoring after one combine-enabled per-user reduce; the
+  // quantile-based variant needs a global ranking, which is exactly
+  // t20's distributed-ranking idiom if ever wanted — documented, not
+  // silently smuggled in as a single-partition ntile window). The
+  // recency anchor is the corpus max ts — a one-row broadcast join,
+  // the only cross-user coordination in the query. Monetary sums are
+  // exact cents; every score boundary is an integer comparison.
+  // Output is the per-segment rollup (bounded 3³ label space).
+  // ---------------------------------------------------------------------
+  def e24Rfm(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, d)
+    val anchor = ev.agg(max(unix_micros($"ts")).as("a_us"))
+    val perUser = ev
+      .filter($"event_type" === "purchase")
+      .select($"user_id", unix_micros($"ts").as("us"),
+        (graft.Exact.dec($"value") * 100).cast("long").as("cents"))
+      .groupBy($"user_id")
+      .agg(max($"us").as("last_us"), count(lit(1)).as("freq"),
+        sum($"cents").as("cents"))
+    val day = 86400000000L
+    perUser
+      .crossJoin(broadcast(anchor))
+      .withColumn("rec_days", expr(s"(a_us - last_us) div $day"))
+      .withColumn("r", when($"rec_days" <= 7L, 3).when($"rec_days" <= 14L, 2).otherwise(1))
+      .withColumn("f", when($"freq" >= 4L, 3).when($"freq" >= 2L, 2).otherwise(1))
+      .withColumn("m", when($"cents" >= 15000L, 3).when($"cents" >= 5000L, 2).otherwise(1))
+      .groupBy(concat($"r".cast("string"), $"f".cast("string"),
+        $"m".cast("string")).as("segment"))
+      .agg(
+        count(lit(1)).as("n_users"),
+        sum($"freq").as("purchases"),
+        (sum($"cents").cast("double") / 100.0).as("revenue"))
+      .orderBy($"segment")
+  }
+
   val queries: Map[String, Q] = Map(
+    "e24_rfm" -> (e24Rfm _),
+    "e23_conversion_delay" -> (e23ConversionDelay _),
+    "e22_markov" -> (e22Markov _),
     "e21_funnel_inc" -> (e21FunnelInc _),
     "e20_next_node" -> (e20NextNode _),
     "e19_interval_sum" -> (e19IntervalSum _),
@@ -813,6 +931,89 @@ object Events {
   // BIGINT) is HUGEINT — always CAST back to BIGINT; double divisions
   // are left as single IEEE ops (bit-identical across engines).
   val oracles: Map[String, String] = Map(
+    // e22: same lead() successor pairs over the same (ts, event_id)
+    // order, bounded (from, to) rollup, one divide per cell.
+    "e22_markov" ->
+      """WITH p AS (
+           SELECT event_type AS from_type,
+                  lead(event_type, 1) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id) AS to_type
+           FROM events),
+         c AS (
+           SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+           FROM p WHERE to_type IS NOT NULL GROUP BY 1, 2),
+         w AS (
+           SELECT *, sum(n) OVER (PARTITION BY from_type) AS from_total
+           FROM c)
+         SELECT from_type, to_type, n,
+                CAST(n AS DOUBLE) / CAST(from_total AS DOUBLE) AS p
+         FROM w ORDER BY from_type, to_type""",
+    // e23: same per-user conditional-min reduce, the same integer
+    // rank-selection (floor((n−1)q)+1 over the (delay, user) order),
+    // µs integers until the two display divides.
+    "e23_conversion_delay" ->
+      """WITH pu AS (
+           SELECT user_id,
+                  min(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END) AS s_us,
+                  min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS p_any
+           FROM events WHERE event_type IN ('signup', 'purchase')
+           GROUP BY 1),
+         u AS (
+           SELECT user_id, s_us,
+                  CASE WHEN p_any > s_us THEN p_any END AS p_us
+           FROM pu WHERE s_us IS NOT NULL),
+         ch AS (
+           SELECT user_id,
+                  make_timestamp(s_us // 86400000000 * 86400000000) AS cohort,
+                  p_us - s_us AS delay_us
+           FROM u),
+         conv AS (
+           SELECT cohort, delay_us,
+                  CAST(row_number() OVER (PARTITION BY cohort
+                    ORDER BY delay_us, user_id) AS BIGINT) AS rn,
+                  count(*) OVER (PARTITION BY cohort) AS nc
+           FROM ch WHERE delay_us IS NOT NULL),
+         cs AS (
+           SELECT cohort, CAST(max(nc) AS BIGINT) AS n_converted,
+                  min(CASE WHEN rn = (nc - 1) // 2 + 1 THEN delay_us END) AS med_us,
+                  min(CASE WHEN rn = (nc - 1) * 9 // 10 + 1 THEN delay_us END) AS p90_us
+           FROM conv GROUP BY 1),
+         base AS (
+           SELECT cohort, CAST(count(*) AS BIGINT) AS n_users
+           FROM ch GROUP BY 1)
+         SELECT base.cohort, base.n_users,
+                coalesce(cs.n_converted, 0) AS n_converted,
+                CAST(coalesce(cs.n_converted, 0) AS DOUBLE) /
+                  CAST(base.n_users AS DOUBLE) AS conversion_rate,
+                CAST(cs.med_us AS DOUBLE) / 1000000.0 AS median_delay_s,
+                CAST(cs.p90_us AS DOUBLE) / 1000000.0 AS p90_delay_s
+         FROM base LEFT JOIN cs USING (cohort)
+         ORDER BY cohort""",
+    // e24: same exact-cents per-user reduce, the same integer
+    // threshold rules, one display divide.
+    "e24_rfm" ->
+      """WITH a AS (SELECT max(epoch_us(ts)) AS a_us FROM events),
+         pu AS (
+           SELECT user_id, max(epoch_us(ts)) AS last_us,
+                  CAST(count(*) AS BIGINT) AS freq,
+                  CAST(sum(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT) AS cents
+           FROM events WHERE event_type = 'purchase'
+           GROUP BY 1),
+         sc AS (
+           SELECT user_id, freq, cents,
+                  (a_us - last_us) // 86400000000 AS rec_days
+           FROM pu CROSS JOIN a),
+         lab AS (
+           SELECT freq, cents,
+                  (CASE WHEN rec_days <= 7 THEN 3 WHEN rec_days <= 14 THEN 2 ELSE 1 END) AS r,
+                  (CASE WHEN freq >= 4 THEN 3 WHEN freq >= 2 THEN 2 ELSE 1 END) AS f,
+                  (CASE WHEN cents >= 15000 THEN 3 WHEN cents >= 5000 THEN 2 ELSE 1 END) AS m
+           FROM sc)
+         SELECT CAST(r AS VARCHAR) || CAST(f AS VARCHAR) || CAST(m AS VARCHAR) AS segment,
+                CAST(count(*) AS BIGINT) AS n_users,
+                CAST(sum(freq) AS BIGINT) AS purchases,
+                CAST(sum(cents) AS DOUBLE) / 100.0 AS revenue
+         FROM lab GROUP BY 1 ORDER BY segment""",
     // e21: DuckDB's list_reduce needs acc type == element type, so
     // the init struct is prepended and elements carry (us in .start,
     // tc in .level); the lambda mirrors the Spark fold case-for-case.

@@ -737,7 +737,176 @@ object Relational {
       .orderBy($"nation", $"rnk")
   }
 
+  // ---------------------------------------------------------------------
+  // q32: PIVOT — nation × order-year revenue matrix, the relational
+  // pivot operator proper (Dataset.pivot with a PINNED value list so
+  // the output schema is static — an unpinned pivot needs a distinct
+  // pre-scan AND makes the schema data-dependent, both wrong at
+  // 100 TB). Revenue sums are exact decimal (map-side partial agg),
+  // cast to double once per cell for display. Plan shape: customer
+  // and nation broadcast, ONE hashpartitioning(nation) exchange; the
+  // pivot itself is conditional aggregation, so it rides the same
+  // combine-enabled aggregate as q1 — no extra shuffle per column.
+  // ---------------------------------------------------------------------
+  private val PivotYears = Seq(1995, 1996, 1997, 1998, 1999, 2000, 2001)
+
+  def q32Pivot(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val c = Tables.customer(s, d).select($"c_custkey", $"c_nationkey")
+    val n = Tables.nation(s, d).select($"n_nationkey", $"n_name")
+    val pv = Tables.orders(s, d)
+      .join(broadcast(c), $"o_custkey" === $"c_custkey")
+      .join(broadcast(n), $"c_nationkey" === $"n_nationkey")
+      .select($"n_name".as("nation"), year($"o_orderdate").as("yr"),
+        dec($"o_totalprice").as("p"))
+      .groupBy($"nation")
+      .pivot("yr", PivotYears)
+      .agg(sum($"p"))
+    pv.select($"nation" +: PivotYears.map(y =>
+        col(y.toString).cast("double").as(s"y$y")): _*)
+      .orderBy($"nation")
+  }
+
+  // ---------------------------------------------------------------------
+  // q33: set operators — INTERSECT / EXCEPT on per-year buyer sets
+  // (customers active in 1994 vs 1995: retained, churned, acquired).
+  // Uses Spark's genuine Intersect/Except logical operators (they
+  // plan as distinct left-semi/anti joins); all three set results are
+  // ids-only and co-partitioned on custkey, so each set op is one
+  // key-narrow shuffle pair — at 100 TB the year filters are
+  // parquet-pushed and only (custkey) columns ever move. The tagged
+  // union then rolls up per nation with the dims broadcast.
+  // ---------------------------------------------------------------------
+  def q33SetOps(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    def buyers(yr: Int): DataFrame =
+      Tables.orders(s, d)
+        .filter(year($"o_orderdate") === yr)
+        .select($"o_custkey").distinct()
+    val early = buyers(1996)
+    val late = buyers(1997)
+    val tagged =
+      early.intersect(late).select($"o_custkey", lit("retained").as("cls"))
+        .unionAll(early.except(late).select($"o_custkey", lit("churned").as("cls")))
+        .unionAll(late.except(early).select($"o_custkey", lit("acquired").as("cls")))
+    val c = Tables.customer(s, d).select($"c_custkey", $"c_nationkey")
+    val n = Tables.nation(s, d).select($"n_nationkey", $"n_name")
+    tagged
+      .join(broadcast(c), $"o_custkey" === $"c_custkey")
+      .join(broadcast(n), $"c_nationkey" === $"n_nationkey")
+      .groupBy($"n_name".as("nation"))
+      .agg(
+        sum(when($"cls" === "retained", 1L).otherwise(0L)).as("n_retained"),
+        sum(when($"cls" === "churned", 1L).otherwise(0L)).as("n_churned"),
+        sum(when($"cls" === "acquired", 1L).otherwise(0L)).as("n_acquired"))
+      .orderBy($"nation")
+  }
+
+  // ---------------------------------------------------------------------
+  // q34: two-sample Kolmogorov–Smirnov test (ClickHouse
+  // `kolmogorovSmirnovTest`) — per market segment, URGENT vs LOW
+  // order-price distributions. The D statistic is EXACT: prices are
+  // cents longs, per-value counts come from one (segment, v) groupBy,
+  // the two ECDFs are cumulative-count windows over the value order,
+  // and the sup gap is max|c1·n2 − c2·n1| — pure integers until ONE
+  // final divide by n1·n2 (and the normal-scaling sqrt, correctly
+  // rounded IEEE). Ties are handled exactly: evaluating at distinct
+  // values with through-the-tie cumulative counts IS the ECDF
+  // definition. Plan: the cumulative windows and the final aggregate
+  // share one hashpartitioning(segment) exchange; the window sorts
+  // (segment, v) — group cardinality bounds the sort, and the
+  // distinct-value pre-aggregate shrinks rows before any window sees
+  // them (at 100 TB the groupBy is the combine-enabled reducer).
+  // ---------------------------------------------------------------------
+  def q34KsTest(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val D38 = DecimalType(38, 0)
+    val c = Tables.customer(s, d).select($"c_custkey", $"c_mktsegment")
+    val byValue = Tables.orders(s, d)
+      .filter($"o_orderpriority".isin("1-URGENT", "5-LOW"))
+      .join(broadcast(c), $"o_custkey" === $"c_custkey")
+      .select($"c_mktsegment".as("segment"),
+        ($"o_orderpriority" === "1-URGENT").as("g1"),
+        (dec($"o_totalprice") * 100).cast("long").as("v"))
+      .groupBy($"segment", $"v")
+      .agg(
+        sum(when($"g1", 1L).otherwise(0L)).as("k1"),
+        sum(when(!$"g1", 1L).otherwise(0L)).as("k2"))
+    val cum = Window.partitionBy($"segment").orderBy($"v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy($"segment")
+    byValue
+      .withColumn("c1", sum($"k1").over(cum))
+      .withColumn("c2", sum($"k2").over(cum))
+      .withColumn("n1", sum($"k1").over(tot))
+      .withColumn("n2", sum($"k2").over(tot))
+      .groupBy($"segment")
+      .agg(
+        max($"n1").as("n1"), max($"n2").as("n2"),
+        max(abs($"c1".cast(D38) * $"n2" - $"c2".cast(D38) * $"n1")).as("dnum"))
+      .filter($"n1" > 0 && $"n2" > 0)
+      .select($"segment", $"n1", $"n2",
+        ($"dnum".cast("double") /
+          ($"n1".cast(D38) * $"n2").cast("double")).as("ks_d"))
+      .withColumn("ks_scaled",
+        $"ks_d" * sqrt(($"n1".cast(D38) * $"n2").cast("double") /
+          ($"n1" + $"n2").cast("double")))
+      .orderBy($"segment")
+  }
+
+  // ---------------------------------------------------------------------
+  // q35: bias-corrected Cramér's V (Bergsma 2013, ClickHouse
+  // `cramersVBiasCorrected`) — segment × order-priority association on
+  // the ORDERS fact (q28's operator upgraded: the small-sample
+  // inflation of raw V is removed by the φ²/r̃/c̃ correction). Same
+  // exactness discipline as q28: the χ² fold runs over contingency
+  // cells in sorted order with exact-decimal numerators, and every
+  // correction term is a fixed double op tree mirrored in the oracle
+  // (max/least are value picks, not arithmetic). Scale: one
+  // fact-sized groupBy; everything downstream is category-bounded.
+  // ---------------------------------------------------------------------
+  def q35CramersCorrected(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val D38 = DecimalType(38, 0)
+    val c = Tables.customer(s, d).select($"c_custkey", $"c_mktsegment")
+    val cells = Tables.orders(s, d)
+      .join(broadcast(c), $"o_custkey" === $"c_custkey")
+      .groupBy($"c_mktsegment".as("seg"), $"o_orderpriority".as("pri"))
+      .agg(count(lit(1)).as("o"))
+    val withTotals = cells
+      .withColumn("rt", sum($"o").over(Window.partitionBy($"seg")))
+      .withColumn("ct", sum($"o").over(Window.partitionBy($"pri")))
+    withTotals
+      .agg(sum($"o").as("n"),
+        countDistinct($"seg").as("r"), countDistinct($"pri").as("c"),
+        collect_list(struct($"seg", $"pri", $"o", $"rt", $"ct")).as("cells"))
+      .select($"n", $"r", $"c",
+        aggregate(sort_array($"cells"), lit(0.0), (acc, x) => {
+          val numd = (x.getField("o").cast(D38) * $"n" -
+            x.getField("rt").cast(D38) * x.getField("ct")).cast("double")
+          val dend = ($"n".cast(D38) * x.getField("rt") * x.getField("ct"))
+            .cast("double")
+          acc + numd * numd / dend
+        }).as("chi2"))
+      .select($"n", $"r", $"c", $"chi2",
+        ($"chi2" / $"n".cast("double")).as("phi2"),
+        $"n".cast("double").as("nd"), $"r".cast("double").as("rd"),
+        $"c".cast("double").as("cd"))
+      .select($"n", $"r", $"c", $"chi2",
+        greatest(lit(0.0),
+          $"phi2" - ($"rd" - 1.0) * ($"cd" - 1.0) / ($"nd" - 1.0)).as("phi2c"),
+        ($"rd" - ($"rd" - 1.0) * ($"rd" - 1.0) / ($"nd" - 1.0)).as("rc"),
+        ($"cd" - ($"cd" - 1.0) * ($"cd" - 1.0) / ($"nd" - 1.0)).as("cc"))
+      .select($"n".as("n_orders"), $"r", $"c", $"chi2",
+        sqrt($"phi2c" / least($"rc" - 1.0, $"cc" - 1.0)).as("cramers_v_corrected"))
+      .orderBy($"n_orders")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q35_cramers_corrected" -> (q35CramersCorrected _),
+    "q34_ks_test" -> (q34KsTest _),
+    "q33_setops" -> (q33SetOps _),
+    "q32_pivot" -> (q32Pivot _),
     "q31_pareto" -> (q31Pareto _),
     "q29_corr_matrix" -> (q29CorrMatrix _),
     "q28_cramers_v" -> (q28CramersV _),
@@ -770,6 +939,122 @@ object Relational {
   // arithmetic exactly (decimal sums, double division) so results are
   // bit-identical, not merely close.
   val oracles: Map[String, String] = Map(
+    // q32: pivot as conditional aggregation over the same decimal
+    // sums; one cast-to-double per cell, nulls where a (nation, year)
+    // cell is empty on both engines.
+    "q32_pivot" ->
+      """WITH b AS (
+           SELECT n_name AS nation, year(o_orderdate) AS yr,
+                  CAST(o_totalprice AS DECIMAL(18,2)) AS p
+           FROM orders
+           JOIN customer ON o_custkey = c_custkey
+           JOIN nation ON c_nationkey = n_nationkey)
+         SELECT nation,
+                CAST(sum(CASE WHEN yr = 1995 THEN p END) AS DOUBLE) AS y1995,
+                CAST(sum(CASE WHEN yr = 1996 THEN p END) AS DOUBLE) AS y1996,
+                CAST(sum(CASE WHEN yr = 1997 THEN p END) AS DOUBLE) AS y1997,
+                CAST(sum(CASE WHEN yr = 1998 THEN p END) AS DOUBLE) AS y1998,
+                CAST(sum(CASE WHEN yr = 1999 THEN p END) AS DOUBLE) AS y1999,
+                CAST(sum(CASE WHEN yr = 2000 THEN p END) AS DOUBLE) AS y2000,
+                CAST(sum(CASE WHEN yr = 2001 THEN p END) AS DOUBLE) AS y2001
+         FROM b GROUP BY 1 ORDER BY nation""",
+    // q33: the genuine INTERSECT/EXCEPT set operators on the same
+    // distinct per-year buyer sets; integer counts only.
+    "q33_setops" ->
+      """WITH e AS (SELECT DISTINCT o_custkey FROM orders
+                    WHERE year(o_orderdate) = 1996),
+         l AS (SELECT DISTINCT o_custkey FROM orders
+               WHERE year(o_orderdate) = 1997),
+         tagged AS (
+           SELECT o_custkey, 'retained' AS cls
+           FROM (SELECT * FROM e INTERSECT SELECT * FROM l)
+           UNION ALL
+           SELECT o_custkey, 'churned'
+           FROM (SELECT * FROM e EXCEPT SELECT * FROM l)
+           UNION ALL
+           SELECT o_custkey, 'acquired'
+           FROM (SELECT * FROM l EXCEPT SELECT * FROM e))
+         SELECT n_name AS nation,
+                CAST(sum(CASE WHEN cls = 'retained' THEN 1 ELSE 0 END) AS BIGINT) AS n_retained,
+                CAST(sum(CASE WHEN cls = 'churned' THEN 1 ELSE 0 END) AS BIGINT) AS n_churned,
+                CAST(sum(CASE WHEN cls = 'acquired' THEN 1 ELSE 0 END) AS BIGINT) AS n_acquired
+         FROM tagged
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY 1 ORDER BY nation""",
+    // q34: identical exact-integer ECDF gap (HUGEINT products), one
+    // divide for D, the same sqrt scaling tree.
+    "q34_ks_test" ->
+      """WITH b AS (
+           SELECT c_mktsegment AS segment,
+                  o_orderpriority = '1-URGENT' AS g1,
+                  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+           FROM orders JOIN customer ON o_custkey = c_custkey
+           WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+         bv AS (
+           SELECT segment, v,
+                  sum(CASE WHEN g1 THEN 1 ELSE 0 END) AS k1,
+                  sum(CASE WHEN NOT g1 THEN 1 ELSE 0 END) AS k2
+           FROM b GROUP BY 1, 2),
+         w AS (
+           SELECT segment,
+                  sum(k1) OVER (PARTITION BY segment ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c1,
+                  sum(k2) OVER (PARTITION BY segment ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c2,
+                  sum(k1) OVER (PARTITION BY segment) AS n1,
+                  sum(k2) OVER (PARTITION BY segment) AS n2
+           FROM bv),
+         a AS (
+           SELECT segment,
+                  CAST(max(n1) AS BIGINT) AS n1, CAST(max(n2) AS BIGINT) AS n2,
+                  max(abs(CAST(c1 AS HUGEINT) * n2 - CAST(c2 AS HUGEINT) * n1)) AS dnum
+           FROM w GROUP BY 1)
+         SELECT segment, n1, n2,
+                CAST(dnum AS DOUBLE) / CAST(CAST(n1 AS HUGEINT) * n2 AS DOUBLE) AS ks_d,
+                (CAST(dnum AS DOUBLE) / CAST(CAST(n1 AS HUGEINT) * n2 AS DOUBLE)) *
+                  sqrt(CAST(CAST(n1 AS HUGEINT) * n2 AS DOUBLE) /
+                       CAST(n1 + n2 AS DOUBLE)) AS ks_scaled
+         FROM a WHERE n1 > 0 AND n2 > 0 ORDER BY segment""",
+    // q35: q28's exact χ² fold on the (seg, pri)-sorted cell list,
+    // then the Bergsma correction as the same fixed double tree.
+    "q35_cramers_corrected" ->
+      """WITH cells AS (
+           SELECT c_mktsegment AS seg, o_orderpriority AS pri, count(*) AS o
+           FROM orders JOIN customer ON o_custkey = c_custkey
+           GROUP BY 1, 2),
+         rt AS (SELECT seg, sum(o) AS rt FROM cells GROUP BY 1),
+         ct AS (SELECT pri, sum(o) AS ct FROM cells GROUP BY 1),
+         tot AS (SELECT sum(o) AS n, count(DISTINCT seg) AS r,
+                        count(DISTINCT pri) AS c
+                 FROM cells),
+         t AS (
+           SELECT seg, pri, n, r, c,
+                  CAST(CAST(o AS HUGEINT)*n - CAST(rt AS HUGEINT)*ct AS DOUBLE) AS numd,
+                  CAST(CAST(n AS HUGEINT)*rt*ct AS DOUBLE) AS dend
+           FROM cells JOIN rt USING (seg) JOIN ct USING (pri) CROSS JOIN tot),
+         x AS (SELECT seg, pri, n, r, c, numd*numd/dend AS term FROM t),
+         chi AS (
+           SELECT n, r, c,
+                  list_reduce(list_prepend(0.0, list(term ORDER BY seg, pri)),
+                              (a, b) -> a + b) AS chi2
+           FROM x GROUP BY 1, 2, 3),
+         k AS (
+           SELECT n, r, c, chi2,
+                  chi2 / CAST(n AS DOUBLE) AS phi2,
+                  CAST(n AS DOUBLE) AS nd, CAST(r AS DOUBLE) AS rd,
+                  CAST(c AS DOUBLE) AS cd
+           FROM chi),
+         k2 AS (
+           SELECT n, r, c, chi2,
+                  greatest(0.0, phi2 - (rd-1.0)*(cd-1.0)/(nd-1.0)) AS phi2c,
+                  rd - (rd-1.0)*(rd-1.0)/(nd-1.0) AS rc,
+                  cd - (cd-1.0)*(cd-1.0)/(nd-1.0) AS cc
+           FROM k)
+         SELECT CAST(n AS BIGINT) AS n_orders,
+                CAST(r AS BIGINT) AS r, CAST(c AS BIGINT) AS c, chi2,
+                sqrt(phi2c / least(rc-1.0, cc-1.0)) AS cramers_v_corrected
+         FROM k2 ORDER BY n_orders""",
     // q31: identical exact-cents pipeline; the A/B/C rule is the same
     // all-integer comparison, so only the two display divides are IEEE.
     "q31_pareto" ->

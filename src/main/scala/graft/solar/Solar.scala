@@ -1279,7 +1279,138 @@ object Solar {
       .orderBy($"inverter")
   }
 
+  // ---------------------------------------------------------------------
+  // s37: exponential time-decayed sum/avg (ClickHouse
+  // `exponentialTimeDecayedSum`/`...Avg` family) — per inverter,
+  // recency-weighted wattage with a one-hour half-life anchored at
+  // the inverter's latest reading. Exactness by construction: the
+  // decay index k = whole hours before the anchor is an integer
+  // (µs subtraction + integer division), the weight 2^−k is an EXACT
+  // double (1.0 / (1 << k), never libm pow), per-bucket reading sums
+  // are exact decimal cast to double once, and the two weighted folds
+  // run over the ≤ clamp-bounded, k-SORTED bucket list on both
+  // engines. Scale: the fact-sized work is one (inverter, k) combine-
+  // enabled groupBy; per-inverter state after it is ≤ 63 hour buckets
+  // (k clamps at 62, where the weight is ~2e-19 — below any signal),
+  // so the collect_list is bounded by the CLAMP, not the corpus.
+  // ---------------------------------------------------------------------
+  def s37ExpDecay(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val anchor = Window.partitionBy($"inverter")
+    val buckets = feed(s, d)
+      .filter($"event_type" === "view")
+      .select($"inverter", $"ts", dec($"value").as("v"))
+      .withColumn("tmax", max($"ts").over(anchor))
+      .withColumn("k",
+        least(expr("(unix_micros(tmax) - unix_micros(ts)) div 3600000000"),
+          lit(62L)).cast("int"))
+      .groupBy($"inverter", $"k")
+      .agg(sum($"v").as("sv"), count(lit(1)).as("nk"))
+      .select($"inverter", $"k", $"nk", $"sv".cast("double").as("svd"),
+        $"nk".cast("double").as("nkd"),
+        expr("1.0 / cast(shiftleft(cast(1 as bigint), k) as double)").as("w"))
+    buckets
+      .groupBy($"inverter")
+      .agg(
+        sum($"nk").as("n_readings"),
+        aggregate(sort_array(collect_list(struct($"k", ($"svd" * $"w").as("t")))),
+          lit(0.0), (acc, x) => acc + x.getField("t")).as("decayed_sum"),
+        aggregate(sort_array(collect_list(struct($"k", ($"nkd" * $"w").as("t")))),
+          lit(0.0), (acc, x) => acc + x.getField("t")).as("decayed_n"))
+      .select($"inverter", $"n_readings", $"decayed_sum",
+        ($"decayed_sum" / $"decayed_n").as("decayed_avg"))
+      .orderBy($"inverter")
+  }
+
+  // ---------------------------------------------------------------------
+  // s38: one-way ANOVA (ClickHouse `analysisOfVariance`) — does mean
+  // wattage differ across inverters? Classic fixed-effects F:
+  // SSB = Σ s_g²/n_g − S²/N, SSW = Σ ss_g − Σ s_g²/n_g, with every
+  // per-group sum EXACT (cents longs → decimal) and the three
+  // Σ-over-groups folds walking the inverter-SORTED group list — the
+  // addition chain is the contract (s28/q28 discipline). One
+  // fact-sized combine-enabled groupBy; the fold input is one row per
+  // inverter (fleet-bounded). F's op tree is mirrored in the oracle.
+  // ---------------------------------------------------------------------
+  def s38Anova(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val D38 = DecimalType(38, 0)
+    val groups = feed(s, d)
+      .filter($"event_type" === "view")
+      .select($"inverter", (dec($"value") * 100).cast("long").as("c"))
+      .groupBy($"inverter")
+      .agg(count(lit(1)).as("ng"),
+        sum($"c".cast(D38)).as("sg"),
+        sum(($"c" * $"c").cast(D38)).as("ssg"))
+    groups
+      .agg(
+        count(lit(1)).as("k"),
+        sum($"ng").as("n"),
+        sum($"sg").as("s_all"),
+        aggregate(sort_array(collect_list(struct($"inverter",
+            (($"sg".cast("double") * $"sg".cast("double")) /
+              $"ng".cast("double")).as("t")))),
+          lit(0.0), (acc, x) => acc + x.getField("t")).as("sum_sg2n"),
+        aggregate(sort_array(collect_list(struct($"inverter",
+            $"ssg".cast("double").as("t")))),
+          lit(0.0), (acc, x) => acc + x.getField("t")).as("sum_ssg"))
+      .select($"k", $"n",
+        ($"sum_sg2n" - $"s_all".cast("double") * $"s_all".cast("double") /
+          $"n".cast("double")).as("ssb"),
+        ($"sum_ssg" - $"sum_sg2n").as("ssw"),
+        ($"k" - 1L).as("df1"), ($"n" - $"k").as("df2"))
+      .select($"k".as("n_groups"), $"n".as("n_readings"),
+        ($"ssb" / 10000.0).as("ss_between"),
+        ($"ssw" / 10000.0).as("ss_within"),
+        (($"ssb" / $"df1".cast("double")) /
+          ($"ssw" / $"df2".cast("double"))).as("f_stat"))
+  }
+
+  // ---------------------------------------------------------------------
+  // s39: lag-1 autocorrelation of the hourly energy series per
+  // inverter — the time-series diagnostic behind seasonality/trend
+  // detection. Two stages, both exact until the closed form: (1) the
+  // s4-grain hourly rollup (exact cents), (2) per-inverter Pearson
+  // corr of (x_t, x_{t+1}) via lag() over the hour order, with all
+  // five sums exact decimal products and q26's mirrored double tree.
+  // The lag window and the final aggregate share one
+  // hashpartitioning(inverter) exchange; hourly grain bounds the
+  // window sort (hours-in-retention, not corpus rows).
+  // ---------------------------------------------------------------------
+  def s39Autocorr(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val D38 = DecimalType(38, 0)
+    val hourly = feed(s, d)
+      .filter($"event_type" === "view")
+      .groupBy($"inverter", date_trunc("hour", $"ts").as("hour"))
+      .agg((sum(dec($"value")) * 100).cast("long").as("x"))
+    val lagW = Window.partitionBy($"inverter").orderBy($"hour")
+    hourly
+      .withColumn("y", lead($"x", 1).over(lagW))
+      .filter($"y".isNotNull)
+      .groupBy($"inverter")
+      .agg(
+        count(lit(1)).as("n"),
+        sum($"x".cast(D38)).as("sx"), sum($"y".cast(D38)).as("sy"),
+        sum($"x".cast(D38) * $"x".cast(D38)).as("qxx"),
+        sum($"y".cast(D38) * $"y".cast(D38)).as("qyy"),
+        sum($"x".cast(D38) * $"y".cast(D38)).as("qxy"))
+      .filter(($"n" * $"qxx" - $"sx" * $"sx" > 0) &&
+        ($"n" * $"qyy" - $"sy" * $"sy" > 0))
+      .select($"inverter", $"n".as("n_pairs"),
+        (($"n".cast("double") * $"qxy".cast("double") -
+          $"sx".cast("double") * $"sy".cast("double")) /
+          (sqrt($"n".cast("double") * $"qxx".cast("double") -
+            $"sx".cast("double") * $"sx".cast("double")) *
+            sqrt($"n".cast("double") * $"qyy".cast("double") -
+              $"sy".cast("double") * $"sy".cast("double")))).as("autocorr_lag1"))
+      .orderBy($"inverter")
+  }
+
   val queries: Map[String, Q] = Map(
+    "s39_autocorr" -> (s39Autocorr _),
+    "s38_anova" -> (s38Anova _),
+    "s37_exp_decay" -> (s37ExpDecay _),
     "s36_mode" -> (s36Mode _),
     "s35_nonneg_derivative" -> (s35NonnegDerivative _),
     "s34_quantiles_weighted" -> (s34QuantilesWeighted _),
@@ -1346,6 +1477,104 @@ object Solar {
   // DuckDB oracles — each mirrors the Spark arithmetic exactly
   // (decimal sums, integer microseconds, double division).
   val oracles: Map[String, String] = Map(
+    // s37: same integer hour index (epoch_us subtraction, integer
+    // div, clamp 62), same exact 1/(1<<k) weights, same k-sorted
+    // weighted folds (list_reduce with 0.0 prepended == Spark's
+    // aggregate over sort_array with 0.0 init).
+    "s37_exp_decay" ->
+      """WITH f AS (
+           SELECT user_id AS inverter, epoch_us(ts) AS us,
+                  CAST(value AS DECIMAL(18,2)) AS v
+           FROM events WHERE event_type = 'view'),
+         a AS (
+           SELECT inverter, us, v,
+                  max(us) OVER (PARTITION BY inverter) AS usmax
+           FROM f),
+         b AS (
+           SELECT inverter,
+                  least((usmax - us) // 3600000000, 62) AS k,
+                  CAST(sum(v) AS DOUBLE) AS svd,
+                  count(*) AS nk,
+                  CAST(count(*) AS DOUBLE) AS nkd
+           FROM a GROUP BY 1, 2),
+         c AS (
+           SELECT inverter, k, nk, svd, nkd,
+                  1.0 / CAST(1::BIGINT << k AS DOUBLE) AS w
+           FROM b),
+         g AS (
+           SELECT inverter,
+                  CAST(sum(nk) AS BIGINT) AS n_readings,
+                  list_reduce(list_prepend(0.0, list(svd * w ORDER BY k)),
+                              (x, y) -> x + y) AS decayed_sum,
+                  list_reduce(list_prepend(0.0, list(nkd * w ORDER BY k)),
+                              (x, y) -> x + y) AS decayed_n
+           FROM c GROUP BY 1)
+         SELECT inverter, n_readings, decayed_sum,
+                decayed_sum / decayed_n AS decayed_avg
+         FROM g ORDER BY inverter""",
+    // s38: same exact per-group cents sums, the same inverter-sorted
+    // Σ s²/n and Σ ss folds, the same fixed F tree.
+    "s38_anova" ->
+      """WITH r AS (
+           SELECT user_id AS inverter,
+                  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+           FROM events WHERE event_type = 'view'),
+         g AS (
+           SELECT inverter, count(*) AS ng,
+                  sum(CAST(c AS HUGEINT)) AS sg,
+                  sum(CAST(c * c AS HUGEINT)) AS ssg
+           FROM r GROUP BY 1),
+         t AS (
+           SELECT count(*) AS k, sum(ng) AS n, sum(sg) AS s_all,
+                  list_reduce(list_prepend(0.0,
+                    list((CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE)) /
+                         CAST(ng AS DOUBLE) ORDER BY inverter)),
+                    (x, y) -> x + y) AS sum_sg2n,
+                  list_reduce(list_prepend(0.0,
+                    list(CAST(ssg AS DOUBLE) ORDER BY inverter)),
+                    (x, y) -> x + y) AS sum_ssg
+           FROM g),
+         u AS (
+           SELECT k, n,
+                  sum_sg2n - CAST(s_all AS DOUBLE) * CAST(s_all AS DOUBLE) /
+                    CAST(n AS DOUBLE) AS ssb,
+                  sum_ssg - sum_sg2n AS ssw,
+                  k - 1 AS df1, n - k AS df2
+           FROM t)
+         SELECT CAST(k AS BIGINT) AS n_groups, CAST(n AS BIGINT) AS n_readings,
+                ssb / 10000.0 AS ss_between,
+                ssw / 10000.0 AS ss_within,
+                (ssb / CAST(df1 AS DOUBLE)) / (ssw / CAST(df2 AS DOUBLE)) AS f_stat
+         FROM u""",
+    // s39: s4's exact hourly cents, lead() over the same hour order,
+    // q26's mirrored Pearson tree on exact HUGEINT sums.
+    "s39_autocorr" ->
+      """WITH h AS (
+           SELECT user_id AS inverter, date_trunc('hour', ts) AS hour,
+                  CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS x
+           FROM events WHERE event_type = 'view'
+           GROUP BY 1, 2),
+         p AS (
+           SELECT inverter, x,
+                  lead(x, 1) OVER (PARTITION BY inverter ORDER BY hour) AS y
+           FROM h),
+         g AS (
+           SELECT inverter, count(*) AS n,
+                  sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+                  sum(CAST(x AS HUGEINT) * x) AS qxx,
+                  sum(CAST(y AS HUGEINT) * y) AS qyy,
+                  sum(CAST(x AS HUGEINT) * y) AS qxy
+           FROM p WHERE y IS NOT NULL GROUP BY 1)
+         SELECT inverter, CAST(n AS BIGINT) AS n_pairs,
+                (CAST(n AS DOUBLE) * CAST(qxy AS DOUBLE) -
+                 CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+                (sqrt(CAST(n AS DOUBLE) * CAST(qxx AS DOUBLE) -
+                      CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+                 sqrt(CAST(n AS DOUBLE) * CAST(qyy AS DOUBLE) -
+                      CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS autocorr_lag1
+         FROM g
+         WHERE n * qxx - sx * sx > 0 AND n * qyy - sy * sy > 0
+         ORDER BY inverter""",
     // s36: same two-level counts; the mode row via row_number over the
     // identical (cnt DESC, cents ASC) order — max_by((cnt, −cents))'s
     // tie rule spelled out.

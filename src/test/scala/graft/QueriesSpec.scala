@@ -1288,4 +1288,95 @@ class QueriesSpec extends AnyFunSuite {
         assert(en > w, s"target-language mean weight must exceed $l")
     }
   }
+
+  test("r12 stats batch: pivot/setops/KS/corrected-V/decay/ANOVA/autocorr invariants") {
+    val s = spark
+    import s.implicits._
+    // q32: per-nation row total across year columns == plain groupBy total
+    val q32 = relational.Relational.q32Pivot(s, SfDir)
+    val rowTot = q32.select($"nation",
+      (1995 to 2001).map(y => coalesce(col(s"y$y"), lit(0.0)))
+        .reduce(_ + _).as("t"))
+    val direct = Tables.orders(s, SfDir)
+      .join(Tables.customer(s, SfDir), $"o_custkey" === $"c_custkey")
+      .join(Tables.nation(s, SfDir), $"c_nationkey" === $"n_nationkey")
+      .groupBy($"n_name".as("nation"))
+      .agg(sum($"o_totalprice".cast("decimal(18,2)")).cast("double").as("t2"))
+    assert(rowTot.join(direct, "nation")
+      .filter(abs($"t" - $"t2") > 1e-6).count() == 0)
+    // q33: retained+churned == |1994 buyers|, retained+acquired == |1995|
+    val q33 = relational.Relational.q33SetOps(s, SfDir)
+    val tot = q33.agg(sum($"n_retained").as("r"), sum($"n_churned").as("c"),
+      sum($"n_acquired").as("a")).head()
+    def buyers(yr: Int) = Tables.orders(s, SfDir)
+      .filter(year($"o_orderdate") === yr).select($"o_custkey").distinct().count()
+    assert(tot.getLong(0) + tot.getLong(1) == buyers(1996))
+    assert(tot.getLong(0) + tot.getLong(2) == buyers(1997))
+    // q34: D in [0,1]; scaled stat non-negative
+    val q34 = relational.Relational.q34KsTest(s, SfDir)
+    assert(q34.filter($"ks_d" < 0.0 || $"ks_d" > 1.0 || $"ks_scaled" < 0.0)
+      .count() == 0)
+    // q35: corrected V in [0,1] and finite
+    val q35 = relational.Relational.q35CramersCorrected(s, SfDir).head()
+    val vCorr = q35.getAs[Double]("cramers_v_corrected")
+    assert(vCorr >= 0.0 && vCorr <= 1.0)
+    // s37: weights ≤ 1 → decayed_sum ≤ raw sum; avg within value range
+    val s37 = solar.Solar.s37ExpDecay(s, SfDir)
+    val raw = Tables.events(s, SfDir).filter($"event_type" === "view")
+      .groupBy($"user_id".as("inverter"))
+      .agg(sum($"value".cast("decimal(18,2)")).cast("double").as("rawsum"),
+        min($"value").as("lo"), max($"value").as("hi"))
+    assert(s37.join(raw, "inverter")
+      .filter($"decayed_sum" > $"rawsum" + 1e-9).count() == 0)
+    assert(s37.join(raw, "inverter")
+      .filter($"decayed_avg" < $"lo" - 1e-9 || $"decayed_avg" > $"hi" + 1e-9)
+      .count() == 0)
+    // s38: F ≥ 0 and SSB+SSW == total sum of squares (direct recompute)
+    val s38 = solar.Solar.s38Anova(s, SfDir).head()
+    assert(s38.getAs[Double]("f_stat") >= 0.0)
+    val vals = Tables.events(s, SfDir).filter($"event_type" === "view")
+      .select($"value").as[Double].collect()
+    val mean = vals.sum / vals.length
+    val sst = vals.map(v => (v - mean) * (v - mean)).sum
+    val ssTot = s38.getAs[Double]("ss_between") + s38.getAs[Double]("ss_within")
+    assert(math.abs(ssTot - sst) / sst < 1e-6,
+      s"SSB+SSW=$ssTot must equal SST=$sst")
+    // s39: |rho| ≤ 1 and matches Spark's built-in corr on the lag pairs
+    val s39 = solar.Solar.s39Autocorr(s, SfDir)
+    assert(s39.filter(abs($"autocorr_lag1") > 1.0 + 1e-12).count() == 0)
+    val hourly = Tables.events(s, SfDir).filter($"event_type" === "view")
+      .withColumnRenamed("user_id", "inverter")
+      .groupBy($"inverter", date_trunc("hour", $"ts").as("hour"))
+      .agg(sum($"value".cast("decimal(18,2)")).cast("double").as("x"))
+    val lw = org.apache.spark.sql.expressions.Window
+      .partitionBy($"inverter").orderBy($"hour")
+    val ref = hourly.withColumn("y", lead($"x", 1).over(lw))
+      .filter($"y".isNotNull)
+      .groupBy($"inverter").agg(corr($"x", $"y").as("rho"))
+    assert(s39.join(ref, "inverter")
+      .filter(abs($"autocorr_lag1" - $"rho") > 1e-9).count() == 0)
+  }
+
+  test("r12 events batch: markov rows are distributions; conversion and RFM conserve users") {
+    val s = spark
+    import s.implicits._
+    // e22: each from_type's probabilities sum to 1; pair count == N - U
+    val e22 = events.Events.e22Markov(s, SfDir)
+    assert(e22.groupBy($"from_type").agg(sum($"p").as("sp"))
+      .filter(abs($"sp" - 1.0) > 1e-12).count() == 0)
+    val ev = Tables.events(s, SfDir)
+    val nPairs = e22.agg(sum($"n")).head().getLong(0)
+    assert(nPairs == ev.count() - ev.select($"user_id").distinct().count())
+    // e23: converted ≤ cohort size, rate in [0,1], median ≤ p90
+    val e23 = events.Events.e23ConversionDelay(s, SfDir)
+    assert(e23.filter($"n_converted" > $"n_users" ||
+      $"conversion_rate" < 0.0 || $"conversion_rate" > 1.0).count() == 0)
+    assert(e23.filter($"median_delay_s" > $"p90_delay_s").count() == 0)
+    // e24: segment user counts partition the purchaser set exactly
+    val e24 = events.Events.e24Rfm(s, SfDir)
+    val purchasers = ev.filter($"event_type" === "purchase")
+      .select($"user_id").distinct().count()
+    assert(e24.agg(sum($"n_users")).head().getLong(0) == purchasers)
+    assert(e24.filter(length($"segment") =!= 3).count() == 0)
+  }
 }
