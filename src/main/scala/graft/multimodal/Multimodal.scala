@@ -2,6 +2,7 @@ package graft.multimodal
 
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Multimodal plumbing (SURVEY §2.G): media as opaque `binary` columns
@@ -391,7 +392,47 @@ object Multimodal {
       .orderBy($"modality")
   }
 
+  // ---------------------------------------------------------------------
+  // m9: shard packing — the WebDataset/tar-writer planning pass: media
+  // objects are laid out into fixed-capacity shards per source, in
+  // deterministic (doc_id) order, by BYTE OFFSET (an object starts in
+  // the shard its running offset falls into — exactly how a streaming
+  // tar writer rolls files; true first-fit bin packing is inherently
+  // sequential and buys nothing for contiguous archives). The media
+  // size is the stub-decoded width×height×channels (the m1 metadata,
+  // derived arithmetically here — planning is a metadata-level pass,
+  // blobs never load). Shapes: one (source) exchange shared by the
+  // running-sum window and the shard rollup; every decision is
+  // integer (cum − size) div capacity. At 100 TB this IS the job that
+  // writes training archives: per-source ordering bounds the window
+  // sort, shard manifests are the bounded output.
+  // ---------------------------------------------------------------------
+  val ShardCapacity = 262144L // 256 KiB of decoded payload per shard
+
+  def m9ShardPack(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    def px(i: Int) =
+      conv(substring(md5($"text"), 2 * i + 1, 2), 16, 10).cast("long")
+    val sized = Tables.documents(s, d)
+      .select($"source", $"doc_id",
+        ((px(0) % 128 + 1L) * (px(1) % 128 + 1L) * (px(2) % 4 + 1L))
+          .as("media_bytes"))
+    val w = Window.partitionBy($"source").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sized
+      .withColumn("cum", sum($"media_bytes").over(w))
+      .withColumn("shard", expr(s"(cum - media_bytes) div $ShardCapacity"))
+      .groupBy($"source", $"shard")
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum($"media_bytes").as("bytes"),
+        min($"doc_id").as("first_doc"),
+        max($"doc_id").as("last_doc"))
+      .orderBy($"source", $"shard")
+  }
+
   val queries: Map[String, Q] = Map(
+    "m9_shard_pack" -> (m9ShardPack _),
     "m8_modality_report" -> (m8ModalityReport _),
     "m7_phash_dedup" -> (m7PhashDedup _),
     "m6_caption_retrieval" -> (m6CaptionRetrieval _),
@@ -411,6 +452,27 @@ object Multimodal {
   private val sumBytes = (0 until 16).map(byteAt).mkString(" + ")
 
   val oracles: Map[String, String] = Map(
+    // m9: same md5-derived metadata bytes, same running-sum offsets,
+    // same integer shard rule.
+    "m9_shard_pack" ->
+      s"""WITH b AS (SELECT source, doc_id, md5(text) AS h FROM documents),
+         sz AS (
+           SELECT source, doc_id,
+                  CAST((${byteAt(0)} % 128 + 1) *
+                       (${byteAt(1)} % 128 + 1) *
+                       (${byteAt(2)} % 4 + 1) AS BIGINT) AS media_bytes
+           FROM b),
+         c AS (
+           SELECT source, doc_id, media_bytes,
+                  CAST(sum(media_bytes) OVER (PARTITION BY source
+                    ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND CURRENT ROW) AS BIGINT) AS cum
+           FROM sz)
+         SELECT source, (cum - media_bytes) // $ShardCapacity AS shard,
+                CAST(count(*) AS BIGINT) AS n_items,
+                CAST(sum(media_bytes) AS BIGINT) AS bytes,
+                min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         FROM c GROUP BY 1, 2 ORDER BY source, shard""",
     // m8: same byte rebuild, same modality rule (byte 3 mod 3), same
     // integer sums; each average is the identical single IEEE divide.
     "m8_modality_report" ->

@@ -726,7 +726,56 @@ object Sim {
       .orderBy($"src", $"rnk")
   }
 
+  // ---------------------------------------------------------------------
+  // v13: signed-random-projection LSH ANN (Charikar 2002 SimHash for
+  // real vectors) — the DATA-INDEPENDENT sibling of v3's IVF: no
+  // training pass, no centroids; 16 hyperplane sign bits per vector,
+  // banded 4×4 (d3's banding trade: P[candidate] = 1−(1−p^4)^4),
+  // candidates from band-value equality, exact cosine rerank, top-3.
+  // Hyperplane entries are ±1 from a shared integer formula
+  // (((i·73 + j·151) mod 7) mod 2), so signatures are reproducible on
+  // both engines with no stored matrix; the projection fold runs in
+  // index order (the addition chain is the contract) and the sign
+  // test is a single exact comparison. Scale: signatures are
+  // map-side codegen'd arithmetic; candidate generation shuffles only
+  // (vec_id, band, bv) — never all-pairs, never the vectors (the
+  // rerank fetch rides the same bounded-query broadcast as v2). An
+  // all-band-identical pair is found with certainty; the recall spec
+  // vs v1 pins the trade.
+  // ---------------------------------------------------------------------
+  val SrpBits = 16
+  val SrpBandBits = 4
+
+  def v13SrpLsh(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, d)
+    val sigExpr = expr(
+      "transform(sequence(0, 15), i -> IF(aggregate(sequence(0, 63), " +
+        "cast(0.0 as double), (acc, j) -> acc + cast(embedding[j] as double) * " +
+        "IF(((i * 73 + j * 151) % 7) % 2 = 0, 1.0D, -1.0D)) >= 0.0D, 1, 0))")
+    val withBands = e
+      .withColumn("bits", sigExpr)
+      .select($"vec_id", $"embedding", explode(expr(
+        "transform(sequence(0, 3), b -> struct(b as band, " +
+          "bits[4*b] + 2*bits[4*b+1] + 4*bits[4*b+2] + 8*bits[4*b+3] as bv))"))
+        .as("p"))
+      .select($"vec_id", $"embedding", $"p.band", $"p.bv")
+    val q = withBands.filter($"vec_id" < 20)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_emb"), $"band", $"bv")
+    val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id")
+    withBands.filter($"vec_id" >= 20)
+      .join(broadcast(q), Seq("band", "bv"))
+      .select($"q_id", $"vec_id",
+        cosineSim($"embedding", $"q_emb").as("cos"))
+      .distinct() // a pair sharing >1 band scores identically per band
+      .withColumn("rnk", row_number().over(w))
+      .filter($"rnk" <= 3)
+      .select($"q_id", $"rnk", $"vec_id", $"cos")
+      .orderBy($"q_id", $"rnk")
+  }
+
   val queries: Map[String, Q] = Map(
+    "v13_srp_lsh" -> (v13SrpLsh _),
     "v12_knn_graph" -> (v12KnnGraph _),
     "v11_filtered_ann" -> (v11FilteredAnn _),
     "v1_knn_brute" -> (v1KnnBrute _),
@@ -762,6 +811,39 @@ object Sim {
       s"(CAST($x[i] AS DOUBLE) - CAST($y[i] AS DOUBLE)) * (CAST($x[i] AS DOUBLE) - CAST($y[i] AS DOUBLE))))"
 
   val oracles: Map[String, String] = Map(
+    // v13: same ±1 integer hyperplane formula, same index-ordered
+    // projection fold (list_reduce with 0.0 prepended), same 4-bit
+    // band values (1-based list indexing), same rerank + tie rule.
+    "v13_srp_lsh" ->
+      s"""WITH sg AS (
+            SELECT vec_id, embedding,
+                   list_transform(range(0, 16), i -> CASE WHEN
+                     list_reduce(list_prepend(0.0,
+                       list_transform(range(0, 64), j ->
+                         CAST(embedding[CAST(j + 1 AS INT)] AS DOUBLE) *
+                         CASE WHEN ((i * 73 + j * 151) % 7) % 2 = 0
+                              THEN 1.0 ELSE -1.0 END)),
+                       (a, b) -> a + b) >= 0.0 THEN 1 ELSE 0 END) AS bits
+            FROM embeddings),
+          bands AS (
+            SELECT vec_id, embedding, CAST(b AS INT) AS band,
+                   CAST(bits[CAST(4 * b + 1 AS INT)]
+                    + 2 * bits[CAST(4 * b + 2 AS INT)]
+                    + 4 * bits[CAST(4 * b + 3 AS INT)]
+                    + 8 * bits[CAST(4 * b + 4 AS INT)] AS INT) AS bv
+            FROM sg, (SELECT unnest(range(0, 4)) AS b)),
+          cand AS (
+            SELECT DISTINCT q.vec_id AS q_id, c.vec_id,
+                   ${cos("c.embedding", "q.embedding")} AS cos
+            FROM bands c JOIN bands q USING (band, bv)
+            WHERE q.vec_id < 20 AND c.vec_id >= 20),
+          r AS (
+            SELECT q_id, vec_id, cos,
+                   row_number() OVER (PARTITION BY q_id
+                                      ORDER BY cos DESC, vec_id) AS rn
+            FROM cand)
+          SELECT q_id, CAST(rn AS INT) AS rnk, vec_id, cos
+          FROM r WHERE rn <= 3 ORDER BY q_id, rnk""",
     // v12: v3's assignment CTEs verbatim, then the same within-cell
     // self-join and (cos DESC, dst) top-3 rule.
     "v12_knn_graph" ->

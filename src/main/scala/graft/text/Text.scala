@@ -972,7 +972,50 @@ object Text {
       .orderBy($"doc_id")
   }
 
+  /** t24 stopword list (Gopher's rule uses a small English function-
+    * word set; shared constant so query/oracle/spec cannot drift). */
+  val GopherStops: Seq[String] = Seq("the", "a", "of", "and", "to", "in")
+
+  // ---------------------------------------------------------------------
+  // t24: Gopher quality rules (Rae et al. 2021, appendix A1.1) — the
+  // NON-repetition battery (t12 is the repetition half): word-count
+  // bounds, mean-word-length band, symbol-to-word ratio, alphabetic-
+  // word fraction, and the ≥2-distinct-stopwords rule. Every DECISION
+  // is an integer comparison (3n ≤ L ≤ 10n for the length band,
+  // 5·n_alpha ≥ 4·n for the 80% rule, 10·n_sym ≤ n for the ratio) —
+  // no IEEE op ever picks a side, the one double is the display mean.
+  // Shape: pure codegen'd array expressions per document, zero
+  // shuffles before the ordered output — scan-rate at 100 TB, the
+  // same gate a streaming ingest would fuse map-side.
+  // ---------------------------------------------------------------------
+  def t24GopherRules(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val stopsArr = array(GopherStops.map(lit): _*)
+    Tables.documents(s, d)
+      .select($"doc_id", toks($"text").as("t"))
+      .select($"doc_id",
+        size($"t").cast("long").as("n_words"),
+        length(concat_ws("", $"t")).cast("long").as("n_chars"),
+        size(filter($"t", w => w.rlike("[a-zA-Z]"))).cast("long").as("n_alpha"),
+        size(filter($"t", w => w.rlike("^[#…]+$"))).cast("long").as("n_sym"),
+        size(array_intersect(array_distinct($"t"), stopsArr)).cast("long")
+          .as("n_stops"))
+      .select($"doc_id", $"n_words", $"n_alpha", $"n_stops",
+        ($"n_chars".cast("double") / $"n_words".cast("double"))
+          .as("mean_word_len"),
+        ($"n_words" >= 50L && $"n_words" <= 2500L).as("ok_count"),
+        ($"n_chars" >= $"n_words" * 3L && $"n_chars" <= $"n_words" * 10L)
+          .as("ok_len"),
+        ($"n_alpha" * 5L >= $"n_words" * 4L).as("ok_alpha"),
+        ($"n_sym" * 10L <= $"n_words").as("ok_sym"),
+        ($"n_stops" >= 2L).as("ok_stops"))
+      .withColumn("keep",
+        $"ok_count" && $"ok_len" && $"ok_alpha" && $"ok_sym" && $"ok_stops")
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "t24_gopher_rules" -> (t24GopherRules _),
     "t23_dsir" -> (t23Dsir _),
     "t22_keywords" -> (t22Keywords _),
     "t21_bucket_sample" -> (t21BucketSample _),
@@ -1084,6 +1127,33 @@ object Text {
   }
 
   val oracles: Map[String, String] = Map(
+    // t24: identical token split, the same all-integer rule
+    // comparisons; the only IEEE op is the display mean divide.
+    "t24_gopher_rules" ->
+      s"""WITH tk AS (
+           SELECT doc_id,
+                  list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t
+           FROM documents),
+         c AS (
+           SELECT doc_id,
+                  CAST(len(t) AS BIGINT) AS n_words,
+                  CAST(list_sum(list_transform(t, x -> len(x))) AS BIGINT) AS n_chars,
+                  CAST(len(list_filter(t, x -> regexp_matches(x, '[a-zA-Z]'))) AS BIGINT) AS n_alpha,
+                  CAST(len(list_filter(t, x -> regexp_matches(x, '^[#…]+$$'))) AS BIGINT) AS n_sym,
+                  CAST(len(list_intersect(list_distinct(t), [${GopherStops.map(w => s"'$w'").mkString(",")}])) AS BIGINT) AS n_stops
+           FROM tk)
+         SELECT doc_id, n_words, n_alpha, n_stops,
+                CAST(n_chars AS DOUBLE) / CAST(n_words AS DOUBLE) AS mean_word_len,
+                (n_words >= 50 AND n_words <= 2500) AS ok_count,
+                (n_chars >= n_words * 3 AND n_chars <= n_words * 10) AS ok_len,
+                (n_alpha * 5 >= n_words * 4) AS ok_alpha,
+                (n_sym * 10 <= n_words) AS ok_sym,
+                (n_stops >= 2) AS ok_stops,
+                (n_words >= 50 AND n_words <= 2500 AND
+                 n_chars >= n_words * 3 AND n_chars <= n_words * 10 AND
+                 n_alpha * 5 >= n_words * 4 AND
+                 n_sym * 10 <= n_words AND n_stops >= 2) AS keep
+         FROM c ORDER BY doc_id""",
     // t23: same 1024-bucket hashed features, same smoothed-ratio
     // arithmetic (three IEEE ops per feature), same h-sorted addition
     // chain (list ORDER BY h → left-fold sum, matching Spark's

@@ -1379,4 +1379,53 @@ class QueriesSpec extends AnyFunSuite {
     assert(e24.agg(sum($"n_users")).head().getLong(0) == purchasers)
     assert(e24.filter(length($"segment") =!= 3).count() == 0)
   }
+
+  test("r12 pipeline batch: Gopher rules, SRP-LSH recall, shard-pack conservation") {
+    val s = spark
+    import s.implicits._
+    // t24: keep ⇔ conjunction of its flags; counts are consistent
+    val t24 = text.Text.t24GopherRules(s, SfDir)
+    assert(t24.filter($"keep" =!= ($"ok_count" && $"ok_len" && $"ok_alpha" &&
+      $"ok_sym" && $"ok_stops")).count() == 0)
+    assert(t24.filter($"n_alpha" > $"n_words" || $"n_stops" > $"n_words")
+      .count() == 0)
+    assert(t24.count() == Tables.documents(s, SfDir).count())
+    // v13: top-3 ordering is strict and recall@3 vs brute force is
+    // non-degenerate (banded candidates must find near neighbors)
+    val v13 = sim.Sim.v13SrpLsh(s, SfDir).collect()
+    v13.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val byRank = rows.sortBy(_.getInt(1)).map(_.getAs[Double]("cos"))
+      assert(byRank.zip(byRank.drop(1)).forall { case (a, b) => a >= b })
+    }
+    val e = Tables.embeddings(s, SfDir).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cosv(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) {
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i)
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val hits = (0L until 20L).map { qid =>
+      val brute = e.filter(_._1 >= 20).toSeq
+        .map { case (id, v) => (id, cosv(e(qid), v)) }
+        .sortBy { case (id, c) => (-c, id) }.take(3).map(_._1).toSet
+      val got = v13.filter(_.getLong(0) == qid).map(_.getLong(2)).toSet
+      (brute & got).size
+    }.sum
+    info(s"v13 SRP-LSH recall@3: $hits/60")
+    assert(hits >= 12, s"banded SRP recall collapsed: $hits/60")
+    // m9: shard manifests conserve items and bytes per source
+    val m9 = multimodal.Multimodal.m9ShardPack(s, SfDir)
+    val bySrc = m9.groupBy($"source")
+      .agg(sum($"n_items").as("items"), sum($"bytes").as("b"),
+        max($"shard").as("maxs"), count(lit(1)).as("nshards"))
+    val docs = Tables.documents(s, SfDir).groupBy($"source")
+      .agg(count(lit(1)).as("ndocs"))
+    assert(bySrc.join(docs, "source").filter($"items" =!= $"ndocs").count() == 0)
+    // shards are contiguous 0..max (byte-offset packing leaves no holes)
+    assert(bySrc.filter($"maxs" + 1 =!= $"nshards").count() == 0)
+    assert(m9.filter($"first_doc" > $"last_doc").count() == 0)
+  }
 }
