@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, SparkSessionExtensions, SparkSessionExtensi
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types.StringType
 
 /** SQL registration of the custom expressions via the public
   * SparkSessionExtensions API — install with
@@ -79,6 +80,21 @@ object GraftExtensions extends SparkSessionExtensionsProvider {
         BloomFilterAgg(args(0), intArg("bloom_agg", 1, args(1)),
           intArg("bloom_agg", 2, args(2)))))
     ext.injectFunction((
+      FunctionIdentifier("qdigest_quantiles"),
+      new ExpressionInfo(classOf[QDigestAgg].getName, "qdigest_quantiles"),
+      (args: Seq[Expression]) => {
+        val qs = args(1) match {
+          case Literal(s: org.apache.spark.unsafe.types.UTF8String, StringType) =>
+            s.toString.split(",").toSeq.map(_.trim.toDouble)
+          case other => throw new IllegalArgumentException(
+            "qdigest_quantiles: argument 2 must be a comma-separated " +
+              s"string literal of quantiles, got $other")
+        }
+        QDigestAgg(args(0), qs,
+          intArg("qdigest_quantiles", 2, args(2)),
+          intArg("qdigest_quantiles", 3, args(3)))
+      }))
+    ext.injectFunction((
       FunctionIdentifier("bloom_contains"),
       new ExpressionInfo(classOf[BloomContains].getName, "bloom_contains"),
       (args: Seq[Expression]) => BloomContains(args(0), args(1))))
@@ -107,4 +123,6 @@ object GraftFunctions {
     call_function("bloom_agg", x, lit(numBits), lit(k))
   def bloomContains(filter: Column, x: Column): Column =
     call_function("bloom_contains", filter, x)
+  def qdigestQuantiles(x: Column, qs: Seq[Double], bits: Int, k: Int): Column =
+    call_function("qdigest_quantiles", x, lit(qs.mkString(",")), lit(bits), lit(k))
 }

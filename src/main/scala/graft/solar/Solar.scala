@@ -1407,7 +1407,41 @@ object Solar {
       .orderBy($"inverter")
   }
 
+  // ---------------------------------------------------------------------
+  // s40: MERGEABLE QUANTILE SKETCH — ClickHouse's `quantileTDigest`
+  // family, realized as the q-digest (Shrivastava 2004) because its
+  // rank-error bound (B/k)·n is DETERMINISTIC (see
+  // functions/QDigestAgg.scala). s14 is the exact form (full-width
+  // per-group sort); this is what replaces it at 100 TB: per-group
+  // state ≤ 3k (node, count) pairs — kilobytes on the shuffle
+  // regardless of corpus size, map-side partial aggregation like any
+  // TypedImperativeAggregate. Graded rows-only (sketch content is
+  // merge-topology-dependent, the t13 precedent); the bound is pinned
+  // by the forced-merge adversarial spec.
+  // ---------------------------------------------------------------------
+  val QdBits = 17  // cents universe [0, 131072)
+  val QdK = 256    // rank error ≤ (17/256)·n ≈ 6.6% of group size
+  val QdLevels = Seq(0.5, 0.9, 0.99)
+
+  def s40QdigestQuantiles(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.GraftFunctions.qdigestQuantiles
+    feed(s, d)
+      .filter($"event_type" === "view")
+      .select($"inverter", (dec($"value") * 100).cast("long").as("cents"))
+      .groupBy($"inverter")
+      .agg(count(lit(1)).as("n_readings"),
+        qdigestQuantiles($"cents", QdLevels, QdBits, QdK).as("qs"))
+      .select($"inverter", $"n_readings",
+        posexplode($"qs").as(Seq("qi", "est_cents")))
+      .select($"inverter", $"n_readings",
+        element_at(array(QdLevels.map(lit): _*), $"qi" + 1).as("q"),
+        ($"est_cents".cast("double") / 100.0).as("est_watts"))
+      .orderBy($"inverter", $"q")
+  }
+
   val queries: Map[String, Q] = Map(
+    "s40_qdigest" -> (s40QdigestQuantiles _),
     "s39_autocorr" -> (s39Autocorr _),
     "s38_anova" -> (s38Anova _),
     "s37_exp_decay" -> (s37ExpDecay _),
