@@ -878,15 +878,29 @@ object Text {
   // ---------------------------------------------------------------------
   val KeywordTopK = 3
 
+  /** Run starts of a SORTED array column (indices where a new value
+    * begins). With [[runPairs]] this turns the array into (value,
+    * count) multiplicities in O(len) — replacing the
+    * O(distinct·len) filter-per-distinct idiom, which at 5000 docs
+    * was ~70% of t23's measured cost (5.4 s → see PLANS.md r12). */
+  private def runStarts(arr: String): Column =
+    expr(s"filter(sequence(0, size($arr) - 1), " +
+      s"i -> i = 0 OR $arr[i] != $arr[i - 1])")
+
+  /** (value, count) structs from a sorted array + its run starts. */
+  private def runPairs(arr: String, st: String, v: String, c: String): Column =
+    expr(s"transform(sequence(0, size($st) - 1), " +
+      s"k -> struct($arr[$st[k]] AS $v, " +
+      s"cast(if(k + 1 < size($st), $st[k + 1], size($arr)) - $st[k] AS bigint) AS $c))")
+
   def t22Keywords(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     // sorted tokens → runs: distinct words with counts, all map-side
     val pairs = Tables.documents(s, d)
       .select($"doc_id", sort_array(toks(lower($"text"))).as("t"))
+      .withColumn("st", runStarts("t"))
       .select($"doc_id", size($"t").as("dl"),
-        explode(transform(array_distinct($"t"), w =>
-          struct(w.as("word"),
-            size(filter($"t", x => x === w)).cast("long").as("tf")))).as("p"))
+        explode(runPairs("t", "st", "word", "tf")).as("p"))
       .select($"doc_id", $"dl", $"p.word", $"p.tf")
     val dfTab = pairs.groupBy($"word").agg(count(lit(1)).as("df"))
     val stats = pairs.agg(countDistinct($"doc_id").as("n_docs"))
@@ -943,10 +957,9 @@ object Text {
         sort_array(concat(
           transform($"t", w => h60(w) % DsirBuckets),
           transform(wordBigrams($"t"), g => h60(g) % DsirBuckets))).as("f"))
+      .withColumn("st", runStarts("f"))
       .select($"doc_id", $"lang",
-        explode(transform(array_distinct($"f"), b =>
-          struct(b.as("h"),
-            size(filter($"f", x => x === b)).cast("long").as("c")))).as("p"))
+        explode(runPairs("f", "st", "h", "c")).as("p"))
       .select($"doc_id", $"lang", $"p.h", $"p.c")
     val stats = pairs.groupBy($"h").agg(
       sum($"c").as("cnt_r"),
