@@ -271,6 +271,55 @@ object Dedup {
   }
 
   // ---------------------------------------------------------------------
+  // d15: MINHASH ESTIMATOR CALIBRATION — the report that justifies a
+  // dedup run's thresholds: over every LSH candidate pair, the
+  // signature-estimated Jaccard (matches/K) against the exact
+  // 60-bit-hashed shingle Jaccard, bucketed by estimate decile. The
+  // bucket is PURE INTEGER ((matches·10) div K — no IEEE op picks a
+  // bucket); the per-bucket means use q28's pair-sorted fold
+  // discipline so every double addition chain is part of the
+  // contract. Scale: cost is d6's shape (candidate pairs only, never
+  // all-pairs — the estimator is evaluated exactly where it is used);
+  // bucket list state is bounded by candidates-per-bucket, and at
+  // production scale the same report runs over a hash-sampled
+  // candidate slice (t7's content-addressed discipline) — structure
+  // unchanged.
+  // ---------------------------------------------------------------------
+  def d15MinhashCalibration(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val cand = d3MinhashLsh(s, d)
+      .select($"doc_a", $"doc_b", $"matches", $"est_jaccard")
+    val sh = withScanParallelism(s, Tables.documents(s, d)
+      .filter(length($"text") >= ShingleLen))
+      .select($"doc_id", shingleHashes($"text").as("sh"))
+      .select($"doc_id", $"sh", size($"sh").as("n"))
+    val pairs = cand
+      .join(sh.select($"doc_id".as("doc_a"), $"sh".as("sh_a"), $"n".as("n_a")), "doc_a")
+      .join(sh.select($"doc_id".as("doc_b"), $"sh".as("sh_b"), $"n".as("n_b")), "doc_b")
+      .select($"doc_a", $"doc_b", $"matches", $"est_jaccard",
+        size(array_intersect($"sh_a", $"sh_b")).cast("double").as("inter"),
+        ($"n_a" + $"n_b").cast("double").as("tot"))
+      .select($"doc_a", $"doc_b", $"matches", $"est_jaccard",
+        ($"inter" / ($"tot" - $"inter")).as("jaccard"))
+      .withColumn("bucket", expr(s"(matches * 10) div $K"))
+      .withColumn("abs_err", abs($"est_jaccard" - $"jaccard"))
+    def fld(field: String) = aggregate(
+      sort_array(collect_list(struct($"doc_a", $"doc_b", col(field).as("x")))),
+      lit(0.0), (acc, x) => acc + x.getField("x"))
+    pairs
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n_pairs"),
+        fld("est_jaccard").as("s_est"),
+        fld("jaccard").as("s_ja"),
+        fld("abs_err").as("s_err"))
+      .select($"bucket", $"n_pairs",
+        ($"s_est" / $"n_pairs".cast("double")).as("mean_est"),
+        ($"s_ja" / $"n_pairs".cast("double")).as("mean_exact"),
+        ($"s_err" / $"n_pairs".cast("double")).as("mean_abs_err"))
+      .orderBy($"bucket")
+  }
+
+  // ---------------------------------------------------------------------
   // d7: duplicate CLUSTERS — connected components over the verified
   // LSH pair graph (the dedup endgame: near-dup pairs → clusters →
   // keep one doc per cluster). Distributed min-label propagation:
@@ -782,6 +831,7 @@ object Dedup {
   }
 
   val queries: Map[String, Q] = Map(
+    "d15_minhash_calibration" -> (d15MinhashCalibration _),
     "d14_cdc_dedup" -> (d14CdcDedup _),
     "d13_cluster_stats" -> (d13ClusterStats _),
     "d12_cross_neardup" -> (d12CrossNeardup _),
@@ -1020,6 +1070,46 @@ object Dedup {
          SELECT doc_a, doc_b, n_bands, matches,
                 CAST(matches AS DOUBLE) / $K AS est_jaccard
          FROM cand ORDER BY doc_a, doc_b""",
+    // d15: d3's cand CTE (no band floor), d6's exact-shingle CTE, the
+    // same integer decile bucket, pair-ordered list_reduce folds.
+    "d15_minhash_calibration" ->
+      s"""WITH $lshCte,
+         cand AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  max(CAST(len(list_filter(range(1, ${K + 1}), i -> a.sig[i] = b.sig[i])) AS INT)) AS matches
+           FROM bands a JOIN bands b
+             ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         ds AS (
+           SELECT doc_id,
+                  list_distinct(list_transform(
+                    list_distinct(list_transform(range(1, len(text) - ${ShingleLen - 2}), i -> substr(text, i, $ShingleLen))),
+                    x -> CAST('0x' || substr(md5(x), 1, 15) AS BIGINT))) AS s
+           FROM documents WHERE len(text) >= $ShingleLen),
+         j AS (
+           SELECT doc_a, doc_b, matches,
+                  CAST(matches AS DOUBLE) / $K AS est,
+                  CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) AS inter,
+                  CAST(len(sa.s) + len(sb.s) AS DOUBLE) AS tot
+           FROM cand JOIN ds sa ON cand.doc_a = sa.doc_id
+                     JOIN ds sb ON cand.doc_b = sb.doc_id),
+         p AS (
+           SELECT doc_a, doc_b,
+                  CAST((matches * 10) // $K AS BIGINT) AS bucket,
+                  est, inter / (tot - inter) AS ja,
+                  abs(est - inter / (tot - inter)) AS abs_err
+           FROM j),
+         g AS (
+           SELECT bucket, CAST(count(*) AS BIGINT) AS n_pairs,
+                  list_reduce(list_prepend(0.0, list(est ORDER BY doc_a, doc_b)), (x, y) -> x + y) AS s_est,
+                  list_reduce(list_prepend(0.0, list(ja ORDER BY doc_a, doc_b)), (x, y) -> x + y) AS s_ja,
+                  list_reduce(list_prepend(0.0, list(abs_err ORDER BY doc_a, doc_b)), (x, y) -> x + y) AS s_err
+           FROM p GROUP BY 1)
+         SELECT bucket, n_pairs,
+                s_est / CAST(n_pairs AS DOUBLE) AS mean_est,
+                s_ja / CAST(n_pairs AS DOUBLE) AS mean_exact,
+                s_err / CAST(n_pairs AS DOUBLE) AS mean_abs_err
+         FROM g ORDER BY bucket""",
     "d6_ngram_jaccard" ->
       s"""WITH $lshCte,
          cand AS (

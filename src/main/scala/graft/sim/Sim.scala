@@ -674,6 +674,13 @@ object Sim {
   // the levers are the standard IVF ones: more cells → smaller
   // blocks; multi-probe assignment recovers cross-boundary edges
   // (documented, not graded — the graded contract is within-cell).
+  // MEASURED (r12 8× probe): with the cell COUNT pinned (labels
+  // don't grow with the probe corpus), |cell| grows 8× and the
+  // Σ|cell|² model predicts 64× pair work — observed 24.2×. That is
+  // the expected behavior of the probe's shape, not a plan defect:
+  // the production contract is nlist ∝ corpus (FAISS's nlist≈√N
+  // rule), which holds |cell| constant and makes the pair work
+  // linear. The probe cannot express a growing label space.
   // ---------------------------------------------------------------------
   val KnnGraphK = 3
 
@@ -774,7 +781,107 @@ object Sim {
       .orderBy($"q_id", $"rnk")
   }
 
+  // ---------------------------------------------------------------------
+  // v14: ANN RECALL REPORT — the evaluation harness every production
+  // retrieval deployment runs before flipping an index on: each ANN
+  // variant's top-k joined against its exact brute-force baseline
+  // (same query set, same corpus convention, same tie rule), reduced
+  // to one (method, hits, recall) row. Evaluated here: v3's IVF
+  // (trained/partition-pruned) and v13's SRP-LSH (data-independent/
+  // banded) — the two ends of the ANN design space. All counts are
+  // integers with ONE recall divide; the oracle replays the hoisted
+  // v3/v13 SQL bodies verbatim (no drift possible) plus the exact
+  // baselines. Scale: the report costs the two ANN queries + two
+  // bounded-query-side BNL scans; the join is on (q_id, vec_id) id
+  // pairs — at a billion vectors you'd sample the query set, which
+  // changes nothing structural.
+  // ---------------------------------------------------------------------
+  def v14RecallReport(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, d)
+    def exactTop(qMax: Int, corpusMin: Int, k: Int): DataFrame = {
+      val q = e.filter($"vec_id" < qMax)
+        .select($"vec_id".as("q_id"), $"embedding".as("q_emb"))
+      val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id")
+      e.filter($"vec_id" >= corpusMin)
+        .crossJoin(broadcast(q))
+        .filter($"vec_id" =!= $"q_id")
+        .select($"q_id", $"vec_id", cosineSim($"embedding", $"q_emb").as("cos"))
+        .withColumn("rnk", row_number().over(w))
+        .filter($"rnk" <= k)
+        .select($"q_id", $"vec_id")
+    }
+    def row(method: String, ann: DataFrame, ex: DataFrame, k: Int): DataFrame = {
+      val hits = ann.select($"q_id", $"vec_id").join(ex, Seq("q_id", "vec_id"))
+        .agg(count(lit(1)).as("n_hits"))
+      val nq = ex.agg(countDistinct($"q_id").as("n_queries"))
+      nq.crossJoin(hits).select(
+        lit(method).as("method"), $"n_queries", lit(k).as("k"), $"n_hits",
+        ($"n_hits".cast("double") /
+          ($"n_queries" * k).cast("double")).as("recall"))
+    }
+    row("ivf", v3IvfAnn(s, d), exactTop(5, 0, TopK), TopK)
+      .unionAll(row("srp", v13SrpLsh(s, d), exactTop(20, 20, 3), 3))
+      .orderBy($"method")
+  }
+
+  // ---------------------------------------------------------------------
+  // v15: PAGERANK over the v12 kNN graph — iterative graph analytics
+  // beyond d7's connected components: five unrolled power-iteration
+  // steps with damping 0.85 (fixed iteration count ⇒ a deterministic,
+  // ORACLE-GRADEABLE program — the oracle unrolls the same five steps
+  // over the verbatim-replayed v12 edge list). Exactness: each node's
+  // incoming mass folds in SORTED-src order (q28's addition-chain
+  // contract), each contribution is ONE divide (pr/outdeg), each step
+  // one multiply + one add of mirrored literals; dangling mass is
+  // dropped (documented semantics — renormalization would add an
+  // engine-ordered global sum per step for no analytic gain here).
+  // Scale shape: the edge list is materialized ONCE (localCheckpoint,
+  // d7's iterative-input discipline) — each step is one edges⋈ranks
+  // join + one (dst) combine shuffle; ranks never leave the cluster,
+  // no driver traffic at all (even N rides a broadcast 1-row agg).
+  // At 100 TB this is exactly distributed PageRank's canonical shape;
+  // the sorted fold is the price of bit-reproducibility and bounds
+  // state by in-degree (≤ 3·cells here; a plain sum is the
+  // documented production relaxation).
+  // ---------------------------------------------------------------------
+  val PrIters = 5
+  val PrDamping = 0.85
+  /** 1 − d precomputed in Java double arithmetic and INTERPOLATED at
+    * full precision into the oracle: DuckDB constant-folds
+    * `(1.0 - 0.85)` as exact DECIMAL subtraction (0.15), Java's
+    * double op gives 0.15000000000000002 — a one-ulp divergence that
+    * cost v15 its hash match until the constant was shared. */
+  val PrBase: Double = 1.0 - PrDamping
+
+  def v15Pagerank(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val edges = v12KnnGraph(s, d).select($"src", $"dst").localCheckpoint()
+    val deg = edges.groupBy($"src").agg(count(lit(1)).as("outdeg"))
+    val withDeg = edges.join(deg, "src").localCheckpoint()
+    val nodes = Tables.embeddings(s, d).select($"vec_id".as("node"))
+    val nRow = nodes.agg(count(lit(1)).as("n"))
+    var pr = nodes.crossJoin(broadcast(nRow))
+      .select($"node", (lit(1.0) / $"n".cast("double")).as("pr"))
+    for (_ <- 1 to PrIters) {
+      val contrib = withDeg
+        .join(pr, $"src" === $"node")
+        .select($"dst", $"src", ($"pr" / $"outdeg".cast("double")).as("c"))
+        .groupBy($"dst")
+        .agg(aggregate(sort_array(collect_list(struct($"src", $"c"))),
+          lit(0.0), (acc, x) => acc + x.getField("c")).as("acc"))
+      pr = nodes.crossJoin(broadcast(nRow))
+        .join(contrib, $"node" === $"dst", "left")
+        .select($"node",
+          (lit(PrBase) / $"n".cast("double") +
+            lit(PrDamping) * coalesce($"acc", lit(0.0))).as("pr"))
+    }
+    pr.orderBy($"node")
+  }
+
   val queries: Map[String, Q] = Map(
+    "v15_pagerank" -> (v15Pagerank _),
+    "v14_recall_report" -> (v14RecallReport _),
     "v13_srp_lsh" -> (v13SrpLsh _),
     "v12_knn_graph" -> (v12KnnGraph _),
     "v11_filtered_ann" -> (v11FilteredAnn _),
@@ -810,11 +917,9 @@ object Sim {
     s"list_sum(list_transform(range(1, ${Dims + 1}), i -> " +
       s"(CAST($x[i] AS DOUBLE) - CAST($y[i] AS DOUBLE)) * (CAST($x[i] AS DOUBLE) - CAST($y[i] AS DOUBLE))))"
 
-  val oracles: Map[String, String] = Map(
-    // v13: same ±1 integer hyperplane formula, same index-ordered
-    // projection fold (list_reduce with 0.0 prepended), same 4-bit
-    // band values (1-based list indexing), same rerank + tie rule.
-    "v13_srp_lsh" ->
+  /** v13's oracle body — hoisted so v14's recall report can replay it
+    * as a CTE without drift. */
+  private val V13Sql: String =
       s"""WITH sg AS (
             SELECT vec_id, embedding,
                    list_transform(range(0, 16), i -> CASE WHEN
@@ -843,10 +948,42 @@ object Sim {
                                       ORDER BY cos DESC, vec_id) AS rn
             FROM cand)
           SELECT q_id, CAST(rn AS INT) AS rnk, vec_id, cos
-          FROM r WHERE rn <= 3 ORDER BY q_id, rnk""",
-    // v12: v3's assignment CTEs verbatim, then the same within-cell
-    // self-join and (cos DESC, dst) top-3 rule.
-    "v12_knn_graph" ->
+          FROM r WHERE rn <= 3 ORDER BY q_id, rnk"""
+
+  /** v3's oracle body — hoisted so v14's recall report can replay it
+    * as a CTE without drift. */
+  private val V3Sql: String =
+      s"""WITH c AS (
+            SELECT label AS c_id, arg_min(embedding, vec_id) AS c_emb
+            FROM embeddings GROUP BY 1),
+          a AS (
+            SELECT vec_id, embedding, c_id, ${cos("embedding", "c_emb")} AS c_cos
+            FROM embeddings, c),
+          ar AS (
+            SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY c_cos DESC, c_id) AS rn
+            FROM a),
+          assigned AS (SELECT vec_id, embedding, c_id AS cluster FROM ar WHERE rn = 1),
+          q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 5),
+          p AS (SELECT q_id, q_emb, c_id, ${cos("q_emb", "c_emb")} AS q_cos FROM q, c),
+          pr AS (
+            SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY q_cos DESC, c_id) AS rn
+            FROM p),
+          probes AS (SELECT q_id, q_emb, c_id AS cluster FROM pr WHERE rn <= $Probes),
+          sc AS (
+            SELECT probes.q_id, assigned.vec_id, probes.cluster,
+                   ${cos("q_emb", "embedding")} AS cos
+            FROM probes JOIN assigned USING (cluster)
+            WHERE assigned.vec_id <> probes.q_id),
+          rk AS (
+            SELECT q_id, vec_id, cluster, cos,
+                   CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS INT) AS rnk
+            FROM sc)
+          SELECT q_id, rnk, vec_id, cluster, cos FROM rk WHERE rnk <= $TopK
+          ORDER BY q_id, rnk"""
+
+  /** v12's oracle body — hoisted so v15's PageRank can replay the
+    * edge list verbatim. */
+  private val V12Sql: String =
       s"""WITH c AS (
             SELECT label AS c_id, arg_min(embedding, vec_id) AS c_emb
             FROM embeddings GROUP BY 1),
@@ -868,7 +1005,83 @@ object Sim {
                         ORDER BY cos DESC, dst) AS INT) AS rnk
             FROM pairs)
           SELECT src, rnk, dst, cluster, cos FROM rk WHERE rnk <= $KnnGraphK
-          ORDER BY src, rnk""",
+          ORDER BY src, rnk"""
+
+  val oracles: Map[String, String] = Map(
+    // v13: same ±1 integer hyperplane formula, same index-ordered
+    // projection fold (list_reduce with 0.0 prepended), same 4-bit
+    // band values (1-based list indexing), same rerank + tie rule.
+    "v13_srp_lsh" -> V13Sql,
+    // v15: v12's edge list replayed verbatim, the same five unrolled
+    // power-iteration steps — src-sorted folds, one divide per
+    // contribution, mirrored (1−d)/n + d·acc trees.
+    "v15_pagerank" -> {
+      def iter(k: Int): String =
+        s"""c$k AS (
+              SELECT e.dst, e.src, p.pr / CAST(e.outdeg AS DOUBLE) AS c
+              FROM ed e JOIN pr${k - 1} p ON e.src = p.node),
+            a$k AS (
+              SELECT dst, list_reduce(list_prepend(0.0, list(c ORDER BY src)),
+                                      (x, y) -> x + y) AS acc
+              FROM c$k GROUP BY dst),
+            pr$k AS (
+              SELECT nd.node,
+                     $PrBase / CAST(nn.n AS DOUBLE) +
+                       $PrDamping * coalesce(a$k.acc, 0.0) AS pr
+              FROM nodes nd CROSS JOIN nn LEFT JOIN a$k ON nd.node = a$k.dst)"""
+      s"""WITH g AS ($V12Sql),
+          e0 AS (SELECT src, dst FROM g),
+          dg AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM e0 GROUP BY 1),
+          ed AS (SELECT e0.src, e0.dst, dg.outdeg FROM e0 JOIN dg USING (src)),
+          nodes AS (SELECT vec_id AS node FROM embeddings),
+          nn AS (SELECT count(*) AS n FROM nodes),
+          pr0 AS (SELECT node, 1.0 / CAST(nn.n AS DOUBLE) AS pr
+                  FROM nodes CROSS JOIN nn),
+          ${(1 to PrIters).map(iter).mkString(",\n          ")}
+          SELECT node, pr FROM pr$PrIters ORDER BY node"""
+    },
+    // v14: replays the hoisted v3/v13 bodies verbatim as CTEs, exact
+    // baselines with the same (cos DESC, vec_id) tie rule, integer
+    // counts, one recall divide per row.
+    "v14_recall_report" ->
+      s"""WITH ivf AS ($V3Sql),
+          srp AS ($V13Sql),
+          exi AS (
+            SELECT q_id, vec_id FROM (
+              SELECT q.vec_id AS q_id, c.vec_id,
+                     row_number() OVER (PARTITION BY q.vec_id
+                       ORDER BY ${cos("c.embedding", "q.embedding")} DESC,
+                                c.vec_id) AS rn
+              FROM embeddings c, embeddings q
+              WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id)
+            WHERE rn <= $TopK),
+          exs AS (
+            SELECT q_id, vec_id FROM (
+              SELECT q.vec_id AS q_id, c.vec_id,
+                     row_number() OVER (PARTITION BY q.vec_id
+                       ORDER BY ${cos("c.embedding", "q.embedding")} DESC,
+                                c.vec_id) AS rn
+              FROM embeddings c, embeddings q
+              WHERE q.vec_id < 20 AND c.vec_id >= 20)
+            WHERE rn <= 3),
+          hi AS (SELECT count(*) AS h FROM ivf JOIN exi USING (q_id, vec_id)),
+          hs AS (SELECT count(*) AS h FROM srp JOIN exs USING (q_id, vec_id)),
+          ni AS (SELECT count(DISTINCT q_id) AS nq FROM exi),
+          ns AS (SELECT count(DISTINCT q_id) AS nq FROM exs)
+          SELECT * FROM (
+            SELECT 'ivf' AS method, CAST(nq AS BIGINT) AS n_queries,
+                   CAST($TopK AS INT) AS k, CAST(h AS BIGINT) AS n_hits,
+                   CAST(h AS DOUBLE) / CAST(nq * $TopK AS DOUBLE) AS recall
+            FROM ni, hi
+            UNION ALL
+            SELECT 'srp', CAST(nq AS BIGINT), CAST(3 AS INT),
+                   CAST(h AS BIGINT),
+                   CAST(h AS DOUBLE) / CAST(nq * 3 AS DOUBLE)
+            FROM ns, hs)
+          ORDER BY method""",
+    // v12: v3's assignment CTEs verbatim, then the same within-cell
+    // self-join and (cos DESC, dst) top-3 rule.
+    "v12_knn_graph" -> V12Sql,
     // v11: same label-equality candidate set, same index-ordered
     // cosine, same (cos DESC, vec_id) top-5 rule.
     "v11_filtered_ann" ->
@@ -983,34 +1196,7 @@ object Sim {
                 CAST(list_min(qs) AS BIGINT) AS q_min,
                 CAST(list_max(qs) AS BIGINT) AS q_max
          FROM q ORDER BY vec_id""",
-    "v3_ivf_ann" ->
-      s"""WITH c AS (
-            SELECT label AS c_id, arg_min(embedding, vec_id) AS c_emb
-            FROM embeddings GROUP BY 1),
-          a AS (
-            SELECT vec_id, embedding, c_id, ${cos("embedding", "c_emb")} AS c_cos
-            FROM embeddings, c),
-          ar AS (
-            SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY c_cos DESC, c_id) AS rn
-            FROM a),
-          assigned AS (SELECT vec_id, embedding, c_id AS cluster FROM ar WHERE rn = 1),
-          q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 5),
-          p AS (SELECT q_id, q_emb, c_id, ${cos("q_emb", "c_emb")} AS q_cos FROM q, c),
-          pr AS (
-            SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY q_cos DESC, c_id) AS rn
-            FROM p),
-          probes AS (SELECT q_id, q_emb, c_id AS cluster FROM pr WHERE rn <= $Probes),
-          sc AS (
-            SELECT probes.q_id, assigned.vec_id, probes.cluster,
-                   ${cos("q_emb", "embedding")} AS cos
-            FROM probes JOIN assigned USING (cluster)
-            WHERE assigned.vec_id <> probes.q_id),
-          rk AS (
-            SELECT q_id, vec_id, cluster, cos,
-                   CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS INT) AS rnk
-            FROM sc)
-          SELECT q_id, rnk, vec_id, cluster, cos FROM rk WHERE rnk <= $TopK
-          ORDER BY q_id, rnk""",
+    "v3_ivf_ann" -> V3Sql,
     // v9: same cosine arithmetic as v1, radius filter instead of LIMIT.
     "v9_range_search" ->
       s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb

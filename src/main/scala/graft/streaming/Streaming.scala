@@ -542,7 +542,120 @@ object Streaming {
       .orderBy($"hour", $"rank")
   }
 
+  /** st9's sketch capacity: with k ≥ the within-window update count
+    * the q-digest's compression threshold n/k is zero, no node ever
+    * merges, and the sketch returns EXACT rank-ceil(q·n) order
+    * statistics — which is what makes the query oracle-gradeable
+    * (st7's w ≥ cardinality discipline, same trick one family over).
+    * Production uses k ≈ 256 and inherits QDigestSpec's (B/k)·n
+    * bound with the identical plan and state shape. */
+  val StreamQuantK = 1 << 20
+  val StreamQuantLevels = Seq(0.5, 0.9)
+
+  /** Windowed streaming quantiles: the mergeable q-digest summary as
+    * STREAMING STATE — per open hour window the state is one bounded
+    * node map; micro-batches merge into it via the aggregate's own
+    * partial-merge path (the map-side combine the batch plan uses),
+    * so an unbounded feed tracks per-window wattage quantiles in
+    * O(digest) memory per window. Shared by the graded batch plan and
+    * the stream==batch spec. */
+  def quantileTransform(df: DataFrame): DataFrame = {
+    import df.sparkSession.implicits._
+    df.withWatermark("ts", "2 hours")
+      .filter($"event_type" === "view")
+      .groupBy(window($"ts", "1 hour"), $"user_id".as("inverter"))
+      .agg(count(lit(1)).as("n"),
+        graft.functions.GraftFunctions.qdigestQuantiles(
+          (dec($"value") * 100).cast("long"), StreamQuantLevels, 17,
+          StreamQuantK).as("qs"))
+  }
+
+  def quantileFinalize(df: DataFrame): DataFrame = {
+    import df.sparkSession.implicits._
+    df.select($"window.start".as("hour"), $"inverter", $"n",
+        ($"qs" (0).cast("double") / 100.0).as("p50_watts"),
+        ($"qs" (1).cast("double") / 100.0).as("p90_watts"))
+      .orderBy($"hour", $"inverter")
+  }
+
+  // ---------------------------------------------------------------------
+  // st9: graded batch-equivalent of the streaming windowed quantiles —
+  // with k above the window cardinality the digest is exact, so the
+  // oracle is the plain rank-ceil(q·n) order statistic per (hour,
+  // inverter); the cross-micro-batch merge path is pinned by
+  // StreamingSpec (split feed == whole feed == batch).
+  // ---------------------------------------------------------------------
+  def st9StreamQuantile(s: SparkSession, d: String): DataFrame =
+    quantileFinalize(quantileTransform(Tables.events(s, d)))
+
+  /** st8's per-inverter poll event: (µs << 3 | unused) not needed —
+    * gaps only need the timestamp and a stable tiebreak. */
+  case class PollEvt(inverter: Long, us: Long, event_id: Long)
+  case class GapState(lastUs: Long)
+  case class GapOut(inverter: Long, gap_start_us: Long, gap_us: Long)
+
+  /** Outage threshold shared by the stateful operator, the graded
+    * rollup and the oracle (s8's 2-hour rule). */
+  val GapThresholdUs: Long = 2L * 3600 * 1000000
+
+  /** Stateful streaming OUTAGE DETECTION via flatMapGroupsWithState —
+    * the streaming form of s8: the per-inverter last poll timestamp is
+    * the ONLY state carried across micro-batches, so a gap that
+    * SPANS a batch boundary (the case a per-batch window misses) is
+    * still emitted: the first reading of a new batch compares against
+    * the carried watermark-side state, not the batch's own lag().
+    * Within a batch, readings fold in (us, event_id) order —
+    * statefulCounterDelta's discipline. State = #inverters × 8 bytes;
+    * an unbounded feed runs in bounded memory, and batch == stream
+    * over any batch split (StreamingSpec pins it).
+    */
+  def statefulGapDetect(ds: Dataset[PollEvt]): Dataset[GapOut] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.groupByKey(_.inverter)
+      .flatMapGroupsWithState[GapState, GapOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (inv: Long, it: Iterator[PollEvt], state: GroupState[GapState]) =>
+          val sorted = it.toIndexedSeq.sortBy(e => (e.us, e.event_id))
+          var last = state.getOption.map(_.lastUs)
+          val out = sorted.flatMap { e =>
+            val g = last.flatMap { p =>
+              if (e.us - p > GapThresholdUs) Some(GapOut(inv, p, e.us - p))
+              else None
+            }
+            last = Some(math.max(last.getOrElse(Long.MinValue), e.us))
+            g
+          }
+          last.foreach(u => state.update(GapState(u)))
+          out.iterator
+      }
+  }
+
+  // ---------------------------------------------------------------------
+  // st8: graded batch-equivalent of the streaming outage detector —
+  // the stateful operator over the whole batch (empty initial state)
+  // must equal the lag()-window form the oracle computes (the same
+  // identity s8 grades), rolled up per inverter. The streaming-only
+  // value (cross-batch gap continuity) is pinned by StreamingSpec's
+  // split-feed equivalence.
+  // ---------------------------------------------------------------------
+  def st8StreamGaps(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val evts = Tables.events(s, d)
+      .select($"user_id".as("inverter"), unix_micros($"ts").as("us"), $"event_id")
+      .as[PollEvt]
+    statefulGapDetect(evts)
+      .groupBy($"inverter")
+      .agg(
+        count(lit(1)).as("n_gaps"),
+        max($"gap_us").as("max_gap_us"),
+        sum($"gap_us").as("total_gap_us"))
+      .orderBy($"inverter")
+  }
+
   val queries: Map[String, Q] = Map(
+    "st9_stream_quantile" -> (st9StreamQuantile _),
+    "st8_stream_gaps" -> (st8StreamGaps _),
     "st7_stream_topk" -> (st7StreamTopk _),
     "st6_stream_funnel" -> (st6StreamFunnel _),
     "st5_stream_moments" -> (st5StreamMoments _),
@@ -553,6 +666,37 @@ object Streaming {
   )
 
   val oracles: Map[String, String] = Map(
+    // st9: k ≥ window cardinality makes the digest exact — the
+    // oracle is the rank-ceil(q·n) order statistic; ceil(q·n) is the
+    // same IEEE multiply+ceil on both engines (part of the contract).
+    "st9_stream_quantile" ->
+      s"""WITH b AS (
+           SELECT date_trunc('hour', ts) AS hour, user_id AS inverter,
+                  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+           FROM events WHERE event_type = 'view'),
+         g AS (
+           SELECT hour, inverter, CAST(count(*) AS BIGINT) AS n,
+                  list(c ORDER BY c) AS xs
+           FROM b GROUP BY 1, 2)
+         SELECT hour, inverter, n,
+                CAST(xs[CAST(greatest(ceil(0.5 * n), 1) AS INT)] AS DOUBLE) / 100.0 AS p50_watts,
+                CAST(xs[CAST(greatest(ceil(0.9 * n), 1) AS INT)] AS DOUBLE) / 100.0 AS p90_watts
+         FROM g ORDER BY hour, inverter""",
+    // st8: the stateful operator over one batch == the lag() window
+    // form (s8's identity), rolled up; µs integers throughout.
+    "st8_stream_gaps" ->
+      s"""WITH p AS (
+           SELECT user_id AS inverter, epoch_us(ts) AS us,
+                  lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                    ORDER BY epoch_us(ts), event_id) AS prev
+           FROM events),
+         g AS (
+           SELECT inverter, us - prev AS gap_us
+           FROM p WHERE prev IS NOT NULL AND us - prev > $GapThresholdUs)
+         SELECT inverter, CAST(count(*) AS BIGINT) AS n_gaps,
+                CAST(max(gap_us) AS BIGINT) AS max_gap_us,
+                CAST(sum(gap_us) AS BIGINT) AS total_gap_us
+         FROM g GROUP BY 1 ORDER BY inverter""",
     // st7: with w ≥ cardinality the sketch is exact — per-hour counts
     // ranked by the aggregate's own (count DESC, item ASC) rule.
     "st7_stream_topk" ->

@@ -1416,6 +1416,39 @@ class QueriesSpec extends AnyFunSuite {
     }.sum
     info(s"v13 SRP-LSH recall@3: $hits/60")
     assert(hits >= 12, s"banded SRP recall collapsed: $hits/60")
+    // v14: both methods report sane recall, and the srp row agrees
+    // with this spec's own brute-force hit count above
+    val v14 = sim.Sim.v14RecallReport(s, SfDir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    v14.values.foreach { r =>
+      val rec = r.getAs[Double]("recall")
+      assert(rec >= 0.0 && rec <= 1.0)
+      assert(r.getAs[Long]("n_hits") <= r.getAs[Long]("n_queries") * r.getAs[Int]("k"))
+    }
+    assert(v14("srp").getAs[Long]("n_hits") == hits,
+      s"v14 srp hits ${v14("srp").getAs[Long]("n_hits")} != spec-computed $hits")
+    // d15: buckets partition the full candidate set; means are valid shares
+    val d15 = dedup.Dedup.d15MinhashCalibration(s, SfDir)
+    assert(d15.agg(sum($"n_pairs")).head().getLong(0) ==
+      dedup.Dedup.d3MinhashLsh(s, SfDir).count())
+    assert(d15.filter($"bucket" < 0 || $"bucket" > 10 ||
+      $"mean_est" < 0.0 || $"mean_est" > 1.0 ||
+      $"mean_exact" < 0.0 || $"mean_exact" > 1.0 ||
+      $"mean_abs_err" < 0.0 || $"mean_abs_err" > 1.0).count() == 0)
+    // v15: a probability-mass-like vector — positive everywhere,
+    // total ≤ 1 (dangling mass is dropped, never created), floor at
+    // the teleport term, and nodes with in-edges sit strictly above it
+    val v15 = sim.Sim.v15Pagerank(s, SfDir)
+    val nNodes = Tables.embeddings(s, SfDir).count()
+    assert(v15.count() == nNodes)
+    val floorPr = sim.Sim.PrBase / nNodes
+    assert(v15.filter($"pr" < floorPr - 1e-15).count() == 0)
+    val mass = v15.agg(sum($"pr")).head().getDouble(0)
+    assert(mass > 0.0 && mass <= 1.0 + 1e-9, s"pagerank mass $mass")
+    val withIn = sim.Sim.v12KnnGraph(s, SfDir).select($"dst").distinct()
+    assert(v15.join(withIn, $"node" === $"dst")
+      .filter($"pr" <= floorPr + 1e-15).count() == 0,
+      "nodes with in-edges must exceed the teleport floor")
     // m9: shard manifests conserve items and bytes per source
     val m9 = multimodal.Multimodal.m9ShardPack(s, SfDir)
     val bySrc = m9.groupBy($"source")

@@ -32,6 +32,7 @@ case class Doc(ts: Timestamp, doc_id: Long, text: String)
 case class Ev(ts: Timestamp, event_type: String, value: Double)
 case class EvId(event_id: Long, ts: Timestamp, event_type: String, value: Double)
 case class Ord(o_id: Long, o_user: Long, o_ts: Timestamp)
+case class EvUser(ts: Timestamp, user_id: Long, event_type: String, value: Double)
 
 class StreamingSpec extends AnyFunSuite {
   import TestSpark._
@@ -675,5 +676,70 @@ class StreamingSpec extends AnyFunSuite {
     val h0 = Streaming.topkFinalize(s.table("st7_spec"))
       .filter($"rank" === 1).select($"event_type").as[String].collect().toSet
     assert(h0 == Set("view", "click"))
+  }
+
+  test("windowed streaming q-digest quantiles merge across micro-batches == batch") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val rows = Tables.events(s, SfDir)
+      .select($"ts", $"user_id", $"event_type", $"value")
+      .collect().sortBy(_.getTimestamp(0).getTime)
+    val evs = rows.map(r =>
+      EvUser(r.getTimestamp(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+    val (b1, b2) = evs.splitAt(evs.length / 2)
+    val stream = MemoryStream[EvUser]
+    val q = Streaming.quantileTransform(stream.toDF())
+      .writeStream.format("memory").queryName("st9_spec")
+      .outputMode("complete").start()
+    try {
+      stream.addData(b1.toSeq: _*); q.processAllAvailable()
+      stream.addData(b2.toSeq: _*); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = Streaming.quantileFinalize(s.table("st9_spec"))
+      .collect().map(_.toSeq).toSet
+    val batch = Streaming.st9StreamQuantile(s, SfDir)
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch,
+      s"stream/batch quantile mismatch: ${(streamed diff batch).take(3)} vs ${(batch diff streamed).take(3)}")
+  }
+
+  test("stateful gap detector finds gaps that SPAN micro-batch boundaries") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    // crafted feed: inverter 1 has an in-batch gap AND a cross-batch
+    // gap (batch 1 ends at t=10h, batch 2 starts at t=13h); inverter 2
+    // polls steadily — no gaps. A per-batch lag() would MISS the
+    // cross-batch gap; the carried state must not.
+    val h = 3600000000L
+    val b1 = Seq(
+      Streaming.PollEvt(1L, 1 * h, 1), Streaming.PollEvt(1L, 2 * h, 2),
+      Streaming.PollEvt(1L, 7 * h, 3), // in-batch 5h gap
+      Streaming.PollEvt(1L, 8 * h, 4),
+      Streaming.PollEvt(2L, 1 * h, 5), Streaming.PollEvt(2L, 2 * h, 6))
+    val b2 = Seq(
+      Streaming.PollEvt(1L, 13 * h, 7), // cross-batch 5h gap
+      Streaming.PollEvt(2L, 3 * h, 8))
+    val stream = MemoryStream[Streaming.PollEvt]
+    val q = Streaming.statefulGapDetect(stream.toDS())
+      .writeStream.format("memory").queryName("st8_spec")
+      .outputMode("append").start()
+    try {
+      stream.addData(b1: _*); q.processAllAvailable()
+      stream.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val gaps = s.table("st8_spec")
+      .as[Streaming.GapOut].collect().sortBy(g => (g.inverter, g.gap_start_us))
+    assert(gaps.toSeq == Seq(
+      Streaming.GapOut(1L, 2 * h, 5 * h),
+      Streaming.GapOut(1L, 8 * h, 5 * h)),
+      s"got ${gaps.toSeq}")
+    // batch == stream: the graded query equals running the operator
+    // over the undivided feed
+    val whole = (b1 ++ b2).toDS()
+    val batch = Streaming.statefulGapDetect(whole)
+      .collect().sortBy(g => (g.inverter, g.gap_start_us)).toSeq
+    assert(batch == gaps.toSeq)
   }
 }
