@@ -409,7 +409,10 @@ object Multimodal {
   // ---------------------------------------------------------------------
   val ShardCapacity = 262144L // 256 KiB of decoded payload per shard
 
-  def m9ShardPack(s: SparkSession, d: String): DataFrame = {
+  /** Shared shard layout: per-source (doc_id)-ordered running byte
+    * offsets and the integer shard rule — m9 aggregates it into
+    * manifests, m10 projects the per-item index. */
+  private def shardLayout(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     def px(i: Int) =
       conv(substring(md5($"text"), 2 * i + 1, 2), 16, 10).cast("long")
@@ -422,6 +425,11 @@ object Multimodal {
     sized
       .withColumn("cum", sum($"media_bytes").over(w))
       .withColumn("shard", expr(s"(cum - media_bytes) div $ShardCapacity"))
+  }
+
+  def m9ShardPack(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    shardLayout(s, d)
       .groupBy($"source", $"shard")
       .agg(
         count(lit(1)).as("n_items"),
@@ -431,7 +439,26 @@ object Multimodal {
       .orderBy($"source", $"shard")
   }
 
+  // ---------------------------------------------------------------------
+  // m10: TAR INDEX — the per-item random-access sidecar every
+  // WebDataset-style archive ships (shard id + byte offset INSIDE the
+  // shard + length): what a training dataloader seeks with. Pure
+  // projection over the shared shard layout — offset_in_shard =
+  // (cum − size) − shard·capacity, all integers; same single (source)
+  // exchange as m9 (the manifest and the index are one pass in
+  // production — two graded surfaces of the same layout here).
+  // ---------------------------------------------------------------------
+  def m10TarIndex(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    shardLayout(s, d)
+      .select($"source", $"doc_id", $"shard",
+        ($"cum" - $"media_bytes" - $"shard" * ShardCapacity).as("offset"),
+        $"media_bytes")
+      .orderBy($"source", $"doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "m10_tar_index" -> (m10TarIndex _),
     "m9_shard_pack" -> (m9ShardPack _),
     "m8_modality_report" -> (m8ModalityReport _),
     "m7_phash_dedup" -> (m7PhashDedup _),
@@ -452,6 +479,26 @@ object Multimodal {
   private val sumBytes = (0 until 16).map(byteAt).mkString(" + ")
 
   val oracles: Map[String, String] = Map(
+    // m10: the same layout CTEs, projected per item; all integers.
+    "m10_tar_index" ->
+      s"""WITH b AS (SELECT source, doc_id, md5(text) AS h FROM documents),
+         sz AS (
+           SELECT source, doc_id,
+                  CAST((${byteAt(0)} % 128 + 1) *
+                       (${byteAt(1)} % 128 + 1) *
+                       (${byteAt(2)} % 4 + 1) AS BIGINT) AS media_bytes
+           FROM b),
+         c AS (
+           SELECT source, doc_id, media_bytes,
+                  CAST(sum(media_bytes) OVER (PARTITION BY source
+                    ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND CURRENT ROW) AS BIGINT) AS cum
+           FROM sz)
+         SELECT source, doc_id, (cum - media_bytes) // $ShardCapacity AS shard,
+                cum - media_bytes -
+                  ((cum - media_bytes) // $ShardCapacity) * $ShardCapacity AS offset,
+                media_bytes
+         FROM c ORDER BY source, doc_id""",
     // m9: same md5-derived metadata bytes, same running-sum offsets,
     // same integer shard rule.
     "m9_shard_pack" ->

@@ -1027,7 +1027,58 @@ object Text {
       .orderBy($"doc_id")
   }
 
+  /** t26's acceptance multiplier: p(doc) = min(1, α·w). A FIXED α
+    * keeps the pass embarrassingly parallel and deterministic — the
+    * calibrated form (α from a target token budget / the corpus mean
+    * weight) adds one broadcast aggregate and is the documented
+    * production variant; a global mean would also make every p depend
+    * on an engine-ordered double sum, which the graded contract
+    * avoids. */
+  val DsirAlpha = 0.5
+
+  // ---------------------------------------------------------------------
+  // t26: DSIR IMPORTANCE RESAMPLING — the SELECTION half of Xie 2023
+  // (t23 scores, t26 samples): each document is kept iff its
+  // content-addressed uniform u = md5(text)[0:15]/16^15 falls under
+  // p = min(1, α·w) — deterministic across runs, machines and shard
+  // layouts (t7's discipline; no RNG state, no seed plumbing), and
+  // exactly the hash-threshold acceptance a 100 TB pass wants: zero
+  // coordination, the keep decision rides the same scan that computed
+  // the weight. Output is the per-language selection report (kept
+  // counts, kept tokens, mean accepted weight via lang-bounded sorted
+  // folds). Exactness: u is one divide of exact integers, p one
+  // multiply + min, the compare is on two mirrored doubles.
+  // ---------------------------------------------------------------------
+  def t26ImportanceResample(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = t23Dsir(s, d).select($"doc_id", $"dsir_weight")
+    val docs = Tables.documents(s, d)
+      .select($"doc_id", $"lang",
+        size(toks($"text")).cast("long").as("n_tok"),
+        (conv(substring(md5($"text"), 1, 15), 16, 10).cast("double") /
+          lit(1152921504606846976.0)).as("u"))
+    val fold = aggregate(
+      sort_array(collect_list(struct($"doc_id", $"t"))),
+      lit(0.0), (acc, x) => acc + x.getField("t"))
+    docs.join(w, "doc_id")
+      .withColumn("p", least(lit(1.0), lit(DsirAlpha) * $"dsir_weight"))
+      .withColumn("keep", $"u" < $"p")
+      .select($"doc_id", $"lang", $"n_tok", $"keep",
+        when($"keep", $"dsir_weight").otherwise(0.0).as("t"))
+      .groupBy($"lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when($"keep", 1L).otherwise(0L)).as("n_kept"),
+        sum(when($"keep", $"n_tok").otherwise(0L)).as("tokens_kept"),
+        fold.as("w_kept_sum"))
+      .select($"lang", $"n_docs", $"n_kept", $"tokens_kept",
+        when($"n_kept" > 0L, $"w_kept_sum" / $"n_kept".cast("double"))
+          .as("mean_kept_weight"))
+      .orderBy($"lang")
+  }
+
   val queries: Map[String, Q] = Map(
+    "t26_importance_resample" -> (t26ImportanceResample _),
     "t24_gopher_rules" -> (t24GopherRules _),
     "t23_dsir" -> (t23Dsir _),
     "t22_keywords" -> (t22Keywords _),
@@ -1139,39 +1190,9 @@ object Text {
        SELECT rnk, doc_id, dl, score FROM rk WHERE rnk <= $Bm25TopK ORDER BY rnk"""
   }
 
-  val oracles: Map[String, String] = Map(
-    // t24: identical token split, the same all-integer rule
-    // comparisons; the only IEEE op is the display mean divide.
-    "t24_gopher_rules" ->
-      s"""WITH tk AS (
-           SELECT doc_id,
-                  list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t
-           FROM documents),
-         c AS (
-           SELECT doc_id,
-                  CAST(len(t) AS BIGINT) AS n_words,
-                  CAST(list_sum(list_transform(t, x -> len(x))) AS BIGINT) AS n_chars,
-                  CAST(len(list_filter(t, x -> regexp_matches(x, '[a-zA-Z]'))) AS BIGINT) AS n_alpha,
-                  CAST(len(list_filter(t, x -> regexp_matches(x, '^[#…]+$$'))) AS BIGINT) AS n_sym,
-                  CAST(len(list_intersect(list_distinct(t), [${GopherStops.map(w => s"'$w'").mkString(",")}])) AS BIGINT) AS n_stops
-           FROM tk)
-         SELECT doc_id, n_words, n_alpha, n_stops,
-                CAST(n_chars AS DOUBLE) / CAST(n_words AS DOUBLE) AS mean_word_len,
-                (n_words >= 50 AND n_words <= 2500) AS ok_count,
-                (n_chars >= n_words * 3 AND n_chars <= n_words * 10) AS ok_len,
-                (n_alpha * 5 >= n_words * 4) AS ok_alpha,
-                (n_sym * 10 <= n_words) AS ok_sym,
-                (n_stops >= 2) AS ok_stops,
-                (n_words >= 50 AND n_words <= 2500 AND
-                 n_chars >= n_words * 3 AND n_chars <= n_words * 10 AND
-                 n_alpha * 5 >= n_words * 4 AND
-                 n_sym * 10 <= n_words AND n_stops >= 2) AS keep
-         FROM c ORDER BY doc_id""",
-    // t23: same 1024-bucket hashed features, same smoothed-ratio
-    // arithmetic (three IEEE ops per feature), same h-sorted addition
-    // chain (list ORDER BY h → left-fold sum, matching Spark's
-    // sort_array fold; 0.0 + x == x so the inits agree).
-    "t23_dsir" ->
+  /** t23's oracle body — hoisted so t26's resampling pass can replay
+    * the weight computation verbatim. */
+  private val T23Sql: String =
       s"""WITH tk AS (
            SELECT doc_id, lang,
                   list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS t
@@ -1213,7 +1234,68 @@ object Text {
            FROM term GROUP BY 1)
          SELECT doc_id, n_feats, n_distinct,
                 score_sum / CAST(n_feats AS DOUBLE) AS dsir_weight
-         FROM sc ORDER BY doc_id""",
+         FROM sc ORDER BY doc_id"""
+
+  val oracles: Map[String, String] = Map(
+    // t26: t23's weight pipeline replayed verbatim, the same
+    // 60-bit-hash uniform (integer→double conversion is correctly
+    // rounded on both engines, the 2^60 divide exact), the same
+    // min(1, α·w) acceptance, doc-sorted weight folds.
+    "t26_importance_resample" ->
+      s"""WITH w AS ($T23Sql),
+         dv AS (
+           SELECT doc_id, lang,
+                  CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS BIGINT) AS n_tok,
+                  CAST(CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) AS DOUBLE)
+                    / 1152921504606846976.0 AS u
+           FROM documents),
+         j AS (
+           SELECT dv.doc_id, dv.lang, dv.n_tok, dv.u, w.dsir_weight,
+                  least(1.0, $DsirAlpha * w.dsir_weight) AS p
+           FROM dv JOIN w ON dv.doc_id = w.doc_id),
+         k AS (SELECT *, u < p AS keep FROM j)
+         SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+                CAST(sum(CASE WHEN keep THEN n_tok ELSE 0 END) AS BIGINT) AS tokens_kept,
+                CASE WHEN sum(CASE WHEN keep THEN 1 ELSE 0 END) > 0 THEN
+                  list_reduce(list_prepend(0.0,
+                    list(CASE WHEN keep THEN dsir_weight ELSE 0.0 END ORDER BY doc_id)),
+                    (x, y) -> x + y)
+                  / CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS DOUBLE)
+                END AS mean_kept_weight
+         FROM k GROUP BY 1 ORDER BY lang""",
+    // t24: identical token split, the same all-integer rule
+    // comparisons; the only IEEE op is the display mean divide.
+    "t24_gopher_rules" ->
+      s"""WITH tk AS (
+           SELECT doc_id,
+                  list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t
+           FROM documents),
+         c AS (
+           SELECT doc_id,
+                  CAST(len(t) AS BIGINT) AS n_words,
+                  CAST(list_sum(list_transform(t, x -> len(x))) AS BIGINT) AS n_chars,
+                  CAST(len(list_filter(t, x -> regexp_matches(x, '[a-zA-Z]'))) AS BIGINT) AS n_alpha,
+                  CAST(len(list_filter(t, x -> regexp_matches(x, '^[#…]+$$'))) AS BIGINT) AS n_sym,
+                  CAST(len(list_intersect(list_distinct(t), [${GopherStops.map(w => s"'$w'").mkString(",")}])) AS BIGINT) AS n_stops
+           FROM tk)
+         SELECT doc_id, n_words, n_alpha, n_stops,
+                CAST(n_chars AS DOUBLE) / CAST(n_words AS DOUBLE) AS mean_word_len,
+                (n_words >= 50 AND n_words <= 2500) AS ok_count,
+                (n_chars >= n_words * 3 AND n_chars <= n_words * 10) AS ok_len,
+                (n_alpha * 5 >= n_words * 4) AS ok_alpha,
+                (n_sym * 10 <= n_words) AS ok_sym,
+                (n_stops >= 2) AS ok_stops,
+                (n_words >= 50 AND n_words <= 2500 AND
+                 n_chars >= n_words * 3 AND n_chars <= n_words * 10 AND
+                 n_alpha * 5 >= n_words * 4 AND
+                 n_sym * 10 <= n_words AND n_stops >= 2) AS keep
+         FROM c ORDER BY doc_id""",
+    // t23: same 1024-bucket hashed features, same smoothed-ratio
+    // arithmetic (three IEEE ops per feature), same h-sorted addition
+    // chain (list ORDER BY h → left-fold sum, matching Spark's
+    // sort_array fold; 0.0 + x == x so the inits agree).
+    "t23_dsir" -> T23Sql,
     // t22: same (word, tf) multiplicities via unnest+GROUP BY, same
     // rational idf — the score is the identical divide+multiply tree,
     // the rank the identical (score DESC, word) order.

@@ -1460,5 +1460,32 @@ class QueriesSpec extends AnyFunSuite {
     // shards are contiguous 0..max (byte-offset packing leaves no holes)
     assert(bySrc.filter($"maxs" + 1 =!= $"nshards").count() == 0)
     assert(m9.filter($"first_doc" > $"last_doc").count() == 0)
+    // m10: per-item index agrees with the m9 manifests and every
+    // start offset lies inside its shard
+    val m10 = multimodal.Multimodal.m10TarIndex(s, SfDir)
+    assert(m10.filter($"offset" < 0 ||
+      $"offset" >= multimodal.Multimodal.ShardCapacity).count() == 0)
+    val fromIndex = m10.groupBy($"source", $"shard")
+      .agg(count(lit(1)).as("ni"), sum($"media_bytes").as("bi"))
+    assert(m9.join(fromIndex, Seq("source", "shard"))
+      .filter($"n_items" =!= $"ni" || $"bytes" =!= $"bi").count() == 0)
+    // t26: selection report is conservative and the acceptance rule
+    // reproduces independently (Java md5 over the same text)
+    val t26 = text.Text.t26ImportanceResample(s, SfDir)
+    assert(t26.filter($"n_kept" > $"n_docs" || $"n_kept" < 0).count() == 0)
+    val wts = text.Text.t23Dsir(s, SfDir)
+      .select($"doc_id", $"dsir_weight").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val expectKept = Tables.documents(s, SfDir)
+      .select($"doc_id", $"text").collect().count { r =>
+        wts.get(r.getLong(0)).exists { w =>
+          val hex = md.digest(r.getString(1).getBytes("UTF-8"))
+            .map("%02x".format(_)).mkString.take(15)
+          val u = java.lang.Long.parseLong(hex, 16).toDouble / 1152921504606846976.0
+          u < math.min(1.0, text.Text.DsirAlpha * w)
+        }
+      }
+    assert(t26.agg(sum($"n_kept")).head().getLong(0) == expectKept)
   }
 }
