@@ -902,7 +902,50 @@ object Relational {
       .orderBy($"n_orders")
   }
 
+  // ---------------------------------------------------------------------
+  // q36: PERCENT-OF-PARENT hierarchy report — the drill-down ratio
+  // every BI rollup shows (nation share of region, region share of
+  // total, explicit level column). Built from ONE exact-cents base
+  // aggregate: region totals and the grand total are windows/unions
+  // over the ~25-row aggregate, never re-scans of the fact; every
+  // share is a single IEEE divide of exact cents. The three levels
+  // union over that bounded aggregate — at 100 TB the fact is
+  // touched once.
+  // ---------------------------------------------------------------------
+  def q36PercentOfParent(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val n = Tables.nation(s, d).select($"n_nationkey", $"n_name", $"n_regionkey")
+    val r = Tables.region(s, d).select($"r_regionkey", $"r_name")
+    val base = Tables.orders(s, d)
+      .join(broadcast(Tables.customer(s, d)
+        .select($"c_custkey", $"c_nationkey")), $"o_custkey" === $"c_custkey")
+      .join(broadcast(n), $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(r), $"n_regionkey" === $"r_regionkey")
+      .groupBy($"r_name".as("region"), $"n_name".as("nation"))
+      .agg((sum(dec($"o_totalprice")) * 100).cast("long").as("cents"))
+    val wReg = Window.partitionBy($"region")
+    val withTotals = base
+      .withColumn("reg_cents", sum($"cents").over(wReg))
+      .withColumn("tot_cents", sum($"cents").over(Window.partitionBy()))
+    val detail = withTotals.select($"region", $"nation", lit(0).as("lvl"),
+      ($"cents".cast("double") / 100.0).as("revenue"),
+      ($"cents".cast("double") / $"reg_cents".cast("double")).as("share_of_parent"))
+    val regions = withTotals.groupBy($"region")
+      .agg(max($"reg_cents").as("rc"), max($"tot_cents").as("tc"))
+      .select($"region", lit(null).cast("string").as("nation"), lit(1).as("lvl"),
+        ($"rc".cast("double") / 100.0).as("revenue"),
+        ($"rc".cast("double") / $"tc".cast("double")).as("share_of_parent"))
+    val total = withTotals.agg(max($"tot_cents").as("tc"))
+      .select(lit(null).cast("string").as("region"),
+        lit(null).cast("string").as("nation"), lit(2).as("lvl"),
+        ($"tc".cast("double") / 100.0).as("revenue"),
+        lit(1.0).as("share_of_parent"))
+    detail.unionAll(regions).unionAll(total)
+      .orderBy($"lvl", $"region", $"nation")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q36_percent_of_parent" -> (q36PercentOfParent _),
     "q35_cramers_corrected" -> (q35CramersCorrected _),
     "q34_ks_test" -> (q34KsTest _),
     "q33_setops" -> (q33SetOps _),
@@ -939,6 +982,40 @@ object Relational {
   // arithmetic exactly (decimal sums, double division) so results are
   // bit-identical, not merely close.
   val oracles: Map[String, String] = Map(
+    // q36: one exact-cents base aggregate; levels union over it with
+    // one divide per share.
+    "q36_percent_of_parent" ->
+      """WITH base AS (
+           SELECT r_name AS region, n_name AS nation,
+                  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+           FROM orders
+           JOIN customer ON o_custkey = c_custkey
+           JOIN nation ON c_nationkey = n_nationkey
+           JOIN region ON n_regionkey = r_regionkey
+           GROUP BY 1, 2),
+         w AS (
+           SELECT *,
+                  CAST(sum(cents) OVER (PARTITION BY region) AS BIGINT) AS reg_cents,
+                  CAST(sum(cents) OVER () AS BIGINT) AS tot_cents
+           FROM base),
+         d AS (
+           SELECT region, nation, 0 AS lvl,
+                  CAST(cents AS DOUBLE) / 100.0 AS revenue,
+                  CAST(cents AS DOUBLE) / CAST(reg_cents AS DOUBLE) AS share_of_parent
+           FROM w),
+         rg AS (
+           SELECT region, CAST(NULL AS VARCHAR) AS nation, 1 AS lvl,
+                  CAST(max(reg_cents) AS DOUBLE) / 100.0 AS revenue,
+                  CAST(max(reg_cents) AS DOUBLE) / CAST(max(tot_cents) AS DOUBLE) AS share_of_parent
+           FROM w GROUP BY 1),
+         t AS (
+           SELECT CAST(NULL AS VARCHAR) AS region, CAST(NULL AS VARCHAR) AS nation,
+                  2 AS lvl, CAST(max(tot_cents) AS DOUBLE) / 100.0 AS revenue,
+                  1.0 AS share_of_parent
+           FROM w)
+         SELECT * FROM (
+           SELECT * FROM d UNION ALL SELECT * FROM rg UNION ALL SELECT * FROM t)
+         ORDER BY lvl, region, nation""",
     // q32: pivot as conditional aggregation over the same decimal
     // sums; one cast-to-double per cell, nulls where a (nation, year)
     // cell is empty on both engines.

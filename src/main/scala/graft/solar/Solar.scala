@@ -1440,7 +1440,77 @@ object Solar {
       .orderBy($"inverter", $"q")
   }
 
+  // ---------------------------------------------------------------------
+  // s41: u16 COUNTER WRAPAROUND — the Modbus reality s6's reset clamp
+  // doesn't model: a 16-bit energy register rolls over at 65536, and
+  // the daemon must read a smaller current value as `cur + 65536 −
+  // prev`, not as a reset (solarman.py reads u16 registers;
+  // registers.txt quantity=1 counters wrap in the field). The u16
+  // view is derived map-side (cents mod 65536), the delta is one lag
+  // on the standard (inverter; ts, event_id) sort, the wrap rule is
+  // an integer conditional, and the per-inverter-day rollup shares
+  // the window's exchange. All integers until the display divide.
+  // ---------------------------------------------------------------------
+  def s41Wraparound(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"inverter").orderBy($"ts", $"event_id")
+    feed(s, d)
+      .filter($"event_type" === "purchase")
+      .select($"inverter", $"ts", $"event_id",
+        ((dec($"value") * 100).cast("long") % 65536L).as("u16"))
+      .withColumn("prev", lag($"u16", 1).over(w))
+      .filter($"prev".isNotNull)
+      .withColumn("delta",
+        when($"u16" >= $"prev", $"u16" - $"prev")
+          .otherwise($"u16" + 65536L - $"prev"))
+      .groupBy($"inverter", date_trunc("day", $"ts").as("day"))
+      .agg(
+        count(lit(1)).as("n_deltas"),
+        sum(when($"u16" < $"prev", 1L).otherwise(0L)).as("n_wraps"),
+        sum($"delta").as("raw_sum"),
+        (sum($"delta").cast("double") / 100.0).as("energy_units"))
+      .orderBy($"inverter", $"day")
+  }
+
+  // ---------------------------------------------------------------------
+  // s42: DEGRADATION REPORT — each inverter's mean wattage in the
+  // second half of its own service span vs the first half (the
+  // panel-soiling/degradation dashboard; with a year of data the
+  // grain becomes month-over-month, same plan). The midpoint is
+  // integer µs arithmetic ((min+max) div 2 on a combine-enabled
+  // bounds pass), the two conditional means are exact decimal sums
+  // with ONE divide each, the ratio one more, and the degraded FLAG
+  // is decided by exact cross-multiplication of decimal sums
+  // (s2·c1 < s1·c2), never by comparing divided doubles. Two
+  // fact-sized combine-enabled aggregates on one (inverter) key.
+  // ---------------------------------------------------------------------
+  def s42Degradation(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val base = feed(s, d)
+      .filter($"event_type" === "view")
+      .select($"inverter", unix_micros($"ts").as("us"), dec($"value").as("v"))
+    val bounds = base.groupBy($"inverter")
+      .agg(expr("(min(us) + max(us)) div 2").as("mid"))
+    base.join(bounds, "inverter")
+      .groupBy($"inverter")
+      .agg(
+        sum(when($"us" < $"mid", 1L).otherwise(0L)).as("n1"),
+        sum(when($"us" >= $"mid", 1L).otherwise(0L)).as("n2"),
+        sum(when($"us" < $"mid", $"v")).as("s1"),
+        sum(when($"us" >= $"mid", $"v")).as("s2"))
+      .filter($"n1" > 0 && $"n2" > 0)
+      .select($"inverter", $"n1", $"n2",
+        ($"s1".cast("double") / $"n1".cast("double")).as("mean_first"),
+        ($"s2".cast("double") / $"n2".cast("double")).as("mean_second"),
+        (($"s2".cast("double") / $"n2".cast("double")) /
+          ($"s1".cast("double") / $"n1".cast("double"))).as("perf_ratio"),
+        ($"s2" * $"n1" < $"s1" * $"n2").as("degraded"))
+      .orderBy($"inverter")
+  }
+
   val queries: Map[String, Q] = Map(
+    "s42_degradation" -> (s42Degradation _),
+    "s41_wraparound" -> (s41Wraparound _),
     "s40_qdigest" -> (s40QdigestQuantiles _),
     "s39_autocorr" -> (s39Autocorr _),
     "s38_anova" -> (s38Anova _),
@@ -1511,6 +1581,54 @@ object Solar {
   // DuckDB oracles — each mirrors the Spark arithmetic exactly
   // (decimal sums, integer microseconds, double division).
   val oracles: Map[String, String] = Map(
+    // s41: same u16 view, same lag order, same integer wrap rule.
+    "s41_wraparound" ->
+      """WITH r AS (
+           SELECT user_id AS inverter, ts, event_id,
+                  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) % 65536 AS u16
+           FROM events WHERE event_type = 'purchase'),
+         l AS (
+           SELECT inverter, ts, u16,
+                  lag(u16, 1) OVER (PARTITION BY inverter
+                    ORDER BY ts, event_id) AS prev
+           FROM r),
+         dl AS (
+           SELECT inverter, date_trunc('day', ts) AS day, u16, prev,
+                  CASE WHEN u16 >= prev THEN u16 - prev
+                       ELSE u16 + 65536 - prev END AS delta
+           FROM l WHERE prev IS NOT NULL)
+         SELECT inverter, day,
+                CAST(count(*) AS BIGINT) AS n_deltas,
+                CAST(sum(CASE WHEN u16 < prev THEN 1 ELSE 0 END) AS BIGINT) AS n_wraps,
+                CAST(sum(delta) AS BIGINT) AS raw_sum,
+                CAST(sum(delta) AS DOUBLE) / 100.0 AS energy_units
+         FROM dl GROUP BY 1, 2 ORDER BY inverter, day""",
+    // s42: same integer midpoint, exact decimal conditional sums, the
+    // same three divides, the same cross-multiplied flag.
+    "s42_degradation" ->
+      """WITH b AS (
+           SELECT user_id AS inverter, epoch_us(ts) AS us,
+                  CAST(value AS DECIMAL(18,2)) AS v
+           FROM events WHERE event_type = 'view'),
+         m AS (
+           SELECT inverter, (min(us) + max(us)) // 2 AS mid
+           FROM b GROUP BY 1),
+         g AS (
+           SELECT b.inverter,
+                  sum(CASE WHEN us < mid THEN 1 ELSE 0 END) AS n1,
+                  sum(CASE WHEN us >= mid THEN 1 ELSE 0 END) AS n2,
+                  sum(CASE WHEN us < mid THEN v END) AS s1,
+                  sum(CASE WHEN us >= mid THEN v END) AS s2
+           FROM b JOIN m ON b.inverter = m.inverter
+           GROUP BY 1)
+         SELECT inverter,
+                CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+                CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS mean_first,
+                CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS mean_second,
+                (CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE)) /
+                  (CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)) AS perf_ratio,
+                s2 * n1 < s1 * n2 AS degraded
+         FROM g WHERE n1 > 0 AND n2 > 0 ORDER BY inverter""",
     // s37: same integer hour index (epoch_us subtraction, integer
     // div, clamp 62), same exact 1/(1<<k) weights, same k-sorted
     // weighted folds (list_reduce with 0.0 prepended == Spark's

@@ -1488,4 +1488,28 @@ class QueriesSpec extends AnyFunSuite {
       }
     assert(t26.agg(sum($"n_kept")).head().getLong(0) == expectKept)
   }
+
+  test("r12 hierarchy/telemetry batch: percent-of-parent sums, wraparound bounds, degradation flags") {
+    val s = spark
+    import s.implicits._
+    // q36: shares sum to 1 within each parent; revenue conserves up the levels
+    val q36 = relational.Relational.q36PercentOfParent(s, SfDir)
+    val detailByRegion = q36.filter($"lvl" === 0).groupBy($"region")
+      .agg(sum($"share_of_parent").as("sp"), sum($"revenue").as("rev"))
+    assert(detailByRegion.filter(abs($"sp" - 1.0) > 1e-12).count() == 0)
+    val regions = q36.filter($"lvl" === 1)
+    assert(regions.agg(abs(sum($"share_of_parent") - 1.0)).head().getDouble(0) < 1e-12)
+    val regRev = regions.select($"region", $"revenue".as("rrev"))
+    assert(detailByRegion.join(regRev, "region")
+      .filter(abs($"rev" - $"rrev") > 1e-6).count() == 0)
+    // s41: every delta in [0, 65535]; wraps only when a smaller u16 follows
+    val s41 = solar.Solar.s41Wraparound(s, SfDir)
+    assert(s41.filter($"raw_sum" < 0 || $"n_wraps" > $"n_deltas").count() == 0)
+    assert(s41.filter($"raw_sum" > $"n_deltas" * 65535L).count() == 0)
+    // s42: flag agrees with the ratio (exact cross-multiplication side)
+    val s42 = solar.Solar.s42Degradation(s, SfDir)
+    assert(s42.filter($"degraded" && $"perf_ratio" >= 1.0 + 1e-12).count() == 0)
+    assert(s42.filter(!$"degraded" && $"perf_ratio" < 1.0 - 1e-12).count() == 0)
+    assert(s42.filter($"perf_ratio" <= 0.0).count() == 0)
+  }
 }
