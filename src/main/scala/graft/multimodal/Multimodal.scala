@@ -457,7 +457,37 @@ object Multimodal {
       .orderBy($"source", $"doc_id")
   }
 
+  /** m11's epoch count (two graded epochs prove the reshuffle; the
+    * production loop passes the epoch number in). */
+  val ShuffleEpochs = 2
+
+  // ---------------------------------------------------------------------
+  // m11: EPOCH SHUFFLE manifest — the deterministic per-epoch reading
+  // order a training dataloader follows: position = rank of
+  // md5(epoch:doc) within the source (WebDataset's shard-local
+  // shuffle — exactly the granularity real loaders use, because a
+  // GLOBAL shuffle of a 100 TB corpus per epoch would be a full-sort
+  // per epoch for no training benefit; shard-local + shard-order
+  // rotation is the published recipe). Content-addressed, so the
+  // order is reproducible across runs/machines and changes completely
+  // between epochs. One (source) exchange per epoch slice; the epoch
+  // fan-out is a map-side explode.
+  // ---------------------------------------------------------------------
+  def m11EpochShuffle(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"epoch", $"source").orderBy($"h", $"doc_id")
+    Tables.documents(s, d)
+      .select($"source", $"doc_id",
+        explode(sequence(lit(0), lit(ShuffleEpochs - 1))).as("epoch"))
+      .withColumn("h",
+        md5(concat($"epoch".cast("string"), lit(":"), $"doc_id".cast("string"))))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select($"epoch", $"source", $"pos", $"doc_id")
+      .orderBy($"epoch", $"source", $"pos")
+  }
+
   val queries: Map[String, Q] = Map(
+    "m11_epoch_shuffle" -> (m11EpochShuffle _),
     "m10_tar_index" -> (m10TarIndex _),
     "m9_shard_pack" -> (m9ShardPack _),
     "m8_modality_report" -> (m8ModalityReport _),
@@ -479,6 +509,17 @@ object Multimodal {
   private val sumBytes = (0 until 16).map(byteAt).mkString(" + ")
 
   val oracles: Map[String, String] = Map(
+    // m11: same md5(epoch:doc) rank within (epoch, source).
+    "m11_epoch_shuffle" ->
+      s"""WITH f AS (
+           SELECT source, doc_id, CAST(e AS INT) AS epoch,
+                  md5(CAST(e AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)) AS h
+           FROM documents, range(0, $ShuffleEpochs) r(e))
+         SELECT epoch, source,
+                CAST(row_number() OVER (PARTITION BY epoch, source
+                  ORDER BY h, doc_id) AS BIGINT) AS pos,
+                doc_id
+         FROM f ORDER BY epoch, source, pos""",
     // m10: the same layout CTEs, projected per item; all integers.
     "m10_tar_index" ->
       s"""WITH b AS (SELECT source, doc_id, md5(text) AS h FROM documents),

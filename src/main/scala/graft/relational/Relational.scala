@@ -924,9 +924,11 @@ object Relational {
       .groupBy($"r_name".as("region"), $"n_name".as("nation"))
       .agg((sum(dec($"o_totalprice")) * 100).cast("long").as("cents"))
     val wReg = Window.partitionBy($"region")
+    // grand total as a broadcast 1-row aggregate (not an unpartitioned
+    // window): same value, no single-partition WindowExec
     val withTotals = base
       .withColumn("reg_cents", sum($"cents").over(wReg))
-      .withColumn("tot_cents", sum($"cents").over(Window.partitionBy()))
+      .crossJoin(broadcast(base.agg(sum($"cents").as("tot_cents"))))
     val detail = withTotals.select($"region", $"nation", lit(0).as("lvl"),
       ($"cents".cast("double") / 100.0).as("revenue"),
       ($"cents".cast("double") / $"reg_cents".cast("double")).as("share_of_parent"))
@@ -944,7 +946,37 @@ object Relational {
       .orderBy($"lvl", $"region", $"nation")
   }
 
+  // ---------------------------------------------------------------------
+  // q37: GROWTH ACCOUNTING — monthly new vs returning customers and
+  // the cumulative customer base. The cumulative-distinct series is
+  // computed WITHOUT any distinct-over-window machinery: cumulative
+  // distinct ≡ running sum of first-appearances, so the plan is one
+  // per-customer min (combine-enabled), one per-month rollup, and a
+  // running sum over the BOUNDED month rows (the only unpartitioned
+  // window in the query ranges over calendar months, not corpus
+  // rows). All integers + one share divide.
+  // ---------------------------------------------------------------------
+  def q37NewVsReturning(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val om = Tables.orders(s, d)
+      .select($"o_custkey", date_trunc("month", $"o_orderdate").as("month"))
+    val active = om.distinct()
+      .groupBy($"month").agg(count(lit(1)).as("n_active"))
+    val news = om.groupBy($"o_custkey").agg(min($"month").as("month"))
+      .groupBy($"month").agg(count(lit(1)).as("n_new"))
+    val cum = Window.orderBy($"month")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    active.join(news, Seq("month"), "left")
+      .select($"month", $"n_active", coalesce($"n_new", lit(0L)).as("n_new"))
+      .withColumn("cum_customers", sum($"n_new").over(cum))
+      .withColumn("n_returning", $"n_active" - $"n_new")
+      .withColumn("returning_share",
+        $"n_returning".cast("double") / $"n_active".cast("double"))
+      .orderBy($"month")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q37_new_vs_returning" -> (q37NewVsReturning _),
     "q36_percent_of_parent" -> (q36PercentOfParent _),
     "q35_cramers_corrected" -> (q35CramersCorrected _),
     "q34_ks_test" -> (q34KsTest _),
@@ -982,6 +1014,31 @@ object Relational {
   // arithmetic exactly (decimal sums, double division) so results are
   // bit-identical, not merely close.
   val oracles: Map[String, String] = Map(
+    // q37: cumulative distinct as running sum of first-appearances;
+    // all integers + one divide.
+    "q37_new_vs_returning" ->
+      """WITH om AS (
+           SELECT o_custkey, date_trunc('month', o_orderdate) AS month
+           FROM orders),
+         act AS (
+           SELECT month, CAST(count(*) AS BIGINT) AS n_active
+           FROM (SELECT DISTINCT o_custkey, month FROM om) GROUP BY 1),
+         fm AS (
+           SELECT month, CAST(count(*) AS BIGINT) AS n_new
+           FROM (SELECT o_custkey, min(month) AS month FROM om GROUP BY 1)
+           GROUP BY 1),
+         j AS (
+           SELECT act.month, act.n_active,
+                  coalesce(fm.n_new, 0) AS n_new
+           FROM act LEFT JOIN fm USING (month))
+         SELECT month, n_active, n_new,
+                CAST(sum(n_new) OVER (ORDER BY month
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                  AS cum_customers,
+                n_active - n_new AS n_returning,
+                CAST(n_active - n_new AS DOUBLE) / CAST(n_active AS DOUBLE)
+                  AS returning_share
+         FROM j ORDER BY month""",
     // q36: one exact-cents base aggregate; levels union over it with
     // one divide per share.
     "q36_percent_of_parent" ->

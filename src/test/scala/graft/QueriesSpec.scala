@@ -1511,5 +1511,25 @@ class QueriesSpec extends AnyFunSuite {
     assert(s42.filter($"degraded" && $"perf_ratio" >= 1.0 + 1e-12).count() == 0)
     assert(s42.filter(!$"degraded" && $"perf_ratio" < 1.0 - 1e-12).count() == 0)
     assert(s42.filter($"perf_ratio" <= 0.0).count() == 0)
+    // q37: accounting identities — active = new + returning; the
+    // final cumulative equals the distinct customer base
+    val q37 = relational.Relational.q37NewVsReturning(s, SfDir)
+    assert(q37.filter($"n_active" =!= $"n_new" + $"n_returning" ||
+      $"n_returning" < 0).count() == 0)
+    val lastCum = q37.orderBy($"month".desc).head().getAs[Long]("cum_customers")
+    val custs = Tables.orders(s, SfDir).select($"o_custkey").distinct().count()
+    assert(lastCum == custs)
+    // m11: per (epoch, source) positions are a contiguous 1..n
+    // permutation, and the two epochs order docs differently
+    val m11 = multimodal.Multimodal.m11EpochShuffle(s, SfDir)
+    val perm = m11.groupBy($"epoch", $"source")
+      .agg(count(lit(1)).as("n"), max($"pos").as("mx"),
+        countDistinct($"pos").as("nd"))
+    assert(perm.filter($"mx" =!= $"n" || $"nd" =!= $"n").count() == 0)
+    val e0 = m11.filter($"epoch" === 0).select($"source", $"doc_id", $"pos".as("p0"))
+    val e1 = m11.filter($"epoch" === 1).select($"source", $"doc_id", $"pos".as("p1"))
+    assert(e0.join(e1, Seq("source", "doc_id"))
+      .filter($"p0" =!= $"p1").count() > 0,
+      "epochs must reshuffle: identical orders mean the epoch salt is dead")
   }
 }
