@@ -3,6 +3,7 @@ package graft.dedup
 import graft.Tables
 import graft.functions.GraftFunctions
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication for the training-data pipeline (SURVEY §2.D): exact
@@ -750,6 +751,39 @@ object Dedup {
       .orderBy($"cluster_size")
   }
 
+  // ---------------------------------------------------------------------
+  // d16: EFFECTIVE TOKENS AFTER DEDUP — the "how much data do we
+  // actually have" report (Lee 2022's headline number, per source):
+  // raw docs/tokens vs the docs/tokens surviving d1's exact-dedup
+  // keep rule (global min doc_id per content hash — a source is
+  // credited only for duplicates it WINS, so the per-source kept
+  // tokens sum to the corpus-level deduped total, which double-
+  // counting per-source distinct hashes would not). Shape: map-side
+  // md5 + token count (no text past the scan), the keep winner via
+  // row_number on the (hash) partition — ordered by doc_id, d1's
+  // exact rule — then one combine-enabled (source) rollup. Two
+  // shuffles, both carrying (source, hash, n_tok) fixed-width rows.
+  // One IEEE divide per source for the keep ratio.
+  // ---------------------------------------------------------------------
+  def d16EffectiveTokens(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"h").orderBy($"doc_id")
+    Tables.documents(s, d)
+      .select($"source", $"doc_id", md5($"text").as("h"),
+        size(graft.text.Text.toks($"text")).cast("long").as("n_tok"))
+      .withColumn("rn", row_number().over(w))
+      .groupBy($"source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum($"n_tok").as("tokens_total"),
+        sum(when($"rn" === 1, 1L).otherwise(0L)).as("n_kept"),
+        sum(when($"rn" === 1, $"n_tok").otherwise(0L)).as("tokens_kept"))
+      .select($"source", $"n_docs", $"tokens_total", $"n_kept", $"tokens_kept",
+        ($"tokens_kept".cast("double") / $"tokens_total".cast("double"))
+          .as("token_keep_ratio"))
+      .orderBy($"source")
+  }
+
   /** d14 boundary modulus — a token position ends a chunk when the
     * 60-bit hash of its (token, next-token) bigram ≡ 0 (mod 8), so
     * chunks average ~8 tokens and boundaries depend only on LOCAL
@@ -833,6 +867,7 @@ object Dedup {
   val queries: Map[String, Q] = Map(
     "d15_minhash_calibration" -> (d15MinhashCalibration _),
     "d14_cdc_dedup" -> (d14CdcDedup _),
+    "d16_effective_tokens" -> (d16EffectiveTokens _),
     "d13_cluster_stats" -> (d13ClusterStats _),
     "d12_cross_neardup" -> (d12CrossNeardup _),
     "d11_substring_dup" -> (d11SubstringDup _),
@@ -959,6 +994,25 @@ object Dedup {
                 CAST(coalesce(dd.dup, 0) AS DOUBLE) / p.n_chunks AS dup_chunk_frac,
                 CAST(coalesce(dd.dup, 0) AS DOUBLE) / p.n_chunks <= $DupChunkMax AS keep
          FROM per p LEFT JOIN dd USING (doc_id) ORDER BY doc_id""",
+    // d16: d1's min-doc_id keep rule via the same row_number, same
+    // token counts, integer sums, one divide.
+    "d16_effective_tokens" ->
+      """WITH b AS (
+           SELECT source, doc_id, md5(text) AS h,
+                  CAST(len(list_filter(string_split_regex(text, '\s+'),
+                    x -> x <> '')) AS BIGINT) AS n_tok
+           FROM documents),
+         r AS (
+           SELECT *, row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rn
+           FROM b)
+         SELECT source,
+                CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(n_tok) AS BIGINT) AS tokens_total,
+                CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+                CAST(sum(CASE WHEN rn = 1 THEN n_tok ELSE 0 END) AS BIGINT) AS tokens_kept,
+                CAST(sum(CASE WHEN rn = 1 THEN n_tok ELSE 0 END) AS DOUBLE) /
+                  CAST(sum(n_tok) AS DOUBLE) AS token_keep_ratio
+         FROM r GROUP BY 1 ORDER BY source""",
     // d13: the same two-level count; sums of BIGINT products cast back.
     "d13_cluster_stats" ->
       """WITH c AS (

@@ -210,11 +210,17 @@ object Events {
   // the day grain that cardinality is sessions-per-day, which is
   // bounded by fleet size × day length, not by corpus history.
   // ---------------------------------------------------------------------
-  def e13MaxConcurrency(s: SparkSession, d: String): DataFrame = {
+  /** Shared gap-session kernel: e11's 30-min rule reduced to one row
+    * per (user, session) with start/end/µs-bounds/event count — the
+    * grain e13's concurrency sweep and e26's bounce report both
+    * consume. One user_id exchange: the session-id cumsum rides the
+    * (user_id; ts, event_id) sort and the (user, sid) reduction is
+    * already clustered. */
+  private[graft] def gapSessions(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val wOrd = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
     val cum = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val sess = Tables.events(s, d)
+    Tables.events(s, d)
       .select($"user_id", $"ts", $"event_id")
       .withColumn("gap_us",
         unix_micros($"ts") - unix_micros(lag($"ts", 1).over(wOrd)))
@@ -224,7 +230,13 @@ object Events {
       .groupBy($"user_id", $"sid")
       .agg(min($"ts").as("s_start"),
         min(unix_micros($"ts")).as("a_us"),
-        max(unix_micros($"ts")).as("b_us"))
+        max(unix_micros($"ts")).as("b_us"),
+        count(lit(1)).as("n_events"))
+  }
+
+  def e13MaxConcurrency(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val sess = gapSessions(s, d)
       .select(date_trunc("day", $"s_start").as("day"), $"a_us", $"b_us")
     val bounds = sess.select($"day", explode(array(
       struct($"a_us".as("us"), lit(1).as("delta")),
@@ -242,6 +254,27 @@ object Events {
         sum(when($"delta" === 1, 1L).otherwise(0L)).as("n_started"),
         max($"cur").as("peak_concurrent"))
       .select($"day", $"n_started", $"peak_concurrent")
+      .orderBy($"day")
+  }
+
+  // ---------------------------------------------------------------------
+  // e26: BOUNCE RATE — single-event sessions over total sessions per
+  // day (the engagement-quality headline next to e13's concurrency
+  // peak; same dashboard family). Pure reuse of the shared
+  // [[gapSessions]] kernel: sessions are already one row each, so the
+  // daily rollup is a second aggregate over session-grain rows
+  // (bounded by fleet size × day length, not corpus history) plus ONE
+  // IEEE divide per day.
+  // ---------------------------------------------------------------------
+  def e26BounceRate(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    gapSessions(s, d)
+      .groupBy(date_trunc("day", $"s_start").as("day"))
+      .agg(
+        count(lit(1)).as("n_sessions"),
+        sum(when($"n_events" === 1L, 1L).otherwise(0L)).as("n_bounces"))
+      .withColumn("bounce_rate",
+        $"n_bounces".cast("double") / $"n_sessions".cast("double"))
       .orderBy($"day")
   }
 
@@ -334,6 +367,22 @@ object Events {
 
   def e10RollingActives(s: SparkSession, d: String): DataFrame =
     rollingActives(s, d, 7).withColumnRenamed("rolling", "wau")
+
+  // ---------------------------------------------------------------------
+  // e25: STICKINESS — DAU / trailing-28-day MAU per day, the product
+  // engagement ratio every growth dashboard pairs with e10's
+  // DAU/WAU. Exactly the parameterized rolling-actives kernel at
+  // days=28 (the plan shape is invariant in the window length; only
+  // the map-side explode factor scales — see [[rollingActives]]'s
+  // cost model) plus ONE IEEE divide per bounded report-day row.
+  // ---------------------------------------------------------------------
+  def e25Stickiness(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    rollingActives(s, d, 28).withColumnRenamed("rolling", "mau")
+      .withColumn("stickiness",
+        col("dau").cast("double") / col("mau").cast("double"))
+      .orderBy(col("day"))
+  }
 
   // ---------------------------------------------------------------------
   // e3: fixed-width histogram of `value` — 10 buckets of width 50 over
@@ -911,6 +960,7 @@ object Events {
     "e17_retention" -> (e17Retention _),
     "e16_next_event" -> (e16NextEvent _),
     "e11_session_funnel" -> (e11SessionFunnel _),
+    "e25_stickiness" -> (e25Stickiness _),
     "e10_rolling_actives" -> (e10RollingActives _),
     "e9_attribution" -> (e9Attribution _),
     "e1_funnel" -> (e1Funnel _),
@@ -919,6 +969,7 @@ object Events {
     "e8_interval_join" -> (e8IntervalJoin _),
     "e12_sequence_match" -> (e12SequenceMatch _),
     "e13_max_concurrency" -> (e13MaxConcurrency _),
+    "e26_bounce_rate" -> (e26BounceRate _),
     "e14_cohort_matrix" -> (e14CohortMatrix _),
     "e15_uniq_upto" -> (e15UniqUpto _),
     "e2_retention" -> (e2Retention _),
@@ -1188,6 +1239,21 @@ object Events {
                      ELSE 1 + (CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END)
                             + (CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END) END AS funnel_level
          FROM a ORDER BY user_id, sid""",
+    // e25: e10's rolling-distinct oracle at 28 days + one divide.
+    "e25_stickiness" ->
+      """WITH ud AS (
+           SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events),
+         days AS (SELECT DISTINCT day FROM ud),
+         dau AS (SELECT day, count(*) AS dau FROM ud GROUP BY 1),
+         mau AS (
+           SELECT d.day, count(DISTINCT u.user_id) AS mau
+           FROM days d JOIN ud u
+             ON u.day >= d.day - INTERVAL 27 DAY AND u.day <= d.day
+           GROUP BY 1)
+         SELECT dau.day AS day, dau.dau, mau.mau,
+                CAST(dau.dau AS DOUBLE) / CAST(mau.mau AS DOUBLE) AS stickiness
+         FROM dau JOIN mau ON dau.day = mau.day
+         ORDER BY dau.day""",
     "e10_rolling_actives" ->
       """WITH ud AS (
            SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events),
@@ -1242,6 +1308,28 @@ object Events {
     // running ±1 sum is permutation-invariant within (us, delta) ties
     // (+1s sort first), so ORDER BY us, delta DESC is deterministic
     // where it matters.
+    // e26: the same session CTE chain as e13, rolled to daily bounce
+    // counts; integers + one divide.
+    "e26_bounce_rate" ->
+      """WITH x AS (
+           SELECT user_id, ts, event_id, epoch_us(ts) AS us,
+                  lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+           FROM events),
+         y AS (
+           SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 ELSE 0 END AS new_s
+           FROM x),
+         z AS (
+           SELECT *, CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+           FROM y),
+         sess AS (
+           SELECT date_trunc('day', min(ts)) AS day, count(*) AS n_events
+           FROM z GROUP BY user_id, sid)
+         SELECT day, CAST(count(*) AS BIGINT) AS n_sessions,
+                CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounces,
+                CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS DOUBLE) /
+                  CAST(count(*) AS DOUBLE) AS bounce_rate
+         FROM sess GROUP BY 1 ORDER BY day""",
     "e13_max_concurrency" ->
       """WITH x AS (
            SELECT user_id, ts, event_id, epoch_us(ts) AS us,

@@ -392,6 +392,55 @@ object Multimodal {
       .orderBy($"modality")
   }
 
+  /** One classified row for the per-source dataset card (m12). */
+  case class CardRow(doc_id: Long, source: String, n_tok: Long,
+                     modality: String, n_bytes: Int)
+
+  // ---------------------------------------------------------------------
+  // m12: the per-SOURCE DATASET CARD — the (source × modality)
+  // composition table a multimodal release publishes (LAION/Obelics
+  // card style: how many items of each modality each source
+  // contributes, their bytes, their caption/text tokens, and each
+  // modality's share WITHIN the source). m8 profiles the corpus per
+  // modality; this is the provenance cut a data audit asks for.
+  // Shape: modality classified at the decode seam (m8's stub rule,
+  // blobs never shuffle), token counts map-side, ONE combine-enabled
+  // (source, modality) groupBy; the within-source share is a window
+  // over the |sources|×|modalities| bounded rows with one divide.
+  // ---------------------------------------------------------------------
+  def m12DatasetCard(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val classified = Tables.documents(s, d)
+      .select($"doc_id", $"source",
+        size(graft.text.Text.toks($"text")).cast("long").as("n_tok"),
+        unhex(md5($"text")).as("blob"))
+      .as[(Long, String, Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, src, nTok, blob) =>
+          val px = FakeCodec.pixels(blob)
+          val mod = (px(3) % 3) match {
+            case 0 => "image"
+            case 1 => "audio"
+            case _ => "video"
+          }
+          CardRow(id, src, nTok, mod, blob.length)
+        }
+      }
+      .toDF()
+    val wSrc = Window.partitionBy($"source")
+    classified
+      .groupBy($"source", $"modality")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum($"n_bytes").as("total_bytes"),
+        sum($"n_tok").as("tokens"))
+      .withColumn("src_docs", sum($"n_docs").over(wSrc))
+      .select($"source", $"modality", $"n_docs", $"total_bytes", $"tokens",
+        ($"n_docs".cast("double") / $"src_docs".cast("double"))
+          .as("share_of_source"))
+      .orderBy($"source", $"modality")
+  }
+
   // ---------------------------------------------------------------------
   // m9: shard packing — the WebDataset/tar-writer planning pass: media
   // objects are laid out into fixed-capacity shards per source, in
@@ -490,6 +539,7 @@ object Multimodal {
     "m11_epoch_shuffle" -> (m11EpochShuffle _),
     "m10_tar_index" -> (m10TarIndex _),
     "m9_shard_pack" -> (m9ShardPack _),
+    "m12_dataset_card" -> (m12DatasetCard _),
     "m8_modality_report" -> (m8ModalityReport _),
     "m7_phash_dedup" -> (m7PhashDedup _),
     "m6_caption_retrieval" -> (m6CaptionRetrieval _),
@@ -563,6 +613,32 @@ object Multimodal {
          FROM c GROUP BY 1, 2 ORDER BY source, shard""",
     // m8: same byte rebuild, same modality rule (byte 3 mod 3), same
     // integer sums; each average is the identical single IEEE divide.
+    // m12: same stub modality rule + token counts, (source, modality)
+    // rollup, within-source share via the same bounded window.
+    "m12_dataset_card" ->
+      s"""WITH b AS (
+           SELECT doc_id, source, md5(text) AS h,
+                  CAST(len(list_filter(string_split_regex(text, '\\s+'),
+                    x -> x <> '')) AS BIGINT) AS n_tok
+           FROM documents),
+         m AS (
+           SELECT doc_id, source, n_tok,
+                  CASE ${byteAt(3)} % 3 WHEN 0 THEN 'image'
+                       WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+                  16 AS n_bytes
+           FROM b),
+         g AS (
+           SELECT source, modality, CAST(count(*) AS BIGINT) AS n_docs,
+                  CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+                  CAST(sum(n_tok) AS BIGINT) AS tokens
+           FROM m GROUP BY 1, 2),
+         w AS (
+           SELECT *, sum(n_docs) OVER (PARTITION BY source) AS src_docs
+           FROM g)
+         SELECT source, modality, n_docs, total_bytes, tokens,
+                CAST(n_docs AS DOUBLE) / CAST(src_docs AS DOUBLE)
+                  AS share_of_source
+         FROM w ORDER BY source, modality""",
     "m8_modality_report" ->
       s"""WITH b AS (SELECT doc_id, md5(text) AS h FROM documents),
          m AS (

@@ -903,6 +903,47 @@ object Relational {
   }
 
   // ---------------------------------------------------------------------
+  // q38: ClickHouse `contingency` — the contingency coefficient
+  // sqrt(χ²/(χ²+n)), third member of the categorical-association
+  // family (q28 cramersV, q35 cramersVBiasCorrected) and the form
+  // bounded to [0,1) regardless of table shape. Association measured
+  // between market segment and order STATUS (a pair the other two
+  // don't grade). Same scale discipline: ONE fact-sized groupBy to
+  // the (seg, status) contingency cells; row/column totals are
+  // windows over those category-bounded rows; χ² is the
+  // (seg, status)-SORTED exact-decimal fold (double addition order is
+  // part of the cross-engine contract) with one IEEE divide per cell;
+  // the coefficient adds one divide + one sqrt.
+  // ---------------------------------------------------------------------
+  def q38Contingency(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val D38 = DecimalType(38, 0)
+    val c = Tables.customer(s, d).select($"c_custkey", $"c_mktsegment")
+    val cells = Tables.orders(s, d)
+      .join(broadcast(c), $"o_custkey" === $"c_custkey")
+      .groupBy($"c_mktsegment".as("seg"), $"o_orderstatus".as("st"))
+      .agg(count(lit(1)).as("o"))
+    val withTotals = cells
+      .withColumn("rt", sum($"o").over(Window.partitionBy($"seg")))
+      .withColumn("ct", sum($"o").over(Window.partitionBy($"st")))
+    withTotals
+      .agg(sum($"o").as("n"),
+        countDistinct($"seg").as("r"), countDistinct($"st").as("c"),
+        collect_list(struct($"seg", $"st", $"o", $"rt", $"ct")).as("cells"))
+      .select($"n", $"r", $"c",
+        aggregate(sort_array($"cells"), lit(0.0), (acc, x) => {
+          val numd = (x.getField("o").cast(D38) * $"n" -
+            x.getField("rt").cast(D38) * x.getField("ct")).cast("double")
+          val dend = ($"n".cast(D38) * x.getField("rt") * x.getField("ct"))
+            .cast("double")
+          acc + numd * numd / dend
+        }).as("chi2"))
+      .select($"n".as("n_orders"), $"r", $"c", $"chi2",
+        sqrt($"chi2" / ($"chi2" + $"n".cast("double"))).as("contingency_coef"))
+      .orderBy($"n_orders")
+  }
+
+  // ---------------------------------------------------------------------
   // q36: PERCENT-OF-PARENT hierarchy report — the drill-down ratio
   // every BI rollup shows (nation share of region, region share of
   // total, explicit level column). Built from ONE exact-cents base
@@ -952,9 +993,14 @@ object Relational {
   // computed WITHOUT any distinct-over-window machinery: cumulative
   // distinct ≡ running sum of first-appearances, so the plan is one
   // per-customer min (combine-enabled), one per-month rollup, and a
-  // running sum over the BOUNDED month rows (the only unpartitioned
-  // window in the query ranges over calendar months, not corpus
-  // rows). All integers + one share divide.
+  // cumulative sum over the BOUNDED month rows done as a broadcast
+  // TRIANGULAR join (t20's offsets idiom) — not a single-partition
+  // WindowExec, so the suite-wide "no global window" sweep holds with
+  // zero exceptions. The monthly table is persisted: both the output
+  // rows and the broadcast prior-months side read one materialization
+  // (bounded by calendar months, bytes-trivial at any corpus size),
+  // so the two fact-sized aggregates run once. All integers + one
+  // share divide.
   // ---------------------------------------------------------------------
   def q37NewVsReturning(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -964,18 +1010,23 @@ object Relational {
       .groupBy($"month").agg(count(lit(1)).as("n_active"))
     val news = om.groupBy($"o_custkey").agg(min($"month").as("month"))
       .groupBy($"month").agg(count(lit(1)).as("n_new"))
-    val cum = Window.orderBy($"month")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    active.join(news, Seq("month"), "left")
+    val monthly = active.join(news, Seq("month"), "left")
       .select($"month", $"n_active", coalesce($"n_new", lit(0L)).as("n_new"))
-      .withColumn("cum_customers", sum($"n_new").over(cum))
-      .withColumn("n_returning", $"n_active" - $"n_new")
-      .withColumn("returning_share",
-        $"n_returning".cast("double") / $"n_active".cast("double"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    monthly.as("a")
+      .join(broadcast(monthly.select($"month".as("bm"), $"n_new".as("bn"))),
+        $"bm" <= $"a.month")
+      .groupBy($"a.month", $"a.n_active", $"a.n_new")
+      .agg(sum($"bn").as("cum_customers"))
+      .select($"month", $"n_active", $"n_new", $"cum_customers",
+        ($"n_active" - $"n_new").as("n_returning"),
+        (($"n_active" - $"n_new").cast("double") /
+          $"n_active".cast("double")).as("returning_share"))
       .orderBy($"month")
   }
 
   val queries: Map[String, Q] = Map(
+    "q38_contingency" -> (q38Contingency _),
     "q37_new_vs_returning" -> (q37NewVsReturning _),
     "q36_percent_of_parent" -> (q36PercentOfParent _),
     "q35_cramers_corrected" -> (q35CramersCorrected _),
@@ -1152,6 +1203,33 @@ object Relational {
          FROM a WHERE n1 > 0 AND n2 > 0 ORDER BY segment""",
     // q35: q28's exact χ² fold on the (seg, pri)-sorted cell list,
     // then the Bergsma correction as the same fixed double tree.
+    // q38: q35's exact-χ² skeleton on (segment, status); the
+    // coefficient is one more divide + sqrt on the same fold.
+    "q38_contingency" ->
+      """WITH cells AS (
+           SELECT c_mktsegment AS seg, o_orderstatus AS st, count(*) AS o
+           FROM orders JOIN customer ON o_custkey = c_custkey
+           GROUP BY 1, 2),
+         rt AS (SELECT seg, sum(o) AS rt FROM cells GROUP BY 1),
+         ct AS (SELECT st, sum(o) AS ct FROM cells GROUP BY 1),
+         tot AS (SELECT sum(o) AS n, count(DISTINCT seg) AS r,
+                        count(DISTINCT st) AS c
+                 FROM cells),
+         t AS (
+           SELECT seg, st, n, r, c,
+                  CAST(CAST(o AS HUGEINT)*n - CAST(rt AS HUGEINT)*ct AS DOUBLE) AS numd,
+                  CAST(CAST(n AS HUGEINT)*rt*ct AS DOUBLE) AS dend
+           FROM cells JOIN rt USING (seg) JOIN ct USING (st) CROSS JOIN tot),
+         x AS (SELECT seg, st, n, r, c, numd*numd/dend AS term FROM t),
+         chi AS (
+           SELECT n, r, c,
+                  list_reduce(list_prepend(0.0, list(term ORDER BY seg, st)),
+                              (a, b) -> a + b) AS chi2
+           FROM x GROUP BY 1, 2, 3)
+         SELECT CAST(n AS BIGINT) AS n_orders,
+                CAST(r AS BIGINT) AS r, CAST(c AS BIGINT) AS c, chi2,
+                sqrt(chi2 / (chi2 + CAST(n AS DOUBLE))) AS contingency_coef
+         FROM chi ORDER BY n_orders""",
     "q35_cramers_corrected" ->
       """WITH cells AS (
            SELECT c_mktsegment AS seg, o_orderpriority AS pri, count(*) AS o

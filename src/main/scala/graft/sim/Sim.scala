@@ -734,6 +734,49 @@ object Sim {
   }
 
   // ---------------------------------------------------------------------
+  // v16: IVF INDEX STATS — the index-health report run before an ANN
+  // index serves traffic (FAISS's imbalance check): per-cell member
+  // count, corpus share, and the min/max/mean cosine of members to
+  // their assigned centroid (how tight each cell is — the quantizer
+  // objective v3's refine spec optimizes, surfaced per cell). Mean
+  // follows the repo's exactness discipline for data-dependent double
+  // sums: each per-row cosine (bit-identical across engines — the
+  // index-ordered dot fold) is floor-quantized to an int64 at 1e-6
+  // resolution and summed EXACTLY, so the aggregate is
+  // order-independent and hash-exact; min/max are order-independent
+  // already. Corpus total = a 1-row broadcast over the cell-bounded
+  // stats (q36 discipline, no unpartitioned window). One corpus-sized
+  // exchange (the assignment's vec_id window); everything after is
+  // bounded by the cell count.
+  // ---------------------------------------------------------------------
+  def v16IvfStats(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, d)
+    val c = centroids(s, d)
+    val wAssign = Window.partitionBy($"vec_id").orderBy($"c_cos".desc, $"c_id")
+    val assigned = e.crossJoin(broadcast(c))
+      .select($"vec_id", $"c_id",
+        cosineSim($"embedding", $"c_emb").as("c_cos"))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter($"rn" === 1)
+      .select($"vec_id", $"c_id".as("cluster"), $"c_cos")
+    val stats = assigned.groupBy($"cluster")
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        min($"c_cos").as("min_cos"),
+        max($"c_cos").as("max_cos"),
+        sum(floor($"c_cos" * lit(1000000.0)).cast("long")).as("q_sum"))
+    val tot = stats.agg(sum($"n_vecs").as("n_total"))
+    stats.crossJoin(broadcast(tot))
+      .select($"cluster", $"n_vecs",
+        ($"n_vecs".cast("double") / $"n_total".cast("double")).as("share"),
+        $"min_cos", $"max_cos",
+        ($"q_sum".cast("double") / $"n_vecs".cast("double") / lit(1000000.0))
+          .as("mean_cos_q"))
+      .orderBy($"cluster")
+  }
+
+  // ---------------------------------------------------------------------
   // v13: signed-random-projection LSH ANN (Charikar 2002 SimHash for
   // real vectors) — the DATA-INDEPENDENT sibling of v3's IVF: no
   // training pass, no centroids; 16 hyperplane sign bits per vector,
@@ -880,6 +923,7 @@ object Sim {
   }
 
   val queries: Map[String, Q] = Map(
+    "v16_ivf_stats" -> (v16IvfStats _),
     "v15_pagerank" -> (v15Pagerank _),
     "v14_recall_report" -> (v14RecallReport _),
     "v13_srp_lsh" -> (v13SrpLsh _),
@@ -950,10 +994,12 @@ object Sim {
           SELECT q_id, CAST(rn AS INT) AS rnk, vec_id, cos
           FROM r WHERE rn <= 3 ORDER BY q_id, rnk"""
 
-  /** v3's oracle body — hoisted so v14's recall report can replay it
-    * as a CTE without drift. */
-  private val V3Sql: String =
-      s"""WITH c AS (
+  /** The IVF assignment CTE chain (seed quantizer + nearest-centroid
+    * assignment, ending in `assigned(vec_id, embedding, cluster,
+    * c_cos)`) — hoisted once so v3, v12 and v16's oracles replay the
+    * IDENTICAL quantizer without drift. */
+  private val AssignCtes: String =
+      s"""c AS (
             SELECT label AS c_id, arg_min(embedding, vec_id) AS c_emb
             FROM embeddings GROUP BY 1),
           a AS (
@@ -962,7 +1008,12 @@ object Sim {
           ar AS (
             SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY c_cos DESC, c_id) AS rn
             FROM a),
-          assigned AS (SELECT vec_id, embedding, c_id AS cluster FROM ar WHERE rn = 1),
+          assigned AS (SELECT vec_id, embedding, c_id AS cluster, c_cos FROM ar WHERE rn = 1)"""
+
+  /** v3's oracle body — hoisted so v14's recall report can replay it
+    * as a CTE without drift. */
+  private val V3Sql: String =
+      s"""WITH $AssignCtes,
           q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 5),
           p AS (SELECT q_id, q_emb, c_id, ${cos("q_emb", "c_emb")} AS q_cos FROM q, c),
           pr AS (
@@ -984,16 +1035,7 @@ object Sim {
   /** v12's oracle body — hoisted so v15's PageRank can replay the
     * edge list verbatim. */
   private val V12Sql: String =
-      s"""WITH c AS (
-            SELECT label AS c_id, arg_min(embedding, vec_id) AS c_emb
-            FROM embeddings GROUP BY 1),
-          a AS (
-            SELECT vec_id, embedding, c_id, ${cos("embedding", "c_emb")} AS c_cos
-            FROM embeddings, c),
-          ar AS (
-            SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY c_cos DESC, c_id) AS rn
-            FROM a),
-          assigned AS (SELECT vec_id, embedding, c_id AS cluster FROM ar WHERE rn = 1),
+      s"""WITH $AssignCtes,
           pairs AS (
             SELECT s.vec_id AS src, t.vec_id AS dst, s.cluster,
                    ${cos("s.embedding", "t.embedding")} AS cos
@@ -1082,6 +1124,22 @@ object Sim {
     // v12: v3's assignment CTEs verbatim, then the same within-cell
     // self-join and (cos DESC, dst) top-3 rule.
     "v12_knn_graph" -> V12Sql,
+    // v16: replays the hoisted assignment CTEs verbatim; min/max are
+    // order-free, the mean is the exact 1e-6-quantized integer sum.
+    "v16_ivf_stats" ->
+      s"""WITH $AssignCtes,
+          stats AS (
+            SELECT cluster, CAST(count(*) AS BIGINT) AS n_vecs,
+                   min(c_cos) AS min_cos, max(c_cos) AS max_cos,
+                   CAST(sum(CAST(floor(c_cos * 1000000.0) AS BIGINT)) AS BIGINT) AS q_sum
+            FROM assigned GROUP BY 1),
+          tot AS (SELECT CAST(sum(n_vecs) AS BIGINT) AS n_total FROM stats)
+          SELECT cluster, n_vecs,
+                 CAST(n_vecs AS DOUBLE) / CAST(n_total AS DOUBLE) AS share,
+                 min_cos, max_cos,
+                 CAST(q_sum AS DOUBLE) / CAST(n_vecs AS DOUBLE) / 1000000.0
+                   AS mean_cos_q
+          FROM stats CROSS JOIN tot ORDER BY cluster""",
     // v11: same label-equality candidate set, same index-ordered
     // cosine, same (cos DESC, vec_id) top-5 rule.
     "v11_filtered_ann" ->

@@ -1508,7 +1508,98 @@ object Solar {
       .orderBy($"inverter")
   }
 
+  // ---------------------------------------------------------------------
+  // s43: ClickHouse `studentTTest` — the pooled-variance sibling of
+  // s29's Welch test (CH ships both; Student assumes equal variances,
+  // so its standard error pools the two sums of squares and its df is
+  // the INTEGER n1+n2−2). Identical plan shape to s29: one
+  // combine-enabled groupBy over exact conditional power sums (cents
+  // longs, squares in DECIMAL(38,0)), then the closed form in double
+  // with every IEEE op mirrored op-for-op in the oracle. Degenerate
+  // groups (either stream empty, df ≤ 0, zero pooled standard error)
+  // are filtered on values both engines computed identically.
+  // p-values need the incomplete beta — out of SQL scope on both
+  // engines (s29 precedent); t + df are the portable pair.
+  // ---------------------------------------------------------------------
+  def s43StudentTtest(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val D38 = DecimalType(38, 0)
+    val g1 = $"event_type" === "view"
+    val g2 = $"event_type" === "click"
+    feed(s, d)
+      .filter($"event_type".isin("view", "click"))
+      .select($"inverter", $"event_type",
+        (dec($"value") * 100).cast("long").as("c"))
+      .groupBy($"inverter")
+      .agg(
+        count(when(g1, 1)).as("n1"),
+        sum(when(g1, $"c").cast(D38)).as("s1"),
+        sum(when(g1, $"c" * $"c").cast(D38)).as("q1"),
+        count(when(g2, 1)).as("n2"),
+        sum(when(g2, $"c").cast(D38)).as("s2"),
+        sum(when(g2, $"c" * $"c").cast(D38)).as("q2"))
+      .filter($"n1" > 0 && $"n2" > 0 && $"n1" + $"n2" > 2)
+      .select($"inverter", $"n1", $"n2",
+        $"n1".cast("double").as("n1d"), $"n2".cast("double").as("n2d"),
+        $"s1".cast("double").as("s1d"), $"s2".cast("double").as("s2d"),
+        $"q1".cast("double").as("q1d"), $"q2".cast("double").as("q2d"))
+      .select($"inverter", $"n1", $"n2", $"n1d", $"n2d",
+        ($"s1d" / $"n1d").as("mu1"), ($"s2d" / $"n2d").as("mu2"),
+        ((($"q1d" - $"s1d" * $"s1d" / $"n1d") +
+          ($"q2d" - $"s2d" * $"s2d" / $"n2d")) /
+          ($"n1d" + $"n2d" - lit(2.0))).as("sp2"))
+      .select($"inverter", $"n1", $"n2", $"mu1", $"mu2",
+        ($"sp2" * (lit(1.0) / $"n1d" + lit(1.0) / $"n2d")).as("se2"))
+      .filter($"se2" > 0.0)
+      .select($"inverter",
+        $"n1".as("n_view"), $"n2".as("n_click"),
+        (($"mu1" - $"mu2") / sqrt($"se2")).as("t_stat"),
+        ($"n1" + $"n2" - 2L).as("df"))
+      .orderBy($"inverter")
+  }
+
+  // ---------------------------------------------------------------------
+  // s44: ClickHouse `sparkbar` — the inline-monitoring glyph string
+  // (per-inverter hour-of-day energy profile rendered as Unicode block
+  // bars; CH prints these directly in clickhouse-client dashboards).
+  // Exact integer rule end to end: hourly cents sums per (inverter,
+  // hour-of-day), per-inverter max via a window over the BOUNDED ≤24
+  // rows per group, bar level = ceil(8·v/vmax) by integer arithmetic
+  // ((v·8 + vmax − 1) div vmax — never an IEEE op), glyph by array
+  // index. The bar string assembles from a ≤24-element collect_list
+  // sorted by hour (bounded by the clock, not the corpus). One
+  // fact-sized shuffle at (inverter, hod); everything after is
+  // clock-bounded.
+  // ---------------------------------------------------------------------
+  private val SparkbarGlyphs = Seq("▁", "▂", "▃", "▄", "▅", "▆", "▇", "█")
+
+  def s44Sparkbar(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"inverter")
+    feed(s, d)
+      .filter($"event_type" === "view")
+      .select($"inverter", hour($"ts").cast("int").as("hod"),
+        (dec($"value") * 100).cast("long").as("cents"))
+      .groupBy($"inverter", $"hod")
+      .agg(sum($"cents").as("v"))
+      .withColumn("vmax", max($"v").over(w))
+      .withColumn("lvl",
+        when($"v" <= 0L, lit(0L)).otherwise(expr("(v * 8 + vmax - 1) div vmax")))
+      .withColumn("ch",
+        when($"lvl" === 0L, lit(" "))
+          .otherwise(element_at(array(SparkbarGlyphs.map(lit): _*), $"lvl".cast("int"))))
+      .groupBy($"inverter")
+      .agg(
+        count(lit(1)).as("n_hours"),
+        (sum($"v").cast("double") / 100.0).as("total_units"),
+        array_join(transform(array_sort(collect_list(struct($"hod", $"ch"))),
+          x => x.getField("ch")), "").as("bar"))
+      .orderBy($"inverter")
+  }
+
   val queries: Map[String, Q] = Map(
+    "s44_sparkbar" -> (s44Sparkbar _),
+    "s43_student_ttest" -> (s43StudentTtest _),
     "s42_degradation" -> (s42Degradation _),
     "s41_wraparound" -> (s41Wraparound _),
     "s40_qdigest" -> (s40QdigestQuantiles _),
@@ -1581,6 +1672,63 @@ object Solar {
   // DuckDB oracles — each mirrors the Spark arithmetic exactly
   // (decimal sums, integer microseconds, double division).
   val oracles: Map[String, String] = Map(
+    // s43: s29's power-sum skeleton with the pooled (Student) standard
+    // error and integer df; every IEEE op mirrored op-for-op.
+    "s43_student_ttest" ->
+      """WITH raw AS (
+           SELECT user_id AS inverter, event_type,
+                  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+           FROM events WHERE event_type IN ('view', 'click')),
+         sums AS (
+           SELECT inverter,
+                  count(CASE WHEN event_type = 'view' THEN 1 END) AS n1,
+                  CAST(sum(CASE WHEN event_type = 'view' THEN c END) AS DOUBLE) AS s1d,
+                  CAST(sum(CASE WHEN event_type = 'view' THEN c * c END) AS DOUBLE) AS q1d,
+                  count(CASE WHEN event_type = 'click' THEN 1 END) AS n2,
+                  CAST(sum(CASE WHEN event_type = 'click' THEN c END) AS DOUBLE) AS s2d,
+                  CAST(sum(CASE WHEN event_type = 'click' THEN c * c END) AS DOUBLE) AS q2d
+           FROM raw GROUP BY 1),
+         filt AS (
+           SELECT *, CAST(n1 AS DOUBLE) AS n1d, CAST(n2 AS DOUBLE) AS n2d
+           FROM sums WHERE n1 > 0 AND n2 > 0 AND n1 + n2 > 2),
+         mv AS (
+           SELECT inverter, n1, n2, n1d, n2d,
+                  s1d / n1d AS mu1, s2d / n2d AS mu2,
+                  ((q1d - s1d * s1d / n1d) + (q2d - s2d * s2d / n2d)) /
+                    (n1d + n2d - 2.0) AS sp2
+           FROM filt),
+         se AS (
+           SELECT inverter, n1, n2, mu1, mu2,
+                  sp2 * (1.0 / n1d + 1.0 / n2d) AS se2
+           FROM mv)
+         SELECT inverter,
+                CAST(n1 AS BIGINT) AS n_view, CAST(n2 AS BIGINT) AS n_click,
+                (mu1 - mu2) / sqrt(se2) AS t_stat,
+                CAST(n1 + n2 - 2 AS BIGINT) AS df
+         FROM se WHERE se2 > 0.0 ORDER BY inverter""",
+    // s44: same hourly cents sums, same integer ceil-div level rule,
+    // same glyph array, bar assembled in the same hour order.
+    "s44_sparkbar" ->
+      """WITH h AS (
+           SELECT user_id AS inverter, CAST(hour(ts) AS INT) AS hod,
+                  CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS v
+           FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+         m AS (SELECT *, max(v) OVER (PARTITION BY inverter) AS vmax FROM h),
+         l AS (
+           SELECT inverter, hod, v,
+                  CASE WHEN v <= 0 THEN 0 ELSE (v * 8 + vmax - 1) // vmax END AS lvl
+           FROM m),
+         c AS (
+           SELECT inverter, hod, v,
+                  CASE WHEN lvl = 0 THEN ' '
+                       ELSE (['▁','▂','▃','▄','▅','▆','▇','█'])[CAST(lvl AS INT)]
+                  END AS ch
+           FROM l)
+         SELECT inverter,
+                CAST(count(*) AS BIGINT) AS n_hours,
+                CAST(sum(v) AS DOUBLE) / 100.0 AS total_units,
+                string_agg(ch, '' ORDER BY hod) AS bar
+         FROM c GROUP BY 1 ORDER BY inverter""",
     // s41: same u16 view, same lag order, same integer wrap rule.
     "s41_wraparound" ->
       """WITH r AS (

@@ -653,7 +653,66 @@ object Streaming {
       .orderBy($"inverter")
   }
 
+  /** st10's per-register reading and its carried state (the current
+    * latest reading per (inverter, register stream)). */
+  case class ReadEvt(inverter: Long, stream: String, us: Long,
+                     event_id: Long, cents: Long)
+  case class LastState(us: Long, event_id: Long, cents: Long)
+  case class LastOut(inverter: Long, stream: String, last_us: Long,
+                     last_cents: Long)
+
+  /** Stateful streaming LAST-READING register — the reference's live
+    * "current inverter status" view (ClickHouse serves it with argMax
+    * over the whole table; a stream keeps it incrementally): per
+    * (inverter, register stream) the carried state is the max-(us,
+    * event_id) reading — 24 bytes per key, bounded by fleet size ×
+    * register catalog, NOT by feed length — and each micro-batch
+    * emits the group's refreshed latest row (the dashboard upsert).
+    * Within a batch, readings fold in (us, event_id) order; across
+    * batches the carried state wins ties exactly as s7's row_number
+    * rule would. Batch == stream over any feed split (StreamingSpec).
+    */
+  def statefulLastReading(ds: Dataset[ReadEvt]): Dataset[LastOut] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.groupByKey(e => (e.inverter, e.stream))
+      .flatMapGroupsWithState[LastState, LastOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: (Long, String), it: Iterator[ReadEvt], state: GroupState[LastState]) =>
+          var cur = state.getOption
+          it.foreach { e =>
+            if (cur.forall(c => e.us > c.us || (e.us == c.us && e.event_id > c.event_id)))
+              cur = Some(LastState(e.us, e.event_id, e.cents))
+          }
+          cur.foreach(state.update)
+          cur.map(c => LastOut(key._1, key._2, c.us, c.cents)).iterator
+      }
+  }
+
+  // ---------------------------------------------------------------------
+  // st10: graded batch-equivalent of the streaming last-reading view —
+  // the stateful operator over the whole batch (empty initial state)
+  // must equal s7's argMax/max_by identity per (inverter, stream),
+  // which is what the oracle computes. The streaming-only value (the
+  // incrementally-maintained dashboard on an unbounded feed, state
+  // bounded by the key space) is pinned by StreamingSpec's split-feed
+  // equivalence.
+  // ---------------------------------------------------------------------
+  def st10StreamLast(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val evts = Tables.events(s, d)
+      .select($"user_id".as("inverter"), $"event_type".as("stream"),
+        unix_micros($"ts").as("us"), $"event_id",
+        (dec($"value") * 100).cast("long").as("cents"))
+      .as[ReadEvt]
+    statefulLastReading(evts)
+      .select($"inverter", $"stream", $"last_us",
+        ($"last_cents".cast("double") / 100.0).as("last_value"))
+      .orderBy($"inverter", $"stream")
+  }
+
   val queries: Map[String, Q] = Map(
+    "st10_stream_last" -> (st10StreamLast _),
     "st9_stream_quantile" -> (st9StreamQuantile _),
     "st8_stream_gaps" -> (st8StreamGaps _),
     "st7_stream_topk" -> (st7StreamTopk _),
@@ -666,6 +725,20 @@ object Streaming {
   )
 
   val oracles: Map[String, String] = Map(
+    // st10: the stateful operator over one batch == s7's argMax
+    // row_number rule per (inverter, stream); exact cents, one
+    // display divide.
+    "st10_stream_last" ->
+      """WITH r AS (
+           SELECT user_id AS inverter, event_type AS stream,
+                  epoch_us(ts) AS us, event_id,
+                  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+                  row_number() OVER (PARTITION BY user_id, event_type
+                    ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+           FROM events)
+         SELECT inverter, stream, us AS last_us,
+                CAST(cents AS DOUBLE) / 100.0 AS last_value
+         FROM r WHERE rn = 1 ORDER BY inverter, stream""",
     // st9: k ≥ window cardinality makes the digest exact — the
     // oracle is the rank-ceil(q·n) order statistic; ceil(q·n) is the
     // same IEEE multiply+ceil on both engines (part of the contract).

@@ -95,6 +95,37 @@ object Text {
       .orderBy($"source")
   }
 
+  // ---------------------------------------------------------------------
+  // t25: DATA-MIX REPORT — the (lang, source) composition table every
+  // training-data card leads with (docs, tokens, corpus share) plus
+  // the per-group up/down-sampling factor that would equalize the mix
+  // to a uniform target (the starting point DoReMi/Pile mixture
+  // tuning iterates from): factor = total/(G·tokens), so factor < 1
+  // means the group must be down-sampled. Shape: one scan with
+  // map-side token counts, one combine-enabled (lang, source)
+  // groupBy; the grand totals are a 1-row aggregate over the
+  // CATALOG-BOUNDED group rows, broadcast back (q15's scalar-subquery
+  // shape — never an unpartitioned window). The group-row exchange is
+  // reused across the two branches; only the post-shuffle agg re-runs,
+  // over category-bounded rows. Each graded ratio is ONE IEEE divide
+  // of exact int64s.
+  // ---------------------------------------------------------------------
+  def t25MixReport(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val g = Tables.documents(s, d)
+      .select($"lang", $"source", size(toks($"text")).cast("long").as("n_tok"))
+      .groupBy($"lang", $"source")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("tokens"))
+    val tot = g.agg(sum($"tokens").as("tok_total"), count(lit(1)).as("n_groups"))
+    g.crossJoin(broadcast(tot))
+      .select($"lang", $"source", $"n_docs", $"tokens",
+        ($"tokens".cast("double") / $"tok_total".cast("double"))
+          .as("corpus_share"),
+        ($"tok_total".cast("double") / ($"n_groups" * $"tokens").cast("double"))
+          .as("uniform_factor"))
+      .orderBy($"lang", $"source")
+  }
+
   def t1Tokens(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     Tables.documents(s, d)
@@ -1095,6 +1126,7 @@ object Text {
     "t12_repetition_family" -> (t12RepetitionFamily _),
     "t10_seq_pack" -> (t10SeqPack _),
     "t11_bm25" -> (t11Bm25 _),
+    "t25_mix_report" -> (t25MixReport _),
     "t1_tokens" -> (t1Tokens _),
     "t16_token_budget" -> (t16TokenBudget _),
     "t2_langid" -> (t2Langid _),
@@ -1533,6 +1565,26 @@ object Text {
                 CAST(sum(CASE WHEN cum_tok <= $TokenBudget THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
                 CAST(sum(CASE WHEN cum_tok <= $TokenBudget THEN n_tok ELSE 0 END) AS BIGINT) AS tokens_kept
          FROM c GROUP BY 1 ORDER BY 1""",
+    // t25: same token counts, same integer sums, one divide per ratio.
+    "t25_mix_report" ->
+      """WITH b AS (
+           SELECT lang, source,
+                  CAST(len(list_filter(string_split_regex(text, '\s+'),
+                    x -> x <> '')) AS BIGINT) AS n_tok
+           FROM documents),
+         g AS (
+           SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+                  CAST(sum(n_tok) AS BIGINT) AS tokens
+           FROM b GROUP BY 1, 2),
+         tot AS (
+           SELECT CAST(sum(tokens) AS BIGINT) AS tok_total,
+                  CAST(count(*) AS BIGINT) AS n_groups
+           FROM g)
+         SELECT lang, source, n_docs, tokens,
+                CAST(tokens AS DOUBLE) / CAST(tok_total AS DOUBLE) AS corpus_share,
+                CAST(tok_total AS DOUBLE) / CAST(n_groups * tokens AS DOUBLE)
+                  AS uniform_factor
+         FROM g CROSS JOIN tot ORDER BY lang, source""",
     "t1_tokens" ->
       """WITH tk AS (
            SELECT doc_id, text, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t

@@ -742,4 +742,42 @@ class StreamingSpec extends AnyFunSuite {
       .collect().sortBy(g => (g.inverter, g.gap_start_us)).toSeq
     assert(batch == gaps.toSeq)
   }
+
+  test("stateful last-reading: per-batch upserts converge to the batch argMax over any split") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    // crafted feed: inverter 1's latest lands in batch 1 (batch 2
+    // carries only OLDER readings — the carried state must win);
+    // inverter 2's latest lands in batch 2; a same-us tie on
+    // inverter 3 resolves by event_id across the batch boundary.
+    val h = 3600000000L
+    val b1 = Seq(
+      Streaming.ReadEvt(1L, "view", 9 * h, 10, 900L),
+      Streaming.ReadEvt(2L, "view", 1 * h, 11, 100L),
+      Streaming.ReadEvt(3L, "view", 5 * h, 12, 500L))
+    val b2 = Seq(
+      Streaming.ReadEvt(1L, "view", 2 * h, 20, 200L), // older: must NOT win
+      Streaming.ReadEvt(2L, "view", 3 * h, 21, 300L),
+      Streaming.ReadEvt(3L, "view", 5 * h, 2, 999L))  // same us, lower id: must NOT win
+    val stream = MemoryStream[Streaming.ReadEvt]
+    val q = Streaming.statefulLastReading(stream.toDS())
+      .writeStream.format("memory").queryName("st10_spec")
+      .outputMode("append").start()
+    try {
+      stream.addData(b1: _*); q.processAllAvailable()
+      stream.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    // the dashboard read is "latest emitted row per key": max last_us
+    // wins, and a re-emission of the same state is idempotent
+    val finalRows = s.table("st10_spec").as[Streaming.LastOut]
+      .collect().groupBy(o => (o.inverter, o.stream))
+      .map { case (_, v) => v.maxBy(o => (o.last_us, o.last_cents)) }
+      .toSeq.sortBy(o => (o.inverter, o.stream))
+    val batch = Streaming.statefulLastReading((b1 ++ b2).toDS())
+      .collect().toSeq.sortBy(o => (o.inverter, o.stream))
+    assert(finalRows == batch, s"stream $finalRows vs batch $batch")
+    assert(batch.map(o => (o.inverter, o.last_us, o.last_cents)) ==
+      Seq((1L, 9 * h, 900L), (2L, 3 * h, 300L), (3L, 5 * h, 500L)))
+  }
 }
