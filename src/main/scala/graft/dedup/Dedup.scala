@@ -784,6 +784,46 @@ object Dedup {
       .orderBy($"source")
   }
 
+  // ---------------------------------------------------------------------
+  // d17: SHARD-LOCAL vs GLOBAL DEDUP — the design question every
+  // 100 TB pipeline answers before choosing its dedup topology: how
+  // many duplicates does a cheap shard-local pass (each worker dedups
+  // its own shard, zero cross-shard traffic) catch vs the full global
+  // pass, per shard? Shards are the content-addressed md5(doc_id)
+  // mod 10 layout (t7/d12 discipline). Shape: ONE fact-sized
+  // (h, shard) groupBy to per-shard cluster fragments (cnt, min doc);
+  // the global keeper is a window over THOSE fragment rows partitioned
+  // on h (corpus-bounded by distinct hashes, already clustered);
+  // per-shard rollup: local pass drops cnt−1 per fragment, global
+  // pass drops cnt minus (1 if this shard holds the global keeper).
+  // missed = global − local is the price of shard independence. No
+  // text shuffles; one divide per shard for the efficiency ratio.
+  // ---------------------------------------------------------------------
+  def d17ShardedDedup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val shard = pmod(conv(substring(md5($"doc_id".cast("string")), 1, 6), 16, 10)
+      .cast("long"), lit(10L))
+    val frags = Tables.documents(s, d)
+      .select($"doc_id", shard.as("shard"), md5($"text").as("h"))
+      .groupBy($"h", $"shard")
+      .agg(count(lit(1)).as("cnt"), min($"doc_id").as("min_doc"))
+    val wH = Window.partitionBy($"h")
+    frags
+      .withColumn("gmin", min($"min_doc").over(wH))
+      .groupBy($"shard")
+      .agg(
+        sum($"cnt").as("n_docs"),
+        sum($"cnt" - 1).as("drops_local"),
+        sum($"cnt" - when($"min_doc" === $"gmin", 1L).otherwise(0L))
+          .as("drops_global"))
+      .select($"shard", $"n_docs", $"drops_local", $"drops_global",
+        ($"drops_global" - $"drops_local").as("missed_by_local"),
+        when($"drops_global" === 0L, lit(1.0))
+          .otherwise($"drops_local".cast("double") /
+            $"drops_global".cast("double")).as("local_efficiency"))
+      .orderBy($"shard")
+  }
+
   /** d14 boundary modulus — a token position ends a chunk when the
     * 60-bit hash of its (token, next-token) bigram ≡ 0 (mod 8), so
     * chunks average ~8 tokens and boundaries depend only on LOCAL
@@ -867,6 +907,7 @@ object Dedup {
   val queries: Map[String, Q] = Map(
     "d15_minhash_calibration" -> (d15MinhashCalibration _),
     "d14_cdc_dedup" -> (d14CdcDedup _),
+    "d17_sharded_dedup" -> (d17ShardedDedup _),
     "d16_effective_tokens" -> (d16EffectiveTokens _),
     "d13_cluster_stats" -> (d13ClusterStats _),
     "d12_cross_neardup" -> (d12CrossNeardup _),
@@ -994,6 +1035,32 @@ object Dedup {
                 CAST(coalesce(dd.dup, 0) AS DOUBLE) / p.n_chunks AS dup_chunk_frac,
                 CAST(coalesce(dd.dup, 0) AS DOUBLE) / p.n_chunks <= $DupChunkMax AS keep
          FROM per p LEFT JOIN dd USING (doc_id) ORDER BY doc_id""",
+    // d17: same shard formula (t7/d12's md5 bucket), same fragment
+    // grain, same keeper rule; integer drops + one divide.
+    "d17_sharded_dedup" ->
+      """WITH b AS (
+           SELECT doc_id,
+                  CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6) AS BIGINT) % 10 AS shard,
+                  md5(text) AS h
+           FROM documents),
+         f AS (
+           SELECT h, shard, count(*) AS cnt, min(doc_id) AS min_doc
+           FROM b GROUP BY 1, 2),
+         g AS (
+           SELECT *, min(min_doc) OVER (PARTITION BY h) AS gmin
+           FROM f),
+         r AS (
+           SELECT shard,
+                  CAST(sum(cnt) AS BIGINT) AS n_docs,
+                  CAST(sum(cnt - 1) AS BIGINT) AS drops_local,
+                  CAST(sum(cnt - CASE WHEN min_doc = gmin THEN 1 ELSE 0 END) AS BIGINT) AS drops_global
+           FROM g GROUP BY 1)
+         SELECT shard, n_docs, drops_local, drops_global,
+                drops_global - drops_local AS missed_by_local,
+                CASE WHEN drops_global = 0 THEN 1.0
+                     ELSE CAST(drops_local AS DOUBLE) / CAST(drops_global AS DOUBLE)
+                END AS local_efficiency
+         FROM r ORDER BY shard""",
     // d16: d1's min-doc_id keep rule via the same row_number, same
     // token counts, integer sums, one divide.
     "d16_effective_tokens" ->

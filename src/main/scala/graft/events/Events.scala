@@ -258,6 +258,59 @@ object Events {
   }
 
   // ---------------------------------------------------------------------
+  // e27: ClickHouse `maxIntersectionsPosition` — WHEN the concurrency
+  // peak happens (e13 reports how high; this reports the µs position
+  // where the peak is FIRST reached — the capacity-planning question
+  // behind the number). Same kernel: gapSessions → 2 boundary rows
+  // per session → the day-partitioned running sweep; the peak row is
+  // selected by ONE combine-enabled max over a (cur, −us) struct key
+  // (highest count, earliest position on ties — max_by's rule, same
+  // single-branch discipline as e13's n_started: the sweep is
+  // evaluated once, not once per output column).
+  // ---------------------------------------------------------------------
+  def e27PeakPosition(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val sess = gapSessions(s, d)
+      .select(date_trunc("day", $"s_start").as("day"), $"a_us", $"b_us")
+    val bounds = sess.select($"day", explode(array(
+      struct($"a_us".as("us"), lit(1).as("delta")),
+      struct($"b_us".as("us"), lit(-1).as("delta")))).as("b"))
+      .select($"day", $"b.us".as("us"), $"b.delta".as("delta"))
+    val sweep = Window.partitionBy($"day").orderBy($"us".asc, $"delta".desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bounds
+      .withColumn("cur", sum($"delta").over(sweep))
+      .groupBy($"day")
+      .agg(max(struct($"cur", (-$"us").as("neg_us"))).as("m"))
+      .select($"day", $"m.cur".as("peak_concurrent"),
+        (-$"m.neg_us").as("peak_us"))
+      .orderBy($"day")
+  }
+
+  // ---------------------------------------------------------------------
+  // e28: WEEKLY ACTIVITY HEATMAP — the day-of-week × hour-of-day
+  // event-density grid every traffic dashboard renders, with each
+  // cell's share of its weekday's total. Bucket ids computed
+  // map-side; ONE combine-enabled groupBy to the CLOCK-BOUNDED 7×24
+  // grid; the share window and the ordering run over those 168 rows.
+  // dow is Spark's dayofweek − 1 == DuckDB's 0-based Sunday
+  // (engine-agnostic by arithmetic, not by convention).
+  // ---------------------------------------------------------------------
+  def e28DowProfile(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, d)
+      .select((dayofweek($"ts") - 1).cast("int").as("dow"),
+        hour($"ts").cast("int").as("hod"))
+      .groupBy($"dow", $"hod")
+      .agg(count(lit(1)).as("n_events"))
+      .withColumn("dow_total", sum($"n_events").over(Window.partitionBy($"dow")))
+      .select($"dow", $"hod", $"n_events",
+        ($"n_events".cast("double") / $"dow_total".cast("double"))
+          .as("share_of_dow"))
+      .orderBy($"dow", $"hod")
+  }
+
+  // ---------------------------------------------------------------------
   // e26: BOUNCE RATE — single-event sessions over total sessions per
   // day (the engagement-quality headline next to e13's concurrency
   // peak; same dashboard family). Pure reuse of the shared
@@ -970,6 +1023,8 @@ object Events {
     "e12_sequence_match" -> (e12SequenceMatch _),
     "e13_max_concurrency" -> (e13MaxConcurrency _),
     "e26_bounce_rate" -> (e26BounceRate _),
+    "e27_peak_position" -> (e27PeakPosition _),
+    "e28_dow_profile" -> (e28DowProfile _),
     "e14_cohort_matrix" -> (e14CohortMatrix _),
     "e15_uniq_upto" -> (e15UniqUpto _),
     "e2_retention" -> (e2Retention _),
@@ -1308,6 +1363,53 @@ object Events {
     // running ±1 sum is permutation-invariant within (us, delta) ties
     // (+1s sort first), so ORDER BY us, delta DESC is deterministic
     // where it matters.
+    // e28: same 0-based dow arithmetic, bounded 7×24 grid, one divide.
+    "e28_dow_profile" ->
+      """WITH b AS (
+           SELECT CAST(dayofweek(ts) AS INT) AS dow,
+                  CAST(hour(ts) AS INT) AS hod
+           FROM events),
+         g AS (
+           SELECT dow, hod, CAST(count(*) AS BIGINT) AS n_events
+           FROM b GROUP BY 1, 2),
+         w AS (
+           SELECT *, sum(n_events) OVER (PARTITION BY dow) AS dow_total
+           FROM g)
+         SELECT dow, hod, n_events,
+                CAST(n_events AS DOUBLE) / CAST(dow_total AS DOUBLE) AS share_of_dow
+         FROM w ORDER BY dow, hod""",
+    // e27: e13's session/sweep CTEs; the peak row via row_number over
+    // the identical (cur DESC, us ASC) order — max((cur, −us))'s tie
+    // rule spelled out.
+    "e27_peak_position" ->
+      """WITH x AS (
+           SELECT user_id, ts, event_id, epoch_us(ts) AS us,
+                  lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+           FROM events),
+         y AS (
+           SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 ELSE 0 END AS new_s
+           FROM x),
+         z AS (
+           SELECT *, CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+           FROM y),
+         sess AS (
+           SELECT date_trunc('day', min(ts)) AS day, min(us) AS a_us, max(us) AS b_us
+           FROM z GROUP BY user_id, sid),
+         b AS (
+           SELECT day, a_us AS us, 1 AS delta FROM sess
+           UNION ALL
+           SELECT day, b_us AS us, -1 AS delta FROM sess),
+         r AS (
+           SELECT day, us, CAST(sum(delta) OVER (PARTITION BY day ORDER BY us, delta DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cur
+           FROM b),
+         rk AS (
+           SELECT day, us, cur,
+                  row_number() OVER (PARTITION BY day ORDER BY cur DESC, us ASC) AS rn
+           FROM r)
+         SELECT day, cur AS peak_concurrent, CAST(us AS BIGINT) AS peak_us
+         FROM rk WHERE rn = 1 ORDER BY day""",
     // e26: the same session CTE chain as e13, rolled to daily bounce
     // counts; integers + one divide.
     "e26_bounce_rate" ->

@@ -95,6 +95,32 @@ object GraftExtensions extends SparkSessionExtensionsProvider {
           intArg("qdigest_quantiles", 3, args(3)))
       }))
     ext.injectFunction((
+      FunctionIdentifier("qdigest_state"),
+      new ExpressionInfo(classOf[QDigestStateAgg].getName, "qdigest_state"),
+      (args: Seq[Expression]) =>
+        QDigestStateAgg(args(0), intArg("qdigest_state", 1, args(1)),
+          intArg("qdigest_state", 2, args(2)))))
+    ext.injectFunction((
+      FunctionIdentifier("qdigest_merge_quantiles"),
+      new ExpressionInfo(classOf[QDigestMergeAgg].getName, "qdigest_merge_quantiles"),
+      (args: Seq[Expression]) => {
+        val qs = args(1) match {
+          case Literal(s: org.apache.spark.unsafe.types.UTF8String, StringType) =>
+            s.toString.split(",").toSeq.map(_.trim.toDouble)
+          case other => throw new IllegalArgumentException(
+            "qdigest_merge_quantiles: argument 2 must be a comma-separated " +
+              s"string literal of quantiles, got $other")
+        }
+        QDigestMergeAgg(args(0), qs,
+          intArg("qdigest_merge_quantiles", 2, args(2)),
+          intArg("qdigest_merge_quantiles", 3, args(3)))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("adaptive_histogram"),
+      new ExpressionInfo(classOf[HistogramAgg].getName, "adaptive_histogram"),
+      (args: Seq[Expression]) =>
+        HistogramAgg(args(0), intArg("adaptive_histogram", 1, args(1)))))
+    ext.injectFunction((
       FunctionIdentifier("bloom_contains"),
       new ExpressionInfo(classOf[BloomContains].getName, "bloom_contains"),
       (args: Seq[Expression]) => BloomContains(args(0), args(1))))
@@ -125,4 +151,10 @@ object GraftFunctions {
     call_function("bloom_contains", filter, x)
   def qdigestQuantiles(x: Column, qs: Seq[Double], bits: Int, k: Int): Column =
     call_function("qdigest_quantiles", x, lit(qs.mkString(",")), lit(bits), lit(k))
+  def adaptiveHistogram(x: Column, bins: Int): Column =
+    call_function("adaptive_histogram", x, lit(bins))
+  def qdigestState(x: Column, bits: Int, k: Int): Column =
+    call_function("qdigest_state", x, lit(bits), lit(k))
+  def qdigestMergeQuantiles(st: Column, qs: Seq[Double], bits: Int, k: Int): Column =
+    call_function("qdigest_merge_quantiles", st, lit(qs.mkString(",")), lit(bits), lit(k))
 }

@@ -212,3 +212,100 @@ case class QDigestAgg(
   override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): QDigestAgg =
     copy(child = newChildren.head)
 }
+
+/** The AggregatingMergeTree half of the q-digest: `qdigest_state`
+  * reduces a group to the SERIALIZED digest bytes — the partial-
+  * aggregate state ClickHouse persists in AggregateFunction columns —
+  * so a rollup table can store per-(key, day) digests and any later
+  * query merges them with [[QDigestMergeAgg]] instead of rescanning
+  * the fact table. The bytes are a valid [[QDigestAgg]] buffer
+  * (same compress/serialize); state stays ≤ 3k nodes.
+  *
+  * This is the incremental-rollup pattern at 100 TB: the daily digest
+  * job touches each fact partition once; every downstream quantile
+  * query (weekly, monthly, all-time, ad-hoc ranges) reads kilobytes
+  * of state per key instead of the raw readings.
+  */
+case class QDigestStateAgg(
+    child: Expression,
+    bits: Int,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[QDigestBuffer] {
+
+  private val inner = QDigestAgg(child, Seq(1.0), bits, k)
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "qdigest_state"
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    inner.checkInputDataTypes()
+
+  override def createAggregationBuffer(): QDigestBuffer = inner.createAggregationBuffer()
+  override def update(buf: QDigestBuffer, input: InternalRow): QDigestBuffer =
+    inner.update(buf, input)
+  override def merge(a: QDigestBuffer, b: QDigestBuffer): QDigestBuffer =
+    inner.merge(a, b)
+  override def eval(buf: QDigestBuffer): Any = inner.serialize(buf)
+  override def serialize(buf: QDigestBuffer): Array[Byte] = inner.serialize(buf)
+  override def deserialize(bytes: Array[Byte]): QDigestBuffer = inner.deserialize(bytes)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): QDigestStateAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): QDigestStateAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): QDigestStateAgg =
+    copy(child = newChildren.head)
+}
+
+/** Merge side of the AggregatingMergeTree pattern: aggregates BINARY
+  * [[QDigestStateAgg]] states (merging node maps, same compression
+  * invariant) and evals the requested quantiles — ClickHouse's
+  * `quantileTDigestMerge` shape. Merging serialized states is
+  * associative and commutative, so the rollup can be re-aggregated at
+  * any grain, in any order, on any partitioning. */
+case class QDigestMergeAgg(
+    child: Expression,
+    quantiles: Seq[Double],
+    bits: Int,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[QDigestBuffer] {
+
+  private val inner = QDigestAgg(child, quantiles, bits, k)
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "qdigest_merge_quantiles"
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult = child.dataType match {
+    case BinaryType =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+      .TypeCheckFailure(s"$prettyName expects qdigest_state bytes, got ${t.sql}")
+  }
+
+  override def createAggregationBuffer(): QDigestBuffer = inner.createAggregationBuffer()
+  override def update(buf: QDigestBuffer, input: InternalRow): QDigestBuffer = {
+    val v = child.eval(input)
+    if (v != null) inner.merge(buf, inner.deserialize(v.asInstanceOf[Array[Byte]]))
+    else buf
+  }
+  override def merge(a: QDigestBuffer, b: QDigestBuffer): QDigestBuffer =
+    inner.merge(a, b)
+  override def eval(buf: QDigestBuffer): Any = inner.eval(buf)
+  override def serialize(buf: QDigestBuffer): Array[Byte] = inner.serialize(buf)
+  override def deserialize(bytes: Array[Byte]): QDigestBuffer = inner.deserialize(bytes)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): QDigestMergeAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): QDigestMergeAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): QDigestMergeAgg =
+    copy(child = newChildren.head)
+}

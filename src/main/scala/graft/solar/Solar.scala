@@ -1597,7 +1597,127 @@ object Solar {
       .orderBy($"inverter")
   }
 
+  // ---------------------------------------------------------------------
+  // s45: ClickHouse `quantileTiming` — the DETERMINISTIC fixed-
+  // resolution quantile CH ships for latency/duration columns (unlike
+  // the randomized sketches, its answer is merge-order independent,
+  // which is why CH recommends it for dashboards): values keep full
+  // precision below 1024 ms, coarsen to 64 ms resolution up to
+  // 65535 ms, and overflow into one terminal bucket — so the bucket
+  // space is FIXED (≤ 2048 ids) and per-group state is bounded by the
+  // resolution grid, not the data. Applied to poll-gap milliseconds
+  // per inverter (s8's gap family: the "how stale are my readings"
+  // distribution). All-integer rule end to end: bucket id map-side,
+  // counts combine-enabled, cumulative window over the grid-bounded
+  // rows, p50/p95 by the exact crossing rules cum·2 ≥ n and
+  // cum·20 ≥ 19·n (s23/s34 discipline) — zero IEEE ops anywhere.
+  // ---------------------------------------------------------------------
+  def s45QuantileTiming(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val wOrd = Window.partitionBy($"inverter").orderBy($"ts", $"event_id")
+    val wCum = Window.partitionBy($"inverter").orderBy($"b")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy($"inverter")
+    feed(s, d)
+      .select($"inverter", $"ts", $"event_id", unix_micros($"ts").as("us"))
+      .withColumn("prev", lag($"us", 1).over(wOrd))
+      .filter($"prev".isNotNull)
+      .select($"inverter", expr("(us - prev) div 1000").as("ms"))
+      .withColumn("b",
+        when($"ms" < 1024L, $"ms")
+          .when($"ms" <= 65535L, expr("(ms div 64) * 64"))
+          .otherwise(lit(65536L)))
+      .groupBy($"inverter", $"b")
+      .agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum($"c").over(wCum))
+      .withColumn("n", sum($"c").over(wAll))
+      .groupBy($"inverter")
+      .agg(
+        max($"n").as("n_gaps"),
+        min(when($"cum" * 2 >= $"n", $"b")).as("p50_ms"),
+        min(when($"cum" * 20 >= $"n" * 19, $"b")).as("p95_ms"))
+      .orderBy($"inverter")
+  }
+
+  // ---------------------------------------------------------------------
+  // s46: ClickHouse `histogram(N)` — the ADAPTIVE histogram (bins
+  // follow the data; e3 is the fixed-width form) via the
+  // [[graft.functions.HistogramAgg]] mergeable summary: per-inverter
+  // wattage profile in ≤ 8 bins. Per-group state is ≤ 2N (center,
+  // count) pairs between compactions — fixed bytes on the shuffle at
+  // any corpus size, map-side partials like every aggregate in the
+  // sketch family. Graded rows-only (bin placement is merge-topology-
+  // dependent, the t13/s15/s40 precedent); the invariants — exact
+  // count conservation, ≤ N sorted bins inside the data hull, first
+  // moment preserved — are pinned by HistogramSpec's forced-merge
+  // adversarial cases.
+  // ---------------------------------------------------------------------
+  val HistBins = 8
+
+  def s46Histogram(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.GraftFunctions.adaptiveHistogram
+    feed(s, d)
+      .filter($"event_type" === "view")
+      .select($"inverter", $"value".cast("double").as("w"))
+      .groupBy($"inverter")
+      .agg(count(lit(1)).as("n_readings"),
+        adaptiveHistogram($"w", HistBins).as("bins"))
+      .select($"inverter", $"n_readings",
+        posexplode($"bins").as(Seq("bin_idx", "bin")))
+      .select($"inverter", $"n_readings", $"bin_idx",
+        $"bin.center".as("center"), $"bin.cnt".as("cnt"))
+      .orderBy($"inverter", $"bin_idx")
+  }
+
+  // ---------------------------------------------------------------------
+  // s47: INCREMENTAL QUANTILE ROLLUP — ClickHouse's AggregatingMergeTree
+  // materialized-view pattern (`AggregateFunction(quantileTDigest, …)`
+  // columns + `quantileTDigestMerge` reads): the fact table reduces
+  // ONCE to per-(inverter, day) serialized q-digest states
+  // (qdigest_state — the bytes an AggregateFunction column persists),
+  // and the all-time quantile query aggregates THOSE states
+  // (qdigest_merge_quantiles) instead of rescanning readings. At
+  // 100 TB this is the nightly-rollup architecture: daily job touches
+  // each fact partition once; every later quantile query (any date
+  // range, any grain) merges kilobytes of state per key. State merge
+  // is associative/commutative/partitioning-independent (spec). The
+  // GRADED config uses k = 2^20 ≥ any per-inverter cardinality here,
+  // where the digest provably stores exact leaves (no compression
+  // fires) — so the oracle is the exact rank-ceil(q·n) order
+  // statistic (st9's w≥cardinality discipline); production k=256
+  // inherits QDigestSpec's (B/k)·n bound with the identical plan.
+  // ---------------------------------------------------------------------
+  val RollupBits = 17
+  val RollupK = 1 << 20
+  val RollupLevels = Seq(0.5, 0.9)
+
+  def s47IncrementalQuantiles(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.GraftFunctions.{qdigestState, qdigestMergeQuantiles}
+    val daily = feed(s, d)
+      .filter($"event_type" === "view")
+      .select($"inverter", date_trunc("day", $"ts").as("day"),
+        (dec($"value") * 100).cast("long").as("cents"))
+      .groupBy($"inverter", $"day")
+      .agg(count(lit(1)).as("n"),
+        qdigestState($"cents", RollupBits, RollupK).as("st"))
+    daily
+      .groupBy($"inverter")
+      .agg(
+        count(lit(1)).as("n_days"),
+        sum($"n").as("n_readings"),
+        qdigestMergeQuantiles($"st", RollupLevels, RollupBits, RollupK).as("qs"))
+      .select($"inverter", $"n_days", $"n_readings",
+        ($"qs" (0).cast("double") / 100.0).as("p50_watts"),
+        ($"qs" (1).cast("double") / 100.0).as("p90_watts"))
+      .orderBy($"inverter")
+  }
+
   val queries: Map[String, Q] = Map(
+    "s47_incremental_quantiles" -> (s47IncrementalQuantiles _),
+    "s46_histogram" -> (s46Histogram _),
+    "s45_quantile_timing" -> (s45QuantileTiming _),
     "s44_sparkbar" -> (s44Sparkbar _),
     "s43_student_ttest" -> (s43StudentTtest _),
     "s42_degradation" -> (s42Degradation _),
@@ -1672,6 +1792,52 @@ object Solar {
   // DuckDB oracles — each mirrors the Spark arithmetic exactly
   // (decimal sums, integer microseconds, double division).
   val oracles: Map[String, String] = Map(
+    // s47: k ≥ per-inverter cardinality ⇒ the merged digest stores
+    // exact leaves and its eval IS the rank-ceil(q·n) order statistic
+    // (st9's discipline); ceil is the same IEEE multiply+ceil.
+    "s47_incremental_quantiles" ->
+      """WITH b AS (
+           SELECT user_id AS inverter, date_trunc('day', ts) AS day,
+                  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+           FROM events WHERE event_type = 'view'),
+         g AS (
+           SELECT inverter, CAST(count(DISTINCT day) AS BIGINT) AS n_days,
+                  CAST(count(*) AS BIGINT) AS n_readings,
+                  list(c ORDER BY c) AS xs
+           FROM b GROUP BY 1)
+         SELECT inverter, n_days, n_readings,
+                CAST(xs[CAST(greatest(ceil(0.5 * n_readings), 1) AS INT)] AS DOUBLE) / 100.0 AS p50_watts,
+                CAST(xs[CAST(greatest(ceil(0.9 * n_readings), 1) AS INT)] AS DOUBLE) / 100.0 AS p90_watts
+         FROM g ORDER BY inverter""",
+    // s45: same integer gap/bucket/crossing rules — no IEEE op exists
+    // in either engine's plan. (s46 is rows-only: adaptive bins are
+    // merge-topology-dependent; HistogramSpec pins the invariants.)
+    "s45_quantile_timing" ->
+      """WITH p AS (
+           SELECT user_id AS inverter, epoch_us(ts) AS us,
+                  lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id) AS prev
+           FROM events),
+         g AS (
+           SELECT inverter, (us - prev) // 1000 AS ms
+           FROM p WHERE prev IS NOT NULL),
+         bk AS (
+           SELECT inverter,
+                  CASE WHEN ms < 1024 THEN ms
+                       WHEN ms <= 65535 THEN (ms // 64) * 64
+                       ELSE 65536 END AS b
+           FROM g),
+         c AS (SELECT inverter, b, count(*) AS c FROM bk GROUP BY 1, 2),
+         w AS (
+           SELECT inverter, b, c,
+                  sum(c) OVER (PARTITION BY inverter ORDER BY b
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                  sum(c) OVER (PARTITION BY inverter) AS n
+           FROM c)
+         SELECT inverter, CAST(max(n) AS BIGINT) AS n_gaps,
+                CAST(min(CASE WHEN cum * 2 >= n THEN b END) AS BIGINT) AS p50_ms,
+                CAST(min(CASE WHEN cum * 20 >= n * 19 THEN b END) AS BIGINT) AS p95_ms
+         FROM w GROUP BY 1 ORDER BY inverter""",
     // s43: s29's power-sum skeleton with the pooled (Student) standard
     // error and integer df; every IEEE op mirrored op-for-op.
     "s43_student_ttest" ->

@@ -126,6 +126,39 @@ object Text {
       .orderBy($"lang", $"source")
   }
 
+  // ---------------------------------------------------------------------
+  // t27: N-GRAM NOVELTY — per document, the fraction of its distinct
+  // word-5-grams appearing for the FIRST time in doc_id order (the
+  // "is the crawl still adding new content" curve data teams plot as
+  // a corpus grows; a collapsing novelty tail means the next TB buys
+  // nothing). Grams are 60-bit md5 hashes (d6/d11 discipline — no raw
+  // text past the scan); first-seen = one combine-enabled min per
+  // gram; the join back to per-doc grams rides the SAME gh
+  // partitioning the aggregate produced (exchange reuse, t8's
+  // distinct-reduce shape), then one (doc) rollup + one divide.
+  // ---------------------------------------------------------------------
+  val NoveltyN = 5
+
+  def t27Novelty(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val grams = Tables.documents(s, d)
+      .select($"doc_id", toks(lower($"text")).as("t"))
+      .filter(size($"t") >= NoveltyN)
+      .select($"doc_id", explode(array_distinct(
+        transform(sequence(lit(1), size($"t") - (NoveltyN - 1)),
+          i => conv(substring(md5(concat_ws(" ", slice($"t", i, lit(NoveltyN)))), 1, 15), 16, 10)
+            .cast("long")))).as("gh"))
+    val first = grams.groupBy($"gh").agg(min($"doc_id").as("first_doc"))
+    grams.join(first, "gh")
+      .groupBy($"doc_id")
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum(when($"first_doc" === $"doc_id", 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty",
+        $"n_novel".cast("double") / $"n_grams".cast("double"))
+      .orderBy($"doc_id")
+  }
+
   def t1Tokens(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     Tables.documents(s, d)
@@ -1126,6 +1159,7 @@ object Text {
     "t12_repetition_family" -> (t12RepetitionFamily _),
     "t10_seq_pack" -> (t10SeqPack _),
     "t11_bm25" -> (t11Bm25 _),
+    "t27_novelty" -> (t27Novelty _),
     "t25_mix_report" -> (t25MixReport _),
     "t1_tokens" -> (t1Tokens _),
     "t16_token_budget" -> (t16TokenBudget _),
@@ -1565,6 +1599,24 @@ object Text {
                 CAST(sum(CASE WHEN cum_tok <= $TokenBudget THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
                 CAST(sum(CASE WHEN cum_tok <= $TokenBudget THEN n_tok ELSE 0 END) AS BIGINT) AS tokens_kept
          FROM c GROUP BY 1 ORDER BY 1""",
+    // t27: same 60-bit gram hashes (d11's formula), same min-doc
+    // first-seen rule, integer counts + one divide.
+    "t27_novelty" ->
+      s"""WITH tok AS (
+           SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS t
+           FROM documents),
+         g AS (
+           SELECT doc_id,
+                  unnest(list_distinct(list_transform(range(1, len(t) - ${NoveltyN - 2}), i ->
+                    CAST('0x' || substr(md5(array_to_string(t[i:i+${NoveltyN - 1}], ' ')), 1, 15) AS BIGINT)))) AS gh
+           FROM tok WHERE len(t) >= $NoveltyN),
+         f AS (SELECT gh, min(doc_id) AS first_doc FROM g GROUP BY 1)
+         SELECT g.doc_id,
+                CAST(count(*) AS BIGINT) AS n_grams,
+                CAST(sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+                CAST(sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END) AS DOUBLE) /
+                  CAST(count(*) AS DOUBLE) AS novelty
+         FROM g JOIN f USING (gh) GROUP BY 1 ORDER BY doc_id""",
     // t25: same token counts, same integer sums, one divide per ratio.
     "t25_mix_report" ->
       """WITH b AS (

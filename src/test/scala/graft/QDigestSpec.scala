@@ -78,6 +78,42 @@ class QDigestSpec extends AnyFunSuite {
     assert(ests.forall(e => e >= 0L && e < (1L << Bits)))
   }
 
+  test("qdigest state/merge: chunked states re-aggregate to the direct answer (s47's pattern)") {
+    // The AggregatingMergeTree contract: build per-chunk SERIALIZED
+    // states, merge them with qdigest_merge_quantiles, and (a) at
+    // k ≥ n — the graded s47 config, where no compression ever fires —
+    // the merged answer must equal BOTH the direct single-pass digest
+    // AND the exact rank-ceil(q·n) order statistic, for any chunking;
+    // (b) at production k the merged answer stays inside the (B/k)·n
+    // rank bound.
+    import functions.GraftFunctions.{qdigestState, qdigestMergeQuantiles}
+    val rng = new scala.util.Random(11)
+    val values = Seq.fill(6000)(rng.nextInt(1 << Bits).toLong)
+    val sorted = values.sorted.toArray
+    val n = values.size.toLong
+    def merged(k: Int, chunks: Int): Seq[Long] =
+      spark.createDataset(values.zipWithIndex).toDF("v", "i")
+        .withColumn("chunk", col("i") % chunks)
+        .groupBy(col("chunk"))
+        .agg(qdigestState(col("v"), Bits, k).as("st"))
+        .agg(qdigestMergeQuantiles(col("st"), Qs, Bits, k).as("qs"))
+        .select(explode(col("qs")).as("e")).as[Long].collect().toSeq
+    // (a) exactness at k ≥ n, invariant to the chunking
+    val exact = Qs.map(q => sorted((math.ceil(q * n).toLong max 1L).toInt - 1))
+    for (chunks <- Seq(1, 4, 23)) {
+      assert(merged(1 << 20, chunks) == exact,
+        s"k>=n chunks=$chunks: merged digest must be the exact order statistic")
+    }
+    // (b) bound at production k, merging 23 chunked states
+    val bound = Bits.toLong * n / K + 1
+    Qs.zip(merged(K, 23)).foreach { case (q, est) =>
+      val target = math.ceil(q * n).toLong
+      val r = rankOf(sorted, est)
+      assert(r >= target - bound && r <= target + bound,
+        s"production-k merge q=$q: rank $r outside target $target ± $bound")
+    }
+  }
+
   test("s40 query: per-inverter estimates respect the bound vs exact cents") {
     val s = spark
     val df = solar.Solar.s40QdigestQuantiles(s, SfDir).collect()
