@@ -772,6 +772,56 @@ object Events {
   }
 
   // ---------------------------------------------------------------------
+  // e29: ClickHouse `windowFunnel(w, 'strict_dedup')` — the FOURTH and
+  // final funnel mode (plain e1/e6, strict_order e18, strict_increase
+  // e21): non-matching events are skipped (unlike strict_order), but a
+  // REPEAT of an already-matched condition interrupts the search at
+  // the level reached (the CH docs' dedup rule — a second view while
+  // hunting for the click means the chain is ambiguous, stop). An
+  // out-of-window next-stage event likewise ends the search at the
+  // level reached (e18's conservative rule, documented). Same 8-byte
+  // packed fold as e18: one codegen'd higher-order aggregate, one
+  // user_id exchange, no window, no join; packed-value sort makes tie
+  // order identical in both engines.
+  // ---------------------------------------------------------------------
+  def e29FunnelDedup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val tc = when($"event_type" === "view", 1L)
+      .when($"event_type" === "click", 2L)
+      .when($"event_type" === "purchase", 3L)
+      .otherwise(0L)
+    val packed = sort_array(collect_list(unix_micros($"ts") * 8 + tc))
+    val fold = aggregate(packed, lit(0L), (acc, x) => {
+      val done = acc.bitwiseAND(lit(1L))
+      val level = shiftright(acc, 1).bitwiseAND(lit(3L))
+      val start = shiftright(acc, 3)
+      val us = shiftright(x, 3)
+      val xtc = x.bitwiseAND(lit(7L))
+      when(done === 1L, acc)
+        .when(level === 0L,
+          when(xtc === 1L, shiftleft(us, 3) + 2L).otherwise(acc))
+        .when(level === 1L,
+          when(xtc === 2L,
+            when(us - start <= FunnelWindowUs, acc + 2L).otherwise(acc + 1L))
+            .when(xtc === 1L, acc + 1L) // dedup: repeated matched stage
+            .otherwise(acc))            // non-matching events skip
+        .otherwise(
+          when(xtc === 3L,
+            when(us - start <= FunnelWindowUs, acc + 3L).otherwise(acc + 1L))
+            .when(xtc === 1L || xtc === 2L, acc + 1L)
+            .otherwise(acc))
+    })
+    Tables.events(s, d)
+      .select($"user_id", $"ts", $"event_type")
+      .groupBy($"user_id")
+      .agg(fold.as("acc"))
+      .select(shiftright($"acc", 1).bitwiseAND(lit(3L)).as("funnel_level"))
+      .groupBy($"funnel_level")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy($"funnel_level")
+  }
+
+  // ---------------------------------------------------------------------
   // e19: ClickHouse `intervalLengthSum` — total length of the UNION of
   // overlapping intervals per user (each event projects a 30-min
   // activity interval; overlapping readings must not double-count, the
@@ -1009,6 +1059,7 @@ object Events {
     "e21_funnel_inc" -> (e21FunnelInc _),
     "e20_next_node" -> (e20NextNode _),
     "e19_interval_sum" -> (e19IntervalSum _),
+    "e29_funnel_dedup" -> (e29FunnelDedup _),
     "e18_funnel_strict" -> (e18FunnelStrict _),
     "e17_retention" -> (e17Retention _),
     "e16_next_event" -> (e16NextEvent _),
@@ -1200,6 +1251,40 @@ object Events {
          FROM segs GROUP BY 1 ORDER BY 1""",
     // e18: identical bit-packed fold (list_reduce with a prepended
     // zero accumulator, e12's pattern); same packed sort key.
+    // e29: the identical packed fold with the dedup transitions —
+    // repeats of matched stages end the search, non-matches skip.
+    "e29_funnel_dedup" ->
+      """WITH o AS (
+           SELECT user_id,
+                  epoch_us(ts) * 8 + (CASE WHEN event_type = 'view' THEN 1
+                                           WHEN event_type = 'click' THEN 2
+                                           WHEN event_type = 'purchase' THEN 3
+                                           ELSE 0 END) AS p
+           FROM events),
+         f AS (
+           SELECT user_id,
+                  list_reduce(list_prepend(CAST(0 AS BIGINT), list(p ORDER BY p)),
+                    (acc, x) -> CASE
+                      WHEN (acc & 1) = 1 THEN acc
+                      WHEN ((acc >> 1) & 3) = 0 THEN
+                        CASE WHEN (x & 7) = 1 THEN ((x >> 3) << 3) + 2 ELSE acc END
+                      WHEN ((acc >> 1) & 3) = 1 THEN
+                        CASE WHEN (x & 7) = 2 THEN
+                               CASE WHEN (x >> 3) - (acc >> 3) <= 21600000000
+                                    THEN acc + 2 ELSE acc + 1 END
+                             WHEN (x & 7) = 1 THEN acc + 1
+                             ELSE acc END
+                      ELSE
+                        CASE WHEN (x & 7) = 3 THEN
+                               CASE WHEN (x >> 3) - (acc >> 3) <= 21600000000
+                                    THEN acc + 3 ELSE acc + 1 END
+                             WHEN (x & 7) = 1 OR (x & 7) = 2 THEN acc + 1
+                             ELSE acc END
+                    END) AS acc
+           FROM o GROUP BY 1)
+         SELECT CAST((acc >> 1) & 3 AS BIGINT) AS funnel_level,
+                count(*) AS n_users
+         FROM f GROUP BY 1 ORDER BY 1""",
     "e18_funnel_strict" ->
       """WITH o AS (
            SELECT user_id,

@@ -302,6 +302,60 @@ object Multimodal {
   }
 
   // ---------------------------------------------------------------------
+  // m13: CLIP-SCORE FILTER — the gate LAION was BUILT with (keep an
+  // (image, alt-text) pair iff the CLIP cosine of the image embedding
+  // and its own caption's text embedding clears a threshold; LAION-400M
+  // used 0.3): each doc's blob runs the stub vision tower at the
+  // decode seam (m6's feature — one function body swaps in the real
+  // tower), its PAIRED caption is the content-addressed doc_id mod
+  // |captions| row of the embedding table, and the per-source report
+  // gives pairs / kept / keep rate / cosine hull + 1e-6-quantized
+  // exact mean (v16's order-independent discipline). τ = 0.10 is
+  // corpus-calibrated (d5 precedent: the md5-derived features give
+  // cosines in ≈[−0.28, 0.33], so 0.10 genuinely discriminates).
+  // Shape: blobs never shuffle; the 1-row count and the caption index
+  // broadcast (production swaps the BNL for v3/v6 exactly as m6
+  // documents); one combine-enabled (source) rollup.
+  // ---------------------------------------------------------------------
+  val ClipTau = 0.10
+
+  def m13ClipFilter(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.GraftFunctions.cosineSim
+    val feats = Tables.documents(s, d)
+      .select($"doc_id", $"source", unhex(md5($"text")).as("blob"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, src, blob) =>
+          val px = FakeCodec.pixels(blob)
+          val f = Array.tabulate(FeatDims)(i => px(i % px.length).toFloat)
+          (id, src, f)
+        }
+      }
+      .toDF("doc_id", "source", "feature")
+    val caps = Tables.embeddings(s, d).select($"vec_id", $"embedding")
+    val nv = caps.agg(count(lit(1)).as("n_vec"))
+    feats.crossJoin(broadcast(nv))
+      .select($"doc_id", $"source", $"feature",
+        pmod($"doc_id", $"n_vec").as("cap_id"))
+      .join(broadcast(caps), $"cap_id" === $"vec_id")
+      .select($"source", cosineSim($"feature", $"embedding").as("cos"))
+      .groupBy($"source")
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        sum(when($"cos" >= ClipTau, 1L).otherwise(0L)).as("n_kept"),
+        min($"cos").as("min_cos"),
+        max($"cos").as("max_cos"),
+        sum(floor($"cos" * lit(1000000.0)).cast("long")).as("q_sum"))
+      .select($"source", $"n_pairs", $"n_kept",
+        ($"n_kept".cast("double") / $"n_pairs".cast("double")).as("keep_rate"),
+        $"min_cos", $"max_cos",
+        ($"q_sum".cast("double") / $"n_pairs".cast("double") / lit(1000000.0))
+          .as("mean_cos_q"))
+      .orderBy($"source")
+  }
+
+  // ---------------------------------------------------------------------
   // m7: PERCEPTUAL-HASH IMAGE DEDUP — the image-side counterpart of
   // the d-family (near-duplicate images survive re-encoding, so
   // training pipelines dedup on a perceptual hash, not the file
@@ -539,6 +593,7 @@ object Multimodal {
     "m11_epoch_shuffle" -> (m11EpochShuffle _),
     "m10_tar_index" -> (m10TarIndex _),
     "m9_shard_pack" -> (m9ShardPack _),
+    "m13_clip_filter" -> (m13ClipFilter _),
     "m12_dataset_card" -> (m12DatasetCard _),
     "m8_modality_report" -> (m8ModalityReport _),
     "m7_phash_dedup" -> (m7PhashDedup _),
@@ -673,6 +728,38 @@ object Multimodal {
     // m6: feature rebuilt from the md5 hex (byteAt), cosine replayed
     // index-ordered exactly like the Sim oracles, arg-max via
     // row_number with the same (cos DESC, vec_id) tie rule.
+    // m13: m6's feature rebuild + the same index-ordered cosine, the
+    // content-addressed mod pairing, v16's quantized exact mean.
+    "m13_clip_filter" -> {
+      val fb = (0 until 16).map(byteAt).mkString("[", ", ", "]")
+      def fAt = "fb[(i - 1) % 16 + 1]"
+      val dotFe =
+        s"list_sum(list_transform(range(1, 65), i -> CAST($fAt AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))"
+      val dotFf =
+        s"list_sum(list_transform(range(1, 65), i -> CAST($fAt AS DOUBLE) * CAST($fAt AS DOUBLE)))"
+      val dotEe =
+        s"list_sum(list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))"
+      s"""WITH b AS (SELECT doc_id, source, md5(text) AS h FROM documents),
+          f AS (SELECT doc_id, source, $fb AS fb FROM b),
+          nv AS (SELECT count(*) AS n_vec FROM embeddings),
+          p AS (SELECT doc_id, source, fb, doc_id % n_vec AS cap_id
+                FROM f CROSS JOIN nv),
+          sc AS (
+            SELECT source, $dotFe / (sqrt($dotFf) * sqrt($dotEe)) AS cos
+            FROM p JOIN embeddings ON cap_id = vec_id),
+          g AS (
+            SELECT source, CAST(count(*) AS BIGINT) AS n_pairs,
+                   CAST(sum(CASE WHEN cos >= $ClipTau THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+                   min(cos) AS min_cos, max(cos) AS max_cos,
+                   CAST(sum(CAST(floor(cos * 1000000.0) AS BIGINT)) AS BIGINT) AS q_sum
+            FROM sc GROUP BY 1)
+          SELECT source, n_pairs, n_kept,
+                 CAST(n_kept AS DOUBLE) / CAST(n_pairs AS DOUBLE) AS keep_rate,
+                 min_cos, max_cos,
+                 CAST(q_sum AS DOUBLE) / CAST(n_pairs AS DOUBLE) / 1000000.0
+                   AS mean_cos_q
+          FROM g ORDER BY source"""
+    },
     "m6_caption_retrieval" -> {
       val fb = (0 until 16).map(byteAt).mkString("[", ", ", "]")
       def fAt = "fb[(i - 1) % 16 + 1]"

@@ -944,6 +944,44 @@ object Relational {
   }
 
   // ---------------------------------------------------------------------
+  // q39: SHIP-DELAY PRIORITY REPORT — the TPC-H q12 question this
+  // lineitem can answer (no l_shipmode/l_commitdate columns exist —
+  // SURVEY §8): per 30-day ship-delay bucket, how many line items
+  // belong to critical-priority orders (1-URGENT/2-HIGH — q12's exact
+  // CASE split) vs the rest, and the critical share. Day delay is
+  // exact integer µs arithmetic on date-truncated stamps (both
+  // engines truncate integer division toward zero — verified — and
+  // the same rule buckets by 30 days, clamped to ±12 buckets so the
+  // report is bounded). One fact-sized join (orders side unhinted —
+  // scale-proportional, AQE decides), one combine-enabled groupBy to
+  // the ≤25 bucket rows, one divide per bucket.
+  // ---------------------------------------------------------------------
+  def q39ShipDelay(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val o = Tables.orders(s, d)
+      .select($"o_orderkey", $"o_orderpriority", $"o_orderdate")
+    Tables.lineitem(s, d).select($"l_orderkey", $"l_shipdate")
+      .join(o, $"l_orderkey" === $"o_orderkey")
+      .select(
+        expr("(unix_micros(date_trunc('DAY', l_shipdate)) - " +
+          "unix_micros(date_trunc('DAY', o_orderdate))) div 86400000000")
+          .as("delay_days"),
+        ($"o_orderpriority" === "1-URGENT" ||
+          $"o_orderpriority" === "2-HIGH").as("hi"))
+      .withColumn("bucket",
+        greatest(least(expr("delay_days div 30"), lit(12L)), lit(-12L)))
+      .groupBy($"bucket")
+      .agg(
+        sum(when($"hi", 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(!$"hi", 1L).otherwise(0L)).as("low_line_count"))
+      .select($"bucket", $"high_line_count", $"low_line_count",
+        ($"high_line_count".cast("double") /
+          ($"high_line_count" + $"low_line_count").cast("double"))
+          .as("high_share"))
+      .orderBy($"bucket")
+  }
+
+  // ---------------------------------------------------------------------
   // q36: PERCENT-OF-PARENT hierarchy report — the drill-down ratio
   // every BI rollup shows (nation share of region, region share of
   // total, explicit level column). Built from ONE exact-cents base
@@ -1026,6 +1064,7 @@ object Relational {
   }
 
   val queries: Map[String, Q] = Map(
+    "q39_ship_delay" -> (q39ShipDelay _),
     "q38_contingency" -> (q38Contingency _),
     "q37_new_vs_returning" -> (q37NewVsReturning _),
     "q36_percent_of_parent" -> (q36PercentOfParent _),
@@ -1203,6 +1242,26 @@ object Relational {
          FROM a WHERE n1 > 0 AND n2 > 0 ORDER BY segment""",
     // q35: q28's exact χ² fold on the (seg, pri)-sorted cell list,
     // then the Bergsma correction as the same fixed double tree.
+    // q39: same exact µs day-delay, same truncating division and
+    // clamp, same priority split; integers + one divide.
+    "q39_ship_delay" ->
+      """WITH j AS (
+           SELECT (epoch_us(date_trunc('day', l_shipdate)) -
+                   epoch_us(date_trunc('day', o_orderdate))) // 86400000000 AS delay_days,
+                  o_orderpriority IN ('1-URGENT', '2-HIGH') AS hi
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         b AS (
+           SELECT greatest(least(delay_days // 30, 12), -12) AS bucket, hi
+           FROM j),
+         g AS (
+           SELECT bucket,
+                  CAST(sum(CASE WHEN hi THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+                  CAST(sum(CASE WHEN hi THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+           FROM b GROUP BY 1)
+         SELECT bucket, high_line_count, low_line_count,
+                CAST(high_line_count AS DOUBLE) /
+                  CAST(high_line_count + low_line_count AS DOUBLE) AS high_share
+         FROM g ORDER BY bucket""",
     // q38: q35's exact-χ² skeleton on (segment, status); the
     // coefficient is one more divide + sqrt on the same fold.
     "q38_contingency" ->

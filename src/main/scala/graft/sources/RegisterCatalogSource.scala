@@ -7,8 +7,8 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -27,9 +27,21 @@ import org.apache.spark.unsafe.types.UTF8String
   * `spark.read.format("register-catalog").load(path)` yields the
   * typed catalog dimension that drives decode joins (s13). The point
   * is the API surface: a complete minimal DSv2 source (TableProvider →
-  * ScanBuilder → Batch → PartitionReader) with one input partition per
-  * catalog file, so even the config plane goes through the same
-  * declarative reader stack as the data plane.
+  * ScanBuilder → Batch → PartitionReader) with the FULL pushdown
+  * surface a production connector exposes:
+  *
+  *  - `SupportsPushDownRequiredColumns`: the scan materializes only
+  *    the projected columns (a `select(name)` never parses scales);
+  *  - `SupportsPushDownFilters`: comparison/In/StartsWith predicates
+  *    evaluate inside the reader — rows Spark never sees — with the
+  *    standard residual contract (unsupported filters are returned to
+  *    Spark for re-evaluation above the scan, and pushed filters are
+  *    still re-checked by Spark only if the planner keeps them —
+  *    `pushedFilters()` reports what the scan enforces so it doesn't).
+  *
+  * `Scan.description()` surfaces `PushedFilters`/`ReadSchema` exactly
+  * like the parquet scan does, so plan audits can assert pushdown
+  * reached the source (SourcesSpec).
   */
 class RegisterCatalogSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "register-catalog"
@@ -50,6 +62,45 @@ object RegisterCatalogSource {
     StructField("quantity", IntegerType, nullable = false),
     StructField("scale", DoubleType, nullable = false),
     StructField("unit", StringType, nullable = false)))
+
+  /** Which source filters the reader can evaluate natively. Everything
+    * else is a residual Spark re-applies above the scan. */
+  private[sources] def supported(f: Filter): Boolean = f match {
+    case EqualTo(a, _) => Schema.fieldNames.contains(a)
+    case GreaterThan(a, _) => Schema.fieldNames.contains(a)
+    case GreaterThanOrEqual(a, _) => Schema.fieldNames.contains(a)
+    case LessThan(a, _) => Schema.fieldNames.contains(a)
+    case LessThanOrEqual(a, _) => Schema.fieldNames.contains(a)
+    case In(a, _) => Schema.fieldNames.contains(a)
+    case StringStartsWith(a, _) => Schema.fieldNames.contains(a)
+    case IsNotNull(a) => Schema.fieldNames.contains(a) // vacuous: schema is non-null
+    case _ => false
+  }
+
+  /** Evaluate a pushed filter against a parsed record. Numeric
+    * comparisons promote to double (the catalog's two numeric columns
+    * are int and double); strings compare lexicographically. */
+  private[sources] def eval(f: Filter, rec: Map[String, Any]): Boolean = {
+    def cmp(a: Any, b: Any): Int = (a, b) match {
+      case (x: Int, y: Number) => java.lang.Double.compare(x.toDouble, y.doubleValue())
+      case (x: Double, y: Number) => java.lang.Double.compare(x, y.doubleValue())
+      case (x: String, y: String) => x.compareTo(y)
+      case other => throw new IllegalArgumentException(
+        s"register-catalog: cannot compare $other")
+    }
+    f match {
+      case EqualTo(a, v) => cmp(rec(a), v) == 0
+      case GreaterThan(a, v) => cmp(rec(a), v) > 0
+      case GreaterThanOrEqual(a, v) => cmp(rec(a), v) >= 0
+      case LessThan(a, v) => cmp(rec(a), v) < 0
+      case LessThanOrEqual(a, v) => cmp(rec(a), v) <= 0
+      case In(a, vs) => vs.exists(v => cmp(rec(a), v) == 0)
+      case StringStartsWith(a, p) => rec(a).asInstanceOf[String].startsWith(p)
+      case IsNotNull(_) => true
+      case other => throw new IllegalArgumentException(
+        s"register-catalog: unpushable filter $other")
+    }
+  }
 }
 
 private class RegisterCatalogTable(path: String) extends Table with SupportsRead {
@@ -58,20 +109,45 @@ private class RegisterCatalogTable(path: String) extends Table with SupportsRead
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder with Scan with Batch {
-      override def build(): Scan = this
-      override def readSchema(): StructType = RegisterCatalogSource.Schema
-      override def toBatch: Batch = this
-      override def planInputPartitions(): Array[InputPartition] =
-        Array(RegisterFilePartition(path))
-      override def createReaderFactory(): PartitionReaderFactory =
-        new RegisterReaderFactory
-    }
+    new RegisterScanBuilder(path)
+}
+
+private class RegisterScanBuilder(path: String) extends ScanBuilder
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+  private var required: StructType = RegisterCatalogSource.Schema
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (sup, residual) = filters.partition(RegisterCatalogSource.supported)
+    pushed = sup
+    residual
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    // preserve catalog column order; an empty projection (count(*))
+    // legally prunes every column
+    required = StructType(RegisterCatalogSource.Schema.fields
+      .filter(f => requiredSchema.fieldNames.contains(f.name)))
+  override def build(): Scan = new RegisterScan(path, required, pushed)
+}
+
+private class RegisterScan(path: String, required: StructType, pushed: Array[Filter])
+    extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"register-catalog $path, PushedFilters: [${pushed.mkString(", ")}], " +
+      s"ReadSchema: ${required.catalogString}"
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(RegisterFilePartition(path))
+  override def createReaderFactory(): PartitionReaderFactory =
+    new RegisterReaderFactory(required.fieldNames, pushed)
 }
 
 private case class RegisterFilePartition(path: String) extends InputPartition
 
-private class RegisterReaderFactory extends PartitionReaderFactory {
+private class RegisterReaderFactory(columns: Array[String], pushed: Array[Filter])
+    extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val path = partition.asInstanceOf[RegisterFilePartition].path
     new PartitionReader[InternalRow] {
@@ -80,15 +156,26 @@ private class RegisterReaderFactory extends PartitionReaderFactory {
         .map(_.trim)
         .filter(l => l.nonEmpty && !l.startsWith("#"))
       private var row: InternalRow = _
-      override def next(): Boolean =
-        if (!it.hasNext) false
-        else {
+      override def next(): Boolean = {
+        var found = false
+        while (!found && it.hasNext) {
           val f = it.next().split("\\s+")
           require(f.length == 5, s"register-catalog: expected 5 fields, got '${f.mkString(" ")}'")
-          row = InternalRow(UTF8String.fromString(f(0)), f(1).toInt, f(2).toInt,
-            f(3).toDouble, UTF8String.fromString(f(4)))
-          true
+          val rec = Map[String, Any]("name" -> f(0), "address" -> f(1).toInt,
+            "quantity" -> f(2).toInt, "scale" -> f(3).toDouble, "unit" -> f(4))
+          if (pushed.forall(RegisterCatalogSource.eval(_, rec))) {
+            row = InternalRow.fromSeq(columns.toSeq.map {
+              case "name" => UTF8String.fromString(f(0))
+              case "address" => f(1).toInt
+              case "quantity" => f(2).toInt
+              case "scale" => f(3).toDouble
+              case "unit" => UTF8String.fromString(f(4))
+            })
+            found = true
+          }
         }
+        found
+      }
       override def get(): InternalRow = row
       override def close(): Unit = lines.close()
     }

@@ -35,6 +35,48 @@ class SourcesSpec extends AnyFunSuite {
     assert(rows.exists(r => r._1 == "ac_watts" && r._3 == 2 && r._4 == 1.0))
   }
 
+  test("register-catalog pushdown: filters and projection reach the scan; results exact") {
+    val s = spark
+    import s.implicits._
+    val path = writeCatalog()
+    val df = s.read.format("register-catalog").load(path)
+      .filter($"address" >= 110 && $"quantity" === 1)
+      .select($"name", $"address")
+    // the scan's description must report the pushed filters and the
+    // pruned 2-column read schema (the parquet-scan audit contract)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: ["), plan)
+    assert(plan.contains("GreaterThanOrEqual(address,110)"), plan)
+    assert(plan.contains("EqualTo(quantity,1)"), plan)
+    assert(plan.contains("ReadSchema: struct<name:string,address:int>"), plan)
+    // and the rows are exactly the unpushed read's answer
+    assert(df.orderBy($"address").as[(String, Int)].collect().toSeq ==
+      Seq(("dc_amps", 110), ("ac_frequency", 119), ("inverter_temp", 121)))
+  }
+
+  test("register-catalog pushdown: unsupported predicates stay residual and stay correct") {
+    val s = spark
+    import s.implicits._
+    // EndsWith is NOT in the supported set — it must come back as a
+    // residual that Spark re-applies above the scan; StartsWith IS
+    // pushed. Correct rows either way.
+    val df = s.read.format("register-catalog").load(writeCatalog())
+      .filter($"name".endsWith("_watts") || $"name".startsWith("dc_"))
+      .select($"name")
+    val plan = df.queryExecution.executedPlan.toString
+    // the Or tree is unpushable as a whole → scan reports no pushed
+    // filters, Spark filters above it
+    assert(plan.contains("PushedFilters: []"), plan)
+    assert(df.as[String].collect().toSet ==
+      Set("dc_voltage", "dc_amps", "ac_watts"))
+    val pushedOnly = s.read.format("register-catalog").load(writeCatalog())
+      .filter($"name".startsWith("dc_"))
+    val plan2 = pushedOnly.queryExecution.executedPlan.toString
+    assert(plan2.contains("StringStartsWith(name,dc_)"), plan2)
+    assert(pushedOnly.select($"name").as[String].collect().toSet ==
+      Set("dc_voltage", "dc_amps"))
+  }
+
   test("register-poll DSv2 streaming source: bounded drain yields the exact poll sweep rows") {
     val s = spark
     import s.implicits._
