@@ -653,6 +653,53 @@ object Streaming {
       .orderBy($"inverter")
   }
 
+  /** st11's histogram grain: readings coarsen map-side to 100-watt
+    * band indices (floor(value/100) → ≤ [[HistDistinct]] distinct
+    * doubles on this feed's [0, 500) domain), which keeps the graded
+    * config in the adaptive histogram's PROVABLY EXACT regime — with
+    * fewer distinct values than bins no merge ever fires and the
+    * summary IS the value-frequency table (HistogramSpec pins it), so
+    * the oracle is plain per-(window, band) counts. Production feeds
+    * insert raw watts with the same plan and inherit HistogramSpec's
+    * forced-merge invariants instead. */
+  val StreamHistBins = 8
+  val HistDistinct = 5
+
+  /** Windowed streaming ADAPTIVE HISTOGRAM: the [[graft.functions
+    * .HistogramAgg]] mergeable summary as STREAMING STATE (st7's
+    * top-k and st9's q-digest discipline, third member of the
+    * sketch-as-state family): per open hour window the state is one
+    * ≤ 2N-bin buffer; micro-batches merge via the aggregate's own
+    * partial path. Shared by the graded batch plan and the
+    * stream==batch spec. */
+  def histTransform(df: DataFrame): DataFrame = {
+    import df.sparkSession.implicits._
+    df.withWatermark("ts", "2 hours")
+      .filter($"event_type" === "view")
+      .groupBy(window($"ts", "1 hour"))
+      .agg(count(lit(1)).as("n"),
+        graft.functions.GraftFunctions.adaptiveHistogram(
+          floor($"value" / 100.0).cast("double"), StreamHistBins).as("bins"))
+  }
+
+  def histFinalize(df: DataFrame): DataFrame = {
+    import df.sparkSession.implicits._
+    df.select($"window.start".as("hour"), $"n", posexplode($"bins"))
+      .select($"hour", $"n".as("n_readings"), $"pos".cast("long").as("bin_idx"),
+        $"col.center".as("band"), $"col.cnt".as("cnt"))
+      .orderBy($"hour", $"bin_idx")
+  }
+
+  // ---------------------------------------------------------------------
+  // st11: graded batch-equivalent of the streaming windowed adaptive
+  // histogram — in the exact regime (distinct bands ≤ bins) the bins
+  // are the per-(window, band) counts in band order, which is what
+  // the oracle computes; the cross-micro-batch merge path is pinned
+  // by StreamingSpec (split feed == whole feed == batch).
+  // ---------------------------------------------------------------------
+  def st11StreamHistogram(s: SparkSession, d: String): DataFrame =
+    histFinalize(histTransform(Tables.events(s, d)))
+
   /** st10's per-register reading and its carried state (the current
     * latest reading per (inverter, register stream)). */
   case class ReadEvt(inverter: Long, stream: String, us: Long,
@@ -712,6 +759,7 @@ object Streaming {
   }
 
   val queries: Map[String, Q] = Map(
+    "st11_stream_histogram" -> (st11StreamHistogram _),
     "st10_stream_last" -> (st10StreamLast _),
     "st9_stream_quantile" -> (st9StreamQuantile _),
     "st8_stream_gaps" -> (st8StreamGaps _),
@@ -725,6 +773,24 @@ object Streaming {
   )
 
   val oracles: Map[String, String] = Map(
+    // st11: exact regime (distinct bands ≤ bins) ⇒ the bins ARE the
+    // per-(window, band) counts in band order; bin_idx is the 0-based
+    // band rank within the window.
+    "st11_stream_histogram" ->
+      """WITH b AS (
+           SELECT time_bucket(INTERVAL '1 hour', ts) AS hour,
+                  CAST(floor(value / 100.0) AS DOUBLE) AS band
+           FROM events WHERE event_type = 'view'),
+         g AS (
+           SELECT hour, band, CAST(count(*) AS BIGINT) AS cnt
+           FROM b GROUP BY 1, 2),
+         w AS (
+           SELECT hour, band, cnt,
+                  CAST(sum(cnt) OVER (PARTITION BY hour) AS BIGINT) AS n_readings,
+                  CAST(row_number() OVER (PARTITION BY hour ORDER BY band) - 1 AS BIGINT) AS bin_idx
+           FROM g)
+         SELECT hour, n_readings, bin_idx, band, cnt
+         FROM w ORDER BY hour, bin_idx""",
     // st10: the stateful operator over one batch == s7's argMax
     // row_number rule per (inverter, stream); exact cents, one
     // display divide.

@@ -149,7 +149,12 @@ object Text {
           i => conv(substring(md5(concat_ws(" ", slice($"t", i, lit(NoveltyN)))), 1, 15), 16, 10)
             .cast("long")))).as("gh"))
     val first = grams.groupBy($"gh").agg(min($"doc_id").as("first_doc"))
-    grams.join(first, "gh")
+    // d3's trade: force the sort-merge join so the probe side and the
+    // first-seen aggregate SHARE one hashpartitioning(gh) exchange
+    // (ReusedExchange — the gram explode computes once); a broadcast
+    // would shingle the corpus twice and stops being possible once
+    // the gram table outgrows the driver.
+    grams.join(first.hint("merge"), "gh")
       .groupBy($"doc_id")
       .agg(
         count(lit(1)).as("n_grams"),

@@ -704,6 +704,32 @@ class StreamingSpec extends AnyFunSuite {
       s"stream/batch quantile mismatch: ${(streamed diff batch).take(3)} vs ${(batch diff streamed).take(3)}")
   }
 
+  test("windowed streaming adaptive histogram merges across micro-batches == batch") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val rows = Tables.events(s, SfDir)
+      .select($"ts", $"user_id", $"event_type", $"value")
+      .collect().sortBy(_.getTimestamp(0).getTime)
+    val evs = rows.map(r =>
+      EvUser(r.getTimestamp(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+    val (b1, b2) = evs.splitAt(evs.length / 2)
+    val stream = MemoryStream[EvUser]
+    val q = Streaming.histTransform(stream.toDF())
+      .writeStream.format("memory").queryName("st11_spec")
+      .outputMode("complete").start()
+    try {
+      stream.addData(b1.toSeq: _*); q.processAllAvailable()
+      stream.addData(b2.toSeq: _*); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = Streaming.histFinalize(s.table("st11_spec"))
+      .collect().map(_.toSeq).toSet
+    val batch = Streaming.st11StreamHistogram(s, SfDir)
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch,
+      s"stream/batch histogram mismatch: ${(streamed diff batch).take(3)} vs ${(batch diff streamed).take(3)}")
+  }
+
   test("stateful gap detector finds gaps that SPAN micro-batch boundaries") {
     val s = spark
     import s.implicits._
