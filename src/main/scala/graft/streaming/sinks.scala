@@ -73,6 +73,60 @@ object MergeTreeSink {
       .partitionBy("month")
       .parquet(path)
   }
+
+  /** ClickHouse `ALTER TABLE … DELETE WHERE` — the mutation pass a
+    * GDPR/right-to-be-forgotten request runs against a MergeTree
+    * table. MergeTree implements it as a partition-scoped rewrite
+    * (every part containing a match is rewritten without the rows;
+    * untouched parts are left alone), and so does this: one pass
+    * finds the months that actually contain matches (count aggregate,
+    * partition-pruned parquet scan — only the predicate columns are
+    * read), then ONLY those month partitions are re-materialized
+    * without the matching rows through the same dynamic-overwrite
+    * atomic swap [[optimizePartition]] uses. Months without matches
+    * are never read for the rewrite and their files stay
+    * byte-identical (spec-pinned). Returns the affected months.
+    *
+    * At 100 TB this is the only viable mutation shape: the rewrite
+    * cost is proportional to the data that actually holds deleted
+    * rows, and the month-partition granularity bounds each atomic
+    * swap to the same unit MergeTree mutates. */
+  def deleteWhere(spark: org.apache.spark.sql.SparkSession, path: String,
+                  predicate: org.apache.spark.sql.Column,
+                  tsCol: String, keyCol: String): Seq[String] = {
+    val table = spark.read.parquet(path)
+    val affected = table.filter(predicate)
+      .groupBy(col("month").cast("string").as("m"))
+      .count()
+      .collect().map(_.getString(0)).toSeq.sorted // bounded: calendar months
+    if (affected.nonEmpty) {
+      val kept = table
+        .filter(col("month").cast("string").isin(affected: _*))
+        .filter(!predicate)
+        .repartition(col("month"), col(keyCol))
+        .sortWithinPartitions(col("month"), col(keyCol), col(tsCol))
+        .localCheckpoint() // never scan the directory being replaced
+      kept
+        .withColumn("month", col("month").cast("string"))
+        .write.mode(SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("month")
+        .parquet(path)
+      // Dynamic overwrite only replaces partitions PRESENT in the
+      // written data — a month whose every row matched produces no
+      // output files and its old directory would silently survive.
+      // Drop those month directories explicitly (still the bounded
+      // month-partition unit).
+      val keptMonths = kept.select(col("month").cast("string"))
+        .distinct().collect().map(_.getString(0)).toSet
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      affected.filterNot(keptMonths).foreach { m =>
+        fs.delete(new org.apache.hadoop.fs.Path(path, s"month=$m"), true)
+      }
+    }
+    affected
+  }
 }
 
 /** Bounded-queue micro-batch ingestion sink — the Spark-native

@@ -552,6 +552,46 @@ class StreamingSpec extends AnyFunSuite {
       "merged file must stay (inverter, ts)-sorted")
   }
 
+  test("MergeTreeSink.deleteWhere rewrites only matching months; full-month deletes drop the directory") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("graft_mts_del").toString
+    // two months: the corpus month + a +35-day shifted copy
+    val base = Tables.events(s, SfDir).withColumnRenamed("user_id", "inverter")
+    val feed = base.unionByName(base
+      .withColumn("ts", $"ts" + expr("INTERVAL 35 DAYS"))
+      .withColumn("event_id", $"event_id" + 1000000000L))
+    MergeTreeSink.write(feed, dir, "ts", "inverter")
+    val monthDirs = new java.io.File(dir).listFiles().filter(_.isDirectory)
+    assert(monthDirs.length >= 2, "need >=2 months for the pruning claim")
+    val target = monthDirs.map(_.getName.stripPrefix("month=")).max
+    val listingBefore = monthDirs
+      .map(d => d.getName -> d.listFiles().map(_.getName).toSet).toMap
+    // GDPR-style: forget inverter 3's readings in ONE month
+    val pred = $"inverter" === 3L && col("month").cast("string") === target
+    val before = s.read.parquet(dir)
+    val expectKept = before.filter(!pred).orderBy($"event_id").collect().toSeq
+    val nDeleted = before.filter(pred).count()
+    assert(nDeleted > 0, "fixture must actually match rows")
+    val affected = MergeTreeSink.deleteWhere(s, dir, pred, "ts", "inverter")
+    assert(affected == Seq(target), s"expected only $target affected, got $affected")
+    assert(s.read.parquet(dir).orderBy($"event_id").collect().toSeq == expectKept,
+      "exactly the matching rows must disappear")
+    // untouched months: identical file listings (never rewritten)
+    new java.io.File(dir).listFiles().filter(_.isDirectory)
+      .filterNot(_.getName == s"month=$target").foreach { d =>
+        assert(d.listFiles().map(_.getName).toSet == listingBefore(d.getName),
+          s"untouched month ${d.getName} was rewritten")
+      }
+    // deleting EVERYTHING in a month removes its directory entirely
+    val affected2 = MergeTreeSink.deleteWhere(
+      s, dir, col("month").cast("string") === target, "ts", "inverter")
+    assert(affected2 == Seq(target))
+    assert(!new java.io.File(s"$dir/month=$target").exists(),
+      "a fully-deleted month must not leave a stale directory")
+    assert(s.read.parquet(dir).filter(col("month").cast("string") === target).count() == 0)
+  }
+
   test("BufferedStreamSink drainAvailable processes all pending data then terminates") {
     val s = spark
     import s.implicits._
