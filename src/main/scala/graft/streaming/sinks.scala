@@ -74,6 +74,85 @@ object MergeTreeSink {
       .parquet(path)
   }
 
+  /** ClickHouse ReplacingMergeTree — the table engine whose background
+    * merge DEDUPS rows sharing the sort key, keeping the highest
+    * version (the upsert-by-merge pattern CH uses for mutable
+    * dimensions and at-least-once ingest): rewrite ONE month keeping,
+    * per (key, ts), the row with the maximal `versionCol` (equal
+    * versions keep an arbitrary one — exactly CH's documented
+    * contract; use a unique version for determinism). Same bounded
+    * unit and atomic
+    * dynamic-overwrite swap as [[optimizePartition]]; reads before
+    * the merge see duplicates exactly as CH reads do without FINAL —
+    * [[readFinal]] is the FINAL read. */
+  def optimizeReplacing(spark: org.apache.spark.sql.SparkSession, path: String,
+                        month: String, tsCol: String, keyCol: String,
+                        versionCol: String, targetFiles: Int = 1): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    val part = spark.read.parquet(path)
+      .filter(col("month").cast("string") === month)
+    val w = Window.partitionBy(col(keyCol), col(tsCol))
+      .orderBy(col(versionCol).desc)
+    val deduped = part
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+      .repartitionByRange(targetFiles, col(keyCol), col(tsCol))
+      .sortWithinPartitions(col(keyCol), col(tsCol))
+      .localCheckpoint()
+    deduped
+      .withColumn("month", col("month").cast("string"))
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("month")
+      .parquet(path)
+  }
+
+  /** ClickHouse's `FINAL` read on a Replacing table: merge-semantics
+    * applied at read time over whatever parts exist (pre- or
+    * post-merge reads agree — spec-pinned). One window on the sort
+    * key; at scale the scan is month-pruned first like any query. */
+  def readFinal(spark: org.apache.spark.sql.SparkSession, path: String,
+                tsCol: String, keyCol: String, versionCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(keyCol), col(tsCol))
+      .orderBy(col(versionCol).desc)
+    spark.read.parquet(path)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** ClickHouse SummingMergeTree — the engine whose background merge
+    * COLLAPSES rows sharing the sort key by summing the numeric
+    * measure columns (pre-aggregated rollup tables): rewrite ONE
+    * month to one row per (key, ts) with each `sumCols` summed
+    * (decimal/long inputs keep the merge exact and associative — the
+    * same reason the engine's partial merges are sound in CH).
+    * Columns outside (key, ts, sumCols) are dropped — pre-project the
+    * table to its rollup schema (CH keeps an arbitrary value for
+    * them, which no exact contract can grade). Same atomic month
+    * swap. */
+  def optimizeSumming(spark: org.apache.spark.sql.SparkSession, path: String,
+                      month: String, tsCol: String, keyCol: String,
+                      sumCols: Seq[String], targetFiles: Int = 1): Unit = {
+    val part = spark.read.parquet(path)
+      .filter(col("month").cast("string") === month)
+    val summed = part
+      .groupBy(col("month"), col(keyCol), col(tsCol))
+      .agg(sumCols.map(c => sum(col(c)).as(c)).head,
+        sumCols.map(c => sum(col(c)).as(c)).tail: _*)
+      .repartitionByRange(targetFiles, col(keyCol), col(tsCol))
+      .sortWithinPartitions(col(keyCol), col(tsCol))
+      .localCheckpoint()
+    summed
+      .withColumn("month", col("month").cast("string"))
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("month")
+      .parquet(path)
+  }
+
   /** ClickHouse `ALTER TABLE … DELETE WHERE` — the mutation pass a
     * GDPR/right-to-be-forgotten request runs against a MergeTree
     * table. MergeTree implements it as a partition-scoped rewrite

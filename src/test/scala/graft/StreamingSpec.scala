@@ -552,6 +552,51 @@ class StreamingSpec extends AnyFunSuite {
       "merged file must stay (inverter, ts)-sorted")
   }
 
+  test("MergeTreeSink replacing engine: merge dedups by sort key keeping max version; FINAL reads agree pre/post merge") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("graft_mts_repl").toString
+    def part(version: Long, v: Double) = Seq(
+      (1L, java.sql.Timestamp.valueOf("2026-03-10 08:00:00"), version, v),
+      (2L, java.sql.Timestamp.valueOf("2026-03-10 09:00:00"), version, v + 1))
+      .toDF("inverter", "ts", "version", "value")
+    // at-least-once ingest: the same two readings land twice, the
+    // re-send carrying a higher version (the upsert)
+    MergeTreeSink.appendPart(part(1L, 10.0), dir, "ts", "inverter")
+    MergeTreeSink.appendPart(part(2L, 20.0), dir, "ts", "inverter")
+    assert(s.read.parquet(dir).count() == 4, "pre-merge reads see duplicates (CH without FINAL)")
+    // FINAL read resolves duplicates BEFORE any merge ran
+    val finalPre = MergeTreeSink.readFinal(s, dir, "ts", "inverter", "version")
+      .select($"inverter", $"version", $"value").orderBy($"inverter")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(finalPre == Seq((1L, 2L, 20.0), (2L, 2L, 21.0)), s"got $finalPre")
+    // the background merge makes it physical
+    MergeTreeSink.optimizeReplacing(s, dir, "202603", "ts", "inverter", "version")
+    assert(s.read.parquet(dir).count() == 2, "post-merge the duplicates are gone physically")
+    val finalPost = MergeTreeSink.readFinal(s, dir, "ts", "inverter", "version")
+      .select($"inverter", $"version", $"value").orderBy($"inverter")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(finalPost == finalPre, "FINAL must agree before and after the merge")
+  }
+
+  test("MergeTreeSink summing engine: merge collapses sort-key duplicates by exact sums") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("graft_mts_sum").toString
+    def part(c: Long) = Seq(
+      (1L, java.sql.Timestamp.valueOf("2026-03-10 08:00:00"), c, BigDecimal("1.50")),
+      (2L, java.sql.Timestamp.valueOf("2026-03-10 09:00:00"), c * 10, BigDecimal("2.25")))
+      .toDF("inverter", "ts", "n", "kwh")
+      .select($"inverter", $"ts", $"n", $"kwh".cast("decimal(18,2)").as("kwh"))
+    MergeTreeSink.appendPart(part(3L), dir, "ts", "inverter")
+    MergeTreeSink.appendPart(part(4L), dir, "ts", "inverter")
+    MergeTreeSink.optimizeSumming(s, dir, "202603", "ts", "inverter", Seq("n", "kwh"))
+    val rows = s.read.parquet(dir)
+      .select($"inverter", $"n", $"kwh".cast("string"))
+      .orderBy($"inverter").as[(Long, Long, String)].collect().toSeq
+    assert(rows == Seq((1L, 7L, "3.00"), (2L, 70L, "4.50")), s"got $rows")
+  }
+
   test("MergeTreeSink.deleteWhere rewrites only matching months; full-month deletes drop the directory") {
     val s = spark
     import s.implicits._
