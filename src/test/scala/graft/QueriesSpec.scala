@@ -1532,4 +1532,98 @@ class QueriesSpec extends AnyFunSuite {
       .filter($"p0" =!= $"p1").count() > 0,
       "epochs must reshuffle: identical orders mean the epoch salt is dead")
   }
+
+  test("r12 second batch: engagement, histogram, dedup-topology and gate invariants") {
+    val s = spark
+    import s.implicits._
+    val events = Tables.events(s, SfDir)
+    val docs = Tables.documents(s, SfDir)
+    // e25: MAU dominates DAU; stickiness in (0, 1]
+    val e25 = graft.events.Events.e25Stickiness(s, SfDir)
+    assert(e25.filter($"mau" < $"dau" || $"stickiness" <= 0.0 ||
+      $"stickiness" > 1.0).count() == 0)
+    // e26: bounces bounded by sessions
+    val e26 = graft.events.Events.e26BounceRate(s, SfDir)
+    assert(e26.filter($"n_bounces" > $"n_sessions" ||
+      $"bounce_rate" < 0.0 || $"bounce_rate" > 1.0).count() == 0)
+    // e27: the peak value must equal e13's per day (two plans, one truth)
+    val e27 = graft.events.Events.e27PeakPosition(s, SfDir)
+    val e13 = graft.events.Events.e13MaxConcurrency(s, SfDir)
+      .select($"day", $"peak_concurrent".as("p13"))
+    assert(e27.join(e13, "day").filter($"peak_concurrent" =!= $"p13").count() == 0)
+    // e28: the grid partitions all events exactly once
+    val e28 = graft.events.Events.e28DowProfile(s, SfDir)
+    assert(e28.agg(sum($"n_events")).as[Long].head() == events.count())
+    // e29: users conserve; dedup mode never reaches a level plain
+    // windowFunnel (e6's bounded run) cannot
+    val e29 = graft.events.Events.e29FunnelDedup(s, SfDir)
+    val users = events.select($"user_id").distinct().count()
+    assert(e29.agg(sum($"n_users")).as[Long].head() == users)
+    assert(e29.filter($"funnel_level" < 0 || $"funnel_level" > 3).count() == 0)
+    // s43: df is the integer n1+n2-2
+    val s43 = solar.Solar.s43StudentTtest(s, SfDir)
+    assert(s43.filter($"df" =!= $"n_view" + $"n_click" - 2).count() == 0)
+    // s44: one glyph per active hour (all glyphs are BMP chars)
+    val s44 = solar.Solar.s44Sparkbar(s, SfDir)
+    assert(s44.filter(length($"bar") =!= $"n_hours").count() == 0)
+    // s45: quantiles ordered and within the bucket universe
+    val s45 = solar.Solar.s45QuantileTiming(s, SfDir)
+    assert(s45.filter($"p50_ms" > $"p95_ms" || $"p50_ms" < 0 ||
+      $"p95_ms" > 65536L).count() == 0)
+    // s47: the rollup conserves each inverter's reading count
+    val s47 = solar.Solar.s47IncrementalQuantiles(s, SfDir)
+    val perInv = events.filter($"event_type" === "view")
+      .groupBy($"user_id".as("inverter")).agg(count(lit(1)).as("n"))
+    assert(s47.join(perInv, "inverter")
+      .filter($"n_readings" =!= $"n").count() == 0)
+    // d16: keep rule is global — kept docs across sources == distinct texts
+    val d16 = dedup.Dedup.d16EffectiveTokens(s, SfDir)
+    val distinctTexts = docs.select(md5($"text")).distinct().count()
+    assert(d16.agg(sum($"n_kept")).as[Long].head() == distinctTexts)
+    assert(d16.filter($"tokens_kept" > $"tokens_total").count() == 0)
+    // d17: the global-pass identity — total drops == docs − distinct texts;
+    // a shard-local pass can never drop more than the global pass
+    val d17 = dedup.Dedup.d17ShardedDedup(s, SfDir)
+    assert(d17.agg(sum($"drops_global")).as[Long].head() ==
+      docs.count() - distinctTexts)
+    assert(d17.filter($"missed_by_local" < 0).count() == 0)
+    // v16: cells partition the corpus exactly once
+    val v16 = sim.Sim.v16IvfStats(s, SfDir)
+    assert(v16.agg(sum($"n_vecs")).as[Long].head() ==
+      Tables.embeddings(s, SfDir).count())
+    assert(v16.filter($"mean_cos_q" < $"min_cos" - 1e-6 ||
+      $"mean_cos_q" > $"max_cos" + 1e-6).count() == 0)
+    // q38: the contingency coefficient is bounded in [0, 1)
+    val q38 = relational.Relational.q38Contingency(s, SfDir).head()
+    assert(q38.getAs[Double]("contingency_coef") >= 0.0 &&
+      q38.getAs[Double]("contingency_coef") < 1.0)
+    // q39: buckets partition all line items exactly once
+    val q39 = relational.Relational.q39ShipDelay(s, SfDir)
+    assert(q39.agg(sum($"high_line_count" + $"low_line_count")).as[Long].head() ==
+      Tables.lineitem(s, SfDir).count())
+    // t25/m12: composition tables cover the corpus exactly once
+    val t25 = text.Text.t25MixReport(s, SfDir)
+    assert(t25.agg(sum($"n_docs")).as[Long].head() == docs.count())
+    val m12 = multimodal.Multimodal.m12DatasetCard(s, SfDir)
+    assert(m12.agg(sum($"n_docs")).as[Long].head() == docs.count())
+    // t27: the earliest eligible doc is 100% novel by construction
+    val t27 = text.Text.t27Novelty(s, SfDir)
+    val firstDoc = t27.orderBy($"doc_id").head()
+    assert(firstDoc.getAs[Double]("novelty") == 1.0,
+      s"first doc must be all-novel, got $firstDoc")
+    assert(t27.filter($"novelty" < 0.0 || $"novelty" > 1.0).count() == 0)
+    // m13: keep gate bounded; quantized mean inside the cosine hull
+    val m13 = multimodal.Multimodal.m13ClipFilter(s, SfDir)
+    assert(m13.filter($"n_kept" > $"n_pairs" ||
+      $"mean_cos_q" < $"min_cos" - 1e-6 ||
+      $"mean_cos_q" > $"max_cos" + 1e-6).count() == 0)
+    // st10: one row per observed (inverter, stream) pair
+    val st10 = streaming.Streaming.st10StreamLast(s, SfDir)
+    assert(st10.count() ==
+      events.select($"user_id", $"event_type").distinct().count())
+    // st11: per-window bin mass equals the window's reading count
+    val st11 = streaming.Streaming.st11StreamHistogram(s, SfDir)
+    assert(st11.groupBy($"hour", $"n_readings").agg(sum($"cnt").as("m"))
+      .filter($"m" =!= $"n_readings").count() == 0)
+  }
 }
