@@ -61,6 +61,51 @@ class PlanAuditSpec extends AnyFunSuite {
       s"expected the grouped top-k operator:\n$p")
   }
 
+  test("codegen: custom expressions are native (no CodegenFallback); scan-rate gates stay fused") {
+    import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+    // The custom expression tier must stay inside whole-stage codegen:
+    // a CodegenFallback mixin silently drops the hot path to
+    // per-row interpreted eval — exactly the regression this pins.
+    Seq(classOf[functions.SimHash64], classOf[functions.Winnow],
+      classOf[functions.MinHashSig], classOf[functions.CosineSim],
+      classOf[functions.BloomContains]).foreach { c =>
+      assert(!classOf[CodegenFallback].isAssignableFrom(c),
+        s"${c.getSimpleName} must implement doGenCode, not CodegenFallback")
+    }
+    // Scan-rate map-side queries (decode, PII scrub, quality rules)
+    // must execute inside WholeStageCodegen with NO fallback
+    // expression anywhere in the executed plan — their whole point is
+    // scan-rate codegen'd projection work.
+    // AQE wraps stages in lazily-planned QueryStageExec nodes that an
+    // unexecuted plan's tree walk cannot descend into (the q6
+    // precedent) — audit the non-adaptive physical plan.
+    val s = spark
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    try for (name <- Seq("s1_decode", "t15_pii_redact", "t24_gopher_rules")) {
+      val exec = SparkEntry.queries(name)(s, SfDir).queryExecution.executedPlan
+      val hasWsc = exec.collectWithSubqueries {
+        case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+      }.nonEmpty
+      assert(hasWsc, s"$name: expected WholeStageCodegen spans")
+      // Spark's built-in higher-order array functions (ArrayFilter,
+      // ArrayTransform, …) are CodegenFallback BY DESIGN upstream —
+      // the lambda is interpreted per row inside an otherwise
+      // codegen'd stage. That is Spark's contract for array lambdas,
+      // not a regression this repo can fix; the assertion pins that
+      // nothing ELSE (custom expressions, UDF wrappers) falls back.
+      val builtinHof = Set("ArrayFilter", "ArrayTransform", "ArrayAggregate",
+        "ArraySort", "ArrayExists", "ArrayForAll", "ZipWith", "MapFilter",
+        "TransformKeys", "TransformValues")
+      val fallbacks = exec.collectWithSubqueries { case p => p }
+        .flatMap(_.expressions)
+        .flatMap(e => e +: e.children)
+        .collect { case f: CodegenFallback => f.getClass.getSimpleName }
+        .distinct.filterNot(builtinHof)
+      assert(fallbacks.isEmpty,
+        s"$name: CodegenFallback expressions in the hot path: $fallbacks")
+    } finally s.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("red-flag sweep: no query in the whole surface plans a CartesianProduct") {
     // Cross joins exist (k-NN query sides) but must always be
     // broadcast nested-loop against a bounded side, never an unbounded
