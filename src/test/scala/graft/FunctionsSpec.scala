@@ -214,4 +214,50 @@ class FunctionsSpec extends AnyFunSuite {
       assert(r.getSeq[Long](2).nonEmpty)
     }
   }
+
+  test("SQL surface completeness: every registered aggregate/expression runs via spark.sql") {
+    // A user of the reference writes plain SQL; every function the
+    // extension registers must therefore work with NO Scala at all.
+    // One round-trip per function, checked on a seeded fixture.
+    val s = spark
+    import s.implicits._
+    (1 to 100).map(i => (i.toLong, (i % 7).toLong, s"w${i % 5}"))
+      .toDF("id", "v", "w").createOrReplaceTempView("fx_sql_test")
+    // aggregates
+    val agg = s.sql(
+      """SELECT uniq_up_to(v, 3) AS u,
+                approx_topk(w, 2, 16) AS tk,
+                approx_topk_weighted(w, v, 2, 16) AS tkw,
+                qdigest_quantiles(v, '0.5,0.9', 4, 1048576) AS qs,
+                qdigest_merge_quantiles(st, '0.5', 4, 1048576) AS mq,
+                adaptive_histogram(CAST(v AS DOUBLE), 8) AS hist,
+                bloom_agg(v, 4096, 3) AS bf
+         FROM (SELECT *, qdigest_state(v, 4, 1048576) OVER () AS st
+               FROM fx_sql_test)""").head()
+    assert(agg.get(agg.fieldIndex("u")).asInstanceOf[Number].longValue == 4L) // 7 distinct saturates at N+1
+    assert(agg.getSeq[Row](agg.fieldIndex("tk")).size == 2)
+    assert(agg.getSeq[Row](agg.fieldIndex("tkw")).size == 2)
+    // v in 0..6: exact digest (k >= n) => p50 of 100 values
+    assert(agg.getSeq[Long](agg.fieldIndex("qs")).head == 3L)
+    assert(agg.getSeq[Long](agg.fieldIndex("mq")).head == 3L)
+    assert(agg.getSeq[Row](agg.fieldIndex("hist")).map(_.getAs[Long]("cnt")).sum == 100L)
+    // scalar probe over the aggregate's bloom bytes
+    Seq(agg).map(r => r.getAs[Array[Byte]]("bf")).toDF("bf")
+      .createOrReplaceTempView("fx_bloom")
+    val probes = s.sql(
+      """SELECT bloom_contains(bf, 3L) AS hit,
+                bloom_contains(bf, 999L) AS miss
+         FROM fx_bloom""").head()
+    assert(probes.getAs[Boolean]("hit"))
+    assert(!probes.getAs[Boolean]("miss")) // 4096 bits / 7 keys: no FP for this key
+    // minhash_agg (exploded-feed form)
+    val mh = s.sql(
+      """SELECT minhash_agg(sh, 4) AS sig FROM (
+           SELECT explode(array('abcdefgh', 'ijklmnop')) AS sh)""").head()
+    assert(mh.getSeq[String](mh.fieldIndex("sig")).size == 4)
+    // cosine_sim scalar
+    val cs = s.sql(
+      "SELECT cosine_sim(array(1.0F, 0.0F), array(1.0F, 0.0F)) AS c").head()
+    assert(math.abs(cs.getAs[Double]("c") - 1.0) < 1e-12)
+  }
 }
