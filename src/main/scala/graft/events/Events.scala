@@ -311,6 +311,30 @@ object Events {
   }
 
   // ---------------------------------------------------------------------
+  // e30: TRENDING / BURST DETECTION — week-over-week lift per event
+  // type with add-one smoothing (the "what's suddenly hot" dashboard;
+  // CH teams run it as a ratio of windowed counts): one combine-
+  // enabled groupBy to the (type × week) grid (bounded by catalog ×
+  // calendar), lag(1 week) over the type-partitioned bounded rows,
+  // lift = (n+1)/(prev+1) — smoothing keeps new-type weeks finite and
+  // is ONE divide of exact int64s. Weeks with no prior observation
+  // report lift against zero (prev = 0 ⇒ smoothed baseline 1).
+  // ---------------------------------------------------------------------
+  def e30Trending(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"event_type").orderBy($"week")
+    Tables.events(s, d)
+      .select($"event_type", date_trunc("week", $"ts").as("week"))
+      .groupBy($"event_type", $"week")
+      .agg(count(lit(1)).as("n_events"))
+      .withColumn("prev", coalesce(lag($"n_events", 1).over(w), lit(0L)))
+      .select($"event_type", $"week", $"n_events", $"prev",
+        (($"n_events" + 1L).cast("double") / ($"prev" + 1L).cast("double"))
+          .as("wow_lift"))
+      .orderBy($"event_type", $"week")
+  }
+
+  // ---------------------------------------------------------------------
   // e26: BOUNCE RATE — single-event sessions over total sessions per
   // day (the engagement-quality headline next to e13's concurrency
   // peak; same dashboard family). Pure reuse of the shared
@@ -1076,6 +1100,7 @@ object Events {
     "e26_bounce_rate" -> (e26BounceRate _),
     "e27_peak_position" -> (e27PeakPosition _),
     "e28_dow_profile" -> (e28DowProfile _),
+    "e30_trending" -> (e30Trending _),
     "e14_cohort_matrix" -> (e14CohortMatrix _),
     "e15_uniq_upto" -> (e15UniqUpto _),
     "e2_retention" -> (e2Retention _),
@@ -1448,6 +1473,21 @@ object Events {
     // running ±1 sum is permutation-invariant within (us, delta) ties
     // (+1s sort first), so ORDER BY us, delta DESC is deterministic
     // where it matters.
+    // e30: same (type, week) grid, same lag + add-one smoothing, one
+    // divide. DuckDB's date_trunc('week') is ISO Monday — as is
+    // Spark's.
+    "e30_trending" ->
+      """WITH g AS (
+           SELECT event_type, date_trunc('week', ts) AS week,
+                  CAST(count(*) AS BIGINT) AS n_events
+           FROM events GROUP BY 1, 2),
+         l AS (
+           SELECT *, coalesce(lag(n_events, 1) OVER (PARTITION BY event_type
+                       ORDER BY week), 0) AS prev
+           FROM g)
+         SELECT event_type, week, n_events, CAST(prev AS BIGINT) AS prev,
+                CAST(n_events + 1 AS DOUBLE) / CAST(prev + 1 AS DOUBLE) AS wow_lift
+         FROM l ORDER BY event_type, week""",
     // e28: same 0-based dow arithmetic, bounded 7×24 grid, one divide.
     "e28_dow_profile" ->
       """WITH b AS (

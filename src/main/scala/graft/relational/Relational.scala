@@ -982,6 +982,33 @@ object Relational {
   }
 
   // ---------------------------------------------------------------------
+  // q40: YEAR-OVER-YEAR GROWTH — the BI staple (monthly revenue vs the
+  // same month last year): ONE exact-cents fact aggregate to the
+  // bounded month rows (persisted — q37's discipline: both sides of
+  // the lag-12 join read one materialization), the prior-year value
+  // via a broadcast self-join on month = prior + 12 months (no
+  // unpartitioned window — the sweep stays exceptionless), growth one
+  // divide of exact cents, NULL where no prior year exists.
+  // ---------------------------------------------------------------------
+  def q40YoyGrowth(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val monthly = Tables.orders(s, d)
+      .groupBy(date_trunc("month", $"o_orderdate").as("month"))
+      .agg((sum(dec($"o_totalprice")) * 100).cast("long").as("cents"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    monthly.as("a")
+      .join(broadcast(monthly.select(
+        ($"month" + expr("INTERVAL 12 MONTHS")).as("m12"),
+        $"cents".as("prev_cents"))), $"a.month" === $"m12", "left")
+      .select($"month",
+        ($"cents".cast("double") / 100.0).as("revenue"),
+        ($"prev_cents".cast("double") / 100.0).as("prev_revenue"),
+        (($"cents" - $"prev_cents").cast("double") /
+          $"prev_cents".cast("double")).as("yoy_growth"))
+      .orderBy($"month")
+  }
+
+  // ---------------------------------------------------------------------
   // q36: PERCENT-OF-PARENT hierarchy report — the drill-down ratio
   // every BI rollup shows (nation share of region, region share of
   // total, explicit level column). Built from ONE exact-cents base
@@ -1064,6 +1091,7 @@ object Relational {
   }
 
   val queries: Map[String, Q] = Map(
+    "q40_yoy_growth" -> (q40YoyGrowth _),
     "q39_ship_delay" -> (q39ShipDelay _),
     "q38_contingency" -> (q38Contingency _),
     "q37_new_vs_returning" -> (q37NewVsReturning _),
@@ -1242,6 +1270,22 @@ object Relational {
          FROM a WHERE n1 > 0 AND n2 > 0 ORDER BY segment""",
     // q35: q28's exact χ² fold on the (seg, pri)-sorted cell list,
     // then the Bergsma correction as the same fixed double tree.
+    // q40: same exact-cents month aggregate, the same +12-months
+    // self-join, one divide; NULLs where no prior year.
+    "q40_yoy_growth" ->
+      """WITH m AS (
+           SELECT date_trunc('month', o_orderdate) AS month,
+                  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+           FROM orders GROUP BY 1),
+         j AS (
+           SELECT a.month, a.cents, b.cents AS prev_cents
+           FROM m a LEFT JOIN m b ON a.month = b.month + INTERVAL 12 MONTH)
+         SELECT month,
+                CAST(cents AS DOUBLE) / 100.0 AS revenue,
+                CAST(prev_cents AS DOUBLE) / 100.0 AS prev_revenue,
+                CAST(cents - prev_cents AS DOUBLE) / CAST(prev_cents AS DOUBLE)
+                  AS yoy_growth
+         FROM j ORDER BY month""",
     // q39: same exact µs day-delay, same truncating division and
     // clamp, same priority split; integers + one divide.
     "q39_ship_delay" ->

@@ -777,6 +777,40 @@ object Sim {
   }
 
   // ---------------------------------------------------------------------
+  // v17: kNN-CLASSIFIER EVAL — the embedding-quality sanity check run
+  // before trusting a vector space (do nearest neighbors share
+  // labels? — leave-one-out kNN accuracy, the standard probe in
+  // retrieval/metric-learning evals): each vector's label predicted
+  // by MAJORITY VOTE over its v12 kNN-graph neighbors (count DESC,
+  // label ASC on ties — max_by over a (cnt, −label) struct key,
+  // s36's deterministic mode rule), rolled to per-label
+  // n/correct/accuracy. Shape: v12's edges join the (vec_id, label)
+  // side on dst (ids-only), two bounded-fanout aggregates (per-vector
+  // vote is ≤ k rows), one divide per label row. The oracle replays
+  // the HOISTED v12 edge list verbatim (v15's discipline).
+  // ---------------------------------------------------------------------
+  def v17KnnClassify(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val labels = Tables.embeddings(s, d).select($"vec_id", $"label")
+    val votes = v12KnnGraph(s, d)
+      .select($"src", $"dst")
+      .join(labels.select($"vec_id".as("dst"), $"label".as("nlabel")), "dst")
+      .groupBy($"src", $"nlabel")
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy($"src")
+      .agg(max(struct($"cnt", (-$"nlabel").as("neg"))).as("m"))
+      .select($"src", (-$"m.neg").as("pred"))
+    votes.join(labels.select($"vec_id".as("src"), $"label"), "src")
+      .groupBy($"label")
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        sum(when($"pred" === $"label", 1L).otherwise(0L)).as("n_correct"))
+      .select($"label", $"n_vecs", $"n_correct",
+        ($"n_correct".cast("double") / $"n_vecs".cast("double")).as("accuracy"))
+      .orderBy($"label")
+  }
+
+  // ---------------------------------------------------------------------
   // v13: signed-random-projection LSH ANN (Charikar 2002 SimHash for
   // real vectors) — the DATA-INDEPENDENT sibling of v3's IVF: no
   // training pass, no centroids; 16 hyperplane sign bits per vector,
@@ -923,6 +957,7 @@ object Sim {
   }
 
   val queries: Map[String, Q] = Map(
+    "v17_knn_classify" -> (v17KnnClassify _),
     "v16_ivf_stats" -> (v16IvfStats _),
     "v15_pagerank" -> (v15Pagerank _),
     "v14_recall_report" -> (v14RecallReport _),
@@ -1124,6 +1159,30 @@ object Sim {
     // v12: v3's assignment CTEs verbatim, then the same within-cell
     // self-join and (cos DESC, dst) top-3 rule.
     "v12_knn_graph" -> V12Sql,
+    // v17: replays the hoisted v12 edges; majority vote via
+    // row_number over the identical (cnt DESC, nlabel ASC) order.
+    "v17_knn_classify" ->
+      s"""WITH g AS ($V12Sql),
+          nb AS (
+            SELECT g.src, e.label AS nlabel
+            FROM g JOIN embeddings e ON g.dst = e.vec_id),
+          vc AS (
+            SELECT src, nlabel, count(*) AS cnt
+            FROM nb GROUP BY 1, 2),
+          pk AS (
+            SELECT src, nlabel AS pred,
+                   row_number() OVER (PARTITION BY src
+                     ORDER BY cnt DESC, nlabel ASC) AS rn
+            FROM vc),
+          pr AS (
+            SELECT pk.src, pk.pred, e.label
+            FROM pk JOIN embeddings e ON pk.src = e.vec_id
+            WHERE pk.rn = 1)
+          SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+                 CAST(sum(CASE WHEN pred = label THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+                 CAST(sum(CASE WHEN pred = label THEN 1 ELSE 0 END) AS DOUBLE) /
+                   CAST(count(*) AS DOUBLE) AS accuracy
+          FROM pr GROUP BY 1 ORDER BY label""",
     // v16: replays the hoisted assignment CTEs verbatim; min/max are
     // order-free, the mean is the exact 1e-6-quantized integer sum.
     "v16_ivf_stats" ->
