@@ -355,6 +355,44 @@ object Multimodal {
       .orderBy($"source")
   }
 
+  /** One orientation-classified row (m14). */
+  case class GeomRow(doc_id: Long, orientation: String, w: Int, h: Int)
+
+  // ---------------------------------------------------------------------
+  // m14: ASPECT-RATIO PROFILE — the image-geometry distribution a
+  // vision dataset card reports (portrait/landscape/square mix, mean
+  // dimensions; training crops and bucketing strategies are chosen
+  // from exactly this table): the m1/m8 stub geometry (width/height
+  // from the decode seam), orientation by INTEGER comparison, ONE
+  // combine-enabled groupBy over ≤3 orientation groups with integer
+  // dimension sums and one divide per mean; blobs never shuffle.
+  // ---------------------------------------------------------------------
+  def m14AspectBuckets(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select($"doc_id", unhex(md5($"text")).as("blob"))
+      .as[Blob]
+      .mapPartitions { it =>
+        it.map { b =>
+          val px = FakeCodec.pixels(b.blob)
+          val w = 1 + (px(0) % 128)
+          val h = 1 + (px(1) % 128)
+          val o = if (w > h) "landscape" else if (w < h) "portrait" else "square"
+          GeomRow(b.doc_id, o, w, h)
+        }
+      }
+      .toDF()
+      .groupBy($"orientation")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum($"w").as("sum_w"),
+        sum($"h").as("sum_h"))
+      .select($"orientation", $"n_docs",
+        ($"sum_w".cast("double") / $"n_docs".cast("double")).as("avg_width"),
+        ($"sum_h".cast("double") / $"n_docs".cast("double")).as("avg_height"))
+      .orderBy($"orientation")
+  }
+
   // ---------------------------------------------------------------------
   // m7: PERCEPTUAL-HASH IMAGE DEDUP — the image-side counterpart of
   // the d-family (near-duplicate images survive re-encoding, so
@@ -593,6 +631,7 @@ object Multimodal {
     "m11_epoch_shuffle" -> (m11EpochShuffle _),
     "m10_tar_index" -> (m10TarIndex _),
     "m9_shard_pack" -> (m9ShardPack _),
+    "m14_aspect_buckets" -> (m14AspectBuckets _),
     "m13_clip_filter" -> (m13ClipFilter _),
     "m12_dataset_card" -> (m12DatasetCard _),
     "m8_modality_report" -> (m8ModalityReport _),
@@ -728,6 +767,25 @@ object Multimodal {
     // m6: feature rebuilt from the md5 hex (byteAt), cosine replayed
     // index-ordered exactly like the Sim oracles, arg-max via
     // row_number with the same (cos DESC, vec_id) tie rule.
+    // m14: m8's geometry rebuild, integer orientation rule, one
+    // divide per mean.
+    "m14_aspect_buckets" ->
+      s"""WITH b AS (SELECT doc_id, md5(text) AS h FROM documents),
+          g AS (
+            SELECT doc_id,
+                   1 + ${byteAt(0)} % 128 AS w,
+                   1 + ${byteAt(1)} % 128 AS h2
+            FROM b),
+          o AS (
+            SELECT doc_id, w, h2,
+                   CASE WHEN w > h2 THEN 'landscape'
+                        WHEN w < h2 THEN 'portrait'
+                        ELSE 'square' END AS orientation
+            FROM g)
+          SELECT orientation, CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(w) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_width,
+                 CAST(sum(h2) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_height
+          FROM o GROUP BY 1 ORDER BY orientation""",
     // m13: m6's feature rebuild + the same index-ordered cosine, the
     // content-addressed mod pairing, v16's quantized exact mean.
     "m13_clip_filter" -> {

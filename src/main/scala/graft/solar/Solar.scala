@@ -1714,7 +1714,31 @@ object Solar {
       .orderBy($"inverter")
   }
 
+  // ---------------------------------------------------------------------
+  // s48: FLEET BENCHMARK PERCENTILE — each inverter-day's energy with
+  // its exact percentile within that day's fleet (the "how is my site
+  // doing vs the fleet" report every monitoring product ships):
+  // exact-cents daily sums at the (inverter, day) grain, then
+  // percent_rank over the DAY-partitioned bounded rows (fleet size,
+  // not corpus history — the s16/s20 day-bounded window family); ties
+  // on exact cents share a rank, so the window is deterministic
+  // without an id tie-break and identical in both engines.
+  // ---------------------------------------------------------------------
+  def s48FleetPercentile(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"day").orderBy($"cents")
+    feed(s, d)
+      .filter($"event_type" === "purchase")
+      .groupBy($"inverter", date_trunc("day", $"ts").as("day"))
+      .agg((sum(dec($"value")) * 100).cast("long").as("cents"))
+      .withColumn("fleet_pctile", percent_rank().over(w))
+      .select($"day", $"inverter",
+        ($"cents".cast("double") / 100.0).as("energy_units"), $"fleet_pctile")
+      .orderBy($"day", $"inverter")
+  }
+
   val queries: Map[String, Q] = Map(
+    "s48_fleet_percentile" -> (s48FleetPercentile _),
     "s47_incremental_quantiles" -> (s47IncrementalQuantiles _),
     "s46_histogram" -> (s46Histogram _),
     "s45_quantile_timing" -> (s45QuantileTiming _),
@@ -1792,6 +1816,17 @@ object Solar {
   // DuckDB oracles — each mirrors the Spark arithmetic exactly
   // (decimal sums, integer microseconds, double division).
   val oracles: Map[String, String] = Map(
+    // s48: same exact-cents daily sums, same percent_rank definition
+    // ((rank−1)/(n−1), ties share) over the day-bounded fleet.
+    "s48_fleet_percentile" ->
+      """WITH g AS (
+           SELECT user_id AS inverter, date_trunc('day', ts) AS day,
+                  CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+           FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+         SELECT day, inverter,
+                CAST(cents AS DOUBLE) / 100.0 AS energy_units,
+                percent_rank() OVER (PARTITION BY day ORDER BY cents) AS fleet_pctile
+         FROM g ORDER BY day, inverter""",
     // s47: k ≥ per-inverter cardinality ⇒ the merged digest stores
     // exact leaves and its eval IS the rank-ceil(q·n) order statistic
     // (st9's discipline); ceil is the same IEEE multiply+ceil.

@@ -164,6 +164,37 @@ object Text {
       .orderBy($"doc_id")
   }
 
+  // ---------------------------------------------------------------------
+  // t28: TOKENIZER FERTILITY per language — the multilingual budget
+  // diagnostic every vocab-size decision starts from (fertility =
+  // subword tokens per word; a language at 2× fertility consumes 2×
+  // context per sentence, the standard metric in tokenizer papers):
+  // words via the whitespace rule, subwords via t1's BPE-style
+  // pre-tokenizer split, ONE combine-enabled (lang) groupBy over
+  // map-side counts, fertility + chars-per-subtoken each one divide
+  // of exact int64s.
+  // ---------------------------------------------------------------------
+  def t28TokenizerFertility(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select($"lang",
+        size(toks($"text")).cast("long").as("n_words"),
+        size(regexp_extract_all(lower($"text"), lit(PreTokenRe), lit(0)))
+          .cast("long").as("n_sub"),
+        length($"text").cast("long").as("n_chars"))
+      .groupBy($"lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum($"n_words").as("words"),
+        sum($"n_sub").as("subtokens"),
+        sum($"n_chars").as("chars"))
+      .select($"lang", $"n_docs", $"words", $"subtokens",
+        ($"subtokens".cast("double") / $"words".cast("double")).as("fertility"),
+        ($"chars".cast("double") / $"subtokens".cast("double"))
+          .as("chars_per_subtoken"))
+      .orderBy($"lang")
+  }
+
   def t1Tokens(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     Tables.documents(s, d)
@@ -1164,6 +1195,7 @@ object Text {
     "t12_repetition_family" -> (t12RepetitionFamily _),
     "t10_seq_pack" -> (t10SeqPack _),
     "t11_bm25" -> (t11Bm25 _),
+    "t28_tokenizer_fertility" -> (t28TokenizerFertility _),
     "t27_novelty" -> (t27Novelty _),
     "t25_mix_report" -> (t25MixReport _),
     "t1_tokens" -> (t1Tokens _),
@@ -1604,6 +1636,25 @@ object Text {
                 CAST(sum(CASE WHEN cum_tok <= $TokenBudget THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
                 CAST(sum(CASE WHEN cum_tok <= $TokenBudget THEN n_tok ELSE 0 END) AS BIGINT) AS tokens_kept
          FROM c GROUP BY 1 ORDER BY 1""",
+    // t28: same word/subword/char counts, integer sums, one divide
+    // per ratio.
+    "t28_tokenizer_fertility" ->
+      """WITH b AS (
+           SELECT lang,
+                  CAST(len(list_filter(string_split_regex(text, '\s+'),
+                    x -> x <> '')) AS BIGINT) AS n_words,
+                  CAST(len(regexp_extract_all(lower(text),
+                    '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS n_sub,
+                  CAST(len(text) AS BIGINT) AS n_chars
+           FROM documents)
+         SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(n_words) AS BIGINT) AS words,
+                CAST(sum(n_sub) AS BIGINT) AS subtokens,
+                CAST(sum(n_sub) AS DOUBLE) / CAST(sum(n_words) AS DOUBLE)
+                  AS fertility,
+                CAST(sum(n_chars) AS DOUBLE) / CAST(sum(n_sub) AS DOUBLE)
+                  AS chars_per_subtoken
+         FROM b GROUP BY 1 ORDER BY lang""",
     // t27: same 60-bit gram hashes (d11's formula), same min-doc
     // first-seen rule, integer counts + one divide.
     "t27_novelty" ->
