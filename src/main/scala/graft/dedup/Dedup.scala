@@ -277,14 +277,16 @@ object Dedup {
   // signature-estimated Jaccard (matches/K) against the exact
   // 60-bit-hashed shingle Jaccard, bucketed by estimate decile. The
   // bucket is PURE INTEGER ((matches·10) div K — no IEEE op picks a
-  // bucket); the per-bucket means use q28's pair-sorted fold
-  // discipline so every double addition chain is part of the
-  // contract. Scale: cost is d6's shape (candidate pairs only, never
-  // all-pairs — the estimator is evaluated exactly where it is used);
-  // bucket list state is bounded by candidates-per-bucket, and at
-  // production scale the same report runs over a hash-sampled
-  // candidate slice (t7's content-addressed discipline) — structure
-  // unchanged.
+  // bucket); the per-bucket means follow v16's bounded-state
+  // exactness discipline for data-dependent double sums: each graded
+  // double (itself bit-identical across engines — one divide / one
+  // abs of exact integer-derived values) is floor-quantized to an
+  // int64 at 1e-6 resolution and summed EXACTLY, so the aggregate is
+  // order-independent, combine-enabled (map-side partials), and
+  // hash-exact with O(1) per-group state. Scale: cost is d6's shape
+  // (candidate pairs only, never all-pairs — the estimator is
+  // evaluated exactly where it is used); per-bucket aggregation
+  // state is three longs and a count regardless of candidate volume.
   // ---------------------------------------------------------------------
   def d15MinhashCalibration(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -304,19 +306,21 @@ object Dedup {
         ($"inter" / ($"tot" - $"inter")).as("jaccard"))
       .withColumn("bucket", expr(s"(matches * 10) div $K"))
       .withColumn("abs_err", abs($"est_jaccard" - $"jaccard"))
-    def fld(field: String) = aggregate(
-      sort_array(collect_list(struct($"doc_a", $"doc_b", col(field).as("x")))),
-      lit(0.0), (acc, x) => acc + x.getField("x"))
+    def qsum(field: String) =
+      sum(floor(col(field) * lit(1000000.0)).cast("long"))
     pairs
       .groupBy($"bucket")
       .agg(count(lit(1)).as("n_pairs"),
-        fld("est_jaccard").as("s_est"),
-        fld("jaccard").as("s_ja"),
-        fld("abs_err").as("s_err"))
+        qsum("est_jaccard").as("q_est"),
+        qsum("jaccard").as("q_ja"),
+        qsum("abs_err").as("q_err"))
       .select($"bucket", $"n_pairs",
-        ($"s_est" / $"n_pairs".cast("double")).as("mean_est"),
-        ($"s_ja" / $"n_pairs".cast("double")).as("mean_exact"),
-        ($"s_err" / $"n_pairs".cast("double")).as("mean_abs_err"))
+        ($"q_est".cast("double") / $"n_pairs".cast("double") / lit(1000000.0))
+          .as("mean_est"),
+        ($"q_ja".cast("double") / $"n_pairs".cast("double") / lit(1000000.0))
+          .as("mean_exact"),
+        ($"q_err".cast("double") / $"n_pairs".cast("double") / lit(1000000.0))
+          .as("mean_abs_err"))
       .orderBy($"bucket")
   }
 
@@ -1192,7 +1196,8 @@ object Dedup {
                 CAST(matches AS DOUBLE) / $K AS est_jaccard
          FROM cand ORDER BY doc_a, doc_b""",
     // d15: d3's cand CTE (no band floor), d6's exact-shingle CTE, the
-    // same integer decile bucket, pair-ordered list_reduce folds.
+    // same integer decile bucket, the same 1e-6 floor-quantized int64
+    // sums (order-independent — exact on both engines by construction).
     "d15_minhash_calibration" ->
       s"""WITH $lshCte,
          cand AS (
@@ -1222,14 +1227,14 @@ object Dedup {
            FROM j),
          g AS (
            SELECT bucket, CAST(count(*) AS BIGINT) AS n_pairs,
-                  list_reduce(list_prepend(0.0, list(est ORDER BY doc_a, doc_b)), (x, y) -> x + y) AS s_est,
-                  list_reduce(list_prepend(0.0, list(ja ORDER BY doc_a, doc_b)), (x, y) -> x + y) AS s_ja,
-                  list_reduce(list_prepend(0.0, list(abs_err ORDER BY doc_a, doc_b)), (x, y) -> x + y) AS s_err
+                  CAST(sum(CAST(floor(est * 1000000.0) AS BIGINT)) AS BIGINT) AS q_est,
+                  CAST(sum(CAST(floor(ja * 1000000.0) AS BIGINT)) AS BIGINT) AS q_ja,
+                  CAST(sum(CAST(floor(abs_err * 1000000.0) AS BIGINT)) AS BIGINT) AS q_err
            FROM p GROUP BY 1)
          SELECT bucket, n_pairs,
-                s_est / CAST(n_pairs AS DOUBLE) AS mean_est,
-                s_ja / CAST(n_pairs AS DOUBLE) AS mean_exact,
-                s_err / CAST(n_pairs AS DOUBLE) AS mean_abs_err
+                CAST(q_est AS DOUBLE) / CAST(n_pairs AS DOUBLE) / 1000000.0 AS mean_est,
+                CAST(q_ja AS DOUBLE) / CAST(n_pairs AS DOUBLE) / 1000000.0 AS mean_exact,
+                CAST(q_err AS DOUBLE) / CAST(n_pairs AS DOUBLE) / 1000000.0 AS mean_abs_err
          FROM g ORDER BY bucket""",
     "d6_ngram_jaccard" ->
       s"""WITH $lshCte,

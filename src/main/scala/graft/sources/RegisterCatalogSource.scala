@@ -148,6 +148,14 @@ private case class RegisterFilePartition(path: String) extends InputPartition
 
 private class RegisterReaderFactory(columns: Array[String], pushed: Array[Filter])
     extends PartitionReaderFactory {
+  // Only the fields a pushed filter references or the projection keeps
+  // are ever parsed — this is what makes the pruning/pushdown contract
+  // real at the byte level: `select(name)` never runs `toDouble` on
+  // scales, and a malformed field in a projected-away column cannot
+  // fail the scan.
+  private val needed: Array[String] =
+    (columns ++ pushed.flatMap(_.references)).distinct
+
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val path = partition.asInstanceOf[RegisterFilePartition].path
     new PartitionReader[InternalRow] {
@@ -156,20 +164,26 @@ private class RegisterReaderFactory(columns: Array[String], pushed: Array[Filter
         .map(_.trim)
         .filter(l => l.nonEmpty && !l.startsWith("#"))
       private var row: InternalRow = _
+      private def parse(field: String, f: Array[String]): Any = field match {
+        case "name" => f(0)
+        case "address" => f(1).toInt
+        case "quantity" => f(2).toInt
+        case "scale" => f(3).toDouble
+        case "unit" => f(4)
+      }
       override def next(): Boolean = {
         var found = false
         while (!found && it.hasNext) {
           val f = it.next().split("\\s+")
           require(f.length == 5, s"register-catalog: expected 5 fields, got '${f.mkString(" ")}'")
-          val rec = Map[String, Any]("name" -> f(0), "address" -> f(1).toInt,
-            "quantity" -> f(2).toInt, "scale" -> f(3).toDouble, "unit" -> f(4))
+          val rec: Map[String, Any] =
+            needed.iterator.map(n => n -> parse(n, f)).toMap
           if (pushed.forall(RegisterCatalogSource.eval(_, rec))) {
-            row = InternalRow.fromSeq(columns.toSeq.map {
-              case "name" => UTF8String.fromString(f(0))
-              case "address" => f(1).toInt
-              case "quantity" => f(2).toInt
-              case "scale" => f(3).toDouble
-              case "unit" => UTF8String.fromString(f(4))
+            row = InternalRow.fromSeq(columns.toSeq.map { c =>
+              rec(c) match {
+                case s: String => UTF8String.fromString(s)
+                case other => other
+              }
             })
             found = true
           }

@@ -179,9 +179,16 @@ object MergeTreeSink {
       .count()
       .collect().map(_.getString(0)).toSeq.sorted // bounded: calendar months
     if (affected.nonEmpty) {
+      // NULL-safe complement: filter(predicate) above kept only rows
+      // where the predicate is TRUE, so the rows to KEEP are exactly
+      // those where it is FALSE **or NULL** — a plain !predicate would
+      // silently delete NULL-predicate rows (three-valued logic), the
+      // classic data-loss bug for predicates over nullable columns.
+      // coalesce(!p, true) makes "matched" and "kept" partition the
+      // table exactly.
       val kept = table
         .filter(col("month").cast("string").isin(affected: _*))
-        .filter(!predicate)
+        .filter(coalesce(!predicate, lit(true)))
         .repartition(col("month"), col(keyCol))
         .sortWithinPartitions(col("month"), col(keyCol), col(tsCol))
         .localCheckpoint() // never scan the directory being replaced

@@ -1145,9 +1145,13 @@ object Text {
   // exactly the hash-threshold acceptance a 100 TB pass wants: zero
   // coordination, the keep decision rides the same scan that computed
   // the weight. Output is the per-language selection report (kept
-  // counts, kept tokens, mean accepted weight via lang-bounded sorted
-  // folds). Exactness: u is one divide of exact integers, p one
-  // multiply + min, the compare is on two mirrored doubles.
+  // counts, kept tokens, mean accepted weight via v16's bounded-state
+  // discipline: each kept weight floor-quantized to int64 at 1e-6 and
+  // summed exactly — order-independent, combine-enabled, O(1)
+  // per-language state instead of a corpus-sized sorted fold).
+  // Exactness: u is one divide of exact integers, p one multiply +
+  // min, the compare is on two mirrored doubles, and floor(w·1e6) is
+  // one deterministic IEEE op on a bit-identical double.
   // ---------------------------------------------------------------------
   def t26ImportanceResample(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -1157,22 +1161,21 @@ object Text {
         size(toks($"text")).cast("long").as("n_tok"),
         (conv(substring(md5($"text"), 1, 15), 16, 10).cast("double") /
           lit(1152921504606846976.0)).as("u"))
-    val fold = aggregate(
-      sort_array(collect_list(struct($"doc_id", $"t"))),
-      lit(0.0), (acc, x) => acc + x.getField("t"))
     docs.join(w, "doc_id")
       .withColumn("p", least(lit(1.0), lit(DsirAlpha) * $"dsir_weight"))
       .withColumn("keep", $"u" < $"p")
       .select($"doc_id", $"lang", $"n_tok", $"keep",
-        when($"keep", $"dsir_weight").otherwise(0.0).as("t"))
+        when($"keep", floor($"dsir_weight" * lit(1000000.0)).cast("long"))
+          .otherwise(0L).as("qw"))
       .groupBy($"lang")
       .agg(
         count(lit(1)).as("n_docs"),
         sum(when($"keep", 1L).otherwise(0L)).as("n_kept"),
         sum(when($"keep", $"n_tok").otherwise(0L)).as("tokens_kept"),
-        fold.as("w_kept_sum"))
+        sum($"qw").as("q_kept"))
       .select($"lang", $"n_docs", $"n_kept", $"tokens_kept",
-        when($"n_kept" > 0L, $"w_kept_sum" / $"n_kept".cast("double"))
+        when($"n_kept" > 0L,
+          $"q_kept".cast("double") / $"n_kept".cast("double") / lit(1000000.0))
           .as("mean_kept_weight"))
       .orderBy($"lang")
   }
@@ -1343,7 +1346,8 @@ object Text {
     // t26: t23's weight pipeline replayed verbatim, the same
     // 60-bit-hash uniform (integer→double conversion is correctly
     // rounded on both engines, the 2^60 divide exact), the same
-    // min(1, α·w) acceptance, doc-sorted weight folds.
+    // min(1, α·w) acceptance, the same 1e-6 floor-quantized int64
+    // weight sums (order-independent — exact on both engines).
     "t26_importance_resample" ->
       s"""WITH w AS ($T23Sql),
          dv AS (
@@ -1361,10 +1365,9 @@ object Text {
                 CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
                 CAST(sum(CASE WHEN keep THEN n_tok ELSE 0 END) AS BIGINT) AS tokens_kept,
                 CASE WHEN sum(CASE WHEN keep THEN 1 ELSE 0 END) > 0 THEN
-                  list_reduce(list_prepend(0.0,
-                    list(CASE WHEN keep THEN dsir_weight ELSE 0.0 END ORDER BY doc_id)),
-                    (x, y) -> x + y)
+                  CAST(sum(CASE WHEN keep THEN CAST(floor(dsir_weight * 1000000.0) AS BIGINT) ELSE 0 END) AS DOUBLE)
                   / CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS DOUBLE)
+                  / 1000000.0
                 END AS mean_kept_weight
          FROM k GROUP BY 1 ORDER BY lang""",
     // t24: identical token split, the same all-integer rule

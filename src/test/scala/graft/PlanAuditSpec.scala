@@ -230,6 +230,87 @@ class PlanAuditSpec extends AnyFunSuite {
     } finally s.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("bounded-state sweep: collect_list only over groups with bounded cardinality domains") {
+    // The r12 scale-killer class: sort_array(collect_list(...)) where
+    // the GROUP's member count grows with the corpus (d15's per-decile
+    // candidate pairs, t26's per-language kept docs, v12's per-cell
+    // vectors) builds a corpus-sized aggregation-buffer row → executor
+    // OOM at 100 TB. Those three are fixed (v16-style quantized int64
+    // sums / cluster self-join); this sweep pins the class shut: any
+    // query whose OPTIMIZED plan contains a CollectList aggregate must
+    // be on the allowlist of genuinely bounded folds, each justified.
+    import org.apache.spark.sql.catalyst.expressions.aggregate.CollectList
+    val allowed = Map(
+      // per-doc folds: group = one document, state bounded by doc length
+      "t23_dsir" -> "per-doc hashed-feature fold (≤ doc length)",
+      "t26_importance_resample" -> "inherits t23's per-doc fold ONLY (the per-lang corpus fold was replaced by quantized int64 sums, r13)",
+      "d11_substring_dup" -> "per-doc sorted position list (≤ doc length)",
+      "m7_phash_dedup" -> "exact-hash duplicate groups (dup-group-bounded; degenerate buckets gated by the oversized-bucket cap)",
+      "s37_exp_decay" -> "per-inverter decay buckets (k ≤ 62, ≤ 63 slots)",
+      // per-clock-grid folds: group = bounded calendar slots
+      "s25_summap" -> "per-inverter hour-of-day map (≤ 24 slots)",
+      "s38_anova" -> "per-(inverter,month) group stats (bounded cells)",
+      "s44_sparkbar" -> "per-inverter day-of-month bar (≤ 31 slots)",
+      // contingency / bounded-category cells
+      "q28_cramers_v" -> "priority×month contingency cells (bounded)",
+      "q35_cramers_corrected" -> "same contingency cells",
+      "q38_contingency" -> "same contingency cells",
+      // per-user/session event timelines (funnel semantics need order;
+      // per-user event counts are application-bounded, the standard
+      // funnel-engine contract)
+      "e7_top_sequences" -> "per-session event list (session-bounded)",
+      "e12_sequence_match" -> "per-user timeline (user-bounded)",
+      "e18_funnel_strict" -> "per-user timeline (user-bounded)",
+      "e21_funnel_inc" -> "per-user timeline (user-bounded)",
+      "e29_funnel_dedup" -> "per-user timeline (user-bounded)",
+      // documented sequential-algorithm contracts
+      "s32_lttb" -> "LTTB is sequential per series (documented contract; ClickHouse matches)",
+      "s39_autocorr" -> "per-series lag fold (series-bounded, same contract)",
+      "s31_linreg" -> "per-inverter day series (span-bounded)",
+      // k-bounded or centroid-bounded array builds
+      "v6_pq_adc" -> "per-(query,code) ADC table (256-bounded)",
+      "v8_ivf_pq" -> "same 256-bounded codebook build",
+      "v15_pagerank" -> "per-dst contribution fold (in-degree ≤ cell size; plain-sum relaxation conf'd)",
+      "m8_modality_report" -> "per-modality percentile grid (bounded grid)",
+      "d7_dup_clusters" -> "star-contraction neighbor fold (edge-list bounded per node)",
+      "q27_mann_whitney" -> "per-(flag) rank fold over priority classes (bounded classes)",
+      "q34_ks_test" -> "two-sample ECDF merge (bounded sample classes)")
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val n = fn(spark, SfDir).queryExecution.optimizedPlan.collect { case p => p }
+        .flatMap(_.expressions)
+        .flatMap(_.collect { case c: CollectList => c })
+        .size
+      if (n > 0) Some(name) else None
+    }
+    val unexpected = offenders.filterNot(allowed.contains)
+    assert(unexpected.isEmpty,
+      s"collect_list over a non-allowlisted group (corpus-scale state risk): $unexpected — " +
+        "use the v16 quantized-int64-sum discipline or a self-join + TopKPerGroup, " +
+        "or justify boundedness in the allowlist")
+  }
+
+  test("v12: cluster self-join reuses ONE assignment evaluation and plans the top-k heap") {
+    // The r12 cell-collect form held every member vector of an IVF
+    // cell in one aggregation-buffer row. The self-join remedy is only
+    // scale-sound if (a) the per-src top-3 plans as the TopKPerGroup
+    // heap (3 rows of state per source, partials before the exchange),
+    // and (b) the two join branches share one evaluation of the
+    // assignment subtree via exchange reuse — otherwise the quantizer
+    // runs twice.
+    val df = SparkEntry.queries("v12_knn_graph")(spark, SfDir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("TopKFinal") && p.contains("TopKPartial"),
+      s"v12 per-src top-k must plan as the heap operator:\n$p")
+    df.collect() // drive AQE to the final plan, where reuse is decided
+    val full = df.queryExecution.executedPlan.toString
+    val fin = full.indexOf("== Initial Plan ==") match {
+      case -1 => full
+      case i  => full.substring(0, i)
+    }
+    assert(fin.contains("ReusedExchange"),
+      s"the two self-join branches must share one assignment evaluation:\n$fin")
+  }
+
   test("q5: broadcast HINTS only on fixed-cardinality dims (region, nation)") {
     // At tiny SFs the planner may broadcast everything from file-size
     // estimates — that's AQE's runtime call, not ours. What must hold
