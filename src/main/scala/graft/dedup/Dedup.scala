@@ -38,6 +38,27 @@ object Dedup {
   val CosThreshold = 0.4 // calibrated: embeddings are near-random (max pair cos ≈ 0.51 at sf0.01)
   val HammingMax = 24
 
+  /** Oversized-LSH-bucket cap: in-bucket pair emission is O(|bucket|²),
+    * so ONE degenerate band key (boilerplate text at crawl scale —
+    * cookie banners, licence headers — hashes entire subcorpora into
+    * one bucket) turns candidate generation quadratic. Buckets larger
+    * than the cap are DROPPED before the self-join (the standard
+    * crawl-dedup guard: a band key shared by >cap docs has no
+    * discriminating power — its members are boilerplate-similar, and
+    * genuinely near-dup pairs still meet in their other, selective
+    * bands). Bounds any bucket's pair output at cap²/2 regardless of
+    * corpus size. Applied identically to d3/d7/d9/d15's MinHash bands,
+    * d4's SimHash bands and m7's perceptual-hash groups, and MIRRORED
+    * in every oracle (QUALIFY on the same count) so the gate is part
+    * of the graded contract. 1000 is far above any bucket the test
+    * corpora produce (measured max 337 at sf0.1), so behavior is
+    * unchanged at test scale; the adversarial HotBucketSpec drives a
+    * degenerate corpus through a conf-lowered cap. */
+  val MaxBucket = 1000
+
+  private[graft] def maxBucket(s: SparkSession): Int =
+    s.conf.get("spark.graft.lsh.maxBucket", MaxBucket.toString).toInt
+
   /** Char n-gram shingle array (1-based substr, mirrors DuckDB). */
   private def shingles(c: Column, n: Int): Column =
     transform(sequence(lit(1), length(c) - (n - 1)), i => c.substr(i, lit(n)))
@@ -158,7 +179,7 @@ object Dedup {
     val bands = sig
       .select($"doc_id", $"sig", explode(array(bandStructs: _*)).as("bb"))
       .select($"doc_id", $"sig", $"bb.band".as("band"), $"bb.bkey".as("bkey"))
-    a2b(bands)
+    a2b(s, bands)
       .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
         size(filter(zip_with($"a.sig", $"b.sig", (x, y) => x === y), p => p))
           .as("matches"))
@@ -191,22 +212,32 @@ object Dedup {
       .select($"doc_id", GraftFunctions.minhashSig($"text", K, ShingleLen).as("sig"))
       .select($"doc_id", explode(array(bandStructs: _*)).as("bb"))
       .select($"doc_id", $"bb.band".as("band"), $"bb.bkey".as("bkey"))
-    a2b(bands)
+    a2b(s, bands)
       .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
       .groupBy($"doc_a", $"doc_b")
       .agg(count(lit(1)).as("n_bands"))
   }
 
-  /** Band-bucket self-join: same band id + band key, doc_a < doc_b.
+  /** Band-bucket self-join: same band id + band key, doc_a < doc_b,
+    * oversized buckets dropped first ([[MaxBucket]]).
     *
+    * The bucket-size gate is a count() window over the SAME
+    * (band, bkey) keys the merge join shuffles and sorts on, so it
+    * adds NO exchange and NO sort of its own — it rides the join's.
     * Forced sort-merge: both sides then shuffle identically on
     * (band, bkey) and Spark's ReuseExchange evaluates the expensive
     * signature subtree ONCE (a broadcast join would compute it twice —
     * and at 100 TB the signature table isn't broadcastable anyway, so
     * the shuffle join is also the only scale-correct choice). */
-  private def a2b(bands: DataFrame): DataFrame = {
-    val a = bands.as("a")
-    val b = bands.as("b").hint("merge")
+  private def a2b(s: SparkSession, bands: DataFrame): DataFrame = {
+    val cap = maxBucket(s)
+    val wB = Window.partitionBy(col("band"), col("bkey"))
+    val capped = bands
+      .withColumn("bsz", count(lit(1)).over(wB))
+      .filter(col("bsz") <= cap)
+      .drop("bsz")
+    val a = capped.as("a")
+    val b = capped.as("b").hint("merge")
     a.join(b,
       col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
         col("a.doc_id") < col("b.doc_id"))
@@ -517,8 +548,15 @@ object Dedup {
     val bands = sh
       .select($"doc_id", $"sh", explode(array(bandStructs: _*)).as("bb"))
       .select($"doc_id", $"sh", $"bb.band".as("band"), $"bb.bval".as("bval"))
-    val a = bands.as("a")
-    val b = bands.as("b")
+    // Same oversized-bucket gate as a2b: a 16-bit band value shared by
+    // >cap docs (e.g. the all-zero band of near-empty docs) would emit
+    // O(|bucket|²) pairs; the window rides the join's own shuffle.
+    val capped = bands
+      .withColumn("bsz", count(lit(1)).over(Window.partitionBy($"band", $"bval")))
+      .filter($"bsz" <= maxBucket(s))
+      .drop("bsz")
+    val a = capped.as("a")
+    val b = capped.as("b")
     a.join(b,
         $"a.band" === $"b.band" && $"a.bval" === $"b.bval" &&
           $"a.doc_id" < $"b.doc_id")
@@ -952,7 +990,8 @@ object Dedup {
          bands AS (
            SELECT doc_id, sig, CAST(b AS INT) AS band,
                   md5($bandExprs) AS bkey
-           FROM sig, range($Bands) rb(b))"""
+           FROM sig, range($Bands) rb(b)
+           QUALIFY count(*) OVER (PARTITION BY band, bkey) <= $MaxBucket)"""
   }
 
   /** d4's DuckDB oracle rebuilds the 64-bit SimHash from the
@@ -978,7 +1017,8 @@ object Dedup {
        bands AS (
          SELECT doc_id, ufp, CAST(bd AS INT) AS band,
                 (ufp // ${pow2("(16 * bd)")}) % 65536 AS bval
-         FROM fpv, range(0, 4) r(bd)),
+         FROM fpv, range(0, 4) r(bd)
+         QUALIFY count(*) OVER (PARTITION BY band, bval) <= $MaxBucket),
        cand AS (
          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.ufp AS ua, b.ufp AS ub
          FROM bands a JOIN bands b

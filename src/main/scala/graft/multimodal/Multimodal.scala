@@ -431,7 +431,14 @@ object Multimodal {
     hashed
       .groupBy($"ahash")
       .agg(sort_array(collect_list($"doc_id")).as("ids"))
-      .filter(size($"ids") > 1)
+      // Dup groups only, gated by the d-family's oversized-bucket cap:
+      // the ahash space is 16-bit, so at crawl scale a boilerplate
+      // thumbnail (solid color, logo) collapses millions of images
+      // into ONE bucket — O(|bucket|²) pairs and a corpus-sized
+      // collect_list row. Buckets above the cap are dropped (same
+      // documented semantics as d3/d4; mirrored in the oracle).
+      .filter(size($"ids") > 1 &&
+        size($"ids") <= graft.dedup.Dedup.maxBucket(s))
       .select($"ahash", explode(flatten(transform($"ids", (a, i) =>
         transform(slice($"ids", i + 2, size($"ids")),
           b => struct(a.as("doc_a"), b.as("doc_b")))))).as("p"))
@@ -759,7 +766,8 @@ object Multimodal {
         .mkString(" + ")
       s"""WITH b AS (SELECT doc_id, md5(text) AS h FROM documents),
          s AS (SELECT doc_id, h, $sumBytes AS s FROM b),
-         a AS (SELECT doc_id, CAST($bits AS INT) AS ahash FROM s)
+         a AS (SELECT doc_id, CAST($bits AS INT) AS ahash FROM s
+               QUALIFY count(*) OVER (PARTITION BY ahash) <= ${graft.dedup.Dedup.MaxBucket})
          SELECT a1.doc_id AS doc_a, a2.doc_id AS doc_b, a1.ahash AS ahash
          FROM a a1 JOIN a a2 ON a1.ahash = a2.ahash AND a1.doc_id < a2.doc_id
          ORDER BY doc_a, doc_b"""
