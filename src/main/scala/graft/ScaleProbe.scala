@@ -25,11 +25,13 @@ import org.apache.spark.sql.functions._
   * `SPARK_GRAFT_PROBE_COPIES` overrides the blow-up factor (default 8;
   * 64 pins the d7 contraction-round claim further out).
   *
-  * `SPARK_GRAFT_PROBE_SKEW=1` builds a HOT-KEY variant of the events
-  * copies — one user owns ~30% of all view rows — and reports, for
-  * each probed query, whether AQE's skew-join split fired on the
-  * final plan (defaults to e8/e9, the user_id-shuffled interval
-  * joins; the realistic skew case is exactly one hot user). The AQE
+  * `SPARK_GRAFT_PROBE_SKEW=1` builds HOT-KEY variants of the events
+  * AND embeddings copies — one user owns ~30% of all view rows, and
+  * one IVF cell owns ~30% of all vectors (every hot vector is the
+  * same cell-seed embedding) — and reports, for each probed query,
+  * whether AQE's skew-join split fired on the final plan (defaults
+  * to e8/e9, the user_id-shuffled interval joins; pass v12_knn_graph
+  * for the hot-cell in-cell self-join case). The AQE
   * skew thresholds are scaled down to match the probe corpus size —
   * at production partition sizes the stock 256 MB thresholds play the
   * same role; what the probe pins is that the hot key stays INSIDE
@@ -94,6 +96,26 @@ object ScaleProbe {
     }
     if (!haveTable("embeddings")) {
       val emb = Tables.embeddings(spark, base)
+      // hot-cell variant: ~30% of every copy's vectors (deterministic
+      // by vec_id) replaced with SCALED copies of one fixed direction —
+      // the embedding of the base corpus's minimum vec_id, which is a
+      // cell seed (centroids = per-label min_by(vec_id)). Cosine is
+      // scale-invariant, so every hot vector assigns to THAT cell; the
+      // per-vector scale keeps the float bytes DISTINCT — byte-
+      // identical vectors would collapse under shuffle compression and
+      // hide the hot partition from AQE's byte-based skew detection
+      // (measured: an identical-vector variant compressed away and no
+      // split fired). Label-min vectors are never replaced, so the
+      // centroid set itself stays clean and exactly one centroid
+      // matches the hot direction. This is the v12 in-cell self-join's
+      // realistic skew case: one boilerplate cluster owning ~30%.
+      val hotCtx =
+        if (Skew)
+          Some((
+            broadcast(emb.orderBy($"vec_id").limit(1)
+              .select($"embedding".as("hot_emb"))),
+            broadcast(emb.groupBy($"label").agg(min($"vec_id").as("mv")))))
+        else None
       writeCopies("embeddings", ks.map { k =>
         val r = k % sim.Sim.Dims // rotate mod Dims so any copy count is safe
         val rotated =
@@ -101,9 +123,23 @@ object ScaleProbe {
           else concat(
             slice($"embedding", r + 1, sim.Sim.Dims - r),
             slice($"embedding", 1, r))
-        emb.select(
-          ($"vec_id" + lit(k * 10000000L)).as("vec_id"),
-          $"label", rotated.as("embedding"))
+        hotCtx match {
+          case None =>
+            emb.select(
+              ($"vec_id" + lit(k * 10000000L)).as("vec_id"),
+              $"label", rotated.as("embedding"))
+          case Some((hotEmb, labelMin)) =>
+            val scale = (lit(1.0) +
+              pmod($"vec_id" * 7919L, lit(1000L)).cast("double") / 1000.0)
+            emb.join(labelMin, "label")
+              .crossJoin(hotEmb)
+              .select(
+                ($"vec_id" + lit(k * 10000000L)).as("vec_id"),
+                $"label",
+                when(pmod($"vec_id", lit(10)) < 3 && $"vec_id" =!= $"mv",
+                  transform($"hot_emb", x => (x * scale).cast("float")))
+                  .otherwise(rotated).as("embedding"))
+        }
       })
     }
     if (!haveTable("events")) {
@@ -170,6 +206,15 @@ object ScaleProbe {
       else Seq("d6_ngram_jaccard", "d7_dup_clusters", "d9_keep_list")
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Tables.session(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
+    // `SPARK_GRAFT_CONF="k=v;k=v"`: session confs for probe runs (e.g.
+    // spark.graft.lsh.maxBucket to demonstrate the bucket cap live on
+    // a dup-dense corpus) — runtime-settable custom keys only.
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(';').foreach { kv =>
+      kv.split("=", 2) match {
+        case Array(k, v) if k.nonEmpty => spark.conf.set(k, v)
+        case _ =>
+      }
+    })
     // Skew-mode session overrides, scoped to the PROBE-corpus work only
     // so the base-dir times (and therefore the printed base/big ratios)
     // are measured under the session's default confs:
@@ -184,8 +229,16 @@ object ScaleProbe {
     //    forcing that shape tests the hot key against the machinery
     //    that would face it.
     val skewConfs = Seq(
-      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "256k",
-      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "64k",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "64k",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16k",
+      // minPartitionSize's 1 MB default coalesces a probe-sized map
+      // side into ONE task — and a skewed reduce partition fed by a
+      // single mapper cannot be split at all (AQE splits at MAPPER
+      // granularity; diagnosed r13 via OptimizeSkewedJoin debug logs:
+      // isSkewed fired, createSkewPartitionSpecs returned None).
+      // Production map outputs are far above 1 MB, so only the probe
+      // needs the scaled floor.
+      "spark.sql.adaptive.coalescePartitions.minPartitionSize" -> "16k",
       "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
       "spark.sql.autoBroadcastJoinThreshold" -> "-1",
       "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")

@@ -946,7 +946,45 @@ object Dedup {
       .orderBy($"doc_id")
   }
 
+  // ---------------------------------------------------------------------
+  // d18: LSH BUCKET PROFILE — the operational observability report for
+  // the oversized-bucket cap ([[MaxBucket]]): per band, the bucket-size
+  // distribution in log₂ classes — bucket count, member docs, the
+  // O(|bucket|²) pair mass each class would emit, and how many buckets
+  // sit over the cap (their pairs are what the cap averts). Crawl-scale
+  // dedup ops watch exactly this histogram to tune band count and the
+  // cap (a fattening tail = boilerplate contamination). Shape: ONE
+  // (band, bkey) combine-enabled count — k×8-byte rows, no signatures,
+  // no text — then a (band, size-class) rollup over |buckets| rows.
+  // All-integer output (pair mass via integer div), so the oracle is
+  // exact by construction; size class = len(bin(n))−1 = ⌊log₂ n⌋,
+  // computed on the integer bit pattern in BOTH engines (no IEEE log).
+  // ---------------------------------------------------------------------
+  def d18BucketProfile(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = withScanParallelism(s, Tables.documents(s, d)
+      .filter(length($"text") >= ShingleLen))
+    val bands = docs
+      .select($"doc_id", GraftFunctions.minhashSig($"text", K, ShingleLen).as("sig"))
+      .select(explode(array(bandStructs: _*)).as("bb"))
+      .select($"bb.band".as("band"), $"bb.bkey".as("bkey"))
+    bands
+      .groupBy($"band", $"bkey")
+      .agg(count(lit(1)).as("bsz"))
+      .select($"band", (length(bin($"bsz")) - 1).as("size_log2"), $"bsz")
+      .groupBy($"band", $"size_log2")
+      .agg(
+        count(lit(1)).as("n_buckets"),
+        sum($"bsz").as("n_docs"),
+        sum(expr("bsz * (bsz - 1) div 2")).as("pair_mass"),
+        sum(when($"bsz" > MaxBucket, 1L).otherwise(0L)).as("n_over_cap"),
+        sum(when($"bsz" > MaxBucket, expr("bsz * (bsz - 1) div 2"))
+          .otherwise(0L)).as("pairs_averted"))
+      .orderBy($"band", $"size_log2")
+  }
+
   val queries: Map[String, Q] = Map(
+    "d18_bucket_profile" -> (d18BucketProfile _),
     "d15_minhash_calibration" -> (d15MinhashCalibration _),
     "d14_cdc_dedup" -> (d14CdcDedup _),
     "d17_sharded_dedup" -> (d17ShardedDedup _),
@@ -977,7 +1015,10 @@ object Dedup {
     * built from the SAME Scala constants the Spark plans use so
     * K/Bands/ShingleLen can never drift between the code and its
     * three oracles (d3/d6/d7). */
-  private val lshCte: String = {
+  /** sh/hx/sig + UNGATED bands — shared by [[lshCte]] (which adds the
+    * bucket-cap QUALIFY) and d18's bucket profile (which must see
+    * every bucket, including over-cap ones — that is the report). */
+  private val lshBaseCte: String = {
     val bandExprs = (1 to Rows).map(r => s"sig[b*$Rows+$r]").mkString(" || '|' || ")
     s"""sh AS (
            SELECT doc_id, unnest(list_transform(range(1, len(text) - ${ShingleLen - 2}), i -> substr(text, i, $ShingleLen))) AS sh
@@ -987,12 +1028,17 @@ object Dedup {
                   min(substr(md5(CAST(i // 4 AS VARCHAR) || ':' || sh), 1 + 8 * (i % 4), 8)) AS mh
            FROM sh, range($K) r(i) GROUP BY doc_id, i),
          sig AS (SELECT doc_id, list(mh ORDER BY i) AS sig FROM hx GROUP BY doc_id),
-         bands AS (
+         bands_raw AS (
            SELECT doc_id, sig, CAST(b AS INT) AS band,
                   md5($bandExprs) AS bkey
-           FROM sig, range($Bands) rb(b)
-           QUALIFY count(*) OVER (PARTITION BY band, bkey) <= $MaxBucket)"""
+           FROM sig, range($Bands) rb(b))"""
   }
+
+  private val lshCte: String =
+    s"""$lshBaseCte,
+         bands AS (
+           SELECT doc_id, sig, band, bkey FROM bands_raw
+           QUALIFY count(*) OVER (PARTITION BY band, bkey) <= $MaxBucket)"""
 
   /** d4's DuckDB oracle rebuilds the 64-bit SimHash from the
     * definition: per-token FNV-1a (HUGEINT mod-2^64, see
@@ -1081,6 +1127,24 @@ object Dedup {
          FROM per p LEFT JOIN dd USING (doc_id) ORDER BY doc_id""",
     // d17: same shard formula (t7/d12's md5 bucket), same fragment
     // grain, same keeper rule; integer drops + one divide.
+    // d18: the same UNGATED band CTE (bands_raw — the profile must see
+    // over-cap buckets), all-integer rollup, ⌊log₂⌋ via bin() length
+    // on both engines (no IEEE log anywhere).
+    "d18_bucket_profile" ->
+      s"""WITH $lshBaseCte,
+         bs AS (
+           SELECT band, bkey, CAST(count(*) AS BIGINT) AS bsz
+           FROM bands_raw GROUP BY 1, 2),
+         cls AS (
+           SELECT band, CAST(len(bin(bsz)) - 1 AS INT) AS size_log2, bsz
+           FROM bs)
+         SELECT band, size_log2,
+                CAST(count(*) AS BIGINT) AS n_buckets,
+                CAST(sum(bsz) AS BIGINT) AS n_docs,
+                CAST(sum(bsz * (bsz - 1) // 2) AS BIGINT) AS pair_mass,
+                CAST(sum(CASE WHEN bsz > $MaxBucket THEN 1 ELSE 0 END) AS BIGINT) AS n_over_cap,
+                CAST(sum(CASE WHEN bsz > $MaxBucket THEN bsz * (bsz - 1) // 2 ELSE 0 END) AS BIGINT) AS pairs_averted
+         FROM cls GROUP BY 1, 2 ORDER BY band, size_log2""",
     "d17_sharded_dedup" ->
       """WITH b AS (
            SELECT doc_id,

@@ -1076,7 +1076,53 @@ object Events {
       .orderBy($"segment")
   }
 
+  // ---------------------------------------------------------------------
+  // e31: DAILY VOLUME ANOMALY — the ingest-monitoring query every
+  // event pipeline runs (ClickHouse dashboards do exactly this over
+  // the ingest table): each day's event count against its TRAILING
+  // 28-day window — anomalous when (n − mean)² > (3σ)², i.e. a volume
+  // spike or outage. The gate is EXACT integer-free-of-IEEE: cross-
+  // multiplying clears both divides — (n·W − s)² > 9·(W·ss − s²) —
+  // evaluated in DECIMAL(38,0) so it cannot overflow even at 10¹²
+  // events/day (int64 squares would). z itself is display-only (one
+  // mirrored sqrt + divide; NULL when the window variance is zero).
+  // Scale shape: the daily rollup is ONE combine-enabled groupBy
+  // (calendar-bounded output); the trailing window is q37's
+  // triangular broadcast self-join over those bounded rows — no
+  // global single-partition window, no corpus-sized state anywhere.
+  // Days with fewer than W predecessors are suppressed (cold start).
+  // ---------------------------------------------------------------------
+  val AnomWindow = 28
+
+  def e31VolumeAnomaly(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val D = "DECIMAL(38,0)"
+    val daily = Tables.events(s, d)
+      .groupBy(date_trunc("day", $"ts").as("day"))
+      .agg(count(lit(1)).as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val hist = daily.select($"day".as("bd"), $"n".as("bn"))
+    val W = lit(AnomWindow.toLong).cast(D)
+    daily.as("a")
+      .join(broadcast(hist),
+        $"bd" < $"day" && $"bd" >= $"day" - expr(s"INTERVAL $AnomWindow days"))
+      .groupBy($"day", $"n")
+      .agg(count(lit(1)).as("n_window"),
+        sum($"bn".cast(D)).as("s"),
+        sum(($"bn".cast(D) * $"bn".cast(D)).cast(D)).as("ss"))
+      .filter($"n_window" === AnomWindow.toLong)
+      .withColumn("dev", ($"n".cast(D) * W - $"s").cast(D))
+      .withColumn("varw", (W * $"ss" - $"s" * $"s").cast(D))
+      .select($"day", $"n".as("n_events"),
+        $"s".cast("long").as("window_sum"),
+        ($"dev" * $"dev" > lit(9).cast(D) * $"varw").as("is_anomaly"),
+        when($"varw" > lit(0).cast(D),
+          $"dev".cast("double") / sqrt($"varw".cast("double"))).as("z"))
+      .orderBy($"day")
+  }
+
   val queries: Map[String, Q] = Map(
+    "e31_volume_anomaly" -> (e31VolumeAnomaly _),
     "e24_rfm" -> (e24Rfm _),
     "e23_conversion_delay" -> (e23ConversionDelay _),
     "e22_markov" -> (e22Markov _),
@@ -1113,6 +1159,32 @@ object Events {
   // BIGINT) is HUGEINT — always CAST back to BIGINT; double divisions
   // are left as single IEEE ops (bit-identical across engines).
   val oracles: Map[String, String] = Map(
+    // e31: same daily rollup, same trailing-28 triangular join; the
+    // exact integer gate runs in HUGEINT here vs DECIMAL(38,0) in
+    // Spark — both exact in range, so every compare and the one
+    // sqrt+divide (from exact integers → identical doubles) agree.
+    "e31_volume_anomaly" ->
+      s"""WITH daily AS (
+           SELECT date_trunc('day', ts) AS day, CAST(count(*) AS BIGINT) AS n
+           FROM events GROUP BY 1),
+         j AS (
+           SELECT a.day, a.n,
+                  CAST(count(*) AS BIGINT) AS n_window,
+                  sum(b.n::HUGEINT) AS s,
+                  sum(b.n::HUGEINT * b.n::HUGEINT) AS ss
+           FROM daily a JOIN daily b
+             ON b.day < a.day AND b.day >= a.day - INTERVAL $AnomWindow DAY
+           GROUP BY 1, 2),
+         g AS (
+           SELECT day, n, s, ss,
+                  n::HUGEINT * $AnomWindow - s AS dev,
+                  $AnomWindow * ss - s * s AS varw
+           FROM j WHERE n_window = $AnomWindow)
+         SELECT day, n AS n_events, CAST(s AS BIGINT) AS window_sum,
+                dev * dev > 9 * varw AS is_anomaly,
+                CASE WHEN varw > 0
+                  THEN CAST(dev AS DOUBLE) / sqrt(CAST(varw AS DOUBLE)) END AS z
+         FROM g ORDER BY day""",
     // e22: same lead() successor pairs over the same (ts, event_id)
     // order, bounded (from, to) rollup, one divide per cell.
     "e22_markov" ->

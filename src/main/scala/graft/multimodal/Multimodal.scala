@@ -588,6 +588,36 @@ object Multimodal {
   }
 
   // ---------------------------------------------------------------------
+  // m15: SHARD BALANCE REPORT — the check a training-data release runs
+  // on m9's packing plan before writing archives: dataloader
+  // throughput is gated by the SLOWEST shard, so the report surfaces
+  // per-source fill ratio and shard-size skew (max·n/total — 1.0 is
+  // perfectly balanced). Same [[shardLayout]] skeleton (one bounded
+  // (source) window sort), two combine-enabled rollups on top;
+  // all-integer until the two display divides, mirrored op-for-op.
+  // ---------------------------------------------------------------------
+  def m15ShardBalance(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    shardLayout(s, d)
+      .groupBy($"source", $"shard")
+      .agg(count(lit(1)).as("n_items"), sum($"media_bytes").as("bytes"))
+      .groupBy($"source")
+      .agg(
+        count(lit(1)).as("n_shards"),
+        sum($"n_items").as("n_items"),
+        sum($"bytes").as("total_bytes"),
+        min($"bytes").as("min_shard_bytes"),
+        max($"bytes").as("max_shard_bytes"))
+      .select($"source", $"n_shards", $"n_items", $"total_bytes",
+        $"min_shard_bytes", $"max_shard_bytes",
+        ($"total_bytes".cast("double") /
+          ($"n_shards" * lit(ShardCapacity)).cast("double")).as("mean_fill"),
+        (($"max_shard_bytes" * $"n_shards").cast("double") /
+          $"total_bytes".cast("double")).as("skew"))
+      .orderBy($"source")
+  }
+
+  // ---------------------------------------------------------------------
   // m10: TAR INDEX — the per-item random-access sidecar every
   // WebDataset-style archive ships (shard id + byte offset INSIDE the
   // shard + length): what a training dataloader seeks with. Pure
@@ -638,6 +668,7 @@ object Multimodal {
     "m11_epoch_shuffle" -> (m11EpochShuffle _),
     "m10_tar_index" -> (m10TarIndex _),
     "m9_shard_pack" -> (m9ShardPack _),
+    "m15_shard_balance" -> (m15ShardBalance _),
     "m14_aspect_buckets" -> (m14AspectBuckets _),
     "m13_clip_filter" -> (m13ClipFilter _),
     "m12_dataset_card" -> (m12DatasetCard _),
@@ -712,6 +743,41 @@ object Multimodal {
                 CAST(sum(media_bytes) AS BIGINT) AS bytes,
                 min(doc_id) AS first_doc, max(doc_id) AS last_doc
          FROM c GROUP BY 1, 2 ORDER BY source, shard""",
+    // m15: m9's layout CTEs verbatim, per-shard then per-source
+    // rollups, the two divides mirrored op-for-op.
+    "m15_shard_balance" ->
+      s"""WITH b AS (SELECT source, doc_id, md5(text) AS h FROM documents),
+         sz AS (
+           SELECT source, doc_id,
+                  CAST((${byteAt(0)} % 128 + 1) *
+                       (${byteAt(1)} % 128 + 1) *
+                       (${byteAt(2)} % 4 + 1) AS BIGINT) AS media_bytes
+           FROM b),
+         c AS (
+           SELECT source, doc_id, media_bytes,
+                  CAST(sum(media_bytes) OVER (PARTITION BY source
+                    ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND CURRENT ROW) AS BIGINT) AS cum
+           FROM sz),
+         sh AS (
+           SELECT source, (cum - media_bytes) // $ShardCapacity AS shard,
+                  CAST(count(*) AS BIGINT) AS n_items,
+                  CAST(sum(media_bytes) AS BIGINT) AS bytes
+           FROM c GROUP BY 1, 2),
+         g AS (
+           SELECT source, CAST(count(*) AS BIGINT) AS n_shards,
+                  CAST(sum(n_items) AS BIGINT) AS n_items,
+                  CAST(sum(bytes) AS BIGINT) AS total_bytes,
+                  min(bytes) AS min_shard_bytes,
+                  max(bytes) AS max_shard_bytes
+           FROM sh GROUP BY 1)
+         SELECT source, n_shards, n_items, total_bytes,
+                min_shard_bytes, max_shard_bytes,
+                CAST(total_bytes AS DOUBLE) /
+                  CAST(n_shards * $ShardCapacity AS DOUBLE) AS mean_fill,
+                CAST(max_shard_bytes * n_shards AS DOUBLE) /
+                  CAST(total_bytes AS DOUBLE) AS skew
+         FROM g ORDER BY source""",
     // m8: same byte rebuild, same modality rule (byte 3 mod 3), same
     // integer sums; each average is the identical single IEEE divide.
     // m12: same stub modality rule + token counts, (source, modality)

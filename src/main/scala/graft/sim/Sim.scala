@@ -957,7 +957,75 @@ object Sim {
     pr.orderBy($"node")
   }
 
+  // ---------------------------------------------------------------------
+  // v18: RECALL-vs-NPROBE SWEEP — the IVF tuning curve every vector
+  // deployment plots before fixing nprobe (FAISS's recall@k-vs-nprobe
+  // table): exact brute-force top-k per query vs the IVF candidate
+  // top-k at nprobe ∈ {1, 2, 4}, one recall row per level. The three
+  // levels share ONE probe ranking (rn ≤ max level, then a 3-row
+  // broadcast level explode filters rn ≤ nprobe), so the quantizer
+  // and the probe scoring run once, not per level; both top-ks plan
+  // as the TopKPerGroup heap. hits are exact integers; recall is the
+  // single mirrored divide hits/(n_queries·k).
+  // ---------------------------------------------------------------------
+  val NprobeLevels: Seq[Int] = Seq(1, 2, 4)
+
+  def v18RecallNprobe(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, d)
+    val c = centroids(s, d)
+    val wAssign = Window.partitionBy($"vec_id").orderBy($"c_cos".desc, $"c_id")
+    val assigned = e.crossJoin(broadcast(c))
+      .select($"vec_id", $"embedding", $"c_id",
+        cosineSim($"embedding", $"c_emb").as("c_cos"))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter($"rn" === 1)
+      .select($"vec_id", $"embedding", $"c_id".as("cluster"))
+    val q = e.filter($"vec_id" < 5)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_emb"))
+    val wProbe = Window.partitionBy($"q_id").orderBy($"q_cos".desc, $"c_id")
+    val probesAll = q.crossJoin(broadcast(c))
+      .select($"q_id", $"q_emb", $"c_id",
+        cosineSim($"q_emb", $"c_emb").as("q_cos"))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter($"rn" <= NprobeLevels.max)
+    val levels = s.range(1)
+      .select(explode(array(NprobeLevels.map(l => lit(l)): _*)).as("nprobe"))
+    val probes = probesAll.crossJoin(broadcast(levels))
+      .filter($"rn" <= $"nprobe")
+      .select($"nprobe", $"q_id", $"q_emb", $"c_id".as("cluster"))
+    val wTop = Window.partitionBy($"nprobe", $"q_id")
+      .orderBy($"cos".desc, $"vec_id")
+    val ivf = probes.join(assigned, "cluster")
+      .filter($"vec_id" =!= $"q_id")
+      .select($"nprobe", $"q_id", $"vec_id",
+        cosineSim($"q_emb", $"embedding").as("cos"))
+      .withColumn("rnk", row_number().over(wTop))
+      .filter($"rnk" <= TopK)
+      .select($"nprobe", $"q_id", $"vec_id")
+    val wB = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id")
+    val brute = e.crossJoin(broadcast(q))
+      .filter($"vec_id" =!= $"q_id")
+      .select($"q_id", $"vec_id", cosineSim($"q_emb", $"embedding").as("cos"))
+      .withColumn("rnk", row_number().over(wB))
+      .filter($"rnk" <= TopK)
+      .select($"q_id".as("bq"), $"vec_id".as("bv"))
+    val hits = ivf
+      .join(brute, $"q_id" === $"bq" && $"vec_id" === $"bv")
+      .groupBy($"nprobe").agg(count(lit(1)).as("hits"))
+    val nq = q.agg(count(lit(1)).as("nq"))
+    levels
+      .join(hits, Seq("nprobe"), "left")
+      .crossJoin(broadcast(nq))
+      .select($"nprobe", $"nq".as("n_queries"),
+        coalesce($"hits", lit(0L)).as("hits"),
+        (coalesce($"hits", lit(0L)).cast("double") /
+          ($"nq" * lit(TopK)).cast("double")).as("recall"))
+      .orderBy($"nprobe")
+  }
+
   val queries: Map[String, Q] = Map(
+    "v18_recall_nprobe" -> (v18RecallNprobe _),
     "v17_knn_classify" -> (v17KnnClassify _),
     "v16_ivf_stats" -> (v16IvfStats _),
     "v15_pagerank" -> (v15Pagerank _),
@@ -1086,6 +1154,48 @@ object Sim {
           ORDER BY src, rnk"""
 
   val oracles: Map[String, String] = Map(
+    // v18: the hoisted assignment CTEs verbatim, one shared probe
+    // ranking filtered per level, identical brute-force reference,
+    // integer hits and the one mirrored recall divide.
+    "v18_recall_nprobe" ->
+      s"""WITH $AssignCtes,
+          q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 5),
+          p AS (SELECT q_id, q_emb, c_id, ${cos("q_emb", "c_emb")} AS q_cos FROM q, c),
+          pr AS (
+            SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY q_cos DESC, c_id) AS rn
+            FROM p),
+          lv AS (SELECT unnest([${NprobeLevels.mkString(", ")}]) AS nprobe),
+          probes AS (
+            SELECT nprobe, q_id, q_emb, c_id AS cluster
+            FROM pr, lv WHERE rn <= nprobe),
+          sc AS (
+            SELECT nprobe, probes.q_id, assigned.vec_id,
+                   ${cos("q_emb", "embedding")} AS cos
+            FROM probes JOIN assigned USING (cluster)
+            WHERE assigned.vec_id <> probes.q_id),
+          rk AS (
+            SELECT nprobe, q_id, vec_id,
+                   row_number() OVER (PARTITION BY nprobe, q_id ORDER BY cos DESC, vec_id) AS rnk
+            FROM sc),
+          ivf AS (SELECT nprobe, q_id, vec_id FROM rk WHERE rnk <= $TopK),
+          bsc AS (
+            SELECT q.q_id, e.vec_id, ${cos("q_emb", "embedding")} AS cos
+            FROM embeddings e, q WHERE e.vec_id <> q.q_id),
+          brk AS (
+            SELECT q_id, vec_id,
+                   row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rnk
+            FROM bsc),
+          brute AS (SELECT q_id, vec_id FROM brk WHERE rnk <= $TopK),
+          h AS (
+            SELECT nprobe, CAST(count(*) AS BIGINT) AS hits
+            FROM ivf JOIN brute USING (q_id, vec_id) GROUP BY 1),
+          nq AS (SELECT CAST(count(*) AS BIGINT) AS nq FROM q)
+          SELECT lv.nprobe, nq.nq AS n_queries,
+                 coalesce(hits, CAST(0 AS BIGINT)) AS hits,
+                 CAST(coalesce(hits, CAST(0 AS BIGINT)) AS DOUBLE) /
+                   CAST(nq * $TopK AS DOUBLE) AS recall
+          FROM lv LEFT JOIN h ON lv.nprobe = h.nprobe, nq
+          ORDER BY lv.nprobe""",
     // v13: same ±1 integer hyperplane formula, same index-ordered
     // projection fold (list_reduce with 0.0 prepended), same 4-bit
     // band values (1-based list indexing), same rerank + tie rule.

@@ -1106,10 +1106,16 @@ object Solar {
   // centroids (pass 1), fold buckets left-to-right carrying the last
   // kept point (pass 2). Nothing leaves the map side after the
   // shuffle and per-inverter series are time-bounded (s20's
-  // justification), so state is O(series), output O(n). Selection is
-  // not SQL-expressible (sequential argmax chain) → rows-only driver
-  // entry; the spec reimplements full LTTB in Scala and demands
-  // bit-identical selections.
+  // justification), so state is O(series), output O(n). SERIES-LENGTH
+  // LIMIT: the collected per-inverter point array is the operator's
+  // inherent contract (LTTB selection is sequential; ClickHouse holds
+  // the same per-group state) — safe while one inverter's span ×
+  // cadence stays executor-sized (~10⁷ points ≈ 160 MB); beyond that,
+  // pre-downsample with s9 per coarse window first, then LTTB the
+  // bounded result — the standard two-stage dashboard pipeline.
+  // Selection is not SQL-expressible (sequential argmax chain) →
+  // rows-only driver entry; the spec reimplements full LTTB in Scala
+  // and demands bit-identical selections.
   // ---------------------------------------------------------------------
   val LttbPoints = 20
 
@@ -1764,7 +1770,65 @@ object Solar {
       .orderBy($"day", $"inverter")
   }
 
+  // ---------------------------------------------------------------------
+  // s49: INVERTER CLIPPING REPORT — sustained output at the inverter's
+  // ceiling (AC power pinned at its rated max ⇒ the array is
+  // oversized for the inverter, energy is being thrown away; every
+  // solar analytics stack reports this). Rated max is proxied by the
+  // observed per-inverter max (fleet catalogs carry it; the proxy
+  // keeps the query self-contained), a reading is CLIPPED when
+  // cents·100 ≥ max_cents·98 (≥98% of ceiling — pure int64, no IEEE
+  // compare), and a clipping EVENT is ≥3 consecutive clipped readings
+  // (gaps-and-islands via run-start cumulative sum: island id = running
+  // count of clip-run STARTS, so lag + the running sum share one
+  // window spec — ONE (inverter, ts, event_id) sort, not the
+  // two-row_number idiom's two). Shape: the per-inverter max is a
+  // fleet-bounded aggregate that AQE broadcasts back onto the feed
+  // (s19's discipline); the report is one combine-enabled rollup per
+  // inverter. One IEEE divide at the end (clipped share), mirrored
+  // op-for-op.
+  // ---------------------------------------------------------------------
+  val ClipMinRun = 3
+
+  def s49Clipping(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val readings = feed(s, d)
+      .filter($"event_type" === "purchase")
+      .select($"inverter", $"ts", $"event_id",
+        round($"value" * 100).cast("long").as("cents"))
+    val mx = readings.groupBy($"inverter").agg(max($"cents").as("max_cents"))
+    val wAll = Window.partitionBy($"inverter").orderBy($"ts", $"event_id")
+    val flagged = readings.join(mx, "inverter")
+      .withColumn("clipped", $"cents" * 100 >= $"max_cents" * 98)
+      .withColumn("run_start",
+        when($"clipped" && !coalesce(lag($"clipped", 1).over(wAll), lit(false)),
+          1L).otherwise(0L))
+      .withColumn("island", when($"clipped", sum($"run_start").over(wAll)))
+    val runs = flagged
+      .filter($"clipped")
+      .groupBy($"inverter", $"island")
+      .agg(count(lit(1)).as("run_len"))
+      .filter($"run_len" >= ClipMinRun)
+      .groupBy($"inverter")
+      .agg(count(lit(1)).as("n_clip_events"),
+        sum($"run_len").as("clipped_in_events"),
+        max($"run_len").as("longest_run"))
+    flagged
+      .groupBy($"inverter")
+      .agg(count(lit(1)).as("n_readings"),
+        sum(when($"clipped", 1L).otherwise(0L)).as("n_clipped"))
+      .join(runs, Seq("inverter"), "left")
+      .select($"inverter", $"n_readings", $"n_clipped",
+        coalesce($"n_clip_events", lit(0L)).as("n_clip_events"),
+        coalesce($"clipped_in_events", lit(0L)).as("clipped_in_events"),
+        coalesce($"longest_run", lit(0L)).as("longest_run"),
+        ($"n_clipped".cast("double") / $"n_readings".cast("double"))
+          .as("clipped_share"))
+      .orderBy($"inverter")
+  }
+
   val queries: Map[String, Q] = Map(
+    "s49_clipping" -> (s49Clipping _),
     "s48_fleet_percentile" -> (s48FleetPercentile _),
     "s47_incremental_quantiles" -> (s47IncrementalQuantiles _),
     "s46_histogram" -> (s46Histogram _),
@@ -1843,6 +1907,48 @@ object Solar {
   // DuckDB oracles — each mirrors the Spark arithmetic exactly
   // (decimal sums, integer microseconds, double division).
   val oracles: Map[String, String] = Map(
+    // s49: same cents proxy, same int64 98%-of-ceiling compare, same
+    // run-start cumulative-sum islands (frames coincide: the order key
+    // (ts, event_id) is unique per inverter so RANGE≡ROWS), one
+    // mirrored IEEE divide for the share.
+    "s49_clipping" ->
+      s"""WITH o AS (
+           SELECT user_id AS inverter, ts, event_id,
+                  CAST(round(value * 100) AS BIGINT) AS cents
+           FROM events WHERE event_type = 'purchase'),
+         mx AS (SELECT inverter, max(cents) AS max_cents FROM o GROUP BY 1),
+         f AS (
+           SELECT o.inverter, ts, event_id, cents, max_cents,
+                  cents * 100 >= max_cents * 98 AS clipped
+           FROM o JOIN mx ON o.inverter = mx.inverter),
+         g AS (
+           SELECT *, CASE WHEN clipped AND NOT coalesce(lag(clipped)
+                    OVER (PARTITION BY inverter ORDER BY ts, event_id), false)
+                  THEN 1 ELSE 0 END AS run_start
+           FROM f),
+         h AS (
+           SELECT *, sum(run_start) OVER (PARTITION BY inverter
+                    ORDER BY ts, event_id) AS island
+           FROM g),
+         runs AS (
+           SELECT inverter, island, CAST(count(*) AS BIGINT) AS run_len
+           FROM h WHERE clipped GROUP BY 1, 2 HAVING count(*) >= $ClipMinRun),
+         ra AS (
+           SELECT inverter, CAST(count(*) AS BIGINT) AS n_clip_events,
+                  CAST(sum(run_len) AS BIGINT) AS clipped_in_events,
+                  CAST(max(run_len) AS BIGINT) AS longest_run
+           FROM runs GROUP BY 1),
+         tot AS (
+           SELECT inverter, CAST(count(*) AS BIGINT) AS n_readings,
+                  CAST(sum(CASE WHEN clipped THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped
+           FROM f GROUP BY 1)
+         SELECT t.inverter, n_readings, n_clipped,
+                coalesce(n_clip_events, CAST(0 AS BIGINT)) AS n_clip_events,
+                coalesce(clipped_in_events, CAST(0 AS BIGINT)) AS clipped_in_events,
+                coalesce(longest_run, CAST(0 AS BIGINT)) AS longest_run,
+                CAST(n_clipped AS DOUBLE) / CAST(n_readings AS DOUBLE) AS clipped_share
+         FROM tot t LEFT JOIN ra ON t.inverter = ra.inverter
+         ORDER BY t.inverter""",
     // s48: same exact-cents daily sums, same percent_rank definition
     // ((rank−1)/(n−1), ties share) over the day-bounded fleet.
     "s48_fleet_percentile" ->

@@ -1180,7 +1180,67 @@ object Text {
       .orderBy($"lang")
   }
 
+  // ---------------------------------------------------------------------
+  // t29: VOCABULARY GROWTH (Heaps' law) — distinct vocabulary vs
+  // cumulative tokens per source at doc-count checkpoints, the
+  // corpus-health curve data teams read before mixing sources (a
+  // flattening curve ⇒ the source has exhausted its novelty; Heaps
+  // 1978, and the practical check behind dataset-mix reports). A
+  // word's FIRST occurrence doc (min doc_id per (source, word)) is a
+  // combine-enabled aggregate; doc order rank per source only matters
+  // up to the largest checkpoint, so the rank list is a TopKPerGroup
+  // HEAP selection (k = max checkpoint), never a corpus-sized window
+  // sort — then each checkpoint sums new-word/token counts over its
+  // ≤k bounded rank rows via a broadcast triangular join (q37's
+  // idiom). All-integer until the one type-token-ratio divide;
+  // ln-entropy variants are engine-divergent (t11/t14 precedent) and
+  // deliberately absent.
+  // ---------------------------------------------------------------------
+  val VocabCheckpoints: Seq[Int] = Seq(10, 100, 400)
+
+  def t29VocabGrowth(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val kMax = VocabCheckpoints.max
+    val docs = Tables.documents(s, d)
+      .select($"source", $"doc_id", toks(lower($"text")).as("ws"))
+    // per-doc token count + per-source doc rank, heap-bounded at kMax
+    val wRank = Window.partitionBy($"source").orderBy($"doc_id")
+    val ranked = docs
+      .select($"source", $"doc_id", size($"ws").cast("long").as("n_tok"))
+      .withColumn("rnk", row_number().over(wRank))
+      .filter($"rnk" <= kMax)
+    // first-occurrence doc per (source, word): one combine-enabled min
+    val firstDoc = docs
+      .select($"source", $"doc_id", explode(array_distinct($"ws")).as("w"))
+      .groupBy($"source", $"w")
+      .agg(min($"doc_id").as("first_doc"))
+      .groupBy($"source", $"first_doc")
+      .agg(count(lit(1)).as("n_new"))
+    val perRank = ranked
+      .join(firstDoc,
+        $"doc_id" === $"first_doc" && ranked("source") === firstDoc("source"),
+        "left")
+      .select(ranked("source"), $"rnk", $"n_tok",
+        coalesce($"n_new", lit(0L)).as("n_new"))
+    val cps = VocabCheckpoints.map(c => lit(c)).toArray
+    perRank
+      .crossJoin(broadcast(
+        s.range(1).select(explode(array(cps: _*)).as("checkpoint"))))
+      .filter($"rnk" <= $"checkpoint")
+      .groupBy($"source", $"checkpoint")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum($"n_tok").as("cum_tokens"),
+        sum($"n_new").as("cum_distinct"))
+      .select($"source", $"checkpoint", $"n_docs", $"cum_tokens",
+        $"cum_distinct",
+        ($"cum_distinct".cast("double") / $"cum_tokens".cast("double"))
+          .as("type_token_ratio"))
+      .orderBy($"source", $"checkpoint")
+  }
+
   val queries: Map[String, Q] = Map(
+    "t29_vocab_growth" -> (t29VocabGrowth _),
     "t26_importance_resample" -> (t26ImportanceResample _),
     "t24_gopher_rules" -> (t24GopherRules _),
     "t23_dsir" -> (t23Dsir _),
@@ -1343,6 +1403,39 @@ object Text {
          FROM sc ORDER BY doc_id"""
 
   val oracles: Map[String, String] = Map(
+    // t29: same tokenization, same min-doc first occurrence, same
+    // rank-≤-checkpoint triangular sums; all integers, one divide.
+    "t29_vocab_growth" -> {
+      val cpList = VocabCheckpoints.mkString(", ")
+      s"""WITH dt AS (
+           SELECT source, doc_id,
+                  list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS ws
+           FROM documents),
+         rk AS (
+           SELECT source, doc_id, CAST(len(ws) AS BIGINT) AS n_tok,
+                  row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rnk
+           FROM dt QUALIFY rnk <= ${VocabCheckpoints.max}),
+         fw AS (
+           SELECT source, w, min(doc_id) AS first_doc
+           FROM (SELECT source, doc_id, unnest(list_distinct(ws)) AS w FROM dt)
+           GROUP BY 1, 2),
+         nn AS (
+           SELECT source, first_doc, CAST(count(*) AS BIGINT) AS n_new
+           FROM fw GROUP BY 1, 2),
+         pr AS (
+           SELECT rk.source, rnk, n_tok,
+                  coalesce(n_new, CAST(0 AS BIGINT)) AS n_new
+           FROM rk LEFT JOIN nn
+             ON rk.doc_id = nn.first_doc AND rk.source = nn.source),
+         cp AS (SELECT unnest([$cpList]) AS checkpoint)
+         SELECT source, checkpoint,
+                CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(n_tok) AS BIGINT) AS cum_tokens,
+                CAST(sum(n_new) AS BIGINT) AS cum_distinct,
+                CAST(sum(n_new) AS DOUBLE) / CAST(sum(n_tok) AS DOUBLE) AS type_token_ratio
+         FROM pr, cp WHERE rnk <= checkpoint
+         GROUP BY 1, 2 ORDER BY source, checkpoint"""
+    },
     // t26: t23's weight pipeline replayed verbatim, the same
     // 60-bit-hash uniform (integer→double conversion is correctly
     // rounded on both engines, the 2^60 divide exact), the same

@@ -230,6 +230,34 @@ class PlanAuditSpec extends AnyFunSuite {
     } finally s.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("v15: the plainSum production path drops the fold and stays rank-stable") {
+    // The graded path folds per-dst contributions in sorted-src order
+    // for bit-reproducibility; spark.graft.v15.plainSum=true is the
+    // 100 TB relaxation — a plain combine-enabled sum, O(1) per-dst
+    // state. Pin both halves of that contract: (a) the conf'd plan
+    // contains NO CollectList anywhere, (b) the scores differ from
+    // the graded path only at IEEE-addition-order level (≤ 1e-12
+    // relative), so the ranking a consumer reads is unchanged.
+    import org.apache.spark.sql.catalyst.expressions.aggregate.CollectList
+    val s = spark
+    val graded = SparkEntry.queries("v15_pagerank")(s, SfDir)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    s.conf.set("spark.graft.v15.plainSum", "true")
+    try {
+      val df = SparkEntry.queries("v15_pagerank")(s, SfDir)
+      val folds = df.queryExecution.optimizedPlan
+        .collect { case p => p }.flatMap(_.expressions)
+        .flatMap(_.collect { case c: CollectList => c })
+      assert(folds.isEmpty, "plainSum path must not build per-dst lists")
+      val plain = df.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(plain.keySet === graded.keySet)
+      val maxRel = plain.map { case (k, v) =>
+        math.abs(v - graded(k)) / math.max(math.abs(graded(k)), 1e-300) }.max
+      assert(maxRel <= 1e-12,
+        s"plainSum may drift only by addition order, got rel err $maxRel")
+    } finally s.conf.unset("spark.graft.v15.plainSum")
+  }
+
   test("bounded-state sweep: collect_list only over groups with bounded cardinality domains") {
     // The r12 scale-killer class: sort_array(collect_list(...)) where
     // the GROUP's member count grows with the corpus (d15's per-decile

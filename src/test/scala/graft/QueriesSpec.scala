@@ -1626,4 +1626,62 @@ class QueriesSpec extends AnyFunSuite {
     assert(st11.groupBy($"hour", $"n_readings").agg(sum($"cnt").as("m"))
       .filter($"m" =!= $"n_readings").count() == 0)
   }
+
+  test("r13 batch: clipping runs, bucket profile mass, vocab growth, recall sweep, shard balance, anomaly gate") {
+    val s = spark
+    import s.implicits._
+    val docs = Tables.documents(s, SfDir)
+    // s49: event-qualified counts are bounded by raw clipped counts;
+    // any reported event implies a run of at least ClipMinRun
+    val s49 = solar.Solar.s49Clipping(s, SfDir)
+    assert(s49.filter($"clipped_in_events" > $"n_clipped" ||
+      $"n_clipped" > $"n_readings" ||
+      ($"n_clip_events" > 0 && $"longest_run" < solar.Solar.ClipMinRun) ||
+      $"clipped_share" < 0.0 || $"clipped_share" > 1.0).count() == 0)
+    // d18: every band's bucket members sum to the shingle-eligible
+    // corpus (each doc lands in exactly one bucket per band), and the
+    // over-cap columns are consistent
+    val d18 = dedup.Dedup.d18BucketProfile(s, SfDir)
+    val eligible = docs.filter(length($"text") >= dedup.Dedup.ShingleLen).count()
+    val perBand = d18.groupBy($"band").agg(sum($"n_docs").as("nd")).collect()
+    assert(perBand.length == dedup.Dedup.Bands &&
+      perBand.forall(_.getAs[Long]("nd") == eligible))
+    assert(d18.filter($"pairs_averted" > $"pair_mass" ||
+      $"n_over_cap" > $"n_buckets").count() == 0)
+    // t29: cumulative columns are monotone in the checkpoint and
+    // distinct vocabulary never exceeds tokens
+    val t29 = text.Text.t29VocabGrowth(s, SfDir).orderBy($"source", $"checkpoint")
+      .collect().groupBy(_.getAs[String]("source"))
+    t29.values.foreach { rows =>
+      rows.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[Long]("cum_tokens") <= b.getAs[Long]("cum_tokens"))
+          assert(a.getAs[Long]("cum_distinct") <= b.getAs[Long]("cum_distinct"))
+        case _ =>
+      }
+      rows.foreach(r =>
+        assert(r.getAs[Long]("cum_distinct") <= r.getAs[Long]("cum_tokens")))
+    }
+    // v18: widening the probe set can only grow the candidate pool —
+    // recall is monotone nondecreasing in nprobe, and bounded by 1
+    val v18 = sim.Sim.v18RecallNprobe(s, SfDir).orderBy($"nprobe").collect()
+    assert(v18.length == sim.Sim.NprobeLevels.length)
+    v18.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Double]("recall") <= b.getAs[Double]("recall") + 1e-12)
+      case _ =>
+    }
+    assert(v18.forall(r => r.getAs[Double]("recall") >= 0.0 &&
+      r.getAs[Double]("recall") <= 1.0))
+    // m15: shard items cover the corpus exactly once; min ≤ max
+    val m15 = multimodal.Multimodal.m15ShardBalance(s, SfDir)
+    assert(m15.agg(sum($"n_items")).as[Long].head() == docs.count())
+    assert(m15.filter($"min_shard_bytes" > $"max_shard_bytes" ||
+      $"skew" < 1.0 - 1e-12).count() == 0)
+    // e31: the integer anomaly gate agrees with the display z-score
+    // whenever the window variance is nonzero (|z| > 3 ⇔ flagged)
+    val e31 = events.Events.e31VolumeAnomaly(s, SfDir)
+    assert(e31.filter($"z".isNotNull &&
+      (abs($"z") > 3.0) =!= $"is_anomaly").count() == 0)
+  }
 }
