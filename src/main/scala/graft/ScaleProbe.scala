@@ -197,6 +197,14 @@ object ScaleProbe {
         .parquet(s"$ProbeDir/nation.parquet")
       println(s"[probe] copied nation (constant dim) at $ProbeDir")
     }
+    if (!haveTable("part")) {
+      // copied once: lineitem copies keep their l_partkey values, so
+      // every copy joins the same part dim (per-copy join cardinality
+      // preserved; brand/type category sets don't scale anyway)
+      Tables.part(spark, base).write.mode("overwrite")
+        .parquet(s"$ProbeDir/part.parquet")
+      println(s"[probe] copied part (constant dim) at $ProbeDir")
+    }
   }
 
   def main(args: Array[String]): Unit = {

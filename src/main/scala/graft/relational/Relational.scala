@@ -1090,7 +1090,48 @@ object Relational {
       .orderBy($"month")
   }
 
+  // ---------------------------------------------------------------------
+  // q41: CO-PURCHASE LIFT — market-basket association over order
+  // baskets (brands co-occurring in one order; support and lift, the
+  // two association-rule staples): lift > 1 ⇒ the pair co-occurs more
+  // than independence predicts. Shape: one broadcast part-dim join,
+  // ONE distinct (order, brand) reduction — per-order fanout is
+  // line-count-bounded (≤7 lineitems/order in TPC-H), so the basket
+  // self-join emits ≤ C(7,2) pairs per order, linear in orders; the
+  // two branches of the self-join are the SAME subtree (a2b's
+  // ReuseExchange discipline, forced sort-merge on the order key);
+  // brand marginals are a 25-row broadcast. All counts exact int64;
+  // support and lift are mirrored divides of exact integers.
+  // ---------------------------------------------------------------------
+  def q41CopurchaseLift(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ob = Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d).select($"p_partkey", $"p_brand")),
+        $"l_partkey" === $"p_partkey")
+      .select($"l_orderkey".as("ok"), $"p_brand".as("brand"))
+      .distinct()
+    val tot = ob.agg(countDistinct($"ok").as("n_orders"))
+    val marg = ob.groupBy($"brand").agg(count(lit(1)).as("n_br"))
+    val a = ob.as("a")
+    val b = ob.select($"ok".as("ok_b"), $"brand".as("brand_b")).as("b")
+      .hint("merge")
+    a.join(b, $"ok" === $"ok_b" && $"brand" < $"brand_b")
+      .groupBy($"brand".as("brand_a"), $"brand_b")
+      .agg(count(lit(1)).as("n_pair"))
+      .join(broadcast(marg.select($"brand".as("brand_a"), $"n_br".as("n_a"))),
+        Seq("brand_a"))
+      .join(broadcast(marg.select($"brand".as("brand_b"), $"n_br".as("n_b"))),
+        Seq("brand_b"))
+      .crossJoin(broadcast(tot))
+      .select($"brand_a", $"brand_b", $"n_pair", $"n_a", $"n_b", $"n_orders",
+        ($"n_pair".cast("double") / $"n_orders".cast("double")).as("support"),
+        (($"n_pair".cast("double") * $"n_orders".cast("double")) /
+          ($"n_a".cast("double") * $"n_b".cast("double"))).as("lift"))
+      .orderBy($"brand_a", $"brand_b")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q41_copurchase_lift" -> (q41CopurchaseLift _),
     "q40_yoy_growth" -> (q40YoyGrowth _),
     "q39_ship_delay" -> (q39ShipDelay _),
     "q38_contingency" -> (q38Contingency _),
@@ -1132,6 +1173,27 @@ object Relational {
   // arithmetic exactly (decimal sums, double division) so results are
   // bit-identical, not merely close.
   val oracles: Map[String, String] = Map(
+    // q41: same distinct (order, brand) baskets, same a<b pair join,
+    // 25-row marginals; support and lift as the same mirrored divides.
+    "q41_copurchase_lift" ->
+      """WITH ob AS (
+           SELECT DISTINCT l_orderkey AS ok, p_brand AS brand
+           FROM lineitem JOIN part ON l_partkey = p_partkey),
+         tot AS (SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n_orders FROM ob),
+         marg AS (SELECT brand, CAST(count(*) AS BIGINT) AS n_br FROM ob GROUP BY 1),
+         pr AS (
+           SELECT a.brand AS brand_a, b.brand AS brand_b,
+                  CAST(count(*) AS BIGINT) AS n_pair
+           FROM ob a JOIN ob b ON a.ok = b.ok AND a.brand < b.brand
+           GROUP BY 1, 2)
+         SELECT brand_a, brand_b, n_pair,
+                ma.n_br AS n_a, mb.n_br AS n_b, n_orders,
+                CAST(n_pair AS DOUBLE) / CAST(n_orders AS DOUBLE) AS support,
+                (CAST(n_pair AS DOUBLE) * CAST(n_orders AS DOUBLE)) /
+                  (CAST(ma.n_br AS DOUBLE) * CAST(mb.n_br AS DOUBLE)) AS lift
+         FROM pr JOIN marg ma ON pr.brand_a = ma.brand
+                 JOIN marg mb ON pr.brand_b = mb.brand, tot
+         ORDER BY brand_a, brand_b""",
     // q37: cumulative distinct as running sum of first-appearances;
     // all integers + one divide.
     "q37_new_vs_returning" ->

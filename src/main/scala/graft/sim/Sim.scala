@@ -1024,7 +1024,44 @@ object Sim {
       .orderBy($"nprobe")
   }
 
+  // ---------------------------------------------------------------------
+  // v19: PQ RECALL REPORT — v14/v18's recall discipline applied to the
+  // product-quantizer path: v6's ADC top-k against the EXACT
+  // full-precision L2 top-k over the same encoded corpus side, recall
+  // per query. This is the number a PQ deployment tunes (M, dsub,
+  // codebook size) against — ADC is an approximation twice over
+  // (codebook quantization + additive decomposition), and only a
+  // recall-vs-exact readout says whether the compression is safe.
+  // Shape: v6's plan replayed as-is (one broadcast codebook product,
+  // map-side encode) + v2's broadcast brute-force; both top-ks plan
+  // as the heap; hits are exact integers, recall one mirrored divide.
+  // ---------------------------------------------------------------------
+  def v19PqRecall(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, d)
+    val adc = v6PqAdc(s, d).select($"q_id", $"vec_id")
+    val q = e.filter($"vec_id" < PqQueries)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_emb"))
+    val wB = Window.partitionBy($"q_id").orderBy($"d2".asc, $"vec_id")
+    val brute = e.filter($"vec_id" >= PqQueries)
+      .crossJoin(broadcast(q))
+      .select($"q_id", $"vec_id", l2Full($"embedding", $"q_emb").as("d2"))
+      .withColumn("rnk", row_number().over(wB))
+      .filter($"rnk" <= PqTopK)
+      .select($"q_id".as("bq"), $"vec_id".as("bv"))
+    val hits = adc.join(brute, $"q_id" === $"bq" && $"vec_id" === $"bv")
+      .groupBy($"q_id").agg(count(lit(1)).as("hits"))
+    q.select($"q_id")
+      .join(hits, Seq("q_id"), "left")
+      .select($"q_id",
+        coalesce($"hits", lit(0L)).as("hits"),
+        (coalesce($"hits", lit(0L)).cast("double") /
+          lit(PqTopK).cast("double")).as("recall"))
+      .orderBy($"q_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "v19_pq_recall" -> (v19PqRecall _),
     "v18_recall_nprobe" -> (v18RecallNprobe _),
     "v17_knn_classify" -> (v17KnnClassify _),
     "v16_ivf_stats" -> (v16IvfStats _),
@@ -1138,6 +1175,39 @@ object Sim {
 
   /** v12's oracle body — hoisted so v15's PageRank can replay the
     * edge list verbatim. */
+  /** v6's oracle body — hoisted so v19's PQ-recall report can replay
+    * the ADC ranking verbatim (v12→v15's discipline). */
+  private val V6Sql: String =
+    s"""WITH ms AS (SELECT CAST(unnest(range(0, $PqM)) AS INT) AS m),
+          seed AS (SELECT label AS c_id, arg_min(embedding, vec_id) AS c_emb
+                   FROM embeddings GROUP BY 1),
+          cb AS (SELECT ms.m, seed.c_id, seed.c_emb FROM seed, ms),
+          l2e AS (
+            SELECT e.vec_id, cb.m, cb.c_id,
+                   ${pqSubL2("e.embedding", "cb.c_emb")} AS l2
+            FROM embeddings e, cb WHERE e.vec_id >= $PqQueries),
+          codes AS (
+            SELECT vec_id, m, c_id FROM (
+              SELECT vec_id, m, c_id,
+                     row_number() OVER (PARTITION BY vec_id, m ORDER BY l2, c_id) AS rn
+              FROM l2e) t WHERE rn = 1),
+          qp AS (
+            SELECT e.vec_id AS q_id, cb.m, cb.c_id,
+                   ${pqSubL2("e.embedding", "cb.c_emb")} AS part
+            FROM embeddings e, cb WHERE e.vec_id < $PqQueries),
+          dmat AS (
+            SELECT qp.q_id, codes.vec_id, qp.m, qp.part
+            FROM qp JOIN codes ON qp.m = codes.m AND qp.c_id = codes.c_id),
+          dist AS (
+            SELECT q_id, vec_id, list_sum(list(part ORDER BY m)) AS adist
+            FROM dmat GROUP BY 1, 2),
+          rk AS (
+            SELECT q_id, vec_id, adist,
+                   CAST(row_number() OVER (PARTITION BY q_id ORDER BY adist, vec_id) AS INT) AS rnk
+            FROM dist)
+          SELECT q_id, rnk, vec_id, adist FROM rk WHERE rnk <= $PqTopK
+          ORDER BY q_id, rnk"""
+
   private val V12Sql: String =
       s"""WITH $AssignCtes,
           pairs AS (
@@ -1377,36 +1447,30 @@ object Sim {
             FROM dist)
           SELECT q_id, rnk, vec_id, cluster, adist FROM rk WHERE rnk <= $PqTopK
           ORDER BY q_id, rnk""",
-    "v6_pq_adc" ->
-      s"""WITH ms AS (SELECT CAST(unnest(range(0, $PqM)) AS INT) AS m),
-          seed AS (SELECT label AS c_id, arg_min(embedding, vec_id) AS c_emb
-                   FROM embeddings GROUP BY 1),
-          cb AS (SELECT ms.m, seed.c_id, seed.c_emb FROM seed, ms),
-          l2e AS (
-            SELECT e.vec_id, cb.m, cb.c_id,
-                   ${pqSubL2("e.embedding", "cb.c_emb")} AS l2
-            FROM embeddings e, cb WHERE e.vec_id >= $PqQueries),
-          codes AS (
-            SELECT vec_id, m, c_id FROM (
-              SELECT vec_id, m, c_id,
-                     row_number() OVER (PARTITION BY vec_id, m ORDER BY l2, c_id) AS rn
-              FROM l2e) t WHERE rn = 1),
-          qp AS (
-            SELECT e.vec_id AS q_id, cb.m, cb.c_id,
-                   ${pqSubL2("e.embedding", "cb.c_emb")} AS part
-            FROM embeddings e, cb WHERE e.vec_id < $PqQueries),
-          dmat AS (
-            SELECT qp.q_id, codes.vec_id, qp.m, qp.part
-            FROM qp JOIN codes ON qp.m = codes.m AND qp.c_id = codes.c_id),
-          dist AS (
-            SELECT q_id, vec_id, list_sum(list(part ORDER BY m)) AS adist
-            FROM dmat GROUP BY 1, 2),
-          rk AS (
-            SELECT q_id, vec_id, adist,
-                   CAST(row_number() OVER (PARTITION BY q_id ORDER BY adist, vec_id) AS INT) AS rnk
-            FROM dist)
-          SELECT q_id, rnk, vec_id, adist FROM rk WHERE rnk <= $PqTopK
-          ORDER BY q_id, rnk""",
+    "v6_pq_adc" -> V6Sql,
+    // v19: v6's ADC top-k replayed verbatim vs the exact full-vector
+    // L2 top-k over the same corpus side; integer hits, one divide.
+    "v19_pq_recall" ->
+      s"""WITH adc AS ($V6Sql),
+          q AS (SELECT vec_id AS q_id, embedding AS q_emb
+                FROM embeddings WHERE vec_id < $PqQueries),
+          ex AS (
+            SELECT q.q_id, e.vec_id, ${l2sql("e.embedding", "q.q_emb")} AS d2
+            FROM embeddings e, q WHERE e.vec_id >= $PqQueries),
+          brk AS (
+            SELECT q_id, vec_id,
+                   row_number() OVER (PARTITION BY q_id ORDER BY d2, vec_id) AS rnk
+            FROM ex),
+          brute AS (SELECT q_id, vec_id FROM brk WHERE rnk <= $PqTopK),
+          h AS (
+            SELECT adc.q_id, CAST(count(*) AS BIGINT) AS hits
+            FROM adc JOIN brute ON adc.q_id = brute.q_id AND adc.vec_id = brute.vec_id
+            GROUP BY 1)
+          SELECT q.q_id, coalesce(hits, CAST(0 AS BIGINT)) AS hits,
+                 CAST(coalesce(hits, CAST(0 AS BIGINT)) AS DOUBLE) /
+                   CAST($PqTopK AS DOUBLE) AS recall
+          FROM q LEFT JOIN h ON q.q_id = h.q_id
+          ORDER BY q.q_id""",
     "v5_quantize" ->
       """WITH b AS (
            SELECT vec_id, label, len(embedding) AS n_dims,

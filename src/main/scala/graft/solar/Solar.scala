@@ -1827,7 +1827,57 @@ object Solar {
       .orderBy($"inverter")
   }
 
+  // ---------------------------------------------------------------------
+  // s50: ENERGY BALANCE — the cross-register consistency check the
+  // reference's schema invites (it carries BOTH instantaneous watts
+  // (ac_actual_watts) and cumulative yield counters (kwh_day,
+  // registers.txt DAILY YIELD): integrating one should track the
+  // other, and a drift flags a failing meter or decode bug). Per
+  // (inverter, day): the ZOH time-integral of the instantaneous
+  // stream (s17's exact decimal Σ dur_µs·cents) vs the counter-delta
+  // energy (s6's reset-clamped exact decimal deltas), joined on the
+  // day grain with the ratio as the diagnostic. Shapes: two
+  // independent single-window pipelines (each the s17/s6 shape
+  // audited at scale) + one (inverter, day) join; exactness: decimals
+  // end-to-end, with the µs→hour and cents→unit conversions as
+  // mirrored single IEEE ops at display time.
+  // ---------------------------------------------------------------------
+  def s50EnergyBalance(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val wI = Window.partitionBy($"inverter", $"day").orderBy($"us", $"event_id")
+    val integral = feed(s, d)
+      .filter($"event_type" === "view")
+      .select($"inverter", date_trunc("day", $"ts").as("day"),
+        unix_micros($"ts").as("us"), $"event_id",
+        round($"value" * 100).cast("long").as("cents"))
+      .withColumn("dur_us", lead($"us", 1).over(wI) - $"us")
+      .groupBy($"inverter", $"day")
+      .agg(count(lit(1)).as("n_readings"),
+        sum($"dur_us".cast(DecimalType(38, 0)) * $"cents").as("wsum"))
+    val wC = Window.partitionBy($"inverter").orderBy($"ts", $"event_id")
+    val counter = feed(s, d)
+      .filter($"event_type" === "purchase")
+      .select($"inverter", $"ts", $"event_id", dec($"value").as("v"))
+      .withColumn("prev", lag($"v", 1).over(wC))
+      .withColumn("delta",
+        when($"prev".isNull, lit(null).cast(D2))
+          .when($"v" >= $"prev", $"v" - $"prev")
+          .otherwise($"v"))
+      .groupBy($"inverter", date_trunc("day", $"ts").as("day"))
+      .agg(sum($"delta").as("counter_sum"), count($"delta").as("n_deltas"))
+    integral.join(counter, Seq("inverter", "day"))
+      .select($"inverter", $"day", $"n_readings", $"n_deltas",
+        // watt-µs → watt-hours, cents → units: two mirrored divides
+        ($"wsum".cast("double") / 3.6e9 / 100.0).as("integral_wh"),
+        $"counter_sum".cast("double").as("counter_units"),
+        when($"counter_sum" > lit(0).cast(D2),
+          ($"wsum".cast("double") / 3.6e9 / 100.0) /
+            $"counter_sum".cast("double")).as("balance_ratio"))
+      .orderBy($"inverter", $"day")
+  }
+
   val queries: Map[String, Q] = Map(
+    "s50_energy_balance" -> (s50EnergyBalance _),
     "s49_clipping" -> (s49Clipping _),
     "s48_fleet_percentile" -> (s48FleetPercentile _),
     "s47_incremental_quantiles" -> (s47IncrementalQuantiles _),
@@ -1949,6 +1999,45 @@ object Solar {
                 CAST(n_clipped AS DOUBLE) / CAST(n_readings AS DOUBLE) AS clipped_share
          FROM tot t LEFT JOIN ra ON t.inverter = ra.inverter
          ORDER BY t.inverter""",
+    // s50: s17's integral CTEs on the view stream + s6's clamped
+    // deltas per day; the display conversions are the same two
+    // mirrored divides, the ratio guarded on counter > 0.
+    "s50_energy_balance" ->
+      """WITH p AS (
+           SELECT user_id AS inverter, date_trunc('day', ts) AS day,
+                  epoch_us(ts) AS us, event_id,
+                  CAST(round(value * 100) AS BIGINT) AS cents
+           FROM events WHERE event_type = 'view'),
+         dur AS (
+           SELECT *, lead(us) OVER (PARTITION BY inverter, day ORDER BY us, event_id) - us AS dur_us
+           FROM p),
+         ig AS (
+           SELECT inverter, day, CAST(count(*) AS BIGINT) AS n_readings,
+                  sum(CAST(dur_us AS DECIMAL(38,0)) * cents) AS wsum
+           FROM dur GROUP BY 1, 2),
+         r AS (
+           SELECT user_id AS inverter, date_trunc('day', ts) AS day,
+                  CAST(value AS DECIMAL(18,2)) AS v,
+             lag(CAST(value AS DECIMAL(18,2))) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS prev
+           FROM events WHERE event_type = 'purchase'),
+         dd AS (
+           SELECT inverter, day,
+             CASE WHEN prev IS NULL THEN NULL
+                  WHEN v >= prev THEN v - prev ELSE v END AS delta
+           FROM r),
+         cg AS (
+           SELECT inverter, day, sum(delta) AS counter_sum,
+                  CAST(count(delta) AS BIGINT) AS n_deltas
+           FROM dd GROUP BY 1, 2)
+         SELECT ig.inverter, ig.day, n_readings, n_deltas,
+                CAST(wsum AS DOUBLE) / 3.6e9 / 100.0 AS integral_wh,
+                CAST(counter_sum AS DOUBLE) AS counter_units,
+                CASE WHEN counter_sum > 0 THEN
+                  (CAST(wsum AS DOUBLE) / 3.6e9 / 100.0) / CAST(counter_sum AS DOUBLE)
+                END AS balance_ratio
+         FROM ig JOIN cg ON ig.inverter = cg.inverter AND ig.day = cg.day
+         ORDER BY ig.inverter, ig.day""",
     // s48: same exact-cents daily sums, same percent_rank definition
     // ((rank−1)/(n−1), ties share) over the day-bounded fleet.
     "s48_fleet_percentile" ->

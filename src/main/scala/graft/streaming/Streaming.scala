@@ -653,6 +653,76 @@ object Streaming {
       .orderBy($"inverter")
   }
 
+  /** Rated power ceiling for the ONLINE clipping detector (cents):
+    * a live stream can't know the inverter's eventual observed max
+    * (s49's batch proxy), so it compares against the catalog's rated
+    * value — here a fleet-wide constant, the registers.txt analogue
+    * of a rated-watts register. Integer compare, no IEEE. */
+  val ClipRatedCents: Long = 5000
+  val StreamClipMinRun = 3
+
+  case class ClipEvt(inverter: Long, us: Long, event_id: Long, cents: Long)
+  case class ClipState(runLen: Long, startUs: Long, lastUs: Long)
+  case class ClipOut(inverter: Long, start_us: Long, end_us: Long, run_len: Long)
+
+  /** Online clipping-run detector (s49's diagnostic as a stream):
+    * per-inverter state is ONE (runLen, startUs, lastUs) triple; a
+    * completed run of ≥ [[StreamClipMinRun]] readings at ≥ the rated
+    * ceiling is emitted when the terminating (below-ceiling) reading
+    * arrives — runs still open at stream end stay unemitted, in batch
+    * mode too, so batch == stream over any micro-batch split
+    * (StreamingSpec pins a mid-run split). State = #inverters × 24
+    * bytes: unbounded feeds run in bounded memory. */
+  def statefulClipDetect(ds: Dataset[ClipEvt]): Dataset[ClipOut] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.groupByKey(_.inverter)
+      .flatMapGroupsWithState[ClipState, ClipOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (inv: Long, it: Iterator[ClipEvt], state: GroupState[ClipState]) =>
+          val sorted = it.toIndexedSeq.sortBy(e => (e.us, e.event_id))
+          var cur = state.getOption.getOrElse(ClipState(0L, 0L, 0L))
+          val out = scala.collection.mutable.ArrayBuffer.empty[ClipOut]
+          sorted.foreach { e =>
+            if (e.cents >= ClipRatedCents) {
+              cur = if (cur.runLen == 0L) ClipState(1L, e.us, e.us)
+                    else ClipState(cur.runLen + 1L, cur.startUs, e.us)
+            } else {
+              if (cur.runLen >= StreamClipMinRun)
+                out += ClipOut(inv, cur.startUs, cur.lastUs, cur.runLen)
+              cur = ClipState(0L, 0L, 0L)
+            }
+          }
+          state.update(cur)
+          out.iterator
+      }
+  }
+
+  // ---------------------------------------------------------------------
+  // st12: graded batch-equivalent of the online clipping detector —
+  // the stateful operator over the whole batch (empty initial state)
+  // must equal the gaps-and-islands form the oracle computes, with
+  // the SAME closed-run semantics (a run is counted only once its
+  // terminating below-ceiling reading has been seen; the trailing
+  // open run is not a completed event in either mode). Cross-batch
+  // run continuity is pinned by StreamingSpec's mid-run split.
+  // ---------------------------------------------------------------------
+  def st12StreamClip(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val evts = Tables.events(s, d)
+      .filter($"event_type" === "purchase")
+      .select($"user_id".as("inverter"), unix_micros($"ts").as("us"),
+        $"event_id", round($"value" * 100).cast("long").as("cents"))
+      .as[ClipEvt]
+    statefulClipDetect(evts)
+      .groupBy($"inverter")
+      .agg(count(lit(1)).as("n_clip_events"),
+        sum($"run_len").as("clipped_in_events"),
+        max($"run_len").as("longest_run"),
+        max($"end_us" - $"start_us").as("longest_span_us"))
+      .orderBy($"inverter")
+  }
+
   /** st11's histogram grain: readings coarsen map-side to 100-watt
     * band indices (floor(value/100) → ≤ [[HistDistinct]] distinct
     * doubles on this feed's [0, 500) domain), which keeps the graded
@@ -759,6 +829,7 @@ object Streaming {
   }
 
   val queries: Map[String, Q] = Map(
+    "st12_stream_clip" -> (st12StreamClip _),
     "st11_stream_histogram" -> (st11StreamHistogram _),
     "st10_stream_last" -> (st10StreamLast _),
     "st9_stream_quantile" -> (st9StreamQuantile _),
@@ -773,6 +844,36 @@ object Streaming {
   )
 
   val oracles: Map[String, String] = Map(
+    // st12: s49's run-start cumulative islands at the rated-constant
+    // gate, CLOSED runs only (an island whose last reading is not the
+    // inverter's last — the next reading exists and is below-ceiling
+    // by maximality), all-integer rollup.
+    "st12_stream_clip" ->
+      s"""WITH o AS (
+           SELECT user_id AS inverter, epoch_us(ts) AS us, event_id,
+                  CAST(round(value * 100) AS BIGINT) AS cents
+           FROM events WHERE event_type = 'purchase'),
+         f AS (SELECT *, cents >= $ClipRatedCents AS clipped FROM o),
+         g AS (
+           SELECT *, CASE WHEN clipped AND NOT coalesce(lag(clipped)
+                    OVER (PARTITION BY inverter ORDER BY us, event_id), false)
+                  THEN 1 ELSE 0 END AS run_start
+           FROM f),
+         h AS (
+           SELECT *, sum(run_start) OVER (PARTITION BY inverter ORDER BY us, event_id) AS island,
+                  row_number() OVER (PARTITION BY inverter ORDER BY us, event_id) AS rn,
+                  count(*) OVER (PARTITION BY inverter) AS n_inv
+           FROM g),
+         runs AS (
+           SELECT inverter, island, CAST(count(*) AS BIGINT) AS run_len,
+                  min(us) AS start_us, max(us) AS end_us
+           FROM h WHERE clipped GROUP BY 1, 2
+           HAVING count(*) >= $StreamClipMinRun AND max(rn) < max(n_inv))
+         SELECT inverter, CAST(count(*) AS BIGINT) AS n_clip_events,
+                CAST(sum(run_len) AS BIGINT) AS clipped_in_events,
+                CAST(max(run_len) AS BIGINT) AS longest_run,
+                CAST(max(end_us - start_us) AS BIGINT) AS longest_span_us
+         FROM runs GROUP BY 1 ORDER BY inverter""",
     // st11: exact regime (distinct bands ≤ bins) ⇒ the bins ARE the
     // per-(window, band) counts in band order; bin_idx is the 0-based
     // band rank within the window.

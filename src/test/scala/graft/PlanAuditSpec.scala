@@ -298,6 +298,7 @@ class PlanAuditSpec extends AnyFunSuite {
       // k-bounded or centroid-bounded array builds
       "v6_pq_adc" -> "per-(query,code) ADC table (256-bounded)",
       "v8_ivf_pq" -> "same 256-bounded codebook build",
+      "v19_pq_recall" -> "replays v6's 256-bounded codebook builds verbatim",
       "v15_pagerank" -> "per-dst contribution fold (in-degree ≤ cell size; plain-sum relaxation conf'd)",
       "m8_modality_report" -> "per-modality percentile grid (bounded grid)",
       "d7_dup_clusters" -> "star-contraction neighbor fold (edge-list bounded per node)",

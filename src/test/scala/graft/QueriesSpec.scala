@@ -1683,5 +1683,25 @@ class QueriesSpec extends AnyFunSuite {
     val e31 = events.Events.e31VolumeAnomaly(s, SfDir)
     assert(e31.filter($"z".isNotNull &&
       (abs($"z") > 3.0) =!= $"is_anomaly").count() == 0)
+    // q41: pair counts are bounded by both marginals; lift and support
+    // agree with their integer definitions
+    val q41 = relational.Relational.q41CopurchaseLift(s, SfDir)
+    assert(q41.filter($"n_pair" > $"n_a" || $"n_pair" > $"n_b" ||
+      $"support" < 0.0 || $"support" > 1.0 || $"lift" < 0.0).count() == 0)
+    assert(q41.filter($"brand_a" >= $"brand_b").count() == 0)
+    // s50: ratio present exactly when both sides are defined (a
+    // single-reading day has NO ZOH coverage → null integral, honest
+    // null ratio — mirrored by the oracle's null sum)
+    val s50 = solar.Solar.s50EnergyBalance(s, SfDir)
+    assert(s50.filter($"balance_ratio".isNull &&
+      $"counter_units" > 0.0 && $"integral_wh".isNotNull).count() == 0)
+    assert(s50.filter($"integral_wh" < 0.0).count() == 0)
+    // v19: recall within [0,1]; hits bounded by k; one row per query
+    val v19 = sim.Sim.v19PqRecall(s, SfDir).collect()
+    assert(v19.length == sim.Sim.PqQueries)
+    assert(v19.forall { r =>
+      val h = r.getAs[Long]("hits"); h >= 0 && h <= sim.Sim.PqTopK &&
+        r.getAs[Double]("recall") >= 0.0 && r.getAs[Double]("recall") <= 1.0
+    })
   }
 }

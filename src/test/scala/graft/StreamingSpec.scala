@@ -891,4 +891,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.map(o => (o.inverter, o.last_us, o.last_cents)) ==
       Seq((1L, 9 * h, 900L), (2L, 3 * h, 300L), (3L, 5 * h, 500L)))
   }
+
+  test("st12 clipping detector: a run split across micro-batches closes identically to batch") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    // synthetic feed: inverter 1 has a 4-long clipping run that the
+    // split cuts in half (state must carry runLen/startUs across the
+    // batch boundary); inverter 2 has a too-short run; inverter 3's
+    // run is still open at stream end and must NOT be emitted.
+    val C = Streaming.ClipRatedCents
+    val h = 3600L * 1000000
+    def e(inv: Long, k: Long, cents: Long) =
+      Streaming.ClipEvt(inv, k * h, inv * 100 + k, cents)
+    val evs = Seq(
+      e(1, 1, C - 1), e(1, 2, C), e(1, 3, C + 5), e(1, 4, C), e(1, 5, C + 9),
+      e(1, 6, C - 7),
+      e(2, 1, C), e(2, 2, C), e(2, 3, C - 1),
+      e(3, 1, C - 2), e(3, 2, C), e(3, 3, C), e(3, 4, C), e(3, 5, C))
+      .sortBy(x => (x.us, x.inverter))
+    val (b1, b2) = evs.splitAt(evs.length / 2) // cuts inverter 1 mid-run
+    val stream = MemoryStream[Streaming.ClipEvt]
+    val q = Streaming.statefulClipDetect(stream.toDS())
+      .writeStream.format("memory").queryName("st12_spec")
+      .outputMode("append").start()
+    try {
+      stream.addData(b1: _*); q.processAllAvailable()
+      stream.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = s.table("st12_spec").as[Streaming.ClipOut]
+      .collect().toSeq.sortBy(_.inverter)
+    val batch = Streaming.statefulClipDetect(evs.toDS())
+      .collect().toSeq.sortBy(_.inverter)
+    assert(streamed == batch, s"stream $streamed vs batch $batch")
+    // exactly one closed run: inverter 1's 4-reading run; 2 is too
+    // short, 3 is open-ended
+    assert(batch == Seq(Streaming.ClipOut(1L, 2 * h, 5 * h, 4L)))
+  }
 }
