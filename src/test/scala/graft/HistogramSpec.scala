@@ -62,6 +62,28 @@ class HistogramSpec extends AnyFunSuite {
     }
   }
 
+  test("histogram: non-finite inputs are skipped; the summary stays well-formed (r12 ADVICE)") {
+    // A NaN input used to break the sorted-centers binary search and
+    // make every compaction gap comparison false — silently malformed
+    // bins. The update path now skips non-finite values, mirroring the
+    // q-digest's bounded input domain.
+    val rng = new scala.util.Random(7)
+    val clean = Seq.fill(5000)(rng.nextDouble() * 500.0)
+    val dirty = (clean ++ Seq.fill(50)(Double.NaN) ++
+      Seq(Double.PositiveInfinity, Double.NegativeInfinity))
+    for (parts <- Seq(1, 7)) {
+      val expect = bins(scala.util.Random.shuffle(clean), 1)
+      val got = bins(dirty, parts)
+      // the invariants of the CLEAN feed must all hold on the dirty one
+      assert(got.map(_._2).sum == clean.size.toLong,
+        s"non-finite rows must not be counted: ${got.map(_._2).sum}")
+      assert(got.zip(got.drop(1)).forall { case (a, b) => a._1 < b._1 })
+      assert(got.head._1 >= clean.min - 1e-9 && got.last._1 <= clean.max + 1e-9,
+        "bins must stay in the FINITE hull")
+      assert(expect.nonEmpty && got.nonEmpty)
+    }
+  }
+
   test("histogram: fewer distinct values than bins reproduces them exactly") {
     // with ≤ N distinct values no merge ever fires — the histogram IS
     // the exact value-frequency table, whatever the partitioning

@@ -230,6 +230,22 @@ class PlanAuditSpec extends AnyFunSuite {
     } finally s.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("s20/s21 share the persisted slot grid; s21 needs NO descending grid sort") {
+    // r13 rework: the grid is memoized per (session, dir) and persisted
+    // (a suite run builds it once for both dashboard fills), and s21's
+    // forward neighbor is precomputed on reading rows by a
+    // readings-only lead() — the r12 form's second full-grid
+    // slot-DESC window sort must not reappear.
+    val p20 = SparkEntry.queries("s20_gap_fill")(spark, SfDir)
+      .queryExecution.executedPlan.toString
+    val p21 = SparkEntry.queries("s21_interpolate")(spark, SfDir)
+      .queryExecution.executedPlan.toString
+    assert(p20.contains("InMemoryTableScan") && p21.contains("InMemoryTableScan"),
+      "both fills must read the shared persisted grid")
+    assert(!"""slot#\d+L? DESC""".r.findFirstIn(p21).isDefined,
+      s"s21 must not sort the grid descending:\n$p21")
+  }
+
   test("v15: the plainSum production path drops the fold and stays rank-stable") {
     // The graded path folds per-dst contributions in sorted-src order
     // for bit-reproducibility; spark.graft.v15.plainSum=true is the

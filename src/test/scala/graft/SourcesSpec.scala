@@ -54,6 +54,31 @@ class SourcesSpec extends AnyFunSuite {
       Seq(("dc_amps", 110), ("ac_frequency", 119), ("inverter_temp", 121)))
   }
 
+  test("register-catalog lazy parse: a malformed field in a projected-away column cannot fail the scan") {
+    val s = spark
+    import s.implicits._
+    // scale field 'BROKEN' would throw in toDouble — but a reader that
+    // only needs (name, address) must never parse it (the r12 ADVICE
+    // fix: parse exactly the fields the pushed filters + projection
+    // reference).
+    val f = Files.createTempFile("registers_bad", ".txt")
+    Files.writeString(f, """dc_voltage   109  1  0.1     V
+      |broken_reg   110  1  BROKEN  A
+      |ac_watts     117  2  1.0     W
+      |""".stripMargin)
+    val df = s.read.format("register-catalog").load(f.toString)
+    val names = df.select($"name", $"address").orderBy($"address")
+      .as[(String, Int)].collect().toSeq
+    assert(names == Seq(("dc_voltage", 109), ("broken_reg", 110), ("ac_watts", 117)))
+    // filters referencing only good fields also never touch scale
+    assert(df.filter($"address" > 109).select($"name").as[String]
+      .collect().toSet == Set("broken_reg", "ac_watts"))
+    // but actually READING scale must still fail loudly
+    intercept[org.apache.spark.SparkException] {
+      df.select($"scale").collect()
+    }
+  }
+
   test("register-catalog pushdown: unsupported predicates stay residual and stay correct") {
     val s = spark
     import s.implicits._

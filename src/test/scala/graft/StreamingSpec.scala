@@ -637,6 +637,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(s.read.parquet(dir).filter(col("month").cast("string") === target).count() == 0)
   }
 
+  test("deleteWhere three-valued logic: NULL-predicate rows are KEPT, not silently deleted") {
+    val s = spark
+    import s.implicits._
+    // the classic GDPR-delete bug (r12 ADVICE): filter(pred) counts a
+    // NULL-predicate row as non-matching, but filter(!pred) ALSO
+    // drops it — 'matched' and 'kept' must partition the table, so
+    // the keep side is coalesce(!pred, true).
+    val dir = Files.createTempDirectory("graft_mts_null").toString
+    val base = Tables.events(s, SfDir).withColumnRenamed("user_id", "inverter")
+      .withColumn("note",
+        when(pmod($"event_id", lit(3)) === 0, lit(null).cast("string"))
+          .when(pmod($"event_id", lit(3)) === 1, lit("del"))
+          .otherwise(lit("keep")))
+    MergeTreeSink.write(base, dir, "ts", "inverter")
+    val before = s.read.parquet(dir)
+    val nNull = before.filter($"note".isNull).count()
+    val nKeep = before.filter($"note" === "keep").count()
+    assert(nNull > 0 && nKeep > 0, "fixture needs NULL and keep rows")
+    MergeTreeSink.deleteWhere(s, dir, $"note" === "del", "ts", "inverter")
+    val after = s.read.parquet(dir)
+    assert(after.filter($"note" === "del").count() == 0, "matches deleted")
+    assert(after.filter($"note".isNull).count() == nNull,
+      "NULL-predicate rows must survive the delete")
+    assert(after.filter($"note" === "keep").count() == nKeep)
+  }
+
   test("BufferedStreamSink drainAvailable processes all pending data then terminates") {
     val s = spark
     import s.implicits._
