@@ -214,15 +214,9 @@ object ScaleProbe {
       else Seq("d6_ngram_jaccard", "d7_dup_clusters", "d9_keep_list")
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Tables.session(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
-    // `SPARK_GRAFT_CONF="k=v;k=v"`: session confs for probe runs (e.g.
-    // spark.graft.lsh.maxBucket to demonstrate the bucket cap live on
-    // a dup-dense corpus) — runtime-settable custom keys only.
-    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(';').foreach { kv =>
-      kv.split("=", 2) match {
-        case Array(k, v) if k.nonEmpty => spark.conf.set(k, v)
-        case _ =>
-      }
-    })
+    // SPARK_GRAFT_CONF: e.g. spark.graft.lsh.maxBucket to demonstrate
+    // the bucket cap live on a dup-dense corpus
+    Tables.applyEnvConfs(spark)
     // Skew-mode session overrides, scoped to the PROBE-corpus work only
     // so the base-dir times (and therefore the printed base/big ratios)
     // are measured under the session's default confs:

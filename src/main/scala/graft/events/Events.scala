@@ -1087,19 +1087,30 @@ object Events {
   // events/day (int64 squares would). z itself is display-only (one
   // mirrored sqrt + divide; NULL when the window variance is zero).
   // Scale shape: the daily rollup is ONE combine-enabled groupBy
-  // (calendar-bounded output); the trailing window is q37's
-  // triangular broadcast self-join over those bounded rows — no
-  // global single-partition window, no corpus-sized state anywhere.
-  // Days with fewer than W predecessors are suppressed (cold start).
+  // (calendar-bounded output) DENSIFIED over the [min, max] day spine
+  // (a groupBy over events cannot emit a row for a ZERO-event day —
+  // the most extreme outage the detector exists for — and a missing
+  // day would also starve the next W windows below n_window = W,
+  // silencing the detector for a month after any full outage; the
+  // spine join makes outage days explicit n=0 rows, which the gate
+  // flags maximally). The trailing window is q37's triangular
+  // broadcast self-join over those bounded rows — no global
+  // single-partition window, no corpus-sized state anywhere. Days
+  // with fewer than W predecessors are suppressed (cold start).
   // ---------------------------------------------------------------------
   val AnomWindow = 28
 
   def e31VolumeAnomaly(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val D = "DECIMAL(38,0)"
-    val daily = Tables.events(s, d)
+    val observed = Tables.events(s, d)
       .groupBy(date_trunc("day", $"ts").as("day"))
       .agg(count(lit(1)).as("n"))
+    val spine = observed
+      .agg(min($"day").as("lo"), max($"day").as("hi"))
+      .select(explode(sequence($"lo", $"hi", expr("INTERVAL 1 day"))).as("day"))
+    val daily = spine.join(observed, Seq("day"), "left")
+      .select($"day", coalesce($"n", lit(0L)).as("n"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val hist = daily.select($"day".as("bd"), $"n".as("bn"))
     val W = lit(AnomWindow.toLong).cast(D)
@@ -1159,14 +1170,21 @@ object Events {
   // BIGINT) is HUGEINT — always CAST back to BIGINT; double divisions
   // are left as single IEEE ops (bit-identical across engines).
   val oracles: Map[String, String] = Map(
-    // e31: same daily rollup, same trailing-28 triangular join; the
+    // e31: same densified day spine (generate_series is inclusive,
+    // like Spark's sequence), same trailing-28 triangular join; the
     // exact integer gate runs in HUGEINT here vs DECIMAL(38,0) in
     // Spark — both exact in range, so every compare and the one
     // sqrt+divide (from exact integers → identical doubles) agree.
     "e31_volume_anomaly" ->
-      s"""WITH daily AS (
+      s"""WITH obs AS (
            SELECT date_trunc('day', ts) AS day, CAST(count(*) AS BIGINT) AS n
            FROM events GROUP BY 1),
+         spine AS (
+           SELECT unnest(generate_series(min(day), max(day), INTERVAL 1 DAY)) AS day
+           FROM obs),
+         daily AS (
+           SELECT spine.day, coalesce(n, CAST(0 AS BIGINT)) AS n
+           FROM spine LEFT JOIN obs ON spine.day = obs.day),
          j AS (
            SELECT a.day, a.n,
                   CAST(count(*) AS BIGINT) AS n_window,

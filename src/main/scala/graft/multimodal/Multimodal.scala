@@ -428,17 +428,24 @@ object Multimodal {
         }
       }
       .toDF("doc_id", "ahash")
+    // Dup groups only, gated by the d-family's oversized-bucket cap
+    // BEFORE any aggregation: the ahash space is 16-bit, so at crawl
+    // scale a boilerplate thumbnail (solid color, logo) collapses
+    // millions of images into ONE bucket — O(|bucket|²) pairs AND a
+    // corpus-sized collect_list buffer row. The count() window rides
+    // the same (ahash) exchange the groupBy needs, so over-cap rows
+    // are dropped before the list ever accumulates (a2b's discipline;
+    // a post-aggregation size() filter would still build the giant
+    // row first). Same drop semantics as d3/d4, mirrored in the
+    // oracle's pre-join QUALIFY.
+    val cap = graft.dedup.Dedup.maxBucket(s)
     hashed
+      .withColumn("bsz",
+        count(lit(1)).over(Window.partitionBy($"ahash")))
+      .filter($"bsz" > 1 && $"bsz" <= cap)
+      .drop("bsz")
       .groupBy($"ahash")
       .agg(sort_array(collect_list($"doc_id")).as("ids"))
-      // Dup groups only, gated by the d-family's oversized-bucket cap:
-      // the ahash space is 16-bit, so at crawl scale a boilerplate
-      // thumbnail (solid color, logo) collapses millions of images
-      // into ONE bucket — O(|bucket|²) pairs and a corpus-sized
-      // collect_list row. Buckets above the cap are dropped (same
-      // documented semantics as d3/d4; mirrored in the oracle).
-      .filter(size($"ids") > 1 &&
-        size($"ids") <= graft.dedup.Dedup.maxBucket(s))
       .select($"ahash", explode(flatten(transform($"ids", (a, i) =>
         transform(slice($"ids", i + 2, size($"ids")),
           b => struct(a.as("doc_a"), b.as("doc_b")))))).as("p"))

