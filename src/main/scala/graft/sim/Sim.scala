@@ -146,7 +146,7 @@ object Sim {
     * sample; the seed quantizer is its reproducible 0-iteration
     * analogue and the probed-cluster recall spec is agnostic to the
     * choice. Centroid count = label count (bounded) → broadcastable. */
-  private[sim] def centroids(s: SparkSession, d: String): DataFrame = {
+  private[graft] def centroids(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val seed = Tables.embeddings(s, d)
       .groupBy($"label")

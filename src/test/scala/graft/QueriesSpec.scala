@@ -1627,6 +1627,33 @@ class QueriesSpec extends AnyFunSuite {
       .filter($"m" =!= $"n_readings").count() == 0)
   }
 
+  test("m6 IVF production path: one row per image, never beats exact, above-chance agreement") {
+    val s = spark
+    import s.implicits._
+    def run() = multimodal.Multimodal.m6CaptionRetrieval(s, SfDir)
+      .select($"doc_id", $"caption_id", $"cos").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val exact = run()
+    s.conf.set("spark.graft.m6.ivf", "true")
+    try {
+      val ivf = run()
+      // cell-pruned retrieval answers every image and can only ever
+      // score a SUBSET of the exact candidates (so never a higher
+      // cosine) — those are the hard invariants. Agreement with the
+      // exact top-1 is the nprobe-bounded recall tradeoff: the STUB
+      // tower's features are not CLIP-aligned with the caption space,
+      // so the probed-cell hit rate is modest (measured ~23% at
+      // sf0.001 vs ~10% chance over the ~2/20 probed cells) — pin
+      // clearly-above-chance, not a production recall (a real aligned
+      // tower changes the data, not the plan).
+      assert(ivf.keySet == exact.keySet)
+      assert(ivf.forall { case (doc, (_, c)) => c <= exact(doc)._2 + 1e-12 })
+      val agree = ivf.count { case (doc, (id, _)) => exact(doc)._1 == id }
+      assert(agree * 6 >= ivf.size,
+        s"IVF top-1 agreement below chance band: $agree/${ivf.size}")
+    } finally s.conf.unset("spark.graft.m6.ivf")
+  }
+
   test("e31: a zero-event outage day is visible, flagged, and does not silence the month after it") {
     val s = spark
     import s.implicits._
