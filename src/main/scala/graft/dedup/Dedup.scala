@@ -223,7 +223,18 @@ object Dedup {
     *
     * The bucket-size gate is a count() window over the SAME
     * (band, bkey) keys the merge join shuffles and sorts on, so it
-    * adds NO exchange and NO sort of its own — it rides the join's.
+    * adds NO exchange and NO sort of its own — it rides the join's,
+    * and the surviving rows arrive pre-sorted for the merge. The one
+    * cost: a degenerate mega-bucket is still SORTED in its single
+    * task before being dropped (spillable, O(n log n), completes —
+    * unlike the pair explosion or a collect buffer, it cannot OOM).
+    * The alternative — map-side-combined counts → broadcast ANTI-join
+    * on the ≤ n/cap over-cap keys — skips that sort but evaluates the
+    * signature kernel twice (the count branch re-derives band keys),
+    * a 2× scan-CPU price on every corpus to save a spill sort on
+    * degenerate ones; for this kernel-heavy feed the window form is
+    * the right default, and the anti-join swap is mechanical if a
+    * deployment's corpus is boilerplate-dominated.
     * Forced sort-merge: both sides then shuffle identically on
     * (band, bkey) and Spark's ReuseExchange evaluates the expensive
     * signature subtree ONCE (a broadcast join would compute it twice —

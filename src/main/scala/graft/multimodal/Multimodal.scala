@@ -690,18 +690,39 @@ object Multimodal {
   // per epoch for no training benefit; shard-local + shard-order
   // rotation is the published recipe). Content-addressed, so the
   // order is reproducible across runs/machines and changes completely
-  // between epochs. One (source) exchange per epoch slice; the epoch
-  // fan-out is a map-side explode.
+  // between epochs. Ranking uses q23's grouped distributed idiom
+  // (r13): a Window.partitionBy(epoch, source) would hold one
+  // (epoch, source) slice — corpus-sized per source — in ONE task;
+  // range partitions on (epoch, source, h, doc_id) keep every task a
+  // row-balanced slice, with per-(epoch, source, pid) offsets from a
+  // bounded broadcast triangular join. The epoch fan-out stays a
+  // map-side explode.
   // ---------------------------------------------------------------------
   def m11EpochShuffle(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val w = Window.partitionBy($"epoch", $"source").orderBy($"h", $"doc_id")
-    Tables.documents(s, d)
+    val nParts = s.sparkContext.defaultParallelism
+    val hashed = Tables.documents(s, d)
       .select($"source", $"doc_id",
         explode(sequence(lit(0), lit(ShuffleEpochs - 1))).as("epoch"))
       .withColumn("h",
         md5(concat($"epoch".cast("string"), lit(":"), $"doc_id".cast("string"))))
-      .withColumn("pos", row_number().over(w).cast("long"))
+    val sorted = hashed
+      .repartitionByRange(nParts, $"epoch", $"source", $"h", $"doc_id")
+      .withColumn("pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val counts = sorted.groupBy($"pid", $"epoch", $"source")
+      .agg(count(lit(1)).as("c"))
+    val offsets = counts
+      .join(counts.select($"pid".as("bpid"), $"epoch".as("be"),
+          $"source".as("bs"), $"c".as("bc")),
+        $"be" === $"epoch" && $"bs" === $"source" && $"bpid" < $"pid", "left")
+      .groupBy($"pid", $"epoch", $"source")
+      .agg(coalesce(sum($"bc"), lit(0L)).as("off"))
+    val wLocal = Window.partitionBy($"pid", $"epoch", $"source")
+      .orderBy($"h", $"doc_id")
+    sorted
+      .join(broadcast(offsets), Seq("pid", "epoch", "source"))
+      .withColumn("pos", ($"off" + row_number().over(wLocal)).cast("long"))
       .select($"epoch", $"source", $"pos", $"doc_id")
       .orderBy($"epoch", $"source", $"pos")
   }

@@ -375,14 +375,55 @@ object Relational {
     val spend = Tables.orders(s, d)
       .groupBy($"o_custkey")
       .agg(dsum($"o_totalprice").as("spend"))
-    val w = Window.partitionBy($"nation").orderBy($"spend".desc, $"c_custkey")
-    Tables.customer(s, d)
+    val base = Tables.customer(s, d)
       .join(spend, $"c_custkey" === $"o_custkey")
       .join(broadcast(Tables.nation(s, d)), $"c_nationkey" === $"n_nationkey")
       .select($"c_custkey", $"n_name".as("nation"), $"spend")
-      .withColumn("decile", ntile(10).over(w))
-      .withColumn("pct_rank", percent_rank().over(w))
-      .withColumn("cume", cume_dist().over(w))
+    // Per-nation ranking WITHOUT nation-sized window partitions: a
+    // Window.partitionBy(nation) puts an entire nation in ONE task —
+    // terabytes per partition at 100 TB with ~25 nations. Instead,
+    // t20's distributed-ranking idiom keyed by group: range-partition
+    // on (nation, spend desc, custkey) so each task holds a
+    // row-balanced SLICE, rank locally within (pid, nation), and add
+    // per-(nation, pid) offsets from a bounded triangular join
+    // (≤ nations × partitions rows, broadcast). The order key is
+    // unique (custkey tie-break), so rank == row_number == rank() and
+    // ntile/percent_rank/cume_dist reconstruct EXACTLY from
+    // (rank, count) with Spark's own formulas — same oracle hash.
+    val nParts = s.sparkContext.defaultParallelism
+    val sorted = base
+      .repartitionByRange(nParts, $"nation", $"spend".desc, $"c_custkey")
+      .withColumn("pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val counts = sorted.groupBy($"pid", $"nation").agg(count(lit(1)).as("c"))
+    val offsets = counts
+      .join(counts.select($"pid".as("bpid"), $"nation".as("bn"), $"c".as("bc")),
+        $"bn" === $"nation" && $"bpid" < $"pid", "left")
+      .groupBy($"pid", $"nation")
+      .agg(coalesce(sum($"bc"), lit(0L)).as("off"))
+    val totals = counts.groupBy($"nation").agg(sum($"c").as("cnt"))
+    val wLocal = Window.partitionBy($"pid", $"nation")
+      .orderBy($"spend".desc, $"c_custkey")
+    // Spark's NTile layout: the first (cnt % 10) buckets carry
+    // (cnt div 10 + 1) rows, the rest (cnt div 10); with cnt < 10 the
+    // padded branch covers every row (bucket = rank).
+    sorted
+      .join(broadcast(offsets), Seq("pid", "nation"))
+      .join(broadcast(totals), "nation")
+      .withColumn("rank", $"off" + row_number().over(wLocal))
+      .withColumn("decile",
+        when($"rank" <= (expr("cnt div 10") + 1L) * ($"cnt" % 10),
+          expr("(rank - 1) div (cnt div 10 + 1) + 1").cast("int"))
+          .otherwise(
+            ($"cnt" % 10 +
+              expr("(rank - 1 - (cnt div 10 + 1) * (cnt % 10)) div greatest(cnt div 10, 1)") +
+              1L).cast("int")))
+      .withColumn("pct_rank",
+        when($"cnt" > 1L,
+          ($"rank" - 1L).cast("double") / ($"cnt" - 1L).cast("double"))
+          .otherwise(0.0))
+      .withColumn("cume", $"rank".cast("double") / $"cnt".cast("double"))
+      .select($"c_custkey", $"nation", $"spend", $"decile", $"pct_rank", $"cume")
       .orderBy($"c_custkey")
   }
 

@@ -1627,6 +1627,42 @@ class QueriesSpec extends AnyFunSuite {
       .filter($"m" =!= $"n_readings").count() == 0)
   }
 
+  test("q23: grouped distributed ranking equals the per-nation window form bit-for-bit") {
+    val s = spark
+    import s.implicits._
+    // r13 rewrite: Window.partitionBy(nation) puts a whole nation in
+    // one task; the range-partitioned (pid, nation)-local form with
+    // broadcast offsets must reproduce ntile/percent_rank/cume_dist
+    // EXACTLY (unique order key ⇒ rank reconstruction is closed-form)
+    val got = relational.Relational.q23SpendDeciles(s, SfDir)
+      .select($"c_custkey", $"nation", $"spend".cast("string"),
+        $"decile", $"pct_rank", $"cume")
+      .collect().map(_.toSeq).toSet
+    val spend = Tables.orders(s, SfDir)
+      .groupBy($"o_custkey")
+      .agg(sum($"o_totalprice".cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+        .cast("double").as("spend"))
+    val base = Tables.customer(s, SfDir)
+      .join(spend, $"c_custkey" === $"o_custkey")
+      .join(broadcast(Tables.nation(s, SfDir)), $"c_nationkey" === $"n_nationkey")
+      .select($"c_custkey", $"n_name".as("nation"), $"spend")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"nation").orderBy($"spend".desc, $"c_custkey")
+    val ref = base
+      .withColumn("decile", ntile(10).over(w))
+      .withColumn("pct_rank", percent_rank().over(w))
+      .withColumn("cume", cume_dist().over(w))
+      .select($"c_custkey", $"nation", $"spend".cast("string"),
+        $"decile", $"pct_rank", $"cume")
+      .collect().map(_.toSeq).toSet
+    assert(got == ref,
+      s"distributed ranking drifted: ${(got diff ref).take(3)} vs ${(ref diff got).take(3)}")
+    val plan = relational.Relational.q23SpendDeciles(s, SfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("rangepartitioning(nation"),
+      "q23 must rank over range partitions, not a per-nation hash window")
+  }
+
   test("m6 IVF production path: one row per image, never beats exact, above-chance agreement") {
     val s = spark
     import s.implicits._
