@@ -1891,7 +1891,61 @@ object Solar {
       .orderBy($"inverter", $"day")
   }
 
+  // ---------------------------------------------------------------------
+  // s51: ClickHouse `meanZTest` — the third member of the A/B-test
+  // aggregate family (s29 Welch, s43 Student): compare the dc_voltage
+  // (view) and dc_amps (click) stream means under KNOWN population
+  // variances, which in CH are caller-supplied parameters of the
+  // aggregate (meanZTest(σ²x, σ²y, conf)(v, idx)) — here the fleet's
+  // published sensor-noise specs, literal in the query on both
+  // engines. With σ² fixed, the only data-dependent inputs are the
+  // exact conditional (n, Σcents) pairs — ONE combine-enabled groupBy
+  // on the inverter key, no variance sums at all (cheaper than
+  // s29/s43). Closed forms in double, op-for-op mirrored: means
+  // divide back cents once; z = Δmu/sqrt(σ²x/n1+σ²y/n2); the 95% CI
+  // uses the literal 1.96 critical value. p-values need erf — out of
+  // SQL scope on both engines (s29 precedent); z + CI are the
+  // portable triple. Degenerate inverters (either stream empty) are
+  // filtered on exact counts. At 100 TB: scan-rate conditional sums,
+  // one shuffle of 3-long rows per inverter — nothing else.
+  // ---------------------------------------------------------------------
+  def s51MeanZtest(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val D38 = DecimalType(38, 0)
+    val g1 = $"event_type" === "view"
+    val g2 = $"event_type" === "click"
+    val varX = lit(900.0)  // published σ² of the voltage sensor (units²)
+    val varY = lit(400.0)  // published σ² of the current sensor (units²)
+    val zCrit = lit(1.96)
+    feed(s, d)
+      .filter($"event_type".isin("view", "click"))
+      .select($"inverter", $"event_type",
+        (dec($"value") * 100).cast("long").as("c"))
+      .groupBy($"inverter")
+      .agg(
+        count(when(g1, 1)).as("n1"),
+        sum(when(g1, $"c").cast(D38)).as("s1"),
+        count(when(g2, 1)).as("n2"),
+        sum(when(g2, $"c").cast(D38)).as("s2"))
+      .filter($"n1" > 0 && $"n2" > 0)
+      .select($"inverter", $"n1", $"n2",
+        $"n1".cast("double").as("n1d"), $"n2".cast("double").as("n2d"),
+        $"s1".cast("double").as("s1d"), $"s2".cast("double").as("s2d"))
+      .select($"inverter", $"n1", $"n2", $"n1d", $"n2d",
+        ($"s1d" / $"n1d" / 100.0).as("mu1"),
+        ($"s2d" / $"n2d" / 100.0).as("mu2"))
+      .select($"inverter", $"n1", $"n2", $"mu1", $"mu2",
+        sqrt(varX / $"n1d" + varY / $"n2d").as("se"))
+      .select($"inverter",
+        $"n1".as("n_view"), $"n2".as("n_click"),
+        (($"mu1" - $"mu2") / $"se").as("z_stat"),
+        ($"mu1" - $"mu2" - zCrit * $"se").as("ci_low"),
+        ($"mu1" - $"mu2" + zCrit * $"se").as("ci_high"))
+      .orderBy($"inverter")
+  }
+
   val queries: Map[String, Q] = Map(
+    "s51_mean_ztest" -> (s51MeanZtest _),
     "s50_energy_balance" -> (s50EnergyBalance _),
     "s49_clipping" -> (s49Clipping _),
     "s48_fleet_percentile" -> (s48FleetPercentile _),
@@ -2144,6 +2198,38 @@ object Solar {
                 (mu1 - mu2) / sqrt(se2) AS t_stat,
                 CAST(n1 + n2 - 2 AS BIGINT) AS df
          FROM se WHERE se2 > 0.0 ORDER BY inverter""",
+    // s51: same exact conditional (n, Σcents) sums, same literal
+    // population variances / 1.96 critical value, same op-for-op
+    // double tree (divide cents back, sqrt of the literal-over-n sum).
+    "s51_mean_ztest" ->
+      """WITH raw AS (
+           SELECT user_id AS inverter, event_type,
+                  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+           FROM events WHERE event_type IN ('view', 'click')),
+         sums AS (
+           SELECT inverter,
+                  count(CASE WHEN event_type = 'view' THEN 1 END) AS n1,
+                  CAST(sum(CASE WHEN event_type = 'view' THEN c END) AS DOUBLE) AS s1d,
+                  count(CASE WHEN event_type = 'click' THEN 1 END) AS n2,
+                  CAST(sum(CASE WHEN event_type = 'click' THEN c END) AS DOUBLE) AS s2d
+           FROM raw GROUP BY 1),
+         filt AS (
+           SELECT *, CAST(n1 AS DOUBLE) AS n1d, CAST(n2 AS DOUBLE) AS n2d
+           FROM sums WHERE n1 > 0 AND n2 > 0),
+         mv AS (
+           SELECT inverter, n1, n2, n1d, n2d,
+                  s1d / n1d / 100.0 AS mu1, s2d / n2d / 100.0 AS mu2
+           FROM filt),
+         se AS (
+           SELECT inverter, n1, n2, mu1, mu2,
+                  sqrt(900.0 / n1d + 400.0 / n2d) AS se
+           FROM mv)
+         SELECT inverter,
+                CAST(n1 AS BIGINT) AS n_view, CAST(n2 AS BIGINT) AS n_click,
+                (mu1 - mu2) / se AS z_stat,
+                (mu1 - mu2) - 1.96 * se AS ci_low,
+                (mu1 - mu2) + 1.96 * se AS ci_high
+         FROM se ORDER BY inverter""",
     // s44: same hourly cents sums, same integer ceil-div level rule,
     // same glyph array, bar assembled in the same hour order.
     "s44_sparkbar" ->

@@ -284,6 +284,33 @@ object Streaming {
       "user_id = o_user AND o_ts >= ts - INTERVAL 2 HOURS AND o_ts <= ts"))
   }
 
+  // ---------------------------------------------------------------------
+  // st13: graded batch-equivalent of the STREAM-STREAM interval join —
+  // the exact [[enrichTransform]] the stream-stream spec runs with two
+  // MemoryStreams, driven here over the click and purchase streams of
+  // the events feed (click enriched with the same user's purchases
+  // from the trailing 2 hours). The join plans as an equi shuffle on
+  // user_id with the time range as a join filter (e8's scale shape);
+  // in a real stream both watermarks plus the two-sided time bound
+  // make the join state expirable, so an unbounded feed runs in
+  // bounded memory. delay_s is exact integer seconds.
+  // ---------------------------------------------------------------------
+  def st13StreamEnrich(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val clicks = Tables.events(s, d)
+      .filter($"event_type" === "click")
+      .select($"event_id".as("eid"), $"ts", $"user_id")
+    val purchases = Tables.events(s, d)
+      .filter($"event_type" === "purchase")
+      .select($"event_id".as("o_id"), $"user_id".as("o_user"),
+        $"ts".as("o_ts"))
+    enrichTransform(clicks, purchases)
+      .select($"user_id", $"eid".as("click_id"), $"o_id".as("purchase_id"),
+        expr("(unix_micros(ts) - unix_micros(o_ts)) div 1000000")
+          .as("delay_s"))
+      .orderBy($"click_id", $"purchase_id")
+  }
+
   /** One raw counter reading. Values are fixed-point cents (the feed
     * carries 2-decimal readings) so state and deltas stay exact. */
   case class Reading(inverter: Long, ts: java.sql.Timestamp, event_id: Long, cents: Long)
@@ -829,6 +856,7 @@ object Streaming {
   }
 
   val queries: Map[String, Q] = Map(
+    "st13_stream_enrich" -> (st13StreamEnrich _),
     "st12_stream_clip" -> (st12StreamClip _),
     "st11_stream_histogram" -> (st11StreamHistogram _),
     "st10_stream_last" -> (st10StreamLast _),
@@ -844,6 +872,16 @@ object Streaming {
   )
 
   val oracles: Map[String, String] = Map(
+    // st13: the same equi+range join, integer-µs floor-div delay.
+    "st13_stream_enrich" ->
+      """SELECT c.user_id,
+                c.event_id AS click_id, p.event_id AS purchase_id,
+                (epoch_us(c.ts) - epoch_us(p.ts)) // 1000000 AS delay_s
+         FROM events c JOIN events p
+           ON c.user_id = p.user_id
+          AND c.event_type = 'click' AND p.event_type = 'purchase'
+          AND p.ts >= c.ts - INTERVAL 2 HOUR AND p.ts <= c.ts
+         ORDER BY click_id, purchase_id""",
     // st12: s49's run-start cumulative islands at the rated-constant
     // gate, CLOSED runs only (an island whose last reading is not the
     // inverter's last — the next reading exists and is below-ceiling

@@ -1799,5 +1799,23 @@ class QueriesSpec extends AnyFunSuite {
       val h = r.getAs[Long]("hits"); h >= 0 && h <= sim.Sim.PqTopK &&
         r.getAs[Double]("recall") >= 0.0 && r.getAs[Double]("recall") <= 1.0
     })
+    // s51: pin the known-variance algebra by replay — the CI must be
+    // symmetric about Δmu (= z·se) and exactly 2·1.96·se wide, with
+    // se reconstructed from the literal published variances and the
+    // reported counts.
+    val s51 = solar.Solar.s51MeanZtest(s, SfDir)
+    val s51bad = s51.select($"n_view", $"n_click", $"z_stat",
+        $"ci_low", $"ci_high",
+        (($"ci_low" + $"ci_high") / 2.0).as("mid"),
+        sqrt(lit(900.0) / $"n_view" + lit(400.0) / $"n_click").as("se"))
+      .filter(
+        // CI is symmetric about Δmu: mid == z*se up to replayed ops
+        abs($"mid" - $"z_stat" * $"se") > lit(1e-9) ||
+        // CI width is exactly 2·1.96·se in replayed double ops
+        abs(($"ci_high" - $"ci_low") - lit(2.0) * lit(1.96) * $"se") >
+          lit(1e-9) ||
+        $"ci_high" < $"ci_low")
+      .count()
+    assert(s51bad == 0)
   }
 }
