@@ -32,6 +32,12 @@ object GraftExtensions extends SparkSessionExtensionsProvider {
     // idiom into the heap-based two-phase operator; the strategy plans it.
     ext.injectOptimizerRule(_ => graft.plans.TopKRewrite)
     ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
+    // Corpus-global ranking: bare rank-family windows with an empty
+    // PARTITION BY are rewritten to the range-partitioned two-pass
+    // operator (TopKRewrite runs first, so filter(rank <= k) keeps
+    // the cheaper heap path; this catches the full rankings).
+    ext.injectOptimizerRule(_ => graft.plans.GlobalRankRewrite)
+    ext.injectPlannerStrategy(_ => graft.plans.GlobalRankStrategy)
     ext.injectFunction((
       FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),

@@ -1,0 +1,144 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The GlobalRank operator (plans/GlobalRank.scala): bare rank-family
+  * windows with an EMPTY partition clause — Spark's single-partition
+  * scale killer — rewritten to the range-partitioned two-pass form.
+  * Pinned here: bit-equality with the built-in window for all five
+  * functions (the A/B lever is the rule's conf), tie/null/NaN edges,
+  * the plan shape (no SinglePartition exchange), and the bail-outs.
+  */
+class GlobalRankSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private val ConfKey = graft.plans.GlobalRankRewrite.ConfKey
+
+  private def withRule[A](on: Boolean)(body: => A): A = {
+    val s = spark
+    val prev = s.conf.getOption(ConfKey)
+    s.conf.set(ConfKey, on.toString)
+    try body
+    finally prev match {
+      case Some(v) => s.conf.set(ConfKey, v)
+      case None => s.conf.unset(ConfKey)
+    }
+  }
+
+  private def allFive(df: DataFrame): DataFrame = {
+    val w = Window.orderBy(col("k").desc, col("id"))
+    df.select(col("id"), col("k"),
+      row_number().over(w).as("rn"),
+      rank().over(w).as("r"),
+      dense_rank().over(w).as("dr"),
+      percent_rank().over(w).as("pr"),
+      ntile(3).over(w).as("n3"),
+      ntile(7).over(w).as("n7"))
+  }
+
+  test("GlobalRank: all five functions bit-equal to the built-in window on a total order") {
+    val s = spark
+    import s.implicits._
+    // events-scale input, unique (value-desc, id) total order, spread
+    // over several input partitions so range boundaries are real
+    val base = Tables.events(s, SfDir)
+      .select($"event_id".as("id"), $"value".as("k"))
+      .repartition(7)
+    val got = withRule(on = true)(allFive(base).orderBy($"id").collect().toSeq)
+    val ref = withRule(on = false)(allFive(base).orderBy($"id").collect().toSeq)
+    assert(got == ref)
+  }
+
+  test("GlobalRank: ties spanning would-be boundaries, nulls, NaN and -0.0 keys") {
+    val s = spark
+    import s.implicits._
+    // 3 distinct keys x many rows forces every range partition to be
+    // a tie run; plus null, NaN and +/-0.0 keys (UnsafeProjection
+    // normalization must agree with the sort's equality)
+    val rows = (1 to 500).map(i => (i.toLong, (i % 3).toDouble)) ++
+      Seq((501L, Double.NaN), (502L, Double.NaN),
+        (503L, 0.0), (504L, -0.0)) // -0.0 must tie with 0.0
+    val withNull = rows.toDF("id", "k")
+      .union(Seq((505L, null.asInstanceOf[java.lang.Double])).toDF("id", "k"))
+      .repartition(5)
+    // order by k ONLY -> real tie groups. rank/dense_rank/percent_rank
+    // are tie-deterministic per row; row_number/ntile are not (tie
+    // order is arbitrary in BOTH engines), so they are pinned
+    // separately below on a total order over the same data.
+    def tieFns(df: DataFrame): DataFrame = {
+      val w = Window.orderBy(col("k"))
+      df.select(col("id"),
+        rank().over(w).as("r"),
+        dense_rank().over(w).as("dr"),
+        percent_rank().over(w).as("pr"))
+    }
+    val gotTies = withRule(on = true)(tieFns(withNull).orderBy($"id").collect().toSeq)
+    val refTies = withRule(on = false)(tieFns(withNull).orderBy($"id").collect().toSeq)
+    assert(gotTies == refTies)
+    // total order (k desc, id) on the same tie-heavy data: all five
+    // functions bit-equal, boundary keys duplicated across the range
+    val got = withRule(on = true)(allFive(withNull).orderBy($"id").collect().toSeq)
+    val ref = withRule(on = false)(allFive(withNull).orderBy($"id").collect().toSeq)
+    assert(got == ref)
+    // single-row and empty inputs: percent_rank's N==1 branch, empty pass-1
+    val one = Seq((1L, 2.0)).toDF("id", "k")
+    val gotOne = withRule(on = true)(allFive(one).collect().toSeq)
+    assert(gotOne == withRule(on = false)(allFive(one).collect().toSeq))
+    assert(gotOne.head.getDouble(5) == 0.0) // pr column: N==1 -> 0.0
+    val empty = Seq.empty[(Long, Double)].toDF("id", "k")
+    assert(withRule(on = true)(allFive(empty).collect()).isEmpty)
+  }
+
+  test("GlobalRank plan shape: GlobalRankExec + range exchange, no SinglePartition funnel") {
+    val s = spark
+    import s.implicits._
+    val base = Tables.events(s, SfDir).select($"event_id".as("id"), $"value".as("k"))
+    withRule(on = true) {
+      val df = allFive(base)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("GlobalRank"), plan.take(2000))
+      assert(!plan.contains("SinglePartition"),
+        "global ranking must not funnel through one partition:\n" + plan.take(2000))
+      assert(plan.contains("rangepartitioning"), plan.take(2000))
+    }
+    withRule(on = false) {
+      val df = allFive(base)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("GlobalRank") && plan.contains("SinglePartition"),
+        "conf off must keep the native single-partition window:\n" + plan.take(2000))
+    }
+  }
+
+  test("GlobalRank bail-outs: cume_dist, aggregate windows and partitioned ranks stay native") {
+    val s = spark
+    import s.implicits._
+    val base = Tables.events(s, SfDir).select($"event_id".as("id"), $"value".as("k"),
+      ($"event_id" % 10).as("g"))
+    withRule(on = true) {
+      // cume_dist: unsupported (tie-group lookahead) -> native window
+      val cd = base.select(cume_dist().over(Window.orderBy($"k", $"id")).as("cd"))
+      cd.collect()
+      assert(!cd.queryExecution.executedPlan.toString.contains("GlobalRank"))
+      // running aggregate over a global order -> native window
+      val agg = base.select(sum($"k").over(
+        Window.orderBy($"k", $"id").rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("s"))
+      agg.collect()
+      assert(!agg.queryExecution.executedPlan.toString.contains("GlobalRank"))
+      // partitioned rank -> native window (no global funnel to fix)
+      val part = base.select(rank().over(Window.partitionBy($"g").orderBy($"k", $"id")).as("r"))
+      part.collect()
+      assert(!part.queryExecution.executedPlan.toString.contains("GlobalRank"))
+      // mixed node (rank + cume_dist share the spec): all-or-nothing -> native
+      val mixed = base.select(
+        rank().over(Window.orderBy($"k", $"id")).as("r"),
+        cume_dist().over(Window.orderBy($"k", $"id")).as("cd"))
+      mixed.collect()
+      assert(!mixed.queryExecution.executedPlan.toString.contains("GlobalRank"))
+    }
+  }
+}
