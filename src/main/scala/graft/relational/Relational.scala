@@ -1171,7 +1171,44 @@ object Relational {
       .orderBy($"brand_a", $"brand_b")
   }
 
+  // ---------------------------------------------------------------------
+  // q42: GLOBAL customer-spend leaderboard — the corpus-global rank
+  // surface graded end-to-end ON the GlobalRank operator
+  // (plans/GlobalRank.scala): both windows below have an EMPTY
+  // PARTITION BY, the classic Spark single-partition funnel, and are
+  // planned by the rewrite as ONE range exchange + the two-pass
+  // offset stitch (the spec asserts GlobalRankExec and the absence
+  // of SinglePartition in this query's executed plan). Two orders
+  // exercise both tie regimes: rank/dense_rank/percent_rank over
+  // $1000 spend BANDS (real ties — tie-deterministic functions
+  // only), the spend centile over the unique (cents desc, custkey)
+  // total order (ntile needs it: its tie order is arbitrary in any
+  // engine). Exact cents end to end; band by integer div; the only
+  // IEEE ops are the mirrored display divide and percent_rank's own
+  // (rank−1)/(n−1), identical formulas on both engines.
+  // ---------------------------------------------------------------------
+  def q42SpendRank(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val spend = Tables.orders(s, d)
+      .groupBy($"o_custkey")
+      .agg(sum(dec($"o_totalprice")).as("spend_d"),
+        count(lit(1)).as("n_orders"))
+      .select($"o_custkey".as("c_custkey"), $"n_orders",
+        ($"spend_d" * 100).cast("long").as("cents"))
+      .withColumn("band", expr("cents div 100000"))
+    val wBand = Window.orderBy($"band".desc)
+    val wTotal = Window.orderBy($"cents".desc, $"c_custkey")
+    spend.select($"c_custkey", $"n_orders",
+        ($"cents".cast("double") / 100.0).as("spend"), $"band",
+        rank().over(wBand).cast("long").as("band_rank"),
+        dense_rank().over(wBand).cast("long").as("band_dense"),
+        percent_rank().over(wBand).as("band_pct"),
+        ntile(100).over(wTotal).cast("long").as("centile"))
+      .orderBy($"c_custkey")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q42_spend_rank" -> (q42SpendRank _),
     "q41_copurchase_lift" -> (q41CopurchaseLift _),
     "q40_yoy_growth" -> (q40YoyGrowth _),
     "q39_ship_delay" -> (q39ShipDelay _),
@@ -1216,6 +1253,24 @@ object Relational {
   val oracles: Map[String, String] = Map(
     // q41: same distinct (order, brand) baskets, same a<b pair join,
     // 25-row marginals; support and lift as the same mirrored divides.
+    // q42: same exact cents sums, same integer band div, the same
+    // two window orders with the same tie regimes; rank family casts
+    // to BIGINT on both engines, percent_rank's divide is the shared
+    // (rank-1)/(n-1) formula.
+    "q42_spend_rank" ->
+      """WITH spend AS (
+           SELECT o_custkey AS c_custkey,
+                  CAST(count(*) AS BIGINT) AS n_orders,
+                  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+           FROM orders GROUP BY 1),
+         b AS (SELECT *, cents // 100000 AS band FROM spend)
+         SELECT c_custkey, n_orders,
+                CAST(cents AS DOUBLE) / 100.0 AS spend, band,
+                CAST(rank() OVER (ORDER BY band DESC) AS BIGINT) AS band_rank,
+                CAST(dense_rank() OVER (ORDER BY band DESC) AS BIGINT) AS band_dense,
+                percent_rank() OVER (ORDER BY band DESC) AS band_pct,
+                CAST(ntile(100) OVER (ORDER BY cents DESC, c_custkey) AS BIGINT) AS centile
+         FROM b ORDER BY c_custkey""",
     "q41_copurchase_lift" ->
       """WITH ob AS (
            SELECT DISTINCT l_orderkey AS ok, p_brand AS brand

@@ -114,6 +114,16 @@ class GlobalRankSpec extends AnyFunSuite {
     }
   }
 
+  test("q42 runs on the GlobalRank operator: both windows rewritten, no single-partition funnel") {
+    val s = spark
+    val df = graft.relational.Relational.q42SpendRank(s, SfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("GlobalRank"), plan.take(2000))
+    assert(!plan.contains("SinglePartition"),
+      "the graded global leaderboard must never funnel to one partition:\n" + plan.take(2000))
+  }
+
   test("GlobalRank bail-outs: cume_dist, aggregate windows and partitioned ranks stay native") {
     val s = spark
     import s.implicits._
