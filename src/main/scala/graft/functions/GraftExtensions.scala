@@ -38,6 +38,10 @@ object GraftExtensions extends SparkSessionExtensionsProvider {
     // the cheaper heap path; this catches the full rankings).
     ext.injectOptimizerRule(_ => graft.plans.GlobalRankRewrite)
     ext.injectPlannerStrategy(_ => graft.plans.GlobalRankStrategy)
+    // Share-of-total: aggregate windows over the full corpus
+    // (sum(x) OVER ()) aggregate once and broadcast back instead of
+    // funnelling every row through one partition.
+    ext.injectOptimizerRule(_ => graft.plans.GlobalAggRewrite)
     ext.injectFunction((
       FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),

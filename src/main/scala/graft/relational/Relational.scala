@@ -1207,7 +1207,39 @@ object Relational {
       .orderBy($"c_custkey")
   }
 
+  // ---------------------------------------------------------------------
+  // q43: NATION REVENUE SHARE-OF-TOTAL — the `sum(x) OVER ()` surface
+  // graded end-to-end ON the GlobalAggRewrite (plans/GlobalAgg.scala):
+  // the empty-OVER window would natively funnel every row through ONE
+  // partition; the rewrite aggregates once (map-side partials) and
+  // broadcasts the single-row total back as a cross join — the spec
+  // asserts no WindowExec and a BroadcastNestedLoopJoin in this
+  // query's executed plan. Here the window input is the 25-row nation
+  // rollup, but the PLAN SHAPE is what the gate grades — the same
+  // query over raw lineitem rows keeps the same topology at 100 TB.
+  // Exact cents end to end; total is an exact long on both engines;
+  // the share is one mirrored double divide.
+  // ---------------------------------------------------------------------
+  def q43RevenueShare(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val rev = Tables.orders(s, d)
+      .join(Tables.customer(s, d), $"o_custkey" === $"c_custkey")
+      .join(broadcast(Tables.nation(s, d)), $"c_nationkey" === $"n_nationkey")
+      .groupBy($"n_name")
+      .agg(sum(dec($"o_totalprice")).as("rev_d"), count(lit(1)).as("n_orders"))
+      .select($"n_name".as("nation"), $"n_orders",
+        ($"rev_d" * 100).cast("long").as("cents"))
+    val w = Window.partitionBy() // the OVER () form
+    rev.select($"nation", $"n_orders",
+        ($"cents".cast("double") / 100.0).as("revenue"),
+        sum($"cents").over(w).as("total_cents"),
+        ($"cents".cast("double") /
+          sum($"cents").over(w).cast("double")).as("share"))
+      .orderBy($"nation")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q43_revenue_share" -> (q43RevenueShare _),
     "q42_spend_rank" -> (q42SpendRank _),
     "q41_copurchase_lift" -> (q41CopurchaseLift _),
     "q40_yoy_growth" -> (q40YoyGrowth _),
@@ -1253,6 +1285,21 @@ object Relational {
   val oracles: Map[String, String] = Map(
     // q41: same distinct (order, brand) baskets, same a<b pair join,
     // 25-row marginals; support and lift as the same mirrored divides.
+    // q43: same joins and exact cents rollup, the same OVER () total
+    // (DuckDB sums BIGINT to HUGEINT — cast back), one mirrored divide.
+    "q43_revenue_share" ->
+      """WITH rev AS (
+           SELECT n_name AS nation, CAST(count(*) AS BIGINT) AS n_orders,
+                  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+           FROM orders
+           JOIN customer ON o_custkey = c_custkey
+           JOIN nation ON c_nationkey = n_nationkey
+           GROUP BY 1)
+         SELECT nation, n_orders,
+                CAST(cents AS DOUBLE) / 100.0 AS revenue,
+                CAST(sum(cents) OVER () AS BIGINT) AS total_cents,
+                CAST(cents AS DOUBLE) / CAST(CAST(sum(cents) OVER () AS BIGINT) AS DOUBLE) AS share
+         FROM rev ORDER BY nation""",
     // q42: same exact cents sums, same integer band div, the same
     // two window orders with the same tie regimes; rank family casts
     // to BIGINT on both engines, percent_rank's divide is the shared

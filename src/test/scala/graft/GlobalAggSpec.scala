@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** GlobalAggRewrite (plans/GlobalAgg.scala): `agg OVER ()` windows —
+  * the share-of-total pattern — rewritten to aggregate-once +
+  * broadcast cross join instead of the all-rows single-partition
+  * funnel. Equivalence is pinned on exact types (longs/decimals/
+  * integral doubles), where both plans are bit-identical. */
+class GlobalAggSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private val ConfKey = graft.plans.GlobalAggRewrite.ConfKey
+
+  private def withRule[A](on: Boolean)(body: => A): A = {
+    val s = spark
+    val prev = s.conf.getOption(ConfKey)
+    s.conf.set(ConfKey, on.toString)
+    try body
+    finally prev match {
+      case Some(v) => s.conf.set(ConfKey, v)
+      case None => s.conf.unset(ConfKey)
+    }
+  }
+
+  private def shares(df: DataFrame): DataFrame = {
+    val w = Window.partitionBy() // empty spec: the OVER () form
+    df.select(col("id"),
+      sum(col("cents")).over(w).as("total_cents"),
+      count(lit(1)).over(w).as("n"),
+      min(col("cents")).over(w).as("lo"),
+      max(col("cents")).over(w).as("hi"),
+      (col("cents").cast("double") /
+        sum(col("cents")).over(w).cast("double")).as("share"))
+  }
+
+  test("GlobalAgg: sum/count/min/max OVER () bit-equal to the native window") {
+    val s = spark
+    import s.implicits._
+    val base = Tables.events(s, SfDir)
+      .select($"event_id".as("id"),
+        (round($"value" * 100)).cast("long").as("cents"))
+      .repartition(7)
+    val got = withRule(on = true)(shares(base).orderBy($"id").collect().toSeq)
+    val ref = withRule(on = false)(shares(base).orderBy($"id").collect().toSeq)
+    assert(got == ref)
+    // empty input: the aggregate branch yields one row but the cross
+    // join with an empty child stays empty, like the native window
+    val empty = Seq.empty[(Long, Long)].toDF("id", "cents")
+    assert(withRule(on = true)(shares(empty).collect()).isEmpty)
+  }
+
+  test("GlobalAgg plan shape: broadcast join, NO WindowExec, full rows never funnel") {
+    val s = spark
+    import s.implicits._
+    val base = Tables.events(s, SfDir)
+      .select($"event_id".as("id"), round($"value" * 100).cast("long").as("cents"))
+    withRule(on = true) {
+      val df = shares(base)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Window"),
+        "the OVER () node must be rewritten away:\n" + plan.take(2000))
+      assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    }
+    withRule(on = false) {
+      val df = shares(base)
+      df.collect()
+      assert(df.queryExecution.executedPlan.toString.contains("Window"))
+    }
+  }
+
+  test("q43 runs on the GlobalAgg rewrite: no WindowExec, broadcast total") {
+    val s = spark
+    val df = graft.relational.Relational.q43RevenueShare(s, SfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      "the graded share-of-total must not plan a window:\n" + plan.take(2000))
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+  }
+
+  test("GlobalAgg bail-outs: running frames and bounded frames stay native") {
+    val s = spark
+    import s.implicits._
+    val base = Tables.events(s, SfDir)
+      .select($"event_id".as("id"), round($"value" * 100).cast("long").as("cents"))
+    withRule(on = true) {
+      // (DISTINCT aggregates need no bail-out: Spark itself rejects
+      // distinct window functions at analysis, before any rule runs.)
+      // bounded trailing frame: not a global constant -> native
+      val d = base.select(sum($"cents").over(
+        Window.orderBy($"cents", $"id").rowsBetween(-3, Window.currentRow)).as("nd"))
+      d.collect()
+      assert(d.queryExecution.executedPlan.toString.contains("Window"))
+      // running sum (bounded frame): not a global constant -> native
+      val run = base.select(sum($"cents").over(
+        Window.orderBy($"cents", $"id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("rs"))
+      run.collect()
+      assert(run.queryExecution.executedPlan.toString.contains("Window"))
+    }
+  }
+}
