@@ -1132,7 +1132,35 @@ object Events {
       .orderBy($"day")
   }
 
+  // ---------------------------------------------------------------------
+  // e32: ClickHouse `sequenceNextNode('backward', 'last_match')` —
+  // e16's mirror direction (CH ships all four direction×base
+  // combinations; e16 grades forward/first_match): the event
+  // immediately PRECEDING each user's LAST purchase, rolled up to
+  // counts per preceding type — "what do users do right before they
+  // buy". Same plan discipline as e16: lag() over the full per-user
+  // timeline and the last-purchase row_number on ONE user_id
+  // exchange (the rn==1 filter plans as the TopKPerGroup heap);
+  // '(none)' keeps purchase-first users engine-agnostic under NULL
+  // ordering. Per-user state is one row — no arrays, no funnels.
+  // ---------------------------------------------------------------------
+  def e32PrevNode(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val wDesc = Window.partitionBy($"user_id").orderBy($"ts".desc, $"event_id".desc)
+    Tables.events(s, d)
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+      .withColumn("prev_type", lag($"event_type", 1).over(w))
+      .filter($"event_type" === "purchase")
+      .withColumn("rn", row_number().over(wDesc))
+      .filter($"rn" === 1)
+      .groupBy(coalesce($"prev_type", lit("(none)")).as("prev_type"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy($"prev_type")
+  }
+
   val queries: Map[String, Q] = Map(
+    "e32_prev_node" -> (e32PrevNode _),
     "e31_volume_anomaly" -> (e31VolumeAnomaly _),
     "e24_rfm" -> (e24Rfm _),
     "e23_conversion_delay" -> (e23ConversionDelay _),
@@ -1174,6 +1202,22 @@ object Events {
     // like Spark's sequence), same trailing-28 triangular join; the
     // exact integer gate runs in HUGEINT here vs DECIMAL(38,0) in
     // Spark — both exact in range, so every compare and the one
+    // e32: e16's oracle mirrored — lag over the full timeline, the
+    // last purchase by descending (ts, event_id) row_number.
+    "e32_prev_node" ->
+      """WITH x AS (
+           SELECT user_id, ts, event_id, event_type,
+                  lag(event_type) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS prev_type
+           FROM events),
+         lp AS (
+           SELECT *, row_number() OVER (PARTITION BY user_id
+                                        ORDER BY ts DESC, event_id DESC) AS rn
+           FROM x WHERE event_type = 'purchase')
+         SELECT COALESCE(prev_type, '(none)') AS prev_type,
+                count(*) AS n_users
+         FROM lp WHERE rn = 1
+         GROUP BY 1 ORDER BY 1""",
     // sqrt+divide (from exact integers → identical doubles) agree.
     "e31_volume_anomaly" ->
       s"""WITH obs AS (

@@ -1799,6 +1799,13 @@ class QueriesSpec extends AnyFunSuite {
       val h = r.getAs[Long]("hits"); h >= 0 && h <= sim.Sim.PqTopK &&
         r.getAs[Double]("recall") >= 0.0 && r.getAs[Double]("recall") <= 1.0
     })
+    // e32: every user with >=1 purchase lands in exactly one
+    // prev-type bucket (last_match picks one row per user)
+    val e32 = events.Events.e32PrevNode(s, SfDir)
+    val buyers = Tables.events(s, SfDir)
+      .filter($"event_type" === "purchase")
+      .select($"user_id").distinct().count()
+    assert(e32.agg(sum($"n_users")).as[Long].head() == buyers)
     // s51: pin the known-variance algebra by replay — the CI must be
     // symmetric about Δmu (= z·se) and exactly 2·1.96·se wide, with
     // se reconstructed from the literal published variances and the
