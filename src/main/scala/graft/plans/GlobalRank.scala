@@ -98,11 +98,20 @@ object GlobalRankRewrite extends Rule[LogicalPlan] {
     case _ => None
   }
 
+  /** The exec runs TWO jobs over the child RDD (counts, then ranks).
+    * With an exchange directly below — the overwhelmingly common case,
+    * since EnsureRequirements inserts one — pass 2 re-reads the same
+    * shuffle files; without one, a nondeterministic child (rand()
+    * columns, sampling filters) could recompute differently between
+    * the passes and break the offset stitch. Bail on those. */
+  private def subtreeDeterministic(p: LogicalPlan): Boolean =
+    p.find(n => !n.expressions.forall(_.deterministic)).isEmpty
+
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!enabled) return plan
     plan.transformUp {
       case w @ LogicalWindow(wexprs, Nil, order, child, _)
-          if order.nonEmpty && wexprs.nonEmpty =>
+          if order.nonEmpty && wexprs.nonEmpty && subtreeDeterministic(child) =>
         val fns = wexprs.map(supported(_, order))
         if (fns.forall(_.isDefined)) GlobalRankNode(order, fns.flatten, child)
         else w

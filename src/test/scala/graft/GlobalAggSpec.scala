@@ -102,6 +102,13 @@ class GlobalAggSpec extends AnyFunSuite {
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("rs"))
       run.collect()
       assert(run.queryExecution.executedPlan.toString.contains("Window"))
+      // nondeterministic child: the rewrite would evaluate rand()
+      // twice (rows vs total) -> must stay on the native single
+      // materialization
+      val nd = base.withColumn("r", rand(42))
+        .select(sum($"r").over(Window.partitionBy()).as("tr"), $"r")
+      nd.collect()
+      assert(nd.queryExecution.executedPlan.toString.contains("Window"))
     }
   }
 }

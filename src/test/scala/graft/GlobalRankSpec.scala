@@ -149,6 +149,12 @@ class GlobalRankSpec extends AnyFunSuite {
         cume_dist().over(Window.orderBy($"k", $"id")).as("cd"))
       mixed.collect()
       assert(!mixed.queryExecution.executedPlan.toString.contains("GlobalRank"))
+      // nondeterministic child: the two-pass exec could recompute a
+      // rand() column differently between passes -> native
+      val nd = base.withColumn("rk", rand(7))
+        .select(rank().over(Window.orderBy($"rk", $"id")).as("r"))
+      nd.collect()
+      assert(!nd.queryExecution.executedPlan.toString.contains("GlobalRank"))
     }
   }
 }
