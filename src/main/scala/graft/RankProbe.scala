@@ -27,9 +27,15 @@ object RankProbe {
       println(s"globalRank=$on n=$n sum=${r} ${f"$dt%.1f"}s")
       dt
     }
-    run(on = true) // warm the JVM on the operator path
-    val tOn = run(on = true)
-    val tOff = run(on = false)
+    // warm BOTH code paths (codegen/JIT), then take the min of three
+    // INTERLEAVED samples per path — a 50M-row single-task sort leaves
+    // enough GC/memory pressure behind to inflate whatever runs next,
+    // so back-to-back ordering biases either direction
+    run(on = true)
+    run(on = false)
+    val samples = (1 to 3).map(_ => (run(on = true), run(on = false)))
+    val tOn = samples.map(_._1).min
+    val tOff = samples.map(_._2).min
     println(f"n=$n operator=${tOn}%.1fs native=${tOff}%.1fs speedup=${tOff / tOn}%.1fx")
     s.stop()
   }

@@ -1198,10 +1198,6 @@ object Events {
   // BIGINT) is HUGEINT — always CAST back to BIGINT; double divisions
   // are left as single IEEE ops (bit-identical across engines).
   val oracles: Map[String, String] = Map(
-    // e31: same densified day spine (generate_series is inclusive,
-    // like Spark's sequence), same trailing-28 triangular join; the
-    // exact integer gate runs in HUGEINT here vs DECIMAL(38,0) in
-    // Spark — both exact in range, so every compare and the one
     // e32: e16's oracle mirrored — lag over the full timeline, the
     // last purchase by descending (ts, event_id) row_number.
     "e32_prev_node" ->
@@ -1218,6 +1214,10 @@ object Events {
                 count(*) AS n_users
          FROM lp WHERE rn = 1
          GROUP BY 1 ORDER BY 1""",
+    // e31: same densified day spine (generate_series is inclusive,
+    // like Spark's sequence), same trailing-28 triangular join; the
+    // exact integer gate runs in HUGEINT here vs DECIMAL(38,0) in
+    // Spark — both exact in range, so every compare and the one
     // sqrt+divide (from exact integers → identical doubles) agree.
     "e31_volume_anomaly" ->
       s"""WITH obs AS (

@@ -58,20 +58,16 @@ object GlobalAggRewrite extends Rule[LogicalPlan] {
     case _ => None
   }
 
-  /** The rewrite DUPLICATES the child subtree (one instance feeds the
-    * rows, one the total); a nondeterministic child — a rand()-derived
-    * column, a sampling filter — would evaluate differently in the two
-    * instances, making the broadcast total disagree with the joined
-    * rows. The native window sees one materialization, so bail. */
-  private def subtreeDeterministic(p: LogicalPlan): Boolean =
-    p.find(n => !n.expressions.forall(_.deterministic)).isEmpty
-
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!enabled) return plan
     plan.transformUp {
+      // PlanGuards: the rewrite DUPLICATES the child subtree (one
+      // instance feeds the rows, one the total) — a nondeterministic
+      // child would evaluate differently in the two instances, making
+      // the broadcast total disagree with the joined rows.
       case w @ LogicalWindow(wexprs, Nil, Nil, child, _)
           if wexprs.nonEmpty && !child.isStreaming &&
-            subtreeDeterministic(child) =>
+            PlanGuards.subtreeDeterministic(child) =>
         val aggs = wexprs.map(rewritable)
         if (aggs.forall(_.isDefined)) {
           val total = Aggregate(Nil, aggs.flatten, child)

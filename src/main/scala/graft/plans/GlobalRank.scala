@@ -98,20 +98,15 @@ object GlobalRankRewrite extends Rule[LogicalPlan] {
     case _ => None
   }
 
-  /** The exec runs TWO jobs over the child RDD (counts, then ranks).
-    * With an exchange directly below — the overwhelmingly common case,
-    * since EnsureRequirements inserts one — pass 2 re-reads the same
-    * shuffle files; without one, a nondeterministic child (rand()
-    * columns, sampling filters) could recompute differently between
-    * the passes and break the offset stitch. Bail on those. */
-  private def subtreeDeterministic(p: LogicalPlan): Boolean =
-    p.find(n => !n.expressions.forall(_.deterministic)).isEmpty
-
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!enabled) return plan
     plan.transformUp {
+      // PlanGuards: the exec runs TWO jobs over the child RDD; without
+      // an exchange below, a nondeterministic child could recompute
+      // differently between the passes and break the offset stitch.
       case w @ LogicalWindow(wexprs, Nil, order, child, _)
-          if order.nonEmpty && wexprs.nonEmpty && subtreeDeterministic(child) =>
+          if order.nonEmpty && wexprs.nonEmpty &&
+            PlanGuards.subtreeDeterministic(child) =>
         val fns = wexprs.map(supported(_, order))
         if (fns.forall(_.isDefined)) GlobalRankNode(order, fns.flatten, child)
         else w
@@ -156,24 +151,21 @@ case class GlobalRankExec(
   override protected def doExecute(): RDD[InternalRow] = {
     val childOut = child.output
     val ord = order
+    val out = output // localized: the closures must not capture `this`
     val fnSpecs: Array[GlobalRankFn] = fns.map(_._2).toArray
     val rdd = child.execute()
 
-    // Pass 1: two longs per partition to the driver. Tie detection
-    // uses the SORT'S OWN comparator (RowOrdering over the order
-    // spec) — binary key equality would be wrong for floats, where
-    // -0.0 and 0.0 (and NaN bit patterns) sort equal but differ as
-    // bytes. The input is sorted, so distinct counting is streaming
-    // O(1): one retained row copy per tie group.
+    // Pass 1: two longs per partition to the driver. The input is
+    // sorted, so distinct counting is streaming O(1).
     val stats: Array[(Long, Long)] =
       rdd.sparkContext.runJob(rdd, (it: Iterator[InternalRow]) => {
-        val cmp = RowOrdering.create(ord, childOut)
+        val (keyProj, cmp) = GlobalRankExec.keyTools(ord, childOut)
         var n = 0L
         var d = 0L
-        var prev: InternalRow = null
+        var prev: UnsafeRow = null
         while (it.hasNext) {
-          val r = it.next()
-          if (prev == null || cmp.compare(prev, r) != 0) { d += 1; prev = r.copy() }
+          val k = keyProj(it.next())
+          if (prev == null || cmp.compare(prev, k) != 0) { d += 1; prev = k.copy() }
           n += 1
         }
         (n, d)
@@ -193,24 +185,32 @@ case class GlobalRankExec(
       i += 1
     }
     val totalN = accN
+    // The rank columns keep the built-in window's IntegerType (same
+    // exprIds, same types). Past 2^31 rows those semantics have no
+    // valid value — fail loudly instead of wrapping to negatives
+    // (native Spark can't reach this count at all: its single sort
+    // task dies first).
+    require(totalN <= Int.MaxValue.toLong,
+      s"GlobalRank: $totalN input rows exceed IntegerType rank range (2^31-1)")
 
     // Pass 2: stream each sorted partition once; the shuffle below is
     // reused, only the partition-local sort re-runs.
     rdd.mapPartitionsWithIndex ({ (pid, it) =>
-      val cmp = RowOrdering.create(ord, childOut)
-      val toUnsafe = UnsafeProjection.create(output, output)
+      val (keyProj, cmp) = GlobalRankExec.keyTools(ord, childOut)
+      val toUnsafe = UnsafeProjection.create(out, out)
       val extra = new SpecificInternalRow(fnSpecs.map(_.dataType).toSeq)
       val joined = new JoinedRow
       var rn = rowOffsets(pid)
       var dr = denseOffsets(pid)
       var curRank = 0L
-      var prev: InternalRow = null
+      var prev: UnsafeRow = null
       it.map { row =>
         rn += 1
-        if (prev == null || cmp.compare(prev, row) != 0) {
+        val k = keyProj(row)
+        if (prev == null || cmp.compare(prev, k) != 0) {
           curRank = rn
           dr += 1
-          prev = row.copy()
+          prev = k.copy()
         }
         var j = 0
         while (j < fnSpecs.length) {
@@ -243,4 +243,34 @@ case class GlobalRankExec(
 
   override protected def withNewChildInternal(newChild: SparkPlan): GlobalRankExec =
     copy(child = newChild)
+}
+
+object GlobalRankExec {
+  /** Per-task tie-detection tools: project the order keys, compare
+    * key rows with the SORT'S OWN semantics (RowOrdering over the
+    * SortOrders rebound to the key row). Binary key equality would
+    * be wrong for floats — -0.0 and 0.0 (and NaN bit patterns) sort
+    * equal but differ as bytes — and full-row compare+copy would
+    * drag every payload column through the detector; this copies a
+    * few key columns once per tie group. */
+  private[plans] def keyTools(
+      order: Seq[SortOrder],
+      childOut: Seq[Attribute]): (UnsafeProjection, BaseOrdering) = {
+    val proj = UnsafeProjection.create(order.map(_.child), childOut)
+    val bound = order.zipWithIndex.map { case (so, i) =>
+      so.copy(child = BoundReference(i, so.child.dataType, so.child.nullable))
+    }
+    (proj, RowOrdering.create(bound, Seq.empty))
+  }
+}
+
+/** Shared guard for the two global-window rewrites: true iff no
+  * expression anywhere in the subtree is nondeterministic. Both
+  * rewrites evaluate (parts of) the child more than once —
+  * GlobalAgg duplicates the subtree outright, GlobalRank runs two
+  * jobs over its RDD — so a rand()-derived column or sampling
+  * filter could diverge between evaluations; those stay native. */
+private[plans] object PlanGuards {
+  def subtreeDeterministic(p: LogicalPlan): Boolean =
+    p.find(n => !n.expressions.forall(_.deterministic)).isEmpty
 }

@@ -13,18 +13,8 @@ import org.scalatest.funsuite.AnyFunSuite
 class GlobalAggSpec extends AnyFunSuite {
   import TestSpark._
 
-  private val ConfKey = graft.plans.GlobalAggRewrite.ConfKey
-
-  private def withRule[A](on: Boolean)(body: => A): A = {
-    val s = spark
-    val prev = s.conf.getOption(ConfKey)
-    s.conf.set(ConfKey, on.toString)
-    try body
-    finally prev match {
-      case Some(v) => s.conf.set(ConfKey, v)
-      case None => s.conf.unset(ConfKey)
-    }
-  }
+  private def withRule[A](on: Boolean)(body: => A): A =
+    TestSpark.withConf(graft.plans.GlobalAggRewrite.ConfKey, on.toString)(body)
 
   private def shares(df: DataFrame): DataFrame = {
     val w = Window.partitionBy() // empty spec: the OVER () form

@@ -15,18 +15,8 @@ import org.scalatest.funsuite.AnyFunSuite
 class GlobalRankSpec extends AnyFunSuite {
   import TestSpark._
 
-  private val ConfKey = graft.plans.GlobalRankRewrite.ConfKey
-
-  private def withRule[A](on: Boolean)(body: => A): A = {
-    val s = spark
-    val prev = s.conf.getOption(ConfKey)
-    s.conf.set(ConfKey, on.toString)
-    try body
-    finally prev match {
-      case Some(v) => s.conf.set(ConfKey, v)
-      case None => s.conf.unset(ConfKey)
-    }
-  }
+  private def withRule[A](on: Boolean)(body: => A): A =
+    TestSpark.withConf(graft.plans.GlobalRankRewrite.ConfKey, on.toString)(body)
 
   private def allFive(df: DataFrame): DataFrame = {
     val w = Window.orderBy(col("k").desc, col("id"))

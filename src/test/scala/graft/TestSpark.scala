@@ -8,4 +8,17 @@ import org.apache.spark.sql.SparkSession
 object TestSpark {
   lazy val spark: SparkSession = Tables.session(4)
   val SfDir = "/root/testdata/sf0.001"
+
+  /** Run `body` with a session conf set, restoring the prior value
+    * (or unsetting) afterwards — the A/B lever for rule kill
+    * switches. */
+  def withConf[A](key: String, value: String)(body: => A): A = {
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, value)
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
 }
