@@ -40,18 +40,21 @@ import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType}
   * assigns EQUAL keys to the same partition (binary search over key
   * boundaries), so a tie group never spans partitions: local
   * rank/dense_rank plus prior-partition row/distinct offsets are
-  * exact. percent_rank and ntile are closed forms over (global rank,
-  * global row number, total N) — the formulas mirror Spark's own
-  * PercentRank/NTile definitions, so results are bit-identical to the
-  * built-in window (the equivalence spec pins all five functions,
-  * with ties, nulls, descending keys and NaN/-0.0 doubles).
+  * exact. percent_rank, cume_dist and ntile are closed forms over
+  * (global rank, tie-group end, global row number, total N) — the
+  * formulas mirror Spark's own definitions, so results are
+  * bit-identical to the built-in window (the equivalence spec pins
+  * all six functions, with ties, nulls, descending keys and
+  * NaN/-0.0 doubles). cume_dist needs each tie group's END before
+  * any member emits, so its presence switches pass 2 to a
+  * one-tie-group buffer — memory bounds at the largest tie group,
+  * which range partitioning already co-locates whole (the same
+  * inherent floor the native range frame pays), never the corpus.
   *
   * Scope guards: fires only when EVERY window expression in the node
-  * is one of the five supported rank functions over the node's own
-  * order (running-row frame, literal ntile bucket count). cume_dist
-  * is NOT rewritten — its tie-group lookahead needs unbounded
-  * buffering in a streaming pass, so it stays on the native path.
-  * Stacked on [[TopKRewrite]]: a `filter(rank <= k)` over a global
+  * is one of the six supported rank functions over the node's own
+  * order (the function's own running frame, literal ntile bucket
+  * count). Stacked on [[TopKRewrite]]: a `filter(rank <= k)` over a global
   * window is consumed by the heap operator first (better: it never
   * materializes the full ranking); this rule catches the bare
   * windows. Disable with `spark.graft.globalRank.enabled=false`
@@ -68,6 +71,7 @@ case object GRowNumber extends GlobalRankFn { val dataType: DataType = IntegerTy
 case object GRank extends GlobalRankFn { val dataType: DataType = IntegerType }
 case object GDenseRank extends GlobalRankFn { val dataType: DataType = IntegerType }
 case object GPercentRank extends GlobalRankFn { val dataType: DataType = DoubleType }
+case object GCumeDist extends GlobalRankFn { val dataType: DataType = DoubleType }
 case class GNTile(buckets: Int) extends GlobalRankFn { val dataType: DataType = IntegerType }
 
 object GlobalRankRewrite extends Rule[LogicalPlan] {
@@ -83,20 +87,28 @@ object GlobalRankRewrite extends Rule[LogicalPlan] {
   private def supported(
       e: NamedExpression,
       order: Seq[SortOrder]): Option[(Attribute, GlobalRankFn)] = e match {
-    case a @ Alias(WindowExpression(fn, WindowSpecDefinition(Nil, o2,
-        SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow))), _)
+    case a @ Alias(WindowExpression(fn, WindowSpecDefinition(Nil, o2, frame)), _)
         if sameOrder(o2, order) =>
-      fn match {
-        case _: RowNumber => Some(a.toAttribute -> GRowNumber)
-        case _: Rank => Some(a.toAttribute -> GRank)
-        case _: DenseRank => Some(a.toAttribute -> GDenseRank)
-        case _: PercentRank => Some(a.toAttribute -> GPercentRank)
-        case NTile(Literal(b: Int, IntegerType)) if b > 0 =>
+      // each rank function carries its own fixed frame: the running
+      // ROW frame for the RowNumber/Rank family, the running RANGE
+      // frame for cume_dist (ties included via the range bound)
+      (fn, frame) match {
+        case (_: RowNumber, RunningRowFrame) => Some(a.toAttribute -> GRowNumber)
+        case (_: Rank, RunningRowFrame) => Some(a.toAttribute -> GRank)
+        case (_: DenseRank, RunningRowFrame) => Some(a.toAttribute -> GDenseRank)
+        case (_: PercentRank, RunningRowFrame) => Some(a.toAttribute -> GPercentRank)
+        case (_: CumeDist, RunningRangeFrame) => Some(a.toAttribute -> GCumeDist)
+        case (NTile(Literal(b: Int, IntegerType)), RunningRowFrame) if b > 0 =>
           Some(a.toAttribute -> GNTile(b))
         case _ => None
       }
     case _ => None
   }
+
+  private val RunningRowFrame =
+    SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow)
+  private val RunningRangeFrame =
+    SpecifiedWindowFrame(RangeFrame, UnboundedPreceding, CurrentRow)
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!enabled) return plan
@@ -153,6 +165,7 @@ case class GlobalRankExec(
     val ord = order
     val out = output // localized: the closures must not capture `this`
     val fnSpecs: Array[GlobalRankFn] = fns.map(_._2).toArray
+    val needsCume = fnSpecs.contains(GCumeDist)
     val rdd = child.execute()
 
     // Pass 1: two longs per partition to the driver. The input is
@@ -204,24 +217,23 @@ case class GlobalRankExec(
       var dr = denseOffsets(pid)
       var curRank = 0L
       var prev: UnsafeRow = null
-      it.map { row =>
-        rn += 1
-        val k = keyProj(row)
-        if (prev == null || cmp.compare(prev, k) != 0) {
-          curRank = rn
-          dr += 1
-          prev = k.copy()
-        }
+
+      // tieEnd = global row number of the LAST member of the row's tie
+      // group — cume_dist's numerator; unused (0) on the streaming path.
+      def emit(row: InternalRow, rrn: Long, rank: Long, rdr: Long,
+          tieEnd: Long): InternalRow = {
         var j = 0
         while (j < fnSpecs.length) {
           fnSpecs(j) match {
-            case GRowNumber => extra.setInt(j, rn.toInt)
-            case GRank => extra.setInt(j, curRank.toInt)
-            case GDenseRank => extra.setInt(j, dr.toInt)
+            case GRowNumber => extra.setInt(j, rrn.toInt)
+            case GRank => extra.setInt(j, rank.toInt)
+            case GDenseRank => extra.setInt(j, rdr.toInt)
             case GPercentRank =>
               extra.setDouble(j,
-                if (totalN > 1L) (curRank - 1L).toDouble / (totalN - 1L).toDouble
+                if (totalN > 1L) (rank - 1L).toDouble / (totalN - 1L).toDouble
                 else 0.0d)
+            case GCumeDist =>
+              extra.setDouble(j, tieEnd.toDouble / totalN.toDouble)
             case GNTile(b) =>
               // Spark's NTile fill rule: q = N/b rows per bucket, the
               // first r = N%b buckets take one extra row.
@@ -230,13 +242,68 @@ case class GlobalRankExec(
               val big = q + 1L
               val t = r * big
               val tile =
-                if (rn <= t) (rn - 1L) / big + 1L
-                else r + (rn - 1L - t) / q + 1L
+                if (rrn <= t) (rrn - 1L) / big + 1L
+                else r + (rrn - 1L - t) / q + 1L
               extra.setInt(j, tile.toInt)
           }
           j += 1
         }
         toUnsafe(joined(row, extra))
+      }
+
+      if (!needsCume) {
+        // streaming: one key copy per tie group, O(1) memory
+        it.map { row =>
+          rn += 1
+          val k = keyProj(row)
+          if (prev == null || cmp.compare(prev, k) != 0) {
+            curRank = rn
+            dr += 1
+            prev = k.copy()
+          }
+          emit(row, rn, curRank, dr, 0L)
+        }
+      } else {
+        // cume_dist needs the tie group's END before any member can be
+        // emitted, so buffer ONE tie group (full-row copies) and flush
+        // it when the next key arrives. Memory is the largest tie
+        // group — which range partitioning already co-locates whole,
+        // so this bounds at the partition, never the corpus (the same
+        // inherent floor native WindowExec pays for its range frame).
+        new Iterator[InternalRow] {
+          private val buf =
+            scala.collection.mutable.ArrayBuffer.empty[(InternalRow, Long, Long, Long)]
+          private var outIt: Iterator[InternalRow] = Iterator.empty
+          private def flush(): Iterator[InternalRow] = {
+            val tieEnd = buf.last._2
+            val emitted = buf.toArray
+            buf.clear()
+            emitted.iterator.map { case (r, a, b, c) => emit(r, a, b, c, tieEnd) }
+          }
+          @annotation.tailrec private def advance(): Unit = {
+            if (outIt.hasNext) ()
+            else if (it.hasNext) {
+              val row = it.next()
+              rn += 1
+              val k = keyProj(row)
+              val isNew = prev == null || cmp.compare(prev, k) != 0
+              if (isNew) {
+                val pending = if (buf.nonEmpty) flush() else Iterator.empty
+                curRank = rn
+                dr += 1
+                prev = k.copy()
+                buf += ((row.copy(), rn, curRank, dr))
+                outIt = pending
+                advance()
+              } else {
+                buf += ((row.copy(), rn, curRank, dr))
+                advance()
+              }
+            } else if (buf.nonEmpty) outIt = flush()
+          }
+          override def hasNext: Boolean = { advance(); outIt.hasNext }
+          override def next(): InternalRow = { advance(); outIt.next() }
+        }
       }
     }, preservesPartitioning = true)
   }

@@ -8,8 +8,9 @@ import org.scalatest.funsuite.AnyFunSuite
 /** The GlobalRank operator (plans/GlobalRank.scala): bare rank-family
   * windows with an EMPTY partition clause — Spark's single-partition
   * scale killer — rewritten to the range-partitioned two-pass form.
-  * Pinned here: bit-equality with the built-in window for all five
-  * functions (the A/B lever is the rule's conf), tie/null/NaN edges,
+  * Pinned here: bit-equality with the built-in window for all six
+  * functions — row_number, rank, dense_rank, percent_rank, cume_dist,
+  * ntile (the A/B lever is the rule's conf) — tie/null/NaN edges,
   * the plan shape (no SinglePartition exchange), and the bail-outs.
   */
 class GlobalRankSpec extends AnyFunSuite {
@@ -18,18 +19,19 @@ class GlobalRankSpec extends AnyFunSuite {
   private def withRule[A](on: Boolean)(body: => A): A =
     TestSpark.withConf(graft.plans.GlobalRankRewrite.ConfKey, on.toString)(body)
 
-  private def allFive(df: DataFrame): DataFrame = {
+  private def allSix(df: DataFrame): DataFrame = {
     val w = Window.orderBy(col("k").desc, col("id"))
     df.select(col("id"), col("k"),
       row_number().over(w).as("rn"),
       rank().over(w).as("r"),
       dense_rank().over(w).as("dr"),
       percent_rank().over(w).as("pr"),
+      cume_dist().over(w).as("cd"),
       ntile(3).over(w).as("n3"),
       ntile(7).over(w).as("n7"))
   }
 
-  test("GlobalRank: all five functions bit-equal to the built-in window on a total order") {
+  test("GlobalRank: all six functions bit-equal to the built-in window on a total order") {
     val s = spark
     import s.implicits._
     // events-scale input, unique (value-desc, id) total order, spread
@@ -37,8 +39,8 @@ class GlobalRankSpec extends AnyFunSuite {
     val base = Tables.events(s, SfDir)
       .select($"event_id".as("id"), $"value".as("k"))
       .repartition(7)
-    val got = withRule(on = true)(allFive(base).orderBy($"id").collect().toSeq)
-    val ref = withRule(on = false)(allFive(base).orderBy($"id").collect().toSeq)
+    val got = withRule(on = true)(allSix(base).orderBy($"id").collect().toSeq)
+    val ref = withRule(on = false)(allSix(base).orderBy($"id").collect().toSeq)
     assert(got == ref)
   }
 
@@ -63,23 +65,24 @@ class GlobalRankSpec extends AnyFunSuite {
       df.select(col("id"),
         rank().over(w).as("r"),
         dense_rank().over(w).as("dr"),
-        percent_rank().over(w).as("pr"))
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"))
     }
     val gotTies = withRule(on = true)(tieFns(withNull).orderBy($"id").collect().toSeq)
     val refTies = withRule(on = false)(tieFns(withNull).orderBy($"id").collect().toSeq)
     assert(gotTies == refTies)
-    // total order (k desc, id) on the same tie-heavy data: all five
+    // total order (k desc, id) on the same tie-heavy data: all six
     // functions bit-equal, boundary keys duplicated across the range
-    val got = withRule(on = true)(allFive(withNull).orderBy($"id").collect().toSeq)
-    val ref = withRule(on = false)(allFive(withNull).orderBy($"id").collect().toSeq)
+    val got = withRule(on = true)(allSix(withNull).orderBy($"id").collect().toSeq)
+    val ref = withRule(on = false)(allSix(withNull).orderBy($"id").collect().toSeq)
     assert(got == ref)
     // single-row and empty inputs: percent_rank's N==1 branch, empty pass-1
     val one = Seq((1L, 2.0)).toDF("id", "k")
-    val gotOne = withRule(on = true)(allFive(one).collect().toSeq)
-    assert(gotOne == withRule(on = false)(allFive(one).collect().toSeq))
+    val gotOne = withRule(on = true)(allSix(one).collect().toSeq)
+    assert(gotOne == withRule(on = false)(allSix(one).collect().toSeq))
     assert(gotOne.head.getDouble(5) == 0.0) // pr column: N==1 -> 0.0
     val empty = Seq.empty[(Long, Double)].toDF("id", "k")
-    assert(withRule(on = true)(allFive(empty).collect()).isEmpty)
+    assert(withRule(on = true)(allSix(empty).collect()).isEmpty)
   }
 
   test("GlobalRank plan shape: GlobalRankExec + range exchange, no SinglePartition funnel") {
@@ -87,7 +90,7 @@ class GlobalRankSpec extends AnyFunSuite {
     import s.implicits._
     val base = Tables.events(s, SfDir).select($"event_id".as("id"), $"value".as("k"))
     withRule(on = true) {
-      val df = allFive(base)
+      val df = allSix(base)
       df.collect()
       val plan = df.queryExecution.executedPlan.toString
       assert(plan.contains("GlobalRank"), plan.take(2000))
@@ -96,7 +99,7 @@ class GlobalRankSpec extends AnyFunSuite {
       assert(plan.contains("rangepartitioning"), plan.take(2000))
     }
     withRule(on = false) {
-      val df = allFive(base)
+      val df = allSix(base)
       df.collect()
       val plan = df.queryExecution.executedPlan.toString
       assert(!plan.contains("GlobalRank") && plan.contains("SinglePartition"),
@@ -114,16 +117,17 @@ class GlobalRankSpec extends AnyFunSuite {
       "the graded global leaderboard must never funnel to one partition:\n" + plan.take(2000))
   }
 
-  test("GlobalRank bail-outs: cume_dist, aggregate windows and partitioned ranks stay native") {
+  test("GlobalRank bail-outs: aggregate windows, offset functions and partitioned ranks stay native") {
     val s = spark
     import s.implicits._
     val base = Tables.events(s, SfDir).select($"event_id".as("id"), $"value".as("k"),
       ($"event_id" % 10).as("g"))
     withRule(on = true) {
-      // cume_dist: unsupported (tie-group lookahead) -> native window
-      val cd = base.select(cume_dist().over(Window.orderBy($"k", $"id")).as("cd"))
-      cd.collect()
-      assert(!cd.queryExecution.executedPlan.toString.contains("GlobalRank"))
+      // offset function (lead) over a global order: not a rank
+      // function -> the whole node stays native
+      val ld = base.select(lead($"k", 1).over(Window.orderBy($"k", $"id")).as("nk"))
+      ld.collect()
+      assert(!ld.queryExecution.executedPlan.toString.contains("GlobalRank"))
       // running aggregate over a global order -> native window
       val agg = base.select(sum($"k").over(
         Window.orderBy($"k", $"id").rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("s"))
@@ -133,12 +137,13 @@ class GlobalRankSpec extends AnyFunSuite {
       val part = base.select(rank().over(Window.partitionBy($"g").orderBy($"k", $"id")).as("r"))
       part.collect()
       assert(!part.queryExecution.executedPlan.toString.contains("GlobalRank"))
-      // mixed node (rank + cume_dist share the spec): all-or-nothing -> native
+      // mixed node rank + cume_dist: both supported (cume via the
+      // tie-group-buffered path) -> ONE GlobalRank handles the node
       val mixed = base.select(
         rank().over(Window.orderBy($"k", $"id")).as("r"),
         cume_dist().over(Window.orderBy($"k", $"id")).as("cd"))
       mixed.collect()
-      assert(!mixed.queryExecution.executedPlan.toString.contains("GlobalRank"))
+      assert(mixed.queryExecution.executedPlan.toString.contains("GlobalRank"))
       // nondeterministic child: the two-pass exec could recompute a
       // rand() column differently between passes -> native
       val nd = base.withColumn("rk", rand(7))
