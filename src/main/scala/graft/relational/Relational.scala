@@ -1203,6 +1203,7 @@ object Relational {
         rank().over(wBand).cast("long").as("band_rank"),
         dense_rank().over(wBand).cast("long").as("band_dense"),
         percent_rank().over(wBand).as("band_pct"),
+        cume_dist().over(wBand).as("band_cume"),
         ntile(100).over(wTotal).cast("long").as("centile"))
       .orderBy($"c_custkey")
   }
@@ -1316,6 +1317,7 @@ object Relational {
                 CAST(rank() OVER (ORDER BY band DESC) AS BIGINT) AS band_rank,
                 CAST(dense_rank() OVER (ORDER BY band DESC) AS BIGINT) AS band_dense,
                 percent_rank() OVER (ORDER BY band DESC) AS band_pct,
+                cume_dist() OVER (ORDER BY band DESC) AS band_cume,
                 CAST(ntile(100) OVER (ORDER BY cents DESC, c_custkey) AS BIGINT) AS centile
          FROM b ORDER BY c_custkey""",
     "q41_copurchase_lift" ->
