@@ -149,13 +149,16 @@ object ScaleProbe {
         val copy = ev.select(Seq(
           ($"event_id" + lit(k * 100000000L)).as("event_id"),
           ($"user_id" + lit(k * 10000000L)).as("user_id")) ++ rest: _*)
-        // hot-key variant: ~30% of every copy's views reassigned to ONE
-        // global user (deterministic by event_id, ts untouched) — the
-        // user_id shuffle partition holding HotUser carries ~30% of all
-        // view rows, the realistic interval-join skew case
+        // hot-key variant: ~30% of every copy's views AND clicks
+        // reassigned to ONE global user (deterministic by event_id,
+        // ts untouched) — the user_id shuffle partition holding
+        // HotUser carries ~30% of those rows: views feed e8/e9's
+        // interval joins, clicks feed st13's stream-stream join, the
+        // realistic one-power-user skew case for both
         if (Skew)
           copy.withColumn("user_id",
-            when($"event_type" === "view" && pmod($"event_id", lit(10)) < 3, lit(HotUser))
+            when($"event_type".isin("view", "click") &&
+                pmod($"event_id", lit(10)) < 3, lit(HotUser))
               .otherwise($"user_id"))
         else copy
       })
@@ -210,7 +213,7 @@ object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val names =
       if (args.nonEmpty) args.toSeq
-      else if (Skew) Seq("e8_interval_join", "e9_attribution")
+      else if (Skew) Seq("e8_interval_join", "e9_attribution", "st13_stream_enrich")
       else Seq("d6_ngram_jaccard", "d7_dup_clusters", "d9_keep_list")
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Tables.session(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
