@@ -117,6 +117,33 @@ class GlobalRankSpec extends AnyFunSuite {
       "the graded global leaderboard must never funnel to one partition:\n" + plan.take(2000))
   }
 
+  test("GlobalRank: string keys, explicit null orderings, ntile(1)/ntile(>n) edges") {
+    val s = spark
+    import s.implicits._
+    // string keys with duplicates and nulls, across several input splits
+    val words = (1 to 300).map(i => (i.toLong, Seq("merge", "scan", "sort", "join")(i % 4))) ++
+      Seq((301L, null.asInstanceOf[String]), (302L, null.asInstanceOf[String]))
+    val base = words.toDF("id", "w").repartition(5)
+    def ranked(o: org.apache.spark.sql.Column) = {
+      val w = Window.orderBy(o, col("id"))
+      base.select(col("id"),
+        rank().over(w).as("r"),
+        dense_rank().over(w).as("dr"),
+        cume_dist().over(w).as("cd"),
+        ntile(1).over(w).as("n1"),
+        ntile(1000).over(w).as("nBig")) // buckets > rows: bucket == row_number
+    }
+    for (o <- Seq($"w".asc_nulls_last, $"w".desc_nulls_first, $"w".asc, $"w".desc)) {
+      val got = withRule(on = true)(ranked(o).orderBy($"id").collect().toSeq)
+      val ref = withRule(on = false)(ranked(o).orderBy($"id").collect().toSeq)
+      assert(got == ref, s"mismatch under order $o")
+    }
+    // ntile(1) is constant 1; ntile(>n) degenerates to row_number
+    val one = withRule(on = true)(ranked($"w".asc).collect().toSeq)
+    assert(one.forall(_.getInt(4) == 1))
+    assert(one.map(_.getInt(5)).sorted == (1 to 302).toSeq)
+  }
+
   test("GlobalRank bail-outs: aggregate windows, offset functions and partitioned ranks stay native") {
     val s = spark
     import s.implicits._
