@@ -3,28 +3,44 @@ package graft
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Dev tool: A/B the GlobalRank operator against Spark's native
-  * single-partition window on a synthetic corpus-global ranking.
-  * `runMain graft.RankProbe [nRows]` (default 50M). Prints wall
-  * seconds for rule-on vs rule-off and the speedup — the PLANS.md
-  * "global ranking" probe rows come from here. */
+/** Dev tool: A/B the global-window rewrites against Spark's native
+  * single-partition window.
+  * `runMain graft.RankProbe [nRows] [rank|agg]` (default 50M, rank).
+  * `rank` probes the GlobalRank operator on a corpus-global ranking;
+  * `agg` probes GlobalAggRewrite on a `sum OVER ()` share-of-total.
+  * Prints wall seconds for rule-on vs rule-off and the speedup — the
+  * PLANS.md "global ranking"/"global aggregate" probe rows come from
+  * here. */
 object RankProbe {
   def main(args: Array[String]): Unit = {
     val n = if (args.nonEmpty) args(0).toLong else 50000000L
+    val mode = if (args.length > 1) args(1) else "rank"
     val s = Tables.session(32)
     import s.implicits._
     val df = s.range(n).select($"id",
       pmod($"id" * 2654435761L, lit(1000000007L)).as("k"))
     val w = Window.orderBy($"k", $"id")
+    val confKey =
+      if (mode == "agg") graft.plans.GlobalAggRewrite.ConfKey
+      else graft.plans.GlobalRankRewrite.ConfKey
     def run(on: Boolean): Double = {
-      s.conf.set(graft.plans.GlobalRankRewrite.ConfKey, on.toString)
+      s.conf.set(confKey, on.toString)
       val t0 = System.nanoTime()
-      // rank + ntile exercise both the offset stitch and the totals;
-      // the aggregate keeps the result tiny without skipping any row
-      val r = df.select(rank().over(w).as("r"), ntile(100).over(w).as("c"))
-        .groupBy($"c").agg(max($"r").as("mr")).agg(sum($"mr")).head()
+      val r =
+        if (mode == "agg")
+          // exact-long shares: every row reads the broadcast total;
+          // the min/max aggregate touches every emitted row
+          df.select($"k", sum($"k").over(Window.partitionBy()).as("t"))
+            .select(($"t" - $"k").as("rest"))
+            .agg(min($"rest") + max($"rest")).head()
+        else
+          // rank + ntile exercise both the offset stitch and the
+          // totals; the aggregate keeps the result tiny without
+          // skipping any row
+          df.select(rank().over(w).as("r"), ntile(100).over(w).as("c"))
+            .groupBy($"c").agg(max($"r").as("mr")).agg(sum($"mr")).head()
       val dt = (System.nanoTime() - t0) / 1e9
-      println(s"globalRank=$on n=$n sum=${r} ${f"$dt%.1f"}s")
+      println(s"$confKey=$on n=$n sum=${r} ${f"$dt%.1f"}s")
       dt
     }
     // warm BOTH code paths (codegen/JIT), then take the min of three
