@@ -142,6 +142,14 @@ class GlobalRankSpec extends AnyFunSuite {
     val one = withRule(on = true)(ranked($"w".asc).collect().toSeq)
     assert(one.forall(_.getInt(4) == 1))
     assert(one.map(_.getInt(5)).sorted == (1 to 302).toSeq)
+    // degraded range-boundary SAMPLING (2 samples/partition -> badly
+    // estimated, imbalanced boundaries): partition QUALITY may suffer
+    // but the offset stitch must stay exact
+    TestSpark.withConf("spark.sql.execution.rangeExchange.sampleSizePerPartition", "2") {
+      val got = withRule(on = true)(ranked($"w".asc).orderBy($"id").collect().toSeq)
+      val ref = withRule(on = false)(ranked($"w".asc).orderBy($"id").collect().toSeq)
+      assert(got == ref, "bad range sampling must never change results")
+    }
   }
 
   test("GlobalRank bail-outs: aggregate windows, offset functions and partitioned ranks stay native") {
