@@ -1,5 +1,8 @@
 package graft.plans
 
+import scala.collection.mutable
+
+import org.apache.spark.sql.catalyst.analysis.MultiInstanceRelation
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression
 import org.apache.spark.sql.catalyst.plans.Cross
@@ -70,12 +73,70 @@ object GlobalAggRewrite extends Rule[LogicalPlan] {
             PlanGuards.subtreeDeterministic(child) =>
         val aggs = wexprs.map(rewritable)
         if (aggs.forall(_.isDefined)) {
-          val total = Aggregate(Nil, aggs.flatten, child)
-          // the hint goes straight into JoinHint — EliminateResolvedHint
-          // has already run by the time extended optimizer rules fire
-          Join(child, total, Cross, None,
-            JoinHint(None, Some(HintInfo(strategy = Some(BROADCAST)))))
+          // The aggregate leg re-evaluates the child, so its subtree is
+          // duplicated — but with FRESH exprIds throughout (leaf
+          // relations re-instanced, every Alias re-minted), upholding
+          // Catalyst's exprId-uniqueness invariant the same way Spark's
+          // own subtree-duplicating rules do: a verbatim copy fails
+          // LogicalPlanIntegrity's same-exprId-not-reused check
+          // (spark.sql.planChangeValidation=true aborts the query) and
+          // is fragile against exprId-keyed rules. Only the TOP-LEVEL
+          // aliases keep the window expressions' exprIds, so downstream
+          // references bind unchanged; those ids exist nowhere else.
+          // ReuseExchange still collapses the two evaluations where an
+          // exchange sits below — reuse keys on canonicalized plans,
+          // which normalize exprIds positionally.
+          ExprIdFreshener.freshen(child) match {
+            case Some((aggChild, idMap)) =>
+              val rebased = aggs.flatten.map(_.transformUp {
+                case ar: AttributeReference if idMap.contains(ar.exprId) =>
+                  ar.withExprId(idMap(ar.exprId))
+              }.asInstanceOf[NamedExpression])
+              val total = Aggregate(Nil, rebased, aggChild)
+              // the hint goes straight into JoinHint — EliminateResolvedHint
+              // has already run by the time extended optimizer rules fire
+              Join(child, total, Cross, None,
+                JoinHint(None, Some(HintInfo(strategy = Some(BROADCAST)))))
+            case None => w // can't prove disjoint ids: keep the native window
+          }
         } else w
     }
+  }
+}
+
+/** Deep-copies a logical subtree with fresh exprIds: leaf relations go
+  * through `MultiInstanceRelation.newInstance()` (Spark's own self-join
+  * dedup mechanism), every Alias is re-minted, and all attribute
+  * references are rebased bottom-up. Returns the freshened plan plus
+  * the old→new id map, or None when the subtree contains a node class
+  * whose produced attributes this walk cannot re-mint (Generate/Expand
+  * style nodes) — callers must then fall back rather than emit a plan
+  * with duplicate ids. */
+private[plans] object ExprIdFreshener {
+  def freshen(plan: LogicalPlan): Option[(LogicalPlan, Map[ExprId, ExprId])] = {
+    val idMap = mutable.HashMap.empty[ExprId, ExprId]
+    val fresh = plan.transformUp {
+      case m: LogicalPlan with MultiInstanceRelation =>
+        val ni = m.newInstance()
+        m.output.zip(ni.output).foreach { case (o, n) => idMap(o.exprId) = n.exprId }
+        ni
+      case node =>
+        node.transformExpressionsUp {
+          case ar: AttributeReference if idMap.contains(ar.exprId) =>
+            ar.withExprId(idMap(ar.exprId))
+          case a: Alias =>
+            val nid = NamedExpression.newExprId
+            idMap(a.exprId) = nid
+            Alias(a.child, a.name)(exprId = nid, qualifier = a.qualifier,
+              explicitMetadata = Some(a.metadata),
+              nonInheritableMetadataKeys = a.nonInheritableMetadataKeys)
+        }
+    }
+    // Disjointness proof: no output exprId of the copy may survive from
+    // the original (a node producing attributes outside the relation/
+    // alias classes — Generate, Expand, … — would slip through the walk).
+    val before = plan.collect { case n => n.output.map(_.exprId) }.flatten.toSet
+    val after = fresh.collect { case n => n.output.map(_.exprId) }.flatten.toSet
+    if (after.exists(before.contains)) None else Some((fresh, idMap.toMap))
   }
 }

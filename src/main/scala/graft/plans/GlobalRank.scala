@@ -116,8 +116,14 @@ object GlobalRankRewrite extends Rule[LogicalPlan] {
       // PlanGuards: the exec runs TWO jobs over the child RDD; without
       // an exchange below, a nondeterministic child could recompute
       // differently between the passes and break the offset stitch.
+      // The node's OWN orderSpec must be deterministic too: keyTools
+      // re-evaluates the order expressions independently in each pass
+      // (and the range partitioner hashed a third evaluation), so a
+      // `rank() OVER (ORDER BY rand())` shuffle idiom would produce
+      // mutually inconsistent offsets/ties — it stays native.
       case w @ LogicalWindow(wexprs, Nil, order, child, _)
           if order.nonEmpty && wexprs.nonEmpty &&
+            order.forall(_.deterministic) &&
             PlanGuards.subtreeDeterministic(child) =>
         val fns = wexprs.map(supported(_, order))
         if (fns.forall(_.isDefined)) GlobalRankNode(order, fns.flatten, child)

@@ -73,6 +73,54 @@ class GlobalAggSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
   }
 
+  test("GlobalAgg rewrite survives planChangeValidation: duplicated child gets fresh exprIds") {
+    val s = spark
+    import s.implicits._
+    // planChangeValidation=true makes Catalyst abort on any rule that
+    // breaks the exprId-uniqueness invariant — the exact failure mode
+    // of duplicating the child subtree verbatim into the aggregate leg.
+    TestSpark.withConf("spark.sql.planChangeValidation", "true") {
+      withRule(on = true) {
+        // child with its own aliases + a relation leaf: both classes of
+        // exprId must be re-minted in the aggregate leg
+        val base = Tables.events(s, SfDir)
+          .select($"event_id".as("id"), round($"value" * 100).cast("long").as("cents"))
+          .filter($"cents" >= 0L)
+        val df = shares(base)
+        val got = df.orderBy($"id").collect().toSeq
+        val ref = withRule(on = false)(shares(base).orderBy($"id").collect().toSeq)
+        assert(got == ref)
+        assert(!df.queryExecution.executedPlan.toString.contains("Window"))
+      }
+    }
+  }
+
+  test("GlobalAgg streaming guard: a watermarked stream with agg OVER () stays native") {
+    val s = spark
+    import s.implicits._
+    // Structured Streaming can't run the aggregate-once + broadcast-back
+    // plan (a global aggregate joined to its own input has different
+    // semantics under a watermark), so the rule must leave streaming
+    // children untouched. The guard can't be exercised end-to-end
+    // (UnsupportedOperationChecker rejects window functions on streams
+    // at start()), so apply the rule directly to the analyzed plan —
+    // exactly what the per-microbatch optimizer would do.
+    val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, java.sql.Timestamp)](s)
+    val sdf = stream.toDF().toDF("cents", "ts")
+      .withWatermark("ts", "1 minute")
+      .select($"cents", sum($"cents").over(Window.partitionBy()).as("total"))
+    val analyzed = sdf.queryExecution.analyzed
+    assert(analyzed.isStreaming)
+    val after = withRule(on = true)(graft.plans.GlobalAggRewrite(analyzed))
+    assert(after.fastEquals(analyzed),
+      "streaming child must bail to the native window, not double-evaluate:\n" + after)
+    // same plan, non-streaming: the rule DOES fire (guard is the only delta)
+    val bdf = Seq((1L, java.sql.Timestamp.valueOf("2026-01-01 00:00:00"))).toDF("cents", "ts")
+      .select($"cents", sum($"cents").over(Window.partitionBy()).as("total"))
+    val bAfter = withRule(on = true)(graft.plans.GlobalAggRewrite(bdf.queryExecution.analyzed))
+    assert(bAfter.exists(_.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Join]))
+  }
+
   test("GlobalAgg bail-outs: running frames and bounded frames stay native") {
     val s = spark
     import s.implicits._

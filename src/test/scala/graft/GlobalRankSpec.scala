@@ -185,6 +185,13 @@ class GlobalRankSpec extends AnyFunSuite {
         .select(rank().over(Window.orderBy($"rk", $"id")).as("r"))
       nd.collect()
       assert(!nd.queryExecution.executedPlan.toString.contains("GlobalRank"))
+      // nondeterministic ORDER SPEC (the shuffle idiom
+      // row_number() OVER (ORDER BY rand())): keyTools would
+      // re-evaluate rand() independently in pass 1, pass 2 and the
+      // range partitioner -> native
+      val ndOrder = base.select(row_number().over(Window.orderBy(rand(7))).as("r"))
+      ndOrder.collect()
+      assert(!ndOrder.queryExecution.executedPlan.toString.contains("GlobalRank"))
     }
   }
 }
