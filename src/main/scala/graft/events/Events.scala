@@ -1147,14 +1147,24 @@ object Events {
   def e32PrevNode(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
-    val wDesc = Window.partitionBy($"user_id").orderBy($"ts".desc, $"event_id".desc)
+    // The last purchase is derived ON THE ASCENDING PASS (r14): a
+    // per-user max_by over the (ts, event_id) struct key replaces the
+    // r13 descending row_number, whose (ts DESC, event_id DESC) order
+    // forced a SECOND Sort + WindowExec on the shared user_id
+    // exchange. Now the plan is one exchange, ONE sort, one
+    // WindowExec (the lag), and the per-user reduction is a
+    // combine-enabled aggregate that needs no exchange at all (the
+    // data is already user_id-clustered) — per-user state stays one
+    // row. (ts, event_id) is a unique key per user, so max_by is
+    // deterministic and picks exactly the rn==1 row of the old form.
     Tables.events(s, d)
       .select($"user_id", $"ts", $"event_id", $"event_type")
       .withColumn("prev_type", lag($"event_type", 1).over(w))
       .filter($"event_type" === "purchase")
-      .withColumn("rn", row_number().over(wDesc))
-      .filter($"rn" === 1)
-      .groupBy(coalesce($"prev_type", lit("(none)")).as("prev_type"))
+      .groupBy($"user_id")
+      .agg(max_by(coalesce($"prev_type", lit("(none)")),
+        struct($"ts", $"event_id")).as("prev_type"))
+      .groupBy($"prev_type")
       .agg(count(lit(1)).as("n_users"))
       .orderBy($"prev_type")
   }

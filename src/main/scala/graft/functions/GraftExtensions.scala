@@ -38,6 +38,13 @@ object GraftExtensions extends SparkSessionExtensionsProvider {
     // the cheaper heap path; this catches the full rankings).
     ext.injectOptimizerRule(_ => graft.plans.GlobalRankRewrite)
     ext.injectPlannerStrategy(_ => graft.plans.GlobalRankStrategy)
+    // Grouped ranking: rank-family windows WITH partition keys are
+    // rewritten to the same range-partitioned two-pass discipline, so
+    // a group larger than a task never funnels into one (the operator
+    // form of q23/m11's hand idiom; TopKRewrite still wins on
+    // filter(rank <= k)).
+    ext.injectOptimizerRule(_ => graft.plans.GroupedRankRewrite)
+    ext.injectPlannerStrategy(_ => graft.plans.GroupedRankStrategy)
     // Share-of-total: aggregate windows over the full corpus
     // (sum(x) OVER ()) aggregate once and broadcast back instead of
     // funnelling every row through one partition.

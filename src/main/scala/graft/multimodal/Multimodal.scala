@@ -313,13 +313,9 @@ object Multimodal {
         .orderBy($"doc_id")
     } else {
       val c = graft.sim.Sim.centroids(s, d)
-      val wAssign = Window.partitionBy($"vec_id").orderBy($"c_cos".desc, $"c_id")
-      val assigned = caps.crossJoin(broadcast(c))
-        .select($"vec_id", $"embedding", $"c_id",
-          cosineSim($"embedding", $"c_emb").as("c_cos"))
-        .withColumn("rn", row_number().over(wAssign))
-        .filter($"rn" === 1)
-        .select($"vec_id", $"embedding", $"c_id".as("cluster"))
+      // caption → cell via the shared zero-shuffle map-side fold (r14)
+      val assigned = graft.sim.Sim.assignedCos(s, d)
+        .select($"vec_id", $"embedding", $"cluster")
       val wProbe = Window.partitionBy($"doc_id").orderBy($"q_cos".desc, $"c_id")
       val probes = feats.crossJoin(broadcast(c))
         .select($"doc_id", $"feature", $"c_id",
@@ -700,30 +696,22 @@ object Multimodal {
   // ---------------------------------------------------------------------
   def m11EpochShuffle(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val nParts = s.sparkContext.defaultParallelism
+    import org.apache.spark.sql.expressions.Window
+    // r14: the PLAIN per-(epoch, source) window — GroupedRankRewrite
+    // (plans/GroupedRank.scala) supplies the scale plan the r13 hand
+    // idiom (pid column + triangular offset join + persist) built
+    // manually: range partitions on (epoch, source, h, doc_id), local
+    // ranks, boundary-segment offsets. No (epoch, source)-sized task
+    // anywhere, same bit-exact positions (GroupedRankSpec).
     val hashed = Tables.documents(s, d)
       .select($"source", $"doc_id",
         explode(sequence(lit(0), lit(ShuffleEpochs - 1))).as("epoch"))
       .withColumn("h",
         md5(concat($"epoch".cast("string"), lit(":"), $"doc_id".cast("string"))))
-    val sorted = hashed
-      .repartitionByRange(nParts, $"epoch", $"source", $"h", $"doc_id")
-      .withColumn("pid", spark_partition_id())
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val counts = sorted.groupBy($"pid", $"epoch", $"source")
-      .agg(count(lit(1)).as("c"))
-    val offsets = counts
-      .join(counts.select($"pid".as("bpid"), $"epoch".as("be"),
-          $"source".as("bs"), $"c".as("bc")),
-        $"be" === $"epoch" && $"bs" === $"source" && $"bpid" < $"pid", "left")
-      .groupBy($"pid", $"epoch", $"source")
-      .agg(coalesce(sum($"bc"), lit(0L)).as("off"))
-    val wLocal = Window.partitionBy($"pid", $"epoch", $"source")
-      .orderBy($"h", $"doc_id")
-    sorted
-      .join(broadcast(offsets), Seq("pid", "epoch", "source"))
-      .withColumn("pos", ($"off" + row_number().over(wLocal)).cast("long"))
-      .select($"epoch", $"source", $"pos", $"doc_id")
+    val w = Window.partitionBy($"epoch", $"source").orderBy($"h", $"doc_id")
+    hashed
+      .select($"epoch", $"source",
+        row_number().over(w).cast("long").as("pos"), $"doc_id")
       .orderBy($"epoch", $"source", $"pos")
   }
 

@@ -74,21 +74,25 @@ case object GPercentRank extends GlobalRankFn { val dataType: DataType = DoubleT
 case object GCumeDist extends GlobalRankFn { val dataType: DataType = DoubleType }
 case class GNTile(buckets: Int) extends GlobalRankFn { val dataType: DataType = IntegerType }
 
-object GlobalRankRewrite extends Rule[LogicalPlan] {
+/** Shared matcher for the six rank-family window functions over a
+  * node's own (partition, order) spec — used by [[GlobalRankRewrite]]
+  * (empty partition) and [[GroupedRankRewrite]] (non-empty). */
+private[plans] object RankFnMatch {
 
-  val ConfKey = "spark.graft.globalRank.enabled"
-
-  private def enabled: Boolean =
-    SQLConf.get.getConfString(ConfKey, "true").toBoolean
-
-  private def sameOrder(a: Seq[SortOrder], b: Seq[SortOrder]): Boolean =
+  private def sameExprs(a: Seq[Expression], b: Seq[Expression]): Boolean =
     a.length == b.length && a.zip(b).forall { case (x, y) => x.semanticEquals(y) }
 
-  private def supported(
+  private val RunningRowFrame =
+    SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow)
+  private val RunningRangeFrame =
+    SpecifiedWindowFrame(RangeFrame, UnboundedPreceding, CurrentRow)
+
+  def supported(
       e: NamedExpression,
+      part: Seq[Expression],
       order: Seq[SortOrder]): Option[(Attribute, GlobalRankFn)] = e match {
-    case a @ Alias(WindowExpression(fn, WindowSpecDefinition(Nil, o2, frame)), _)
-        if sameOrder(o2, order) =>
+    case a @ Alias(WindowExpression(fn, WindowSpecDefinition(p2, o2, frame)), _)
+        if sameExprs(p2, part) && sameExprs(o2, order) =>
       // each rank function carries its own fixed frame: the running
       // ROW frame for the RowNumber/Rank family, the running RANGE
       // frame for cume_dist (ties included via the range bound)
@@ -104,11 +108,19 @@ object GlobalRankRewrite extends Rule[LogicalPlan] {
       }
     case _ => None
   }
+}
 
-  private val RunningRowFrame =
-    SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow)
-  private val RunningRangeFrame =
-    SpecifiedWindowFrame(RangeFrame, UnboundedPreceding, CurrentRow)
+object GlobalRankRewrite extends Rule[LogicalPlan] {
+
+  val ConfKey = "spark.graft.globalRank.enabled"
+
+  private def enabled: Boolean =
+    SQLConf.get.getConfString(ConfKey, "true").toBoolean
+
+  private def supported(
+      e: NamedExpression,
+      order: Seq[SortOrder]): Option[(Attribute, GlobalRankFn)] =
+    RankFnMatch.supported(e, Nil, order)
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!enabled) return plan

@@ -369,6 +369,16 @@ object Relational {
   // custkey) sort. percent_rank/cume_dist are single IEEE divisions
   // of exact ranks — bit-identical across engines; the (spend,
   // custkey) order key is tie-free by construction.
+  //
+  // Scale shape (r14): written as the PLAIN per-nation window. A
+  // native Window.partitionBy(nation) would put an entire nation in
+  // ONE task — terabytes per partition at 100 TB with ~25 nations —
+  // which r13 avoided by hand (pid columns, triangular offset join,
+  // persist). That idiom is now the ENGINE's job: GroupedRankRewrite
+  // (plans/GroupedRank.scala) rewrites this window to the
+  // range-partitioned two-pass operator, bit-identical to the native
+  // window (GroupedRankSpec), so the query reads like the report it
+  // is and still never builds a nation-sized partition.
   // ---------------------------------------------------------------------
   def q23SpendDeciles(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -379,50 +389,11 @@ object Relational {
       .join(spend, $"c_custkey" === $"o_custkey")
       .join(broadcast(Tables.nation(s, d)), $"c_nationkey" === $"n_nationkey")
       .select($"c_custkey", $"n_name".as("nation"), $"spend")
-    // Per-nation ranking WITHOUT nation-sized window partitions: a
-    // Window.partitionBy(nation) puts an entire nation in ONE task —
-    // terabytes per partition at 100 TB with ~25 nations. Instead,
-    // t20's distributed-ranking idiom keyed by group: range-partition
-    // on (nation, spend desc, custkey) so each task holds a
-    // row-balanced SLICE, rank locally within (pid, nation), and add
-    // per-(nation, pid) offsets from a bounded triangular join
-    // (≤ nations × partitions rows, broadcast). The order key is
-    // unique (custkey tie-break), so rank == row_number == rank() and
-    // ntile/percent_rank/cume_dist reconstruct EXACTLY from
-    // (rank, count) with Spark's own formulas — same oracle hash.
-    val nParts = s.sparkContext.defaultParallelism
-    val sorted = base
-      .repartitionByRange(nParts, $"nation", $"spend".desc, $"c_custkey")
-      .withColumn("pid", spark_partition_id())
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val counts = sorted.groupBy($"pid", $"nation").agg(count(lit(1)).as("c"))
-    val offsets = counts
-      .join(counts.select($"pid".as("bpid"), $"nation".as("bn"), $"c".as("bc")),
-        $"bn" === $"nation" && $"bpid" < $"pid", "left")
-      .groupBy($"pid", $"nation")
-      .agg(coalesce(sum($"bc"), lit(0L)).as("off"))
-    val totals = counts.groupBy($"nation").agg(sum($"c").as("cnt"))
-    val wLocal = Window.partitionBy($"pid", $"nation")
-      .orderBy($"spend".desc, $"c_custkey")
-    // Spark's NTile layout: the first (cnt % 10) buckets carry
-    // (cnt div 10 + 1) rows, the rest (cnt div 10); with cnt < 10 the
-    // padded branch covers every row (bucket = rank).
-    sorted
-      .join(broadcast(offsets), Seq("pid", "nation"))
-      .join(broadcast(totals), "nation")
-      .withColumn("rank", $"off" + row_number().over(wLocal))
-      .withColumn("decile",
-        when($"rank" <= (expr("cnt div 10") + 1L) * ($"cnt" % 10),
-          expr("(rank - 1) div (cnt div 10 + 1) + 1").cast("int"))
-          .otherwise(
-            ($"cnt" % 10 +
-              expr("(rank - 1 - (cnt div 10 + 1) * (cnt % 10)) div greatest(cnt div 10, 1)") +
-              1L).cast("int")))
-      .withColumn("pct_rank",
-        when($"cnt" > 1L,
-          ($"rank" - 1L).cast("double") / ($"cnt" - 1L).cast("double"))
-          .otherwise(0.0))
-      .withColumn("cume", $"rank".cast("double") / $"cnt".cast("double"))
+    val w = Window.partitionBy($"nation").orderBy($"spend".desc, $"c_custkey")
+    base
+      .withColumn("decile", ntile(10).over(w))
+      .withColumn("pct_rank", percent_rank().over(w))
+      .withColumn("cume", cume_dist().over(w))
       .select($"c_custkey", $"nation", $"spend", $"decile", $"pct_rank", $"cume")
       .orderBy($"c_custkey")
   }

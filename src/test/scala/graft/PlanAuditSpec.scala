@@ -334,26 +334,74 @@ class PlanAuditSpec extends AnyFunSuite {
         "or justify boundedness in the allowlist")
   }
 
-  test("v12: cluster self-join reuses ONE assignment evaluation and plans the top-k heap") {
+  test("IVF assignment subtree pays NO exchange: the map-side fold replaced the vec_id window") {
+    // r13's assignment (crossJoin(broadcast(centroids)) + row_number
+    // OVER (PARTITION BY vec_id) + rn=1) heap-rewrote to ~N rows but
+    // still shuffled the whole embedding corpus (vectors included)
+    // once per pipeline. r14 computes the argmax as lloydStep's
+    // zero-shuffle array_max fold over the literal centroid set, so
+    // no plan in the family may hash-partition on vec_id anymore —
+    // the only exchanges left are the consumers' own (cluster joins,
+    // cell-bounded groupBys, query-side top-k heaps).
+    // The assignment's signature was a SOLE-KEY vec_id partition (the
+    // per-vector argmax window / its heap rewrite). Multi-key vec_id
+    // exchanges remain legitimate (v8's per-(vec_id, cluster, m) PQ
+    // code assembly groups on vec_id plus more).
+    val soleKey = "hashpartitioning\\(vec_id#\\d+L?, \\d+\\)".r
+    for (name <- Seq("v3_ivf_ann", "v8_ivf_pq", "v12_knn_graph",
+        "v16_ivf_stats", "v18_recall_nprobe")) {
+      val p = plan(name)
+      assert(soleKey.findFirstIn(p).isEmpty,
+        s"$name: the corpus assignment must not exchange on vec_id alone:\n${p.take(3000)}")
+    }
+    // v16's whole plan is now window-free (its only window WAS the
+    // assignment); its corpus-sized work is one combine-enabled
+    // (cluster) aggregate.
+    val v16 = plan("v16_ivf_stats")
+    assert(!v16.contains("Window") && !v16.contains("TopKPartial"),
+      s"v16 must be pure map-side fold + bounded aggregates:\n${v16.take(3000)}")
+  }
+
+  test("v12: cluster self-join plans the top-k heap over the map-side assignment") {
     // The r12 cell-collect form held every member vector of an IVF
     // cell in one aggregation-buffer row. The self-join remedy is only
-    // scale-sound if (a) the per-src top-3 plans as the TopKPerGroup
-    // heap (3 rows of state per source, partials before the exchange),
-    // and (b) the two join branches share one evaluation of the
-    // assignment subtree via exchange reuse — otherwise the quantizer
-    // runs twice.
+    // scale-sound if the per-src top-3 plans as the TopKPerGroup heap
+    // (3 rows of state per source, partials before the exchange).
+    // Until r13 this test also pinned ReusedExchange between the two
+    // join branches — the assignment subtree ended in a corpus
+    // exchange, so evaluating it twice meant running the quantizer
+    // window twice. The r14 map-side fold removed that exchange
+    // entirely: each branch is now a pure scan + codegen'd argmax
+    // (nothing to reuse, nothing corpus-sized to repeat), and the
+    // only exchanges left are the join's own cluster exchanges — or
+    // none on the build side when AQE elects a broadcast, as it does
+    // at spec scale.
     val df = SparkEntry.queries("v12_knn_graph")(spark, SfDir)
     val p = df.queryExecution.executedPlan.toString
     assert(p.contains("TopKFinal") && p.contains("TopKPartial"),
       s"v12 per-src top-k must plan as the heap operator:\n$p")
-    df.collect() // drive AQE to the final plan, where reuse is decided
+    df.collect() // drive AQE to the final plan
     val full = df.queryExecution.executedPlan.toString
     val fin = full.indexOf("== Initial Plan ==") match {
       case -1 => full
       case i  => full.substring(0, i)
     }
-    assert(fin.contains("ReusedExchange"),
-      s"the two self-join branches must share one assignment evaluation:\n$fin")
+    assert(!fin.contains("WindowExec"),
+      s"no window may survive anywhere in the kNN-graph build:\n${fin.take(3000)}")
+  }
+
+  test("e32: ONE sort under the user_id exchange — last purchase derived on the ascending pass") {
+    // r13 ranked the last purchase with a (ts DESC, event_id DESC)
+    // row_number: same user_id exchange as the lag window, but a
+    // second Sort + second window pass. r14 derives it with max_by
+    // over the (ts, event_id) struct on the ascending pass, so the
+    // timeline is sorted exactly once per user.
+    val p = plan("e32_prev_node")
+    val userSorts = "Sort \\[user_id".r.findAllIn(p).size
+    assert(userSorts == 1,
+      s"the per-user timeline must be sorted exactly once, got $userSorts:\n${p.take(3000)}")
+    val windows = "\\bWindow\\b".r.findAllIn(p).size
+    assert(windows == 1, s"only the lag window may remain, got $windows:\n${p.take(3000)}")
   }
 
   test("q5: broadcast HINTS only on fixed-cardinality dims (region, nation)") {
