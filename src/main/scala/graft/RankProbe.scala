@@ -5,40 +5,58 @@ import org.apache.spark.sql.functions._
 
 /** Dev tool: A/B the global-window rewrites against Spark's native
   * single-partition window.
-  * `runMain graft.RankProbe [nRows] [rank|agg]` (default 50M, rank).
+  * `runMain graft.RankProbe [nRows] [rank|agg|grouped [nGroups]]`
+  * (default 50M, rank).
   * `rank` probes the GlobalRank operator on a corpus-global ranking;
-  * `agg` probes GlobalAggRewrite on a `sum OVER ()` share-of-total.
+  * `agg` probes GlobalAggRewrite on a `sum OVER ()` share-of-total;
+  * `grouped` probes GroupedRank on a FEW-HUGE-GROUPS ranking (default
+  * 4 groups — the q23-per-nation shape where the native hash window
+  * funnels each group through one task; many-small-groups is the
+  * regime where the operator costs instead, measured by ScratchGR's
+  * per-query A/B at sf0.1).
   * Prints wall seconds for rule-on vs rule-off and the speedup — the
-  * PLANS.md "global ranking"/"global aggregate" probe rows come from
-  * here. */
+  * PLANS.md "global ranking"/"global aggregate"/"grouped ranking"
+  * probe rows come from here. */
 object RankProbe {
   def main(args: Array[String]): Unit = {
     val n = if (args.nonEmpty) args(0).toLong else 50000000L
     val mode = if (args.length > 1) args(1) else "rank"
+    val nGroups = if (args.length > 2) args(2).toInt else 4
     val s = Tables.session(32)
     import s.implicits._
     val df = s.range(n).select($"id",
       pmod($"id" * 2654435761L, lit(1000000007L)).as("k"))
     val w = Window.orderBy($"k", $"id")
-    val confKey =
-      if (mode == "agg") graft.plans.GlobalAggRewrite.ConfKey
-      else graft.plans.GlobalRankRewrite.ConfKey
+    val confKey = mode match {
+      case "agg" => graft.plans.GlobalAggRewrite.ConfKey
+      case "grouped" => graft.plans.GroupedRankRewrite.ConfKey
+      case _ => graft.plans.GlobalRankRewrite.ConfKey
+    }
     def run(on: Boolean): Double = {
       s.conf.set(confKey, on.toString)
       val t0 = System.nanoTime()
-      val r =
-        if (mode == "agg")
+      val r = mode match {
+        case "agg" =>
           // exact-long shares: every row reads the broadcast total;
           // the min/max aggregate touches every emitted row
           df.select($"k", sum($"k").over(Window.partitionBy()).as("t"))
             .select(($"t" - $"k").as("rest"))
             .agg(min($"rest") + max($"rest")).head()
-        else
+        case "grouped" =>
+          // few huge groups: group = id % nGroups (interleaved, so
+          // every group is ~n/nGroups rows); rank + ntile exercise
+          // the boundary-chain stitch AND the group-total buffering
+          val wg = Window.partitionBy($"g").orderBy($"k", $"id")
+          df.withColumn("g", pmod($"id", lit(nGroups.toLong)))
+            .select($"g", rank().over(wg).as("r"), ntile(100).over(wg).as("c"))
+            .groupBy($"g", $"c").agg(max($"r").as("mr")).agg(sum($"mr")).head()
+        case _ =>
           // rank + ntile exercise both the offset stitch and the
           // totals; the aggregate keeps the result tiny without
           // skipping any row
           df.select(rank().over(w).as("r"), ntile(100).over(w).as("c"))
             .groupBy($"c").agg(max($"r").as("mr")).agg(sum($"mr")).head()
+      }
       val dt = (System.nanoTime() - t0) / 1e9
       println(s"$confKey=$on n=$n sum=${r} ${f"$dt%.1f"}s")
       dt

@@ -31,6 +31,26 @@ object Tables {
     s
   }
 
+  /** Idempotent persist for intra-suite reuse (the s20/s21 grid, e31's
+    * day spine, q37/q40's month tables): marks the plan MEMORY_AND_DISK
+    * unless the session's CacheManager already holds a CANONICALIZED
+    * match — repeated calls (even with fresh exprIds) reuse the one
+    * entry, and any later query whose plan CONTAINS the cached subtree
+    * picks the blocks up automatically at planning time
+    * (CacheManager.useCachedData), which is what replaces the r14
+    * JVM-global WeakHashMap memo: that map's weak keys could never be
+    * collected (the cached DataFrame strongly references its
+    * SparkSession, i.e. the key), so entries for finished sessions
+    * pinned persisted blocks forever. Here NOTHING outlives the
+    * session — cache lifetime is the session's CacheManager, entries
+    * are visible to `spark.catalog.clearCache()`, and a long-lived
+    * session can evict per-table via `Dataset.unpersist`. */
+  def persistOnce(df: DataFrame): DataFrame = {
+    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    df
+  }
+
   /** `SPARK_GRAFT_CONF="k=v;k=v"` → session confs, for dev mains
     * (ScaleProbe, Explain): runtime-settable custom keys only. */
   def applyEnvConfs(s: SparkSession): Unit =

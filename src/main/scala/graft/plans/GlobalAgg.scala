@@ -114,6 +114,14 @@ object GlobalAggRewrite extends Rule[LogicalPlan] {
   * with duplicate ids. */
 private[plans] object ExprIdFreshener {
   def freshen(plan: LogicalPlan): Option[(LogicalPlan, Map[ExprId, ExprId])] = {
+    // Subquery expressions carry a NESTED plan this walk does not
+    // descend into, and the output-disjointness proof below only
+    // inspects node outputs — so a scalar/IN subquery under the
+    // child would share its inner plan's exprIds/alias ids between
+    // the two copies UNDETECTED. Bail like the Generate/Expand case:
+    // callers keep the native window.
+    if (plan.exists(_.expressions.exists(_.exists(_.isInstanceOf[PlanExpression[_]]))))
+      return None
     val idMap = mutable.HashMap.empty[ExprId, ExprId]
     val fresh = plan.transformUp {
       case m: LogicalPlan with MultiInstanceRelation =>

@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.plans.physical.{Distribution, OrderedDistri
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
 import org.apache.spark.sql.internal.SQLConf
-import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType}
+import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType, LongType}
 
 /** Corpus-global ranking as a first-class operator (SURVEY §2 engine
   * components; the "custom LogicalPlan + Rule + SparkStrategy +
@@ -58,7 +58,10 @@ import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType}
   * window is consumed by the heap operator first (better: it never
   * materializes the full ranking); this rule catches the bare
   * windows. Disable with `spark.graft.globalRank.enabled=false`
-  * (the A/B lever the equivalence spec uses).
+  * (the A/B lever the equivalence spec uses);
+  * `spark.graft.globalRank.longRank=true` widens the Int-family
+  * ranks to LongType past the 2^31 ceiling (see [[RankRange]] and
+  * the conf's scaladoc for the soundness/fallback contract).
   *
   * The rewrite re-executes the sorted child RDD once per pass; below
   * it sits the (reused) shuffle, so pass 2 re-reads shuffle blocks
@@ -90,7 +93,8 @@ private[plans] object RankFnMatch {
   def supported(
       e: NamedExpression,
       part: Seq[Expression],
-      order: Seq[SortOrder]): Option[(Attribute, GlobalRankFn)] = e match {
+      order: Seq[SortOrder],
+      allowLong: Boolean = false): Option[(Attribute, GlobalRankFn)] = e match {
     case a @ Alias(WindowExpression(fn, WindowSpecDefinition(p2, o2, frame)), _)
         if sameExprs(p2, part) && sameExprs(o2, order) =>
       // each rank function carries its own fixed frame: the running
@@ -104,6 +108,16 @@ private[plans] object RankFnMatch {
         case (_: CumeDist, RunningRangeFrame) => Some(a.toAttribute -> GCumeDist)
         case (NTile(Literal(b: Int, IntegerType)), RunningRowFrame) if b > 0 =>
           Some(a.toAttribute -> GNTile(b))
+        // the LongType variants LongRankWiden swaps in under the
+        // longRank conf (global windows only — GroupedRankRewrite
+        // passes allowLong=false, its exec emits Int): the exec keys
+        // its emission width off the attribute's LongType
+        case (_: graft.functions.LongRowNumber, RunningRowFrame) if allowLong =>
+          Some(a.toAttribute -> GRowNumber)
+        case (_: graft.functions.LongRank, RunningRowFrame) if allowLong =>
+          Some(a.toAttribute -> GRank)
+        case (_: graft.functions.LongDenseRank, RunningRowFrame) if allowLong =>
+          Some(a.toAttribute -> GDenseRank)
         case _ => None
       }
     case _ => None
@@ -114,13 +128,29 @@ object GlobalRankRewrite extends Rule[LogicalPlan] {
 
   val ConfKey = "spark.graft.globalRank.enabled"
 
+  /** Escape hatch past the IntegerType rank ceiling (default false):
+    * `row_number`/`rank`/`dense_rank` are IntegerType by Spark's own
+    * definition, so past 2^31 input rows a corpus-global ranking has
+    * NO representable value and the exec fails loudly — which is
+    * exactly the scale this operator exists for. With the conf on,
+    * [[graft.functions.LongRankWiden]] swaps the three for LongType
+    * window functions AT ANALYSIS TIME (a documented schema
+    * divergence; percent_rank/cume_dist are doubles and ntile is
+    * bounded by its bucket count, so they keep native types at any
+    * N); this rewrite then recognizes the Long variants and the exec
+    * emits 64-bit ranks. Analysis-time is a correctness requirement,
+    * not a convenience: Dataset.schema/encoders read the ANALYZED
+    * plan, and downstream consumers re-coerce against the Long column
+    * in the same resolution fixed-point. */
+  val LongRankKey = "spark.graft.globalRank.longRank"
+
   private def enabled: Boolean =
     SQLConf.get.getConfString(ConfKey, "true").toBoolean
 
   private def supported(
       e: NamedExpression,
       order: Seq[SortOrder]): Option[(Attribute, GlobalRankFn)] =
-    RankFnMatch.supported(e, Nil, order)
+    RankFnMatch.supported(e, Nil, order, allowLong = true)
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!enabled) return plan
@@ -183,6 +213,9 @@ case class GlobalRankExec(
     val ord = order
     val out = output // localized: the closures must not capture `this`
     val fnSpecs: Array[GlobalRankFn] = fns.map(_._2).toArray
+    // emission width per column: LongType when the longRank conf
+    // widened the attribute at rewrite time, IntegerType natively
+    val fnLong: Array[Boolean] = fns.map(_._1.dataType == LongType).toArray
     val needsCume = fnSpecs.contains(GCumeDist)
     val rdd = child.execute()
 
@@ -216,20 +249,25 @@ case class GlobalRankExec(
       i += 1
     }
     val totalN = accN
-    // The rank columns keep the built-in window's IntegerType (same
-    // exprIds, same types). Past 2^31 rows those semantics have no
-    // valid value — fail loudly instead of wrapping to negatives
-    // (native Spark can't reach this count at all: its single sort
-    // task dies first).
-    require(totalN <= Int.MaxValue.toLong,
-      s"GlobalRank: $totalN input rows exceed IntegerType rank range (2^31-1)")
+    // Per-function overflow guards (RankRange): an Int-typed
+    // row_number/rank caps at 2^31-1 rows, an Int-typed dense_rank at
+    // 2^31-1 DISTINCT keys; LongType ranks (the longRank conf),
+    // percent_rank/cume_dist (doubles) and ntile (≤ bucket count)
+    // have no row ceiling. Fail loudly before pass 2 rather than wrap
+    // to negatives (native Spark can't reach these counts at all: its
+    // single sort task dies first).
+    RankRange.check("GlobalRank", "input rows",
+      fnSpecs.zip(fnLong), totalN, accD,
+      s"; set ${GlobalRankRewrite.LongRankKey}=true for LongType ranks " +
+        "(documented schema divergence) or pre-aggregate before ranking")
 
     // Pass 2: stream each sorted partition once; the shuffle below is
     // reused, only the partition-local sort re-runs.
     rdd.mapPartitionsWithIndex ({ (pid, it) =>
       val (keyProj, cmp) = GlobalRankExec.keyTools(ord, childOut)
       val toUnsafe = UnsafeProjection.create(out, out)
-      val extra = new SpecificInternalRow(fnSpecs.map(_.dataType).toSeq)
+      val extra = new SpecificInternalRow(
+        fnSpecs.zip(fnLong).map { case (f, l) => if (l) LongType else f.dataType }.toSeq)
       val joined = new JoinedRow
       var rn = rowOffsets(pid)
       var dr = denseOffsets(pid)
@@ -243,9 +281,12 @@ case class GlobalRankExec(
         var j = 0
         while (j < fnSpecs.length) {
           fnSpecs(j) match {
-            case GRowNumber => extra.setInt(j, rrn.toInt)
-            case GRank => extra.setInt(j, rank.toInt)
-            case GDenseRank => extra.setInt(j, rdr.toInt)
+            case GRowNumber =>
+              if (fnLong(j)) extra.setLong(j, rrn) else extra.setInt(j, rrn.toInt)
+            case GRank =>
+              if (fnLong(j)) extra.setLong(j, rank) else extra.setInt(j, rank.toInt)
+            case GDenseRank =>
+              if (fnLong(j)) extra.setLong(j, rdr) else extra.setInt(j, rdr.toInt)
             case GPercentRank =>
               extra.setDouble(j,
                 if (totalN > 1L) (rank - 1L).toDouble / (totalN - 1L).toDouble
@@ -347,6 +388,37 @@ object GlobalRankExec {
     }
     (proj, RowOrdering.create(bound, Seq.empty))
   }
+}
+
+/** Per-function overflow guards for the rank-family output columns,
+  * shared by [[GlobalRankExec]] (corpus totals) and [[GroupedRankExec]]
+  * (per-group maxima). Refined per function rather than a blanket row
+  * cap, because the ceiling is a property of the OUTPUT TYPE, not the
+  * operator: an Int-typed row_number/rank has no representable value
+  * past 2^31-1 rows and an Int-typed dense_rank past 2^31-1 DISTINCT
+  * keys, while LongType ranks (the longRank conf), percent_rank and
+  * cume_dist (doubles) and ntile (bounded by its literal bucket count)
+  * are valid at any N — a 100 TB corpus can ntile/percent_rank
+  * globally with NO escape hatch needed. Factored out so the specs
+  * exercise the 2^31 boundary with synthetic totals (three longs), not
+  * 2^31 real rows. */
+private[graft] object RankRange {
+  /** @param fns   each rank function with whether it emits LongType
+    * @param n     rows in the checked scope (corpus / largest group)
+    * @param d     distinct order keys in the checked scope
+    * @param remedy appended to the failure message (operator-specific) */
+  def check(op: String, scope: String, fns: Seq[(GlobalRankFn, Boolean)],
+      n: Long, d: Long, remedy: String): Unit =
+    fns.foreach {
+      case (GRowNumber | GRank, false) =>
+        require(n <= Int.MaxValue.toLong,
+          s"$op: $n $scope exceed the IntegerType rank range (2^31-1)$remedy")
+      case (GDenseRank, false) =>
+        require(d <= Int.MaxValue.toLong,
+          s"$op: $d distinct keys over $scope exceed the IntegerType " +
+            s"dense_rank range (2^31-1)$remedy")
+      case _ => () // LongType ranks, ntile (≤ buckets), percent_rank/cume_dist
+    }
 }
 
 /** Shared guard for the two global-window rewrites: true iff no

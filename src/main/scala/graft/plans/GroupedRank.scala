@@ -97,10 +97,17 @@ object GroupedRankRewrite extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!enabled) return plan
     plan.transformUp {
+      // the PARTITION BY keys are promoted into SortOrder/Range-
+      // Partitioning (groupSort), so they must be ORDERABLE — a
+      // stricter bar than the native window's hash-clustering
+      // (hashable): a hashable-but-unorderable partition type would
+      // pass analysis against the native plan and then die at
+      // planning after the rewrite, so such windows stay native
       case w @ LogicalWindow(wexprs, part, order, child, _)
           if part.nonEmpty && order.nonEmpty && wexprs.nonEmpty &&
             !child.isStreaming &&
-            part.forall(_.deterministic) && order.forall(_.deterministic) &&
+            part.forall(e => e.deterministic && RowOrdering.isOrderable(e.dataType)) &&
+            order.forall(_.deterministic) &&
             PlanGuards.subtreeDeterministic(child) &&
             child.stats.sizeInBytes >= minBytes =>
         val fns = wexprs.map(RankFnMatch.supported(_, part, order))
@@ -138,10 +145,14 @@ object GroupedRankStrategy extends SparkStrategy {
 private[plans] case class GroupSeg(key: UnsafeRow, n: Long, d: Long)
 
 /** Pass-1 result for one partition: its first and last group segments
-  * (equal when the partition holds a single group) and the group
-  * count. Interior groups never cross a boundary, so they are not
-  * reported — driver data stays O(partitions). */
-private[plans] case class PartSummary(first: GroupSeg, last: GroupSeg, nGroups: Long)
+  * (equal when the partition holds a single group), the group count,
+  * and the partition's per-group row/distinct maxima (over ALL its
+  * groups, interior included — interior groups never enter the driver
+  * chains, so without these two longs an interior group past 2^31
+  * rows would silently wrap at the Int narrowing instead of hitting
+  * the overflow guard). Driver data stays O(partitions). */
+private[plans] case class PartSummary(
+    first: GroupSeg, last: GroupSeg, nGroups: Long, maxN: Long, maxD: Long)
 
 case class GroupedRankExec(
     part: Seq[Expression],
@@ -188,12 +199,16 @@ case class GroupedRankExec(
         var curN = 0L
         var curD = 0L
         var nGroups = 0L
+        var maxN = 0L
+        var maxD = 0L
         var prevOrd: UnsafeRow = null
         while (it.hasNext) {
           val row = it.next()
           val gk = gProj(row)
           if (curKey == null || gCmp.compare(curKey, gk) != 0) {
             if (curKey != null && nGroups == 1L) first = GroupSeg(curKey, curN, curD)
+            if (curN > maxN) maxN = curN
+            if (curD > maxD) maxD = curD
             nGroups += 1
             curKey = gk.copy()
             curN = 0L
@@ -209,8 +224,10 @@ case class GroupedRankExec(
         }
         if (curKey == null) None
         else {
+          if (curN > maxN) maxN = curN
+          if (curD > maxD) maxD = curD
           val last = GroupSeg(curKey, curN, curD)
-          Some(PartSummary(if (nGroups == 1L) last else first, last, nGroups))
+          Some(PartSummary(if (nGroups == 1L) last else first, last, nGroups, maxN, maxD))
         }
       })
 
@@ -264,12 +281,24 @@ case class GroupedRankExec(
       if (lastChain(p) < 0) 0L else chains(lastChain(p))._1)
 
     // Per-group rank columns keep the built-in window's IntegerType
-    // (same exprIds, same types): a single GROUP past 2^31 rows has no
-    // valid value — fail loudly (the native plan OOMs its task far
-    // earlier).
-    val maxChain = if (chains.isEmpty) 0L else chains.map(_._1).max
-    require(maxChain <= Int.MaxValue.toLong,
-      s"GroupedRank: a group spans $maxChain rows, exceeding IntegerType rank range")
+    // (same exprIds, same types): the ceiling fires per GROUP, so —
+    // unlike GlobalRank, whose corpus-total ceiling binds at exactly
+    // the scale that operator targets and therefore carries the
+    // longRank escape hatch — a single 2^31-row group is a
+    // pathological key distribution at ANY corpus size, and the
+    // right remedy is restructuring the grouping, not a wider type.
+    // The maxima cover interior groups (per-partition maxN/maxD from
+    // pass 1) as well as boundary chains, so an interior group past
+    // the ceiling fails loudly instead of silently wrapping at the
+    // Int narrowing; RankRange refines per function (an
+    // ntile/percent_rank/cume_dist-only window has NO group-size
+    // ceiling at all).
+    val maxChainN = (chains.map(_._1) ++ summaries.flatMap(_.map(_.maxN))).foldLeft(0L)(math.max)
+    val maxChainD = (chains.map(_._2) ++ summaries.flatMap(_.map(_.maxD))).foldLeft(0L)(math.max)
+    RankRange.check("GroupedRank", "rows in one group",
+      fnSpecs.map(f => (f, false)), maxChainN, maxChainD,
+      "; restructure the grouping (a single group this large is " +
+        "pathological) or pre-aggregate before ranking")
 
     // Pass 2: re-stream each sorted partition (the shuffle below is
     // reused; only the partition-local sort re-runs).

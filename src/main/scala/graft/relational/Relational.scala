@@ -1004,10 +1004,9 @@ object Relational {
   // ---------------------------------------------------------------------
   def q40YoyGrowth(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val monthly = Tables.orders(s, d)
+    val monthly = Tables.persistOnce(Tables.orders(s, d)
       .groupBy(date_trunc("month", $"o_orderdate").as("month"))
-      .agg((sum(dec($"o_totalprice")) * 100).cast("long").as("cents"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .agg((sum(dec($"o_totalprice")) * 100).cast("long").as("cents")))
     monthly.as("a")
       .join(broadcast(monthly.select(
         ($"month" + expr("INTERVAL 12 MONTHS")).as("m12"),
@@ -1087,9 +1086,8 @@ object Relational {
       .groupBy($"month").agg(count(lit(1)).as("n_active"))
     val news = om.groupBy($"o_custkey").agg(min($"month").as("month"))
       .groupBy($"month").agg(count(lit(1)).as("n_new"))
-    val monthly = active.join(news, Seq("month"), "left")
-      .select($"month", $"n_active", coalesce($"n_new", lit(0L)).as("n_new"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val monthly = Tables.persistOnce(active.join(news, Seq("month"), "left")
+      .select($"month", $"n_active", coalesce($"n_new", lit(0L)).as("n_new")))
     monthly.as("a")
       .join(broadcast(monthly.select($"month".as("bm"), $"n_new".as("bn"))),
         $"bm" <= $"a.month")

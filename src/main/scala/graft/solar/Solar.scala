@@ -427,45 +427,37 @@ object Solar {
     * lead, carried forward by the same last(ignoreNulls) frame that
     * carries prev_v. s20 simply ignores the two extra columns.
     *
-    * The joined grid is persist()ed and memoized per (session, dir):
-    * s20 and s21 are both dashboard materializations of the same
-    * skeleton, and a suite run (the driver's Verify/Bench) would
-    * otherwise compute the grid twice back-to-back. ~3.7M rows × 7
-    * narrow columns at sf0.1 — MEMORY_AND_DISK, spillable. */
-  // Keyed on the SESSION OBJECT via a weak map (identityHashCode is
-  // not unique — a stopped session's hash could be reused and serve a
-  // DataFrame bound to the dead session — and weak keys let a closed
-  // session's entries be collected instead of pinning persisted
-  // blocks forever).
-  private val gridCache =
-    new java.util.WeakHashMap[SparkSession,
-      scala.collection.mutable.Map[String, DataFrame]]()
-
-  private def slotGrid(s: SparkSession, d: String): DataFrame =
-    gridCache.synchronized {
-      gridCache
-        .computeIfAbsent(s, _ => scala.collection.mutable.Map.empty)
-        .getOrElseUpdate(d, {
-        import s.implicits._
-        val slot = window($"ts", "15 minutes")("start")
-        val slotted = feed(s, d)
-          .filter($"event_type" === "view")
-          .select($"inverter", slot.as("slot"), $"ts", $"event_id", $"value")
-        val wAg = Window.partitionBy($"inverter").orderBy($"slot")
-        val ag = slotted
-          .groupBy($"inverter", $"slot")
-          .agg(count(lit(1)).as("n"),
-            max_by($"value", struct($"ts", $"event_id")).as("slot_last"))
-          .withColumn("next_v", lead($"slot_last", 1).over(wAg))
-          .withColumn("next_us", lead(unix_micros($"slot"), 1).over(wAg))
-        val grid = ag.groupBy($"inverter")
-          .agg(min($"slot").as("lo"), max($"slot").as("hi"))
-          .select($"inverter",
-            explode(sequence($"lo", $"hi", expr("INTERVAL 15 minutes"))).as("slot"))
-        grid.join(ag, Seq("inverter", "slot"), "left")
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      })
-    }
+    * The joined grid is persist()ed via [[Tables.persistOnce]]: s20
+    * and s21 are both dashboard materializations of the same skeleton,
+    * and a suite run (the driver's Verify/Bench) would otherwise
+    * compute the grid twice back-to-back. Memoization is delegated to
+    * the session's own CacheManager (canonicalized-plan keyed): the
+    * second caller rebuilds the cheap logical plan, persistOnce finds
+    * the canonical match and the cached blocks are substituted at
+    * planning time — no JVM-global map, nothing outliving the session
+    * (the r14 weak-keyed memo could never collect its entries: the
+    * cached DataFrame strongly referenced its session, i.e. the key).
+    * ~3.7M rows × 7 narrow columns at sf0.1 — MEMORY_AND_DISK,
+    * spillable; evictable any time via spark.catalog.clearCache(). */
+  private def slotGrid(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val slot = window($"ts", "15 minutes")("start")
+    val slotted = feed(s, d)
+      .filter($"event_type" === "view")
+      .select($"inverter", slot.as("slot"), $"ts", $"event_id", $"value")
+    val wAg = Window.partitionBy($"inverter").orderBy($"slot")
+    val ag = slotted
+      .groupBy($"inverter", $"slot")
+      .agg(count(lit(1)).as("n"),
+        max_by($"value", struct($"ts", $"event_id")).as("slot_last"))
+      .withColumn("next_v", lead($"slot_last", 1).over(wAg))
+      .withColumn("next_us", lead(unix_micros($"slot"), 1).over(wAg))
+    val grid = ag.groupBy($"inverter")
+      .agg(min($"slot").as("lo"), max($"slot").as("hi"))
+      .select($"inverter",
+        explode(sequence($"lo", $"hi", expr("INTERVAL 15 minutes"))).as("slot"))
+    Tables.persistOnce(grid.join(ag, Seq("inverter", "slot"), "left"))
+  }
 
   def s20GapFill(s: SparkSession, d: String): DataFrame = {
     import s.implicits._

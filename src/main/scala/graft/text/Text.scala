@@ -907,10 +907,9 @@ object Text {
     import s.implicits._
     val nParts = s.sparkContext.defaultParallelism
     val scored = t14UnigramLm(s, d).select($"doc_id", $"n_tokens", $"mean_prob")
-    val sorted = scored
+    val sorted = Tables.persistOnce(scored
       .repartitionByRange(nParts, $"mean_prob".desc, $"doc_id")
-      .withColumn("pid", spark_partition_id())
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .withColumn("pid", spark_partition_id()))
     val counts = sorted.groupBy($"pid").agg(count(lit(1)).as("c"))
     val offsets = counts.as("a")
       .join(counts.as("b"), $"b.pid" < $"a.pid", "left")

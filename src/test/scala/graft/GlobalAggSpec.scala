@@ -147,6 +147,31 @@ class GlobalAggSpec extends AnyFunSuite {
         .select(sum($"r").over(Window.partitionBy()).as("tr"), $"r")
       nd.collect()
       assert(nd.queryExecution.executedPlan.toString.contains("Window"))
+      // scalar subquery under the child: ExprIdFreshener does not
+      // descend into nested subquery plans, so the duplicated leg
+      // would share the INNER plan's exprIds undetected (the
+      // output-disjointness proof only sees node outputs) -> the
+      // freshener bails and the window stays native; results must
+      // still be correct. Rule-level (the streaming-guard pattern):
+      // the subquery projection must sit in the window's CHILD, which
+      // the FROM-subquery form pins at analysis.
+      base.limit(50).createOrReplaceTempView("gas_t1")
+      base.limit(5).createOrReplaceTempView("gas_t2")
+      def subSql = s.sql(
+        """SELECT id, m, sum(cents) OVER () AS total
+          |FROM (SELECT id, cents, (SELECT max(cents) FROM gas_t2) AS m
+          |      FROM gas_t1)""".stripMargin)
+      val analyzed = subSql.queryExecution.analyzed
+      assert(analyzed.exists(_.expressions.exists(_.exists(
+        _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.ScalarSubquery]))),
+        "test setup: the analyzed plan must carry the scalar subquery:\n" + analyzed)
+      val after = graft.plans.GlobalAggRewrite(analyzed)
+      assert(after.fastEquals(analyzed),
+        "a child containing subquery expressions must bail to the native window:\n" + after)
+      // end-to-end: identical results either way
+      val got = subSql.orderBy($"id").collect().toSeq
+      val ref = withRule(on = false)(subSql.orderBy($"id").collect().toSeq)
+      assert(got == ref)
     }
   }
 }

@@ -194,4 +194,113 @@ class GlobalRankSpec extends AnyFunSuite {
       assert(!ndOrder.queryExecution.executedPlan.toString.contains("GlobalRank"))
     }
   }
+
+  test("GlobalRank longRank conf: Int-family ranks widen to LongType at analysis; operator AND native paths agree") {
+    val s = spark
+    import s.implicits._
+    val base = (1 to 400).map(i => (i.toLong, (i % 7).toDouble)).toDF("id", "k")
+      .repartition(5)
+    val longKey = graft.plans.GlobalRankRewrite.LongRankKey
+    def widened(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getDouble(5), r.getDouble(6), r.getInt(7), r.getInt(8))
+    val ref = withRule(on = false)(allSix(base).orderBy($"id").collect().toSeq)
+      .map(r => (r.getLong(0), r.getInt(2).toLong, r.getInt(3).toLong,
+        r.getInt(4).toLong, r.getDouble(5), r.getDouble(6), r.getInt(7),
+        r.getInt(8)))
+    TestSpark.withConf(longKey, "true") {
+      withRule(on = true) {
+        val df = allSix(base)
+        df.collect()
+        val sch = df.schema
+        // documented schema divergence, visible at the DATASET level
+        // (the swap is an analyzer rule, so schema/encoders agree):
+        // the three Int-family ranks widen; percent_rank/cume_dist
+        // stay double, ntile stays Int (bounded by its bucket literal
+        // at any N — no ceiling to escape)
+        assert(sch("rn").dataType.typeName == "long", sch.treeString)
+        assert(sch("r").dataType.typeName == "long", sch.treeString)
+        assert(sch("dr").dataType.typeName == "long", sch.treeString)
+        assert(sch("pr").dataType.typeName == "double", sch.treeString)
+        assert(sch("n3").dataType.typeName == "integer", sch.treeString)
+        assert(df.queryExecution.executedPlan.toString.contains("GlobalRank"))
+        assert(df.orderBy($"id").collect().toSeq.map(widened) == ref)
+      }
+      // native path (rewrite off): WindowExec evaluates the Long
+      // variants as plain declarative aggregate window functions —
+      // the conf never strands a query on an unplannable expression
+      withRule(on = false) {
+        val df = allSix(base)
+        df.collect()
+        assert(df.schema("rn").dataType.typeName == "long")
+        assert(!df.queryExecution.executedPlan.toString.contains("GlobalRank"))
+        assert(df.orderBy($"id").collect().toSeq.map(widened) == ref)
+      }
+      // a typed consumer of the rank re-coerces against the Long
+      // column in the same analysis fixed-point — no fallback needed
+      withRule(on = true) {
+        val w = Window.orderBy($"k", $"id")
+        val consumed = base
+          .select($"id", rank().over(w).as("r"))
+          .select($"id", ($"r" + 1).as("r2"))
+        val rows = consumed.orderBy($"id").collect()
+        assert(consumed.schema("r2").dataType.typeName == "long",
+          consumed.schema.treeString)
+        // id=7 is the (k=0.0, min id) row -> rank 1 -> r2 = 2
+        assert(rows.find(_.getLong(0) == 7L).get.getLong(1) == 2L)
+      }
+    }
+    // conf off (default): types unchanged — the swap never leaks
+    val off = withRule(on = true)(allSix(base))
+    assert(off.schema("rn").dataType.typeName == "integer")
+    // native-path TIES (rule off, order by k only -> real tie groups,
+    // plus a leading-null key): LongRankLike's declarative buffer
+    // (EqualNullSafe same-order test + first-row guard) must agree
+    // with the built-in rank/dense_rank on every row — this is the
+    // one path where the Long functions' own tie logic, not the
+    // operator's keyTools, decides the result
+    val withNull = base
+      .union(Seq((401L, null.asInstanceOf[java.lang.Double])).toDF("id", "k"))
+    def tieRanks(df: org.apache.spark.sql.DataFrame) = {
+      val w = Window.orderBy(col("k"))
+      df.select(col("id"), rank().over(w).as("r"), dense_rank().over(w).as("dr"))
+        .orderBy(col("id"))
+    }
+    val tiesRef = withRule(on = false)(tieRanks(withNull).collect().toSeq)
+      .map(r => (r.getLong(0), r.getInt(1).toLong, r.getInt(2).toLong))
+    val tiesLong = TestSpark.withConf(longKey, "true")(
+      withRule(on = false)(tieRanks(withNull).collect().toSeq)
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))))
+    assert(tiesLong == tiesRef)
+  }
+
+  test("RankRange: per-function 2^31 guards exercised with synthetic totals, not real rows") {
+    import graft.plans._
+    val big = 3000000000L // 3e9 > 2^31-1: the 100 TB-corpus row count class
+    val ok = 2000000L
+    def boom(fns: Seq[(GlobalRankFn, Boolean)], n: Long, d: Long): Unit =
+      intercept[IllegalArgumentException] {
+        RankRange.check("GlobalRank", "input rows", fns, n, d, "")
+      }
+    // Int row_number/rank: capped by ROW count
+    boom(Seq((GRowNumber, false)), big, ok)
+    boom(Seq((GRank, false)), big, ok)
+    // Int dense_rank: capped by DISTINCT count only — 3e9 rows with
+    // 2M distinct keys ranks fine
+    RankRange.check("GlobalRank", "input rows", Seq((GDenseRank, false)), big, ok, "")
+    boom(Seq((GDenseRank, false)), big, big)
+    // the longRank widening lifts every ceiling
+    RankRange.check("GlobalRank", "input rows",
+      Seq((GRowNumber, true), (GRank, true), (GDenseRank, true)), big, big, "")
+    // ntile (≤ bucket literal) and the double-valued functions have no
+    // ceiling at all: a 100 TB corpus can ntile/percent_rank globally
+    // with IntegerType/DoubleType outputs unchanged
+    RankRange.check("GlobalRank", "input rows",
+      Seq((GNTile(100), false), (GPercentRank, false), (GCumeDist, false)),
+      big, big, "")
+    // the boundary itself is inclusive
+    RankRange.check("GlobalRank", "input rows",
+      Seq((GRowNumber, false)), Int.MaxValue.toLong, ok, "")
+    boom(Seq((GRowNumber, false)), Int.MaxValue.toLong + 1L, ok)
+  }
 }

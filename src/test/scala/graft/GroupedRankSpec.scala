@@ -182,4 +182,34 @@ class GroupedRankSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("GroupedRank orderability guard: unorderable partition types stay native (rule-level)") {
+    // The rewrite promotes PARTITION BY keys into SortOrder/Range-
+    // Partitioning, a stricter bar than the native window's hash
+    // clustering — a partition type the native plan could accept but
+    // that is not orderable must keep the Window node rather than
+    // fail at planning after the rewrite. No stock Spark type is
+    // hashable-but-unorderable today (MapType is neither), so this is
+    // exercised at the RULE level on a hand-built node.
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.catalyst.plans.logical.{LocalRelation, Window => LWindow}
+    import org.apache.spark.sql.types._
+    val m = AttributeReference("m", MapType(StringType, IntegerType))()
+    val v = AttributeReference("v", LongType)()
+    val child = LocalRelation(m, v)
+    val order = Seq(SortOrder(v, Ascending))
+    def windowOver(part: Seq[Expression]): LWindow = {
+      val spec = WindowSpecDefinition(part, order,
+        SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow))
+      LWindow(Seq(Alias(WindowExpression(RowNumber(), spec), "rn")()),
+        part, order, child)
+    }
+    val kept = graft.plans.GroupedRankRewrite(windowOver(Seq(m)))
+    assert(kept.isInstanceOf[LWindow],
+      s"map-typed partition key must bail to the native window:\n$kept")
+    // control: the same node with an orderable key DOES rewrite
+    val rewritten = graft.plans.GroupedRankRewrite(windowOver(Seq(v)))
+    assert(rewritten.isInstanceOf[graft.plans.GroupedRankNode],
+      s"orderable partition key must rewrite:\n$rewritten")
+  }
 }

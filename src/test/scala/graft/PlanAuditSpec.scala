@@ -231,11 +231,14 @@ class PlanAuditSpec extends AnyFunSuite {
   }
 
   test("s20/s21 share the persisted slot grid; s21 needs NO descending grid sort") {
-    // r13 rework: the grid is memoized per (session, dir) and persisted
-    // (a suite run builds it once for both dashboard fills), and s21's
-    // forward neighbor is precomputed on reading rows by a
-    // readings-only lead() — the r12 form's second full-grid
-    // slot-DESC window sort must not reappear.
+    // r15 rework: memoization is delegated to the session's
+    // CacheManager (Tables.persistOnce — canonicalized-plan keyed, so
+    // both fills' independently built grid plans hit ONE entry and a
+    // suite run materializes the grid once; nothing JVM-global pins a
+    // session, unlike the r13 weak map whose values strongly
+    // referenced their keys). s21's forward neighbor is precomputed
+    // on reading rows by a readings-only lead() — the r12 form's
+    // second full-grid slot-DESC window sort must not reappear.
     val p20 = SparkEntry.queries("s20_gap_fill")(spark, SfDir)
       .queryExecution.executedPlan.toString
     val p21 = SparkEntry.queries("s21_interpolate")(spark, SfDir)
