@@ -1171,7 +1171,39 @@ object Events {
       .orderBy($"prev_type")
   }
 
+  // ---------------------------------------------------------------------
+  // e33: ClickHouse `runningDifference` over the GLOBAL event stream —
+  // per-event inter-arrival gap (ts − previous ts on the corpus-wide
+  // (ts, event_id) total order), rolled up to a log₂-bucket gap
+  // histogram: the ingestion-health profile an operator reads to spot
+  // poll stalls and burst clustering (CH docs present runningDifference
+  // with exactly this "time between events" example). The bare
+  // `lag() OVER (ORDER BY …)` is Spark's third global-window funnel
+  // (after rank and agg-over-()): natively every row moves to ONE task
+  // for a computation whose true dependency is one neighbor row.
+  // GlobalOffsetRewrite (plans/GlobalOffset.scala) plans it as one
+  // range exchange + a boundary-VALUE exchange (O(partitions) driver
+  // values), spec-pinned to appear in this query's executed plan. All
+  // arithmetic integer (µs deltas, ⌊log₂(gap+1)⌋ via bin-length on the
+  // integer bit pattern — d18's discipline, no IEEE log anywhere).
+  // ---------------------------------------------------------------------
+  def e33RunningDiff(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.orderBy($"us", $"event_id")
+    Tables.events(s, d)
+      .select(unix_micros($"ts").as("us"), $"event_id")
+      .withColumn("gap_us", $"us" - lag($"us", 1).over(w))
+      .filter($"gap_us".isNotNull)
+      .select((length(bin($"gap_us" + 1)) - 1).as("gap_log2"), $"gap_us")
+      .groupBy($"gap_log2")
+      .agg(count(lit(1)).as("n"),
+        min($"gap_us").as("min_gap_us"),
+        max($"gap_us").as("max_gap_us"))
+      .orderBy($"gap_log2")
+  }
+
   val queries: Map[String, Q] = Map(
+    "e33_running_diff" -> (e33RunningDiff _),
     "e32_prev_node" -> (e32PrevNode _),
     "e31_volume_anomaly" -> (e31VolumeAnomaly _),
     "e24_rfm" -> (e24Rfm _),
@@ -1210,6 +1242,22 @@ object Events {
   // BIGINT) is HUGEINT — always CAST back to BIGINT; double divisions
   // are left as single IEEE ops (bit-identical across engines).
   val oracles: Map[String, String] = Map(
+    // e33: the same global-order lag in DuckDB's native window (which
+    // single-threads it — fine at oracle scale); epoch_us mirrors
+    // unix_micros (st8's precedent), bin-length mirrors the Spark
+    // bucket rule exactly (d18's precedent).
+    "e33_running_diff" ->
+      """WITH x AS (
+           SELECT epoch_us(ts) AS us, event_id FROM events),
+         g AS (
+           SELECT us - lag(us) OVER (ORDER BY us, event_id) AS gap_us
+           FROM x)
+         SELECT CAST(len(bin(gap_us + 1)) - 1 AS INT) AS gap_log2,
+                CAST(count(*) AS BIGINT) AS n,
+                CAST(min(gap_us) AS BIGINT) AS min_gap_us,
+                CAST(max(gap_us) AS BIGINT) AS max_gap_us
+         FROM g WHERE gap_us IS NOT NULL
+         GROUP BY 1 ORDER BY 1""",
     // e32: e16's oracle mirrored — lag over the full timeline, the
     // last purchase by descending (ts, event_id) row_number.
     "e32_prev_node" ->

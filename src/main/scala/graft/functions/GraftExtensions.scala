@@ -52,6 +52,12 @@ object GraftExtensions extends SparkSessionExtensionsProvider {
     // filter(rank <= k)).
     ext.injectOptimizerRule(_ => graft.plans.GroupedRankRewrite)
     ext.injectPlannerStrategy(_ => graft.plans.GroupedRankStrategy)
+    // Corpus-global offset windows (lag/lead OVER (ORDER BY …)) — the
+    // third empty-PARTITION-BY funnel: rewritten to the range
+    // exchange + boundary-VALUE exchange instead of the all-rows
+    // single-task window.
+    ext.injectOptimizerRule(_ => graft.plans.GlobalOffsetRewrite)
+    ext.injectPlannerStrategy(_ => graft.plans.GlobalOffsetStrategy)
     // Share-of-total: aggregate windows over the full corpus
     // (sum(x) OVER ()) aggregate once and broadcast back instead of
     // funnelling every row through one partition.

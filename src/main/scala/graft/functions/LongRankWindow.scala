@@ -31,14 +31,15 @@ import org.apache.spark.sql.types.{DataType, LongType}
   * (see the GroupedRank guard rationale).
   *
   * Evaluation paths: GlobalRankRewrite recognizes all three
-  * (RankFnMatch) and emits Long ranks from its two-pass exec; when
-  * the rewrite bails (e.g. nondeterministic order), the native
-  * WindowExec evaluates them like any declarative aggregate window
-  * function, so the conf never strands a query. Trade-off: Spark's
-  * rank-limit pushdown (WindowGroupLimit) and the TopK heap rewrite
-  * pattern-match the BUILT-IN classes, so `filter(rank <= k)` loses
-  * the heap plan under the conf — documented; the conf is opt-in for
-  * corpora where k-bounded plans aren't the point.
+  * (RankFnMatch) and emits Long ranks from its two-pass exec;
+  * TopKRewrite matches LongRowNumber/LongRank too, so
+  * `filter(rank <= k)` keeps the bounded heap plan (emitting a
+  * 64-bit rank); when both rewrites bail (e.g. nondeterministic
+  * order), the native WindowExec evaluates them like any declarative
+  * aggregate window function, so the conf never strands a query.
+  * (Spark's own WindowGroupLimit pre-filter pattern-matches the
+  * built-in classes only — irrelevant here since TopKRewrite strips
+  * it anyway.)
   */
 abstract class LongRankLike extends AggregateWindowFunction {
   def order: Seq[Expression]

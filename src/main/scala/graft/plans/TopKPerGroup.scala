@@ -10,7 +10,7 @@ import org.apache.spark.sql.catalyst.plans.physical.{AllTuples, ClusteredDistrib
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
 import org.apache.spark.sql.internal.SQLConf
-import org.apache.spark.sql.types.IntegerType
+import org.apache.spark.sql.types.{IntegerType, LongType}
 
 /** Grouped top-k as a first-class operator (SURVEY §2 engine
   * components; the §3 "custom LogicalPlan + Rule + SparkStrategy +
@@ -45,22 +45,37 @@ object TopKRewrite extends Rule[LogicalPlan] {
   private def enabled: Boolean =
     SQLConf.get.getConfString(ConfKey, "true").toBoolean
 
-  /** k such that `cond` implies rank <= k, if cond bounds `rank`. */
+  /** Integer-valued rank-bound literal: the native Int case, plus the
+    * Long literal the analyzer coerces comparisons to when the
+    * longRank conf has widened the rank column. */
+  private object BoundLit {
+    def unapply(e: Expression): Option[Long] = e match {
+      case Literal(v: Int, IntegerType) => Some(v.toLong)
+      case Literal(v: Long, LongType) => Some(v)
+      case _ => None
+    }
+  }
+
+  /** k such that `cond` implies rank <= k, if cond bounds `rank`.
+    * None when the bound exceeds Int.MaxValue — a heap of 2^31 rows
+    * per group is not a top-k plan; such filters stay on the full
+    * ranking operators. */
   private def bound(cond: Expression, rank: Attribute): Option[Int] = {
     def conjuncts(e: Expression): Seq[Expression] = e match {
       case And(l, r) => conjuncts(l) ++ conjuncts(r)
       case other => Seq(other)
     }
     val bounds = conjuncts(cond).flatMap {
-      case LessThanOrEqual(a: Attribute, Literal(v: Int, IntegerType)) if a.semanticEquals(rank) => Some(v)
-      case LessThan(a: Attribute, Literal(v: Int, IntegerType)) if a.semanticEquals(rank) => Some(v - 1)
-      case EqualTo(a: Attribute, Literal(v: Int, IntegerType)) if a.semanticEquals(rank) => Some(v)
-      case EqualTo(Literal(v: Int, IntegerType), a: Attribute) if a.semanticEquals(rank) => Some(v)
-      case GreaterThanOrEqual(Literal(v: Int, IntegerType), a: Attribute) if a.semanticEquals(rank) => Some(v)
-      case GreaterThan(Literal(v: Int, IntegerType), a: Attribute) if a.semanticEquals(rank) => Some(v - 1)
+      case LessThanOrEqual(a: Attribute, BoundLit(v)) if a.semanticEquals(rank) => Some(v)
+      case LessThan(a: Attribute, BoundLit(v)) if a.semanticEquals(rank) => Some(v - 1)
+      case EqualTo(a: Attribute, BoundLit(v)) if a.semanticEquals(rank) => Some(v)
+      case EqualTo(BoundLit(v), a: Attribute) if a.semanticEquals(rank) => Some(v)
+      case GreaterThanOrEqual(BoundLit(v), a: Attribute) if a.semanticEquals(rank) => Some(v)
+      case GreaterThan(BoundLit(v), a: Attribute) if a.semanticEquals(rank) => Some(v - 1)
       case _ => None
     }
-    if (bounds.isEmpty) None else Some(bounds.min)
+    if (bounds.isEmpty) None
+    else Some(bounds.min).filter(_ <= Int.MaxValue.toLong).map(_.toInt)
   }
 
   /** Matches a Window computing exactly one row_number or rank with
@@ -76,6 +91,11 @@ object TopKRewrite extends Rule[LogicalPlan] {
         val ties = rankFn match {
           case RowNumber() => Some(false)
           case _: Rank     => Some(true)
+          // the LongType variants the longRank conf swaps in: same
+          // kept-set semantics, the final exec emits a 64-bit rank
+          // (keyed off the alias attribute's LongType)
+          case _: graft.functions.LongRowNumber => Some(false)
+          case _: graft.functions.LongRank      => Some(true)
           case _           => None // dense_rank etc.: kept set is unbounded
         }
         ties.map { t =>
@@ -260,11 +280,13 @@ case class TopKFinalExec(
     val ord = order
     val kk = k
     val ties = rankLike
+    // LongType when the longRank conf widened the rank attribute
+    val longRank = rankAttr.dataType == LongType
     child.execute().mapPartitions ({ it =>
       val keyProj = UnsafeProjection.create(group, childOut)
       val rowOrd = RowOrdering.create(ord, childOut)
       val toUnsafe = UnsafeProjection.create(out, out)
-      val rankRow = new SpecificInternalRow(Seq(IntegerType))
+      val rankRow = new SpecificInternalRow(Seq(if (longRank) LongType else IntegerType))
       val joined = new JoinedRow
       TopKKernel.topk(it, keyProj, rowOrd, kk, ties).iterator.flatMap { case (_, pq) =>
         // dequeue yields worst-first; fill the array back-to-front so
@@ -281,7 +303,8 @@ case class TopKFinalExec(
           j += 1
         }
         rows.iterator.zipWithIndex.map { case (row, idx) =>
-          rankRow.setInt(0, ranks(idx))
+          if (longRank) rankRow.setLong(0, ranks(idx).toLong)
+          else rankRow.setInt(0, ranks(idx))
           toUnsafe(joined(row, rankRow))
         }
       }

@@ -272,6 +272,25 @@ class GlobalRankSpec extends AnyFunSuite {
       withRule(on = false)(tieRanks(withNull).collect().toSeq)
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))))
     assert(tiesLong == tiesRef)
+    // filter(rank <= k) under the conf: TopKRewrite matches the Long
+    // variants, so the k-bounded query KEEPS the heap plan (never the
+    // full-ranking operator) and emits a 64-bit rank — the analyzer
+    // coerces the bound literal to Long, which the rewrite's
+    // BoundLit extractor accepts
+    def topk(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("id"), rank().over(Window.orderBy(col("k"), col("id"))).as("r"))
+      .filter(col("r") <= 3)
+      .orderBy(col("id"))
+    val refTop = topk(base).collect().toSeq.map(r => (r.getLong(0), r.getInt(1).toLong))
+    TestSpark.withConf(longKey, "true") {
+      val df = topk(base)
+      val got = df.collect().toSeq.map(r => (r.getLong(0), r.getLong(1)))
+      assert(df.schema("r").dataType.typeName == "long")
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("TopKFinal") && !plan.contains("GlobalRank"),
+        "k-bounded Long ranking must keep the heap plan:\n" + plan.take(2000))
+      assert(got == refTop)
+    }
   }
 
   test("RankRange: per-function 2^31 guards exercised with synthetic totals, not real rows") {
