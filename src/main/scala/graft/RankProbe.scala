@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 /** Dev tool: A/B the global-window rewrites against Spark's native
   * single-partition window.
-  * `runMain graft.RankProbe [nRows] [rank|agg|grouped [nGroups]]`
+  * `runMain graft.RankProbe [nRows] [rank|agg|grouped [nGroups]|offset]`
   * (default 50M, rank).
   * `rank` probes the GlobalRank operator on a corpus-global ranking;
   * `agg` probes GlobalAggRewrite on a `sum OVER ()` share-of-total;
@@ -13,10 +13,12 @@ import org.apache.spark.sql.functions._
   * 4 groups — the q23-per-nation shape where the native hash window
   * funnels each group through one task; many-small-groups is the
   * regime where the operator costs instead, measured by ScratchGR's
-  * per-query A/B at sf0.1).
+  * per-query A/B at sf0.1);
+  * `offset` probes GlobalOffset on a corpus-global lag/lead pair (the
+  * e33 runningDifference shape).
   * Prints wall seconds for rule-on vs rule-off and the speedup — the
-  * PLANS.md "global ranking"/"global aggregate"/"grouped ranking"
-  * probe rows come from here. */
+  * PLANS.md "global ranking"/"global aggregate"/"grouped ranking"/
+  * "global offset" probe rows come from here. */
 object RankProbe {
   def main(args: Array[String]): Unit = {
     val n = if (args.nonEmpty) args(0).toLong else 50000000L
@@ -30,6 +32,7 @@ object RankProbe {
     val confKey = mode match {
       case "agg" => graft.plans.GlobalAggRewrite.ConfKey
       case "grouped" => graft.plans.GroupedRankRewrite.ConfKey
+      case "offset" => graft.plans.GlobalOffsetRewrite.ConfKey
       case _ => graft.plans.GlobalRankRewrite.ConfKey
     }
     def run(on: Boolean): Double = {
@@ -50,6 +53,12 @@ object RankProbe {
           df.withColumn("g", pmod($"id", lit(nGroups.toLong)))
             .select($"g", rank().over(wg).as("r"), ntile(100).over(wg).as("c"))
             .groupBy($"g", $"c").agg(max($"r").as("mr")).agg(sum($"mr")).head()
+        case "offset" =>
+          // the e33 shape: corpus-global neighbor delta + a lead, the
+          // aggregate touches every emitted value (exact longs)
+          df.select(($"k" - lag($"k", 1, 0L).over(w)).as("dk"),
+              lead($"k", 2, 0L).over(w).as("nk"))
+            .agg(sum($"dk") + min($"nk") + max($"nk")).head()
         case _ =>
           // rank + ntile exercise both the offset stitch and the
           // totals; the aggregate keeps the result tiny without
