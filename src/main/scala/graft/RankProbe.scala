@@ -15,7 +15,9 @@ import org.apache.spark.sql.functions._
   * regime where the operator costs instead, measured by ScratchGR's
   * per-query A/B at sf0.1);
   * `offset` probes GlobalOffset on a corpus-global lag/lead pair (the
-  * e33 runningDifference shape).
+  * e33 runningDifference shape);
+  * `running` probes GlobalRunningAgg on a corpus-global cumulative
+  * sum+count (the q44 shape).
   * Prints wall seconds for rule-on vs rule-off and the speedup — the
   * PLANS.md "global ranking"/"global aggregate"/"grouped ranking"/
   * "global offset" probe rows come from here. */
@@ -33,6 +35,7 @@ object RankProbe {
       case "agg" => graft.plans.GlobalAggRewrite.ConfKey
       case "grouped" => graft.plans.GroupedRankRewrite.ConfKey
       case "offset" => graft.plans.GlobalOffsetRewrite.ConfKey
+      case "running" => graft.plans.GlobalRunningAggRewrite.ConfKey
       case _ => graft.plans.GlobalRankRewrite.ConfKey
     }
     def run(on: Boolean): Double = {
@@ -59,6 +62,13 @@ object RankProbe {
           df.select(($"k" - lag($"k", 1, 0L).over(w)).as("dk"),
               lead($"k", 2, 0L).over(w).as("nk"))
             .agg(sum($"dk") + min($"nk") + max($"nk")).head()
+        case "running" =>
+          // the q44 shape: cumulative sum + count on the ROWS frame,
+          // exact-long checksum touching every prefix value
+          val wr = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+          df.select(sum($"k").over(wr).as("cs"),
+              count(lit(1)).over(wr).as("cc"))
+            .agg(max($"cs") + min($"cs") + max($"cc")).head()
         case _ =>
           // rank + ntile exercise both the offset stitch and the
           // totals; the aggregate keeps the result tiny without

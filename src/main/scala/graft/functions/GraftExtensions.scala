@@ -58,6 +58,11 @@ object GraftExtensions extends SparkSessionExtensionsProvider {
     // single-task window.
     ext.injectOptimizerRule(_ => graft.plans.GlobalOffsetRewrite)
     ext.injectPlannerStrategy(_ => graft.plans.GlobalOffsetStrategy)
+    // Corpus-global RUNNING aggregates (sum(x) OVER (ORDER BY …)) —
+    // the last empty-PARTITION-BY funnel: a distributed prefix scan
+    // (per-partition partials + driver prefix fold + seeded pass).
+    ext.injectOptimizerRule(_ => graft.plans.GlobalRunningAggRewrite)
+    ext.injectPlannerStrategy(_ => graft.plans.GlobalRunningAggStrategy)
     // Share-of-total: aggregate windows over the full corpus
     // (sum(x) OVER ()) aggregate once and broadcast back instead of
     // funnelling every row through one partition.

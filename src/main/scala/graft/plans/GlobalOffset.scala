@@ -122,6 +122,12 @@ case class GlobalOffsetNode(
     child: LogicalPlan) extends UnaryNode {
   override def output: Seq[Attribute] = child.output ++ fns.map(_.attr)
   override def producedAttributes: AttributeSet = AttributeSet(fns.map(_.attr))
+  // `fns` is a Seq of case-class tuples, invisible to QueryPlan's
+  // product scan — expose the offset INPUT and DEFAULT references so
+  // ColumnPruning keeps lagged columns that aren't order keys.
+  override def references: AttributeSet =
+    AttributeSet(order.flatMap(_.references)) ++
+      AttributeSet(fns.flatMap(f => f.input.references ++ f.default.references))
   override def maxRows: Option[Long] = child.maxRows
   override protected def withNewChildInternal(newChild: LogicalPlan): GlobalOffsetNode =
     copy(child = newChild)

@@ -1,0 +1,292 @@
+package graft.plans
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, DeclarativeAggregate}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode, Window => LogicalWindow}
+import org.apache.spark.sql.catalyst.plans.physical.{Distribution, OrderedDistribution, Partitioning}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.internal.SQLConf
+
+/** Corpus-global RUNNING aggregates (`sum(x) OVER (ORDER BY …)` /
+  * cumulative counts / running min-max — ClickHouse
+  * `runningAccumulate`) as a first-class operator: the LAST
+  * empty-PARTITION-BY window funnel, completing the family
+  * (GlobalRank: rank functions; GlobalOffset: frame-less lag/lead;
+  * GlobalAggRewrite: the full UNBOUNDED frame; this: the running
+  * UNBOUNDED-PRECEDING→CURRENT frame). Natively every row funnels
+  * through ONE task; but a running aggregate is a PREFIX SCAN, and
+  * prefix scans distribute: per-partition partials + a driver prefix
+  * combine + a seeded streaming pass.
+  *
+  *   - [[GlobalRunningAggExec]] requires `OrderedDistribution(order)`
+  *     — the family's ONE range exchange + per-partition sorts;
+  *   - pass 1 folds each sorted partition into ONE aggregation buffer
+  *     (map-side, streaming) and ships the buffers to the driver —
+  *     O(partitions) buffer rows, never data rows;
+  *   - the driver left-folds the partials IN PARTITION ORDER with the
+  *     aggregate's own merge expressions, producing each partition's
+  *     PREFIX buffer (the aggregate state of everything before it);
+  *   - pass 2 re-streams each sorted partition once (shuffle reuse),
+  *     seeds its buffer from the prefix, updates per row and emits.
+  *
+  * GENERIC over any [[DeclarativeAggregate]]: the exec drives the
+  * function's own initialValues/updateExpressions/mergeExpressions/
+  * evaluateExpression as projections (the AggregationIterator
+  * discipline), so sum/count/min/max/avg/first/stddev/… all work
+  * without per-function code, and arithmetic (decimal overflow
+  * checks included) is bit-identical to the native window's because
+  * it IS the same expressions. Both running frames are supported:
+  * ROWS (evaluate after every row) and the default RANGE frame
+  * (ORDER-BY peers share the value — tie groups buffer like
+  * GlobalRank's cume_dist path, bounded by the partition, and the
+  * value is evaluated once at the tie-group end).
+  *
+  * Exactness: integral/decimal/long aggregates are bit-identical to
+  * the native plan (the graded q44 pins this through the DuckDB
+  * gate). Floating-point sums associate partition-wise here
+  * (partial-then-merge) vs strictly sequentially in the native
+  * single task — the same float caveat GlobalAggRewrite documents;
+  * exact types are the contract.
+  *
+  * Scope guards: every window expression must be a deterministic,
+  * non-DISTINCT, unfiltered AggregateExpression over a DECLARATIVE
+  * aggregate function with a running frame on the node's own order;
+  * TypedImperative aggregates (collect_list, sketches) bail —
+  * several have unbounded or non-mergeable-in-prefix state. (Note:
+  * `first()` never reaches this rule — Spark's
+  * OptimizeWindowFunctions converts running-frame first_value to
+  * nth_value, an offset window function, so such nodes mix and stay
+  * native.) Order
+  * and child must be deterministic (two jobs, one shuffle);
+  * streaming children bail. `spark.graft.globalRunningAgg.enabled`
+  * kill switch / A-B spec lever.
+  */
+object GlobalRunningAggRewrite extends Rule[LogicalPlan] {
+
+  val ConfKey = "spark.graft.globalRunningAgg.enabled"
+
+  private def enabled: Boolean =
+    SQLConf.get.getConfString(ConfKey, "true").toBoolean
+
+  private def sameExprs(a: Seq[Expression], b: Seq[Expression]): Boolean =
+    a.length == b.length && a.zip(b).forall { case (x, y) => x.semanticEquals(y) }
+
+  /** One supported running aggregate: output attribute, the
+    * declarative function, whether the frame is the RANGE (peers
+    * share the value) variant. */
+  private def supported(
+      e: NamedExpression,
+      order: Seq[SortOrder]): Option[RunningFn] = e match {
+    case a @ Alias(WindowExpression(ae: AggregateExpression,
+        WindowSpecDefinition(Nil, o2,
+          SpecifiedWindowFrame(ft, UnboundedPreceding, CurrentRow))), _)
+        if sameExprs(o2, order) && !ae.isDistinct && ae.filter.isEmpty &&
+          ae.deterministic =>
+      ae.aggregateFunction match {
+        case da: DeclarativeAggregate =>
+          Some(RunningFn(a.toAttribute, da, ft == RangeFrame))
+        case _ => None // imperative/typed aggregates: bail
+      }
+    case _ => None
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (!enabled) return plan
+    plan.transformUp {
+      case w @ LogicalWindow(wexprs, Nil, order, child, _)
+          if order.nonEmpty && wexprs.nonEmpty && !child.isStreaming &&
+            order.forall(_.deterministic) &&
+            PlanGuards.subtreeDeterministic(child) =>
+        val fns = wexprs.map(supported(_, order))
+        if (fns.forall(_.isDefined)) GlobalRunningAggNode(order, fns.flatten, child)
+        else w
+    }
+  }
+}
+
+private[plans] case class RunningFn(
+    attr: Attribute, fn: DeclarativeAggregate, rangeFrame: Boolean)
+
+case class GlobalRunningAggNode(
+    order: Seq[SortOrder],
+    fns: Seq[RunningFn],
+    child: LogicalPlan) extends UnaryNode {
+  override def output: Seq[Attribute] = child.output ++ fns.map(_.attr)
+  override def producedAttributes: AttributeSet = AttributeSet(fns.map(_.attr))
+  // `fns` is a Seq of case-class tuples, which QueryPlan's product
+  // scan does NOT descend into — without this override the aggregate
+  // INPUT columns are invisible to ColumnPruning and get dropped from
+  // the child whenever they aren't also order keys (caught by the
+  // RANGE spec's cents column).
+  override def references: AttributeSet =
+    AttributeSet(order.flatMap(_.references)) ++
+      AttributeSet(fns.flatMap(_.fn.references))
+  override def maxRows: Option[Long] = child.maxRows
+  override protected def withNewChildInternal(newChild: LogicalPlan): GlobalRunningAggNode =
+    copy(child = newChild)
+}
+
+object GlobalRunningAggStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case GlobalRunningAggNode(order, fns, child) =>
+      GlobalRunningAggExec(order, fns, planLater(child)) :: Nil
+    case _ => Nil
+  }
+}
+
+/** The combined-buffer projection kit for a set of declarative
+  * aggregates — initialize / update(row) / merge(partial) / evaluate,
+  * all driven through the functions' OWN Catalyst expressions. Built
+  * fresh per task (and once on the driver for the prefix fold). */
+private[plans] class RunningKit(fns: Seq[DeclarativeAggregate], childOut: Seq[Attribute]) {
+  private val bufferAttrs: Seq[AttributeReference] = fns.flatMap(_.aggBufferAttributes)
+  val buffer = new SpecificInternalRow(bufferAttrs.map(_.dataType))
+
+  private val initProj =
+    MutableProjection.create(fns.flatMap(_.initialValues), Nil).target(buffer)
+  private val updateProj =
+    MutableProjection.create(
+      fns.flatMap(_.updateExpressions), bufferAttrs ++ childOut).target(buffer)
+  private val mergeProj =
+    MutableProjection.create(
+      fns.flatMap(_.mergeExpressions),
+      bufferAttrs ++ fns.flatMap(_.inputAggBufferAttributes)).target(buffer)
+  private val evalProj =
+    UnsafeProjection.create(fns.map(_.evaluateExpression), bufferAttrs)
+  private val bufUnsafe = UnsafeProjection.create(bufferAttrs, bufferAttrs)
+  private val joined = new JoinedRow
+
+  def init(): Unit = initProj(InternalRow.empty)
+  def update(row: InternalRow): Unit = updateProj(joined(buffer, row))
+  def merge(partial: InternalRow): Unit = mergeProj(joined(buffer, partial))
+  /** Current aggregate values (one column per fn); caller copies. */
+  def evaluate(): UnsafeRow = evalProj(buffer)
+  /** Immutable snapshot of the buffer (for shipping / seeding). */
+  def snapshot(): UnsafeRow = bufUnsafe(buffer).copy()
+}
+
+case class GlobalRunningAggExec(
+    order: Seq[SortOrder],
+    fns: Seq[RunningFn],
+    child: SparkPlan) extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output ++ fns.map(_.attr)
+  override def requiredChildDistribution: Seq[Distribution] =
+    OrderedDistribution(order) :: Nil
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(order)
+  override def outputOrdering: Seq[SortOrder] = order
+  override def outputPartitioning: Partitioning = child.outputPartitioning
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val childOut = child.output
+    val ord = order
+    val out = output // localized: closures must not capture `this`
+    val aggFns: Seq[DeclarativeAggregate] = fns.map(_.fn)
+    val rangeMask: Array[Boolean] = fns.map(_.rangeFrame).toArray
+    val anyRange = rangeMask.exists(identity)
+    val valueTypes = fns.map(_.fn.dataType).toArray
+    val rdd = child.execute()
+
+    // Pass 1: one combined aggregation buffer per partition.
+    val partials: Array[UnsafeRow] =
+      rdd.sparkContext.runJob(rdd, (it: Iterator[InternalRow]) => {
+        val kit = new RunningKit(aggFns, childOut)
+        kit.init()
+        while (it.hasNext) kit.update(it.next())
+        kit.snapshot()
+      })
+
+    // Driver prefix fold IN PARTITION ORDER: prefix(p) = state of all
+    // rows in partitions < p.
+    val nParts = partials.length
+    val prefixes = new Array[UnsafeRow](nParts)
+    locally {
+      val kit = new RunningKit(aggFns, childOut)
+      kit.init()
+      var p = 0
+      while (p < nParts) {
+        prefixes(p) = kit.snapshot()
+        kit.merge(partials(p))
+        p += 1
+      }
+    }
+
+    // Pass 2: seed from the prefix, stream, emit. ROWS-frame values
+    // evaluate after each row; RANGE-frame values are shared by the
+    // whole ORDER-BY tie group, so any RANGE fn switches to the
+    // one-tie-group buffer (GlobalRank's cume_dist discipline:
+    // memory bounds at the partition the range exchange already
+    // row-balanced, never the corpus).
+    rdd.mapPartitionsWithIndex({ (pid, it) =>
+      val kit = new RunningKit(aggFns, childOut)
+      kit.init()
+      kit.merge(prefixes(pid))
+      val toUnsafe = UnsafeProjection.create(out, out)
+      val joined = new JoinedRow
+      val mixed = new GenericInternalRow(rangeMask.length)
+
+      if (!anyRange) {
+        it.map { row =>
+          kit.update(row)
+          toUnsafe(joined(row, kit.evaluate()))
+        }
+      } else {
+        val (keyProj, keyCmp) = GlobalRankExec.keyTools(ord, childOut)
+        new Iterator[InternalRow] {
+          // (row, ROWS-frame values at that row)
+          private val buf = ArrayBuffer.empty[(InternalRow, UnsafeRow)]
+          private var outIt: Iterator[InternalRow] = Iterator.empty
+          private var prevKey: UnsafeRow = null
+
+          private def flush(): Iterator[InternalRow] = {
+            // RANGE values: the state AFTER the whole tie group
+            val rangeVals = kit.evaluate().copy()
+            val rows = buf.toArray
+            buf.clear()
+            rows.iterator.map { case (r, rowVals) =>
+              var j = 0
+              while (j < rangeMask.length) {
+                mixed.update(j,
+                  if (rangeMask(j)) rangeVals.get(j, valueTypes(j))
+                  else rowVals.get(j, valueTypes(j)))
+                j += 1
+              }
+              toUnsafe(joined(r, mixed))
+            }
+          }
+
+          @annotation.tailrec private def advance(): Unit = {
+            if (outIt.hasNext) ()
+            else if (it.hasNext) {
+              val row = it.next()
+              val k = keyProj(row)
+              val isNew = prevKey == null || keyCmp.compare(prevKey, k) != 0
+              if (isNew) {
+                val pending = if (buf.nonEmpty) flush() else Iterator.empty
+                prevKey = k.copy()
+                kit.update(row)
+                buf += ((row.copy(), kit.evaluate().copy()))
+                outIt = pending
+                advance()
+              } else {
+                kit.update(row)
+                buf += ((row.copy(), kit.evaluate().copy()))
+                advance()
+              }
+            } else if (buf.nonEmpty) outIt = flush()
+          }
+          override def hasNext: Boolean = { advance(); outIt.hasNext }
+          override def next(): InternalRow = { advance(); outIt.next() }
+        }
+      }
+    }, preservesPartitioning = true)
+  }
+
+  override protected def withNewChildInternal(newChild: SparkPlan): GlobalRunningAggExec =
+    copy(child = newChild)
+}

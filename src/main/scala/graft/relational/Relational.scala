@@ -1208,7 +1208,41 @@ object Relational {
       .orderBy($"nation")
   }
 
+  // ---------------------------------------------------------------------
+  // q44: CUMULATIVE REVENUE CURVE — the business "running total over
+  // time" report (ClickHouse `runningAccumulate`), graded end-to-end
+  // ON the GlobalRunningAgg operator (plans/GlobalRunningAgg.scala):
+  // a `sum OVER (ORDER BY …)` with an empty PARTITION BY is the last
+  // global-window funnel, natively one task folding the corpus. Both
+  // running frames are graded in one query: the default RANGE frame
+  // over o_orderdate (every same-date order shares the day's closing
+  // cumulative — the tie-group semantics), and the ROWS frame over
+  // the unique (o_orderdate, o_orderkey) total order (strict per-row
+  // prefix). Exact cents end to end — the operator drives Sum/Count's
+  // own Catalyst update/merge expressions, so longs are bit-identical
+  // to the native window and to DuckDB. Scale shape: ONE range
+  // exchange per frame spec, per-partition partials, O(partitions)
+  // driver buffers, streaming seeded pass (the prefix-scan plan);
+  // output is per-order — at 100 TB this materializes the curve at
+  // order grain for the dashboard's downsampler to consume.
+  // ---------------------------------------------------------------------
+  def q44Cumulative(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val orders = Tables.orders(s, d)
+      .select($"o_orderkey", $"o_orderdate",
+        (dec($"o_totalprice") * 100).cast("long").as("cents"))
+    val wRange = Window.orderBy($"o_orderdate")
+    val wRows = Window.orderBy($"o_orderdate", $"o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    orders.select($"o_orderkey", $"o_orderdate",
+        sum($"cents").over(wRange).as("cum_cents"),
+        count(lit(1)).over(wRange).as("cum_orders"),
+        sum($"cents").over(wRows).as("run_cents"))
+      .orderBy($"o_orderkey")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q44_cumulative" -> (q44Cumulative _),
     "q43_revenue_share" -> (q43RevenueShare _),
     "q42_spend_rank" -> (q42SpendRank _),
     "q41_copurchase_lift" -> (q41CopurchaseLift _),
@@ -1253,6 +1287,22 @@ object Relational {
   // arithmetic exactly (decimal sums, double division) so results are
   // bit-identical, not merely close.
   val oracles: Map[String, String] = Map(
+    // q44: DuckDB's default window frame with ORDER BY is the same
+    // SQL-standard RANGE UNBOUNDED PRECEDING→CURRENT ROW, so the bare
+    // OVER (ORDER BY o_orderdate) mirrors Spark's tie semantics
+    // exactly; the ROWS frame is written out. Exact cents (q27's
+    // DECIMAL(18,2)×100 idiom), counts cast back from HUGEINT.
+    "q44_cumulative" ->
+      """WITH o AS (
+           SELECT o_orderkey, o_orderdate,
+                  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+           FROM orders)
+         SELECT o_orderkey, o_orderdate,
+                CAST(sum(cents) OVER (ORDER BY o_orderdate) AS BIGINT) AS cum_cents,
+                CAST(count(*) OVER (ORDER BY o_orderdate) AS BIGINT) AS cum_orders,
+                CAST(sum(cents) OVER (ORDER BY o_orderdate, o_orderkey
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run_cents
+         FROM o ORDER BY o_orderkey""",
     // q41: same distinct (order, brand) baskets, same a<b pair join,
     // 25-row marginals; support and lift as the same mirrored divides.
     // q43: same joins and exact cents rollup, the same OVER () total

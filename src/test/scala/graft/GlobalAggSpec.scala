@@ -134,12 +134,18 @@ class GlobalAggSpec extends AnyFunSuite {
         Window.orderBy($"cents", $"id").rowsBetween(-3, Window.currentRow)).as("nd"))
       d.collect()
       assert(d.queryExecution.executedPlan.toString.contains("Window"))
-      // running sum (bounded frame): not a global constant -> native
+      // running sum: not a global constant, so GlobalAgg must NOT
+      // claim it — since r15 it belongs to the GlobalRunningAgg
+      // operator instead (GlobalRunningAggSpec pins its semantics)
       val run = base.select(sum($"cents").over(
         Window.orderBy($"cents", $"id")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("rs"))
       run.collect()
-      assert(run.queryExecution.executedPlan.toString.contains("Window"))
+      val runPlan = run.queryExecution.executedPlan.toString
+      assert(runPlan.contains("GlobalRunningAgg") ||
+        runPlan.contains("Window"), runPlan.take(2000))
+      assert(!runPlan.contains("BroadcastNestedLoopJoin"),
+        "GlobalAgg must not rewrite a running frame:\n" + runPlan.take(2000))
       // nondeterministic child: the rewrite would evaluate rand()
       // twice (rows vs total) -> must stay on the native single
       // materialization

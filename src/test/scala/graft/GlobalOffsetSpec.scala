@@ -74,6 +74,20 @@ class GlobalOffsetSpec extends AnyFunSuite {
     val gotS = withRule(on = true)(sprobe(words).orderBy(col("id")).collect().toSeq)
     val refS = withRule(on = false)(sprobe(words).orderBy(col("id")).collect().toSeq)
     assert(gotS == refS)
+    // lag a column that is NOT an order key: the node must expose the
+    // offset-input references or ColumnPruning drops the payload
+    // column from the child (the r15 references-override regression
+    // class, caught on GlobalRunningAgg's RANGE spec)
+    val payload = (1 to 300).map(i => (i.toLong, (i % 9).toDouble, i * 7L))
+      .toDF("id", "k", "v").repartition(5)
+    def vprobe(df: DataFrame) = {
+      val w = Window.orderBy(col("k"), col("id"))
+      df.select(col("id"), lag(col("v"), 2).over(w).as("pv"),
+        lead(col("v"), 1, -1L).over(w).as("nv"))
+    }
+    val gotV = withRule(on = true)(vprobe(payload).orderBy(col("id")).collect().toSeq)
+    val refV = withRule(on = false)(vprobe(payload).orderBy(col("id")).collect().toSeq)
+    assert(gotV == refV)
   }
 
   test("GlobalOffset plan shape: operator + range exchange, no SinglePartition funnel") {

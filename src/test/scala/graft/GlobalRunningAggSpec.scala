@@ -1,0 +1,169 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The GlobalRunningAgg operator (plans/GlobalRunningAgg.scala):
+  * running aggregates over a corpus-global order — the last
+  * empty-PARTITION-BY window funnel — planned as a distributed prefix
+  * scan. Pinned here: exact-type bit-equality with the native window
+  * for both running frames (ROWS per-row values, default RANGE
+  * tie-group-shared values), a breadth of declarative aggregates
+  * driven through their own Catalyst expressions
+  * (sum/count/min/max/avg/first), plan shape, and the bail-outs. */
+class GlobalRunningAggSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def withRule[A](on: Boolean)(body: => A): A =
+    TestSpark.withConf(graft.plans.GlobalRunningAggRewrite.ConfKey, on.toString)(body)
+
+  // ROWS frame over a total order: the declarative family breadth.
+  // (first() is absent deliberately: Spark's OptimizeWindowFunctions
+  // converts running-frame first_value to nth_value — an OFFSET
+  // window function — before extended rules run, so such nodes mix
+  // and correctly stay native.)
+  private def runningRows(df: DataFrame): DataFrame = {
+    val w = Window.orderBy(col("k"), col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(col("id"),
+      sum(col("cents")).over(w).as("rsum"),
+      count(lit(1)).over(w).as("rcnt"),
+      min(col("cents")).over(w).as("rmin"),
+      max(col("cents")).over(w).as("rmax"),
+      avg(col("cents")).over(w).as("ravg"))
+  }
+
+  // default RANGE frame (ORDER BY alone): peers share the value
+  private def runningRange(df: DataFrame): DataFrame = {
+    val w = Window.orderBy(col("k"))
+    df.select(col("id"),
+      sum(col("cents")).over(w).as("gsum"),
+      count(lit(1)).over(w).as("gcnt"),
+      max(col("cents")).over(w).as("gmax"))
+  }
+
+  test("GlobalRunningAgg: ROWS frame sum/count/min/max/avg bit-equal to the native window") {
+    val s = spark
+    import s.implicits._
+    val base = Tables.events(s, SfDir)
+      .select($"event_id".as("id"), $"value".as("k"),
+        round($"value" * 100).cast("long").as("cents"))
+      .repartition(7)
+    val got = withRule(on = true)(runningRows(base).orderBy($"id").collect().toSeq)
+    val ref = withRule(on = false)(runningRows(base).orderBy($"id").collect().toSeq)
+    assert(got == ref)
+    val empty = Seq.empty[(Long, Double, Long)].toDF("id", "k", "cents")
+    assert(withRule(on = true)(runningRows(empty).collect()).isEmpty)
+  }
+
+  test("GlobalRunningAgg: default RANGE frame — ORDER-BY peers share the cumulative value") {
+    val s = spark
+    import s.implicits._
+    // k = i % 5 -> heavy tie groups spanning range-partition
+    // boundaries; equal keys co-locate, the tie-group buffer flushes
+    // with the state AFTER the whole group, matching native RANGE
+    val rows = (1 to 2000).map(i => (i.toLong, (i % 5).toDouble, (i % 97).toLong))
+    val base = rows.toDF("id", "k", "cents").repartition(7)
+    val got = withRule(on = true)(runningRange(base).orderBy($"id").collect().toSeq)
+    val ref = withRule(on = false)(runningRange(base).orderBy($"id").collect().toSeq)
+    assert(got == ref)
+    // mixed frames in ONE node: ROWS sum (per-row) + RANGE sum
+    // (tie-shared) over the same order
+    def mixed(df: DataFrame) = df.select(col("id"),
+      sum(col("cents")).over(Window.orderBy(col("k"), col("id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("rs"),
+      sum(col("cents")).over(Window.orderBy(col("k"), col("id"))).as("gs"))
+    val gotM = withRule(on = true)(mixed(base).orderBy($"id").collect().toSeq)
+    val refM = withRule(on = false)(mixed(base).orderBy($"id").collect().toSeq)
+    assert(gotM == refM)
+  }
+
+  test("GlobalRunningAgg plan shape: operator + range exchange, no SinglePartition funnel") {
+    val s = spark
+    import s.implicits._
+    val base = Tables.events(s, SfDir)
+      .select($"event_id".as("id"), $"value".as("k"),
+        round($"value" * 100).cast("long").as("cents"))
+    withRule(on = true) {
+      val df = runningRows(base)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("GlobalRunningAgg"), plan.take(2000))
+      assert(!plan.contains("SinglePartition"),
+        "a running global aggregate must not funnel through one partition:\n" +
+          plan.take(2000))
+      assert(plan.contains("rangepartitioning"), plan.take(2000))
+    }
+    withRule(on = false) {
+      val df = runningRows(base)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("GlobalRunningAgg") && plan.contains("SinglePartition"))
+    }
+  }
+
+  test("q44 runs on the GlobalRunningAgg operator: both frames, one range exchange, no funnel") {
+    val s = spark
+    val df = graft.relational.Relational.q44Cumulative(s, SfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("GlobalRunningAgg"), plan.take(2000))
+    assert(!plan.contains("SinglePartition"),
+      "the graded cumulative curve must never funnel to one partition:\n" +
+        plan.take(2000))
+    // both window specs ride ONE range exchange: RangePartitioning
+    // (date, key) satisfies OrderedDistribution(date) by the
+    // common-prefix rule, so the second operator only re-sorts. In
+    // the final AQE plan exactly TWO range exchanges exist: the
+    // shared window exchange and the output ORDER BY — a third would
+    // mean the frames stopped sharing.
+    val finalSection = plan.split("== Initial Plan ==").head
+    val nRange = finalSection.split("Exchange rangepartitioning").length - 1
+    assert(nRange == 2,
+      s"expected 2 range exchanges (shared window + output sort), got $nRange:\n" +
+        finalSection.take(2000))
+  }
+
+  test("GlobalRunningAgg bail-outs: bounded frames, distinct, imperative aggs, nondeterminism stay native") {
+    val s = spark
+    import s.implicits._
+    val base = Tables.events(s, SfDir)
+      .select($"event_id".as("id"), $"value".as("k"),
+        round($"value" * 100).cast("long").as("cents"))
+    withRule(on = true) {
+      // bounded trailing frame: not a prefix scan -> native
+      val bounded = base.select(sum($"cents").over(
+        Window.orderBy($"k", $"id").rowsBetween(-3, Window.currentRow)).as("s"))
+      bounded.collect()
+      assert(!bounded.queryExecution.executedPlan.toString.contains("GlobalRunningAgg"))
+      // TypedImperative aggregate (collect_list): unbounded state,
+      // no declarative expressions -> native
+      val imp = base.limit(100).select(collect_list($"cents").over(
+        Window.orderBy($"k", $"id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("l"))
+      imp.collect()
+      assert(!imp.queryExecution.executedPlan.toString.contains("GlobalRunningAgg"))
+      // nondeterministic order -> native
+      val nd = base.select(sum($"cents").over(
+        Window.orderBy(rand(7))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("s"))
+      nd.collect()
+      assert(!nd.queryExecution.executedPlan.toString.contains("GlobalRunningAgg"))
+      // partitioned running sum: no global funnel -> native
+      val part = base.select(sum($"cents").over(
+        Window.partitionBy($"id" % 10).orderBy($"k", $"id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("s"))
+      part.collect()
+      assert(!part.queryExecution.executedPlan.toString.contains("GlobalRunningAgg"))
+      // full unbounded frame stays with GlobalAggRewrite (share-of-
+      // total broadcasts one value; no per-row prefix state needed)
+      val full = base.select(sum($"cents").over(Window.partitionBy()).as("t"))
+      full.collect()
+      val fullPlan = full.queryExecution.executedPlan.toString
+      assert(!fullPlan.contains("GlobalRunningAgg") && !fullPlan.contains("Window"),
+        fullPlan.take(2000))
+    }
+  }
+}
