@@ -52,10 +52,16 @@ import org.apache.spark.sql.types.{DataType, IntegerType}
   * lag/lead over the node's own order with a FOLDABLE offset and
   * `ignoreNulls=false` (ignoreNulls needs unbounded lookback — the
   * kept-state bound dies, stays native); offsets beyond
-  * `spark.graft.globalOffset.maxOffset` (default 1024) stay native —
-  * the boundary exchange ships maxOffset values per partition, and a
-  * four-digit offset is no longer a "neighbor" computation; order
-  * and child must be deterministic (two jobs over the same shuffle).
+  * `spark.graft.globalOffset.maxOffset` (default 128) stay native.
+  * The cap bounds the DRIVER traffic, which is
+  * partitions × maxOffset × projected-value width: real neighbor
+  * computations use single-digit offsets (lag(1) ships ~16 bytes per
+  * partition — trivial even at the ~10^6 task counts a 100 TB range
+  * exchange produces), while at offset 128 × 10^6 partitions the
+  * boundary values are ~GB-class and the single-task native plan's
+  * badness needs weighing against a driver bottleneck — raise the
+  * conf deliberately, don't inherit it. Order and child must be
+  * deterministic (two jobs over the same shuffle).
   * `spark.graft.globalOffset.enabled=false` is the kill switch /
   * equivalence-spec A/B lever.
   */
@@ -68,7 +74,7 @@ object GlobalOffsetRewrite extends Rule[LogicalPlan] {
     SQLConf.get.getConfString(ConfKey, "true").toBoolean
 
   private def maxOffset: Int =
-    SQLConf.get.getConfString(MaxOffsetKey, "1024").toInt
+    SQLConf.get.getConfString(MaxOffsetKey, "128").toInt
 
   private def sameExprs(a: Seq[Expression], b: Seq[Expression]): Boolean =
     a.length == b.length && a.zip(b).forall { case (x, y) => x.semanticEquals(y) }
