@@ -36,20 +36,35 @@ import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType, LongType}
   *     ranks as `partition offset + local rank`. No offset join, no
   *     second shuffle, no per-group state: O(1) memory per task.
   *
-  * Correct across partition boundaries because RangePartitioning
-  * assigns EQUAL keys to the same partition (binary search over key
-  * boundaries), so a tie group never spans partitions: local
-  * rank/dense_rank plus prior-partition row/distinct offsets are
-  * exact. percent_rank, cume_dist and ntile are closed forms over
+  * Correct across partition boundaries for ANY partitioning Spark
+  * may legally hand the exec. Under the exec's own exchange,
+  * RangePartitioning assigns EQUAL keys to the same partition, so a
+  * tie group never spans partitions and the per-partition offsets
+  * compose directly. But `OrderedDistribution(order)` is also
+  * satisfied — by RangePartitioning's common-PREFIX rule — by a
+  * pre-existing FINER range exchange (an `orderBy(k, id)` below a
+  * window ordered by `k` alone, a stacked finer window), and a finer
+  * partitioner happily splits coarse-key tie groups at partition
+  * boundaries. Pass 1 therefore also ships each partition's FIRST
+  * and LAST order keys plus boundary tie-run sizes (O(partitions)
+  * key rows), and the driver CHAINS split tie groups across
+  * boundaries — continuation partitions seed rank/dense state from
+  * the chain instead of restarting it, and cume_dist tie ends are
+  * overridden with the chain's global end (GroupedRank's
+  * segment-chaining discipline, applied to the order-key tie
+  * dimension; TieSplitSpec pins the hazardous shapes). percent_rank,
+  * cume_dist and ntile are closed forms over
   * (global rank, tie-group end, global row number, total N) — the
   * formulas mirror Spark's own definitions, so results are
   * bit-identical to the built-in window (the equivalence spec pins
   * all six functions, with ties, nulls, descending keys and
   * NaN/-0.0 doubles). cume_dist needs each tie group's END before
   * any member emits, so its presence switches pass 2 to a
-  * one-tie-group buffer — memory bounds at the largest tie group,
-  * which range partitioning already co-locates whole (the same
-  * inherent floor the native range frame pays), never the corpus.
+  * one-tie-group buffer — memory bounds at the largest tie-group
+  * FRAGMENT within a partition (the exec's own exchange co-locates
+  * groups whole, the same inherent floor the native range frame
+  * pays; a finer reused exchange only shrinks the fragments), never
+  * the corpus.
   *
   * Scope guards: fires only when EVERY window expression in the node
   * is one of the six supported rank functions over the node's own
@@ -196,6 +211,14 @@ object GlobalRankStrategy extends SparkStrategy {
   }
 }
 
+/** Pass-1 result for one [[GlobalRankExec]] partition: row and
+  * distinct-key counts plus the boundary facts the driver tie-chain
+  * needs — first/last projected order key (null when the partition is
+  * empty) and the row counts of the first/last tie runs. */
+private[plans] case class RankPartStats(
+    n: Long, d: Long, firstKey: UnsafeRow, lastKey: UnsafeRow,
+    firstN: Long, lastN: Long)
+
 case class GlobalRankExec(
     order: Seq[SortOrder],
     fns: Seq[(Attribute, GlobalRankFn)],
@@ -219,34 +242,100 @@ case class GlobalRankExec(
     val needsCume = fnSpecs.contains(GCumeDist)
     val rdd = child.execute()
 
-    // Pass 1: two longs per partition to the driver. The input is
-    // sorted, so distinct counting is streaming O(1).
-    val stats: Array[(Long, Long)] =
+    // Pass 1: per partition, row/distinct counts plus the boundary
+    // tie-run facts the driver chain needs — first/last order key and
+    // the row counts of the first/last tie runs. O(partitions) key
+    // rows to the driver; the input is sorted, so everything is
+    // streaming O(1). All shipped facts are statistics of the
+    // ORDER-KEY sequence, insensitive to tie-permutation between the
+    // two passes.
+    val stats: Array[RankPartStats] =
       rdd.sparkContext.runJob(rdd, (it: Iterator[InternalRow]) => {
         val (keyProj, cmp) = GlobalRankExec.keyTools(ord, childOut)
         var n = 0L
         var d = 0L
         var prev: UnsafeRow = null
+        var firstKey: UnsafeRow = null
+        var firstN = 0L // rows in the first tie run
+        var runN = 0L // rows in the current (ultimately last) tie run
         while (it.hasNext) {
           val k = keyProj(it.next())
-          if (prev == null || cmp.compare(prev, k) != 0) { d += 1; prev = k.copy() }
+          if (prev == null || cmp.compare(prev, k) != 0) {
+            if (d == 1L) firstN = runN // the first run just closed
+            d += 1
+            prev = k.copy()
+            if (firstKey == null) firstKey = prev
+            runN = 0L
+          }
+          runN += 1
           n += 1
         }
-        (n, d)
+        if (d == 1L) firstN = runN // single-run partition
+        RankPartStats(n, d, firstKey, prev, firstN, runN)
       })
 
+    // Driver stitch: walk partitions in order. Besides the row /
+    // distinct prefix offsets, chain tie groups that SPLIT across
+    // partition boundaries (possible when a finer pre-existing range
+    // exchange satisfied the prefix rule; impossible under the exec's
+    // own exchange, where all corrections below are no-ops): a
+    // partition whose first key equals the previous non-empty
+    // partition's last key continues that tie group, so it inherits
+    // the group's rank (the chain's start row number) and dense rank
+    // instead of restarting them, the distinct prefix stops double-
+    // counting the group, and — for cume_dist — every partition whose
+    // LAST tie run extends into later partitions learns the run's
+    // true global end.
     val nParts = stats.length
     val rowOffsets = new Array[Long](nParts)
     val denseOffsets = new Array[Long](nParts)
+    val chained = new Array[Boolean](nParts)
+    val chainRank = new Array[Long](nParts) // global rn of the boundary group's first row
+    val lastTieEndOv = new Array[Long](nParts) // 0 = no override
     var accN = 0L
     var accD = 0L
-    var i = 0
-    while (i < nParts) {
-      rowOffsets(i) = accN
-      denseOffsets(i) = accD
-      accN += stats(i)._1
-      accD += stats(i)._2
-      i += 1
+    locally {
+      val (_, cmp) = GlobalRankExec.keyTools(ord, childOut)
+      var openKey: UnsafeRow = null // last tie group's key, if any partition seen
+      var openStartRn = 0L // global rn of that group's first row
+      val openParts = scala.collection.mutable.ArrayBuffer.empty[Int]
+      var p = 0
+      while (p < nParts) {
+        rowOffsets(p) = accN
+        denseOffsets(p) = accD
+        val st = stats(p)
+        if (st.n > 0L) {
+          val isChained = openKey != null && cmp.compare(openKey, st.firstKey) == 0
+          chained(p) = isChained
+          if (isChained) {
+            chainRank(p) = openStartRn
+            accD += st.d - 1L // the boundary group was already counted
+            if (st.d > 1L) {
+              // the open group ends inside p: its last run ends at
+              // global rn rowOffsets(p) + firstN
+              val end = accN + st.firstN
+              openParts.foreach(q => lastTieEndOv(q) = end)
+              openParts.clear()
+            }
+          } else {
+            // the open group ended exactly at the previous boundary
+            openParts.foreach(q => lastTieEndOv(q) = accN)
+            openParts.clear()
+            accD += st.d
+          }
+          if (!(isChained && st.d == 1L)) {
+            // p's LAST group starts a fresh open chain
+            openKey = st.lastKey
+            openStartRn = accN + st.n - st.lastN + 1L
+            openParts.clear()
+          }
+          openParts += p
+          accN += st.n
+        }
+        p += 1
+      }
+      // the final open group runs to the corpus end
+      openParts.foreach(q => lastTieEndOv(q) = accN)
     }
     val totalN = accN
     // Per-function overflow guards (RankRange): an Int-typed
@@ -270,8 +359,17 @@ case class GlobalRankExec(
         fnSpecs.zip(fnLong).map { case (f, l) => if (l) LongType else f.dataType }.toSeq)
       val joined = new JoinedRow
       var rn = rowOffsets(pid)
-      var dr = denseOffsets(pid)
+      // a chained partition's first tie run CONTINUES the boundary
+      // group: it must not claim a fresh dense rank (init at -1; the
+      // first run's increment then lands back on the group's own
+      // dense rank) and its rank is the chain's start row number, not
+      // the local one
+      val isChained = chained(pid)
+      val contRank = chainRank(pid)
+      val tieEndOv = lastTieEndOv(pid)
+      var dr = denseOffsets(pid) - (if (isChained) 1L else 0L)
       var curRank = 0L
+      var runsSeen = 0L
       var prev: UnsafeRow = null
 
       // tieEnd = global row number of the LAST member of the row's tie
@@ -310,31 +408,43 @@ case class GlobalRankExec(
         toUnsafe(joined(row, extra))
       }
 
+      // shared per-row rank step: continuation-aware tie detection
+      def step(row: InternalRow): UnsafeRow = {
+        rn += 1
+        val k = keyProj(row)
+        if (prev == null || cmp.compare(prev, k) != 0) {
+          runsSeen += 1
+          curRank = if (runsSeen == 1L && isChained) contRank else rn
+          dr += 1
+          prev = k.copy()
+        }
+        k
+      }
+
       if (!needsCume) {
         // streaming: one key copy per tie group, O(1) memory
         it.map { row =>
-          rn += 1
-          val k = keyProj(row)
-          if (prev == null || cmp.compare(prev, k) != 0) {
-            curRank = rn
-            dr += 1
-            prev = k.copy()
-          }
+          step(row)
           emit(row, rn, curRank, dr, 0L)
         }
       } else {
         // cume_dist needs the tie group's END before any member can be
         // emitted, so buffer ONE tie group (full-row copies) and flush
-        // it when the next key arrives. Memory is the largest tie
-        // group — which range partitioning already co-locates whole,
-        // so this bounds at the partition, never the corpus (the same
-        // inherent floor native WindowExec pays for its range frame).
+        // it when the next key arrives. Memory is the largest tie-group
+        // fragment in this partition — under the exec's own exchange a
+        // whole group (the same inherent floor native WindowExec pays
+        // for its range frame), under a finer reused exchange less —
+        // never the corpus.
         new Iterator[InternalRow] {
           private val buf =
             scala.collection.mutable.ArrayBuffer.empty[(InternalRow, Long, Long, Long)]
           private var outIt: Iterator[InternalRow] = Iterator.empty
-          private def flush(): Iterator[InternalRow] = {
-            val tieEnd = buf.last._2
+          // atEnd: the partition's LAST tie run may extend into later
+          // partitions (finer-exchange split) — the driver chain then
+          // supplies the run's true global end
+          private def flush(atEnd: Boolean): Iterator[InternalRow] = {
+            val tieEnd =
+              if (atEnd && tieEndOv > 0L) tieEndOv else buf.last._2
             val emitted = buf.toArray
             buf.clear()
             emitted.iterator.map { case (r, a, b, c) => emit(r, a, b, c, tieEnd) }
@@ -343,14 +453,13 @@ case class GlobalRankExec(
             if (outIt.hasNext) ()
             else if (it.hasNext) {
               val row = it.next()
-              rn += 1
-              val k = keyProj(row)
-              val isNew = prev == null || cmp.compare(prev, k) != 0
-              if (isNew) {
-                val pending = if (buf.nonEmpty) flush() else Iterator.empty
-                curRank = rn
-                dr += 1
-                prev = k.copy()
+              val wasNew = {
+                val before = runsSeen
+                step(row)
+                runsSeen != before
+              }
+              if (wasNew) {
+                val pending = if (buf.nonEmpty) flush(atEnd = false) else Iterator.empty
                 buf += ((row.copy(), rn, curRank, dr))
                 outIt = pending
                 advance()
@@ -358,7 +467,7 @@ case class GlobalRankExec(
                 buf += ((row.copy(), rn, curRank, dr))
                 advance()
               }
-            } else if (buf.nonEmpty) outIt = flush()
+            } else if (buf.nonEmpty) outIt = flush(atEnd = true)
           }
           override def hasNext: Boolean = { advance(); outIt.hasNext }
           override def next(): InternalRow = { advance(); outIt.next() }

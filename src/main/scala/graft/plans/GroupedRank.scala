@@ -45,11 +45,19 @@ import org.apache.spark.sql.internal.SQLConf
   *     rank state at every group change and seeding the partition's
   *     first group from the driver offsets.
   *
-  * Correctness mirrors GlobalRank's argument: RangePartitioning
-  * assigns equal keys to one partition, so a TIE GROUP never spans a
-  * boundary — local rank/dense_rank plus the continuation offsets are
-  * exact, and per-segment distinct counts add across a spanning
-  * group. row_number/rank/dense_rank stream with O(1) state;
+  * Correctness mirrors GlobalRank's argument, including its defended
+  * boundary invariant: under the exec's OWN exchange equal
+  * (group, order) keys co-locate, but a pre-existing FINER range
+  * exchange legally satisfies the required distribution by the
+  * common-prefix rule and can split an ORDER-tie run at the same
+  * boundary a group spans. Segments therefore also carry their
+  * boundary order keys and tie-run sizes, and the driver chains
+  * split runs exactly as it chains split groups — the continuation
+  * partition inherits the run's rank and dense state, distinct
+  * counts stop double-counting the run, and cume_dist tie ends are
+  * overridden with the run's true group-local end (r16;
+  * TieSplitSpec pins both GroupedRank paths).
+  * row_number/rank/dense_rank stream with O(1) state;
   * percent_rank/cume_dist/ntile need the group total before the first
   * row can emit, so their presence switches pass 2 to a
   * one-group-SEGMENT buffer — memory bounds at the partition (which
@@ -141,8 +149,18 @@ object GroupedRankStrategy extends SparkStrategy {
 }
 
 /** One boundary-group segment: its (projected) group key plus row and
-  * distinct-order-key counts within one partition. */
-private[plans] case class GroupSeg(key: UnsafeRow, n: Long, d: Long)
+  * distinct-order-key counts within one partition, and the segment's
+  * boundary ORDER-tie-run facts — first/last projected order key and
+  * the row counts of its first/last tie runs. The order facts let the
+  * driver chain a tie RUN that a pre-existing FINER range exchange
+  * (legal under the OrderedDistribution prefix rule) split across a
+  * partition boundary inside a spanning group — the same class of
+  * split the group chain already handles one level up; under the
+  * exec's own exchange equal (group, order) keys co-locate and the
+  * order facts are never consulted. */
+private[plans] case class GroupSeg(
+    key: UnsafeRow, n: Long, d: Long,
+    firstOrd: UnsafeRow, firstRunN: Long, lastOrd: UnsafeRow, lastRunN: Long)
 
 /** Pass-1 result for one partition: its first and last group segments
   * (equal when the partition holds a single group), the group count,
@@ -202,31 +220,47 @@ case class GroupedRankExec(
         var maxN = 0L
         var maxD = 0L
         var prevOrd: UnsafeRow = null
+        var firstOrd: UnsafeRow = null
+        var firstRunN = 0L // rows in the segment's first tie run
+        var runN = 0L // rows in the current (ultimately last) tie run
+        def closeSeg(): GroupSeg = {
+          if (curD == 1L) firstRunN = runN // single-run segment
+          GroupSeg(curKey, curN, curD, firstOrd, firstRunN, prevOrd, runN)
+        }
         while (it.hasNext) {
           val row = it.next()
           val gk = gProj(row)
           if (curKey == null || gCmp.compare(curKey, gk) != 0) {
-            if (curKey != null && nGroups == 1L) first = GroupSeg(curKey, curN, curD)
-            if (curN > maxN) maxN = curN
-            if (curD > maxD) maxD = curD
+            if (curKey != null) {
+              if (nGroups == 1L) first = closeSeg()
+              if (curN > maxN) maxN = curN
+              if (curD > maxD) maxD = curD
+            }
             nGroups += 1
             curKey = gk.copy()
             curN = 0L
             curD = 0L
             prevOrd = null
+            firstOrd = null
+            firstRunN = 0L
+            runN = 0L
           }
           curN += 1
           val ok = oProj(row)
           if (prevOrd == null || oCmp.compare(prevOrd, ok) != 0) {
+            if (curD == 1L) firstRunN = runN // the first run just closed
             curD += 1
             prevOrd = ok.copy()
+            if (firstOrd == null) firstOrd = prevOrd
+            runN = 0L
           }
+          runN += 1
         }
         if (curKey == null) None
         else {
           if (curN > maxN) maxN = curN
           if (curD > maxD) maxD = curD
-          val last = GroupSeg(curKey, curN, curD)
+          val last = closeSeg()
           Some(PartSummary(if (nGroups == 1L) last else first, last, nGroups, maxN, maxD))
         }
       })
@@ -238,17 +272,39 @@ case class GroupedRankExec(
     // partitions — and (b) the final global totals of its first and
     // last groups' chains. Interior groups are wholly local, offsets 0
     // and totals observable in pass 2.
+    //
+    // ONE DIMENSION DOWN, the same chaining applies to ORDER-tie runs
+    // inside a spanning group: a finer pre-existing range exchange
+    // (prefix-rule reuse) may split a tie run at the same boundary the
+    // group spans. When the continuing segment's first order key
+    // equals the chain's last, the run CONTINUES: the chain's distinct
+    // total stops double-counting it, the continuation partition
+    // learns the run's rank (its group-local start row), and every
+    // partition whose final run extends beyond it learns the run's
+    // true group-local end (cume_dist). Under the exec's own exchange
+    // equal (group, order) keys co-locate and all of this is a no-op.
     val nParts = summaries.length
     val contN = new Array[Long](nParts)
     val contD = new Array[Long](nParts)
+    val contRank = new Array[Long](nParts) // group-local rn of the boundary run's start
+    val ordChained = new Array[Boolean](nParts)
+    val lastTieEndOv = new Array[Long](nParts) // 0 = no override
     val firstChain = new Array[Int](nParts)
     val lastChain = new Array[Int](nParts)
     val chains = ArrayBuffer.empty[(Long, Long)]
     locally {
-      // driver-side group-key comparator with the sort's own semantics
+      // driver-side comparators with the sort's own semantics
       val (_, gCmp) = GlobalRankExec.keyTools(gSort, childOut)
+      val (_, oCmp) = GlobalRankExec.keyTools(ord, childOut)
       var openKey: UnsafeRow = null
       var openChain = -1
+      var openOrd: UnsafeRow = null // open chain's final order key
+      var openRunStart = 0L // group-local rn of the final run's start
+      val runMembers = ArrayBuffer.empty[Int] // partitions whose final run is the open run
+      def closeRun(end: Long): Unit = {
+        runMembers.foreach(q => lastTieEndOv(q) = end)
+        runMembers.clear()
+      }
       var p = 0
       while (p < nParts) {
         summaries(p) match {
@@ -256,24 +312,59 @@ case class GroupedRankExec(
             firstChain(p) = -1
             lastChain(p) = -1
           case Some(s) =>
-            if (openKey != null && gCmp.compare(openKey, s.first.key) == 0) {
+            val isChained = openKey != null && gCmp.compare(openKey, s.first.key) == 0
+            if (isChained) {
               firstChain(p) = openChain
               contN(p) = chains(openChain)._1
               contD(p) = chains(openChain)._2
-              chains(openChain) =
-                (chains(openChain)._1 + s.first.n, chains(openChain)._2 + s.first.d)
+              val ordCont = openOrd != null && s.first.firstOrd != null &&
+                oCmp.compare(openOrd, s.first.firstOrd) == 0
+              ordChained(p) = ordCont
+              if (ordCont) {
+                contRank(p) = openRunStart
+                // the boundary run closes inside p's first segment iff
+                // that segment holds more than one run
+                if (s.first.d > 1L) closeRun(chains(openChain)._1 + s.first.firstRunN)
+              } else {
+                // the boundary run closed exactly at the previous edge
+                closeRun(chains(openChain)._1)
+              }
+              chains(openChain) = (chains(openChain)._1 + s.first.n,
+                chains(openChain)._2 + s.first.d - (if (ordCont) 1L else 0L))
+              if (s.nGroups == 1L) {
+                // the chain stays open through p
+                if (!(ordCont && s.first.d == 1L)) {
+                  // a new final run begins inside p
+                  openOrd = s.first.lastOrd
+                  openRunStart = chains(openChain)._1 - s.first.lastRunN + 1L
+                  runMembers.clear()
+                }
+              } else if (ordCont && s.first.d == 1L) {
+                // the boundary run reaches the spanning group's end
+                closeRun(chains(openChain)._1)
+              } else runMembers.clear()
             } else {
+              // the open chain (if any) ended at the previous edge
+              if (openChain >= 0) closeRun(chains(openChain)._1)
               chains += ((s.first.n, s.first.d))
               firstChain(p) = chains.length - 1
             }
             lastChain(p) =
               if (s.nGroups == 1L) firstChain(p)
               else { chains += ((s.last.n, s.last.d)); chains.length - 1 }
+            if (!(isChained && s.nGroups == 1L)) {
+              // p's LAST group opens a fresh run context
+              openOrd = s.last.lastOrd
+              openRunStart = s.last.n - s.last.lastRunN + 1L
+              runMembers.clear()
+            }
+            runMembers += p
             openKey = s.last.key
             openChain = lastChain(p)
         }
         p += 1
       }
+      if (openChain >= 0) closeRun(chains(openChain)._1)
     }
     val firstTotN = Array.tabulate(nParts)(p =>
       if (firstChain(p) < 0) 0L else chains(firstChain(p))._1)
@@ -316,14 +407,24 @@ case class GroupedRankExec(
       var dr = 0L
       var curRank = 0L
       var localN = 0L // rows of the current group seen in THIS partition
+      var runsSeen = 0L // tie runs seen in the current group segment
+      // first-group order-run continuation (finer-exchange split):
+      // the boundary run must not claim a fresh dense rank and its
+      // rank is the chain-supplied run start, not the local rn
+      val isOrdChained = ordChained(pid)
+      val contRankStart = contRank(pid)
+      val tieEndOv = lastTieEndOv(pid)
 
       def startGroup(gk: UnsafeRow): Unit = {
         groupIdx += 1
         curKey = gk.copy()
         prevOrd = null
         localN = 0L
-        if (groupIdx == 1L) { rn = contN(pid); dr = contD(pid) }
-        else { rn = 0L; dr = 0L }
+        runsSeen = 0L
+        if (groupIdx == 1L) {
+          rn = contN(pid)
+          dr = contD(pid) - (if (isOrdChained) 1L else 0L)
+        } else { rn = 0L; dr = 0L }
       }
 
       def step(row: InternalRow): (Long, Long, Long) = {
@@ -331,7 +432,10 @@ case class GroupedRankExec(
         localN += 1
         val ok = oProj(row)
         if (prevOrd == null || oCmp.compare(prevOrd, ok) != 0) {
-          curRank = rn
+          runsSeen += 1
+          curRank =
+            if (groupIdx == 1L && runsSeen == 1L && isOrdChained) contRankStart
+            else rn
           dr += 1
           prevOrd = ok.copy()
         }
@@ -406,6 +510,17 @@ case class GroupedRankExec(
               if (rows(i)._3 != lastRank) { end = rows(i)._2; lastRank = rows(i)._3 }
               tieEnd(i) = end
               i -= 1
+            }
+            // the partition's FINAL tie run may extend into later
+            // partitions (finer-exchange split): the driver chain then
+            // supplies its true group-local end
+            if (atEnd && tieEndOv > 0L && rows.nonEmpty) {
+              val finalRank = rows(rows.length - 1)._3
+              var j = rows.length - 1
+              while (j >= 0 && rows(j)._3 == finalRank) {
+                tieEnd(j) = tieEndOv
+                j -= 1
+              }
             }
             rows.iterator.zipWithIndex.map { case ((r, a, b, c), k) =>
               emit(r, a, b, c, tieEnd(k), totN)
