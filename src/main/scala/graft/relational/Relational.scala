@@ -1241,7 +1241,39 @@ object Relational {
       .orderBy($"o_orderkey")
   }
 
+  /** q45: REVENUE MOMENTUM — the three-operator global-window STACK.
+    * One report joins the family's members over a shared daily curve:
+    * the running total (`sum OVER (ORDER BY date)` — GlobalRunningAgg,
+    * a distributed prefix scan), the trailing-7-day accumulation as a
+    * cumulative self-difference (`cum - lag(cum, 7)` — GlobalOffset's
+    * boundary-value exchange, ClickHouse `runningDifference` at lag 7)
+    * and the business-volume leaderboard (`rank() OVER (ORDER BY
+    * day_cents DESC, date)` — GlobalRank). The offset node STACKS on
+    * the running-agg node over the SAME date order — the
+    * shared-exchange composition class the r16 tie-split fix defends
+    * (TieSplitSpec pins the executed plan: all three operators, no
+    * SinglePartition) — while the rank node's different order gets its
+    * own exchange. Dates are unique after the pre-aggregation, so
+    * every column is tie-deterministic and the DuckDB oracle is
+    * hash-exact. Reference surface: solarman.py:259's derived-metric
+    * discipline applied to the daily business curve (running totals /
+    * deltas / leaderboards are the ClickHouse dashboard trio). */
+  def q45RevenueMomentum(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val daily = Tables.orders(s, d)
+      .groupBy($"o_orderdate")
+      .agg(sum((dec($"o_totalprice") * 100).cast("long")).as("day_cents"))
+    val cum = daily.select($"o_orderdate", $"day_cents",
+      sum($"day_cents").over(Window.orderBy($"o_orderdate")).as("cum_cents"))
+    cum.select($"o_orderdate", $"day_cents", $"cum_cents",
+        ($"cum_cents" - lag($"cum_cents", 7, 0L).over(Window.orderBy($"o_orderdate")))
+          .as("week_cents"),
+        rank().over(Window.orderBy($"day_cents".desc, $"o_orderdate")).as("busy_rank"))
+      .orderBy($"o_orderdate")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q45_revenue_momentum" -> (q45RevenueMomentum _),
     "q44_cumulative" -> (q44Cumulative _),
     "q43_revenue_share" -> (q43RevenueShare _),
     "q42_spend_rank" -> (q42SpendRank _),
@@ -1292,6 +1324,25 @@ object Relational {
     // OVER (ORDER BY o_orderdate) mirrors Spark's tie semantics
     // exactly; the ROWS frame is written out. Exact cents (q27's
     // DECIMAL(18,2)×100 idiom), counts cast back from HUGEINT.
+    // q45: daily pre-agg makes dates unique, so all three window
+    // columns are tie-deterministic; cents stay integral end-to-end
+    // (BIGINT casts mirror Spark's long arithmetic), rank narrowed to
+    // Spark's IntegerType.
+    "q45_revenue_momentum" ->
+      """WITH daily AS (
+           SELECT o_orderdate,
+                  CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+                       AS BIGINT) AS day_cents
+           FROM orders GROUP BY o_orderdate),
+         cum AS (
+           SELECT o_orderdate, day_cents,
+                  CAST(sum(day_cents) OVER (ORDER BY o_orderdate) AS BIGINT) AS cum_cents
+           FROM daily)
+         SELECT o_orderdate, day_cents, cum_cents,
+                CAST(cum_cents - lag(cum_cents, 7, 0) OVER (ORDER BY o_orderdate)
+                     AS BIGINT) AS week_cents,
+                CAST(rank() OVER (ORDER BY day_cents DESC, o_orderdate) AS INT) AS busy_rank
+         FROM cum ORDER BY o_orderdate""",
     "q44_cumulative" ->
       """WITH o AS (
            SELECT o_orderkey, o_orderdate,

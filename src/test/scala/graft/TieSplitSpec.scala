@@ -226,6 +226,26 @@ class TieSplitSpec extends AnyFunSuite {
     }
   }
 
+  test("q45 composition: GlobalRunningAgg + GlobalOffset + GlobalRank stack in ONE plan, no funnel") {
+    val s = spark
+    val df = graft.relational.Relational.q45RevenueMomentum(s, SfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    for (op <- Seq("GlobalRunningAgg", "GlobalOffset", "GlobalRank"))
+      assert(plan.contains(op), s"$op missing from the composed plan:\n" + plan.take(2000))
+    assert(!plan.contains("SinglePartition"),
+      "the three-operator stack must never funnel to one partition:\n" + plan.take(2000))
+    // the date-ordered offset node rides the running-agg node's
+    // exchange (same order keys — the composition class the tie-split
+    // chaining defends); the rank node's different order adds its own
+    val finalSection = plan.split("== Initial Plan ==").head
+    val rps = """Exchange rangepartitioning\(([^)]*)\)""".r
+      .findAllMatchIn(finalSection).map(_.group(1)).toSeq
+    assert(rps.count(_.contains("o_orderdate")) >= 1 &&
+      rps.exists(_.contains("day_cents")),
+      s"expected a shared date exchange plus the rank node's own: $rps")
+  }
+
   test("GlobalOffset under finer exchange: tie-arbitrary neighbor contract holds (set-valid per tie group)") {
     val s = spark
     import s.implicits._
