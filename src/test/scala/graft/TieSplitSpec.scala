@@ -226,6 +226,47 @@ class TieSplitSpec extends AnyFunSuite {
     }
   }
 
+  test("seeded sweep: rank + running RANGE equal native across partition counts, tie widths and null keys") {
+    val s = spark
+    import s.implicits._
+    noCoalesce {
+      // (partitions, tie width): no-ties sanity, boundary-dense ties,
+      // giant near-partition-sized groups — plus a null-key band in
+      // every config (nulls sort first, so the null tie group is the
+      // one most likely to straddle the first boundary)
+      for ((parts, tieW) <- Seq((5, 3), (16, 100), (8, 997))) {
+        val rows = (0 until 6000).map { i =>
+          val d: java.lang.Integer = if (i < 300) null else Integer.valueOf(i / tieW)
+          (i.toLong, d, i % 37, ((i * 31) % 500).toLong)
+        }
+        val df0 = rows.toDF("id", "d", "k", "cents")
+        def q(doRank: Boolean, on: Boolean): Seq[Row] = {
+          val key =
+            if (doRank) graft.plans.GlobalRankRewrite.ConfKey
+            else graft.plans.GlobalRunningAggRewrite.ConfKey
+          TestSpark.withConf(key, on.toString) {
+            val base = df0.repartitionByRange(parts, $"d", $"k")
+            val df =
+              if (doRank) base.select($"id", $"k",
+                rank().over(Window.orderBy($"d")).as("r"),
+                dense_rank().over(Window.orderBy($"d")).as("dr"),
+                percent_rank().over(Window.orderBy($"d")).as("pr"),
+                cume_dist().over(Window.orderBy($"d")).as("cd"))
+              else base.select($"id", $"k",
+                sum($"cents").over(Window.orderBy($"d")).as("gs"),
+                count(lit(1)).over(Window.orderBy($"d")).as("gc"),
+                min($"cents").over(Window.orderBy($"d")).as("gm"))
+            df.collect().toSeq.sortBy(_.getLong(0))
+          }
+        }
+        assertSame(q(doRank = true, on = true), q(doRank = true, on = false),
+          s"rank sweep parts=$parts tieW=$tieW")
+        assertSame(q(doRank = false, on = true), q(doRank = false, on = false),
+          s"running sweep parts=$parts tieW=$tieW")
+      }
+    }
+  }
+
   test("q45 composition: GlobalRunningAgg + GlobalOffset + GlobalRank stack in ONE plan, no funnel") {
     val s = spark
     val df = graft.relational.Relational.q45RevenueMomentum(s, SfDir)
