@@ -17,7 +17,14 @@ import org.apache.spark.sql.functions._
   * `offset` probes GlobalOffset on a corpus-global lag/lead pair (the
   * e33 runningDifference shape);
   * `running` probes GlobalRunningAgg on a corpus-global cumulative
-  * sum+count (the q44 shape).
+  * sum+count (the q44 shape);
+  * `chained` probes the r16 tie-chaining path AT SCALE: a FINER
+  * pre-existing range exchange (repartitionByRange(d, fine)) under
+  * rank/dense_rank/cume_dist + a RANGE running sum ordered by `d`
+  * alone, with 1000 × 50k-row tie groups so every partition boundary
+  * splits a group — the exact-long checksum equality between rule-on
+  * and rule-off is the 50M-row correctness witness for the driver
+  * chain (TieSplitSpec pins the same shapes at spec size).
   * Prints wall seconds for rule-on vs rule-off and the speedup — the
   * PLANS.md "global ranking"/"global aggregate"/"grouped ranking"/
   * "global offset" probe rows come from here. */
@@ -38,10 +45,39 @@ object RankProbe {
       case "running" => graft.plans.GlobalRunningAggRewrite.ConfKey
       case _ => graft.plans.GlobalRankRewrite.ConfKey
     }
+    if (mode == "chained")
+      s.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
     def run(on: Boolean): Double = {
       s.conf.set(confKey, on.toString)
+      // the chained stack exercises BOTH operators in one plan
+      if (mode == "chained")
+        s.conf.set(graft.plans.GlobalRunningAggRewrite.ConfKey, on.toString)
       val t0 = System.nanoTime()
       val r = mode match {
+        case "chained" =>
+          // FINER pre-existing exchange under d-ordered windows:
+          // every one of the 200 range partitions splits a 50k-row d
+          // tie group, so the driver chain is live for every
+          // boundary. The running-agg node chains RANGE sums; the
+          // rank node stacks above it and reuses the same finer
+          // partitioning (outputPartitioning is preserved), chaining
+          // rank/dense/cume state. Exact-long checksums touch every
+          // row; cume_dist is the same double division in both
+          // engines, so the x1e6 fixed-point is bit-stable.
+          val groups = 1000L
+          val sz = math.max(n / groups, 1L)
+          val tied = s.range(n).select($"id",
+              floor($"id" / sz).cast("long").as("d"),
+              pmod($"id" * 2654435761L, lit(97L)).as("fine"))
+            .repartitionByRange(200, $"d", $"fine")
+          val wd = Window.orderBy($"d")
+          tied.select($"d", $"fine", sum($"fine").over(wd).as("gs"))
+            .select($"fine", $"gs",
+              rank().over(wd).as("r"),
+              dense_rank().over(wd).as("dr"),
+              cume_dist().over(wd).as("cd"))
+            .agg((sum($"gs") + sum($"r".cast("long")) + sum($"dr".cast("long")) +
+              sum(($"cd" * 1000000).cast("long"))).as("chk")).head()
         case "agg" =>
           // exact-long shares: every row reads the broadcast total;
           // the min/max aggregate touches every emitted row
