@@ -1202,7 +1202,51 @@ object Events {
       .orderBy($"gap_log2")
   }
 
+  // ---------------------------------------------------------------------
+  // e34: FLEET CUMULATIVE PROFILE on the write layout's ONE exchange —
+  // every event annotated with the fleet's cumulative cents and event
+  // count through the END of its calendar day (the RANGE tie
+  // semantics: same-day events share the day's closing totals —
+  // ClickHouse runningAccumulate at day grain, joined back to events
+  // in one pass) plus the event-mass CDF of its day (cume_dist over
+  // the closing cumulative: the fraction of all events on days at or
+  // below this one). The row set is explicitly range-laid-out on
+  // (day, user_id) — the layout a user-bucketed daily writer wants —
+  // and the day-grain running aggregates ride that one exchange
+  // instead of adding their own (RangePartitioning(day, user)
+  // satisfies OrderedDistribution(day) by the prefix rule). That
+  // reuse SPLITS day tie groups at every partition boundary, which is
+  // exactly the configuration the r16 tie-chaining fix makes safe —
+  // this query grades the CHAINED path through the DuckDB gate
+  // (TieSplitSpec pins the plan: the agg operator on the explicit
+  // exchange, no day-only exchange inserted). The CDF window orders
+  // by cum_cents — a DIFFERENT order, and a column the agg node
+  // produces (the dependency keeps CollapseWindow from merging the
+  // two into one mixed, unrewritable node) — so it correctly gets its
+  // own exchange on the rank operator. At 100 TB the reuse deletes a
+  // corpus-wide day-grain shuffle; exact cents throughout.
+  // ---------------------------------------------------------------------
+  def e34FleetCumulative(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val laid = Tables.events(s, d)
+      .select($"event_id", date_trunc("day", $"ts").as("day"), $"user_id",
+        (graft.Exact.dec($"value") * 100).cast("long").as("cents"))
+      .repartitionByRange(32, $"day", $"user_id")
+    laid
+      .select($"event_id", $"day", $"user_id", $"cents",
+        sum($"cents").over(Window.orderBy($"day")).as("cum_cents"),
+        count(lit(1)).over(Window.orderBy($"day")).as("cum_events"))
+      // user_id stays in the OUTPUT: pruning it above the layout
+      // exchange would degrade the Project's partitioning to Unknown
+      // and EnsureRequirements would insert a day-only exchange —
+      // exactly the reuse-killing trap TieSplitSpec documents
+      .select($"event_id", $"day", $"user_id", $"cents", $"cum_cents", $"cum_events",
+        cume_dist().over(Window.orderBy($"cum_cents")).as("mass_cdf"))
+      .orderBy($"event_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "e34_fleet_cumulative" -> (e34FleetCumulative _),
     "e33_running_diff" -> (e33RunningDiff _),
     "e32_prev_node" -> (e32PrevNode _),
     "e31_volume_anomaly" -> (e31VolumeAnomaly _),
@@ -1613,6 +1657,23 @@ object Events {
                 CAST(dau.dau AS DOUBLE) / CAST(mau.mau AS DOUBLE) AS stickiness
          FROM dau JOIN mau ON dau.day = mau.day
          ORDER BY dau.day""",
+    // e34: decimal-exact cents (e24's discipline); the repartition is
+    // invisible to the oracle — DuckDB computes the same windows on
+    // the logical row set. cume_dist is the same tie-end/N double
+    // division in both engines.
+    "e34_fleet_cumulative" ->
+      """WITH e AS (
+           SELECT event_id, date_trunc('day', ts) AS day, user_id,
+                  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+           FROM events),
+         c AS (
+           SELECT event_id, day, user_id, cents,
+                  CAST(sum(cents) OVER (ORDER BY day) AS BIGINT) AS cum_cents,
+                  CAST(count(*) OVER (ORDER BY day) AS BIGINT) AS cum_events
+           FROM e)
+         SELECT event_id, day, user_id, cents, cum_cents, cum_events,
+                cume_dist() OVER (ORDER BY cum_cents) AS mass_cdf
+         FROM c ORDER BY event_id""",
     "e10_rolling_actives" ->
       """WITH ud AS (
            SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events),

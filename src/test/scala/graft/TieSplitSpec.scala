@@ -287,6 +287,35 @@ class TieSplitSpec extends AnyFunSuite {
       s"expected a shared date exchange plus the rank node's own: $rps")
   }
 
+  test("e34: both day-grain operators ride the explicit (day, user) exchange — chaining live in the graded plan") {
+    val s = spark
+    val df = graft.events.Events.e34FleetCumulative(s, SfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    for (op <- Seq("GlobalRunningAgg", "GlobalRank"))
+      assert(plan.contains(op), s"$op missing:\n" + plan.take(2000))
+    assert(!plan.contains("SinglePartition"), plan.take(2000))
+    // exactly THREE range exchanges: the query's own explicit
+    // (day, user_id) layout (REPARTITION_BY_NUM — reused by the
+    // running-agg node, whose day tie groups split across its
+    // boundaries, so the r16 chain is live in this graded query),
+    // the CDF node's own cum_cents exchange, and the output ORDER BY
+    // event_id. A day-only fourth would mean the agg node stopped
+    // reusing the layout and the graded chained configuration
+    // silently vanished.
+    val finalSection = plan.split("== Initial Plan ==").head
+    val rps = """Exchange rangepartitioning\(([^)]*)\)""".r
+      .findAllMatchIn(finalSection).map(_.group(1)).toSeq
+    assert(rps.length == 3, s"expected layout + cdf + output exchanges, got: $rps\n" +
+      finalSection.take(2000))
+    assert(rps.exists(e => e.contains("day") && e.contains("user_id")),
+      s"the explicit (day, user_id) layout exchange must survive: $rps")
+    assert(!rps.exists(e => e.contains("day") && !e.contains("user_id")),
+      s"no day-only exchange may appear (the agg node must reuse the layout): $rps")
+    assert(rps.exists(e => e.contains("cum_cents")) &&
+      rps.exists(e => e.contains("event_id")), s"cdf + output exchanges: $rps")
+  }
+
   test("GlobalOffset under finer exchange: tie-arbitrary neighbor contract holds (set-valid per tie group)") {
     val s = spark
     import s.implicits._
