@@ -100,6 +100,38 @@ class TieSplitSpec extends AnyFunSuite {
           rows.sortBy(_.getLong(0))
         }
       assertSame(q(on = true), q(on = false), "GlobalRank under finer exchange")
+
+      // row_number and ntile are tie-ARBITRARY in both engines, so
+      // bit-equality under split ties is ill-defined — pin their
+      // CONTRACT instead: row_number is a 1..N permutation monotone
+      // w.r.t. the order key (rows of a smaller d all number below
+      // rows of a larger d), and ntile is exactly Spark's fill
+      // formula applied to that row_number. With rank from the same
+      // node (bit-checked above) the six functions are all covered.
+      TestSpark.withConf(graft.plans.GlobalRankRewrite.ConfKey, "true") {
+        val w = Window.orderBy($"d")
+        val df = tieData.orderBy($"d", $"k")
+          .select($"id", $"k", ($"id" / 100).cast("int").as("d0"),
+            row_number().over(w).as("rn"), ntile(7).over(w).as("n7"))
+        val rows = df.collect()
+        assertReused(df, "GlobalRank")
+        val n = rows.length
+        assert(rows.map(_.getInt(3)).sorted.toSeq == (1 to n), "rn must be a 1..N permutation")
+        // monotone: max rn of tie group d < min rn of tie group d+1
+        val byD = rows.groupBy(_.getInt(2)).view.mapValues(_.map(_.getInt(3))).toMap
+        for (d <- 0 until 99)
+          assert(byD(d).max < byD(d + 1).min, s"rn not d-monotone at d=$d")
+        // ntile(7): Spark's fill rule over the global rn
+        val q7 = n / 7
+        val r7 = n % 7
+        rows.foreach { r =>
+          val rn = r.getInt(3).toLong
+          val big = q7 + 1L
+          val t = r7 * big
+          val want = if (rn <= t) (rn - 1) / big + 1 else r7 + (rn - 1 - t) / q7 + 1
+          assert(r.getInt(4).toLong == want, s"ntile mismatch at rn=$rn")
+        }
+      }
     }
   }
 
