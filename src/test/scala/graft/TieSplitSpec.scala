@@ -287,7 +287,15 @@ class TieSplitSpec extends AnyFunSuite {
               else base.select($"id", $"k",
                 sum($"cents").over(Window.orderBy($"d")).as("gs"),
                 count(lit(1)).over(Window.orderBy($"d")).as("gc"),
-                min($"cents").over(Window.orderBy($"d")).as("gm"))
+                min($"cents").over(Window.orderBy($"d")).as("gm"),
+                // exact DECIMAL arithmetic and a null-bearing input
+                // through the driver chain's buffer merges: the
+                // overflow-checked decimal sum and the two-buffer avg
+                // must ride the functions' own merge expressions
+                sum(($"cents".cast("decimal(18,2)") / 100).as("dec"))
+                  .over(Window.orderBy($"d")).as("gds"),
+                avg(when($"id" % 13 =!= 0, $"cents"))
+                  .over(Window.orderBy($"d")).as("gna"))
             df.collect().toSeq.sortBy(_.getLong(0))
           }
         }
