@@ -303,6 +303,15 @@ class TieSplitSpec extends AnyFunSuite {
           s"rank sweep parts=$parts tieW=$tieW")
         assertSame(q(doRank = false, on = true), q(doRank = false, on = false),
           s"running sweep parts=$parts tieW=$tieW")
+        // the longRank widening must compose with the chain: chained
+        // rank/dense state emits through the LongType columns (both
+        // engines evaluate the Long variants, so rows compare direct)
+        if (parts == 16) {
+          TestSpark.withConf(graft.plans.GlobalRankRewrite.LongRankKey, "true") {
+            assertSame(q(doRank = true, on = true), q(doRank = true, on = false),
+              s"longRank chained sweep parts=$parts tieW=$tieW")
+          }
+        }
       }
     }
   }
