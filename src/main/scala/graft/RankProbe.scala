@@ -25,6 +25,13 @@ import org.apache.spark.sql.functions._
   * splits a group — the exact-long checksum equality between rule-on
   * and rule-off is the 50M-row correctness witness for the driver
   * chain (TieSplitSpec pins the same shapes at spec size).
+  * `mixed` probes the r17 GlobalWindowSplit rule on the q46 shape —
+  * ONE select mixing all four family classes (rank + cume_dist,
+  * running RANGE sum, lag, full-frame total) over the same global
+  * total order, which the analyzer merges into ONE Window node: off =
+  * the pre-r17 single-task mixed funnel, on = the split four-operator
+  * stack on one shared range exchange; exact-long checksums equal
+  * across both is the 50M correctness witness.
   * Prints wall seconds for rule-on vs rule-off and the speedup — the
   * PLANS.md "global ranking"/"global aggregate"/"grouped ranking"/
   * "global offset" probe rows come from here. */
@@ -52,6 +59,16 @@ object RankProbe {
       // the chained stack exercises BOTH operators in one plan
       if (mode == "chained")
         s.conf.set(graft.plans.GlobalRunningAggRewrite.ConfKey, on.toString)
+      // the mixed split plans all four families out of one node: the
+      // off branch must silence every one of them to get the true
+      // pre-r17 native mixed funnel
+      if (mode == "mixed")
+        Seq(graft.plans.GlobalWindowSplit.ConfKey,
+          graft.plans.GlobalRankRewrite.ConfKey,
+          graft.plans.GlobalRunningAggRewrite.ConfKey,
+          graft.plans.GlobalOffsetRewrite.ConfKey,
+          graft.plans.GlobalAggRewrite.ConfKey)
+          .foreach(k => s.conf.set(k, on.toString))
       val t0 = System.nanoTime()
       val r = mode match {
         case "chained" =>
@@ -78,6 +95,22 @@ object RankProbe {
               cume_dist().over(wd).as("cd"))
             .agg((sum($"gs") + sum($"r".cast("long")) + sum($"dr".cast("long")) +
               sum(($"cd" * 1000000).cast("long"))).as("chk")).head()
+        case "mixed" =>
+          // q46 at scale: rank+cume (rank class), running RANGE sum
+          // (running class), lag (offset class) and the corpus total
+          // (full-frame class), all in ONE select over the (k, id)
+          // total order; exact-long checksums touch every row,
+          // cume_dist fixed-point is the same double division in both
+          // engines
+          df.select($"k",
+              rank().over(w).as("r"),
+              cume_dist().over(w).as("cd"),
+              sum($"k").over(w).as("run"),
+              lag($"k", 1, 0L).over(w).as("pk"),
+              sum($"k").over(w.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing)).as("tot"))
+            .agg((sum($"r".cast("long")) + sum(($"cd" * 1000000).cast("long")) +
+              max($"run") + sum($"pk") + min($"tot")).as("chk")).head()
         case "agg" =>
           // exact-long shares: every row reads the broadcast total;
           // the min/max aggregate touches every emitted row

@@ -32,6 +32,12 @@ object GraftExtensions extends SparkSessionExtensionsProvider {
     // idiom into the heap-based two-phase operator; the strategy plans it.
     ext.injectOptimizerRule(_ => graft.plans.TopKRewrite)
     ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
+    // Mixed-function empty-PARTITION-BY windows (rank()+sum() OVER the
+    // same global order in ONE select analyze into ONE Window node) are
+    // split by function class into the stacked operator nodes below, so
+    // the family composes automatically instead of the mixed node
+    // bailing every rewrite and funneling to a single task.
+    ext.injectOptimizerRule(_ => graft.plans.GlobalWindowSplit)
     // Corpus-global ranking: bare rank-family windows with an empty
     // PARTITION BY are rewritten to the range-partitioned two-pass
     // operator (TopKRewrite runs first, so filter(rank <= k) keeps

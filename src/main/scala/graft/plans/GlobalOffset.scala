@@ -81,7 +81,7 @@ object GlobalOffsetRewrite extends Rule[LogicalPlan] {
 
   /** One supported offset column: output attribute, input expression,
     * signed offset (negative = lag), default expression. */
-  private def supported(
+  private[plans] def supported(
       e: NamedExpression,
       order: Seq[SortOrder],
       cap: Int): Option[OffsetFn] = e match {

@@ -181,7 +181,8 @@ object GlobalRankRewrite extends Rule[LogicalPlan] {
       case w @ LogicalWindow(wexprs, Nil, order, child, _)
           if order.nonEmpty && wexprs.nonEmpty &&
             order.forall(_.deterministic) &&
-            PlanGuards.subtreeDeterministic(child) =>
+            PlanGuards.subtreeDeterministic(child) &&
+            PlanGuards.boundaryTrafficOk(order) =>
         val fns = wexprs.map(supported(_, order))
         if (fns.forall(_.isDefined)) GlobalRankNode(order, fns.flatten, child)
         else w
@@ -536,7 +537,50 @@ private[graft] object RankRange {
   * GlobalAgg duplicates the subtree outright, GlobalRank runs two
   * jobs over its RDD — so a rand()-derived column or sampling
   * filter could diverge between evaluations; those stay native. */
-private[plans] object PlanGuards {
+object PlanGuards extends org.apache.spark.internal.Logging {
   def subtreeDeterministic(p: LogicalPlan): Boolean =
     p.find(n => !n.expressions.forall(_.deterministic)).isEmpty
+
+  /** Byte guard on pass-1 boundary-KEY driver traffic, the family
+    * analogue of GlobalOffset's maxOffset cap. GlobalRank /
+    * GroupedRank / GlobalRunningAgg each ship two projected key rows
+    * per partition to the driver — O(partitions × key bytes), which
+    * is trivial for the numeric/date keys real rankings use but has
+    * no cap of its own: a wide-string order key at 10^5+ partitions
+    * would make pass 1 driver-bound. Projected traffic is estimated
+    * CONSERVATIVELY at rewrite time as
+    * `numShufflePartitions × 2 keys × Σ per-column width`, with
+    * variable-width columns (strings/binaries/nested types) assumed
+    * 256 bytes regardless of their optimistic defaultSize — past
+    * `spark.graft.globalWindow.maxBoundaryBytes` (default 64 MB) the
+    * window stays native with a log line, the same
+    * weigh-it-deliberately contract as raising maxOffset. The
+    * estimate uses the shuffle-partition conf (an upper bound on the
+    * range exchange's width; AQE only coalesces downward). */
+  val MaxBoundaryBytesKey = "spark.graft.globalWindow.maxBoundaryBytes"
+
+  private def widthOf(dt: org.apache.spark.sql.types.DataType): Long = dt match {
+    case org.apache.spark.sql.types.StringType |
+         org.apache.spark.sql.types.BinaryType => 256L
+    case _: org.apache.spark.sql.types.ArrayType |
+         _: org.apache.spark.sql.types.MapType |
+         _: org.apache.spark.sql.types.StructType =>
+      math.max(dt.defaultSize.toLong, 256L)
+    case other => other.defaultSize.toLong
+  }
+
+  def boundaryTrafficOk(order: Seq[SortOrder], part: Seq[Expression] = Nil): Boolean = {
+    val cap = SQLConf.get
+      .getConfString(MaxBoundaryBytesKey, (64L * 1024 * 1024).toString).toLong
+    val parts = SQLConf.get.numShufflePartitions.toLong
+    val keyBytes = (order.map(_.child.dataType) ++ part.map(_.dataType))
+      .map(widthOf).sum
+    val projected = parts * 2L * keyBytes
+    val ok = projected <= cap
+    if (!ok) logInfo(s"global-window rewrite bails to the native plan: " +
+      s"projected pass-1 boundary-key driver traffic ($parts partitions × " +
+      s"2 keys × $keyBytes bytes = $projected B) exceeds " +
+      s"$MaxBoundaryBytesKey=$cap")
+    ok
+  }
 }

@@ -88,7 +88,7 @@ object GlobalRunningAggRewrite extends Rule[LogicalPlan] {
   /** One supported running aggregate: output attribute, the
     * declarative function, whether the frame is the RANGE (peers
     * share the value) variant. */
-  private def supported(
+  private[plans] def supported(
       e: NamedExpression,
       order: Seq[SortOrder]): Option[RunningFn] = e match {
     case a @ Alias(WindowExpression(ae: AggregateExpression,
@@ -110,7 +110,8 @@ object GlobalRunningAggRewrite extends Rule[LogicalPlan] {
       case w @ LogicalWindow(wexprs, Nil, order, child, _)
           if order.nonEmpty && wexprs.nonEmpty && !child.isStreaming &&
             order.forall(_.deterministic) &&
-            PlanGuards.subtreeDeterministic(child) =>
+            PlanGuards.subtreeDeterministic(child) &&
+            PlanGuards.boundaryTrafficOk(order) =>
         val fns = wexprs.map(supported(_, order))
         if (fns.forall(_.isDefined)) GlobalRunningAggNode(order, fns.flatten, child)
         else w

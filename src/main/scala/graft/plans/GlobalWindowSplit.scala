@@ -1,0 +1,172 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project, Window => LogicalWindow}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.internal.SQLConf
+
+/** Splits MIXED-function empty-PARTITION-BY Window nodes so the
+  * global-window operator family composes automatically — the
+  * inverse of CollapseWindow for the one shape where collapsing is a
+  * scale pessimization.
+  *
+  * The most natural phrasing of a corpus-global report,
+  *
+  * {{{ SELECT rank() OVER (ORDER BY d), sum(x) OVER (ORDER BY d) … }}}
+  *
+  * analyzes to ONE Window node holding both functions (the analyzer
+  * groups window expressions by spec). Each family rewrite
+  * ([[GlobalRankRewrite]], [[GlobalRunningAggRewrite]],
+  * [[GlobalOffsetRewrite]], [[GlobalAggRewrite]]) fires only when
+  * EVERY expression in the node belongs to its class — a deliberate
+  * guard (a half-rewritten node would compute the rest natively over
+  * a second funnel) — so the mixed node matches none of them and the
+  * whole corpus funnels through a single task: exactly the
+  * scale-killer the family exists to delete, reachable by the most
+  * common query phrasing.
+  *
+  * This rule runs in the same fixed-point batch and splits such a
+  * node by FUNCTION CLASS, emitting the family's logical nodes
+  * directly — one [[GlobalRankNode]] / [[GlobalRunningAggNode]] /
+  * [[GlobalOffsetNode]] per present class, stacked over the child.
+  * Emitting custom nodes rather than single-class Window nodes is
+  * load-bearing: CollapseWindow runs in the same batch and would
+  * re-merge adjacent spec-compatible Window nodes, fighting the
+  * split to a fixed-point standoff; the custom nodes are invisible
+  * to it. The one exception is the full-frame aggregate class
+  * (`sum(x) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND
+  * UNBOUNDED FOLLOWING)` — order-insensitive by construction), which
+  * is re-emitted as an order-FREE `Window(…, Nil, Nil, …)` at the
+  * BOTTOM of the stack: [[GlobalAggRewrite]] consumes that shape in
+  * a later iteration of the same batch, and bottom placement keeps
+  * its subtree duplication to the raw child rather than replaying
+  * the stacked operators in the aggregate leg. (No Window adjacent
+  * to it shares its empty spec, so CollapseWindow cannot re-merge
+  * it either.)
+  *
+  * All three custom execs require `OrderedDistribution(order)` over
+  * the SAME order, so the stack shares ONE range exchange (the q45
+  * composition, produced automatically); the r16 tie-chaining makes
+  * that sharing safe under any legal finer partitioning. A Project
+  * restores the original output column order (the stack groups
+  * columns by class; downstream references bind by exprId, but the
+  * node may be the query's top, where schema column ORDER is
+  * user-visible).
+  *
+  * Scope guards: the split fires only when every window expression
+  * is claimed by exactly one class AND that class's own rewrite is
+  * enabled (splitting a class that would stay native just adds
+  * exchanges in front of the same funnel) AND ≥ 2 distinct classes
+  * are present (single-class nodes are the family rewrites' own
+  * match, untouched here). Per-class support predicates are the
+  * family rewrites' OWN matchers — the split can never claim an
+  * expression the downstream rewrite would then bail on. Order and
+  * subtree determinism and the non-streaming child requirement are
+  * the family's standing two-jobs-one-shuffle guards; the boundary
+  * byte-traffic guard ([[PlanGuards.boundaryTrafficOk]]) applies as
+  * it does in each family rewrite. Kill switch:
+  * `spark.graft.globalWindowSplit.enabled=false`.
+  */
+object GlobalWindowSplit extends Rule[LogicalPlan] {
+
+  val ConfKey = "spark.graft.globalWindowSplit.enabled"
+
+  private def confOn(key: String): Boolean =
+    SQLConf.get.getConfString(key, "true").toBoolean
+
+  private def sameExprs(a: Seq[Expression], b: Seq[Expression]): Boolean =
+    a.length == b.length && a.zip(b).forall { case (x, y) => x.semanticEquals(y) }
+
+  private val FullRowFrame =
+    SpecifiedWindowFrame(RowFrame, UnboundedPreceding, UnboundedFollowing)
+
+  /** GlobalAggRewrite's class, phrased WITH the node's order: a
+    * deterministic, non-DISTINCT, unfiltered aggregate over the
+    * full-partition frame. The value is order-insensitive (the frame
+    * covers the whole partition), so the split re-emits it on an
+    * order-free spec with a normalized ROWS full frame — exactly the
+    * shape [[GlobalAggRewrite.apply]] consumes. */
+  private def fullAgg(e: NamedExpression, order: Seq[SortOrder]): Option[NamedExpression] =
+    e match {
+      case a @ Alias(WindowExpression(ae: AggregateExpression,
+          WindowSpecDefinition(Nil, o2,
+            SpecifiedWindowFrame(_, UnboundedPreceding, UnboundedFollowing))), _)
+          if sameExprs(o2, order) && !ae.isDistinct && ae.filter.isEmpty &&
+            ae.deterministic =>
+        Some(a.copy(child = WindowExpression(ae,
+          WindowSpecDefinition(Nil, Nil, FullRowFrame)))(
+          exprId = a.exprId, qualifier = a.qualifier,
+          explicitMetadata = a.explicitMetadata,
+          nonInheritableMetadataKeys = a.nonInheritableMetadataKeys))
+      case _ => None
+    }
+
+  /** One window expression claimed by exactly one family class, or
+    * None (unsupported anywhere → the whole node stays native). */
+  private sealed trait Claimed
+  private case class CRank(fn: (Attribute, GlobalRankFn)) extends Claimed
+  private case class CRunning(fn: RunningFn) extends Claimed
+  private case class COffset(fn: OffsetFn) extends Claimed
+  private case class CFullAgg(e: NamedExpression) extends Claimed
+
+  private def classify(
+      e: NamedExpression,
+      order: Seq[SortOrder],
+      offsetCap: Int): Option[Claimed] =
+    RankFnMatch.supported(e, Nil, order, allowLong = true).map(CRank.apply)
+      .orElse(GlobalRunningAggRewrite.supported(e, order).map(CRunning.apply))
+      .orElse(GlobalOffsetRewrite.supported(e, order, offsetCap).map(COffset.apply))
+      .orElse(fullAgg(e, order).map(CFullAgg.apply))
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (!confOn(ConfKey)) return plan
+    val offsetCap =
+      SQLConf.get.getConfString(GlobalOffsetRewrite.MaxOffsetKey, "128").toInt
+    plan.transformUp {
+      case w @ LogicalWindow(wexprs, Nil, order, child, _)
+          if order.nonEmpty && wexprs.length >= 2 && !child.isStreaming &&
+            order.forall(_.deterministic) &&
+            PlanGuards.subtreeDeterministic(child) &&
+            PlanGuards.boundaryTrafficOk(order) =>
+        val claims = wexprs.map(classify(_, order, offsetCap))
+        if (claims.exists(_.isEmpty)) w
+        else {
+          val claimed = claims.flatten
+          val ranks = claimed.collect { case CRank(f) => f }
+          val runnings = claimed.collect { case CRunning(f) => f }
+          val offsets = claimed.collect { case COffset(f) => f }
+          val fullAggs = claimed.collect { case CFullAgg(e) => e }
+          val classes = Seq(ranks, runnings, offsets, fullAggs).count(_.nonEmpty)
+          val allEnabled =
+            (ranks.isEmpty || confOn(GlobalRankRewrite.ConfKey)) &&
+              (runnings.isEmpty || confOn(GlobalRunningAggRewrite.ConfKey)) &&
+              (offsets.isEmpty || confOn(GlobalOffsetRewrite.ConfKey)) &&
+              (fullAggs.isEmpty || confOn(GlobalAggRewrite.ConfKey))
+          // A full-agg class is only worth splitting out if
+          // GlobalAggRewrite will actually consume the re-emitted
+          // Window — its one structural bail is a child the exprId
+          // freshener cannot deep-copy (subquery expressions,
+          // unknown produced-attribute nodes). Splitting past that
+          // bail would leave a NATIVE AllTuples Window at the stack
+          // bottom: the funnel survives AND the operators above pay
+          // a new exchange — strictly worse than not splitting.
+          val fullAggPlannable =
+            fullAggs.isEmpty || ExprIdFreshener.freshen(child).isDefined
+          if (classes < 2 || !allEnabled || !fullAggPlannable) w
+          else {
+            logInfo(s"GlobalWindowSplit: splitting a mixed global window " +
+              s"(${ranks.size} rank, ${runnings.size} running-agg, " +
+              s"${offsets.size} offset, ${fullAggs.size} full-frame-agg " +
+              s"functions) into $classes stacked operator nodes")
+            var cur: LogicalPlan = child
+            if (fullAggs.nonEmpty) cur = LogicalWindow(fullAggs, Nil, Nil, cur)
+            if (runnings.nonEmpty) cur = GlobalRunningAggNode(order, runnings, cur)
+            if (offsets.nonEmpty) cur = GlobalOffsetNode(order, offsets, cur)
+            if (ranks.nonEmpty) cur = GlobalRankNode(order, ranks, cur)
+            Project(w.output, cur)
+          }
+        }
+    }
+  }
+}

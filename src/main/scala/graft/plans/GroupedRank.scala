@@ -117,6 +117,7 @@ object GroupedRankRewrite extends Rule[LogicalPlan] {
             part.forall(e => e.deterministic && RowOrdering.isOrderable(e.dataType)) &&
             order.forall(_.deterministic) &&
             PlanGuards.subtreeDeterministic(child) &&
+            PlanGuards.boundaryTrafficOk(order, part) &&
             child.stats.sizeInBytes >= minBytes =>
         val fns = wexprs.map(RankFnMatch.supported(_, part, order))
         if (fns.forall(_.isDefined)) GroupedRankNode(part, order, fns.flatten, child)

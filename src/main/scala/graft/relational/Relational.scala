@@ -1272,7 +1272,42 @@ object Relational {
       .orderBy($"o_orderdate")
   }
 
+  /** q46: MIXED GLOBAL WINDOW — the GlobalWindowSplit shape in the
+    * DuckDB gate. ONE select mixes all four family classes over the
+    * same global order: rank + cume_dist (rank class), the running
+    * total (running-agg class), the previous order's cents (offset
+    * class) and the corpus total (full-frame share-of-total class).
+    * The analyzer puts all five in ONE Window node; pre-r17 every
+    * family rewrite correctly bailed on the mixed node and the corpus
+    * funneled through a single task — the most natural phrasing of a
+    * cumulative dashboard was the family's one remaining scale hole.
+    * GlobalWindowSplit (inverse-CollapseWindow) now splits the node by
+    * class into the stacked operators sharing ONE range exchange, with
+    * the total rewritten to GlobalAgg's broadcast join
+    * (MixedWindowSplitSpec pins the executed plan). The
+    * (o_orderdate, o_orderkey) order is total, so every column is
+    * tie-deterministic and the oracle is hash-exact. Reference
+    * surface: the same ClickHouse dashboard trio as q45
+    * (solarman.py:259's derived metrics), phrased the way a user
+    * actually writes it — one SELECT. */
+  def q46MixedWindow(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.orderBy($"o_orderdate", $"o_orderkey")
+    val orders = Tables.orders(s, d)
+      .select($"o_orderkey", $"o_orderdate",
+        (dec($"o_totalprice") * 100).cast("long").as("cents"))
+    orders.select($"o_orderkey", $"o_orderdate", $"cents",
+        rank().over(w).as("seq_rank"),
+        cume_dist().over(w).as("seq_cume"),
+        sum($"cents").over(w).as("cum_cents"),
+        lag($"cents", 1, 0L).over(w).as("prev_cents"),
+        sum($"cents").over(w.rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)).as("total_cents"))
+      .orderBy($"o_orderkey")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q46_mixed_window" -> (q46MixedWindow _),
     "q45_revenue_momentum" -> (q45RevenueMomentum _),
     "q44_cumulative" -> (q44Cumulative _),
     "q43_revenue_share" -> (q43RevenueShare _),
@@ -1328,6 +1363,25 @@ object Relational {
     // columns are tie-deterministic; cents stay integral end-to-end
     // (BIGINT casts mirror Spark's long arithmetic), rank narrowed to
     // Spark's IntegerType.
+    // q46: total (o_orderdate, o_orderkey) order → every window column
+    // tie-deterministic; exact cents end to end, rank narrowed to
+    // Spark's IntegerType, sums/lag cast back from HUGEINT; DuckDB's
+    // default ORDER BY frame is the same SQL-standard RANGE running
+    // frame Spark uses, the full frame is written out.
+    "q46_mixed_window" ->
+      """WITH o AS (
+           SELECT o_orderkey, o_orderdate,
+                  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+           FROM orders)
+         SELECT o_orderkey, o_orderdate, cents,
+                CAST(rank() OVER (ORDER BY o_orderdate, o_orderkey) AS INT) AS seq_rank,
+                cume_dist() OVER (ORDER BY o_orderdate, o_orderkey) AS seq_cume,
+                CAST(sum(cents) OVER (ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS cum_cents,
+                CAST(lag(cents, 1, 0) OVER (ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS prev_cents,
+                CAST(sum(cents) OVER (ORDER BY o_orderdate, o_orderkey
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+                     AS BIGINT) AS total_cents
+         FROM o ORDER BY o_orderkey""",
     "q45_revenue_momentum" ->
       """WITH daily AS (
            SELECT o_orderdate,

@@ -145,11 +145,19 @@ class GlobalOffsetSpec extends AnyFunSuite {
       ok.collect()
       assert(ok.queryExecution.executedPlan.toString.contains("GlobalOffset"))
       // mixed node (lag + rank over the same spec): neither family
-      // owns it -> native (the documented mixed-window decision)
+      // owns it alone — since r17 GlobalWindowSplit splits it into
+      // BOTH operators (the pre-r17 native-funnel decision survives
+      // only behind the split's kill switch)
       val mixed = base.select(lag($"k", 1).over(w).as("p"), rank().over(w).as("r"))
       mixed.collect()
       val mplan = mixed.queryExecution.executedPlan.toString
-      assert(!mplan.contains("GlobalOffset") && !mplan.contains("GlobalRank"))
+      assert(mplan.contains("GlobalOffset") && mplan.contains("GlobalRank"), mplan.take(2000))
+      TestSpark.withConf(graft.plans.GlobalWindowSplit.ConfKey, "false") {
+        val whole = base.select(lag($"k", 1).over(w).as("p"), rank().over(w).as("r"))
+        whole.collect()
+        val wplan = whole.queryExecution.executedPlan.toString
+        assert(!wplan.contains("GlobalOffset") && !wplan.contains("GlobalRank"), wplan.take(2000))
+      }
       // nondeterministic order -> native
       val nd = base.select(lag($"k", 1).over(Window.orderBy(rand(7))).as("p"))
       nd.collect()

@@ -365,6 +365,42 @@ class TieSplitSpec extends AnyFunSuite {
       rps.exists(e => e.contains("event_id")), s"cdf + output exchanges: $rps")
   }
 
+  test("mixed rank+running node under finer exchange: split fires AND both operators chain on the reused exchange") {
+    val s = spark
+    import s.implicits._
+    noCoalesce {
+      // the r16 verdict's probe shape (rank + agg over the SAME global
+      // order in one select → ONE mixed Window node) combined with the
+      // tie-split hazard: the split must fire, BOTH resulting
+      // operators must consume the pre-existing finer (d, k) exchange,
+      // and their driver tie-chains must agree with native on the
+      // tie-stable columns
+      def q(on: Boolean): Seq[Row] =
+        TestSpark.withConf(graft.plans.GlobalWindowSplit.ConfKey, on.toString) {
+          TestSpark.withConf(graft.plans.GlobalRankRewrite.ConfKey, on.toString) {
+            TestSpark.withConf(graft.plans.GlobalRunningAggRewrite.ConfKey, on.toString) {
+              val w = Window.orderBy($"d")
+              val df = tieData
+                .orderBy($"d", $"k") // finer range exchange both execs must reuse
+                .select($"id", $"k",
+                  rank().over(w).as("r"),
+                  dense_rank().over(w).as("dr"),
+                  cume_dist().over(w).as("cd"),
+                  sum($"cents").over(w).as("rsum"),
+                  count(lit(1)).over(w).as("rcnt"))
+              val rows = df.collect().toSeq
+              if (on) {
+                assertReused(df, "GlobalRank")
+                assertReused(df, "GlobalRunningAgg")
+              }
+              rows.sortBy(_.getLong(0))
+            }
+          }
+        }
+      assertSame(q(on = true), q(on = false), "mixed split under finer exchange")
+    }
+  }
+
   test("GlobalOffset under finer exchange: tie-arbitrary neighbor contract holds (set-valid per tie group)") {
     val s = spark
     import s.implicits._
