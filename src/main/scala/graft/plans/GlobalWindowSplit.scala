@@ -54,6 +54,23 @@ import org.apache.spark.sql.internal.SQLConf
   * node may be the query's top, where schema column ORDER is
   * user-visible).
   *
+  * Tie contract: the tie-STABLE functions (rank/dense_rank/
+  * percent_rank/cume_dist, RANGE-frame running aggregates, full-frame
+  * aggregates) are bit-identical to the native mixed node under any
+  * ties. The tie-ARBITRARY functions (row_number/ntile/lag/lead)
+  * keep their per-function contract — a valid-but-arbitrary choice
+  * within each tie group, the same contract the native plan and the
+  * single-class operators already carry (TieSplitSpec pins it) — but
+  * the split gives up CROSS-function tie consistency: the native
+  * single task evaluates every function over one incidental row
+  * order, while the split's operators each re-stream the shared
+  * shuffle in separate passes whose equal-key merge order may
+  * differ, so `row_number()` and `lag(x)` in one SELECT may resolve
+  * the same tie differently. No SQL contract promises that
+  * consistency (it is unspecified even across two separate native
+  * queries), and any query needing it should make the order total —
+  * which also makes every function deterministic.
+  *
   * Scope guards: the split fires only when every window expression
   * is claimed by exactly one class AND that class's own rewrite is
   * enabled (splitting a class that would stay native just adds
