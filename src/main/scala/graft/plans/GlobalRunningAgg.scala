@@ -5,7 +5,8 @@ import scala.collection.mutable.ArrayBuffer
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, DeclarativeAggregate}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, DeclarativeAggregate, First}
+import org.apache.spark.sql.types.IntegerType
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode, Window => LogicalWindow}
 import org.apache.spark.sql.catalyst.plans.physical.{Distribution, OrderedDistribution, Partitioning}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -66,11 +67,20 @@ import org.apache.spark.sql.internal.SQLConf
   * non-DISTINCT, unfiltered AggregateExpression over a DECLARATIVE
   * aggregate function with a running frame on the node's own order;
   * TypedImperative aggregates (collect_list, sketches) bail —
-  * several have unbounded or non-mergeable-in-prefix state. (Note:
-  * `first()` never reaches this rule — Spark's
-  * OptimizeWindowFunctions converts running-frame first_value to
-  * nth_value, an offset window function, so such nodes mix and stay
-  * native.) Order
+  * several have unbounded or non-mergeable-in-prefix state. (Note on
+  * first/last: with the DEFAULT RANGE frame they stay First/Last
+  * aggregates and ride the generic declarative path — correct
+  * because the exec streams each partition in sorted order and the
+  * driver folds partials in partition order, so "first/last of the
+  * prefix" is evaluated in exactly the native row order. With an
+  * explicit running ROWS frame, Spark's OptimizeWindowFunctions
+  * converts first() to `NthValue(x, 1)` — an offset window function,
+  * matched by the dedicated case in [[supported]] and mapped back to
+  * the running First aggregate, which has identical semantics over
+  * a running frame. nth_value with k > 1 stays native: its gate
+  * needs a global row number, not a prefix aggregate. An earlier
+  * revision of this note claimed first() never reaches the rule —
+  * wrong for RANGE frames, corrected r17 with spec coverage.) Order
   * and child must be deterministic (two jobs, one shuffle);
   * streaming children bail. `spark.graft.globalRunningAgg.enabled`
   * kill switch / A-B spec lever.
@@ -101,6 +111,24 @@ object GlobalRunningAggRewrite extends Rule[LogicalPlan] {
           Some(RunningFn(a.toAttribute, da, ft == RangeFrame))
         case _ => None // imperative/typed aggregates: bail
       }
+    // `first_value(x) OVER (ORDER BY … ROWS UNBOUNDED PRECEDING →
+    // CURRENT ROW)`: Spark's OptimizeWindowFunctions converts
+    // running-ROW-frame first() to NthValue(x, 1) (RANGE frames keep
+    // the First aggregate and land in the case above), which is an
+    // OffsetWindowFunction no family class owned — the one
+    // first-value phrasing that still funneled. The value of
+    // nth_value(x, 1) over a running frame IS the running First
+    // aggregate — 1st (non-null under ignoreNulls) row of the prefix,
+    // and for the RANGE variant the tie-group-end evaluation sees the
+    // same frame — so it maps onto the exec's generic declarative
+    // path with zero new machinery. k > 1 has no aggregate equivalent
+    // (it would need a global-row-number gate) and stays native.
+    case a @ Alias(WindowExpression(
+        NthValue(input, Literal(1, IntegerType), ign),
+        WindowSpecDefinition(Nil, o2,
+          SpecifiedWindowFrame(ft, UnboundedPreceding, CurrentRow))), _)
+        if sameExprs(o2, order) && input.deterministic =>
+      Some(RunningFn(a.toAttribute, First(input, ign), ft == RangeFrame))
     case _ => None
   }
 

@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression
+import org.apache.spark.sql.catalyst.expressions.aggregate._
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project, Window => LogicalWindow}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.internal.SQLConf
@@ -98,10 +98,31 @@ object GlobalWindowSplit extends Rule[LogicalPlan] {
   private val FullRowFrame =
     SpecifiedWindowFrame(RowFrame, UnboundedPreceding, UnboundedFollowing)
 
+  /** The full-frame VALUE must be provably ORDER-INSENSITIVE before
+    * the split may drop the node's order from its spec: Catalyst's
+    * `deterministic` flag is NOT sufficient — First/Last/collect_list
+    * all report deterministic=true while their value depends on input
+    * order (their scaladocs say so; the flag only tracks rand()-style
+    * nondeterminism), so `first(x) OVER (ORDER BY o ROWS BETWEEN
+    * UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)` rewritten
+    * order-free would aggregate in arbitrary partition order and
+    * CHANGE the result. Whitelist of commutative-merge aggregates
+    * whose value is a pure function of the input MULTISET (float
+    * summation associativity remains the documented GlobalAgg
+    * caveat); everything else keeps the whole node native. */
+  private def orderInsensitive(fn: AggregateFunction): Boolean = fn match {
+    case _: Sum | _: Count | _: Min | _: Max | _: Average => true
+    case _: CentralMomentAgg | _: Corr | _: Covariance => true
+    case _: BitAggregate => true
+    case _: HyperLogLogPlusPlus => true
+    case _ => false
+  }
+
   /** GlobalAggRewrite's class, phrased WITH the node's order: a
-    * deterministic, non-DISTINCT, unfiltered aggregate over the
-    * full-partition frame. The value is order-insensitive (the frame
-    * covers the whole partition), so the split re-emits it on an
+    * deterministic, non-DISTINCT, unfiltered, ORDER-INSENSITIVE
+    * aggregate over the full-partition frame. The value then ignores
+    * the order entirely (the frame covers the whole partition and the
+    * multiset is all that matters), so the split re-emits it on an
     * order-free spec with a normalized ROWS full frame — exactly the
     * shape [[GlobalAggRewrite.apply]] consumes. */
   private def fullAgg(e: NamedExpression, order: Seq[SortOrder]): Option[NamedExpression] =
@@ -110,7 +131,7 @@ object GlobalWindowSplit extends Rule[LogicalPlan] {
           WindowSpecDefinition(Nil, o2,
             SpecifiedWindowFrame(_, UnboundedPreceding, UnboundedFollowing))), _)
           if sameExprs(o2, order) && !ae.isDistinct && ae.filter.isEmpty &&
-            ae.deterministic =>
+            ae.deterministic && orderInsensitive(ae.aggregateFunction) =>
         Some(a.copy(child = WindowExpression(ae,
           WindowSpecDefinition(Nil, Nil, FullRowFrame)))(
           exprId = a.exprId, qualifier = a.qualifier,

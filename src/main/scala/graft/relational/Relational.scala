@@ -1301,6 +1301,11 @@ object Relational {
         cume_dist().over(w).as("seq_cume"),
         sum($"cents").over(w).as("cum_cents"),
         lag($"cents", 1, 0L).over(w).as("prev_cents"),
+        // explicit ROWS running frame: Spark converts this first() to
+        // NthValue(cents, 1), which the r17 mapping plans back onto
+        // GlobalRunningAgg — the first-value phrasing in the gate
+        first($"cents").over(w.rowsBetween(
+          Window.unboundedPreceding, Window.currentRow)).as("base_cents"),
         sum($"cents").over(w.rowsBetween(
           Window.unboundedPreceding, Window.unboundedFollowing)).as("total_cents"))
       .orderBy($"o_orderkey")
@@ -1378,6 +1383,9 @@ object Relational {
                 cume_dist() OVER (ORDER BY o_orderdate, o_orderkey) AS seq_cume,
                 CAST(sum(cents) OVER (ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS cum_cents,
                 CAST(lag(cents, 1, 0) OVER (ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS prev_cents,
+                CAST(first_value(cents) OVER (ORDER BY o_orderdate, o_orderkey
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS BIGINT) AS base_cents,
                 CAST(sum(cents) OVER (ORDER BY o_orderdate, o_orderkey
                        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
                      AS BIGINT) AS total_cents

@@ -157,6 +157,84 @@ class MixedWindowSplitSpec extends AnyFunSuite {
     assert(p.contains("GlobalRank") && p.contains("GlobalRunningAgg"), p.take(2000))
   }
 
+  test("ORDER-SENSITIVE full-frame aggregates are never split order-free (first/last/collect_list full frames)") {
+    val s = spark
+    import s.implicits._
+    // Catalyst flags First/Last/collect_list deterministic=true, but
+    // their VALUE depends on input order — `first(x) OVER (ORDER BY id
+    // ROWS/RANGE BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)`
+    // re-emitted on an order-free spec would aggregate in arbitrary
+    // partition order and CHANGE the result. The full-agg class is a
+    // whitelist of multiset-pure aggregates; an order-sensitive member
+    // keeps the WHOLE node native.
+    val w = Window.orderBy($"id")
+    val wFull = w.rangeBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val df = data.select($"id", rank().over(w).as("r"),
+      first($"cents").over(wFull).as("fx"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("GlobalRank") && !plan.contains("BroadcastNestedLoopJoin"),
+      "order-sensitive full-frame member must keep the node native:\n" + plan.take(2000))
+    // sanity: the whitelisted sum in the same shape still splits
+    val ok = data.select($"id", rank().over(w).as("r"),
+      sum($"cents").over(wFull).as("tot"))
+    val okPlan = ok.queryExecution.executedPlan.toString
+    assert(okPlan.contains("GlobalRank") && okPlan.contains("BroadcastNestedLoopJoin"),
+      okPlan.take(2000))
+  }
+
+  test("first_value/last_value global running windows plan on GlobalRunningAgg (RANGE stays First; ROWS maps NthValue(x,1) back)") {
+    val s = spark
+    import s.implicits._
+    // give first/last/nth a NULL-bearing input so ignoreNulls paths differ
+    val nd = data.withColumn("cn", when($"id" % 7 =!= 0, $"cents"))
+    nd.createOrReplaceTempView("fv_t")
+    val sqlText = """
+      SELECT id,
+             first_value(cn) OVER (ORDER BY id) AS fv_range,
+             last_value(cn)  OVER (ORDER BY id) AS lv_range,
+             first_value(cn) OVER (ORDER BY id ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS fv_rows,
+             first_value(cn) IGNORE NULLS OVER (ORDER BY id ROWS BETWEEN UNBOUNDED
+                                   PRECEDING AND CURRENT ROW) AS fv_rows_ig,
+             nth_value(cn, 1) OVER (ORDER BY id) AS nv1
+      FROM fv_t"""
+    def q(on: Boolean): Seq[Row] =
+      TestSpark.withConf(graft.plans.GlobalRunningAggRewrite.ConfKey, on.toString) {
+        val df = s.sql(sqlText)
+        if (on) {
+          val plan = df.queryExecution.executedPlan.toString
+          assert(plan.contains("GlobalRunningAgg"), plan.take(2500))
+          assert(!plan.contains("Window ["),
+            "every first/last/nth_value(,1) phrasing must leave the native window:\n" +
+              plan.take(2500))
+        }
+        df.collect().toSeq.sortBy(_.getLong(0))
+      }
+    assertSame(q(on = true), q(on = false), "first/last value global running windows")
+    // nth_value with k > 1 has no prefix-aggregate equivalent: native
+    val k2 = s.sql(
+      "SELECT id, nth_value(cn, 2) OVER (ORDER BY id) AS nv2 FROM fv_t")
+    assert(!k2.queryExecution.executedPlan.toString.contains("GlobalRunningAgg"))
+  }
+
+  test("mixed rank + explicit-ROWS first_value in one SELECT: the split plans both (the converted NthValue member)") {
+    val s = spark
+    import s.implicits._
+    data.createOrReplaceTempView("fvm_t")
+    val sqlText = """
+      SELECT id, rank() OVER (ORDER BY id) AS r,
+             first_value(cents) OVER (ORDER BY id ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS fv
+      FROM fvm_t"""
+    val df = s.sql(sqlText)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("GlobalRank") && plan.contains("GlobalRunningAgg"),
+      plan.take(2500))
+    val got = df.collect().toSeq.sortBy(_.getLong(0))
+    val ref = allOff(s.sql(sqlText).collect().toSeq.sortBy(_.getLong(0)))
+    assertSame(got, ref, "mixed rank + converted first_value")
+  }
+
   test("q46 graded plan: the split is live in the DuckDB-gated query — all four classes, one shared range exchange") {
     val s = spark
     val df = graft.relational.Relational.q46MixedWindow(s, SfDir)

@@ -401,6 +401,36 @@ class TieSplitSpec extends AnyFunSuite {
     }
   }
 
+  test("running First under finer exchange: tie-arbitrary contract (constant, from the first tie group) through the driver chain") {
+    val s = spark
+    import s.implicits._
+    noCoalesce {
+      // first_value(x) OVER (ORDER BY d) with d ties: the value is the
+      // input of SOME row of the FIRST tie group (intra-group order is
+      // arbitrary in both engines, so no bit-equality) and must be the
+      // SAME on every output row — including rows of partitions whose
+      // prefix state arrives through the r16 driver chain's
+      // firstGroupBuf override (First's left-if-set merge is the
+      // order-sensitive merge the partition-order fold must preserve).
+      for (on <- Seq(true, false))
+        TestSpark.withConf(graft.plans.GlobalRunningAggRewrite.ConfKey, on.toString) {
+          val df = tieData.orderBy($"d", $"k")
+            .select($"id", $"k", $"d",
+              first($"cents").over(Window.orderBy($"d")).as("fc"))
+          val rows = df.collect()
+          if (on) assertReused(df, "GlobalRunningAgg")
+          val firstGroup = rows.filter(_.getInt(2) == 0).map(_.getLong(3)).toSet
+          val vals = rows.map(_.getLong(3)).distinct
+          assert(vals.length == 1, s"first must be constant corpus-wide, got ${vals.take(5).toSeq}")
+          val inputs = tieData.filter($"d" === 0).select($"cents")
+            .collect().map(_.getLong(0)).toSet
+          assert(inputs.contains(vals.head),
+            s"first value ${vals.head} must come from the first tie group")
+          assert(firstGroup == Set(vals.head))
+        }
+    }
+  }
+
   test("GlobalOffset under finer exchange: tie-arbitrary neighbor contract holds (set-valid per tie group)") {
     val s = spark
     import s.implicits._
