@@ -32,6 +32,10 @@ import org.apache.spark.sql.functions._
   * the pre-r17 single-task mixed funnel, on = the split four-operator
   * stack on one shared range exchange; exact-long checksums equal
   * across both is the 50M correctness witness.
+  * `mixedchained` composes the r17 split with the r16 tie chain: the
+  * same mixed select over a pre-existing FINER exchange that splits
+  * every order tie group — split + chained operators on the reused
+  * exchange vs the native mixed funnel.
   * Prints wall seconds for rule-on vs rule-off and the speedup — the
   * PLANS.md "global ranking"/"global aggregate"/"grouped ranking"/
   * "global offset" probe rows come from here. */
@@ -48,11 +52,12 @@ object RankProbe {
     val confKey = mode match {
       case "agg" => graft.plans.GlobalAggRewrite.ConfKey
       case "grouped" => graft.plans.GroupedRankRewrite.ConfKey
+      case "groupedrunning" => graft.plans.GroupedRunningAggRewrite.ConfKey
       case "offset" => graft.plans.GlobalOffsetRewrite.ConfKey
       case "running" => graft.plans.GlobalRunningAggRewrite.ConfKey
       case _ => graft.plans.GlobalRankRewrite.ConfKey
     }
-    if (mode == "chained")
+    if (mode == "chained" || mode == "mixedchained")
       s.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
     def run(on: Boolean): Double = {
       s.conf.set(confKey, on.toString)
@@ -62,7 +67,7 @@ object RankProbe {
       // the mixed split plans all four families out of one node: the
       // off branch must silence every one of them to get the true
       // pre-r17 native mixed funnel
-      if (mode == "mixed")
+      if (mode == "mixed" || mode == "mixedchained")
         Seq(graft.plans.GlobalWindowSplit.ConfKey,
           graft.plans.GlobalRankRewrite.ConfKey,
           graft.plans.GlobalRunningAggRewrite.ConfKey,
@@ -111,6 +116,32 @@ object RankProbe {
                 Window.unboundedPreceding, Window.unboundedFollowing)).as("tot"))
             .agg((sum($"r".cast("long")) + sum(($"cd" * 1000000).cast("long")) +
               max($"run") + sum($"pk") + min($"tot")).as("chk")).head()
+        case "mixedchained" =>
+          // the r17 split × r16 chain COMPOSITION at scale: one mixed
+          // select (rank family + running RANGE sum) ordered by `d`
+          // alone over a pre-existing FINER (d, fine) exchange whose
+          // 200 boundaries split every one of the 1000 d tie groups —
+          // the split must fire AND both emitted operators must chain
+          // boundary tie state on the reused exchange. Exact-long
+          // checksums (rank/dense are tie-stable; the RANGE sum is
+          // tie-stable) equal across on/off is the correctness
+          // witness for the stacked chained configuration.
+          val groups = 1000L
+          val sz = math.max(n / groups, 1L)
+          val tied = s.range(n).select($"id",
+              floor($"id" / sz).cast("long").as("d"),
+              pmod($"id" * 2654435761L, lit(97L)).as("fine"))
+            .repartitionByRange(200, $"d", $"fine")
+          val wd = Window.orderBy($"d")
+          tied.select($"fine",
+              rank().over(wd).as("r"),
+              dense_rank().over(wd).as("dr"),
+              cume_dist().over(wd).as("cd"),
+              sum($"fine").over(wd).as("gs"),
+              count(lit(1)).over(wd).as("gc"))
+            .agg((sum($"gs") + max($"gc") + sum($"r".cast("long")) +
+              sum($"dr".cast("long")) +
+              sum(($"cd" * 1000000).cast("long"))).as("chk")).head()
         case "agg" =>
           // exact-long shares: every row reads the broadcast total;
           // the min/max aggregate touches every emitted row
@@ -131,6 +162,20 @@ object RankProbe {
           df.select(($"k" - lag($"k", 1, 0L).over(w)).as("dk"),
               lead($"k", 2, 0L).over(w).as("nk"))
             .agg(sum($"dk") + min($"nk") + max($"nk")).head()
+        case "groupedrunning" =>
+          // the q47 shape at scale: per-group cumulative sum + count
+          // over FEW HUGE GROUPS (default 4 ≈ n/4 rows each) — the
+          // regime where the native hash window's parallelism ceiling
+          // is the group count; exact-long checksums touch every
+          // prefix value in every group
+          val wg = Window.partitionBy($"g").orderBy($"k", $"id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+          df.withColumn("g", pmod($"id", lit(nGroups.toLong)))
+            .select($"g",
+              sum($"k").over(wg).as("cs"),
+              count(lit(1)).over(wg).as("cc"))
+            .groupBy($"g").agg((max($"cs") + min($"cs") + max($"cc")).as("m"))
+            .agg(sum($"m")).head()
         case "running" =>
           // the q44 shape: cumulative sum + count on the ROWS frame,
           // exact-long checksum touching every prefix value

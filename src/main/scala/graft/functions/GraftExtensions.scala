@@ -58,6 +58,13 @@ object GraftExtensions extends SparkSessionExtensionsProvider {
     // filter(rank <= k)).
     ext.injectOptimizerRule(_ => graft.plans.GroupedRankRewrite)
     ext.injectPlannerStrategy(_ => graft.plans.GroupedRankStrategy)
+    // Grouped RUNNING aggregates (sum(x) OVER (PARTITION BY g ORDER
+    // BY …)): GroupedRank's sibling for the aggregate class — the
+    // native hash-clustered window's parallelism ceiling is the group
+    // count, so groups that outgrow a task funnel; the operator
+    // range-partitions (group, order) and chains boundary segments.
+    ext.injectOptimizerRule(_ => graft.plans.GroupedRunningAggRewrite)
+    ext.injectPlannerStrategy(_ => graft.plans.GroupedRunningAggStrategy)
     // Corpus-global offset windows (lag/lead OVER (ORDER BY …)) — the
     // third empty-PARTITION-BY funnel: rewritten to the range
     // exchange + boundary-VALUE exchange instead of the all-rows

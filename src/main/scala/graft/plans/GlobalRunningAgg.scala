@@ -95,28 +95,32 @@ object GlobalRunningAggRewrite extends Rule[LogicalPlan] {
   private def sameExprs(a: Seq[Expression], b: Seq[Expression]): Boolean =
     a.length == b.length && a.zip(b).forall { case (x, y) => x.semanticEquals(y) }
 
-  /** One supported running aggregate: output attribute, the
-    * declarative function, whether the frame is the RANGE (peers
-    * share the value) variant. */
+  /** One supported running aggregate over the node's own
+    * (part, order) spec: output attribute, the declarative function,
+    * whether the frame is the RANGE (peers share the value) variant.
+    * Shared by [[GlobalRunningAggRewrite]] (empty partition),
+    * [[GroupedRunningAggRewrite]] (non-empty) and
+    * [[GlobalWindowSplit]]. */
   private[plans] def supported(
       e: NamedExpression,
+      part: Seq[Expression],
       order: Seq[SortOrder]): Option[RunningFn] = e match {
     case a @ Alias(WindowExpression(ae: AggregateExpression,
-        WindowSpecDefinition(Nil, o2,
+        WindowSpecDefinition(p2, o2,
           SpecifiedWindowFrame(ft, UnboundedPreceding, CurrentRow))), _)
-        if sameExprs(o2, order) && !ae.isDistinct && ae.filter.isEmpty &&
-          ae.deterministic =>
+        if sameExprs(p2, part) && sameExprs(o2, order) &&
+          !ae.isDistinct && ae.filter.isEmpty && ae.deterministic =>
       ae.aggregateFunction match {
         case da: DeclarativeAggregate =>
           Some(RunningFn(a.toAttribute, da, ft == RangeFrame))
         case _ => None // imperative/typed aggregates: bail
       }
-    // `first_value(x) OVER (ORDER BY … ROWS UNBOUNDED PRECEDING →
-    // CURRENT ROW)`: Spark's OptimizeWindowFunctions converts
-    // running-ROW-frame first() to NthValue(x, 1) (RANGE frames keep
-    // the First aggregate and land in the case above), which is an
-    // OffsetWindowFunction no family class owned — the one
-    // first-value phrasing that still funneled. The value of
+    // `first_value(x) OVER ([PARTITION BY …] ORDER BY … ROWS UNBOUNDED
+    // PRECEDING → CURRENT ROW)`: Spark's OptimizeWindowFunctions
+    // converts running-ROW-frame first() to NthValue(x, 1) (RANGE
+    // frames keep the First aggregate and land in the case above),
+    // which is an OffsetWindowFunction no family class owned — the
+    // one first-value phrasing that still funneled. The value of
     // nth_value(x, 1) over a running frame IS the running First
     // aggregate — 1st (non-null under ignoreNulls) row of the prefix,
     // and for the RANGE variant the tie-group-end evaluation sees the
@@ -125,9 +129,9 @@ object GlobalRunningAggRewrite extends Rule[LogicalPlan] {
     // (it would need a global-row-number gate) and stays native.
     case a @ Alias(WindowExpression(
         NthValue(input, Literal(1, IntegerType), ign),
-        WindowSpecDefinition(Nil, o2,
+        WindowSpecDefinition(p2, o2,
           SpecifiedWindowFrame(ft, UnboundedPreceding, CurrentRow))), _)
-        if sameExprs(o2, order) && input.deterministic =>
+        if sameExprs(p2, part) && sameExprs(o2, order) && input.deterministic =>
       Some(RunningFn(a.toAttribute, First(input, ign), ft == RangeFrame))
     case _ => None
   }
@@ -140,7 +144,7 @@ object GlobalRunningAggRewrite extends Rule[LogicalPlan] {
             order.forall(_.deterministic) &&
             PlanGuards.subtreeDeterministic(child) &&
             PlanGuards.boundaryTrafficOk(order) =>
-        val fns = wexprs.map(supported(_, order))
+        val fns = wexprs.map(supported(_, Nil, order))
         if (fns.forall(_.isDefined)) GlobalRunningAggNode(order, fns.flatten, child)
         else w
     }

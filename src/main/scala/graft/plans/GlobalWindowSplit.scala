@@ -153,7 +153,7 @@ object GlobalWindowSplit extends Rule[LogicalPlan] {
       order: Seq[SortOrder],
       offsetCap: Int): Option[Claimed] =
     RankFnMatch.supported(e, Nil, order, allowLong = true).map(CRank.apply)
-      .orElse(GlobalRunningAggRewrite.supported(e, order).map(CRunning.apply))
+      .orElse(GlobalRunningAggRewrite.supported(e, Nil, order).map(CRunning.apply))
       .orElse(GlobalOffsetRewrite.supported(e, order, offsetCap).map(COffset.apply))
       .orElse(fullAgg(e, order).map(CFullAgg.apply))
 

@@ -1311,7 +1311,38 @@ object Relational {
       .orderBy($"o_orderkey")
   }
 
+  /** q47: PER-PRIORITY CUMULATIVE CURVES — grouped running aggregates
+    * ON the GroupedRunningAgg operator (r17): `sum/count OVER
+    * (PARTITION BY o_orderpriority ORDER BY o_orderdate)` is the
+    * few-huge-groups shape (5 priorities × the whole order corpus —
+    * the q23-per-nation class) where the native hash-clustered
+    * window's parallelism ceiling is the GROUP count and each group
+    * funnels through one task. The operator range-partitions
+    * (priority, date), chains boundary segments on the driver
+    * (O(partitions) buffers), and the RANGE frame's same-date tie
+    * groups pin ClickHouse `runningAccumulate`-per-key semantics
+    * through the gate; the ROWS frame over the unique
+    * (priority, date, orderkey) order rides the SAME exchange
+    * (prefix rule — the q44 sharing discipline, grouped). Exact
+    * cents end to end. */
+  def q47PriorityCumulative(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val orders = Tables.orders(s, d)
+      .select($"o_orderkey", $"o_orderpriority", $"o_orderdate",
+        (dec($"o_totalprice") * 100).cast("long").as("cents"))
+    val w = Window.partitionBy($"o_orderpriority").orderBy($"o_orderdate")
+    val wr = Window.partitionBy($"o_orderpriority")
+      .orderBy($"o_orderdate", $"o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    orders.select($"o_orderkey", $"o_orderpriority", $"o_orderdate",
+        sum($"cents").over(w).as("cum_cents"),
+        count(lit(1)).over(w).as("cum_orders"),
+        sum($"cents").over(wr).as("run_cents"))
+      .orderBy($"o_orderkey")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q47_priority_cumulative" -> (q47PriorityCumulative _),
     "q46_mixed_window" -> (q46MixedWindow _),
     "q45_revenue_momentum" -> (q45RevenueMomentum _),
     "q44_cumulative" -> (q44Cumulative _),
@@ -1368,6 +1399,26 @@ object Relational {
     // columns are tie-deterministic; cents stay integral end-to-end
     // (BIGINT casts mirror Spark's long arithmetic), rank narrowed to
     // Spark's IntegerType.
+    // q47: the q44 oracle discipline per priority group — DuckDB's
+    // default ORDER BY frame is the same SQL-standard RANGE running
+    // frame (same-date ties share the closing value), the ROWS frame
+    // is written out over the unique (date, orderkey) order; exact
+    // cents, counts cast back from HUGEINT.
+    "q47_priority_cumulative" ->
+      """WITH o AS (
+           SELECT o_orderkey, o_orderpriority, o_orderdate,
+                  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+           FROM orders)
+         SELECT o_orderkey, o_orderpriority, o_orderdate,
+                CAST(sum(cents) OVER (PARTITION BY o_orderpriority
+                       ORDER BY o_orderdate) AS BIGINT) AS cum_cents,
+                CAST(count(*) OVER (PARTITION BY o_orderpriority
+                       ORDER BY o_orderdate) AS BIGINT) AS cum_orders,
+                CAST(sum(cents) OVER (PARTITION BY o_orderpriority
+                       ORDER BY o_orderdate, o_orderkey
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS BIGINT) AS run_cents
+         FROM o ORDER BY o_orderkey""",
     // q46: total (o_orderdate, o_orderkey) order → every window column
     // tie-deterministic; exact cents end to end, rank narrowed to
     // Spark's IntegerType, sums/lag cast back from HUGEINT; DuckDB's

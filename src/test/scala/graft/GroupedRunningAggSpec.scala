@@ -1,0 +1,194 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** [[graft.plans.GroupedRunningAggRewrite]] — grouped running
+  * aggregates as GroupedRank's sibling operator (r17). The native
+  * hash-clustered window's parallelism ceiling is the GROUP COUNT
+  * (q23-per-nation: 25 groups × 100 TB = terabytes per task); the
+  * operator range-partitions (group, order) and chains boundary
+  * segments on the driver. Equivalence is pinned against the native
+  * window on: multiple frames in one node, RANGE tie semantics,
+  * null order-key bands, decimal sums, null-bearing avg, first/last
+  * and the NthValue(x,1) mapping, few-huge-groups, desc order, and
+  * group boundaries aligned exactly with partition edges. Plan shape
+  * pins ONE range exchange and no hash exchange; bail-outs keep
+  * mixed/imperative/bounded/nondeterministic/unorderable-key nodes
+  * native. The partitioning-variation canary (the r16 discipline,
+  * day one for this exec) lives in the companion TieSplitSpec case.
+  */
+class GroupedRunningAggSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def withRule[A](on: Boolean)(body: => A): A =
+    TestSpark.withConf(graft.plans.GroupedRunningAggRewrite.ConfKey, on.toString)(body)
+
+  private def assertSame(got: Seq[Row], ref: Seq[Row], what: String): Unit = {
+    val bad = got.zip(ref).filter { case (g, r) => g != r }
+    assert(bad.isEmpty,
+      s"$what: ${bad.size}/${ref.size} rows diverge from native; first: ${bad.take(3)}")
+  }
+
+  // 4 groups x (null band + 24 order keys) x 100 rows
+  private def data = {
+    val s = spark
+    import s.implicits._
+    (0 until 10000).map { i =>
+      val o: java.lang.Integer =
+        if (i % 2500 < 100) null else Integer.valueOf((i % 2500) / 100)
+      (i.toLong, i / 2500, o, ((i * 13) % 500).toLong)
+    }.toDF("id", "g", "o", "cents")
+  }
+
+  test("grouped running aggregates: RANGE ties + ROWS frame + nulls + decimal + avg bit-equal to native") {
+    val s = spark
+    import s.implicits._
+    val w = Window.partitionBy($"g").orderBy($"o")
+    // first/last are tie-ARBITRARY under RANGE tie windows (both
+    // engines), so they ride the TOTAL (o, id) order where running
+    // first/last are deterministic; the tie-stable aggregates pin the
+    // RANGE tie semantics on w
+    val wt = Window.partitionBy($"g").orderBy($"o", $"id")
+    val wr = wt.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def q(on: Boolean): Seq[Row] = withRule(on) {
+      val df = data.select($"id",
+        sum($"cents").over(w).as("rs"),
+        count(lit(1)).over(w).as("rc"),
+        min($"cents").over(w).as("rm"),
+        avg(when($"id" % 13 =!= 0, $"cents")).over(w).as("ra"),
+        sum(($"cents".cast("decimal(18,2)") / 100)).over(w).as("rd"),
+        sum($"cents").over(wr).as("rows_s"),
+        first($"cents").over(wt).as("rf"),
+        last($"cents").over(wt).as("rl"))
+      if (on) {
+        val plan = df.queryExecution.executedPlan.toString
+        assert(plan.contains("GroupedRunningAgg"), plan.take(2000))
+        assert(!plan.contains("Exchange hashpartitioning"),
+          "the operator replaces the hash-clustered window:\n" + plan.take(2000))
+        assert(!plan.contains("Window ["), plan.take(2000))
+        // the two frame specs share ONE range exchange (prefix rule)
+        val finalSection = plan.split("== Initial Plan ==").head
+        val nRange = finalSection.split("Exchange rangepartitioning").length - 1
+        assert(nRange == 1, s"expected one shared range exchange, got $nRange:\n" +
+          finalSection.take(2000))
+      }
+      df.collect().toSeq.sortBy(_.getLong(0))
+    }
+    assertSame(q(on = true), q(on = false), "grouped running aggregates")
+  }
+
+  test("few HUGE groups (the scale shape) + descending order + desc-nulls-last bit-equal") {
+    val s = spark
+    import s.implicits._
+    val df0 = (0 until 9000).map { i =>
+      val o: java.lang.Integer = if (i % 4500 < 50) null else Integer.valueOf((i % 4500) / 150)
+      (i.toLong, i / 4500, o, (i % 89).toLong)
+    }.toDF("id", "g", "o", "cents")
+    val w = Window.partitionBy($"g").orderBy($"o".desc_nulls_last)
+    def q(on: Boolean): Seq[Row] = withRule(on) {
+      val df = df0.select($"id",
+        sum($"cents").over(w).as("rs"),
+        max($"cents").over(w).as("rx"),
+        count($"o").over(w).as("rc"))
+      if (on) assert(df.queryExecution.executedPlan.toString.contains("GroupedRunningAgg"))
+      df.collect().toSeq.sortBy(_.getLong(0))
+    }
+    assertSame(q(on = true), q(on = false), "few huge groups, desc order")
+  }
+
+  test("grouped first_value ROWS frame (the NthValue(x,1) mapping) + IGNORE NULLS bit-equal") {
+    val s = spark
+    import s.implicits._
+    data.createOrReplaceTempView("gra_t")
+    val sqlText = """
+      SELECT id,
+             first_value(o) OVER (PARTITION BY g ORDER BY o, id ROWS BETWEEN
+               UNBOUNDED PRECEDING AND CURRENT ROW) AS fv,
+             first_value(o) IGNORE NULLS OVER (PARTITION BY g ORDER BY o, id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fvi
+      FROM gra_t"""
+    def q(on: Boolean): Seq[Row] = withRule(on) {
+      val df = s.sql(sqlText)
+      if (on) {
+        val plan = df.queryExecution.executedPlan.toString
+        assert(plan.contains("GroupedRunningAgg") && !plan.contains("Window ["),
+          plan.take(2000))
+      }
+      df.collect().toSeq.sortBy(_.getLong(0))
+    }
+    assertSame(q(on = true), q(on = false), "grouped first_value via NthValue mapping")
+  }
+
+  test("bail-outs: mixed grouped node, imperative agg, bounded frame, nondeterminism, unorderable key, minBytes, kill switch") {
+    val s = spark
+    import s.implicits._
+    val w = Window.partitionBy($"g").orderBy($"o", $"id")
+    def planOf(df: DataFrame): String = df.queryExecution.executedPlan.toString
+    // mixed grouped node (rank + running agg): the r14 decision stands
+    // for NON-empty partitions — native
+    val mixed = data.select(rank().over(w).as("r"), sum($"cents").over(w).as("rs"))
+    assert(!planOf(mixed).contains("GroupedRunningAgg") &&
+      !planOf(mixed).contains("GroupedRank"))
+    // typed-imperative aggregate
+    val cl = data.select(collect_list($"cents").over(w).as("cl"))
+    assert(!planOf(cl).contains("GroupedRunningAgg"))
+    // bounded frame
+    val bounded = data.select(sum($"cents").over(
+      Window.partitionBy($"g").orderBy($"o", $"id").rowsBetween(-3, 0)).as("mv"))
+    assert(!planOf(bounded).contains("GroupedRunningAgg"))
+    // nondeterministic order — on a parquet-backed frame: a LOCAL
+    // relation would be eagerly materialized by ConvertToLocalRelation
+    // (rand frozen into literal rows — genuinely deterministic, and
+    // the rewrite correctly fires there)
+    val ev = Tables.events(s, SfDir).select($"user_id".as("g2"), $"value".as("v"))
+    val nd = ev.select(sum($"v").over(
+      Window.partitionBy($"g2").orderBy(rand(7))).as("rs"))
+    assert(!planOf(nd).contains("GroupedRunningAgg"))
+    // unorderable (map-typed) partition key: Spark 4's analyzer
+    // rejects it before any rewrite runs (EXPRESSION_TYPE_IS_NOT_
+    // ORDERABLE on window PARTITION BY), so the rewrite's orderability
+    // guard is belt-and-suspenders rather than spec-reachable
+    // minBytes lever: a huge floor keeps small inputs native
+    TestSpark.withConf(graft.plans.GroupedRunningAggRewrite.MinBytesKey, (1L << 60).toString) {
+      val small = data.select(sum($"cents").over(w).as("rs"))
+      assert(!planOf(small).contains("GroupedRunningAgg"))
+    }
+    // kill switch
+    withRule(on = false) {
+      val off = data.select(sum($"cents").over(w).as("rs"))
+      assert(!planOf(off).contains("GroupedRunningAgg"))
+    }
+    // byte guard on (part ++ order)
+    TestSpark.withConf(graft.plans.PlanGuards.MaxBoundaryBytesKey, "1") {
+      val g = data.select(sum($"cents").over(w).as("rs"))
+      assert(!planOf(g).contains("GroupedRunningAgg"))
+    }
+  }
+
+  test("group boundaries aligned exactly with partition edges (the off-by-one class)") {
+    val s = spark
+    import s.implicits._
+    // 8 groups over 8 shuffle partitions of the exec's own exchange:
+    // with near-uniform sizes the range partitioner tends to align
+    // group edges with partition edges, exercising the chain's
+    // closed-exactly-at-boundary paths; the explicit finer repartition
+    // ALSO forces mid-group boundaries
+    for (parts <- Seq(4, 8, 16)) {
+      val df0 = (0 until 8000).map(i => (i.toLong, i / 1000, (i % 1000) / 50, (i % 97).toLong))
+        .toDF("id", "g", "o", "cents")
+        .repartitionByRange(parts, $"g", $"o")
+      val w = Window.partitionBy($"g").orderBy($"o")
+      def q(on: Boolean): Seq[Row] = withRule(on) {
+        TestSpark.withConf("spark.sql.adaptive.coalescePartitions.enabled", "false") {
+          df0.select($"id", sum($"cents").over(w).as("rs"),
+              max($"cents").over(w).as("rx"), count(lit(1)).over(w).as("rc"))
+            .collect().toSeq.sortBy(_.getLong(0))
+        }
+      }
+      assertSame(q(on = true), q(on = false), s"edge alignment parts=$parts")
+    }
+  }
+}

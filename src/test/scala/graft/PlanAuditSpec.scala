@@ -44,9 +44,15 @@ class PlanAuditSpec extends AnyFunSuite {
   }
 
   test("e5: the as-of join carries all columns through ONE window over one sort") {
+    // the atomicity property: all payload columns flow through exactly
+    // ONE window-class node over one sort. Since r17 the composition's
+    // `last(payload) IGNORE NULLS` running window plans on the
+    // GroupedRunningAgg operator (range-partitioned, no per-key
+    // clustering ceiling) — count whichever form planned, require one.
     val p = plan("e5_asof_join")
-    val windows = "\\bWindow\\b".r.findAllIn(p).size
-    assert(windows == 1, s"as-of composition must use exactly one Window node, got $windows:\n$p")
+    val windows = "\\bWindow\\b".r.findAllIn(p).size +
+      "\\bGroupedRunningAgg\\b".r.findAllIn(p).size
+    assert(windows == 1, s"as-of composition must use exactly one window node, got $windows:\n$p")
   }
 
   test("d3: LSH self-join is sort-merge (shared exchange), not broadcast") {

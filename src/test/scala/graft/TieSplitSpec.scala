@@ -401,6 +401,39 @@ class TieSplitSpec extends AnyFunSuite {
     }
   }
 
+  test("GroupedRunningAgg: finer orderBy(g, o, id) below PARTITION BY g ORDER BY o — day-one canary for the r17 exec") {
+    val s = spark
+    import s.implicits._
+    noCoalesce {
+      // the r16 discipline applied on the new exec's first day: a
+      // pre-existing FINER (g, o, id) exchange satisfies the exec's
+      // OrderedDistribution(g, o) by the prefix rule and splits
+      // order-tie runs inside spanning groups — the driver chain must
+      // compute split-run end states from pass-1 buffers and override
+      // the earlier fragments' final flush (RANGE frames), while the
+      // prefix buffers chain group segments across every boundary.
+      val df0 = (0 until 10000).map { i =>
+        (i.toLong, i / 2500, (i % 2500) / 100, ((i * 13) % 500).toLong)
+      }.toDF("id", "g", "o", "cents")
+      def q(on: Boolean): Seq[Row] =
+        TestSpark.withConf(graft.plans.GroupedRunningAggRewrite.ConfKey, on.toString) {
+          val w = Window.partitionBy($"g").orderBy($"o")
+          val df = df0
+            .orderBy($"g", $"o", $"id") // finer exchange the exec must reuse
+            .select($"id",
+              sum($"cents").over(w).as("rs"),
+              count(lit(1)).over(w).as("rc"),
+              min($"cents").over(w).as("rm"),
+              avg(when($"id" % 7 =!= 0, $"cents")).over(w).as("ra"),
+              sum(($"cents".cast("decimal(18,2)") / 100)).over(w).as("rd"))
+          val rows = df.collect().toSeq
+          if (on) assertReused(df, "GroupedRunningAgg")
+          rows.sortBy(_.getLong(0))
+        }
+      assertSame(q(on = true), q(on = false), "GroupedRunningAgg under finer exchange")
+    }
+  }
+
   test("running First under finer exchange: tie-arbitrary contract (constant, from the first tie group) through the driver chain") {
     val s = spark
     import s.implicits._
