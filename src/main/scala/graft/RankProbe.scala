@@ -36,6 +36,11 @@ import org.apache.spark.sql.functions._
   * same mixed select over a pre-existing FINER exchange that splits
   * every order tie group — split + chained operators on the reused
   * exchange vs the native mixed funnel.
+  * `groupedrunning` probes the r17 GroupedRunningAgg operator on the
+  * q47 shape (few huge groups — the native hash window's parallelism
+  * ceiling); `groupedrunningchained` runs it over a pre-existing
+  * FINER (g, d, fine) exchange that splits both group segments and
+  * tie runs — the exec's driver chain at 50M.
   * Prints wall seconds for rule-on vs rule-off and the speedup — the
   * PLANS.md "global ranking"/"global aggregate"/"grouped ranking"/
   * "global offset" probe rows come from here. */
@@ -52,12 +57,13 @@ object RankProbe {
     val confKey = mode match {
       case "agg" => graft.plans.GlobalAggRewrite.ConfKey
       case "grouped" => graft.plans.GroupedRankRewrite.ConfKey
-      case "groupedrunning" => graft.plans.GroupedRunningAggRewrite.ConfKey
+      case "groupedrunning" | "groupedrunningchained" =>
+        graft.plans.GroupedRunningAggRewrite.ConfKey
       case "offset" => graft.plans.GlobalOffsetRewrite.ConfKey
       case "running" => graft.plans.GlobalRunningAggRewrite.ConfKey
       case _ => graft.plans.GlobalRankRewrite.ConfKey
     }
-    if (mode == "chained" || mode == "mixedchained")
+    if (mode == "chained" || mode == "mixedchained" || mode == "groupedrunningchained")
       s.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
     def run(on: Boolean): Double = {
       s.conf.set(confKey, on.toString)
@@ -175,6 +181,28 @@ object RankProbe {
               sum($"k").over(wg).as("cs"),
               count(lit(1)).over(wg).as("cc"))
             .groupBy($"g").agg((max($"cs") + min($"cs") + max($"cc")).as("m"))
+            .agg(sum($"m")).head()
+        case "groupedrunningchained" =>
+          // the exec's most adversarial path at scale: 4 spanning
+          // groups × 125 tie runs each over a FINER pre-existing
+          // (g, d, fine) exchange whose 200 boundaries split both
+          // group segments AND tie runs — the driver chains prefix
+          // buffers per group and overrides split-run flushes.
+          // Exact-long RANGE sums/counts are tie-stable, so checksum
+          // equality rule-on/off is the 50M chained-correctness
+          // witness for the grouped exec.
+          val runs = 500L
+          val sz = math.max(n / runs, 1L)
+          val tied = s.range(n).select($"id",
+              floor($"id" / sz).cast("long").as("r0"),
+              pmod($"id" * 2654435761L, lit(97L)).as("fine"))
+            .select($"id", ($"r0" % 4L).as("g"), ($"r0" / 4L).as("d"), $"fine")
+            .repartitionByRange(200, $"g", $"d", $"fine")
+          val wg = Window.partitionBy($"g").orderBy($"d")
+          tied.select($"g", $"fine",
+              sum($"fine").over(wg).as("gs"),
+              count(lit(1)).over(wg).as("gc"))
+            .groupBy($"g").agg((sum($"gs") + sum($"gc")).as("m"))
             .agg(sum($"m")).head()
         case "running" =>
           // the q44 shape: cumulative sum + count on the ROWS frame,

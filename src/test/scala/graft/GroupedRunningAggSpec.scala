@@ -97,6 +97,23 @@ class GroupedRunningAggSpec extends AnyFunSuite {
       df.collect().toSeq.sortBy(_.getLong(0))
     }
     assertSame(q(on = true), q(on = false), "few huge groups, desc order")
+
+    // NULL group key: SQL windows treat null as ITS OWN group; nulls
+    // sort first under the exec's Ascending group promotion, so the
+    // null group is the one most likely to span the first partition
+    // boundaries — its segments must chain like any other group's
+    val dfn = (0 until 6000).map { i =>
+      val g: java.lang.Integer = if (i < 2400) null else Integer.valueOf(i / 2400)
+      (i.toLong, g, (i % 600) / 40, (i % 83).toLong)
+    }.toDF("id", "g", "o", "cents")
+    val wn = Window.partitionBy($"g").orderBy($"o")
+    def qn(on: Boolean): Seq[Row] = withRule(on) {
+      dfn.select($"id", sum($"cents").over(wn).as("rs"),
+          count(lit(1)).over(wn).as("rc"), first($"cents").over(
+            Window.partitionBy($"g").orderBy($"o", $"id")).as("rf"))
+        .collect().toSeq.sortBy(_.getLong(0))
+    }
+    assertSame(qn(on = true), qn(on = false), "null group key spanning partitions")
   }
 
   test("grouped first_value ROWS frame (the NthValue(x,1) mapping) + IGNORE NULLS bit-equal") {
@@ -166,6 +183,50 @@ class GroupedRunningAggSpec extends AnyFunSuite {
       val g = data.select(sum($"cents").over(w).as("rs"))
       assert(!planOf(g).contains("GroupedRunningAgg"))
     }
+  }
+
+  test("extreme chains: tie runs spanning MANY whole partitions (multi-member override lists) + ROWS-only chaining") {
+    val s = spark
+    import s.implicits._
+    // 2 groups x 3 order keys x 1500 rows over 16 partitions of a
+    // finer (g, o, k) exchange: every tie RUN spans ~2-3 whole
+    // partitions, so the driver's run-member override list carries
+    // multiple partitions per run, and group chains cross many
+    // boundaries. The ROWS-frame column exercises prefix chaining with
+    // anyRange=true buffering alongside; the separate ROWS-ONLY query
+    // exercises the anyRange=false pass-2 path under the same chains.
+    val df0 = (0 until 9000).map { i =>
+      (i.toLong, i / 4500, (i % 4500) / 1500, i % 97, ((i * 31) % 500).toLong)
+    }.toDF("id", "g", "o", "k", "cents")
+    def q(on: Boolean, rowsOnly: Boolean): Seq[Row] =
+      TestSpark.withConf(graft.plans.GroupedRunningAggRewrite.ConfKey, on.toString) {
+        TestSpark.withConf("spark.sql.adaptive.coalescePartitions.enabled", "false") {
+          val w = Window.partitionBy($"g").orderBy($"o")
+          val wr = Window.partitionBy($"g").orderBy($"o", $"k", $"id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+          val base = df0.repartitionByRange(16, $"g", $"o", $"k")
+          val df =
+            if (rowsOnly) base.select($"id", $"k", sum($"cents").over(wr).as("rws"))
+            else base.select($"id", $"k",
+              sum($"cents").over(w).as("rs"),
+              min($"cents").over(w).as("rm"),
+              avg($"cents").over(w).as("ra"),
+              sum($"cents").over(wr).as("rws"))
+          val rows = df.collect().toSeq
+          if (on) {
+            val plan = df.queryExecution.executedPlan.toString
+            assert(plan.contains("GroupedRunningAgg"), plan.take(2000))
+            val finalSection = plan.split("== Initial Plan ==").head
+            assert(finalSection.split("Exchange rangepartitioning").length - 1 == 1,
+              "must run on the pre-existing finer exchange alone:\n" + finalSection.take(2000))
+          }
+          rows.sortBy(_.getLong(0))
+        }
+      }
+    assertSame(q(on = true, rowsOnly = false), q(on = false, rowsOnly = false),
+      "extreme multi-partition chains (RANGE + ROWS)")
+    assertSame(q(on = true, rowsOnly = true), q(on = false, rowsOnly = true),
+      "extreme multi-partition chains (ROWS only)")
   }
 
   test("group boundaries aligned exactly with partition edges (the off-by-one class)") {
