@@ -229,6 +229,29 @@ class GroupedRunningAggSpec extends AnyFunSuite {
       "extreme multi-partition chains (ROWS only)")
   }
 
+  test("q47 graded plan: both frames on GroupedRunningAgg over ONE shared exchange, no hash clustering, no funnel") {
+    val s = spark
+    val df = graft.relational.Relational.q47PriorityCumulative(s, SfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("GroupedRunningAgg"), plan.take(2500))
+    assert(!plan.contains("Window ["),
+      "no native window may survive in q47:\n" + plan.take(2500))
+    assert(!plan.contains("Exchange hashpartitioning"),
+      "the operator must replace the hash-clustered plan:\n" + plan.take(2500))
+    assert(!plan.contains("SinglePartition"), plan.take(2500))
+    // exactly TWO range exchanges: the stack's shared
+    // (priority, date[, orderkey]) exchange (both frame specs ride it
+    // via the prefix rule) and the output ORDER BY o_orderkey
+    val finalSection = plan.split("== Initial Plan ==").head
+    val rps = """Exchange rangepartitioning\(([^)]*)\)""".r
+      .findAllMatchIn(finalSection).map(_.group(1)).toSeq
+    assert(rps.length == 2, s"expected shared stack + output exchanges, got: $rps\n" +
+      finalSection.take(2500))
+    assert(rps.count(_.contains("o_orderpriority")) == 1,
+      s"exactly one (priority, date…) stack exchange: $rps")
+  }
+
   test("group boundaries aligned exactly with partition edges (the off-by-one class)") {
     val s = spark
     import s.implicits._
