@@ -229,6 +229,39 @@ class GroupedRunningAggSpec extends AnyFunSuite {
       "extreme multi-partition chains (ROWS only)")
   }
 
+  test("seeded sweep: partition counts x group counts x tie widths, null order bands, vs native") {
+    val s = spark
+    import s.implicits._
+    TestSpark.withConf("spark.sql.adaptive.coalescePartitions.enabled", "false") {
+      // (partitions, groups, tie width): many-small-groups sanity,
+      // boundary-dense few-huge-groups, near-partition-sized tie runs —
+      // each with a null order band per group (nulls sort first, so the
+      // null run is the likeliest to straddle a group's first boundary)
+      for ((parts, groups, tieW) <- Seq((5, 40, 3), (16, 3, 100), (8, 2, 997))) {
+        val perG = 6000 / groups
+        val rows = (0 until 6000).map { i =>
+          val j = i % perG
+          val o: java.lang.Integer = if (j < 60) null else Integer.valueOf(j / tieW)
+          (i.toLong, i / perG, o, ((i * 31) % 500).toLong)
+        }
+        val df0 = rows.toDF("id", "g", "o", "cents")
+          .repartitionByRange(parts, $"g", $"o", $"id")
+        val w = Window.partitionBy($"g").orderBy($"o")
+        def q(on: Boolean): Seq[Row] = withRule(on) {
+          df0.select($"id",
+              sum($"cents").over(w).as("gs"),
+              count(lit(1)).over(w).as("gc"),
+              min($"cents").over(w).as("gm"),
+              sum(($"cents".cast("decimal(18,2)") / 100)).over(w).as("gds"),
+              avg(when($"id" % 13 =!= 0, $"cents")).over(w).as("gna"))
+            .collect().toSeq.sortBy(_.getLong(0))
+        }
+        assertSame(q(on = true), q(on = false),
+          s"grouped running sweep parts=$parts groups=$groups tieW=$tieW")
+      }
+    }
+  }
+
   test("q47 graded plan: both frames on GroupedRunningAgg over ONE shared exchange, no hash clustering, no funnel") {
     val s = spark
     val df = graft.relational.Relational.q47PriorityCumulative(s, SfDir)
