@@ -235,6 +235,33 @@ class MixedWindowSplitSpec extends AnyFunSuite {
     assertSame(got, ref, "mixed rank + converted first_value")
   }
 
+  test("filter(rank <= k) over a MIXED window: TopK correctly bails, the split still lifts the funnel") {
+    val s = spark
+    import s.implicits._
+    // the heap operator owns filter(rank <= k) over PURE rank windows
+    // (cheaper: never materializes the full ranking); a mixed node
+    // can't take that path — pre-r17 it funneled, now the split plans
+    // the full distributed ranking and the filter applies above it
+    val w = Window.orderBy($"id")
+    def q(splitOn: Boolean): Seq[Row] =
+      TestSpark.withConf(graft.plans.GlobalWindowSplit.ConfKey, splitOn.toString) {
+        val df = data.select($"id", rank().over(w).as("r"),
+            sum($"cents").over(w).as("run"))
+          .filter($"r" <= 100)
+        if (splitOn) {
+          val plan = df.queryExecution.executedPlan.toString
+          assert(plan.contains("GlobalRank") && plan.contains("GlobalRunningAgg"),
+            plan.take(2500))
+          assert(!plan.contains("TopK"),
+            "the heap path must not claim a mixed node:\n" + plan.take(2500))
+        }
+        df.collect().toSeq.sortBy(_.getLong(0))
+      }
+    val got = q(splitOn = true)
+    assert(got.length == 100)
+    assertSame(got, allOff(q(splitOn = false)), "filtered mixed window")
+  }
+
   test("q46 graded plan: the split is live in the DuckDB-gated query — all four classes, one shared range exchange") {
     val s = spark
     val df = graft.relational.Relational.q46MixedWindow(s, SfDir)
