@@ -38,6 +38,13 @@ object GraftExtensions extends SparkSessionExtensionsProvider {
     // the family composes automatically instead of the mixed node
     // bailing every rewrite and funneling to a single task.
     ext.injectOptimizerRule(_ => graft.plans.GlobalWindowSplit)
+    // Mixed GROUPED windows (rank()+sum() OVER the same PARTITION
+    // BY/ORDER BY in ONE select): split onto GroupedRank +
+    // GroupedRunningAgg over ONE shared (part, order) range exchange —
+    // the grouped analog; offset-bearing or otherwise-unsupported
+    // mixes keep the whole node native (no grouped offset operator,
+    // recorded decision).
+    ext.injectOptimizerRule(_ => graft.plans.GroupedWindowSplit)
     // Corpus-global ranking: bare rank-family windows with an empty
     // PARTITION BY are rewritten to the range-partitioned two-pass
     // operator (TopKRewrite runs first, so filter(rank <= k) keeps

@@ -242,6 +242,7 @@ case class GlobalRankExec(
     val fnLong: Array[Boolean] = fns.map(_._1.dataType == LongType).toArray
     val needsCume = fnSpecs.contains(GCumeDist)
     val rdd = child.execute()
+    PlanGuards.runtimeBoundaryWarn("GlobalRank", rdd.getNumPartitions, ord)
 
     // Pass 1: per partition, row/distinct counts plus the boundary
     // tie-run facts the driver chain needs — first/last order key and
@@ -569,12 +570,23 @@ object PlanGuards extends org.apache.spark.internal.Logging {
     case other => other.defaultSize.toLong
   }
 
+  private def capBytes: Long = SQLConf.get
+    .getConfString(MaxBoundaryBytesKey, (64L * 1024 * 1024).toString).toLong
+
+  private def keyBytesOf(order: Seq[SortOrder], part: Seq[Expression]): Long =
+    (order.map(_.child.dataType) ++ part.map(_.dataType)).map(widthOf).sum
+
+  /** Plan-time guard. SCOPE CAVEAT (r18, from the r17 advisory): the
+    * shuffle-partition conf bounds only the exec's OWN rewrite-
+    * inserted exchange — the operators deliberately REUSE pre-existing
+    * finer exchanges (the OrderedDistribution prefix rule), and a
+    * `repartitionByRange(N)` with N far above the conf is invisible
+    * here. [[runtimeBoundaryWarn]] is the runtime backstop for that
+    * configuration. */
   def boundaryTrafficOk(order: Seq[SortOrder], part: Seq[Expression] = Nil): Boolean = {
-    val cap = SQLConf.get
-      .getConfString(MaxBoundaryBytesKey, (64L * 1024 * 1024).toString).toLong
+    val cap = capBytes
     val parts = SQLConf.get.numShufflePartitions.toLong
-    val keyBytes = (order.map(_.child.dataType) ++ part.map(_.dataType))
-      .map(widthOf).sum
+    val keyBytes = keyBytesOf(order, part)
     val projected = parts * 2L * keyBytes
     val ok = projected <= cap
     if (!ok) logInfo(s"global-window rewrite bails to the native plan: " +
@@ -582,5 +594,31 @@ object PlanGuards extends org.apache.spark.internal.Logging {
       s"2 keys × $keyBytes bytes = $projected B) exceeds " +
       s"$MaxBoundaryBytesKey=$cap")
     ok
+  }
+
+  /** Runtime backstop for [[boundaryTrafficOk]]'s blind spot: called
+    * by each key-shipping exec immediately before its pass-1 runJob
+    * with the child RDD's ACTUAL partition count, which may come from
+    * a reused pre-existing finer exchange the plan-time estimate never
+    * saw. The plan is fixed at this point, so there is nothing sound
+    * to fall back to mid-execution — instead the breach is logged
+    * LOUDLY (warning level) with the numbers and the conf name, so a
+    * driver-memory incident is attributable and the fix (raise the
+    * cap consciously, or coarsen the pre-partitioning) is named
+    * before the OOM rather than after. The estimate stays
+    * conservative (256 B floor for variable-width keys); actual
+    * traffic is usually far smaller. */
+  def runtimeBoundaryWarn(op: String, nParts: Int,
+      order: Seq[SortOrder], part: Seq[Expression] = Nil): Unit = {
+    val cap = capBytes
+    val keyBytes = keyBytesOf(order, part)
+    val projected = nParts.toLong * 2L * keyBytes
+    if (projected > cap) logWarning(s"$op pass 1 will ship an estimated " +
+      s"$projected B of boundary keys to the driver ($nParts actual " +
+      s"partitions × 2 keys × $keyBytes B) — above $MaxBoundaryBytesKey=" +
+      s"$cap, which the plan-time guard could not see because the " +
+      s"operator reused a pre-existing finer exchange. If the driver " +
+      s"OOMs here, coarsen the upstream repartitioning or raise the cap " +
+      s"deliberately.")
   }
 }

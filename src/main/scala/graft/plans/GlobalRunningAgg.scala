@@ -243,6 +243,8 @@ case class GlobalRunningAggExec(
     val anyRange = rangeMask.exists(identity)
     val valueTypes = fns.map(_.fn.dataType).toArray
     val rdd = child.execute()
+    if (anyRange) // boundary KEYS ship only on the RANGE path
+      PlanGuards.runtimeBoundaryWarn("GlobalRunningAgg", rdd.getNumPartitions, ord)
 
     // Pass 1: one combined aggregation buffer per partition. When any
     // RANGE frame is present, additionally ship the partition's

@@ -205,6 +205,7 @@ case class GroupedRankExec(
       case _ => false
     }
     val rdd = child.execute()
+    PlanGuards.runtimeBoundaryWarn("GroupedRank", rdd.getNumPartitions, ord, part)
 
     // Pass 1: boundary-group segments only — O(partitions) to the
     // driver. The input is (group, order)-sorted, so group changes and

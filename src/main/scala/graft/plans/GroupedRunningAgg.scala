@@ -176,6 +176,7 @@ case class GroupedRunningAggExec(
     val anyRange = rangeMask.exists(identity)
     val valueTypes = fns.map(_.fn.dataType).toArray
     val rdd = child.execute()
+    PlanGuards.runtimeBoundaryWarn("GroupedRunningAgg", rdd.getNumPartitions, ord, part)
 
     // Pass 1: boundary-group segment buffers only — O(partitions) to
     // the driver. The input is (group, order)-sorted, so segment

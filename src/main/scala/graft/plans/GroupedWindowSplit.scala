@@ -1,0 +1,142 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project, Window => LogicalWindow}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.internal.SQLConf
+
+/** Splits MIXED-function GROUPED Window nodes onto the two grouped
+  * operators — [[GlobalWindowSplit]]'s sibling for nodes WITH
+  * partition keys (r18), closing the last window-surface scale hole.
+  *
+  * The most natural grouped-report phrasing,
+  *
+  * {{{ SELECT rank()   OVER (PARTITION BY g ORDER BY o),
+  *            sum(x)   OVER (PARTITION BY g ORDER BY o) … }}}
+  *
+  * analyzes to ONE Window node holding both functions.
+  * [[GroupedRankRewrite]] and [[GroupedRunningAggRewrite]] each fire
+  * only when EVERY expression in the node belongs to their class (a
+  * half-rewritten node would still hash-funnel the remainder), so the
+  * mixed node matched neither and planned fully native:
+  * `ClusteredDistribution(part)` — the GROUP-COUNT parallelism
+  * ceiling with the largest group's bytes through one task, the exact
+  * shape both operators were built to delete, reachable by a per-key
+  * leaderboard-plus-cumulative report.
+  *
+  * The r14 "mixed grouped stays native" decision predates
+  * GroupedRunningAgg: its argument — the non-rank remainder had no
+  * operator, so a split pays a second exchange and still funnels —
+  * held until r17 gave the running-aggregate class its grouped
+  * operator. Since then BOTH grouped execs require the IDENTICAL
+  * `OrderedDistribution(part-asc ++ order)` (each canonicalizes the
+  * partition keys to Ascending/NullsFirst ahead of the frame order),
+  * so a rank+running mix stacks [[GroupedRankNode]] over
+  * [[GroupedRunningAggNode]] on ONE shared range exchange — the
+  * GlobalWindowSplit composition, grouped. That rationale REMAINS
+  * correct for offset-bearing mixes: grouped lag/lead deliberately
+  * has no operator (PLANS.md records the decision — high-cardinality
+  * keys dominate the idiom), and a grouped full-frame aggregate
+  * (`sum(x) OVER (PARTITION BY g)`) has no grouped operator either,
+  * so ANY such member keeps the WHOLE node native.
+  *
+  * Emitting the custom logical nodes directly (not single-class
+  * Window nodes) is load-bearing for the same reason as in
+  * [[GlobalWindowSplit]]: CollapseWindow runs in the same fixed-point
+  * batch and would re-merge adjacent spec-compatible Window nodes;
+  * the custom nodes are invisible to it. A Project restores the
+  * user's output column order (the stack groups columns by class;
+  * downstream references bind by exprId, but the node may be the
+  * query top where schema order is user-visible).
+  *
+  * Tie contract — [[GlobalWindowSplit]]'s, scoped per group: the
+  * tie-STABLE members (rank/dense_rank/percent_rank/cume_dist,
+  * RANGE-frame running aggregates over exact types) are bit-identical
+  * to the native mixed node under any ties; tie-ARBITRARY members
+  * (row_number/ntile, ROWS-frame running first/min-by-order idioms)
+  * keep their per-function contract but give up CROSS-function tie
+  * consistency, because the two operators re-stream the shared
+  * shuffle in separate passes. No SQL contract promises that
+  * consistency; a total ORDER BY restores it (README documents the
+  * caveat next to the kill switch).
+  *
+  * Scope guards are the two families' own, conjoined: every window
+  * expression claimed by exactly one of the two grouped classes via
+  * the family rewrites' OWN matchers (the split can never claim an
+  * expression the downstream operator would bail on); BOTH classes
+  * present (single-class nodes are the family rewrites' own match);
+  * both family confs enabled; partition keys deterministic AND
+  * orderable (they are promoted into RangePartitioning); order and
+  * subtree deterministic, non-streaming child (two jobs per operator,
+  * one shuffle); the boundary byte-traffic guard on (part ++ order);
+  * and the child must clear BOTH families' `minBytes` thresholds —
+  * below a family's threshold its single-class node would stay
+  * native, so the split forcing the operator would override the
+  * deployment's own cost lever. Kill switch:
+  * `spark.graft.groupedWindowSplit.enabled=false`.
+  */
+object GroupedWindowSplit extends Rule[LogicalPlan] {
+
+  val ConfKey = "spark.graft.groupedWindowSplit.enabled"
+
+  private def confOn(key: String): Boolean =
+    SQLConf.get.getConfString(key, "true").toBoolean
+
+  private def minBytes(key: String): Long =
+    SQLConf.get.getConfString(key, "0").toLong
+
+  /** One window expression claimed by exactly one grouped class, or
+    * None (unsupported anywhere → the whole node stays native). The
+    * two matchers are structurally disjoint (rank-family window
+    * functions vs aggregate/NthValue(,1) running frames); rank is
+    * tried first for symmetry with GlobalWindowSplit. allowLong=false:
+    * LongRankWiden is a global-window escape hatch — GroupedRankExec
+    * emits Int (a 2^31-row GROUP is a pathological key distribution,
+    * per its scaladoc). */
+  private sealed trait Claimed
+  private case class CRank(fn: (Attribute, GlobalRankFn)) extends Claimed
+  private case class CRunning(fn: RunningFn) extends Claimed
+
+  private def classify(
+      e: NamedExpression,
+      part: Seq[Expression],
+      order: Seq[SortOrder]): Option[Claimed] =
+    RankFnMatch.supported(e, part, order).map(CRank.apply)
+      .orElse(GlobalRunningAggRewrite.supported(e, part, order).map(CRunning.apply))
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (!confOn(ConfKey)) return plan
+    plan.transformUp {
+      case w @ LogicalWindow(wexprs, part, order, child, _)
+          if part.nonEmpty && order.nonEmpty && wexprs.length >= 2 &&
+            !child.isStreaming &&
+            part.forall(e => e.deterministic && RowOrdering.isOrderable(e.dataType)) &&
+            order.forall(_.deterministic) &&
+            PlanGuards.subtreeDeterministic(child) &&
+            PlanGuards.boundaryTrafficOk(order, part) =>
+        val claims = wexprs.map(classify(_, part, order))
+        if (claims.exists(_.isEmpty)) w
+        else {
+          val claimed = claims.flatten
+          val ranks = claimed.collect { case CRank(f) => f }
+          val runnings = claimed.collect { case CRunning(f) => f }
+          val bothPresent = ranks.nonEmpty && runnings.nonEmpty
+          val bothEnabled =
+            confOn(GroupedRankRewrite.ConfKey) &&
+              confOn(GroupedRunningAggRewrite.ConfKey)
+          val bigEnough = child.stats.sizeInBytes >=
+            math.max(minBytes(GroupedRankRewrite.MinBytesKey),
+              minBytes(GroupedRunningAggRewrite.MinBytesKey))
+          if (!bothPresent || !bothEnabled || !bigEnough) w
+          else {
+            logInfo(s"GroupedWindowSplit: splitting a mixed grouped window " +
+              s"(${ranks.size} rank, ${runnings.size} running-agg functions " +
+              s"over ${part.size} partition keys) into 2 stacked operator nodes")
+            Project(w.output,
+              GroupedRankNode(part, order, ranks,
+                GroupedRunningAggNode(part, order, runnings, child)))
+          }
+        }
+    }
+  }
+}

@@ -1341,7 +1341,36 @@ object Relational {
       .orderBy($"o_orderkey")
   }
 
+  /** q48: PER-PRIORITY LEADERBOARD + CUMULATIVE — the MIXED grouped
+    * window (rank-family AND running aggregates over the SAME
+    * `PARTITION BY o_orderpriority ORDER BY o_orderdate` in one
+    * SELECT), the natural per-key report phrasing that analyzed into
+    * ONE Window node and — pre-r18 — planned fully native at the
+    * group-count parallelism ceiling (5 priorities, the largest
+    * group's bytes through one task). [[graft.plans.GroupedWindowSplit]]
+    * splits it onto GroupedRank + GroupedRunningAgg stacked over ONE
+    * shared (priority, date) range exchange. Every column is
+    * tie-STABLE (rank/dense_rank/cume_dist and the default RANGE
+    * running frames — same-date peers share the closing value), so
+    * the DuckDB gate hash-checks the split bit-exactly under the
+    * date ties. Exact cents end to end. */
+  def q48PriorityLeaderboard(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val orders = Tables.orders(s, d)
+      .select($"o_orderkey", $"o_orderpriority", $"o_orderdate",
+        (dec($"o_totalprice") * 100).cast("long").as("cents"))
+    val w = Window.partitionBy($"o_orderpriority").orderBy($"o_orderdate")
+    orders.select($"o_orderkey", $"o_orderpriority", $"o_orderdate",
+        rank().over(w).as("date_rank"),
+        dense_rank().over(w).as("date_dense"),
+        cume_dist().over(w).as("date_cume"),
+        sum($"cents").over(w).as("cum_cents"),
+        count(lit(1)).over(w).as("cum_orders"))
+      .orderBy($"o_orderkey")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q48_priority_leaderboard" -> (q48PriorityLeaderboard _),
     "q47_priority_cumulative" -> (q47PriorityCumulative _),
     "q46_mixed_window" -> (q46MixedWindow _),
     "q45_revenue_momentum" -> (q45RevenueMomentum _),
@@ -1404,6 +1433,29 @@ object Relational {
     // frame (same-date ties share the closing value), the ROWS frame
     // is written out over the unique (date, orderkey) order; exact
     // cents, counts cast back from HUGEINT.
+    // q48: the q47 oracle discipline with the rank family added —
+    // every column tie-stable under same-date ties (rank/dense_rank/
+    // cume_dist are tie functions; the default ORDER BY frame is the
+    // SQL-standard RANGE running frame in both engines), ranks
+    // narrowed to Spark's IntegerType, sums/counts cast back from
+    // HUGEINT; exact cents.
+    "q48_priority_leaderboard" ->
+      """WITH o AS (
+           SELECT o_orderkey, o_orderpriority, o_orderdate,
+                  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+           FROM orders)
+         SELECT o_orderkey, o_orderpriority, o_orderdate,
+                CAST(rank() OVER (PARTITION BY o_orderpriority
+                       ORDER BY o_orderdate) AS INT) AS date_rank,
+                CAST(dense_rank() OVER (PARTITION BY o_orderpriority
+                       ORDER BY o_orderdate) AS INT) AS date_dense,
+                cume_dist() OVER (PARTITION BY o_orderpriority
+                       ORDER BY o_orderdate) AS date_cume,
+                CAST(sum(cents) OVER (PARTITION BY o_orderpriority
+                       ORDER BY o_orderdate) AS BIGINT) AS cum_cents,
+                CAST(count(*) OVER (PARTITION BY o_orderpriority
+                       ORDER BY o_orderdate) AS BIGINT) AS cum_orders
+         FROM o ORDER BY o_orderkey""",
     "q47_priority_cumulative" ->
       """WITH o AS (
            SELECT o_orderkey, o_orderpriority, o_orderdate,

@@ -144,11 +144,18 @@ class GroupedRunningAggSpec extends AnyFunSuite {
     import s.implicits._
     val w = Window.partitionBy($"g").orderBy($"o", $"id")
     def planOf(df: DataFrame): String = df.queryExecution.executedPlan.toString
-    // mixed grouped node (rank + running agg): the r14 decision stands
-    // for NON-empty partitions — native
+    // mixed grouped node (rank + running agg): since r18 this is
+    // GroupedWindowSplit's match — both operators over one shared
+    // exchange (GroupedWindowSplitSpec owns the full coverage). The
+    // r14 stay-native rationale now applies only to offset-bearing
+    // mixes: a lag member keeps the WHOLE node native.
     val mixed = data.select(rank().over(w).as("r"), sum($"cents").over(w).as("rs"))
-    assert(!planOf(mixed).contains("GroupedRunningAgg") &&
-      !planOf(mixed).contains("GroupedRank"))
+    assert(planOf(mixed).contains("GroupedRunningAgg") &&
+      planOf(mixed).contains("GroupedRank"))
+    val offsetMix = data.select(lag($"cents", 1).over(w).as("p"),
+      sum($"cents").over(w).as("rs"))
+    assert(!planOf(offsetMix).contains("GroupedRunningAgg") &&
+      !planOf(offsetMix).contains("GroupedRank"))
     // typed-imperative aggregate
     val cl = data.select(collect_list($"cents").over(w).as("cl"))
     assert(!planOf(cl).contains("GroupedRunningAgg"))

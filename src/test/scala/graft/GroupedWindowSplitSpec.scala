@@ -1,0 +1,256 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** [[graft.plans.GroupedWindowSplit]] — the grouped analog of
+  * GlobalWindowSplit (VERDICT r17 "Next round" #1). A mixed grouped
+  * window, `SELECT rank() OVER (PARTITION BY g ORDER BY o), sum(x)
+  * OVER (PARTITION BY g ORDER BY o)` in ONE select, analyzes into ONE
+  * Window node; both grouped rewrites correctly bail on mixed nodes,
+  * so pre-split the node planned fully native over
+  * `hashpartitioning(g)` — the group-count parallelism ceiling on the
+  * most natural per-key leaderboard-plus-cumulative phrasing. These
+  * cases pin:
+  *   - the split stacks GroupedRank over GroupedRunningAgg on ONE
+  *     shared (part-asc, order) range exchange — no hashpartitioning
+  *     of the group keys anywhere in the plan — with bit-equal
+  *     results and the user's output column order;
+  *   - offset-class members (grouped lag/lead: no grouped operator,
+  *     recorded decision) and other unsupported members keep the
+  *     WHOLE node native — a half-split would pay the exchange and
+  *     still funnel the remainder;
+  *   - the kill switch, either family conf, either family's minBytes
+  *     threshold, and the boundary-traffic byte guard each keep the
+  *     node native;
+  *   - the day-one partitioning-variation canary (the r16 discipline):
+  *     a pre-existing FINER (g, o, id) exchange satisfies both
+  *     operators' OrderedDistribution(g, o) by the prefix rule and
+  *     splits order-tie runs inside spanning groups — BOTH operators
+  *     must chain on the ONE reused exchange, in the same stacked
+  *     plan.
+  */
+class GroupedWindowSplitSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def assertSame(got: Seq[Row], ref: Seq[Row], what: String): Unit = {
+    val bad = got.zip(ref).filter { case (g, r) => g != r }
+    assert(bad.isEmpty,
+      s"$what: ${bad.size}/${ref.size} rows diverge from native; first: ${bad.take(3)}")
+  }
+
+  /** The split plus both grouped family rules off → guaranteed-native
+    * reference run. */
+  private def allOff[A](body: => A): A =
+    TestSpark.withConf(graft.plans.GroupedWindowSplit.ConfKey, "false") {
+      TestSpark.withConf(graft.plans.GroupedRankRewrite.ConfKey, "false") {
+        TestSpark.withConf(graft.plans.GroupedRunningAggRewrite.ConfKey, "false")(body)
+      }
+    }
+
+  /** 4 interleaved groups × 25-row order-tie runs: every partition of
+    * a (g, o) range exchange holds group fragments, and o ties are
+    * wide enough to straddle boundaries under a finer exchange. */
+  private def data = {
+    val s = spark
+    import s.implicits._
+    (0 until 8000).map { i =>
+      (i.toLong, i % 4, (i / 4) / 25, ((i * 37) % 1000).toLong)
+    }.toDF("id", "g", "o", "cents")
+  }
+
+  private def assertSplitPlan(df: DataFrame, what: String): Unit = {
+    val plan = df.queryExecution.executedPlan.toString
+    for (op <- Seq("GroupedRank", "GroupedRunningAgg"))
+      assert(plan.contains(op), s"$what: $op missing from the split plan:\n" + plan.take(2500))
+    assert(!plan.contains("Window ["),
+      s"$what: no native WindowExec may survive the split:\n" + plan.take(2500))
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"$what: the group-count hash exchange must be gone:\n" + plan.take(2500))
+  }
+
+  test("mixed grouped SELECT plans GroupedRank + GroupedRunningAgg over ONE shared exchange, bit-equal, schema order kept") {
+    val s = spark
+    import s.implicits._
+    data.createOrReplaceTempView("gmix_t")
+    // ONE select, all five functions tie-STABLE (rank family tie
+    // functions + default RANGE running frames) so bit-equality is
+    // well-defined under the 25-row o tie runs
+    val sqlText = """
+      SELECT id, g, o, cents,
+             rank()       OVER (PARTITION BY g ORDER BY o) AS r,
+             dense_rank() OVER (PARTITION BY g ORDER BY o) AS dr,
+             cume_dist()  OVER (PARTITION BY g ORDER BY o) AS cd,
+             sum(cents)   OVER (PARTITION BY g ORDER BY o) AS run,
+             count(*)     OVER (PARTITION BY g ORDER BY o) AS cnt
+      FROM gmix_t"""
+    val df = s.sql(sqlText)
+    val got = df.collect().toSeq.sortBy(_.getLong(0))
+    assertSplitPlan(df, "five-function mixed grouped split")
+    // exactly ONE range exchange: both operators require the identical
+    // OrderedDistribution(g-asc, o) and must stack on one shared sort
+    val finalSection = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val nRange = finalSection.split("Exchange rangepartitioning").length - 1
+    assert(nRange == 1, s"the stack must share ONE range exchange, got $nRange:\n" +
+      finalSection.take(2500))
+    assert(df.schema.map(_.name) == Seq("id", "g", "o", "cents", "r", "dr", "cd", "run", "cnt"))
+    val ref = allOff(s.sql(sqlText).collect().toSeq.sortBy(_.getLong(0)))
+    assertSame(got, ref, "five-function mixed grouped split")
+  }
+
+  test("descending order + null-bearing aggregate input: split fires, bit-equal") {
+    val s = spark
+    import s.implicits._
+    val nd = data.withColumn("cn", when($"id" % 7 =!= 0, $"cents"))
+    def q(on: Boolean): Seq[Row] =
+      TestSpark.withConf(graft.plans.GroupedWindowSplit.ConfKey, on.toString) {
+        val w = Window.partitionBy($"g").orderBy($"o".desc)
+        val df = nd.select($"id",
+          rank().over(w).as("r"), cume_dist().over(w).as("cd"),
+          sum($"cn").over(w).as("run"), avg($"cn").over(w).as("ra"),
+          min($"cents").over(w).as("rm"))
+        if (on) assertSplitPlan(df, "desc mixed grouped")
+        df.collect().toSeq.sortBy(_.getLong(0))
+      }
+    assertSame(q(on = true), allOff(q(on = false)), "desc-order mixed grouped split")
+  }
+
+  test("offset-class member (grouped lag) keeps the WHOLE node native — no half-split") {
+    val s = spark
+    import s.implicits._
+    // grouped lag/lead deliberately has no operator (recorded
+    // decision); a node mixing it with rank+sum must stay native
+    // whole rather than splitting the claimable classes around it
+    val w = Window.partitionBy($"g").orderBy($"o")
+    val df = data.select($"id", rank().over(w).as("r"),
+      sum($"cents").over(w).as("run"), lag($"cents", 1).over(w).as("prev"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("GroupedRank") && !plan.contains("GroupedRunningAgg"),
+      "offset member must keep the whole node native:\n" + plan.take(2500))
+    assert(df.collect().length == 8000)
+    // same for a typed-imperative aggregate member
+    val df2 = data.select($"id", rank().over(w).as("r"),
+      collect_list($"cents").over(w).as("cl"))
+    val plan2 = df2.queryExecution.executedPlan.toString
+    assert(!plan2.contains("GroupedRank") && !plan2.contains("GroupedRunningAgg"),
+      "imperative-agg member must keep the whole node native:\n" + plan2.take(2500))
+  }
+
+  test("single-class nodes stay the family rewrites' own match — the split never claims them") {
+    val s = spark
+    import s.implicits._
+    val w = Window.partitionBy($"g").orderBy($"o")
+    // pure rank node → GroupedRank via GroupedRankRewrite, ONE node
+    val rdf = data.select($"id", rank().over(w).as("r"), dense_rank().over(w).as("dr"))
+    val rplan = rdf.queryExecution.executedPlan.toString
+    assert(rplan.contains("GroupedRank") && !rplan.contains("GroupedRunningAgg"), rplan.take(2000))
+    // pure running node → GroupedRunningAgg alone
+    val adf = data.select($"id", sum($"cents").over(w).as("run"), count(lit(1)).over(w).as("cnt"))
+    val aplan = adf.queryExecution.executedPlan.toString
+    assert(aplan.contains("GroupedRunningAgg") && !aplan.contains("GroupedRank"), aplan.take(2000))
+  }
+
+  test("kill switch, family confs and minBytes thresholds each keep the node native") {
+    val s = spark
+    import s.implicits._
+    val w = Window.partitionBy($"g").orderBy($"o")
+    def plan(): String =
+      data.select($"id", rank().over(w).as("r"), sum($"cents").over(w).as("run"))
+        .queryExecution.executedPlan.toString
+    def assertNative(p: String, what: String): Unit =
+      assert(!p.contains("GroupedRank") && !p.contains("GroupedRunningAgg"),
+        s"$what must stay native:\n" + p.take(2000))
+    TestSpark.withConf(graft.plans.GroupedWindowSplit.ConfKey, "false") {
+      assertNative(plan(), "kill switch off")
+    }
+    TestSpark.withConf(graft.plans.GroupedRankRewrite.ConfKey, "false") {
+      assertNative(plan(), "rank family off")
+    }
+    TestSpark.withConf(graft.plans.GroupedRunningAggRewrite.ConfKey, "false") {
+      assertNative(plan(), "running family off")
+    }
+    // below EITHER family's minBytes the single-class node would stay
+    // native, so the split must not force the operator past the
+    // deployment's own cost lever
+    TestSpark.withConf(graft.plans.GroupedRankRewrite.MinBytesKey, Long.MaxValue.toString) {
+      assertNative(plan(), "rank minBytes above child size")
+    }
+    TestSpark.withConf(graft.plans.GroupedRunningAggRewrite.MinBytesKey, Long.MaxValue.toString) {
+      assertNative(plan(), "running minBytes above child size")
+    }
+    TestSpark.withConf(graft.plans.PlanGuards.MaxBoundaryBytesKey, "1") {
+      assertNative(plan(), "boundary-traffic guard breached")
+    }
+    // defaults: split fires
+    val p = plan()
+    assert(p.contains("GroupedRank") && p.contains("GroupedRunningAgg"), p.take(2000))
+  }
+
+  test("day-one canary: finer (g, o, id) exchange below the mixed node — BOTH stacked operators chain on the ONE reused exchange") {
+    val s = spark
+    import s.implicits._
+    TestSpark.withConf("spark.sql.adaptive.coalescePartitions.enabled", "false") {
+      // 4 contiguous groups × 100-row o tie runs: a finer (g, o, id)
+      // range exchange satisfies the stack's OrderedDistribution(g, o)
+      // by the prefix rule and splits tie runs at partition boundaries
+      // inside spanning groups — the exact shape both drivers' chains
+      // exist for, here exercised through the stacked configuration
+      // (GroupedRank's rank/cume_dist chain AND GroupedRunningAgg's
+      // prefix/override chain on the same shuffle).
+      val df0 = (0 until 10000).map { i =>
+        (i.toLong, i / 2500, (i % 2500) / 100, ((i * 13) % 500).toLong)
+      }.toDF("id", "g", "o", "cents")
+      def q(on: Boolean): Seq[Row] =
+        TestSpark.withConf(graft.plans.GroupedWindowSplit.ConfKey, on.toString) {
+          val w = Window.partitionBy($"g").orderBy($"o")
+          val df = df0
+            .orderBy($"g", $"o", $"id") // the finer exchange the stack must reuse
+            .select($"id",
+              rank().over(w).as("r"), dense_rank().over(w).as("dr"),
+              cume_dist().over(w).as("cd"),
+              sum($"cents").over(w).as("rs"),
+              avg(when($"id" % 7 =!= 0, $"cents")).over(w).as("ra"))
+          val rows = df.collect().toSeq
+          if (on) {
+            val plan = df.queryExecution.executedPlan.toString
+            assert(plan.contains("GroupedRank") && plan.contains("GroupedRunningAgg"),
+              plan.take(2500))
+            val finalSection = plan.split("== Initial Plan ==").head
+            val nRange = finalSection.split("Exchange rangepartitioning").length - 1
+            assert(nRange == 1,
+              s"the stack must run on the pre-existing finer exchange alone, got " +
+                s"$nRange range exchanges:\n${finalSection.take(2500)}")
+          }
+          rows.sortBy(_.getLong(0))
+        }
+      assertSame(q(on = true), allOff(q(on = false)),
+        "stacked grouped pair under finer exchange")
+    }
+  }
+
+  test("q48 graded plan: the split is live in the DuckDB-gated query — both operators, one shared range exchange, no hash exchange") {
+    val s = spark
+    val df = graft.relational.Relational.q48PriorityLeaderboard(s, SfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    for (op <- Seq("GroupedRank", "GroupedRunningAgg"))
+      assert(plan.contains(op), s"$op missing from q48's plan:\n" + plan.take(2500))
+    assert(!plan.contains("Window ["),
+      "no native WindowExec may survive in q48:\n" + plan.take(2500))
+    assert(!plan.contains("Exchange hashpartitioning"),
+      "q48 must not hash-partition on the priority keys:\n" + plan.take(2500))
+    // exactly TWO range exchanges: the stack's shared
+    // (o_orderpriority, o_orderdate) exchange and the output ORDER BY
+    // o_orderkey — a third would mean the operators stopped sharing
+    val finalSection = plan.split("== Initial Plan ==").head
+    val rps = """Exchange rangepartitioning\(([^)]*)\)""".r
+      .findAllMatchIn(finalSection).map(_.group(1)).toSeq
+    assert(rps.length == 2, s"expected shared stack + output exchanges, got: $rps\n" +
+      finalSection.take(2500))
+    assert(rps.count(_.contains("o_orderpriority")) == 1,
+      s"exactly one (o_orderpriority, o_orderdate) stack exchange: $rps")
+  }
+}
