@@ -41,6 +41,14 @@ import org.apache.spark.sql.functions._
   * ceiling); `groupedrunningchained` runs it over a pre-existing
   * FINER (g, d, fine) exchange that splits both group segments and
   * tie runs — the exec's driver chain at 50M.
+  * `groupedmixed` probes the r18 GroupedWindowSplit rule on the q48
+  * shape — ONE select mixing rank family and running RANGE aggregates
+  * over the SAME grouped window, few huge groups: off = the pre-r18
+  * native hash window at the group-count ceiling, on = GroupedRank +
+  * GroupedRunningAgg stacked on one shared (g, order) range exchange.
+  * `groupedmixedchained` composes the split with BOTH driver chains:
+  * the same mixed select over a pre-existing FINER (g, d, fine)
+  * exchange whose boundaries split group segments and order-tie runs.
   * Prints wall seconds for rule-on vs rule-off and the speedup — the
   * PLANS.md "global ranking"/"global aggregate"/"grouped ranking"/
   * "global offset" probe rows come from here. */
@@ -59,11 +67,14 @@ object RankProbe {
       case "grouped" => graft.plans.GroupedRankRewrite.ConfKey
       case "groupedrunning" | "groupedrunningchained" =>
         graft.plans.GroupedRunningAggRewrite.ConfKey
+      case "groupedmixed" | "groupedmixedchained" =>
+        graft.plans.GroupedWindowSplit.ConfKey
       case "offset" => graft.plans.GlobalOffsetRewrite.ConfKey
       case "running" => graft.plans.GlobalRunningAggRewrite.ConfKey
       case _ => graft.plans.GlobalRankRewrite.ConfKey
     }
-    if (mode == "chained" || mode == "mixedchained" || mode == "groupedrunningchained")
+    if (mode == "chained" || mode == "mixedchained" ||
+        mode == "groupedrunningchained" || mode == "groupedmixedchained")
       s.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
     def run(on: Boolean): Double = {
       s.conf.set(confKey, on.toString)
@@ -79,6 +90,14 @@ object RankProbe {
           graft.plans.GlobalRunningAggRewrite.ConfKey,
           graft.plans.GlobalOffsetRewrite.ConfKey,
           graft.plans.GlobalAggRewrite.ConfKey)
+          .foreach(k => s.conf.set(k, on.toString))
+      // the grouped split plans both grouped families out of one
+      // node: the off branch silences both to get the true pre-r18
+      // native hash funnel
+      if (mode == "groupedmixed" || mode == "groupedmixedchained")
+        Seq(graft.plans.GroupedWindowSplit.ConfKey,
+          graft.plans.GroupedRankRewrite.ConfKey,
+          graft.plans.GroupedRunningAggRewrite.ConfKey)
           .foreach(k => s.conf.set(k, on.toString))
       val t0 = System.nanoTime()
       val r = mode match {
@@ -203,6 +222,52 @@ object RankProbe {
               sum($"fine").over(wg).as("gs"),
               count(lit(1)).over(wg).as("gc"))
             .groupBy($"g").agg((sum($"gs") + sum($"gc")).as("m"))
+            .agg(sum($"m")).head()
+        case "groupedmixed" =>
+          // the q48 shape at scale: rank family + running RANGE
+          // aggregates over the SAME grouped total (k, id) order in
+          // ONE select, few huge interleaved groups. Exact-long
+          // checksums sum over every emitted row; all five functions
+          // are tie-stable (the order is total anyway).
+          val wg = Window.partitionBy($"g").orderBy($"k", $"id")
+          df.withColumn("g", pmod($"id", lit(nGroups.toLong)))
+            .select($"g",
+              rank().over(wg).as("r"),
+              dense_rank().over(wg).as("dr"),
+              cume_dist().over(wg).as("cd"),
+              sum($"k").over(wg).as("cs"),
+              count(lit(1)).over(wg).as("cc"))
+            .groupBy($"g").agg((max($"r".cast("long")) + max($"dr".cast("long")) +
+              sum(($"cd" * 1000000).cast("long")) + max($"cs") + min($"cs") +
+              max($"cc")).as("m"))
+            .agg(sum($"m")).head()
+        case "groupedmixedchained" =>
+          // split × BOTH driver chains at scale: 4 spanning groups ×
+          // 125 wide tie runs each, mixed rank family + running RANGE
+          // aggregates ordered by `d` per group, over a pre-existing
+          // FINER (g, d, fine) exchange whose 200 boundaries split
+          // group segments AND order-tie runs — the split must fire
+          // and the two stacked operators must chain rank/cume state
+          // and prefix/override buffers on the ONE reused exchange.
+          // All functions tie-stable → checksum equality on/off is
+          // the 50M correctness witness for the stacked chained
+          // configuration.
+          val runs = 500L
+          val sz = math.max(n / runs, 1L)
+          val tied = s.range(n).select($"id",
+              floor($"id" / sz).cast("long").as("r0"),
+              pmod($"id" * 2654435761L, lit(97L)).as("fine"))
+            .select($"id", ($"r0" % 4L).as("g"), ($"r0" / 4L).as("d"), $"fine")
+            .repartitionByRange(200, $"g", $"d", $"fine")
+          val wg = Window.partitionBy($"g").orderBy($"d")
+          tied.select($"g", $"fine",
+              rank().over(wg).as("r"),
+              dense_rank().over(wg).as("dr"),
+              cume_dist().over(wg).as("cd"),
+              sum($"fine").over(wg).as("gs"),
+              count(lit(1)).over(wg).as("gc"))
+            .groupBy($"g").agg((sum($"r".cast("long")) + sum($"dr".cast("long")) +
+              sum(($"cd" * 1000000).cast("long")) + sum($"gs") + max($"gc")).as("m"))
             .agg(sum($"m")).head()
         case "running" =>
           // the q44 shape: cumulative sum + count on the ROWS frame,

@@ -231,6 +231,89 @@ class GroupedWindowSplitSpec extends AnyFunSuite {
     }
   }
 
+  test("null group keys ride the split: g nullable, mixed rank+running, bit-equal vs native") {
+    val s = spark
+    import s.implicits._
+    // nulls-first group segment under the canonical g-asc promotion:
+    // the null "group" is a first-class partition through BOTH stacked
+    // operators (GroupedRunningAgg's P4-class probe shape, here in the
+    // stacked-split configuration)
+    val nd = data.withColumn("gn", when($"g" =!= 0, $"g"))
+    def q(on: Boolean): Seq[Row] =
+      TestSpark.withConf(graft.plans.GroupedWindowSplit.ConfKey, on.toString) {
+        val w = Window.partitionBy($"gn").orderBy($"o")
+        val df = nd.select($"id",
+          rank().over(w).as("r"), cume_dist().over(w).as("cd"),
+          sum($"cents").over(w).as("run"), count(lit(1)).over(w).as("cnt"))
+        if (on) assertSplitPlan(df, "null-group-key mixed grouped")
+        df.collect().toSeq.sortBy(_.getLong(0))
+      }
+    assertSame(q(on = true), allOff(q(on = false)), "null-group-key mixed grouped split")
+  }
+
+  test("ignoreNulls first_value in a mixed grouped node: claimed by the running class, split fires, bit-equal") {
+    val s = spark
+    import s.implicits._
+    // first_value is tie-ARBITRARY under a non-total order; a total
+    // (o, id) per-group order makes bit-equality well-defined while
+    // still exercising the First/NthValue claim through classify
+    val nd = data.withColumn("cn", when($"id" % 5 =!= 0, $"cents"))
+    def q(on: Boolean): Seq[Row] =
+      TestSpark.withConf(graft.plans.GroupedWindowSplit.ConfKey, on.toString) {
+        val w = Window.partitionBy($"g").orderBy($"o", $"id")
+        val df = nd.select($"id",
+          rank().over(w).as("r"),
+          first($"cn", ignoreNulls = true).over(w).as("fv"),
+          sum($"cn").over(w).as("run"))
+        if (on) assertSplitPlan(df, "ignoreNulls-first mixed grouped")
+        df.collect().toSeq.sortBy(_.getLong(0))
+      }
+    assertSame(q(on = true), allOff(q(on = false)), "ignoreNulls-first mixed grouped split")
+  }
+
+  test("cross-family composition: grouped mixed + global mixed windows in ONE select — both split rules fire, all four operators, no native window") {
+    val s = spark
+    import s.implicits._
+    data.createOrReplaceTempView("gmix_cross_t")
+    // two specs in one select analyze into TWO Window nodes;
+    // GroupedWindowSplit takes the grouped node, GlobalWindowSplit the
+    // empty-PARTITION-BY node — each onto its own operator stack over
+    // its own required ordering. All functions tie-STABLE.
+    val sqlText = """
+      SELECT id, g, o, cents,
+             rank()     OVER (PARTITION BY g ORDER BY o) AS gr,
+             sum(cents) OVER (PARTITION BY g ORDER BY o) AS grun,
+             rank()     OVER (ORDER BY o)                AS ar,
+             sum(cents) OVER (ORDER BY o)                AS arun
+      FROM gmix_cross_t"""
+    def q(on: Boolean): Seq[Row] =
+      TestSpark.withConf(graft.plans.GroupedWindowSplit.ConfKey, on.toString) {
+        TestSpark.withConf(graft.plans.GlobalWindowSplit.ConfKey, on.toString) {
+          val df = s.sql(sqlText)
+          if (on) {
+            val plan = df.queryExecution.executedPlan.toString
+            for (op <- Seq("GroupedRank", "GroupedRunningAgg",
+                "GlobalRank", "GlobalRunningAgg"))
+              assert(plan.contains(op),
+                s"$op missing from the cross-family plan:\n" + plan.take(3000))
+            assert(!plan.contains("Window ["),
+              "no native WindowExec may survive either split:\n" + plan.take(3000))
+            assert(!plan.contains("Exchange hashpartitioning"),
+              "no hash exchange in the cross-family plan:\n" + plan.take(3000))
+          }
+          df.collect().toSeq.sortBy(_.getLong(0))
+        }
+      }
+    def globalsOff[A](body: => A): A =
+      TestSpark.withConf(graft.plans.GlobalWindowSplit.ConfKey, "false") {
+        TestSpark.withConf(graft.plans.GlobalRankRewrite.ConfKey, "false") {
+          TestSpark.withConf(graft.plans.GlobalRunningAggRewrite.ConfKey, "false")(body)
+        }
+      }
+    assertSame(q(on = true), globalsOff(allOff(q(on = false))),
+      "grouped + global mixed windows in one select")
+  }
+
   test("q48 graded plan: the split is live in the DuckDB-gated query — both operators, one shared range exchange, no hash exchange") {
     val s = spark
     val df = graft.relational.Relational.q48PriorityLeaderboard(s, SfDir)
