@@ -49,6 +49,13 @@ import org.apache.spark.sql.functions._
   * `groupedmixedchained` composes the split with BOTH driver chains:
   * the same mixed select over a pre-existing FINER (g, d, fine)
   * exchange whose boundaries split group segments and order-tie runs.
+  * `groupedagg` probes the r18 GroupedAggRewrite on the q49 shape —
+  * share-of-group full-frame aggregates over few huge groups: off =
+  * the native hash window buffering each WHOLE group in one task, on
+  * = distributed aggregate + broadcast join-back (the facts never
+  * shuffle). `groupedaggmany` measures the rewrite's TAX regime —
+  * n/10 ten-row groups, where the join-back degenerates to an
+  * equi-join as large as the input (the README cost-lever row).
   * Prints wall seconds for rule-on vs rule-off and the speedup — the
   * PLANS.md "global ranking"/"global aggregate"/"grouped ranking"/
   * "global offset" probe rows come from here. */
@@ -69,6 +76,8 @@ object RankProbe {
         graft.plans.GroupedRunningAggRewrite.ConfKey
       case "groupedmixed" | "groupedmixedchained" =>
         graft.plans.GroupedWindowSplit.ConfKey
+      case "groupedagg" | "groupedaggmany" =>
+        graft.plans.GroupedAggRewrite.ConfKey
       case "offset" => graft.plans.GlobalOffsetRewrite.ConfKey
       case "running" => graft.plans.GlobalRunningAggRewrite.ConfKey
       case _ => graft.plans.GlobalRankRewrite.ConfKey
@@ -241,6 +250,24 @@ object RankProbe {
               sum(($"cd" * 1000000).cast("long")) + max($"cs") + min($"cs") +
               max($"cc")).as("m"))
             .agg(sum($"m")).head()
+        case "groupedagg" | "groupedaggmany" =>
+          // share-of-group full-frame aggregates; the checksum folds
+          // every ROW's joined-back values (mod a prime to stay in
+          // long range), so a row receiving the wrong group's
+          // aggregate flips it — the 50M correctness witness for the
+          // join-back. `groupedagg` = few huge interleaved groups
+          // (the funnel the rewrite deletes); `groupedaggmany` = n/10
+          // ten-row groups (the rewrite's tax regime, README lever).
+          val g = if (mode == "groupedagg") lit(nGroups.toLong)
+                  else lit(math.max(n / 10L, 1L))
+          val wg = Window.partitionBy($"g")
+          df.withColumn("g", pmod($"id", g))
+            .select($"g", $"k",
+              sum($"k").over(wg).as("t"),
+              count(lit(1)).over(wg).as("c"),
+              max($"k").over(wg).as("m"))
+            .select(pmod($"t" + $"c" + $"m" + $"k", lit(1000000007L)).as("x"))
+            .agg(sum($"x")).head()
         case "groupedmixedchained" =>
           // split × BOTH driver chains at scale: 4 spanning groups ×
           // 125 wide tie runs each, mixed rank family + running RANGE

@@ -87,6 +87,13 @@ object GraftExtensions extends SparkSessionExtensionsProvider {
     // (sum(x) OVER ()) aggregate once and broadcast back instead of
     // funnelling every row through one partition.
     ext.injectOptimizerRule(_ => graft.plans.GlobalAggRewrite)
+    // Share-of-GROUP: full-frame aggregate windows WITH partition keys
+    // (sum(x) OVER (PARTITION BY g)) aggregate distributedly (map-side
+    // partial combine) and join back null-safely on the keys — AQE
+    // broadcasts the per-group side when small, so the rows never
+    // shuffle; a giant group streams through its join task instead of
+    // buffering in one window task.
+    ext.injectOptimizerRule(_ => graft.plans.GroupedAggRewrite)
     ext.injectFunction((
       FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),

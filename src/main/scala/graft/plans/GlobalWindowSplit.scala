@@ -109,8 +109,11 @@ object GlobalWindowSplit extends Rule[LogicalPlan] {
     * CHANGE the result. Whitelist of commutative-merge aggregates
     * whose value is a pure function of the input MULTISET (float
     * summation associativity remains the documented GlobalAgg
-    * caveat); everything else keeps the whole node native. */
-  private def orderInsensitive(fn: AggregateFunction): Boolean = fn match {
+    * caveat); everything else keeps the whole node native. Shared
+    * with [[GroupedAggRewrite]]/[[GroupedWindowSplit]] (r18), whose
+    * grouped full-frame class must prove the same property before
+    * dropping the node's order. */
+  private[plans] def orderInsensitive(fn: AggregateFunction): Boolean = fn match {
     case _: Sum | _: Count | _: Min | _: Max | _: Average => true
     case _: CentralMomentAgg | _: Corr | _: Covariance => true
     case _: BitAggregate => true

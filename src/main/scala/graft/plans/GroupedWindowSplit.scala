@@ -33,12 +33,18 @@ import org.apache.spark.sql.internal.SQLConf
   * partition keys to Ascending/NullsFirst ahead of the frame order),
   * so a rank+running mix stacks [[GroupedRankNode]] over
   * [[GroupedRunningAggNode]] on ONE shared range exchange — the
-  * GlobalWindowSplit composition, grouped. That rationale REMAINS
-  * correct for offset-bearing mixes: grouped lag/lead deliberately
-  * has no operator (PLANS.md records the decision — high-cardinality
-  * keys dominate the idiom), and a grouped full-frame aggregate
-  * (`sum(x) OVER (PARTITION BY g)`) has no grouped operator either,
-  * so ANY such member keeps the WHOLE node native.
+  * GlobalWindowSplit composition, grouped. Since r18 the grouped
+  * FULL-FRAME aggregate class (`sum(x) OVER (PARTITION BY g)`) splits
+  * too: it is re-emitted as an order-FREE grouped Window at the stack
+  * BOTTOM, exactly the shape [[GroupedAggRewrite]] consumes in a
+  * later iteration of the same fixed-point batch (aggregate +
+  * null-safe join-back; bottom placement keeps its duplicated
+  * aggregate leg to the raw child rather than replaying the stacked
+  * operators). The r14 stay-native rationale REMAINS correct for
+  * offset-bearing mixes: grouped lag/lead deliberately has no
+  * operator (PLANS.md records the decision — high-cardinality keys
+  * dominate the idiom), so ANY offset member keeps the WHOLE node
+  * native.
   *
   * Emitting the custom logical nodes directly (not single-class
   * Window nodes) is load-bearing for the same reason as in
@@ -60,19 +66,25 @@ import org.apache.spark.sql.internal.SQLConf
   * consistency; a total ORDER BY restores it (README documents the
   * caveat next to the kill switch).
   *
-  * Scope guards are the two families' own, conjoined: every window
-  * expression claimed by exactly one of the two grouped classes via
+  * Scope guards are the families' own, conjoined: every window
+  * expression claimed by exactly one of the three grouped classes via
   * the family rewrites' OWN matchers (the split can never claim an
-  * expression the downstream operator would bail on); BOTH classes
-  * present (single-class nodes are the family rewrites' own match);
-  * both family confs enabled; partition keys deterministic AND
-  * orderable (they are promoted into RangePartitioning); order and
-  * subtree deterministic, non-streaming child (two jobs per operator,
-  * one shuffle); the boundary byte-traffic guard on (part ++ order);
-  * and the child must clear BOTH families' `minBytes` thresholds —
-  * below a family's threshold its single-class node would stay
-  * native, so the split forcing the operator would override the
-  * deployment's own cost lever. Kill switch:
+  * expression the downstream operator would bail on); at least TWO
+  * classes present (single-class nodes are the family rewrites' own
+  * match); every PRESENT class's family conf enabled; partition keys
+  * deterministic AND orderable (they are promoted into
+  * RangePartitioning); order and subtree deterministic, non-streaming
+  * child (two jobs per operator, one shuffle); the boundary
+  * byte-traffic guard on (part ++ order); the child must clear every
+  * present family's `minBytes` threshold — below a family's threshold
+  * its single-class node would stay native, so the split forcing the
+  * operator would override the deployment's own cost lever; and a
+  * full-agg class additionally requires the child to be
+  * exprId-freshenable ([[ExprIdFreshener]]) — splitting past
+  * GroupedAggRewrite's one structural bail would leave a NATIVE
+  * hash-clustered Window at the stack bottom: the funnel survives AND
+  * the operators above pay a new exchange, strictly worse than not
+  * splitting. Kill switch:
   * `spark.graft.groupedWindowSplit.enabled=false`.
   */
 object GroupedWindowSplit extends Rule[LogicalPlan] {
@@ -96,6 +108,27 @@ object GroupedWindowSplit extends Rule[LogicalPlan] {
   private sealed trait Claimed
   private case class CRank(fn: (Attribute, GlobalRankFn)) extends Claimed
   private case class CRunning(fn: RunningFn) extends Claimed
+  private case class CFullAgg(e: NamedExpression) extends Claimed
+
+  private val FullRowFrame =
+    SpecifiedWindowFrame(RowFrame, UnboundedPreceding, UnboundedFollowing)
+
+  /** [[GroupedAggRewrite]]'s class, re-emitted on an order-free grouped
+    * spec with a normalized ROWS full frame — exactly the shape that
+    * rewrite consumes. Order-insensitivity is proven by the shared
+    * multiset whitelist inside [[GroupedAggRewrite.supported]], so
+    * dropping the node's order here cannot change the value. */
+  private def fullAgg(
+      e: NamedExpression,
+      part: Seq[Expression],
+      order: Seq[SortOrder]): Option[NamedExpression] =
+    GroupedAggRewrite.supported(e, part, order).map { case (a, ae) =>
+      a.copy(child = WindowExpression(ae,
+        WindowSpecDefinition(part, Nil, FullRowFrame)))(
+        exprId = a.exprId, qualifier = a.qualifier,
+        explicitMetadata = a.explicitMetadata,
+        nonInheritableMetadataKeys = a.nonInheritableMetadataKeys)
+    }
 
   private def classify(
       e: NamedExpression,
@@ -103,6 +136,7 @@ object GroupedWindowSplit extends Rule[LogicalPlan] {
       order: Seq[SortOrder]): Option[Claimed] =
     RankFnMatch.supported(e, part, order).map(CRank.apply)
       .orElse(GlobalRunningAggRewrite.supported(e, part, order).map(CRunning.apply))
+      .orElse(fullAgg(e, part, order).map(CFullAgg.apply))
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!confOn(ConfKey)) return plan
@@ -120,21 +154,29 @@ object GroupedWindowSplit extends Rule[LogicalPlan] {
           val claimed = claims.flatten
           val ranks = claimed.collect { case CRank(f) => f }
           val runnings = claimed.collect { case CRunning(f) => f }
-          val bothPresent = ranks.nonEmpty && runnings.nonEmpty
-          val bothEnabled =
-            confOn(GroupedRankRewrite.ConfKey) &&
-              confOn(GroupedRunningAggRewrite.ConfKey)
-          val bigEnough = child.stats.sizeInBytes >=
-            math.max(minBytes(GroupedRankRewrite.MinBytesKey),
-              minBytes(GroupedRunningAggRewrite.MinBytesKey))
-          if (!bothPresent || !bothEnabled || !bigEnough) w
+          val fullAggs = claimed.collect { case CFullAgg(e) => e }
+          val classes = Seq(ranks, runnings, fullAggs).count(_.nonEmpty)
+          val allEnabled =
+            (ranks.isEmpty || confOn(GroupedRankRewrite.ConfKey)) &&
+              (runnings.isEmpty || confOn(GroupedRunningAggRewrite.ConfKey)) &&
+              (fullAggs.isEmpty || confOn(GroupedAggRewrite.ConfKey))
+          val bigEnough = child.stats.sizeInBytes >= Seq(
+            if (ranks.nonEmpty) minBytes(GroupedRankRewrite.MinBytesKey) else 0L,
+            if (runnings.nonEmpty) minBytes(GroupedRunningAggRewrite.MinBytesKey) else 0L,
+            if (fullAggs.nonEmpty) minBytes(GroupedAggRewrite.MinBytesKey) else 0L).max
+          val fullAggPlannable =
+            fullAggs.isEmpty || ExprIdFreshener.freshen(child).isDefined
+          if (classes < 2 || !allEnabled || !bigEnough || !fullAggPlannable) w
           else {
             logInfo(s"GroupedWindowSplit: splitting a mixed grouped window " +
-              s"(${ranks.size} rank, ${runnings.size} running-agg functions " +
-              s"over ${part.size} partition keys) into 2 stacked operator nodes")
-            Project(w.output,
-              GroupedRankNode(part, order, ranks,
-                GroupedRunningAggNode(part, order, runnings, child)))
+              s"(${ranks.size} rank, ${runnings.size} running-agg, " +
+              s"${fullAggs.size} full-frame-agg functions over " +
+              s"${part.size} partition keys) into $classes stacked operator nodes")
+            var cur: LogicalPlan = child
+            if (fullAggs.nonEmpty) cur = LogicalWindow(fullAggs, part, Nil, cur)
+            if (runnings.nonEmpty) cur = GroupedRunningAggNode(part, order, runnings, cur)
+            if (ranks.nonEmpty) cur = GroupedRankNode(part, order, ranks, cur)
+            Project(w.output, cur)
           }
         }
     }

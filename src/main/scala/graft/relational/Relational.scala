@@ -1369,7 +1369,36 @@ object Relational {
       .orderBy($"o_orderkey")
   }
 
+  // ---------------------------------------------------------------------
+  // q49: SHARE-OF-GROUP REPORT — each order's revenue share within its
+  // priority class, plus the class totals: the ClickHouse
+  // `sum(x) OVER (PARTITION BY k)` share idiom on the RAW fact table.
+  // Graded end-to-end ON GroupedAggRewrite (plans/GroupedAgg.scala):
+  // the native plan buffers each WHOLE priority class in one window
+  // task (5 tasks at ANY scale — terabytes per task at 100 TB); the
+  // rewrite aggregates distributedly (map-side combine) and joins the
+  // 5-row per-class result back null-safely, which AQE broadcasts, so
+  // the fact table never shuffles at all. Exact cents end-to-end
+  // (q27's DECIMAL(18,2)×100 idiom); share is ONE mirrored IEEE
+  // division of two exact longs — bit-identical cross-engine.
+  // ---------------------------------------------------------------------
+  def q49GroupShare(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val orders = Tables.orders(s, d)
+      .select($"o_orderkey", $"o_orderpriority",
+        (dec($"o_totalprice") * 100).cast("long").as("cents"))
+    val w = Window.partitionBy($"o_orderpriority")
+    orders.select($"o_orderkey", $"o_orderpriority", $"cents",
+        sum($"cents").over(w).as("pri_cents"),
+        count(lit(1)).over(w).as("pri_orders"),
+        max($"cents").over(w).as("pri_max_cents"),
+        ($"cents".cast("double") /
+          sum($"cents").over(w).cast("double")).as("share"))
+      .orderBy($"o_orderkey")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q49_group_share" -> (q49GroupShare _),
     "q48_priority_leaderboard" -> (q48PriorityLeaderboard _),
     "q47_priority_cumulative" -> (q47PriorityCumulative _),
     "q46_mixed_window" -> (q46MixedWindow _),
@@ -1439,6 +1468,21 @@ object Relational {
     // SQL-standard RANGE running frame in both engines), ranks
     // narrowed to Spark's IntegerType, sums/counts cast back from
     // HUGEINT; exact cents.
+    // q49: the full-frame PARTITION BY window is order-free in both
+    // engines (one value per class); exact cents, sums/counts cast
+    // back from HUGEINT, share as the same mirrored double division.
+    "q49_group_share" ->
+      """WITH o AS (
+           SELECT o_orderkey, o_orderpriority,
+                  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+           FROM orders)
+         SELECT o_orderkey, o_orderpriority, cents,
+                CAST(sum(cents) OVER (PARTITION BY o_orderpriority) AS BIGINT) AS pri_cents,
+                CAST(count(*) OVER (PARTITION BY o_orderpriority) AS BIGINT) AS pri_orders,
+                CAST(max(cents) OVER (PARTITION BY o_orderpriority) AS BIGINT) AS pri_max_cents,
+                CAST(cents AS DOUBLE) /
+                  CAST(CAST(sum(cents) OVER (PARTITION BY o_orderpriority) AS BIGINT) AS DOUBLE) AS share
+         FROM o ORDER BY o_orderkey""",
     "q48_priority_leaderboard" ->
       """WITH o AS (
            SELECT o_orderkey, o_orderpriority, o_orderdate,

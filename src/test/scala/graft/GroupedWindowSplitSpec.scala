@@ -314,6 +314,83 @@ class GroupedWindowSplitSpec extends AnyFunSuite {
       "grouped + global mixed windows in one select")
   }
 
+  test("three-class mix: rank + running + full-frame agg in ONE select — operators stacked over the GroupedAggRewrite join, no native window") {
+    val s = spark
+    import s.implicits._
+    data.createOrReplaceTempView("gmix3_t")
+    // the leaderboard + cumulative + share-of-group report in one
+    // grouped select: the full-frame members are re-emitted order-free
+    // at the stack bottom and consumed by GroupedAggRewrite (agg +
+    // join-back); rank and running stack above on their shared range
+    // exchange. All members tie-stable / order-insensitive.
+    val sqlText = """
+      SELECT id, g, o, cents,
+             rank()       OVER (PARTITION BY g ORDER BY o) AS r,
+             sum(cents)   OVER (PARTITION BY g ORDER BY o) AS run,
+             sum(cents)   OVER (PARTITION BY g ORDER BY o
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND UNBOUNDED FOLLOWING) AS tot,
+             count(*)     OVER (PARTITION BY g ORDER BY o
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND UNBOUNDED FOLLOWING) AS n
+      FROM gmix3_t"""
+    def q(on: Boolean): Seq[Row] =
+      TestSpark.withConf(graft.plans.GroupedWindowSplit.ConfKey, on.toString) {
+        val df = s.sql(sqlText)
+        if (on) {
+          val plan = df.queryExecution.executedPlan.toString
+          for (op <- Seq("GroupedRank", "GroupedRunningAgg"))
+            assert(plan.contains(op),
+              s"$op missing from the three-class plan:\n" + plan.take(3000))
+          assert(plan.contains("Join"),
+            "the full-agg join-back is missing:\n" + plan.take(3000))
+          assert(!plan.contains("Window ["),
+            "no native WindowExec may survive the three-class split:\n" + plan.take(3000))
+          assert(df.schema.map(_.name) ==
+            Seq("id", "g", "o", "cents", "r", "run", "tot", "n"))
+        }
+        df.collect().toSeq.sortBy(_.getLong(0))
+      }
+    def gaggOff[A](body: => A): A =
+      TestSpark.withConf(graft.plans.GroupedAggRewrite.ConfKey, "false")(body)
+    assertSame(q(on = true), gaggOff(allOff(q(on = false))),
+      "three-class mixed grouped split")
+  }
+
+  test("running + full-frame mix (no rank member): two classes still split; offset + full-frame still bails whole") {
+    val s = spark
+    import s.implicits._
+    def q(on: Boolean): Seq[Row] =
+      TestSpark.withConf(graft.plans.GroupedWindowSplit.ConfKey, on.toString) {
+        val w = Window.partitionBy($"g").orderBy($"o", $"id")
+        val wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        val df = data.select($"id",
+          sum($"cents").over(w).as("run"),
+          max($"cents").over(wf).as("hi"))
+        if (on) {
+          val plan = df.queryExecution.executedPlan.toString
+          assert(plan.contains("GroupedRunningAgg") && plan.contains("Join") &&
+            !plan.contains("Window ["),
+            "running+full-frame must split onto the operator + join:\n" + plan.take(3000))
+        }
+        df.collect().toSeq.sortBy(_.getLong(0))
+      }
+    def gaggOff[A](body: => A): A =
+      TestSpark.withConf(graft.plans.GroupedAggRewrite.ConfKey, "false")(body)
+    assertSame(q(on = true), gaggOff(allOff(q(on = false))),
+      "running + full-frame grouped split")
+    // offset member alongside a full-frame agg: grouped lag has no
+    // operator (recorded decision) — the WHOLE node stays native, no
+    // half-split even though the full-frame member alone is claimable
+    val wLag = Window.partitionBy($"g").orderBy($"o", $"id")
+    val dfBail = data.select($"id",
+      lag($"cents", 1).over(wLag).as("prev"),
+      sum($"cents").over(wLag.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)).as("tot"))
+    assert(dfBail.queryExecution.executedPlan.toString.contains("Window ["),
+      "offset + full-frame mix must keep the whole node native")
+  }
+
   test("q48 graded plan: the split is live in the DuckDB-gated query — both operators, one shared range exchange, no hash exchange") {
     val s = spark
     val df = graft.relational.Relational.q48PriorityLeaderboard(s, SfDir)
