@@ -56,6 +56,11 @@ import org.apache.spark.sql.functions._
   * shuffle). `groupedaggmany` measures the rewrite's TAX regime —
   * n/10 ten-row groups, where the join-back degenerates to an
   * equi-join as large as the input (the README cost-lever row).
+  * `sliding` probes the r18 SlidingAgg operator on the q50 shape —
+  * trailing/centered bounded ROWS frames over the global order: off =
+  * the AllTuples single-task funnel, on = the boundary-VALUE-ring
+  * two-pass exec. `slidinggrouped` runs the same frames over nGroups
+  * huge interleaved groups (the group-count ceiling).
   * Prints wall seconds for rule-on vs rule-off and the speedup — the
   * PLANS.md "global ranking"/"global aggregate"/"grouped ranking"/
   * "global offset" probe rows come from here. */
@@ -78,6 +83,8 @@ object RankProbe {
         graft.plans.GroupedWindowSplit.ConfKey
       case "groupedagg" | "groupedaggmany" =>
         graft.plans.GroupedAggRewrite.ConfKey
+      case "sliding" | "slidinggrouped" =>
+        graft.plans.SlidingAggRewrite.ConfKey
       case "offset" => graft.plans.GlobalOffsetRewrite.ConfKey
       case "running" => graft.plans.GlobalRunningAggRewrite.ConfKey
       case _ => graft.plans.GlobalRankRewrite.ConfKey
@@ -250,6 +257,25 @@ object RankProbe {
               sum(($"cd" * 1000000).cast("long")) + max($"cs") + min($"cs") +
               max($"cc")).as("m"))
             .agg(sum($"m")).head()
+        case "sliding" | "slidinggrouped" =>
+          // bounded sliding ROWS frames (q50's shape): trailing 8-row
+          // sum/count + a centered 7-row min over the tie-free (k, id)
+          // order — global (the AllTuples single-task funnel) or over
+          // nGroups huge interleaved groups (the group-count ceiling).
+          // Exact mod-prime per-ROW checksums: a row with the wrong
+          // frame flips the sum.
+          val wS =
+            if (mode == "sliding") Window.orderBy($"k", $"id")
+            else Window.partitionBy($"g").orderBy($"k", $"id")
+          val base =
+            if (mode == "sliding") df
+            else df.withColumn("g", pmod($"id", lit(nGroups.toLong)))
+          base.select($"k",
+              sum($"k").over(wS.rowsBetween(-7, 0)).as("t"),
+              count(lit(1)).over(wS.rowsBetween(-7, 0)).as("c"),
+              min($"k").over(wS.rowsBetween(-3, 3)).as("m"))
+            .select(pmod($"t" + $"c" + $"m" + $"k", lit(1000000007L)).as("x"))
+            .agg(sum($"x")).head()
         case "groupedagg" | "groupedaggmany" =>
           // share-of-group full-frame aggregates; the checksum folds
           // every ROW's joined-back values (mod a prime to stay in

@@ -94,6 +94,12 @@ object GraftExtensions extends SparkSessionExtensionsProvider {
     // shuffle; a giant group streams through its join task instead of
     // buffering in one window task.
     ext.injectOptimizerRule(_ => graft.plans.GroupedAggRewrite)
+    // Bounded SLIDING ROWS frames (moving averages / trailing totals,
+    // global or grouped): one operator closing both the AllTuples
+    // single-task funnel and the group-count ceiling — boundary-VALUE
+    // rings (GlobalOffset's machinery) + per-frame aggregate re-folds.
+    ext.injectOptimizerRule(_ => graft.plans.SlidingAggRewrite)
+    ext.injectPlannerStrategy(_ => graft.plans.SlidingAggStrategy)
     ext.injectFunction((
       FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),

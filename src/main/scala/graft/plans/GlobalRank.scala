@@ -621,4 +621,43 @@ object PlanGuards extends org.apache.spark.internal.Logging {
       s"OOMs here, coarsen the upstream repartitioning or raise the cap " +
       s"deliberately.")
   }
+
+  /** [[boundaryTrafficOk]]'s sibling for ring-shipping operators
+    * (SlidingAgg): pass 1 ships `extent` projected VALUE tuples (+
+    * evaluated part keys) per partition instead of 2 key rows, so the
+    * projected traffic is partitions × extent × Σ column width,
+    * against the same cap and with the same conservative
+    * variable-width floor. */
+  def valueTrafficOk(op: String, values: Seq[Expression],
+      part: Seq[Expression], extent: Int): Boolean = {
+    val cap = capBytes
+    val parts = SQLConf.get.numShufflePartitions.toLong
+    val width = (values.map(_.dataType) ++ part.map(_.dataType)).map(widthOf).sum
+    val projected = parts * extent.toLong * width
+    val ok = projected <= cap
+    if (!ok) logInfo(s"$op rewrite bails to the native plan: projected " +
+      s"pass-1 boundary-value driver traffic ($parts partitions × $extent " +
+      s"values × $width bytes = $projected B) exceeds $MaxBoundaryBytesKey=$cap")
+    ok
+  }
+
+  /** [[runtimeBoundaryWarn]]'s sibling for ring-shipping operators —
+    * the same loud-warning runtime backstop over the ACTUAL partition
+    * count of a reused finer exchange, with the extent in the
+    * message so the remedy (lower the frame extent cap, coarsen the
+    * pre-partitioning, or raise the byte cap deliberately) is named
+    * before a driver OOM rather than after. */
+  def runtimeValueTrafficWarn(op: String, nParts: Int, values: Seq[Expression],
+      part: Seq[Expression], extent: Int): Unit = {
+    val cap = capBytes
+    val width = (values.map(_.dataType) ++ part.map(_.dataType)).map(widthOf).sum
+    val projected = nParts.toLong * extent.toLong * width
+    if (projected > cap) logWarning(s"$op pass 1 will ship an estimated " +
+      s"$projected B of boundary values to the driver ($nParts actual " +
+      s"partitions × $extent values × $width B) — above " +
+      s"$MaxBoundaryBytesKey=$cap, which the plan-time guard could not see " +
+      s"because the operator reused a pre-existing finer exchange. If the " +
+      s"driver OOMs here, coarsen the upstream repartitioning, lower the " +
+      s"frame-extent conf, or raise the cap deliberately.")
+  }
 }

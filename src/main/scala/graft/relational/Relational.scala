@@ -1397,7 +1397,37 @@ object Relational {
       .orderBy($"o_orderkey")
   }
 
+  // ---------------------------------------------------------------------
+  // q50: TRAILING-WINDOW REVENUE REPORT — the corpus-global moving
+  // aggregate (ClickHouse movingSum/movingAvg idiom): each order's
+  // trailing-7 revenue sum/count and a centered 5-order min/max band
+  // over the one global (date, orderkey) sequence. Graded end-to-end
+  // ON SlidingAggExec (plans/SlidingAgg.scala): an empty-PARTITION-BY
+  // sliding ROWS frame natively plans AllTuples — the WHOLE corpus
+  // through one task for a 7-row data dependency — while the operator
+  // range-partitions the order and closes boundaries with
+  // O(partitions × 7) boundary-VALUE rings. Total order → every
+  // column tie-deterministic; exact cents end-to-end; the moving
+  // average is ONE mirrored IEEE division of two exact longs.
+  // ---------------------------------------------------------------------
+  def q50TrailingRevenue(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val orders = Tables.orders(s, d)
+      .select($"o_orderkey", $"o_orderdate",
+        (dec($"o_totalprice") * 100).cast("long").as("cents"))
+    val w = Window.orderBy($"o_orderdate", $"o_orderkey")
+    orders.select($"o_orderkey", $"o_orderdate", $"cents",
+        sum($"cents").over(w.rowsBetween(-6, 0)).as("trail_cents"),
+        count(lit(1)).over(w.rowsBetween(-6, 0)).as("trail_n"),
+        min($"cents").over(w.rowsBetween(-2, 2)).as("band_lo"),
+        max($"cents").over(w.rowsBetween(-2, 2)).as("band_hi"))
+      .withColumn("trail_avg",
+        $"trail_cents".cast("double") / $"trail_n".cast("double"))
+      .orderBy($"o_orderkey")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q50_trailing_revenue" -> (q50TrailingRevenue _),
     "q49_group_share" -> (q49GroupShare _),
     "q48_priority_leaderboard" -> (q48PriorityLeaderboard _),
     "q47_priority_cumulative" -> (q47PriorityCumulative _),
@@ -1468,6 +1498,29 @@ object Relational {
     // SQL-standard RANGE running frame in both engines), ranks
     // narrowed to Spark's IntegerType, sums/counts cast back from
     // HUGEINT; exact cents.
+    // q50: explicit ROWS frames over the tie-free (date, orderkey)
+    // order — identical frame semantics in both engines; exact cents,
+    // sums/counts cast back from HUGEINT, the moving average as the
+    // same mirrored double division of two exact longs.
+    "q50_trailing_revenue" ->
+      """WITH o AS (
+           SELECT o_orderkey, o_orderdate,
+                  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+           FROM orders)
+         SELECT o_orderkey, o_orderdate, cents,
+                CAST(sum(cents) OVER (ORDER BY o_orderdate, o_orderkey
+                       ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS trail_cents,
+                CAST(count(*) OVER (ORDER BY o_orderdate, o_orderkey
+                       ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS trail_n,
+                CAST(min(cents) OVER (ORDER BY o_orderdate, o_orderkey
+                       ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS BIGINT) AS band_lo,
+                CAST(max(cents) OVER (ORDER BY o_orderdate, o_orderkey
+                       ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS BIGINT) AS band_hi,
+                CAST(CAST(sum(cents) OVER (ORDER BY o_orderdate, o_orderkey
+                       ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS DOUBLE) /
+                  CAST(CAST(count(*) OVER (ORDER BY o_orderdate, o_orderkey
+                       ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS DOUBLE) AS trail_avg
+         FROM o ORDER BY o_orderkey""",
     // q49: the full-frame PARTITION BY window is order-free in both
     // engines (one value per class); exact cents, sums/counts cast
     // back from HUGEINT, share as the same mirrored double division.

@@ -129,11 +129,16 @@ class GlobalAggSpec extends AnyFunSuite {
     withRule(on = true) {
       // (DISTINCT aggregates need no bail-out: Spark itself rejects
       // distinct window functions at analysis, before any rule runs.)
-      // bounded trailing frame: not a global constant -> native
+      // bounded trailing frame: not a global constant, so GlobalAgg
+      // must NOT claim it — since r18 it belongs to the SlidingAgg
+      // operator (SlidingAggSpec pins its semantics)
       val d = base.select(sum($"cents").over(
         Window.orderBy($"cents", $"id").rowsBetween(-3, Window.currentRow)).as("nd"))
       d.collect()
-      assert(d.queryExecution.executedPlan.toString.contains("Window"))
+      val dPlan = d.queryExecution.executedPlan.toString
+      assert(dPlan.contains("SlidingAgg") && !dPlan.contains("Join"),
+        "bounded frames belong to SlidingAgg, never to the GlobalAgg join:\n" +
+          dPlan.take(2000))
       // running sum: not a global constant, so GlobalAgg must NOT
       // claim it — since r15 it belongs to the GlobalRunningAgg
       // operator instead (GlobalRunningAggSpec pins its semantics)

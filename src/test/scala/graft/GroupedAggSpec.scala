@@ -175,10 +175,14 @@ class GroupedAggSpec extends AnyFunSuite {
       wf.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)).as("f"))),
       "order-sensitive first() must keep the node native")
     // a bounded frame is not the full-frame class (and not a running
-    // frame either): native
-    assert(nativePlanned(data.select($"id", sum($"cents").over(
-      Window.partitionBy($"g").orderBy($"id").rowsBetween(-2, 2)).as("m"))),
-      "bounded sliding frame must stay native")
+    // frame either): GroupedAggRewrite must not claim it — since r18
+    // it belongs to the SlidingAgg operator (SlidingAggSpec pins it)
+    val slidePlan = data.select($"id", sum($"cents").over(
+      Window.partitionBy($"g").orderBy($"id").rowsBetween(-2, 2)).as("m"))
+      .queryExecution.executedPlan.toString
+    assert(slidePlan.contains("SlidingAgg") && !slidePlan.contains("Join"),
+      "bounded frames belong to SlidingAgg, never to the GroupedAgg join:\n" +
+        slidePlan.take(2000))
     // kill switch
     off {
       assert(nativePlanned(data.select($"id",
