@@ -43,7 +43,10 @@ import org.apache.spark.sql.internal.SQLConf
   * its subtree duplication to the raw child rather than replaying
   * the stacked operators in the aggregate leg. (No Window adjacent
   * to it shares its empty spec, so CollapseWindow cannot re-merge
-  * it either.)
+  * it either.) Since r18 the bounded SLIDING ROWS class stacks
+  * [[SlidingAggNode]] into the same pile — its exec requires the
+  * identical `OrderedDistribution(order)`, and the split honors its
+  * minBytes lever and boundary-VALUE traffic guard.
   *
   * All three custom execs require `OrderedDistribution(order)` over
   * the SAME order, so the stack shares ONE range exchange (the q45
@@ -150,27 +153,37 @@ object GlobalWindowSplit extends Rule[LogicalPlan] {
   private case class CRunning(fn: RunningFn) extends Claimed
   private case class COffset(fn: OffsetFn) extends Claimed
   private case class CFullAgg(e: NamedExpression) extends Claimed
+  private case class CSliding(fn: SlidingFn) extends Claimed
 
   private def classify(
       e: NamedExpression,
       order: Seq[SortOrder],
-      offsetCap: Int): Option[Claimed] =
+      offsetCap: Int,
+      extentCap: Int): Option[Claimed] =
     RankFnMatch.supported(e, Nil, order, allowLong = true).map(CRank.apply)
       .orElse(GlobalRunningAggRewrite.supported(e, Nil, order).map(CRunning.apply))
       .orElse(GlobalOffsetRewrite.supported(e, order, offsetCap).map(COffset.apply))
       .orElse(fullAgg(e, order).map(CFullAgg.apply))
+      // r18: bounded sliding ROWS frames — SlidingAggExec requires the
+      // same OrderedDistribution(order), so the class stacks on the
+      // shared exchange like the rest (structurally disjoint matchers:
+      // literal bounds vs UnboundedPreceding vs full frames vs
+      // frame-less offsets)
+      .orElse(SlidingAggRewrite.supported(e, Nil, order, extentCap).map(CSliding.apply))
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!confOn(ConfKey)) return plan
     val offsetCap =
       SQLConf.get.getConfString(GlobalOffsetRewrite.MaxOffsetKey, "128").toInt
+    val extentCap =
+      SQLConf.get.getConfString(SlidingAggRewrite.MaxExtentKey, "128").toInt
     plan.transformUp {
       case w @ LogicalWindow(wexprs, Nil, order, child, _)
           if order.nonEmpty && wexprs.length >= 2 && !child.isStreaming &&
             order.forall(_.deterministic) &&
             PlanGuards.subtreeDeterministic(child) &&
             PlanGuards.boundaryTrafficOk(order) =>
-        val claims = wexprs.map(classify(_, order, offsetCap))
+        val claims = wexprs.map(classify(_, order, offsetCap, extentCap))
         if (claims.exists(_.isEmpty)) w
         else {
           val claimed = claims.flatten
@@ -178,12 +191,28 @@ object GlobalWindowSplit extends Rule[LogicalPlan] {
           val runnings = claimed.collect { case CRunning(f) => f }
           val offsets = claimed.collect { case COffset(f) => f }
           val fullAggs = claimed.collect { case CFullAgg(e) => e }
-          val classes = Seq(ranks, runnings, offsets, fullAggs).count(_.nonEmpty)
+          val slidings = claimed.collect { case CSliding(f) => f }
+          val classes =
+            Seq[Seq[Any]](ranks, runnings, offsets, fullAggs, slidings).count(_.nonEmpty)
           val allEnabled =
             (ranks.isEmpty || confOn(GlobalRankRewrite.ConfKey)) &&
               (runnings.isEmpty || confOn(GlobalRunningAggRewrite.ConfKey)) &&
               (offsets.isEmpty || confOn(GlobalOffsetRewrite.ConfKey)) &&
-              (fullAggs.isEmpty || confOn(GlobalAggRewrite.ConfKey))
+              (fullAggs.isEmpty || confOn(GlobalAggRewrite.ConfKey)) &&
+              (slidings.isEmpty || confOn(SlidingAggRewrite.ConfKey))
+          // the sliding class carries its own minBytes lever and
+          // boundary-VALUE traffic guard — the split must not force
+          // the operator past either (the single-class node would
+          // have stayed native there)
+          val slidingOk = slidings.isEmpty || {
+            val extent = slidings.map(f => math.max(0, -f.lo)).max +
+              slidings.map(f => math.max(0, f.hi)).max
+            child.stats.sizeInBytes >= SQLConf.get
+              .getConfString(SlidingAggRewrite.MinBytesKey, "0").toLong &&
+              PlanGuards.valueTrafficOk("GlobalWindowSplit/sliding",
+                slidings.flatMap(_.fn.references.toSeq).distinct, Nil,
+                math.max(extent, 1))
+          }
           // A full-agg class is only worth splitting out if
           // GlobalAggRewrite will actually consume the re-emitted
           // Window — its one structural bail is a child the exprId
@@ -194,14 +223,16 @@ object GlobalWindowSplit extends Rule[LogicalPlan] {
           // a new exchange — strictly worse than not splitting.
           val fullAggPlannable =
             fullAggs.isEmpty || ExprIdFreshener.freshen(child).isDefined
-          if (classes < 2 || !allEnabled || !fullAggPlannable) w
+          if (classes < 2 || !allEnabled || !fullAggPlannable || !slidingOk) w
           else {
             logInfo(s"GlobalWindowSplit: splitting a mixed global window " +
               s"(${ranks.size} rank, ${runnings.size} running-agg, " +
-              s"${offsets.size} offset, ${fullAggs.size} full-frame-agg " +
-              s"functions) into $classes stacked operator nodes")
+              s"${offsets.size} offset, ${fullAggs.size} full-frame-agg, " +
+              s"${slidings.size} sliding functions) into $classes stacked " +
+              "operator nodes")
             var cur: LogicalPlan = child
             if (fullAggs.nonEmpty) cur = LogicalWindow(fullAggs, Nil, Nil, cur)
+            if (slidings.nonEmpty) cur = SlidingAggNode(Nil, order, slidings, cur)
             if (runnings.nonEmpty) cur = GlobalRunningAggNode(order, runnings, cur)
             if (offsets.nonEmpty) cur = GlobalOffsetNode(order, offsets, cur)
             if (ranks.nonEmpty) cur = GlobalRankNode(order, ranks, cur)

@@ -40,7 +40,11 @@ import org.apache.spark.sql.internal.SQLConf
   * later iteration of the same fixed-point batch (aggregate +
   * null-safe join-back; bottom placement keeps its duplicated
   * aggregate leg to the raw child rather than replaying the stacked
-  * operators). The r14 stay-native rationale REMAINS correct for
+  * operators), and the bounded SLIDING ROWS class stacks
+  * [[SlidingAggNode]] into the same pile — its exec requires the
+  * identical `OrderedDistribution(part-asc ++ order)`, and the split
+  * honors its minBytes lever and boundary-VALUE traffic guard. The
+  * r14 stay-native rationale REMAINS correct for
   * offset-bearing mixes: grouped lag/lead deliberately has no
   * operator (PLANS.md records the decision — high-cardinality keys
   * dominate the idiom), so ANY offset member keeps the WHOLE node
@@ -109,6 +113,7 @@ object GroupedWindowSplit extends Rule[LogicalPlan] {
   private case class CRank(fn: (Attribute, GlobalRankFn)) extends Claimed
   private case class CRunning(fn: RunningFn) extends Claimed
   private case class CFullAgg(e: NamedExpression) extends Claimed
+  private case class CSliding(fn: SlidingFn) extends Claimed
 
   private val FullRowFrame =
     SpecifiedWindowFrame(RowFrame, UnboundedPreceding, UnboundedFollowing)
@@ -133,10 +138,15 @@ object GroupedWindowSplit extends Rule[LogicalPlan] {
   private def classify(
       e: NamedExpression,
       part: Seq[Expression],
-      order: Seq[SortOrder]): Option[Claimed] =
+      order: Seq[SortOrder],
+      extentCap: Int): Option[Claimed] =
     RankFnMatch.supported(e, part, order).map(CRank.apply)
       .orElse(GlobalRunningAggRewrite.supported(e, part, order).map(CRunning.apply))
       .orElse(fullAgg(e, part, order).map(CFullAgg.apply))
+      // r18: bounded sliding ROWS frames — SlidingAggExec requires the
+      // identical OrderedDistribution(part-asc ++ order), stacking on
+      // the shared exchange like the two grouped operators
+      .orElse(SlidingAggRewrite.supported(e, part, order, extentCap).map(CSliding.apply))
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!confOn(ConfKey)) return plan
@@ -148,32 +158,50 @@ object GroupedWindowSplit extends Rule[LogicalPlan] {
             order.forall(_.deterministic) &&
             PlanGuards.subtreeDeterministic(child) &&
             PlanGuards.boundaryTrafficOk(order, part) =>
-        val claims = wexprs.map(classify(_, part, order))
+        val extentCap =
+          SQLConf.get.getConfString(SlidingAggRewrite.MaxExtentKey, "128").toInt
+        val claims = wexprs.map(classify(_, part, order, extentCap))
         if (claims.exists(_.isEmpty)) w
         else {
           val claimed = claims.flatten
           val ranks = claimed.collect { case CRank(f) => f }
           val runnings = claimed.collect { case CRunning(f) => f }
           val fullAggs = claimed.collect { case CFullAgg(e) => e }
-          val classes = Seq(ranks, runnings, fullAggs).count(_.nonEmpty)
+          val slidings = claimed.collect { case CSliding(f) => f }
+          val classes =
+            Seq[Seq[Any]](ranks, runnings, fullAggs, slidings).count(_.nonEmpty)
           val allEnabled =
             (ranks.isEmpty || confOn(GroupedRankRewrite.ConfKey)) &&
               (runnings.isEmpty || confOn(GroupedRunningAggRewrite.ConfKey)) &&
-              (fullAggs.isEmpty || confOn(GroupedAggRewrite.ConfKey))
+              (fullAggs.isEmpty || confOn(GroupedAggRewrite.ConfKey)) &&
+              (slidings.isEmpty || confOn(SlidingAggRewrite.ConfKey))
           val bigEnough = child.stats.sizeInBytes >= Seq(
             if (ranks.nonEmpty) minBytes(GroupedRankRewrite.MinBytesKey) else 0L,
             if (runnings.nonEmpty) minBytes(GroupedRunningAggRewrite.MinBytesKey) else 0L,
-            if (fullAggs.nonEmpty) minBytes(GroupedAggRewrite.MinBytesKey) else 0L).max
+            if (fullAggs.nonEmpty) minBytes(GroupedAggRewrite.MinBytesKey) else 0L,
+            if (slidings.nonEmpty) minBytes(SlidingAggRewrite.MinBytesKey) else 0L).max
           val fullAggPlannable =
             fullAggs.isEmpty || ExprIdFreshener.freshen(child).isDefined
-          if (classes < 2 || !allEnabled || !bigEnough || !fullAggPlannable) w
+          // the sliding class's own boundary-VALUE traffic guard — the
+          // split must not force the operator past it
+          val slidingOk = slidings.isEmpty || {
+            val extent = slidings.map(f => math.max(0, -f.lo)).max +
+              slidings.map(f => math.max(0, f.hi)).max
+            PlanGuards.valueTrafficOk("GroupedWindowSplit/sliding",
+              slidings.flatMap(_.fn.references.toSeq).distinct, part,
+              math.max(extent, 1))
+          }
+          if (classes < 2 || !allEnabled || !bigEnough || !fullAggPlannable ||
+              !slidingOk) w
           else {
             logInfo(s"GroupedWindowSplit: splitting a mixed grouped window " +
               s"(${ranks.size} rank, ${runnings.size} running-agg, " +
-              s"${fullAggs.size} full-frame-agg functions over " +
-              s"${part.size} partition keys) into $classes stacked operator nodes")
+              s"${fullAggs.size} full-frame-agg, ${slidings.size} sliding " +
+              s"functions over ${part.size} partition keys) into $classes " +
+              "stacked operator nodes")
             var cur: LogicalPlan = child
             if (fullAggs.nonEmpty) cur = LogicalWindow(fullAggs, part, Nil, cur)
+            if (slidings.nonEmpty) cur = SlidingAggNode(part, order, slidings, cur)
             if (runnings.nonEmpty) cur = GroupedRunningAggNode(part, order, runnings, cur)
             if (ranks.nonEmpty) cur = GroupedRankNode(part, order, ranks, cur)
             Project(w.output, cur)

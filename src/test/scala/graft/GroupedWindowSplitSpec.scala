@@ -391,6 +391,42 @@ class GroupedWindowSplitSpec extends AnyFunSuite {
       "offset + full-frame mix must keep the whole node native")
   }
 
+  test("sliding member in a grouped mix (r18): rank + running + trailing frame stack all three operators on ONE exchange, bit-equal") {
+    val s = spark
+    import s.implicits._
+    def q(on: Boolean): Seq[Row] =
+      TestSpark.withConf(graft.plans.GroupedWindowSplit.ConfKey, on.toString) {
+        val w = Window.partitionBy($"g").orderBy($"o", $"id")
+        val df = data.select($"id",
+          rank().over(w).as("r"),
+          sum($"cents").over(w).as("run"),
+          sum($"cents").over(w.rowsBetween(-3, 0)).as("trail"),
+          count(lit(1)).over(w.rowsBetween(-2, 2)).as("band_n"))
+        if (on) {
+          val plan = df.queryExecution.executedPlan.toString
+          for (op <- Seq("GroupedRank", "GroupedRunningAgg", "SlidingAgg"))
+            assert(plan.contains(op),
+              s"$op missing from the grouped sliding-mix plan:\n" + plan.take(3000))
+          assert(!plan.contains("Window [") &&
+            !plan.contains("Exchange hashpartitioning"),
+            "no native window / hash exchange in the grouped sliding mix:\n" +
+              plan.take(3000))
+          df.collect()
+          val finalSection = df.queryExecution.executedPlan.toString
+            .split("== Initial Plan ==").head
+          val nRange = finalSection.split("Exchange rangepartitioning").length - 1
+          assert(nRange == 1,
+            s"the grouped sliding mix must share ONE range exchange, got $nRange:\n" +
+              finalSection.take(3000))
+        }
+        df.collect().toSeq.sortBy(_.getLong(0))
+      }
+    def slidingOff[A](body: => A): A =
+      TestSpark.withConf(graft.plans.SlidingAggRewrite.ConfKey, "false")(body)
+    assertSame(q(on = true), slidingOff(allOff(q(on = false))),
+      "grouped mixed split with a sliding member")
+  }
+
   test("q48 graded plan: the split is live in the DuckDB-gated query — both operators, one shared range exchange, no hash exchange") {
     val s = spark
     val df = graft.relational.Relational.q48PriorityLeaderboard(s, SfDir)

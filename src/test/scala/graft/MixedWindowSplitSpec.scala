@@ -93,6 +93,46 @@ class MixedWindowSplitSpec extends AnyFunSuite {
     assertSame(got, ref, "four-class mixed split")
   }
 
+  test("five-class mix (r18): a sliding ROWS member stacks SlidingAgg into the same pile, one shared exchange, bit-equal") {
+    val s = spark
+    import s.implicits._
+    data.createOrReplaceTempView("mix5_t")
+    val sqlText = """
+      SELECT id, cents,
+             rank() OVER (ORDER BY id) AS r,
+             sum(cents) OVER (ORDER BY id) AS run,
+             lag(cents, 1) OVER (ORDER BY id) AS prev,
+             sum(cents) OVER (ORDER BY id ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND UNBOUNDED FOLLOWING) AS tot,
+             sum(cents) OVER (ORDER BY id ROWS BETWEEN 3 PRECEDING
+                              AND CURRENT ROW) AS trail,
+             min(cents) OVER (ORDER BY id ROWS BETWEEN 2 PRECEDING
+                              AND 2 FOLLOWING) AS band
+      FROM mix5_t"""
+    def q(on: Boolean): Seq[Row] =
+      TestSpark.withConf(graft.plans.GlobalWindowSplit.ConfKey, on.toString) {
+        val df = s.sql(sqlText)
+        if (on) {
+          val plan = df.queryExecution.executedPlan.toString
+          for (op <- Seq("GlobalRank", "GlobalRunningAgg", "GlobalOffset", "SlidingAgg"))
+            assert(plan.contains(op),
+              s"$op missing from the five-class plan:\n" + plan.take(3000))
+          assert(!plan.contains("Window ["),
+            "no native WindowExec may survive the five-class split:\n" + plan.take(3000))
+          val finalSection = plan.split("== Initial Plan ==").head
+          val nRange = finalSection.split("Exchange rangepartitioning").length - 1
+          assert(nRange == 1,
+            s"the five-class stack must share ONE range exchange, got $nRange:\n" +
+              finalSection.take(3000))
+        }
+        df.collect().toSeq.sortBy(_.getLong(0))
+      }
+    def slidingOff[A](body: => A): A =
+      TestSpark.withConf(graft.plans.SlidingAggRewrite.ConfKey, "false")(body)
+    assertSame(q(on = true), slidingOff(allOff(q(on = false))),
+      "five-class mixed split with a sliding member")
+  }
+
   test("mixed rank+running over DESCENDING tie order: split fires, tie-stable columns bit-equal") {
     val s = spark
     import s.implicits._

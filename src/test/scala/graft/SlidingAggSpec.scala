@@ -193,12 +193,21 @@ class SlidingAggSpec extends AnyFunSuite {
       sum($"cents").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("m")))
     assert(runPlan.contains("GroupedRunningAgg") && !runPlan.contains("SlidingAgg"),
       "running frames belong to the running-agg operator:\n" + runPlan.take(2000))
-    // mixed sliding + running in ONE node: whole node native (neither
-    // rule claims the other's member)
-    assert(planOf(data.select($"id",
+    // mixed sliding + running in ONE node: neither single-class rule
+    // claims the other's member — since the r18 split extension the
+    // GroupedWindowSplit stacks BOTH operators instead (its spec pins
+    // the shared exchange); with the split off the node stays native
+    val mixedPlan = planOf(data.select($"id",
       sum($"cents").over(w.rowsBetween(-3, 0)).as("m"),
-      sum($"cents").over(w).as("run"))).contains("Window ["),
-      "mixed sliding+running nodes must stay native")
+      sum($"cents").over(w).as("run")))
+    assert(mixedPlan.contains("SlidingAgg") && mixedPlan.contains("GroupedRunningAgg"),
+      "mixed sliding+running now belongs to the split:\n" + mixedPlan.take(2000))
+    TestSpark.withConf(graft.plans.GroupedWindowSplit.ConfKey, "false") {
+      assert(planOf(data.select($"id",
+        sum($"cents").over(w.rowsBetween(-3, 0)).as("m"),
+        sum($"cents").over(w).as("run"))).contains("Window ["),
+        "with the split off, neither single-class rule may half-claim the mix")
+    }
     // kill switch + minBytes lever
     off {
       assert(planOf(data.select($"id",
