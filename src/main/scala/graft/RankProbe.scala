@@ -83,14 +83,15 @@ object RankProbe {
         graft.plans.GroupedWindowSplit.ConfKey
       case "groupedagg" | "groupedaggmany" =>
         graft.plans.GroupedAggRewrite.ConfKey
-      case "sliding" | "slidinggrouped" =>
+      case "sliding" | "slidinggrouped" | "slidingchained" =>
         graft.plans.SlidingAggRewrite.ConfKey
       case "offset" => graft.plans.GlobalOffsetRewrite.ConfKey
       case "running" => graft.plans.GlobalRunningAggRewrite.ConfKey
       case _ => graft.plans.GlobalRankRewrite.ConfKey
     }
     if (mode == "chained" || mode == "mixedchained" ||
-        mode == "groupedrunningchained" || mode == "groupedmixedchained")
+        mode == "groupedrunningchained" || mode == "groupedmixedchained" ||
+        mode == "slidingchained")
       s.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
     def run(on: Boolean): Double = {
       s.conf.set(confKey, on.toString)
@@ -257,6 +258,25 @@ object RankProbe {
               sum(($"cd" * 1000000).cast("long")) + max($"cs") + min($"cs") +
               max($"cc")).as("m"))
             .agg(sum($"m")).head()
+        case "slidingchained" =>
+          // the halo machinery over a REUSED pre-existing FINER
+          // (g, o, id) 200-partition exchange: every boundary splits a
+          // group's series mid-frame, so the rings stitch on the
+          // reused exchange for every partition. (o, id) is tie-free
+          // per group → exact checksum equality on/off is the 50M
+          // correctness witness for the chained configuration.
+          val t = s.range(n).select($"id",
+              pmod($"id", lit(4L)).as("g"),
+              ($"id" / 4L).as("o"),
+              pmod($"id" * 2654435761L, lit(1000000007L)).as("k2"))
+            .repartitionByRange(200, $"g", $"o", $"id")
+          val wc = Window.partitionBy($"g").orderBy($"o", $"id")
+          t.select($"k2",
+              sum($"k2").over(wc.rowsBetween(-7, 0)).as("t"),
+              count(lit(1)).over(wc.rowsBetween(-7, 0)).as("c"),
+              min($"k2").over(wc.rowsBetween(-3, 3)).as("m"))
+            .select(pmod($"t" + $"c" + $"m" + $"k2", lit(1000000007L)).as("x"))
+            .agg(sum($"x")).head()
         case "sliding" | "slidinggrouped" =>
           // bounded sliding ROWS frames (q50's shape): trailing 8-row
           // sum/count + a centered 7-row min over the tie-free (k, id)

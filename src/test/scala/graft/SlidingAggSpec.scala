@@ -159,6 +159,47 @@ class SlidingAggSpec extends AnyFunSuite {
     assertSame(q(on = true), q(on = false), "strictly-past/future frames + first()")
   }
 
+  test("adversarial: decimal sum/avg + ignoreNulls first over a DESC order under a reused finer exchange, bit-equal") {
+    val s = spark
+    import s.implicits._
+    // the P1-class probe dimensions stacked onto the new exec: exact
+    // DECIMAL arithmetic through the rings, null-bearing inputs,
+    // ignoreNulls first (DeclarativeAggregate, fold order = row
+    // order), a DESCENDING frame order, and a pre-existing FINER
+    // (g, o desc, id, cents) exchange whose 11 boundaries split group
+    // series mid-frame
+    val nd = data
+      .withColumn("dc", ($"cents".cast("decimal(12,4)") / 7).cast("decimal(12,4)"))
+      .withColumn("cn", when($"id" % 5 =!= 0, $"dc"))
+      .repartitionByRange(11, $"g", $"o".desc, $"id", $"cents")
+    def q(on: Boolean): Seq[Row] =
+      TestSpark.withConf(graft.plans.SlidingAggRewrite.ConfKey, on.toString) {
+        val w = Window.partitionBy($"g").orderBy($"o".desc, $"id")
+        // every finer key stays in the output projection — else
+        // ColumnPruning degrades the reused exchange's
+        // outputPartitioning to Unknown and EnsureRequirements hides
+        // the reuse under a fresh exchange (the r16 repro trap)
+        val df = nd.select($"id", $"g", $"o", $"cents",
+          sum($"cn").over(w.rowsBetween(-6, 2)).as("ds"),
+          avg($"cn").over(w.rowsBetween(-6, 2)).as("da"),
+          first($"cn", ignoreNulls = true).over(w.rowsBetween(-4, 0)).as("fv"),
+          count($"cn").over(w.rowsBetween(-4, 0)).as("nn"))
+        if (on) {
+          assertSlidingPlan(df, "adversarial decimal/desc/finer")
+          df.collect()
+          val finalSection = df.queryExecution.executedPlan.toString
+            .split("== Initial Plan ==").head
+          val nRange = finalSection.split("Exchange rangepartitioning").length - 1
+          assert(nRange == 1,
+            s"the finer exchange must be reused, got $nRange range exchanges:\n" +
+              finalSection.take(2500))
+        }
+        df.collect().toSeq.sortBy(_.getLong(0))
+      }
+    assertSame(q(on = true), q(on = false),
+      "decimal/ignoreNulls/desc sliding under a finer exchange")
+  }
+
   test("q50 graded plan: the operator is live in the DuckDB-gated query — one exec for both frames, no native window, no AllTuples funnel") {
     val s = spark
     val df = graft.relational.Relational.q50TrailingRevenue(s, SfDir)
