@@ -1307,7 +1307,12 @@ object Relational {
         first($"cents").over(w.rowsBetween(
           Window.unboundedPreceding, Window.currentRow)).as("base_cents"),
         sum($"cents").over(w.rowsBetween(
-          Window.unboundedPreceding, Window.unboundedFollowing)).as("total_cents"))
+          Window.unboundedPreceding, Window.unboundedFollowing)).as("total_cents"),
+        // bounded sliding member (r18): makes the analyzed node carry
+        // ALL FIVE operator classes — rank, running, offset, full-agg
+        // and sliding — through the GlobalWindowSplit and the DuckDB
+        // gate in one graded query
+        sum($"cents").over(w.rowsBetween(-6, 0)).as("trail_cents"))
       .orderBy($"o_orderkey")
   }
 
@@ -1337,7 +1342,14 @@ object Relational {
     orders.select($"o_orderkey", $"o_orderpriority", $"o_orderdate",
         sum($"cents").over(w).as("cum_cents"),
         count(lit(1)).over(w).as("cum_orders"),
-        sum($"cents").over(wr).as("run_cents"))
+        sum($"cents").over(wr).as("run_cents"),
+        // bounded sliding member (r18): same (priority, date, orderkey)
+        // spec as run_cents, so the analyzed node mixes the running and
+        // sliding classes — GroupedWindowSplit stacks GroupedRunningAgg
+        // + SlidingAgg on the node's shared exchange, graded end-to-end
+        sum($"cents").over(Window.partitionBy($"o_orderpriority")
+          .orderBy($"o_orderdate", $"o_orderkey")
+          .rowsBetween(-6, 0)).as("trail7_cents"))
       .orderBy($"o_orderkey")
   }
 
@@ -1566,7 +1578,11 @@ object Relational {
                 CAST(sum(cents) OVER (PARTITION BY o_orderpriority
                        ORDER BY o_orderdate, o_orderkey
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                     AS BIGINT) AS run_cents
+                     AS BIGINT) AS run_cents,
+                CAST(sum(cents) OVER (PARTITION BY o_orderpriority
+                       ORDER BY o_orderdate, o_orderkey
+                       ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+                     AS BIGINT) AS trail7_cents
          FROM o ORDER BY o_orderkey""",
     // q46: total (o_orderdate, o_orderkey) order → every window column
     // tie-deterministic; exact cents end to end, rank narrowed to
@@ -1588,7 +1604,10 @@ object Relational {
                      AS BIGINT) AS base_cents,
                 CAST(sum(cents) OVER (ORDER BY o_orderdate, o_orderkey
                        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
-                     AS BIGINT) AS total_cents
+                     AS BIGINT) AS total_cents,
+                CAST(sum(cents) OVER (ORDER BY o_orderdate, o_orderkey
+                       ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+                     AS BIGINT) AS trail_cents
          FROM o ORDER BY o_orderkey""",
     "q45_revenue_momentum" ->
       """WITH daily AS (

@@ -275,6 +275,11 @@ class GroupedRunningAggSpec extends AnyFunSuite {
     df.collect()
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("GroupedRunningAgg"), plan.take(2500))
+    // the r18 sliding member makes the (priority, date, orderkey) node
+    // a running+sliding mix — GroupedWindowSplit stacks SlidingAgg
+    // onto the same shared exchange
+    assert(plan.contains("SlidingAgg"),
+      "the trail7 sliding member must plan on SlidingAgg:\n" + plan.take(2500))
     assert(!plan.contains("Window ["),
       "no native window may survive in q47:\n" + plan.take(2500))
     assert(!plan.contains("Exchange hashpartitioning"),

@@ -302,12 +302,12 @@ class MixedWindowSplitSpec extends AnyFunSuite {
     assertSame(got, allOff(q(splitOn = false)), "filtered mixed window")
   }
 
-  test("q46 graded plan: the split is live in the DuckDB-gated query — all four classes, one shared range exchange") {
+  test("q46 graded plan: the split is live in the DuckDB-gated query — all FIVE classes, one shared range exchange") {
     val s = spark
     val df = graft.relational.Relational.q46MixedWindow(s, SfDir)
     df.collect()
     val plan = df.queryExecution.executedPlan.toString
-    for (op <- Seq("GlobalRank", "GlobalRunningAgg", "GlobalOffset"))
+    for (op <- Seq("GlobalRank", "GlobalRunningAgg", "GlobalOffset", "SlidingAgg"))
       assert(plan.contains(op), s"$op missing from q46's plan:\n" + plan.take(2500))
     assert(plan.contains("BroadcastNestedLoopJoin"),
       "the full-frame total must plan as GlobalAgg's broadcast join:\n" + plan.take(2500))
