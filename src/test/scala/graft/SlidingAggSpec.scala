@@ -200,6 +200,29 @@ class SlidingAggSpec extends AnyFunSuite {
       "decimal/ignoreNulls/desc sliding under a finer exchange")
   }
 
+  test("adversarial: ONE group spans the whole corpus over a 16-way finer exchange — every boundary is an intra-group halo, future frames drain into stitched next-heads") {
+    val s = spark
+    import s.implicits._
+    // the maximal chain shape (GroupedRunningAgg's P2-probe class):
+    // a single group means every one of the 16 partition boundaries
+    // splits the SAME series, and the strictly-future frame forces the
+    // lookahead queue to drain into multi-partition stitched heads
+    val one = s.range(3000).select($"id", lit(1).as("g"),
+        (($"id" * 37) % 100).as("v"))
+      .repartitionByRange(16, $"g", $"id")
+    def q(on: Boolean): Seq[Row] =
+      TestSpark.withConf(graft.plans.SlidingAggRewrite.ConfKey, on.toString) {
+        val w = Window.partitionBy($"g").orderBy($"id")
+        val df = one.select($"id", $"g",
+          sum($"v").over(w.rowsBetween(1, 8)).as("future"),
+          sum($"v").over(w.rowsBetween(-8, 0)).as("trail"))
+        if (on) assertSlidingPlan(df, "whole-corpus group")
+        df.collect().toSeq.sortBy(_.getLong(0))
+      }
+    assertSame(q(on = true), q(on = false),
+      "single spanning group, future+trailing frames over a finer exchange")
+  }
+
   test("q50 graded plan: the operator is live in the DuckDB-gated query — one exec for both frames, no native window, no AllTuples funnel") {
     val s = spark
     val df = graft.relational.Relational.q50TrailingRevenue(s, SfDir)
