@@ -195,5 +195,19 @@ class GroupedAggSpec extends AnyFunSuite {
         sum($"cents").over(wf).as("t"))),
         "minBytes lever must keep the node native")
     }
+    // a scalar subquery under the child defeats ExprIdFreshener's
+    // disjointness proof (GlobalAgg's one structural bail, inherited):
+    // the rewrite must keep the native window rather than emit a plan
+    // with duplicated nested exprIds
+    data.createOrReplaceTempView("gagg_bail_t")
+    // mc must survive into the output — a pruned subquery column
+    // leaves a freshenable child and the rewrite fires legitimately
+    val sub = s.sql("""
+      SELECT id, g, cents, mc,
+             sum(cents) OVER (PARTITION BY g) AS tot
+      FROM (SELECT *, (SELECT max(cents) FROM gagg_bail_t) AS mc
+            FROM gagg_bail_t)""")
+    assert(nativePlanned(sub),
+      "an unfreshenable child (scalar subquery) must keep the node native")
   }
 }

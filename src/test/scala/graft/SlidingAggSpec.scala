@@ -272,6 +272,14 @@ class SlidingAggSpec extends AnyFunSuite {
         sum($"cents").over(w).as("run"))).contains("Window ["),
         "with the split off, neither single-class rule may half-claim the mix")
     }
+    // boundary-VALUE byte guard: with the cap below one ring tuple's
+    // projected width the rewrite must bail (the value-traffic sibling
+    // of the key-shipping guard, PlanGuards.valueTrafficOk)
+    TestSpark.withConf(graft.plans.PlanGuards.MaxBoundaryBytesKey, "8") {
+      assert(planOf(data.select($"id",
+        sum($"cents").over(w.rowsBetween(-3, 0)).as("m"))).contains("Window ["),
+        "the boundary-value byte guard must keep the node native")
+    }
     // kill switch + minBytes lever
     off {
       assert(planOf(data.select($"id",
