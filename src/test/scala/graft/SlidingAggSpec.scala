@@ -119,6 +119,26 @@ class SlidingAggSpec extends AnyFunSuite {
     assertSame(q(on = true), q(on = false), "halo chained across short partitions")
   }
 
+  test("extent at the 128 cap over 64 tiny partitions: rings chain across dozens of boundaries, bit-equal") {
+    val s = spark
+    import s.implicits._
+    // 200 rows / 64 partitions ≈ 3 rows each: a 128-row lookback and a
+    // 64-row lookahead each span ~20–40 stitched partitions
+    val tiny = s.range(200).select($"id", ($"id" * 31 % 17).as("v"))
+      .repartitionByRange(64, $"id")
+    def q(on: Boolean): Seq[Row] =
+      TestSpark.withConf(graft.plans.SlidingAggRewrite.ConfKey, on.toString) {
+        val w = Window.orderBy($"id")
+        val df = tiny.select($"id",
+          sum($"v").over(w.rowsBetween(-128, 0)).as("t"),
+          sum($"v").over(w.rowsBetween(-64, 64)).as("c"),
+          count(lit(1)).over(w.rowsBetween(-128, 0)).as("n"))
+        if (on) assertSlidingPlan(df, "cap-extent chain")
+        df.collect().toSeq.sortBy(_.getLong(0))
+      }
+    assertSame(q(on = true), q(on = false), "cap-extent halo over 64 tiny partitions")
+  }
+
   test("day-one canary: pre-existing FINER (g, o, id) exchange is reused — one range exchange — and rings stitch on it") {
     val s = spark
     import s.implicits._
