@@ -32,6 +32,28 @@ object GraftExtensions extends SparkSessionExtensionsProvider {
     // idiom into the heap-based two-phase operator; the strategy plans it.
     ext.injectOptimizerRule(_ => graft.plans.TopKRewrite)
     ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
+    // Share-of-total: aggregate windows over the full corpus
+    // (sum(x) OVER ()) aggregate once and broadcast back instead of
+    // funnelling every row through one partition. Injected BEFORE the
+    // split/family rewrites (r19): when the full-frame member sits on
+    // its OWN spec in a stacked pair — `rank() OVER (ORDER BY o),
+    // sum(v) OVER ()` — the agg rewrites must see the sibling while
+    // it is still a NATIVE Window (which ExprIdFreshener can copy
+    // into the aggregate leg); after a family rewrite it is a custom
+    // node the freshener refuses. AggLegPeel makes the common case
+    // order-independent (the unneeded sibling is peeled from the leg
+    // entirely), but `sum(rankCol) OVER ()` — aggregating the window
+    // OUTPUT — is only distributable on this ordering.
+    // MixedSpecAggSpec pins both the ordering and the plans.
+    ext.injectOptimizerRule(_ => graft.plans.GlobalAggRewrite)
+    // Share-of-GROUP: full-frame aggregate windows WITH partition keys
+    // (sum(x) OVER (PARTITION BY g)) aggregate distributedly (map-side
+    // partial combine) and join back null-safely on the keys — AQE
+    // broadcasts the per-group side when small, so the rows never
+    // shuffle; a giant group streams through its join task instead of
+    // buffering in one window task. Before the splits for the same
+    // mixed-SPEC reason as GlobalAggRewrite.
+    ext.injectOptimizerRule(_ => graft.plans.GroupedAggRewrite)
     // Mixed-function empty-PARTITION-BY windows (rank()+sum() OVER the
     // same global order in ONE select analyze into ONE Window node) are
     // split by function class into the stacked operator nodes below, so
@@ -83,17 +105,6 @@ object GraftExtensions extends SparkSessionExtensionsProvider {
     // (per-partition partials + driver prefix fold + seeded pass).
     ext.injectOptimizerRule(_ => graft.plans.GlobalRunningAggRewrite)
     ext.injectPlannerStrategy(_ => graft.plans.GlobalRunningAggStrategy)
-    // Share-of-total: aggregate windows over the full corpus
-    // (sum(x) OVER ()) aggregate once and broadcast back instead of
-    // funnelling every row through one partition.
-    ext.injectOptimizerRule(_ => graft.plans.GlobalAggRewrite)
-    // Share-of-GROUP: full-frame aggregate windows WITH partition keys
-    // (sum(x) OVER (PARTITION BY g)) aggregate distributedly (map-side
-    // partial combine) and join back null-safely on the keys — AQE
-    // broadcasts the per-group side when small, so the rows never
-    // shuffle; a giant group streams through its join task instead of
-    // buffering in one window task.
-    ext.injectOptimizerRule(_ => graft.plans.GroupedAggRewrite)
     // Bounded SLIDING ROWS frames (moving averages / trailing totals,
     // global or grouped): one operator closing both the AllTuples
     // single-task funnel and the group-count ceiling — boundary-VALUE

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.analysis.MultiInstanceRelation
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression
 import org.apache.spark.sql.catalyst.plans.Cross
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, HintInfo, Join, JoinHint, LogicalPlan, Window => LogicalWindow}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, HintInfo, Join, JoinHint, LogicalPlan, Project, UnaryNode, Window => LogicalWindow}
 import org.apache.spark.sql.catalyst.plans.logical.BROADCAST
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.internal.SQLConf
@@ -39,6 +39,25 @@ import org.apache.spark.sql.internal.SQLConf
   * exact (integral/decimal/long) aggregates are bit-identical, which
   * is what the equivalence spec pins. Disable with
   * `spark.graft.globalAgg.enabled=false`.
+  *
+  * Mixed-SPEC composition (r19): when the full-frame member is phrased
+  * on its OWN spec alongside ordered windows in the same SELECT —
+  * `SELECT rank() OVER (ORDER BY o), sum(v) OVER ()` — the analyzer
+  * emits a SEPARATE order-free Window node stacked with the ordered
+  * one. The aggregate leg then does not need the ordered node's
+  * columns at all, so before freshening, [[AggLegPeel]] strips
+  * row-preserving window-operator nodes (native Window nodes, the
+  * graft operator nodes, pass-through Projects) whose produced
+  * columns the aggregate never references. That keeps the duplicated
+  * leg to the raw child — no replayed ranking work — and, because the
+  * peeled leg contains no custom nodes, the freshener's disjointness
+  * proof holds even when the ordered sibling was already
+  * family-rewritten beneath this node (the r18 composition hole).
+  * The rule additionally runs BEFORE the split/family rewrites in the
+  * injection order, so in the common case it fires while the sibling
+  * is still a native Window (which the freshener copies directly —
+  * the path `sum(rankCol) OVER ()` needs, where the window output IS
+  * the aggregated column and nothing can be peeled).
   */
 object GlobalAggRewrite extends Rule[LogicalPlan] {
 
@@ -73,6 +92,7 @@ object GlobalAggRewrite extends Rule[LogicalPlan] {
             PlanGuards.subtreeDeterministic(child) =>
         val aggs = wexprs.map(rewritable)
         if (aggs.forall(_.isDefined)) {
+          val needed = AttributeSet(aggs.flatten.flatMap(_.references))
           // The aggregate leg re-evaluates the child, so its subtree is
           // duplicated — but with FRESH exprIds throughout (leaf
           // relations re-instanced, every Alias re-minted), upholding
@@ -86,7 +106,7 @@ object GlobalAggRewrite extends Rule[LogicalPlan] {
           // ReuseExchange still collapses the two evaluations where an
           // exchange sits below — reuse keys on canonicalized plans,
           // which normalize exprIds positionally.
-          ExprIdFreshener.freshen(child) match {
+          ExprIdFreshener.freshen(AggLegPeel.peel(child, needed)) match {
             case Some((aggChild, idMap)) =>
               val rebased = aggs.flatten.map(_.transformUp {
                 case ar: AttributeReference if idMap.contains(ar.exprId) =>
@@ -146,5 +166,64 @@ private[plans] object ExprIdFreshener {
     val before = plan.collect { case n => n.output.map(_.exprId) }.flatten.toSet
     val after = fresh.collect { case n => n.output.map(_.exprId) }.flatten.toSet
     if (after.exists(before.contains)) None else Some((fresh, idMap.toMap))
+  }
+}
+
+/** Strips the top of a to-be-duplicated aggregate leg down to what the
+  * aggregate actually reads (r19, closing the mixed-SPEC composition
+  * hole): window-operator nodes are ROW-PRESERVING — they annotate
+  * each input row with extra columns and never filter, duplicate or
+  * merge rows — so a full-frame aggregate over only the CHILD's
+  * columns computes the identical multiset whether or not the
+  * annotating node sits in between. Peeled while unneeded:
+  *
+  *   - native [[LogicalWindow]] nodes (no window output referenced);
+  *   - the graft operator nodes ([[GlobalRankNode]],
+  *     [[GlobalRunningAggNode]], [[GlobalOffsetNode]],
+  *     [[SlidingAggNode]], [[GroupedRankNode]],
+  *     [[GroupedRunningAggNode]] — none of their produced attributes
+  *     referenced). These are also exactly the nodes
+  *     [[ExprIdFreshener]] cannot deep-copy (their fn payloads are
+  *     opaque to the expression walk), so peeling them is what lets
+  *     [[GlobalAggRewrite]]/[[GroupedAggRewrite]] fire ABOVE a
+  *     family-rewritten stack instead of leaving a native funnel
+  *     window on top of it;
+  *   - [[Project]]s, NARROWED to the needed columns: the unneeded
+  *     entries — including subquery-bearing aliases, which are what
+  *     make the freshener refuse a leg — are dropped, and the peel
+  *     recurses below with the kept expressions' references. A needed
+  *     column that itself carries a nested plan stops the walk (the
+  *     freshener will then bail, correctly).
+  *
+  * Limit/Filter/Aggregate/joins etc. stop the walk: they change the
+  * row multiset, so the aggregate's value genuinely depends on them.
+  *
+  * `needed` must contain every attribute the caller's rebased
+  * aggregate (and, grouped, its partition keys) references. */
+private[plans] object AggLegPeel {
+  def peel(plan: LogicalPlan, needed: AttributeSet): LogicalPlan = plan match {
+    case w: LogicalWindow
+        if needed.intersect(
+          AttributeSet(w.windowExpressions.map(_.toAttribute))).isEmpty =>
+      peel(w.child, needed)
+    case n: UnaryNode
+        if isGraftWindowOp(n) && needed.intersect(n.producedAttributes).isEmpty =>
+      peel(n.child, needed)
+    case p: Project
+        if needed.subsetOf(AttributeSet(p.projectList.map(_.toAttribute))) =>
+      val keep = p.projectList.filter(e => needed.contains(e.toAttribute))
+      if (keep.exists(_.exists(_.isInstanceOf[PlanExpression[_]]))) p
+      else {
+        val below = peel(p.child, AttributeSet(keep.flatMap(_.references)))
+        if (keep.length == p.projectList.length && below.fastEquals(p.child)) p
+        else Project(keep, below)
+      }
+    case other => other
+  }
+
+  private def isGraftWindowOp(n: LogicalPlan): Boolean = n match {
+    case _: GlobalRankNode | _: GlobalRunningAggNode | _: GlobalOffsetNode |
+         _: SlidingAggNode | _: GroupedRankNode | _: GroupedRunningAggNode => true
+    case _ => false
   }
 }

@@ -220,9 +220,11 @@ object GlobalWindowSplit extends Rule[LogicalPlan] {
           // unknown produced-attribute nodes). Splitting past that
           // bail would leave a NATIVE AllTuples Window at the stack
           // bottom: the funnel survives AND the operators above pay
-          // a new exchange — strictly worse than not splitting.
-          val fullAggPlannable =
-            fullAggs.isEmpty || ExprIdFreshener.freshen(child).isDefined
+          // a new exchange — strictly worse than not splitting. The
+          // check mirrors the rewrite exactly: peel first (r19).
+          val fullAggPlannable = fullAggs.isEmpty || ExprIdFreshener.freshen(
+            AggLegPeel.peel(child, AttributeSet(fullAggs.flatMap(_.references)))
+          ).isDefined
           if (classes < 2 || !allEnabled || !fullAggPlannable || !slidingOk) w
           else {
             logInfo(s"GlobalWindowSplit: splitting a mixed global window " +

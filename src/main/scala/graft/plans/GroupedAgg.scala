@@ -13,8 +13,10 @@ import org.apache.spark.sql.internal.SQLConf
   * (and the explicit `ROWS/RANGE BETWEEN UNBOUNDED PRECEDING AND
   * UNBOUNDED FOLLOWING` phrasings) — the last grouped window class
   * with no scale path (r18; reference surface: the ClickHouse
-  * share-of-group reports implied by solarman.py's per-inverter
-  * rollups, e.g. tables.sql:32's per-key totals).
+  * share-of-group reports the reference's per-inverter table layout
+  * invites — tables.sql keys the MergeTree on (inverter, time), and
+  * solarman.py's per-inverter rollups imply "my share of the group"
+  * analytics over that key).
   *
   * The native plan is `ClusteredDistribution(part)` + a sort on the
   * partition keys + WindowExec buffering EACH WHOLE GROUP in one
@@ -63,7 +65,13 @@ import org.apache.spark.sql.internal.SQLConf
   * Partition keys deterministic and orderable; deterministic
   * non-streaming child. The child subtree is DUPLICATED into the
   * aggregate leg with fresh exprIds ([[ExprIdFreshener]] — the
-  * GlobalAgg machinery; an un-freshenable child bails native).
+  * GlobalAgg machinery; an un-freshenable child bails native), after
+  * [[AggLegPeel]] strips row-preserving window/operator nodes whose
+  * produced columns the aggregate and keys never reference (r19 —
+  * this is what lets the rewrite fire on the separate-spec phrasing
+  * `rank() OVER (PARTITION BY g ORDER BY o), sum(x) OVER (PARTITION
+  * BY g)` even above an already-family-rewritten stack, and keeps the
+  * duplicated leg to the raw child).
   * Float summation order: the aggregate leg folds partial sums in
   * distributed order rather than one task's row order — the same
   * nondeterminism any Spark shuffle introduces; exact
@@ -128,35 +136,39 @@ object GroupedAggRewrite extends Rule[LogicalPlan] {
             child.stats.sizeInBytes >= minBytes =>
         val matched = wexprs.map(supported(_, part, order))
         if (matched.exists(_.isEmpty)) w
-        else ExprIdFreshener.freshen(child) match {
-          case Some((aggChild, idMap)) =>
-            def rebase(ex: Expression): Expression = ex.transformUp {
-              case ar: AttributeReference if idMap.contains(ar.exprId) =>
-                ar.withExprId(idMap(ar.exprId))
-            }
-            logInfo(s"GroupedAggRewrite: rewriting a ${wexprs.length}-function " +
-              s"full-frame grouped window over ${part.size} partition keys " +
-              "to a distributed aggregate + null-safe join-back")
-            val partRebased = part.map(rebase)
-            // the keys must be output by the aggregate leg for the join
-            // condition; the top Project drops them again
-            val keys = partRebased.zipWithIndex.map { case (e, i) =>
-              Alias(e, s"_gagg_key$i")()
-            }
-            // top-level aliases keep the window expressions' exprIds so
-            // downstream references bind unchanged (GlobalAgg's contract)
-            val aggAliases = matched.flatten.map { case (a, ae) =>
-              Alias(rebase(ae), a.name)(exprId = a.exprId,
-                qualifier = a.qualifier,
-                explicitMetadata = a.explicitMetadata,
-                nonInheritableMetadataKeys = a.nonInheritableMetadataKeys)
-            }
-            val agg = Aggregate(partRebased, keys ++ aggAliases, aggChild)
-            val cond = part.zip(keys).map { case (p, k) =>
-              EqualNullSafe(p, k.toAttribute): Expression
-            }.reduce(And.apply)
-            Project(w.output, Join(child, agg, Inner, Some(cond), JoinHint.NONE))
-          case None => w // can't prove disjoint ids: keep the native window
+        else {
+          val needed = AttributeSet(part.flatMap(_.references)) ++
+            AttributeSet(matched.flatten.flatMap(_._2.references))
+          ExprIdFreshener.freshen(AggLegPeel.peel(child, needed)) match {
+            case Some((aggChild, idMap)) =>
+              def rebase(ex: Expression): Expression = ex.transformUp {
+                case ar: AttributeReference if idMap.contains(ar.exprId) =>
+                  ar.withExprId(idMap(ar.exprId))
+              }
+              logInfo(s"GroupedAggRewrite: rewriting a ${wexprs.length}-function " +
+                s"full-frame grouped window over ${part.size} partition keys " +
+                "to a distributed aggregate + null-safe join-back")
+              val partRebased = part.map(rebase)
+              // the keys must be output by the aggregate leg for the join
+              // condition; the top Project drops them again
+              val keys = partRebased.zipWithIndex.map { case (e, i) =>
+                Alias(e, s"_gagg_key$i")()
+              }
+              // top-level aliases keep the window expressions' exprIds so
+              // downstream references bind unchanged (GlobalAgg's contract)
+              val aggAliases = matched.flatten.map { case (a, ae) =>
+                Alias(rebase(ae), a.name)(exprId = a.exprId,
+                  qualifier = a.qualifier,
+                  explicitMetadata = a.explicitMetadata,
+                  nonInheritableMetadataKeys = a.nonInheritableMetadataKeys)
+              }
+              val agg = Aggregate(partRebased, keys ++ aggAliases, aggChild)
+              val cond = part.zip(keys).map { case (p, k) =>
+                EqualNullSafe(p, k.toAttribute): Expression
+              }.reduce(And.apply)
+              Project(w.output, Join(child, agg, Inner, Some(cond), JoinHint.NONE))
+            case None => w // can't prove disjoint ids: keep the native window
+          }
         }
     }
   }

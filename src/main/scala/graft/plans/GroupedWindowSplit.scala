@@ -180,8 +180,12 @@ object GroupedWindowSplit extends Rule[LogicalPlan] {
             if (runnings.nonEmpty) minBytes(GroupedRunningAggRewrite.MinBytesKey) else 0L,
             if (fullAggs.nonEmpty) minBytes(GroupedAggRewrite.MinBytesKey) else 0L,
             if (slidings.nonEmpty) minBytes(SlidingAggRewrite.MinBytesKey) else 0L).max
-          val fullAggPlannable =
-            fullAggs.isEmpty || ExprIdFreshener.freshen(child).isDefined
+          // mirrors GroupedAggRewrite's own bail exactly: peel the
+          // would-be aggregate leg first (r19)
+          val fullAggPlannable = fullAggs.isEmpty || ExprIdFreshener.freshen(
+            AggLegPeel.peel(child,
+              AttributeSet(part.flatMap(_.references)) ++
+                AttributeSet(fullAggs.flatMap(_.references)))).isDefined
           // the sliding class's own boundary-VALUE traffic guard — the
           // split must not force the operator past it
           val slidingOk = slidings.isEmpty || {

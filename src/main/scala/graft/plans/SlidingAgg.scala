@@ -329,73 +329,124 @@ case class SlidingAggExec(
       val pastK = new java.util.ArrayDeque[UnsafeRow](math.max(lookback, 1))
       prevTailV(pid).reverseIterator.foreach(pastV.addLast)
       prevTailK(pid).reverseIterator.foreach(pastK.addLast)
-      val ahead = new java.util.ArrayDeque[(InternalRow, UnsafeRow, UnsafeRow)](lookahead + 1)
       val nhV = nextHeadV(pid); val nhK = nextHeadK(pid)
 
-      new Iterator[InternalRow] {
-        private def fill(): Unit =
-          while (ahead.size <= lookahead && it.hasNext) {
-            val r = it.next().copy()
-            ahead.addLast((r, aggProj(r).copy(), keyProj(r).copy()))
+      // Per-row scratch: the current row's SAME-GROUP neighbor slices,
+      // directly indexable so each frame group folds only its own
+      // [dMin, dMax] / [jMin, jMax] slice. pastByDepth(d) = the tuple d
+      // rows before the current row (1-based); futureByOff(j) = j rows
+      // after. Groups are contiguous under the part-asc range order, so
+      // ONE scan per side per row, stopping at the first foreign-group
+      // entry, replaces the old per-(group × ring-entry) comparator
+      // walk — a small frame mixed with a deep one no longer pays the
+      // deep ring scan per row per group.
+      val pastByDepth = new Array[UnsafeRow](lookback + 1)
+      val futureByOff = new Array[UnsafeRow](lookahead + 1)
+
+      def emit(row: InternalRow, vals: UnsafeRow, key: UnsafeRow,
+          futureSame: Int): InternalRow = {
+        var pastSame = 0
+        if (lookback > 0) {
+          // newest-first scan (depth 1, 2, …); the ring is global-order
+          // contiguous, so the first foreign key ends the group's slice
+          val itV = pastV.iterator(); val itK = pastK.iterator()
+          var go = true
+          while (go && itV.hasNext) {
+            val pv = itV.next(); val pk = itK.next()
+            if (keyOrd == null || keyOrd.compare(pk, key) == 0) {
+              pastSame += 1
+              pastByDepth(pastSame) = pv
+            } else go = false
           }
-        override def hasNext: Boolean = { fill(); !ahead.isEmpty }
-        override def next(): InternalRow = {
-          fill()
-          val (row, vals, key) = ahead.pollFirst()
-          def sameGroup(k: UnsafeRow): Boolean =
-            keyOrd == null || keyOrd.compare(k, key) == 0
-          var g = 0
-          while (g < frameGroups.length) {
-            val ((lo, hi), positions) = frameGroups(g)
-            val kit = kits(g)
-            kit.init()
-            // past rows, OLDEST first (ascending row order): with the
-            // descending iterator, element p of pastV.size is depth
-            // (size - p); frame wants depths [max(1,-hi), -lo]
-            if (lo < 0) {
-              val dMax = -lo
-              val dMin = math.max(1, -hi)
-              var depth = pastV.size
-              val itV = pastV.descendingIterator(); val itK = pastK.descendingIterator()
-              while (itV.hasNext) {
-                val pv = itV.next(); val pk = itK.next()
-                if (depth >= dMin && depth <= dMax && sameGroup(pk)) kit.update(pv)
-                depth -= 1
+        }
+        var g = 0
+        while (g < frameGroups.length) {
+          val ((lo, hi), positions) = frameGroups(g)
+          val kit = kits(g)
+          kit.init()
+          // past slice, OLDEST first (ascending row order): depths
+          // [max(1,-hi), min(-lo, pastSame)], folded deep → shallow
+          if (lo < 0) {
+            var d = math.min(-lo, pastSame)
+            val dMin = math.max(1, -hi)
+            while (d >= dMin) { kit.update(pastByDepth(d)); d -= 1 }
+          }
+          if (lo <= 0 && hi >= 0) kit.update(vals)
+          // future slice ascending: offsets [max(1,lo), min(hi, futureSame)]
+          if (hi > 0) {
+            var j = math.max(1, lo)
+            val jMax = math.min(hi, futureSame)
+            while (j <= jMax) { kit.update(futureByOff(j)); j += 1 }
+          }
+          val res = kit.evaluate()
+          var i = 0
+          while (i < positions.length) {
+            val pos = positions(i)
+            extra.update(pos, res.get(i, outTypes(pos)))
+            i += 1
+          }
+          g += 1
+        }
+        if (lookback > 0) {
+          if (pastV.size == lookback) { pastV.pollLast(); pastK.pollLast() }
+          pastV.addFirst(vals)
+          pastK.addFirst(key)
+        }
+        toUnsafe(joined(row, extra))
+      }
+
+      if (lookahead == 0) {
+        // Trailing-only frames (ROWS BETWEEN n PRECEDING AND CURRENT
+        // ROW — the common moving-sum shape): the current row is
+        // emitted in the same call, so rows stream straight through
+        // with NO per-row full-row copy; only the projected vals/key
+        // tuples are copied, and only because the past ring retains
+        // them across calls.
+        new Iterator[InternalRow] {
+          override def hasNext: Boolean = it.hasNext
+          override def next(): InternalRow = {
+            val row = it.next()
+            val vals = if (lookback > 0) aggProj(row).copy() else aggProj(row)
+            val key = if (lookback > 0) keyProj(row).copy() else keyProj(row)
+            emit(row, vals, key, futureSame = 0)
+          }
+        }
+      } else {
+        val ahead = new java.util.ArrayDeque[(InternalRow, UnsafeRow, UnsafeRow)](lookahead + 1)
+        new Iterator[InternalRow] {
+          private def fill(): Unit =
+            while (ahead.size <= lookahead && it.hasNext) {
+              val r = it.next().copy()
+              ahead.addLast((r, aggProj(r).copy(), keyProj(r).copy()))
+            }
+          override def hasNext: Boolean = { fill(); !ahead.isEmpty }
+          override def next(): InternalRow = {
+            fill()
+            val (row, vals, key) = ahead.pollFirst()
+            // one scan of the future side: the queue (offsets 1..) then
+            // the stitched next head, stopping at the first foreign key
+            var futureSame = 0
+            var go = true
+            val itA = ahead.iterator()
+            while (go && futureSame < lookahead && itA.hasNext) {
+              val (_, fv, fk) = itA.next()
+              if (keyOrd == null || keyOrd.compare(fk, key) == 0) {
+                futureSame += 1
+                futureByOff(futureSame) = fv
+              } else go = false
+            }
+            if (go && futureSame == ahead.size) {
+              var idx = 0
+              while (go && futureSame < lookahead && idx < nhV.length) {
+                if (keyOrd == null || keyOrd.compare(nhK(idx), key) == 0) {
+                  futureSame += 1
+                  futureByOff(futureSame) = nhV(idx)
+                } else go = false
+                idx += 1
               }
             }
-            if (lo <= 0 && hi >= 0) kit.update(vals)
-            // future rows ascending: j = 1.. through the queue, then
-            // the stitched next-head
-            if (hi > 0) {
-              val jMin = math.max(1, lo)
-              var j = 1
-              val itA = ahead.iterator()
-              while (j <= hi && itA.hasNext) {
-                val (_, fv, fk) = itA.next()
-                if (j >= jMin && sameGroup(fk)) kit.update(fv)
-                j += 1
-              }
-              var idx = j - ahead.size - 1 // 0-based into the next head
-              while (j <= hi && idx >= 0 && idx < nhV.length) {
-                if (j >= jMin && sameGroup(nhK(idx))) kit.update(nhV(idx))
-                j += 1; idx += 1
-              }
-            }
-            val res = kit.evaluate()
-            var i = 0
-            while (i < positions.length) {
-              val pos = positions(i)
-              extra.update(pos, res.get(i, outTypes(pos)))
-              i += 1
-            }
-            g += 1
+            emit(row, vals, key, futureSame)
           }
-          if (lookback > 0) {
-            if (pastV.size == lookback) { pastV.pollLast(); pastK.pollLast() }
-            pastV.addFirst(vals)
-            pastK.addFirst(key)
-          }
-          toUnsafe(joined(row, extra))
         }
       }
     }, preservesPartitioning = true)

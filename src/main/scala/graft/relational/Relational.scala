@@ -1438,7 +1438,48 @@ object Relational {
       .orderBy($"o_orderkey")
   }
 
+  // ---------------------------------------------------------------------
+  // q51: LEADERBOARD WITH SHARES — the MIXED-SPEC composition graded
+  // end-to-end (r19; the r18 verdict's #1): the natural "rank each
+  // (priority, day) against the whole fleet AND show its share of the
+  // corpus total / of its priority class" report phrases the
+  // full-frame members on their OWN specs — `sum(x) OVER ()` and
+  // `sum(x) OVER (PARTITION BY p)` with no ORDER BY — so the analyzer
+  // emits THREE separate Window nodes. Pre-r19, once GlobalRankRewrite
+  // had claimed the ordered node, both agg rewrites bailed above it
+  // (ExprIdFreshener cannot deep-copy the custom operator nodes) and
+  // the totals survived as NATIVE windows — the corpus through one
+  // task / the group-count ceiling — on a phrasing one SELECT away
+  // from q42/q43/q49. Closed by the r19 rule reorder + AggLegPeel
+  // (plans/GlobalAgg.scala); MixedSpecAggSpec pins this executed plan:
+  // GlobalRank + GlobalAgg's broadcast total + GroupedAgg's broadcast
+  // join-back, ZERO native windows. Daily pre-agg makes
+  // (priority, date) unique → the rank order is total → hash-exact
+  // oracle; exact cents; shares are mirrored IEEE divides of exact
+  // longs. Reference surface: the q43/q49 share idioms composed with
+  // q42's leaderboard, the ClickHouse dashboard phrasing.
+  // ---------------------------------------------------------------------
+  def q51LeaderboardShare(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val daily = Tables.orders(s, d)
+      .groupBy($"o_orderpriority", $"o_orderdate")
+      .agg(sum((dec($"o_totalprice") * 100).cast("long")).as("day_cents"))
+    val wRank = Window.orderBy($"day_cents".desc, $"o_orderdate", $"o_orderpriority")
+    val wAll = Window.partitionBy() // the OVER () form
+    val wPri = Window.partitionBy($"o_orderpriority")
+    daily.select($"o_orderpriority", $"o_orderdate", $"day_cents",
+        rank().over(wRank).as("rev_rank"),
+        sum($"day_cents").over(wAll).as("total_cents"),
+        sum($"day_cents").over(wPri).as("pri_cents"),
+        ($"day_cents".cast("double") /
+          sum($"day_cents").over(wAll).cast("double")).as("share_total"),
+        ($"day_cents".cast("double") /
+          sum($"day_cents").over(wPri).cast("double")).as("share_pri"))
+      .orderBy($"o_orderpriority", $"o_orderdate")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q51_leaderboard_share" -> (q51LeaderboardShare _),
     "q50_trailing_revenue" -> (q50TrailingRevenue _),
     "q49_group_share" -> (q49GroupShare _),
     "q48_priority_leaderboard" -> (q48PriorityLeaderboard _),
@@ -1514,6 +1555,27 @@ object Relational {
     // order — identical frame semantics in both engines; exact cents,
     // sums/counts cast back from HUGEINT, the moving average as the
     // same mirrored double division of two exact longs.
+    // q51: the daily pre-agg makes (priority, date) unique so the rank
+    // order is total; full-frame windows are order-free in both
+    // engines; sums cast back from HUGEINT, rank narrowed to Spark's
+    // IntegerType, shares as the same mirrored double divisions.
+    "q51_leaderboard_share" ->
+      """WITH daily AS (
+           SELECT o_orderpriority, o_orderdate,
+                  CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+                       AS BIGINT) AS day_cents
+           FROM orders GROUP BY o_orderpriority, o_orderdate)
+         SELECT o_orderpriority, o_orderdate, day_cents,
+                CAST(rank() OVER (ORDER BY day_cents DESC, o_orderdate,
+                       o_orderpriority) AS INT) AS rev_rank,
+                CAST(sum(day_cents) OVER () AS BIGINT) AS total_cents,
+                CAST(sum(day_cents) OVER (PARTITION BY o_orderpriority) AS BIGINT) AS pri_cents,
+                CAST(day_cents AS DOUBLE) /
+                  CAST(CAST(sum(day_cents) OVER () AS BIGINT) AS DOUBLE) AS share_total,
+                CAST(day_cents AS DOUBLE) /
+                  CAST(CAST(sum(day_cents) OVER (PARTITION BY o_orderpriority)
+                       AS BIGINT) AS DOUBLE) AS share_pri
+         FROM daily ORDER BY o_orderpriority, o_orderdate""",
     "q50_trailing_revenue" ->
       """WITH o AS (
            SELECT o_orderkey, o_orderdate,

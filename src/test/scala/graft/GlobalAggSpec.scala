@@ -161,12 +161,20 @@ class GlobalAggSpec extends AnyFunSuite {
       // scalar subquery under the child: ExprIdFreshener does not
       // descend into nested subquery plans, so the duplicated leg
       // would share the INNER plan's exprIds undetected (the
-      // output-disjointness proof only sees node outputs) -> the
-      // freshener bails and the window stays native; results must
-      // still be correct. Rule-level (the streaming-guard pattern):
-      // the subquery projection must sit in the window's CHILD, which
-      // the FROM-subquery form pins at analysis.
-      base.limit(50).createOrReplaceTempView("gas_t1")
+      // output-disjointness proof only sees node outputs). Since r19
+      // the bail is NEEDED-scoped: AggLegPeel strips the pass-through
+      // projection (and the subquery alias with it) from the agg leg
+      // when the aggregate doesn't read it, so the common shape fires;
+      // only an AGGREGATED subquery column still bails. Rule-level on
+      // the ANALYZED plan the SubqueryAlias node blocks the peel
+      // (conservative: the walk only peels Window/operator/Project
+      // nodes), so the analyzed-plan application still bails — the
+      // optimized plan is where the peel fires.
+      // gas_t1 deliberately carries NO limit: Limit is not
+      // row-preserving, so it stops the peel — with it the optimized
+      // plan would (correctly) stay native instead of witnessing the
+      // peeled fire below
+      base.createOrReplaceTempView("gas_t1")
       base.limit(5).createOrReplaceTempView("gas_t2")
       def subSql = s.sql(
         """SELECT id, m, sum(cents) OVER () AS total
@@ -178,11 +186,24 @@ class GlobalAggSpec extends AnyFunSuite {
         "test setup: the analyzed plan must carry the scalar subquery:\n" + analyzed)
       val after = graft.plans.GlobalAggRewrite(analyzed)
       assert(after.fastEquals(analyzed),
-        "a child containing subquery expressions must bail to the native window:\n" + after)
-      // end-to-end: identical results either way
-      val got = subSql.orderBy($"id").collect().toSeq
+        "analyzed-level: SubqueryAlias blocks the peel, the rule must bail:\n" + after)
+      // end-to-end (optimized): the UNAGGREGATED subquery column peels
+      // out of the agg leg and the rewrite fires; results identical
+      val subDf = subSql
+      val got = subDf.orderBy($"id").collect().toSeq
+      assert(!subDf.queryExecution.executedPlan.toString.contains("Window ["),
+        "optimized-level: the unused subquery column must peel, the rewrite fires (r19)")
       val ref = withRule(on = false)(subSql.orderBy($"id").collect().toSeq)
       assert(got == ref)
+      // the aggregate READING the subquery column is the enduring bail
+      def subUsed = s.sql(
+        """SELECT id, sum(cents + m) OVER () AS total
+          |FROM (SELECT id, cents, (SELECT max(cents) FROM gas_t2) AS m
+          |      FROM gas_t1)""".stripMargin)
+      assert(subUsed.queryExecution.executedPlan.toString.contains("Window ["),
+        "an AGGREGATED subquery column must keep the node native (unfreshenable)")
+      assert(subUsed.orderBy($"id").collect().toSeq ==
+        withRule(on = false)(subUsed.orderBy($"id").collect().toSeq))
     }
   }
 }

@@ -196,18 +196,37 @@ class GroupedAggSpec extends AnyFunSuite {
         "minBytes lever must keep the node native")
     }
     // a scalar subquery under the child defeats ExprIdFreshener's
-    // disjointness proof (GlobalAgg's one structural bail, inherited):
-    // the rewrite must keep the native window rather than emit a plan
-    // with duplicated nested exprIds
+    // disjointness proof (GlobalAgg's one structural bail, inherited)
+    // — but ONLY when the aggregate actually reads the subquery
+    // column: since r19, AggLegPeel strips the pass-through projection
+    // (and the subquery alias with it) from the duplicated aggregate
+    // leg whenever `needed` doesn't reference it, so the common
+    // "annotate rows with a reference value AND a group total" shape
+    // fires legitimately — the subquery evaluates once, in the row
+    // side only.
     data.createOrReplaceTempView("gagg_bail_t")
-    // mc must survive into the output — a pruned subquery column
-    // leaves a freshenable child and the rewrite fires legitimately
-    val sub = s.sql("""
+    val subUnused = s.sql("""
       SELECT id, g, cents, mc,
              sum(cents) OVER (PARTITION BY g) AS tot
       FROM (SELECT *, (SELECT max(cents) FROM gagg_bail_t) AS mc
             FROM gagg_bail_t)""")
-    assert(nativePlanned(sub),
-      "an unfreshenable child (scalar subquery) must keep the node native")
+    assert(!nativePlanned(subUnused),
+      "an UNAGGREGATED subquery column peels out of the agg leg — the rewrite fires (r19)")
+    val gotSub = subUnused.orderBy($"id").collect().toSeq
+    val refSub = off(s.sql("""
+      SELECT id, g, cents, mc,
+             sum(cents) OVER (PARTITION BY g) AS tot
+      FROM (SELECT *, (SELECT max(cents) FROM gagg_bail_t) AS mc
+            FROM gagg_bail_t)""").orderBy($"id").collect().toSeq)
+    assert(gotSub == refSub, "peeled-subquery results must match native")
+    // the aggregate READING the subquery column is the true bail: mc
+    // cannot peel, the freshener refuses the nested plan, native wins
+    val subUsed = s.sql("""
+      SELECT id, g, cents,
+             sum(cents + mc) OVER (PARTITION BY g) AS tot
+      FROM (SELECT *, (SELECT max(cents) FROM gagg_bail_t) AS mc
+            FROM gagg_bail_t)""")
+    assert(nativePlanned(subUsed),
+      "an AGGREGATED subquery column must keep the node native (unfreshenable)")
   }
 }
