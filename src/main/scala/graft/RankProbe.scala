@@ -69,6 +69,13 @@ import org.apache.spark.sql.functions._
   * a native hash-clustered full-frame window at the group-count
   * ceiling on top of the operators. Mod-prime per-row checksums: a
   * row with the wrong total flips the sum — 50M correctness witness.
+  * `rangesliding` probes the r19 RangeSlidingAgg row-halo operator on
+  * the q52 shape — trailing + centered RANGE-VALUE frames over the
+  * global value order (natively the AllTuples one-task funnel);
+  * `rangeslidinggrouped` the same frames over nGroups huge
+  * interleaved groups (the group-count ceiling). Peer runs are 3 rows
+  * wide, so tie handling is live throughout; mod-prime per-row
+  * checksums are the 50M correctness witness.
   * `sliding` probes the r18 SlidingAgg operator on the q50 shape —
   * trailing/centered bounded ROWS frames over the global order: off =
   * the AllTuples single-task funnel, on = the boundary-VALUE-ring
@@ -98,6 +105,8 @@ object RankProbe {
         graft.plans.GroupedAggRewrite.ConfKey
       case "mixedspec" => graft.plans.GlobalAggRewrite.ConfKey
       case "groupedmixedspec" => graft.plans.GroupedAggRewrite.ConfKey
+      case "rangesliding" | "rangeslidinggrouped" =>
+        graft.plans.RangeSlidingAggRewrite.ConfKey
       case "sliding" | "slidinggrouped" | "slidingchained" =>
         graft.plans.SlidingAggRewrite.ConfKey
       case "offset" => graft.plans.GlobalOffsetRewrite.ConfKey
@@ -340,6 +349,27 @@ object RankProbe {
               sum($"k").over(wp).as("tot"))
             .select(pmod($"r".cast("long") + $"run" + $"tot" + $"k",
               lit(1000000007L)).as("x"))
+            .agg(sum($"x")).head()
+        case "rangesliding" | "rangeslidinggrouped" =>
+          // the r19 row-halo operator (q52/q25's class): trailing and
+          // centered RANGE-VALUE frames over a dense value axis with
+          // 3-row peer runs — global (natively the AllTuples one-task
+          // funnel) or over nGroups huge interleaved groups (the
+          // group-count ceiling). Mod-prime per-ROW checksums: a row
+          // with the wrong frame flips the sum.
+          // floor-div keeps `o` LongType — the DSL's `/` is double
+          // division, which would bail the operator on order type
+          val base0 = s.range(n).select($"id",
+            pmod($"id", lit(nGroups.toLong)).as("g"),
+            floor($"id" / 3L).cast("long").as("o"),
+            pmod($"id" * 2654435761L, lit(1000000007L)).as("k2"))
+          val wR =
+            if (mode == "rangesliding") Window.orderBy($"o")
+            else Window.partitionBy($"g").orderBy($"o")
+          base0.select($"k2",
+              sum($"k2").over(wR.rangeBetween(-20, 0)).as("t"),
+              count(lit(1)).over(wR.rangeBetween(-8, 8)).as("c"))
+            .select(pmod($"t" + $"c" + $"k2", lit(1000000007L)).as("x"))
             .agg(sum($"x")).head()
         case "groupedagg" | "groupedaggmany" =>
           // share-of-group full-frame aggregates; the checksum folds

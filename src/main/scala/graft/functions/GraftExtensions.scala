@@ -111,6 +111,14 @@ object GraftExtensions extends SparkSessionExtensionsProvider {
     // rings (GlobalOffset's machinery) + per-frame aggregate re-folds.
     ext.injectOptimizerRule(_ => graft.plans.SlidingAggRewrite)
     ext.injectPlannerStrategy(_ => graft.plans.SlidingAggStrategy)
+    // Bounded RANGE-VALUE sliding frames (trailing-30-day style
+    // value windows, global or grouped): the row-halo operator — a
+    // distributed executor-to-executor halo shuffle of the
+    // boundary-reach rows, closing the last window-frame class with
+    // no scale path (the per-window ROW count is unbounded, so the
+    // driver-ring discipline doesn't apply).
+    ext.injectOptimizerRule(_ => graft.plans.RangeSlidingAggRewrite)
+    ext.injectPlannerStrategy(_ => graft.plans.RangeSlidingAggStrategy)
     ext.injectFunction((
       FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),

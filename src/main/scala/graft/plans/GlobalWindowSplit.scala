@@ -154,6 +154,7 @@ object GlobalWindowSplit extends Rule[LogicalPlan] {
   private case class COffset(fn: OffsetFn) extends Claimed
   private case class CFullAgg(e: NamedExpression) extends Claimed
   private case class CSliding(fn: SlidingFn) extends Claimed
+  private case class CRangeSliding(fn: RangeSlidingFn) extends Claimed
 
   private def classify(
       e: NamedExpression,
@@ -170,6 +171,13 @@ object GlobalWindowSplit extends Rule[LogicalPlan] {
       // literal bounds vs UnboundedPreceding vs full frames vs
       // frame-less offsets)
       .orElse(SlidingAggRewrite.supported(e, Nil, order, extentCap).map(CSliding.apply))
+      // r19: bounded RANGE-VALUE frames — the row-halo operator shares
+      // the same OrderedDistribution(order); claimable only when the
+      // node's order is in the operator's recorded scope (single ASC
+      // NULLS FIRST integral), else the member stays unclaimed and the
+      // whole node native
+      .orElse(RangeSlidingAggRewrite.supported(e, Nil, order)
+        .filter(_ => RangeSlidingAggRewrite.orderOk(order)).map(CRangeSliding.apply))
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!confOn(ConfKey)) return plan
@@ -192,14 +200,16 @@ object GlobalWindowSplit extends Rule[LogicalPlan] {
           val offsets = claimed.collect { case COffset(f) => f }
           val fullAggs = claimed.collect { case CFullAgg(e) => e }
           val slidings = claimed.collect { case CSliding(f) => f }
-          val classes =
-            Seq[Seq[Any]](ranks, runnings, offsets, fullAggs, slidings).count(_.nonEmpty)
+          val rangeSlidings = claimed.collect { case CRangeSliding(f) => f }
+          val classes = Seq[Seq[Any]](ranks, runnings, offsets, fullAggs,
+            slidings, rangeSlidings).count(_.nonEmpty)
           val allEnabled =
             (ranks.isEmpty || confOn(GlobalRankRewrite.ConfKey)) &&
               (runnings.isEmpty || confOn(GlobalRunningAggRewrite.ConfKey)) &&
               (offsets.isEmpty || confOn(GlobalOffsetRewrite.ConfKey)) &&
               (fullAggs.isEmpty || confOn(GlobalAggRewrite.ConfKey)) &&
-              (slidings.isEmpty || confOn(SlidingAggRewrite.ConfKey))
+              (slidings.isEmpty || confOn(SlidingAggRewrite.ConfKey)) &&
+              (rangeSlidings.isEmpty || confOn(RangeSlidingAggRewrite.ConfKey))
           // the sliding class carries its own minBytes lever and
           // boundary-VALUE traffic guard — the split must not force
           // the operator past either (the single-class node would
@@ -225,15 +235,21 @@ object GlobalWindowSplit extends Rule[LogicalPlan] {
           val fullAggPlannable = fullAggs.isEmpty || ExprIdFreshener.freshen(
             AggLegPeel.peel(child, AttributeSet(fullAggs.flatMap(_.references)))
           ).isDefined
-          if (classes < 2 || !allEnabled || !fullAggPlannable || !slidingOk) w
+          // the RANGE-value class honors its own minBytes lever
+          val rangeOk = rangeSlidings.isEmpty ||
+            child.stats.sizeInBytes >= SQLConf.get
+              .getConfString(RangeSlidingAggRewrite.MinBytesKey, "0").toLong
+          if (classes < 2 || !allEnabled || !fullAggPlannable || !slidingOk ||
+              !rangeOk) w
           else {
             logInfo(s"GlobalWindowSplit: splitting a mixed global window " +
               s"(${ranks.size} rank, ${runnings.size} running-agg, " +
               s"${offsets.size} offset, ${fullAggs.size} full-frame-agg, " +
-              s"${slidings.size} sliding functions) into $classes stacked " +
-              "operator nodes")
+              s"${slidings.size} sliding, ${rangeSlidings.size} range-sliding " +
+              s"functions) into $classes stacked operator nodes")
             var cur: LogicalPlan = child
             if (fullAggs.nonEmpty) cur = LogicalWindow(fullAggs, Nil, Nil, cur)
+            if (rangeSlidings.nonEmpty) cur = RangeSlidingAggNode(Nil, order, rangeSlidings, cur)
             if (slidings.nonEmpty) cur = SlidingAggNode(Nil, order, slidings, cur)
             if (runnings.nonEmpty) cur = GlobalRunningAggNode(order, runnings, cur)
             if (offsets.nonEmpty) cur = GlobalOffsetNode(order, offsets, cur)

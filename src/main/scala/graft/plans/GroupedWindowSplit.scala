@@ -114,6 +114,7 @@ object GroupedWindowSplit extends Rule[LogicalPlan] {
   private case class CRunning(fn: RunningFn) extends Claimed
   private case class CFullAgg(e: NamedExpression) extends Claimed
   private case class CSliding(fn: SlidingFn) extends Claimed
+  private case class CRangeSliding(fn: RangeSlidingFn) extends Claimed
 
   private val FullRowFrame =
     SpecifiedWindowFrame(RowFrame, UnboundedPreceding, UnboundedFollowing)
@@ -147,6 +148,11 @@ object GroupedWindowSplit extends Rule[LogicalPlan] {
       // identical OrderedDistribution(part-asc ++ order), stacking on
       // the shared exchange like the two grouped operators
       .orElse(SlidingAggRewrite.supported(e, part, order, extentCap).map(CSliding.apply))
+      // r19: bounded RANGE-VALUE frames — the row-halo operator shares
+      // the identical OrderedDistribution(part-asc ++ order); claimable
+      // only when the node's order is in the operator's recorded scope
+      .orElse(RangeSlidingAggRewrite.supported(e, part, order)
+        .filter(_ => RangeSlidingAggRewrite.orderOk(order)).map(CRangeSliding.apply))
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!confOn(ConfKey)) return plan
@@ -168,18 +174,21 @@ object GroupedWindowSplit extends Rule[LogicalPlan] {
           val runnings = claimed.collect { case CRunning(f) => f }
           val fullAggs = claimed.collect { case CFullAgg(e) => e }
           val slidings = claimed.collect { case CSliding(f) => f }
-          val classes =
-            Seq[Seq[Any]](ranks, runnings, fullAggs, slidings).count(_.nonEmpty)
+          val rangeSlidings = claimed.collect { case CRangeSliding(f) => f }
+          val classes = Seq[Seq[Any]](ranks, runnings, fullAggs, slidings,
+            rangeSlidings).count(_.nonEmpty)
           val allEnabled =
             (ranks.isEmpty || confOn(GroupedRankRewrite.ConfKey)) &&
               (runnings.isEmpty || confOn(GroupedRunningAggRewrite.ConfKey)) &&
               (fullAggs.isEmpty || confOn(GroupedAggRewrite.ConfKey)) &&
-              (slidings.isEmpty || confOn(SlidingAggRewrite.ConfKey))
+              (slidings.isEmpty || confOn(SlidingAggRewrite.ConfKey)) &&
+              (rangeSlidings.isEmpty || confOn(RangeSlidingAggRewrite.ConfKey))
           val bigEnough = child.stats.sizeInBytes >= Seq(
             if (ranks.nonEmpty) minBytes(GroupedRankRewrite.MinBytesKey) else 0L,
             if (runnings.nonEmpty) minBytes(GroupedRunningAggRewrite.MinBytesKey) else 0L,
             if (fullAggs.nonEmpty) minBytes(GroupedAggRewrite.MinBytesKey) else 0L,
-            if (slidings.nonEmpty) minBytes(SlidingAggRewrite.MinBytesKey) else 0L).max
+            if (slidings.nonEmpty) minBytes(SlidingAggRewrite.MinBytesKey) else 0L,
+            if (rangeSlidings.nonEmpty) minBytes(RangeSlidingAggRewrite.MinBytesKey) else 0L).max
           // mirrors GroupedAggRewrite's own bail exactly: peel the
           // would-be aggregate leg first (r19)
           val fullAggPlannable = fullAggs.isEmpty || ExprIdFreshener.freshen(
@@ -200,11 +209,13 @@ object GroupedWindowSplit extends Rule[LogicalPlan] {
           else {
             logInfo(s"GroupedWindowSplit: splitting a mixed grouped window " +
               s"(${ranks.size} rank, ${runnings.size} running-agg, " +
-              s"${fullAggs.size} full-frame-agg, ${slidings.size} sliding " +
+              s"${fullAggs.size} full-frame-agg, ${slidings.size} sliding, " +
+              s"${rangeSlidings.size} range-sliding " +
               s"functions over ${part.size} partition keys) into $classes " +
               "stacked operator nodes")
             var cur: LogicalPlan = child
             if (fullAggs.nonEmpty) cur = LogicalWindow(fullAggs, part, Nil, cur)
+            if (rangeSlidings.nonEmpty) cur = RangeSlidingAggNode(part, order, rangeSlidings, cur)
             if (slidings.nonEmpty) cur = SlidingAggNode(part, order, slidings, cur)
             if (runnings.nonEmpty) cur = GroupedRunningAggNode(part, order, runnings, cur)
             if (ranks.nonEmpty) cur = GroupedRankNode(part, order, ranks, cur)

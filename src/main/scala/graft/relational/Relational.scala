@@ -1478,7 +1478,45 @@ object Relational {
       .orderBy($"o_orderpriority", $"o_orderdate")
   }
 
+  // ---------------------------------------------------------------------
+  // q52: FLEET TRAILING-30-DAY REVENUE — the corpus-global RANGE-VALUE
+  // window (ClickHouse's time-windowed moving aggregates over the whole
+  // feed; q25 is the grouped form): every order annotated with the
+  // fleet's trailing-30-day revenue / order count / largest ticket at
+  // its date. Natively an empty-PARTITION-BY RANGE frame plans as
+  // AllTuples — the WHOLE corpus through one task for a 30-day-value
+  // data dependency — the LAST window-frame class with no scale path
+  // until r19's RangeSlidingAgg (plans/RangeSlidingAgg.scala): a
+  // distributed ROW-HALO operator (pass 1 ships O(partitions) edge
+  // facts; the halo rows move executor-to-executor through a shuffle,
+  // never the driver; pass 2 merges each sorted partition with its
+  // received halo and re-folds each frame through the aggregate's own
+  // Catalyst update expressions). RANGE frames are VALUE-based, hence
+  // tie-STABLE: same-date orders share one frame including all peers —
+  // every column deterministic, hash-exact oracle. Exact cents; the
+  // trailing average is ONE mirrored IEEE division of exact longs.
+  // Epochs via cast(date→timestamp→long) mirrored by DuckDB's epoch():
+  // frames depend only on epoch DIFFERENCES, so any constant timezone
+  // offset between the engines cancels (q25's oracle discipline).
+  // ---------------------------------------------------------------------
+  def q52TrailingFleetRevenue(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.orderBy($"es").rangeBetween(-2592000L, 0L)
+    Tables.orders(s, d)
+      .select($"o_orderkey", $"o_orderdate",
+        $"o_orderdate".cast("timestamp").cast("long").as("es"),
+        (dec($"o_totalprice") * 100).cast("long").as("cents"))
+      .select($"o_orderkey", $"o_orderdate", $"cents",
+        sum($"cents").over(w).as("fleet_30d_cents"),
+        count(lit(1)).over(w).as("fleet_30d_orders"),
+        max($"cents").over(w).as("fleet_30d_max"))
+      .withColumn("fleet_30d_avg",
+        $"fleet_30d_cents".cast("double") / $"fleet_30d_orders".cast("double"))
+      .orderBy($"o_orderkey")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q52_trailing_fleet" -> (q52TrailingFleetRevenue _),
     "q51_leaderboard_share" -> (q51LeaderboardShare _),
     "q50_trailing_revenue" -> (q50TrailingRevenue _),
     "q49_group_share" -> (q49GroupShare _),
@@ -1555,6 +1593,25 @@ object Relational {
     // order — identical frame semantics in both engines; exact cents,
     // sums/counts cast back from HUGEINT, the moving average as the
     // same mirrored double division of two exact longs.
+    // q52: the RANGE frame is value-based (tie-stable) over
+    // epoch(o_orderdate) — frames depend only on epoch differences, so
+    // the engines' epoch conventions cancel; exact cents, sums/counts
+    // cast back from HUGEINT, the average as the same mirrored double
+    // division of exact longs.
+    "q52_trailing_fleet" ->
+      """WITH o AS (
+           SELECT o_orderkey, o_orderdate, epoch(o_orderdate) AS es,
+                  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+           FROM orders)
+         SELECT o_orderkey, o_orderdate, cents,
+                CAST(sum(cents) OVER w AS BIGINT) AS fleet_30d_cents,
+                CAST(count(*) OVER w AS BIGINT) AS fleet_30d_orders,
+                CAST(max(cents) OVER w AS BIGINT) AS fleet_30d_max,
+                CAST(CAST(sum(cents) OVER w AS BIGINT) AS DOUBLE) /
+                  CAST(CAST(count(*) OVER w AS BIGINT) AS DOUBLE) AS fleet_30d_avg
+         FROM o
+         WINDOW w AS (ORDER BY es RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW)
+         ORDER BY o_orderkey""",
     // q51: the daily pre-agg makes (priority, date) unique so the rank
     // order is total; full-frame windows are order-free in both
     // engines; sums cast back from HUGEINT, rank narrowed to Spark's

@@ -79,7 +79,7 @@ class MixedSpecAggSpec extends AnyFunSuite {
         "graft.plans.GroupedWindowSplit", "graft.plans.GlobalRankRewrite",
         "graft.plans.GroupedRankRewrite", "graft.plans.GroupedRunningAggRewrite",
         "graft.plans.GlobalOffsetRewrite", "graft.plans.GlobalRunningAggRewrite",
-        "graft.plans.SlidingAggRewrite")
+        "graft.plans.SlidingAggRewrite", "graft.plans.RangeSlidingAggRewrite")
       for (agg <- Seq("graft.plans.GlobalAggRewrite", "graft.plans.GroupedAggRewrite");
            fam <- laterRules) {
         assert(rules.indexOf(agg) >= 0 && rules.indexOf(fam) >= 0 &&

@@ -1,0 +1,298 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** [[graft.plans.RangeSlidingAggRewrite]] — bounded RANGE-VALUE
+  * sliding frames on the distributed row-halo operator (r19; the last
+  * window-frame class with no scale path, recorded as future work by
+  * SlidingAgg's r18 scaladoc). RANGE frames are VALUE-based and hence
+  * tie-STABLE: every peer (equal order value) shares one frame that
+  * includes all peers — which these cases exploit by building heavy
+  * duplicate-value runs and asserting bit-equality against the native
+  * window on exact types. */
+class RangeSlidingAggSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def withRule[A](on: Boolean)(body: => A): A =
+    TestSpark.withConf(graft.plans.RangeSlidingAggRewrite.ConfKey, on.toString)(body)
+
+  private def assertSame(got: Seq[Row], ref: Seq[Row], what: String): Unit = {
+    assert(got.size == ref.size, s"$what: size ${got.size} != ${ref.size}")
+    val bad = got.zip(ref).filter { case (g, r) => g != r }
+    assert(bad.isEmpty,
+      s"$what: ${bad.size}/${ref.size} rows diverge from native; first: ${bad.take(3)}")
+  }
+
+  /** id total order; o has heavy duplicate runs (ties); cn is a
+    * null-bearing aggregate input; g splits into 5 groups. */
+  private def data = {
+    val s = spark
+    import s.implicits._
+    (0 until 9000).map { i =>
+      (i.toLong, (i % 5).toLong, (i / 3).toLong * 7L,
+        if (i % 11 == 0) None else Some(((i * 37) % 1000).toLong))
+    }.toDF("id", "g", "o", "cn")
+  }
+
+  test("global trailing/centered/strictly-past RANGE frames bit-equal to native (ties, nulls in input)") {
+    val s = spark
+    import s.implicits._
+    def q(): DataFrame = {
+      val w = Window.orderBy($"o")
+      data.select($"id", $"o", $"cn",
+        sum($"cn").over(w.rangeBetween(-70, 0)).as("trail"),
+        count($"cn").over(w.rangeBetween(-70, 0)).as("trail_n"),
+        min($"cn").over(w.rangeBetween(-21, 21)).as("band_lo"),
+        max($"cn").over(w.rangeBetween(-21, 21)).as("band_hi"),
+        avg($"cn").over(w.rangeBetween(-100, -7)).as("past_avg"),
+        sum($"cn").over(w.rangeBetween(7, 70)).as("future"))
+    }
+    val got = withRule(on = true) {
+      val df = q()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("RangeSlidingAgg"), plan.take(2500))
+      assert(!plan.contains("Window ["),
+        "no native window may survive:\n" + plan.take(2500))
+      df.collect().toSeq.sortBy(_.getLong(0))
+    }
+    val ref = withRule(on = false)(q().collect().toSeq.sortBy(_.getLong(0)))
+    assertSame(got, ref, "global RANGE frames")
+  }
+
+  test("grouped RANGE frames clip at group boundaries; NULL order values form their own peer band") {
+    val s = spark
+    import s.implicits._
+    // null ORDER values: one group's first rows — Spark RANGE
+    // semantics give them a shared frame of exactly the null peers
+    val nd = data.withColumn("on",
+      when($"id" % 13 === 0, lit(null).cast("long")).otherwise($"o"))
+    def q(): DataFrame = {
+      val w = Window.partitionBy($"g").orderBy($"on")
+      nd.select($"id", $"g", $"on", $"cn",
+        sum($"cn").over(w.rangeBetween(-70, 0)).as("trail"),
+        count(lit(1)).over(w.rangeBetween(-35, 35)).as("band_n"))
+    }
+    val got = withRule(on = true) {
+      val df = q()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("RangeSlidingAgg"), plan.take(2500))
+      assert(!plan.contains("Window ["), plan.take(2500))
+      df.collect().toSeq.sortBy(_.getLong(0))
+    }
+    val ref = withRule(on = false)(q().collect().toSeq.sortBy(_.getLong(0)))
+    assertSame(got, ref, "grouped RANGE frames with null order band")
+  }
+
+  test("halo spans MANY partitions: value window far wider than a partition's span") {
+    val s = spark
+    import s.implicits._
+    // 64 tiny partitions, frame value-width covering dozens of them:
+    // the row-halo must ship each row to every partition whose span
+    // its reach intersects, and the window must retain across them
+    val t = data.repartitionByRange(64, $"o", $"id")
+    def q(): DataFrame = {
+      val w = Window.orderBy($"o")
+      t.select($"id", $"o", $"cn",
+        sum($"cn").over(w.rangeBetween(-5000, 0)).as("wide_trail"),
+        count(lit(1)).over(w.rangeBetween(-2000, 2000)).as("wide_band"))
+    }
+    val got = withRule(on = true) {
+      val df = q()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("RangeSlidingAgg"), plan.take(2500))
+      df.collect().toSeq.sortBy(_.getLong(0))
+    }
+    val ref = withRule(on = false)(q().collect().toSeq.sortBy(_.getLong(0)))
+    assertSame(got, ref, "many-partition halo")
+  }
+
+  test("day-one canary: pre-existing FINER (o, id) exchange splits peer runs — reused exchange, halo stitches peers") {
+    val s = spark
+    import s.implicits._
+    // RangePartitioning on the finer (o, id) satisfies
+    // OrderedDistribution(o) by the common-prefix rule and SPLITS the
+    // 3-row o-tie runs across partition boundaries — RANGE frames
+    // include ALL peers, so the halo must ship the split peers both
+    // ways. The finer keys stay in the projection (the r16
+    // ColumnPruning trap).
+    TestSpark.withConf("spark.sql.adaptive.coalescePartitions.enabled", "false") {
+      val t = data.repartitionByRange(37, $"o", $"id")
+      def q(): DataFrame = {
+        val w = Window.orderBy($"o")
+        t.select($"id", $"o", $"cn",
+          sum($"cn").over(w.rangeBetween(0, 0)).as("peer_sum"),
+          count(lit(1)).over(w.rangeBetween(-7, 0)).as("trail_n"))
+      }
+      val got = withRule(on = true) {
+        val df = q()
+        df.collect()
+        val plan = df.queryExecution.executedPlan.toString
+        assert(plan.contains("RangeSlidingAgg"), plan.take(2500))
+        val finalSection = plan.split("== Initial Plan ==").head
+        val nRange = finalSection.split("Exchange rangepartitioning").length - 1
+        assert(nRange == 1,
+          s"the operator must REUSE the finer pre-existing exchange, got $nRange:\n" +
+            finalSection.take(2500))
+        df.collect().toSeq.sortBy(_.getLong(0))
+      }
+      val ref = withRule(on = false)(q().collect().toSeq.sortBy(_.getLong(0)))
+      assertSame(got, ref, "finer-exchange split peer runs")
+    }
+  }
+
+  test("q25 graded flip: the trailing-30-day query plans on the operator, bit-equal to native") {
+    val s = spark
+    def q(): DataFrame = graft.relational.Relational.q25TrailingSpend(s, SfDir)
+    val got = withRule(on = true) {
+      val df = q()
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("RangeSlidingAgg"),
+        "q25 must plan on the RANGE-value operator:\n" + plan.take(2500))
+      assert(!plan.contains("Window ["), plan.take(2500))
+      df.collect().toSeq
+    }
+    val ref = withRule(on = false)(q().collect().toSeq)
+    assertSame(got, ref, "q25 flip")
+  }
+
+  test("split composition: rank + running + RANGE-value members in ONE select stack on one shared exchange (global and grouped)") {
+    val s = spark
+    import s.implicits._
+    def allOff[A](body: => A): A =
+      TestSpark.withConf(graft.plans.GlobalWindowSplit.ConfKey, "false") {
+        TestSpark.withConf(graft.plans.GroupedWindowSplit.ConfKey, "false") {
+          TestSpark.withConf(graft.plans.GlobalRankRewrite.ConfKey, "false") {
+            TestSpark.withConf(graft.plans.GroupedRankRewrite.ConfKey, "false") {
+              TestSpark.withConf(graft.plans.GlobalRunningAggRewrite.ConfKey, "false") {
+                TestSpark.withConf(graft.plans.GroupedRunningAggRewrite.ConfKey, "false") {
+                  withRule(on = false)(body)
+                }
+              }
+            }
+          }
+        }
+      }
+    // global: the analyzer merges all three classes into ONE node
+    def gq(): DataFrame = {
+      val w = Window.orderBy($"o")
+      data.select($"id", $"o", $"cn",
+        rank().over(w).as("r"),
+        sum($"cn").over(w).as("run"),
+        sum($"cn").over(w.rangeBetween(-70, 0)).as("trail"))
+    }
+    val got = {
+      val df = gq()
+      val plan = df.queryExecution.executedPlan.toString
+      for (op <- Seq("GlobalRank", "GlobalRunningAgg", "RangeSlidingAgg"))
+        assert(plan.contains(op), s"$op missing from the split stack:\n" + plan.take(2500))
+      assert(!plan.contains("Window ["), plan.take(2500))
+      val finalSection = plan.split("== Initial Plan ==").head
+      val nRange = finalSection.split("Exchange rangepartitioning").length - 1
+      assert(nRange == 1,
+        s"the three-class stack must share ONE range exchange, got $nRange:\n" +
+          finalSection.take(2500))
+      df.collect().toSeq.sortBy(_.getLong(0))
+    }
+    assertSame(got, allOff(gq().collect().toSeq.sortBy(_.getLong(0))),
+      "global rank+running+range-value split")
+    // grouped analog
+    def pq(): DataFrame = {
+      val w = Window.partitionBy($"g").orderBy($"o")
+      data.select($"id", $"g", $"o", $"cn",
+        rank().over(w).as("r"),
+        sum($"cn").over(w).as("run"),
+        count(lit(1)).over(w.rangeBetween(-35, 35)).as("band_n"))
+    }
+    val pgot = {
+      val df = pq()
+      val plan = df.queryExecution.executedPlan.toString
+      for (op <- Seq("GroupedRank", "GroupedRunningAgg", "RangeSlidingAgg"))
+        assert(plan.contains(op), s"$op missing from the grouped stack:\n" + plan.take(2500))
+      assert(!plan.contains("Window ["), plan.take(2500))
+      df.collect().toSeq.sortBy(_.getLong(0))
+    }
+    assertSame(pgot, allOff(pq().collect().toSeq.sortBy(_.getLong(0))),
+      "grouped rank+running+range-value split")
+    // an out-of-scope order (desc) keeps the WHOLE mixed node native —
+    // the split must not strand the RANGE member behind a funnel
+    val desc = data.select($"id",
+      rank().over(Window.orderBy($"o".desc)).as("r"),
+      sum($"cn").over(Window.orderBy($"o".desc).rangeBetween(-70, 0)).as("t"))
+    val dplan = desc.queryExecution.executedPlan.toString
+    assert(!dplan.contains("RangeSlidingAgg") && !dplan.contains("GlobalRank"),
+      "desc-order RANGE member must keep the whole node native:\n" + dplan.take(2000))
+  }
+
+  test("q52 graded plan: the corpus-global RANGE window runs on the operator — no native window, no AllTuples funnel") {
+    val s = spark
+    val df = graft.relational.Relational.q52TrailingFleetRevenue(s, SfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("RangeSlidingAgg"),
+      "q52 must plan on the RANGE-value operator:\n" + plan.take(2500))
+    assert(!plan.contains("Window ["), plan.take(2500))
+    assert(!plan.contains("SinglePartition"),
+      "the corpus must never funnel into one partition:\n" + plan.take(2500))
+  }
+
+  test("bails: desc/multi-col/non-integral order, unbounded frames, imperative agg, kill switch, minBytes") {
+    val s = spark
+    import s.implicits._
+    def planOf(df: DataFrame): String = df.queryExecution.executedPlan.toString
+    def stillNative(df: DataFrame, what: String): Unit =
+      assert(!planOf(df).contains("RangeSlidingAgg"),
+        s"$what must stay native:\n" + planOf(df).take(2000))
+    // desc order: out of the recorded scope
+    stillNative(data.select($"id", sum($"cn").over(
+      Window.orderBy($"o".desc).rangeBetween(-70, 0)).as("x")), "desc order")
+    // non-integral order type
+    stillNative(data.withColumn("od", $"o".cast("double")).select($"id",
+      sum($"cn").over(Window.orderBy($"od").rangeBetween(-70, 0)).as("x")),
+      "double order type")
+    // running RANGE frame (UnboundedPreceding) stays the running family's
+    val run = data.select($"id", sum($"cn").over(
+      Window.partitionBy($"g").orderBy($"o")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)).as("x"))
+    assert(!planOf(run).contains("RangeSlidingAgg"),
+      "running frames belong to GroupedRunningAgg:\n" + planOf(run).take(2000))
+    // imperative aggregate
+    stillNative(data.select($"id", collect_list($"cn").over(
+      Window.orderBy($"o").rangeBetween(-70, 0)).as("x")), "imperative agg")
+    // kill switch
+    withRule(on = false) {
+      stillNative(data.select($"id", sum($"cn").over(
+        Window.orderBy($"o").rangeBetween(-70, 0)).as("x")), "kill switch")
+    }
+    // minBytes lever
+    TestSpark.withConf(graft.plans.RangeSlidingAggRewrite.MinBytesKey, (1L << 40).toString) {
+      stillNative(data.select($"id", sum($"cn").over(
+        Window.orderBy($"o").rangeBetween(-70, 0)).as("x")), "minBytes lever")
+    }
+  }
+
+  test("schema order kept; decimal sums exact; empty input") {
+    val s = spark
+    import s.implicits._
+    val d = data.withColumn("dec", ($"cn" * 13).cast("decimal(18,2)"))
+    def q(df: DataFrame): DataFrame = {
+      val w = Window.partitionBy($"g").orderBy($"o")
+      df.select($"id", $"g", $"o",
+        sum($"dec").over(w.rangeBetween(-70, 0)).as("dsum"),
+        avg($"dec").over(w.rangeBetween(-70, 70)).as("davg"))
+    }
+    val got = withRule(on = true) {
+      val df = q(d)
+      assert(df.schema.map(_.name) == Seq("id", "g", "o", "dsum", "davg"))
+      df.collect().toSeq.sortBy(_.getLong(0))
+    }
+    val ref = withRule(on = false)(q(d).collect().toSeq.sortBy(_.getLong(0)))
+    assertSame(got, ref, "decimal RANGE sums")
+    val empty = Seq.empty[(Long, Long, Long, Option[Long])].toDF("id", "g", "o", "cn")
+      .withColumn("dec", ($"cn" * 13).cast("decimal(18,2)"))
+    assert(withRule(on = true)(q(empty).collect()).isEmpty)
+  }
+}

@@ -24,9 +24,11 @@ import org.scalatest.funsuite.AnyFunSuite
   *     frame matches native because the re-fold walks the frame in
   *     ascending row order;
   *   - bails: extent past maxExtent, RANGE-value frames (q25's
-  *     shape), running frames (GlobalRunningAgg's class — the rules
-  *     stay disjoint), mixed sliding+running nodes (whole node
-  *     native), the kill switch and the minBytes lever.
+  *     shape — since r19 they plan on [[graft.plans.RangeSlidingAggRewrite]]'s
+  *     row-halo operator, never on this ROWS-ring exec), running
+  *     frames (GlobalRunningAgg's class — the rules stay disjoint),
+  *     mixed sliding+running nodes (whole node native), the kill
+  *     switch and the minBytes lever.
   */
 class SlidingAggSpec extends AnyFunSuite {
   import TestSpark._
@@ -267,11 +269,16 @@ class SlidingAggSpec extends AnyFunSuite {
         sum($"cents").over(w.rowsBetween(-20, 0)).as("m"))).contains("Window ["),
         "extent past maxExtent must stay native")
     }
-    // RANGE-value frame (q25's shape): native
-    assert(planOf(data.select($"id",
+    // RANGE-value frame (q25's shape): NOT this operator's — through
+    // r18 it stayed native; since r19 it belongs to RangeSlidingAgg
+    // (the row-halo operator, RangeSlidingAggSpec pins it)
+    val rangePlan = planOf(data.select($"id",
       sum($"cents").over(Window.partitionBy($"g").orderBy($"o")
-        .rangeBetween(-30, 0)).as("m"))).contains("Window ["),
-      "RANGE-value sliding frames must stay native")
+        .rangeBetween(-30, 0)).as("m")))
+    assert(rangePlan.contains("RangeSlidingAgg"),
+      "RANGE-value frames belong to RangeSlidingAgg since r19:\n" + rangePlan.take(2000))
+    assert(!rangePlan.replace("RangeSlidingAgg", "").contains("SlidingAgg"),
+      "the ROWS-ring exec must never claim a RANGE frame:\n" + rangePlan.take(2000))
     // running frame: GlobalRunningAgg's class, not this operator's
     val runPlan = planOf(data.select($"id",
       sum($"cents").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("m")))
