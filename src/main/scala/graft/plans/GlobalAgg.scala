@@ -223,7 +223,8 @@ private[plans] object AggLegPeel {
 
   private def isGraftWindowOp(n: LogicalPlan): Boolean = n match {
     case _: GlobalRankNode | _: GlobalRunningAggNode | _: GlobalOffsetNode |
-         _: SlidingAggNode | _: GroupedRankNode | _: GroupedRunningAggNode => true
+         _: SlidingAggNode | _: GroupedRankNode | _: GroupedRunningAggNode |
+         _: RangeSlidingAggNode => true
     case _ => false
   }
 }

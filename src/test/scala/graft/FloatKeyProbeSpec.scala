@@ -33,6 +33,26 @@ class FloatKeyProbeSpec extends AnyFunSuite {
       s"$what: ${bad.size}/${ref.size} rows diverge from native; first: ${bad.take(3)}")
   }
 
+  test("range-sliding over a double key with NaN and -0.0/0.0: halo keys group identically (r19)") {
+    val s = spark
+    import s.implicits._
+    // the fifth grouped operator: RangeSlidingAgg ships the part keys
+    // through the halo SHUFFLE and compares them in both the binary
+    // search and the merge — UnsafeWriter normalizes -0.0 and
+    // RowOrdering treats all NaNs equal, so grouping must match the
+    // native NormalizeFloatingNumbers semantics
+    def q(on: Boolean): Seq[Row] =
+      TestSpark.withConf(graft.plans.RangeSlidingAggRewrite.ConfKey, on.toString) {
+        val w = Window.partitionBy($"d").orderBy($"cents")
+        data.repartitionByRange(16, $"d", $"cents", $"id")
+          .select($"id",
+            sum($"cents").over(w.rangeBetween(-20, 0)).as("t"),
+            count(lit(1)).over(w.rangeBetween(-10, 10)).as("c"))
+          .collect().toSeq.sortBy(_.getLong(0))
+      }
+    assertSame(q(on = true), q(on = false), "float-key range-sliding")
+  }
+
   test("grouped rank/running/full-frame/sliding over a double key with NaN and -0.0/0.0: bit-equal vs native") {
     val s = spark
     import s.implicits._

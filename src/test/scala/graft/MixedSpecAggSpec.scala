@@ -274,6 +274,23 @@ class MixedSpecAggSpec extends AnyFunSuite {
       n.isInstanceOf[graft.plans.GlobalRankNode] ||
         n.isInstanceOf[graft.plans.GlobalRunningAggNode]),
       "the global aggregate leg must not replay the operator stack:\n" + gjoin.right)
+    // the RANGE-value cousin (r19): RangeSlidingAggRewrite first, then
+    // GlobalAggRewrite must peel the RangeSlidingAggNode out of its leg
+    val ranalyzed = s.sql("""
+      SELECT id, cents,
+             sum(cents) OVER (ORDER BY d RANGE BETWEEN 70 PRECEDING
+                              AND CURRENT ROW) AS trail,
+             sum(cents) OVER () AS tot
+      FROM msa_r""").queryExecution.analyzed
+    val rsplit = graft.plans.RangeSlidingAggRewrite(ranalyzed)
+    assert(rsplit.exists(_.isInstanceOf[graft.plans.RangeSlidingAggNode]),
+      "test setup: the RANGE rewrite must have fired first:\n" + rsplit)
+    val rafter = graft.plans.GlobalAggRewrite(rsplit)
+    assert(!rafter.exists(_.isInstanceOf[LWindow]),
+      "GlobalAggRewrite must consume the total above the RANGE operator:\n" + rafter)
+    val rjoin = rafter.collectFirst { case j: LJoin => j }.get
+    assert(!rjoin.right.exists(_.isInstanceOf[graft.plans.RangeSlidingAggNode]),
+      "the aggregate leg must not replay the RANGE operator:\n" + rjoin.right)
   }
 
   test("q51 graded plan: GlobalRank + broadcast total + grouped join-back, zero native windows") {
