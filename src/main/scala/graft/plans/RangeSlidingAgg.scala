@@ -69,11 +69,15 @@ import org.apache.spark.sql.types._
   *
   * Scope guards: every window expression a deterministic,
   * non-DISTINCT, unfiltered [[DeclarativeAggregate]] over a RANGE
-  * frame whose bounds are CurrentRow or FOLDABLE integral literals
-  * (lo ≤ hi); exactly ONE order expression, integral type
-  * (byte/short/int/long), ASCENDING with NULLS FIRST (other
+  * frame whose bounds are CurrentRow or FOLDABLE literals (lo ≤ hi):
+  * integral bounds over integral orders, ANSI day-time INTERVAL
+  * bounds over TIMESTAMP/_NTZ (µs) and — whole days only — DATE
+  * orders (`ORDER BY ts RANGE BETWEEN INTERVAL 6 HOURS PRECEDING …`,
+  * the natural time-series phrasing; year-month intervals bail: a
+  * month is not a fixed offset). Exactly ONE order expression of
+  * integral/date/timestamp type, ASCENDING with NULLS FIRST (other
   * directions/types stay native — recorded scope, not a hole: the
-  * idiom is time-trailing windows over epochs); partition keys
+  * idiom is time-trailing windows); partition keys
   * deterministic and orderable; deterministic subtree; non-streaming
   * child (three jobs, one shuffle read three times). Frame-bound
   * arithmetic saturates at ±2^63 (a saturated bound admits every
@@ -100,24 +104,48 @@ object RangeSlidingAggRewrite extends Rule[LogicalPlan] {
   private def sameExprs(a: Seq[Expression], b: Seq[Expression]): Boolean =
     a.length == b.length && a.zip(b).forall { case (x, y) => x.semanticEquals(y) }
 
-  /** Supported RANGE order column types (value read as Long). */
+  /** Supported RANGE order column types (value read as Long —
+    * integrals as-is, DATE as days, TIMESTAMP/_NTZ as epoch µs). */
   private[plans] def orderTypeOk(dt: DataType): Boolean = dt match {
     case ByteType | ShortType | IntegerType | LongType => true
+    case DateType | TimestampType | TimestampNTZType => true
     case _ => false
   }
 
-  /** A RANGE bound as a signed Long value offset: CurrentRow = 0, a
-    * foldable integral expression as-is (negative = PRECEDING; the
-    * parser's UnaryMinus folds by eval here). Unbounded ends are None
+  private val MicrosPerDay = 86400L * 1000000L
+
+  /** A RANGE bound as a signed Long offset in the ORDER column's
+    * units: CurrentRow = 0; a foldable integral expression as-is for
+    * integral orders (negative = PRECEDING; the parser's UnaryMinus
+    * folds by eval here); a foldable ANSI day-time INTERVAL (µs) for
+    * timestamp orders as-is and for DATE orders converted to whole
+    * DAYS (sub-day intervals over dates bail — their native rounding
+    * is not a fixed value offset). Year-month intervals bail: a month
+    * is not a fixed offset on any time axis. Unbounded ends are None
     * — `RANGE UNBOUNDED PRECEDING..CURRENT ROW` is the running-agg
     * class and full frames are the agg rewrites', both structurally
     * disjoint from this matcher. */
-  private def bound(e: Expression): Option[Long] = e match {
+  private def bound(e: Expression, orderDt: DataType): Option[Long] = e match {
     case CurrentRow => Some(0L)
-    case lit if lit.foldable && orderTypeOk(lit.dataType) =>
-      lit.eval() match {
-        case null => None
-        case n: java.lang.Number => Some(n.longValue)
+    case lit if lit.foldable =>
+      (lit.dataType, orderDt) match {
+        case (ByteType | ShortType | IntegerType | LongType,
+            ByteType | ShortType | IntegerType | LongType) =>
+          lit.eval() match {
+            case n: java.lang.Number => Some(n.longValue)
+            case _ => None
+          }
+        case (_: DayTimeIntervalType, TimestampType | TimestampNTZType) =>
+          lit.eval() match {
+            case n: java.lang.Number => Some(n.longValue) // µs
+            case _ => None
+          }
+        case (_: DayTimeIntervalType, DateType) =>
+          lit.eval() match {
+            case n: java.lang.Number if n.longValue % MicrosPerDay == 0 =>
+              Some(n.longValue / MicrosPerDay) // whole days
+            case _ => None
+          }
         case _ => None
       }
     case _ => None
@@ -129,9 +157,10 @@ object RangeSlidingAggRewrite extends Rule[LogicalPlan] {
       order: Seq[SortOrder]): Option[RangeSlidingFn] = e match {
     case a @ Alias(WindowExpression(ae: AggregateExpression,
         WindowSpecDefinition(p2, o2, SpecifiedWindowFrame(RangeFrame, loE, hiE))), _)
-        if sameExprs(p2, part) && sameExprs(o2, order) &&
+        if sameExprs(p2, part) && sameExprs(o2, order) && order.nonEmpty &&
           !ae.isDistinct && ae.filter.isEmpty && ae.deterministic =>
-      (bound(loE), bound(hiE)) match {
+      val orderDt = order.head.child.dataType
+      (bound(loE, orderDt), bound(hiE, orderDt)) match {
         case (Some(lo), Some(hi)) if lo <= hi =>
           ae.aggregateFunction match {
             case da: DeclarativeAggregate => Some(RangeSlidingFn(a.toAttribute, da, lo, hi))
@@ -143,7 +172,8 @@ object RangeSlidingAggRewrite extends Rule[LogicalPlan] {
   }
 
   /** Node-level order guards: one ASC NULLS FIRST expression of an
-    * integral type. (Shared with the split rules' class checks.) */
+    * integral/date/timestamp type. (Shared with the split rules'
+    * class checks.) */
   private[plans] def orderOk(order: Seq[SortOrder]): Boolean =
     order.length == 1 && {
       val so = order.head
@@ -267,13 +297,14 @@ case class RangeSlidingAggExec(
       RowOrdering.create(partExprs.zipWithIndex.map { case (e, i) =>
         SortOrder(BoundReference(i, e.dataType, e.nullable), Ascending)
       }, Seq.empty)
-    // order-value getter from the 1-column order projection
+    // order-value getter from the 1-column order projection (DATE is
+    // int days; TIMESTAMP/_NTZ are long epoch µs)
     val readOrd: InternalRow => (Boolean, Long) = r =>
       if (r.isNullAt(0)) (false, 0L)
       else (true, orderDt match {
         case ByteType => r.getByte(0).toLong
         case ShortType => r.getShort(0).toLong
-        case IntegerType => r.getInt(0).toLong
+        case IntegerType | DateType => r.getInt(0).toLong
         case _ => r.getLong(0)
       })
 

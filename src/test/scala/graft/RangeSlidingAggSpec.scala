@@ -274,6 +274,62 @@ class RangeSlidingAggSpec extends AnyFunSuite {
     }
   }
 
+  test("DATE and TIMESTAMP orders with INTERVAL bounds (the natural time-series phrasing) — bit-equal; month/sub-day intervals bail") {
+    val s = spark
+    import s.implicits._
+    val d = data
+      .withColumn("dt", date_add(lit("2024-01-01").cast("date"), ($"o" % 1000).cast("int")))
+      .withColumn("ts", timestamp_seconds($"o" * 3600))
+    d.createOrReplaceTempView("rs_time_t")
+    // DATE order + whole-day interval
+    val dateSql = """
+      SELECT id, sum(cn) OVER (PARTITION BY g ORDER BY dt
+        RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW) AS t
+      FROM rs_time_t"""
+    val dateGot = withRule(on = true) {
+      val df = s.sql(dateSql)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("RangeSlidingAgg"),
+        "a DATE order with whole-day INTERVAL bounds must plan on the operator:\n" +
+          plan.take(2000))
+      df.collect().toSeq.sortBy(_.getLong(0))
+    }
+    assertSame(dateGot,
+      withRule(on = false)(s.sql(dateSql).collect().toSeq.sortBy(_.getLong(0))),
+      "DATE order + day interval")
+    // TIMESTAMP order + hour interval (µs units)
+    val tsSql = """
+      SELECT id, sum(cn) OVER (ORDER BY ts
+        RANGE BETWEEN INTERVAL 36 HOURS PRECEDING AND INTERVAL 12 HOURS FOLLOWING) AS t
+      FROM rs_time_t"""
+    val tsGot = withRule(on = true) {
+      val df = s.sql(tsSql)
+      assert(df.queryExecution.executedPlan.toString.contains("RangeSlidingAgg"),
+        "a TIMESTAMP order with day-time INTERVAL bounds must plan on the operator")
+      df.collect().toSeq.sortBy(_.getLong(0))
+    }
+    assertSame(tsGot,
+      withRule(on = false)(s.sql(tsSql).collect().toSeq.sortBy(_.getLong(0))),
+      "TIMESTAMP order + hour interval")
+    // a MONTH interval is not a fixed offset: native
+    val monthPlan = s.sql("""
+      SELECT id, sum(cn) OVER (ORDER BY dt
+        RANGE BETWEEN INTERVAL 1 MONTH PRECEDING AND CURRENT ROW) AS t
+      FROM rs_time_t""").queryExecution.executedPlan.toString
+    assert(!monthPlan.contains("RangeSlidingAgg"),
+      "year-month interval bounds must stay native:\n" + monthPlan.take(2000))
+    // a sub-day interval over a DATE order is rejected by SPARK at
+    // analysis (RANGE_FRAME_INVALID_TYPE) — the operator's whole-days
+    // modulo guard is belt-and-braces behind the analyzer's own check
+    val subDay = intercept[org.apache.spark.sql.AnalysisException] {
+      s.sql("""
+        SELECT id, sum(cn) OVER (ORDER BY dt
+          RANGE BETWEEN INTERVAL 36 HOURS PRECEDING AND CURRENT ROW) AS t
+        FROM rs_time_t""").queryExecution.analyzed
+    }
+    assert(subDay.getMessage.contains("RANGE_FRAME_INVALID_TYPE"))
+  }
+
   test("schema order kept; decimal sums exact; empty input") {
     val s = spark
     import s.implicits._
