@@ -58,6 +58,13 @@ import org.apache.spark.sql.types._
   * native single-task fold — the standing GlobalAgg float caveat;
   * exact (integral/decimal/long) aggregates are bit-identical, which
   * is what the equivalence specs and the graded query pin.
+  * Order-SENSITIVE aggregates (first/last/collect_list style): frame
+  * MEMBERSHIP stays tie-stable, but the value picked within the frame
+  * follows the merged stream's incidental order among peers — the
+  * same per-function tie-arbitrary contract [[SlidingAggRewrite]]
+  * documents (native is equally arbitrary under ties; a total order
+  * makes them deterministic, and the peer cache keeps every peer of a
+  * group CONSISTENT with each other either way).
   *
   * NULL order values follow Spark's RANGE semantics: under the
   * default ascending NULLS FIRST order, null-valued rows form one
@@ -360,38 +367,51 @@ case class RangeSlidingAggExec(
           else if (!ann) 0
           else java.lang.Long.compare(av, bv)
         }
+        // own span for the interior quick reject: a reach interval
+        // STRICTLY inside this partition's (first, last) composite
+        // interval cannot intersect any neighbor (range spans overlap
+        // only at equal composites), so interior rows — the vast
+        // majority — skip the binary searches and emit nothing
+        val own = edges(pid)
         it.flatMap { row =>
           val k = keyProj(row)
           val (nn, v) = readOrd(ordProj(row))
           // reach bounds (null rows reach the key's whole null band)
           val (rnnLo, rvLo) = if (nn) (true, satAdd(v, negSat(hiMax))) else (false, Long.MinValue)
           val (rnnHi, rvHi) = if (nn) (true, satAdd(v, negSat(loMin))) else (false, Long.MaxValue)
-          // pLo = first non-empty partition whose LAST ≥ reachLo
-          var lo = 0; var hi = nePids.length
-          while (lo < hi) {
-            val mid = (lo + hi) >>> 1
-            val (mk, mnn, mv) = neLast(mid)
-            if (cmp(mk, mnn, mv, k, rnnLo, rvLo) < 0) lo = mid + 1 else hi = mid
+          val interior = own.isDefined && {
+            val (fk, fnn, fv, lk, lnn, lv) = own.get
+            cmp(fk, fnn, fv, k, rnnLo, rvLo) < 0 && cmp(k, rnnHi, rvHi, lk, lnn, lv) < 0
           }
-          val pLo = lo
-          // pHi = last non-empty partition whose FIRST ≤ reachHi
-          lo = -1; hi = nePids.length - 1
-          while (lo < hi) {
-            val mid = (lo + hi + 1) >> 1
-            val (mk, mnn, mv) = neFirst(mid)
-            if (cmp(mk, mnn, mv, k, rnnHi, rvHi) <= 0) lo = mid else hi = mid - 1
-          }
-          val pHi = lo
-          if (pLo > pHi) Iterator.empty
+          if (interior) Iterator.empty
           else {
-            var kc: UnsafeRow = null; var vc: UnsafeRow = null
-            (pLo to pHi).iterator
-              .map(nePids)
-              .filter(_ != pid)
-              .map { target =>
-                if (kc == null) { kc = k.copy(); vc = aggProj(row).copy() }
-                (target, (kc, nn, v, vc))
-              }
+            // pLo = first non-empty partition whose LAST ≥ reachLo
+            var lo = 0; var hi = nePids.length
+            while (lo < hi) {
+              val mid = (lo + hi) >>> 1
+              val (mk, mnn, mv) = neLast(mid)
+              if (cmp(mk, mnn, mv, k, rnnLo, rvLo) < 0) lo = mid + 1 else hi = mid
+            }
+            val pLo = lo
+            // pHi = last non-empty partition whose FIRST ≤ reachHi
+            lo = -1; hi = nePids.length - 1
+            while (lo < hi) {
+              val mid = (lo + hi + 1) >> 1
+              val (mk, mnn, mv) = neFirst(mid)
+              if (cmp(mk, mnn, mv, k, rnnHi, rvHi) <= 0) lo = mid else hi = mid - 1
+            }
+            val pHi = lo
+            if (pLo > pHi) Iterator.empty
+            else {
+              var kc: UnsafeRow = null; var vc: UnsafeRow = null
+              (pLo to pHi).iterator
+                .map(nePids)
+                .filter(_ != pid)
+                .map { target =>
+                  if (kc == null) { kc = k.copy(); vc = aggProj(row).copy() }
+                  (target, (kc, nn, v, vc))
+                }
+            }
           }
         }
       }

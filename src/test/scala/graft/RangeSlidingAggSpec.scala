@@ -330,6 +330,28 @@ class RangeSlidingAggSpec extends AnyFunSuite {
     assert(subDay.getMessage.contains("RANGE_FRAME_INVALID_TYPE"))
   }
 
+  test("order-sensitive first()/last() over a UNIQUE order: merged fold order matches native") {
+    val s = spark
+    import s.implicits._
+    // ties make first/last per-function arbitrary (native included);
+    // over a UNIQUE order the merged local+halo fold must pick exactly
+    // the native row — including ignoreNulls skipping
+    val u = data.withColumn("uo", $"id") // unique order values
+    def q(): DataFrame = {
+      val w = Window.partitionBy($"g").orderBy($"uo")
+      u.select($"id", $"g", $"cn",
+        first($"cn", ignoreNulls = true).over(w.rangeBetween(-40, 0)).as("f"),
+        last($"cn", ignoreNulls = true).over(w.rangeBetween(-40, 40)).as("l"))
+    }
+    val got = withRule(on = true) {
+      val df = q()
+      assert(df.queryExecution.executedPlan.toString.contains("RangeSlidingAgg"))
+      df.collect().toSeq.sortBy(_.getLong(0))
+    }
+    assertSame(got, withRule(on = false)(q().collect().toSeq.sortBy(_.getLong(0))),
+      "first/last over unique RANGE order")
+  }
+
   test("schema order kept; decimal sums exact; empty input") {
     val s = spark
     import s.implicits._
