@@ -174,8 +174,8 @@ object GlobalWindowSplit extends Rule[LogicalPlan] {
       // r19: bounded RANGE-VALUE frames — the row-halo operator shares
       // the same OrderedDistribution(order); claimable only when the
       // node's order is in the operator's recorded scope (single ASC
-      // NULLS FIRST integral), else the member stays unclaimed and the
-      // whole node native
+      // NULLS FIRST integral/date/timestamp), else the member stays
+      // unclaimed and the whole node native
       .orElse(RangeSlidingAggRewrite.supported(e, Nil, order)
         .filter(_ => RangeSlidingAggRewrite.orderOk(order)).map(CRangeSliding.apply))
 
@@ -237,8 +237,7 @@ object GlobalWindowSplit extends Rule[LogicalPlan] {
           ).isDefined
           // the RANGE-value class honors its own minBytes lever
           val rangeOk = rangeSlidings.isEmpty ||
-            child.stats.sizeInBytes >= SQLConf.get
-              .getConfString(RangeSlidingAggRewrite.MinBytesKey, "0").toLong
+            child.stats.sizeInBytes >= RangeSlidingAggRewrite.minBytes
           if (classes < 2 || !allEnabled || !fullAggPlannable || !slidingOk ||
               !rangeOk) w
           else {

@@ -105,7 +105,9 @@ object RangeSlidingAggRewrite extends Rule[LogicalPlan] {
   private def enabled: Boolean =
     SQLConf.get.getConfString(ConfKey, "true").toBoolean
 
-  private def minBytes: Long =
+  // shared with the split rules' rangeOk checks, so the lever's
+  // default cannot drift between the single-class rewrite and a split
+  private[plans] def minBytes: Long =
     SQLConf.get.getConfString(MinBytesKey, "0").toLong
 
   private def sameExprs(a: Seq[Expression], b: Seq[Expression]): Boolean =
@@ -489,6 +491,9 @@ case class RangeSlidingAggExec(
       // 60-peers-per-day corpus pays the full frame re-fold per ROW
       // (measured 30× slower than native on q52's shape at sf0.1).
       var prevPeer: RangeEntry = null
+      // per-computed-row scratch: e's same-key candidates in ascending
+      // value order (see the fold below)
+      val scratch = new scala.collection.mutable.ArrayBuffer[RangeEntry]()
 
       // true once `lastRead` lies strictly past e's upper reach — every
       // tuple of e's widest frame has then been read into the window
@@ -528,31 +533,46 @@ case class RangeSlidingAggExec(
               else cmpE(h, e.key, false, 0L) < 0 // only smaller keys
             if (below) { win.pollFirst(); go = true } else go = false
           }
+          // ONE scan of the retention window into the value-sorted
+          // scratch slice of e's OWN candidates (same key; nn matching
+          // e's) — each frame group then binary-searches its start and
+          // folds only its [vLo, vHi] span, so a narrow frame mixed
+          // with a wide one no longer walks the wide retention per
+          // distinct value (the SlidingAgg pass-2 discipline)
+          scratch.clear()
+          locally {
+            val it = win.iterator()
+            var scan = true
+            while (scan && it.hasNext) {
+              val h = it.next()
+              val c =
+                if (e.nn) cmpE(h, e.key, true, satAdd(e.v, lookaheadV))
+                else cmpE(h, e.key, false, 0L)
+              if (c > 0) scan = false // window is merged-order sorted
+              else if (h.nn == e.nn && keyOrd.compare(h.key, e.key) == 0)
+                scratch += h
+            }
+          }
           var g = 0
           while (g < frameGroups.length) {
             val ((lo, hi), positions) = frameGroups(g)
             val kit = kits(g)
             kit.init()
-            val it = win.iterator()
             if (e.nn) {
               val vLo = satAdd(e.v, lo); val vHi = satAdd(e.v, hi)
-              var scan = true
-              while (scan && it.hasNext) {
-                val h = it.next()
-                val c = cmpE(h, e.key, true, vHi)
-                if (c > 0) scan = false // window is merged-order sorted
-                else if (h.nn && h.v >= vLo && keyOrd.compare(h.key, e.key) == 0)
-                  kit.update(h.vals)
+              // first scratch index with v >= vLo (values ascending)
+              var s = 0; var t = scratch.length
+              while (s < t) {
+                val mid = (s + t) >>> 1
+                if (scratch(mid).v < vLo) s = mid + 1 else t = mid
+              }
+              while (s < scratch.length && scratch(s).v <= vHi) {
+                kit.update(scratch(s).vals); s += 1
               }
             } else {
-              // null peer group: fold exactly the same-key null tuples
-              var scan = true
-              while (scan && it.hasNext) {
-                val h = it.next()
-                val c = cmpE(h, e.key, false, 0L)
-                if (c > 0) scan = false
-                else if (c == 0) kit.update(h.vals)
-              }
+              // null peer group: the scratch IS the same-key null band
+              var s = 0
+              while (s < scratch.length) { kit.update(scratch(s).vals); s += 1 }
             }
             val res = kit.evaluate()
             var i = 0
