@@ -41,7 +41,8 @@ class MixedSpecAggSpec extends AnyFunSuite {
     graft.plans.GlobalRunningAggRewrite.ConfKey,
     graft.plans.GlobalAggRewrite.ConfKey,
     graft.plans.GroupedAggRewrite.ConfKey,
-    graft.plans.SlidingAggRewrite.ConfKey)
+    graft.plans.SlidingAggRewrite.ConfKey,
+    graft.plans.RangeSlidingAggRewrite.ConfKey)
 
   /** Native reference: every graft window rewrite off. */
   private def allOff[A](body: => A): A =
@@ -165,6 +166,30 @@ class MixedSpecAggSpec extends AnyFunSuite {
       "neither member may stay a native window:\n" + plan.take(2500))
     val ref = allOff(s.sql(sqlText).collect().toSeq.sortBy(_.getLong(0)))
     assertSame(got, ref, "mixed-SPEC sliding + total")
+  }
+
+  test("mixed-SPEC RANGE-value cousin: trailing RANGE frame + separate-spec totals — RangeSlidingAgg plus both agg rewrites") {
+    val s = spark
+    data.createOrReplaceTempView("msa_rv")
+    // the r19 second-wave operator in the r18-verdict two-node shape:
+    // the ordered member is a bounded RANGE-VALUE frame, the totals
+    // sit on their own order-free specs (global AND grouped at once)
+    val sqlText = """
+      SELECT id, g, cents,
+             sum(cents) OVER (ORDER BY id RANGE BETWEEN 200 PRECEDING
+                              AND CURRENT ROW) AS trail,
+             sum(cents) OVER () AS tot,
+             sum(cents) OVER (PARTITION BY g) AS gtot
+      FROM msa_rv"""
+    val df = s.sql(sqlText)
+    val got = df.collect().toSeq.sortBy(_.getLong(0))
+    val plan = df.queryExecution.executedPlan.toString
+    for (op <- Seq("RangeSlidingAgg", "BroadcastNestedLoopJoin", "_gagg_key"))
+      assert(plan.contains(op), s"$op missing:\n" + plan.take(2500))
+    assert(!plan.contains("Window ["),
+      "no member may stay a native window:\n" + plan.take(2500))
+    val ref = allOff(s.sql(sqlText).collect().toSeq.sortBy(_.getLong(0)))
+    assertSame(got, ref, "mixed-SPEC RANGE-value + totals")
   }
 
   test("mixed-SPEC offset cousin + cross global/grouped: lag + sum OVER (), and global rank + grouped total") {
