@@ -76,6 +76,12 @@ import org.apache.spark.sql.functions._
   * interleaved groups (the group-count ceiling). Peer runs are 3 rows
   * wide, so tie handling is live throughout; mod-prime per-row
   * checksums are the 50M correctness witness.
+  * `rangemixedspec` composes the two r19 waves: the full-frame total
+  * on its OWN order-free spec above a bounded RANGE-VALUE member
+  * (`sum(x) OVER (ORDER BY o RANGE -20..0), sum(x) OVER ()` in one
+  * select) — RangeSlidingAgg stays live in BOTH branches; only the
+  * total toggles between the broadcast rewrite (on) and a native
+  * AllTuples window stacked above the operator (off).
   * `sliding` probes the r18 SlidingAgg operator on the q50 shape —
   * trailing/centered bounded ROWS frames over the global order: off =
   * the AllTuples single-task funnel, on = the boundary-VALUE-ring
@@ -103,7 +109,7 @@ object RankProbe {
         graft.plans.GroupedWindowSplit.ConfKey
       case "groupedagg" | "groupedaggmany" =>
         graft.plans.GroupedAggRewrite.ConfKey
-      case "mixedspec" => graft.plans.GlobalAggRewrite.ConfKey
+      case "mixedspec" | "rangemixedspec" => graft.plans.GlobalAggRewrite.ConfKey
       case "groupedmixedspec" => graft.plans.GroupedAggRewrite.ConfKey
       case "rangesliding" | "rangeslidinggrouped" =>
         graft.plans.RangeSlidingAggRewrite.ConfKey
@@ -348,6 +354,24 @@ object RankProbe {
               sum($"k").over(wg).as("run"),
               sum($"k").over(wp).as("tot"))
             .select(pmod($"r".cast("long") + $"run" + $"tot" + $"k",
+              lit(1000000007L)).as("x"))
+            .agg(sum($"x")).head()
+        case "rangemixedspec" =>
+          // the two r19 waves composed: the separate-spec corpus total
+          // above the RANGE-VALUE trailing member. The RANGE operator
+          // fires in both branches (its conf never toggles); off = the
+          // total surviving as a native AllTuples window ON TOP of the
+          // RangeSlidingAgg stack — the funnel the composition fix
+          // deletes. Mod-prime per-row checksum: a row with the wrong
+          // trail OR total flips the sum.
+          val base0 = s.range(n).select($"id",
+            floor($"id" / 3L).cast("long").as("o"),
+            pmod($"id" * 2654435761L, lit(1000000007L)).as("k2"))
+          val wR = Window.orderBy($"o")
+          base0.select($"k2",
+              sum($"k2").over(wR.rangeBetween(-20, 0)).as("t"),
+              sum($"k2").over(Window.partitionBy()).as("tot"))
+            .select(pmod($"t" + pmod($"tot", lit(1000000007L)) + $"k2",
               lit(1000000007L)).as("x"))
             .agg(sum($"x")).head()
         case "rangesliding" | "rangeslidinggrouped" =>
