@@ -76,6 +76,15 @@ import org.apache.spark.sql.functions._
   * interleaved groups (the group-count ceiling). Peer runs are 3 rows
   * wide, so tie handling is live throughout; mod-prime per-row
   * checksums are the 50M correctness witness.
+  * `rangeslidingwide` probes the WIDE-frame consolidation regime —
+  * heavy peer runs (25k rows per distinct value) under a frame whose
+  * value span covers ~5 partitions, the 100-TB q52 shape where each
+  * partition holds a couple of distinct days: on = single-key source
+  * partitions contained in every target frame ship ONE merged buffer
+  * per frame group; off (`spark.graft.rangeSlidingAgg.consolidate=
+  * false`) = per-row halo copies to every reached partition. The
+  * operator itself is live in BOTH branches; mod-prime per-row
+  * checksums are the correctness witness for the merge path.
   * `rangemixedspec` composes the two r19 waves: the full-frame total
   * on its OWN order-free spec above a bounded RANGE-VALUE member
   * (`sum(x) OVER (ORDER BY o RANGE -20..0), sum(x) OVER ()` in one
@@ -113,6 +122,7 @@ object RankProbe {
       case "groupedmixedspec" => graft.plans.GroupedAggRewrite.ConfKey
       case "rangesliding" | "rangeslidinggrouped" =>
         graft.plans.RangeSlidingAggRewrite.ConfKey
+      case "rangeslidingwide" => "spark.graft.rangeSlidingAgg.consolidate"
       case "sliding" | "slidinggrouped" | "slidingchained" =>
         graft.plans.SlidingAggRewrite.ConfKey
       case "offset" => graft.plans.GlobalOffsetRewrite.ConfKey
@@ -373,6 +383,25 @@ object RankProbe {
               sum($"k2").over(Window.partitionBy()).as("tot"))
             .select(pmod($"t" + pmod($"tot", lit(1000000007L)) + $"k2",
               lit(1000000007L)).as("x"))
+            .agg(sum($"x")).head()
+        case "rangeslidingwide" =>
+          // heavy peers (2000 distinct values regardless of n, so the
+          // frame always spans ~5 of the 32 partitions — the 100-TB
+          // day-granular regime) under ONE trailing frame group, whose
+          // aligned bounds let the consolidation cover every reached
+          // partition except the straddling one. The operator runs in
+          // BOTH branches; only the consolidate conf toggles (off =
+          // per-row wide halo, ~5 copies per row).
+          val peers = math.max(n / 2000L, 1L)
+          val base0 = s.range(n).select($"id",
+            floor($"id" / peers).cast("long").as("o"),
+            pmod($"id" * 2654435761L, lit(1000000007L)).as("k2"))
+          val wR = Window.orderBy($"o")
+          base0.select($"k2",
+              sum($"k2").over(wR.rangeBetween(-300, 0)).as("t"),
+              count(lit(1)).over(wR.rangeBetween(-300, 0)).as("c"),
+              min($"k2").over(wR.rangeBetween(-300, 0)).as("m"))
+            .select(pmod($"t" + $"c" + $"m" + $"k2", lit(1000000007L)).as("x"))
             .agg(sum($"x")).head()
         case "rangesliding" | "rangeslidinggrouped" =>
           // the r19 row-halo operator (q52/q25's class): trailing and

@@ -9,6 +9,7 @@ import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode, Wind
 import org.apache.spark.sql.catalyst.plans.physical.{Distribution, OrderedDistribution, Partitioning}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
 import org.apache.spark.sql.internal.SQLConf
 import org.apache.spark.sql.types._
 
@@ -39,7 +40,19 @@ import org.apache.spark.sql.types._
   *     [o − hiMax, o − loMin] (the rows whose frames contain it) —
   *     found by binary search over the edge facts, normally 0–2
   *     adjacent targets; the halo is an executor-to-executor exchange
-  *     carrying values, never the corpus and never the driver;
+  *     carrying values, never the corpus and never the driver. In the
+  *     WIDE-FRAME regime (frame value-span > partition value-span —
+  *     a 30-day frame over hour-sized partitions at corpus scale,
+  *     where per-row shipping would amplify the shuffle by
+  *     frame-span/partition-span copies per row), a single-key source
+  *     partition contained in EVERY frame of a target's rows ships
+  *     ONE merged aggregate buffer per frame group instead of its
+  *     rows (exact: RANGE frames are value-aligned, so they contain
+  *     whole peer groups, and every DeclarativeAggregate carries its
+  *     own merge expressions) — shuffle amplification and per-task
+  *     retention both drop to partition-bounded
+  *     (`spark.graft.rangeSlidingAgg.consolidate`, default true;
+  *     `rawHalo`/`totalHalo` SQL metrics witness the split);
   *   - pass 2b merge-joins each sorted partition with its (sorted)
   *     received halo and evaluates frames over the merged stream: a
   *     retention window holds tuples in [o − lookbackV, o + lookaheadV]
@@ -244,18 +257,45 @@ object RangeSlidingAggStrategy extends SparkStrategy {
   }
 }
 
+/** A pass-2a halo shuffle record: either one row's projected
+  * aggregate-input tuple (`RawHalo`) or — the wide-frame consolidation
+  * — ONE merged aggregate buffer per frame group standing in for an
+  * entire source partition whose span every frame of the target's rows
+  * fully contains (`TotalHalo`; RANGE frames are value-aligned, so a
+  * partial buffer over whole peer groups is exact). `v0`/`v1` are the
+  * source span's first/last order values (unused for a null band,
+  * whose frames are value-free). */
+private[plans] sealed trait HaloMsg extends Serializable
+private[plans] final class RawHalo(
+    val key: UnsafeRow, val nn: Boolean, val v: Long,
+    val vals: UnsafeRow) extends HaloMsg
+private[plans] final class TotalHalo(
+    val key: UnsafeRow, val nn: Boolean, val v0: Long, val v1: Long,
+    val bufs: Array[UnsafeRow]) extends HaloMsg
+
 /** One merged-stream element: the composite sort position
   * (key, nonNull, value), the projected aggregate-input tuple, and —
-  * for LOCAL rows only — the full row to emit (null for halo). */
+  * for LOCAL rows only — the full row to emit (null for halo).
+  * `v2` is the eviction position (== v for rows; the span END for a
+  * consolidated partition total, which must stay in the retention
+  * window until the frame start passes its LAST value); `bufs` is
+  * non-null only for totals (one merged buffer per frame group). */
 private[plans] final class RangeEntry(
     val key: UnsafeRow, val nn: Boolean, val v: Long,
-    val vals: UnsafeRow, val row: InternalRow) extends Serializable
+    val vals: UnsafeRow, val row: InternalRow,
+    val v2: Long, val bufs: Array[UnsafeRow]) extends Serializable
 
 case class RangeSlidingAggExec(
     part: Seq[Expression],
     order: Seq[SortOrder],
     fns: Seq[RangeSlidingFn],
     child: SparkPlan) extends UnaryExecNode {
+
+  override lazy val metrics: Map[String, SQLMetric] = Map(
+    "rawHalo" -> SQLMetrics.createMetric(sparkContext,
+      "raw halo tuples shipped"),
+    "totalHalo" -> SQLMetrics.createMetric(sparkContext,
+      "consolidated partition-total halo buffers shipped"))
 
   // partition keys promoted Ascending/NullsFirst ahead of the value
   // order — the family's shared OrderedDistribution, so a RANGE node
@@ -352,9 +392,36 @@ case class RangeSlidingAggExec(
     // [(k, nn, v − hiMax), (k, nn, v − loMin)] for non-null rows and
     // the key's whole null band for null rows; it ships a projected
     // tuple to every OTHER partition whose span intersects the reach.
+    //
+    // Wide-frame consolidation: when a frame's VALUE span exceeds a
+    // partition's span (q52's 30-day frame over hour-sized partitions
+    // at corpus scale), per-row shipping amplifies the shuffle by
+    // O(frame span / partition span) copies per row. But RANGE frames
+    // are value-aligned — they contain whole peer groups — so a source
+    // partition whose span is contained in EVERY frame of a target's
+    // rows can ship ONE merged aggregate buffer per frame group
+    // instead of its rows (exact for all DeclarativeAggregates via
+    // their own merge expressions; float addition order is the
+    // standing GlobalAgg ULP caveat, order-sensitive first/last keep
+    // their documented per-function tie contract). Scope: single-key
+    // source AND target partitions, all-non-null or all-null-band
+    // (multi-key / band-edge partitions keep the raw path — in the
+    // wide-frame regime those are the O(#keys) partitions at key
+    // boundaries). The same rule consolidates a null band spanning
+    // many partitions (every null frame is the whole band). Narrow
+    // frames can never satisfy the containment test, so all
+    // narrow-frame plans are byte-for-byte unchanged.
     val loMin = fns.map(_.lo).min
     val hiMax = fns.map(_.hi).max
-    val haloPairs: RDD[(Int, (UnsafeRow, Boolean, Long, UnsafeRow))] =
+    // consolidation containment bounds: a source span must sit inside
+    // the TIGHTEST frame of every group — [w + max(lo), w + min(hi)]
+    val frameLoMax = fns.map(_.lo).max
+    val frameHiMin = fns.map(_.hi).min
+    val consolidate = conf.getConfString(
+      "spark.graft.rangeSlidingAgg.consolidate", "true").toBoolean
+    val rawHaloMetric = longMetric("rawHalo")
+    val totalHaloMetric = longMetric("totalHalo")
+    val haloPairs: RDD[(Int, HaloMsg)] =
       rdd.mapPartitionsWithIndex { (pid, it) =>
         val keyProj = UnsafeProjection.create(partExprs, childOut)
         val ordProj = UnsafeProjection.create(Seq(orderExpr), childOut)
@@ -375,9 +442,49 @@ case class RangeSlidingAggExec(
         // only at equal composites), so interior rows — the vast
         // majority — skip the binary searches and emit nothing
         val own = edges(pid)
-        it.flatMap { row =>
+        // consolidation qualifying scan (once per task, O(partitions)
+        // over the driver-shipped edge facts): this partition may
+        // stand in as a TOTAL for target T iff both are single-key on
+        // the same key and either both all-non-null with
+        //   T.last.v + max(lo) <= own.first.v  AND
+        //   own.last.v <= T.first.v + min(hi)
+        // (own span inside EVERY frame group of EVERY T row) or both
+        // whole null bands (every null frame is the whole band).
+        val totalTgtPid = new Array[Boolean](nParts)
+        var anyTotal = false
+        if (consolidate && own.isDefined) {
+          val (fk, fnn, fv, lk, lnn, lv) = own.get
+          if (keyOrd.compare(fk, lk) == 0 && fnn == lnn) {
+            var j = 0
+            while (j < nePids.length) {
+              if (nePids(j) != pid) {
+                val (tfk, tfnn, tfv) = neFirst(j)
+                val (tlk, tlnn, tlv) = neLast(j)
+                val ok = keyOrd.compare(tfk, tlk) == 0 &&
+                  keyOrd.compare(tfk, fk) == 0 && {
+                    if (!fnn) !tfnn && !tlnn
+                    else tfnn && tlnn &&
+                      satAdd(tlv, frameLoMax) <= fv && lv <= satAdd(tfv, frameHiMin)
+                  }
+                if (ok) { totalTgtPid(nePids(j)) = true; anyTotal = true }
+              }
+              j += 1
+            }
+          }
+        }
+        val kitsTot: Array[RunningKit] =
+          if (anyTotal) fnsByGroup.map(g => new RunningKit(g.toSeq, neededAttrs))
+          else null
+        if (kitsTot != null) kitsTot.foreach(_.init())
+        var nRaw = 0L
+        val mainIter = it.flatMap { row =>
           val k = keyProj(row)
           val (nn, v) = readOrd(ordProj(row))
+          if (kitsTot != null) {
+            val pv = aggProj(row)
+            var g = 0
+            while (g < kitsTot.length) { kitsTot(g).update(pv); g += 1 }
+          }
           // reach bounds (null rows reach the key's whole null band)
           val (rnnLo, rvLo) = if (nn) (true, satAdd(v, negSat(hiMax))) else (false, Long.MinValue)
           val (rnnHi, rvHi) = if (nn) (true, satAdd(v, negSat(loMin))) else (false, Long.MaxValue)
@@ -408,16 +515,43 @@ case class RangeSlidingAggExec(
               var kc: UnsafeRow = null; var vc: UnsafeRow = null
               (pLo to pHi).iterator
                 .map(nePids)
-                .filter(_ != pid)
+                .filter(p => p != pid && !totalTgtPid(p))
                 .map { target =>
                   if (kc == null) { kc = k.copy(); vc = aggProj(row).copy() }
-                  (target, (kc, nn, v, vc))
+                  nRaw += 1
+                  (target, new RawHalo(kc, nn, v, vc): HaloMsg)
                 }
             }
           }
         }
+        // consolidated totals are emitted AFTER the row stream (the
+        // buffers are only final then — Iterator.++'s by-name RHS)
+        val tail = new Iterator[(Int, HaloMsg)] {
+          private var built: Iterator[(Int, HaloMsg)] = null
+          private def b(): Iterator[(Int, HaloMsg)] = {
+            if (built == null) {
+              rawHaloMetric.add(nRaw)
+              built =
+                if (kitsTot == null) Iterator.empty
+                else {
+                  val (fk, fnn, fv, _, _, lv) = own.get
+                  val msg = new TotalHalo(fk, fnn,
+                    if (fnn) fv else 0L, if (fnn) lv else 0L,
+                    kitsTot.map(_.snapshot()))
+                  (0 until nParts).iterator.filter(totalTgtPid(_)).map { tp =>
+                    totalHaloMetric.add(1)
+                    (tp, msg: HaloMsg)
+                  }
+                }
+            }
+            built
+          }
+          override def hasNext: Boolean = b().hasNext
+          override def next(): (Int, HaloMsg) = b().next()
+        }
+        mainIter ++ tail
       }
-    val halo: RDD[(Int, (UnsafeRow, Boolean, Long, UnsafeRow))] =
+    val halo: RDD[(Int, HaloMsg)] =
       haloPairs.partitionBy(new Partitioner {
         override def numPartitions: Int = nParts
         override def getPartition(key: Any): Int = key.asInstanceOf[Int]
@@ -443,8 +577,11 @@ case class RangeSlidingAggExec(
         else java.lang.Long.compare(a.v, bv)
       }
 
-      val haloArr: Array[RangeEntry] = haloIt.map { case (_, (k, nn, v, vals)) =>
-        new RangeEntry(k, nn, v, vals, null)
+      val haloArr: Array[RangeEntry] = haloIt.map {
+        case (_, r: RawHalo) =>
+          new RangeEntry(r.key, r.nn, r.v, r.vals, null, r.v, null)
+        case (_, t: TotalHalo) =>
+          new RangeEntry(t.key, t.nn, t.v0, null, null, t.v1, t.bufs)
       }.toArray
       java.util.Arrays.sort(haloArr, new java.util.Comparator[RangeEntry] {
         override def compare(a: RangeEntry, b: RangeEntry): Int = cmpE(a, b.key, b.nn, b.v)
@@ -461,7 +598,8 @@ case class RangeSlidingAggExec(
           else {
             val r = local.next().copy()
             val (nn, v) = readOrd(ordProj(r))
-            pendingLocal = new RangeEntry(keyProj(r).copy(), nn, v, aggProj(r).copy(), r)
+            pendingLocal =
+              new RangeEntry(keyProj(r).copy(), nn, v, aggProj(r).copy(), r, v, null)
             pendingLocal
           }
         override def hasNext: Boolean = hi < haloArr.length || nextLocal() != null
@@ -524,13 +662,22 @@ case class RangeSlidingAggExec(
           prevPeer = e
           // evict tuples below e's lowest reach: different (smaller)
           // keys; for non-null e also the key's null band and values
-          // below v − lookbackV (later pendings only reach higher)
+          // below v − lookbackV (later pendings only reach higher).
+          // An entry's eviction position is v2 — a consolidated total
+          // stays until the frame start passes its span END. A total
+          // at the front can shield later per-row entries from
+          // eviction; they stay dead (the fold's binary search skips
+          // them) and are bounded by one partition's span of rows.
           var go = true
           while (go && !win.isEmpty) {
             val h = win.peekFirst()
             val below =
-              if (e.nn) cmpE(h, e.key, true, satAdd(e.v, negSat(lookbackV))) < 0
-              else cmpE(h, e.key, false, 0L) < 0 // only smaller keys
+              if (e.nn) {
+                val c = keyOrd.compare(h.key, e.key)
+                if (c != 0) c < 0
+                else if (!h.nn) true // the key's null band
+                else h.v2 < satAdd(e.v, negSat(lookbackV))
+              } else cmpE(h, e.key, false, 0L) < 0 // only smaller keys
             if (below) { win.pollFirst(); go = true } else go = false
           }
           // ONE scan of the retention window into the value-sorted
@@ -567,12 +714,23 @@ case class RangeSlidingAggExec(
                 if (scratch(mid).v < vLo) s = mid + 1 else t = mid
               }
               while (s < scratch.length && scratch(s).v <= vHi) {
-                kit.update(scratch(s).vals); s += 1
+                val h = scratch(s)
+                if (h.bufs == null) kit.update(h.vals)
+                else if (h.v >= vLo && h.v2 <= vHi) kit.merge(h.bufs(g))
+                else throw new IllegalStateException(
+                  "graft RangeSlidingAgg: a consolidated partition total " +
+                    s"[${h.v}, ${h.v2}] is not contained in frame [$vLo, $vHi] " +
+                    "— the pass-2a qualifying scan shipped it to a wrong target")
+                s += 1
               }
             } else {
               // null peer group: the scratch IS the same-key null band
               var s = 0
-              while (s < scratch.length) { kit.update(scratch(s).vals); s += 1 }
+              while (s < scratch.length) {
+                val h = scratch(s)
+                if (h.bufs == null) kit.update(h.vals) else kit.merge(h.bufs(g))
+                s += 1
+              }
             }
             val res = kit.evaluate()
             var i = 0

@@ -373,4 +373,125 @@ class RangeSlidingAggSpec extends AnyFunSuite {
       .withColumn("dec", ($"cn" * 13).cast("decimal(18,2)"))
     assert(withRule(on = true)(q(empty).collect()).isEmpty)
   }
+
+  // --- wide-frame consolidation (partition-total halo buffers) ---
+
+  private def withConsolidate[A](on: Boolean)(body: => A): A =
+    TestSpark.withConf("spark.graft.rangeSlidingAgg.consolidate", on.toString)(body)
+
+  /** The live exec after execution (descends AQE wrappers). */
+  private def findExec(p: org.apache.spark.sql.execution.SparkPlan)
+      : Option[graft.plans.RangeSlidingAggExec] = p match {
+    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+      findExec(a.executedPlan)
+    case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => findExec(q.plan)
+    case e: graft.plans.RangeSlidingAggExec => Some(e)
+    case other => other.children.iterator.map(findExec).collectFirst { case Some(e) => e }
+  }
+
+  /** Runs q, returns (sorted rows, rawHalo metric, totalHalo metric). */
+  private def runWithMetrics(df: DataFrame): (Seq[Row], Long, Long) = {
+    val rows = df.collect().toSeq.sortBy(_.getLong(0))
+    val exec = findExec(df.queryExecution.executedPlan)
+      .getOrElse(fail("RangeSlidingAggExec not in executed plan:\n" +
+        df.queryExecution.executedPlan.toString.take(2500)))
+    (rows, exec.metrics("rawHalo").value, exec.metrics("totalHalo").value)
+  }
+
+  test("wide-frame consolidation: frames spanning whole partitions ship per-group TOTAL buffers — bit-equal, metrics witness the split") {
+    val s = spark
+    import s.implicits._
+    // 48 tiny partitions (span ~437 in o units) under ±7000-wide
+    // frames: most source partitions sit inside EVERY frame of many
+    // targets and must ship ONE merged buffer per frame group instead
+    // of per-row copies. Ties (3-row peer runs), nulls in the
+    // aggregate input, and a decimal sum keep the merge path honest.
+    val t = data.withColumn("dec", ($"cn" * 13).cast("decimal(18,2)"))
+      .repartitionByRange(48, $"o", $"id")
+    def q(): DataFrame = {
+      val w = Window.orderBy($"o")
+      t.select($"id", $"o", $"cn",
+        sum($"cn").over(w.rangeBetween(-7000, 0)).as("trail"),
+        count($"cn").over(w.rangeBetween(-7000, 7000)).as("band_n"),
+        min($"cn").over(w.rangeBetween(-7000, 7000)).as("band_lo"),
+        sum($"dec").over(w.rangeBetween(-7000, 0)).as("dtrail"))
+    }
+    val (gotC, rawC, totC) = withRule(on = true)(runWithMetrics(q()))
+    val (gotR, rawR, totR) =
+      withRule(on = true)(withConsolidate(on = false)(runWithMetrics(q())))
+    val ref = withRule(on = false)(q().collect().toSeq.sortBy(_.getLong(0)))
+    assertSame(gotC, ref, "consolidated wide-frame")
+    assertSame(gotR, ref, "consolidation-off wide-frame")
+    assert(totC > 0, s"consolidation did not fire (totalHalo=$totC)")
+    assert(totR == 0, s"consolidate=false still shipped totals ($totR)")
+    assert(rawC < rawR,
+      s"consolidation must SHRINK the raw halo: $rawC !< $rawR")
+  }
+
+  test("grouped wide-frame consolidation: single-group interior partitions total, group-boundary partitions stay raw") {
+    val s = spark
+    import s.implicits._
+    // 3 huge groups under a 48-way (g, o, id) range exchange: ~16
+    // partitions per group are single-key (consolidatable); the ≤2
+    // partitions straddling each group boundary must keep the raw
+    // path. Frames clip at group edges — equality vs native pins both.
+    val t = data.withColumn("g3", $"id" % 3)
+      .repartitionByRange(48, $"g3", $"o", $"id")
+    def q(): DataFrame = {
+      val w = Window.partitionBy($"g3").orderBy($"o")
+      t.select($"id", $"g3", $"cn",
+        sum($"cn").over(w.rangeBetween(-7000, 0)).as("trail"),
+        count(lit(1)).over(w.rangeBetween(-7000, 7000)).as("band_n"))
+    }
+    val (gotC, _, totC) = withRule(on = true)(runWithMetrics(q()))
+    val ref = withRule(on = false)(q().collect().toSeq.sortBy(_.getLong(0)))
+    assertSame(gotC, ref, "grouped consolidated wide-frame")
+    assert(totC > 0, s"grouped consolidation did not fire (totalHalo=$totC)")
+  }
+
+  test("a NULL-ORDER band spanning whole partitions consolidates frame-independently (every null frame is the whole band)") {
+    val s = spark
+    import s.implicits._
+    // 40% null order values, nulls first: ~12 of 32 partitions are
+    // ALL-null and ship band totals even under a NARROW frame (a null
+    // band's frame is value-free). Order-insensitive aggregates only —
+    // the band is one giant peer group.
+    val nd = data.withColumn("on",
+        when($"id" < 3600, lit(null).cast("long")).otherwise($"o"))
+      .repartitionByRange(32, $"on", $"id")
+    def q(): DataFrame = {
+      val w = Window.orderBy($"on")
+      nd.select($"id", $"on", $"cn",
+        sum($"cn").over(w.rangeBetween(-70, 0)).as("trail"),
+        count(lit(1)).over(w.rangeBetween(-70, 0)).as("n"),
+        avg($"cn").over(w.rangeBetween(-35, 35)).as("band_avg"))
+    }
+    val (gotC, _, totC) = withRule(on = true)(runWithMetrics(q()))
+    val ref = withRule(on = false)(q().collect().toSeq.sortBy(_.getLong(0)))
+    assertSame(gotC, ref, "null-band consolidation")
+    assert(totC > 0, s"null-band consolidation did not fire (totalHalo=$totC)")
+  }
+
+  test("order-sensitive first/last over a UNIQUE order stay native-exact through TOTAL buffer merges") {
+    val s = spark
+    import s.implicits._
+    // unique order values (no peers): first/last are deterministic, so
+    // the merge fold (totals merged in ascending span position between
+    // raw updates) must reproduce the native pick exactly
+    val u = (0 until 9000).map { i =>
+      (i.toLong, i.toLong * 7L,
+        if (i % 11 == 0) None else Some(((i * 37) % 1000).toLong))
+    }.toDF("id", "o", "cn").repartitionByRange(48, $"o", $"id")
+    def q(): DataFrame = {
+      val w = Window.orderBy($"o")
+      u.select($"id", $"o",
+        first($"cn").over(w.rangeBetween(-7000, 0)).as("f"),
+        last($"cn").over(w.rangeBetween(-7000, 0)).as("l"),
+        first($"cn", ignoreNulls = true).over(w.rangeBetween(-7000, 7000)).as("fnn"))
+    }
+    val (gotC, _, totC) = withRule(on = true)(runWithMetrics(q()))
+    val ref = withRule(on = false)(q().collect().toSeq.sortBy(_.getLong(0)))
+    assertSame(gotC, ref, "first/last under consolidation")
+    assert(totC > 0, s"consolidation did not fire (totalHalo=$totC)")
+  }
 }
