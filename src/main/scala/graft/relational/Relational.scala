@@ -1515,7 +1515,39 @@ object Relational {
       .orderBy($"o_orderkey")
   }
 
+  // ---------------------------------------------------------------------
+  // q53: FLEET TRAILING-YEAR REVENUE — q52's idiom with a WIDE frame:
+  // 365 days of value span against ~75-day partition value spans (32
+  // partitions over TPC-H's ~2400-day order range), so the frame
+  // covers ~5 whole partitions and the RangeSlidingAgg exec's
+  // wide-frame consolidation is live IN THE GRADED PLAN: interior
+  // source partitions ship ONE merged aggregate buffer per frame
+  // group to each fully-covered target instead of per-row halo copies
+  // (plans/RangeSlidingAgg.scala pass 2a; rawHalo/totalHalo metrics).
+  // Without it the halo would amplify by frame-span/partition-span
+  // copies per row — the 100-TB cliff this query exists to grade.
+  // RANGE frames are value-aligned (tie-stable) and the merge path is
+  // exact on longs, so the oracle stays hash-exact; same epoch and
+  // mirrored-divide discipline as q52.
+  // ---------------------------------------------------------------------
+  def q53TrailingYear(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.orderBy($"es").rangeBetween(-31536000L, 0L)
+    Tables.orders(s, d)
+      .select($"o_orderkey", $"o_orderdate",
+        $"o_orderdate".cast("timestamp").cast("long").as("es"),
+        (dec($"o_totalprice") * 100).cast("long").as("cents"))
+      .select($"o_orderkey", $"o_orderdate", $"cents",
+        sum($"cents").over(w).as("year_cents"),
+        count(lit(1)).over(w).as("year_orders"),
+        min($"cents").over(w).as("year_min"))
+      .withColumn("year_avg",
+        $"year_cents".cast("double") / $"year_orders".cast("double"))
+      .orderBy($"o_orderkey")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q53_trailing_year" -> (q53TrailingYear _),
     "q52_trailing_fleet" -> (q52TrailingFleetRevenue _),
     "q51_leaderboard_share" -> (q51LeaderboardShare _),
     "q50_trailing_revenue" -> (q50TrailingRevenue _),
@@ -1598,6 +1630,22 @@ object Relational {
     // the engines' epoch conventions cancel; exact cents, sums/counts
     // cast back from HUGEINT, the average as the same mirrored double
     // division of exact longs.
+    // q53: q52's discipline with the 365-day (wide) frame; min is
+    // value-exact, sums/counts cast back from HUGEINT.
+    "q53_trailing_year" ->
+      """WITH o AS (
+           SELECT o_orderkey, o_orderdate, epoch(o_orderdate) AS es,
+                  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+           FROM orders)
+         SELECT o_orderkey, o_orderdate, cents,
+                CAST(sum(cents) OVER w AS BIGINT) AS year_cents,
+                CAST(count(*) OVER w AS BIGINT) AS year_orders,
+                CAST(min(cents) OVER w AS BIGINT) AS year_min,
+                CAST(CAST(sum(cents) OVER w AS BIGINT) AS DOUBLE) /
+                  CAST(CAST(count(*) OVER w AS BIGINT) AS DOUBLE) AS year_avg
+         FROM o
+         WINDOW w AS (ORDER BY es RANGE BETWEEN 31536000 PRECEDING AND CURRENT ROW)
+         ORDER BY o_orderkey""",
     "q52_trailing_fleet" ->
       """WITH o AS (
            SELECT o_orderkey, o_orderdate, epoch(o_orderdate) AS es,

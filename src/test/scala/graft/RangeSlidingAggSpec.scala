@@ -239,6 +239,38 @@ class RangeSlidingAggSpec extends AnyFunSuite {
       "the corpus must never funnel into one partition:\n" + plan.take(2500))
   }
 
+  test("q53 graded plan: the trailing-YEAR fleet window runs on the operator; its wide frame consolidates once partitions are narrower than the frame") {
+    val s = spark
+    import s.implicits._
+    // the graded plan itself (spec-size partitions are wider than the
+    // 365-day frame, so it runs on the plain row halo)
+    val df = graft.relational.Relational.q53TrailingYear(s, SfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("RangeSlidingAgg"),
+      "q53 must plan on the RANGE-value operator:\n" + plan.take(2500))
+    assert(!plan.contains("Window ["), plan.take(2500))
+    assert(!plan.contains("SinglePartition"), plan.take(2500))
+    // the same shape over a 48-way exchange (~50-day spans < the
+    // 365-day frame — the sf0.1 driver geometry): consolidation live
+    val w = Window.orderBy($"es").rangeBetween(-31536000L, 0L)
+    val orders = Tables.orders(s, SfDir)
+      .select($"o_orderkey",
+        $"o_orderdate".cast("timestamp").cast("long").as("es"),
+        (Exact.dec($"o_totalprice") * 100).cast("long").as("cents"))
+      .repartitionByRange(48, $"es", $"o_orderkey")
+    def q(): DataFrame =
+      orders.select($"o_orderkey", $"cents",
+        sum($"cents").over(w).as("year_cents"),
+        count(lit(1)).over(w).as("year_orders"),
+        min($"cents").over(w).as("year_min"))
+    val (gotC, _, totC) = withRule(on = true)(runWithMetrics(q()))
+    val ref = withRule(on = false)(q().collect().toSeq.sortBy(_.getLong(0)))
+    assertSame(gotC, ref, "q53 shape, consolidated")
+    assert(totC > 0,
+      s"the year frame over 48 narrow partitions must consolidate (totalHalo=$totC)")
+  }
+
   test("bails: desc/multi-col/non-integral order, unbounded frames, imperative agg, kill switch, minBytes") {
     val s = spark
     import s.implicits._
