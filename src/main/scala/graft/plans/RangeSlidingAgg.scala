@@ -54,11 +54,16 @@ import org.apache.spark.sql.types._
   *     (`spark.graft.rangeSlidingAgg.consolidate`, default true;
   *     `rawHalo`/`totalHalo` SQL metrics witness the split);
   *   - pass 2b merge-joins each sorted partition with its (sorted)
-  *     received halo and evaluates frames over the merged stream: a
-  *     retention window holds tuples in [o − lookbackV, o + lookaheadV]
-  *     of the current row's group; each frame group re-folds its own
-  *     [o+lo, o+hi] slice through the aggregate's Catalyst update
-  *     expressions in merged-stream order.
+  *     received halo and evaluates frames over the merged stream: each
+  *     frame group advances its own FIFO window over the stream (an
+  *     entry enters at position o+hi, leaves when its eviction
+  *     position passes o+lo) and folds it with the classic TWO-STACK
+  *     sliding aggregation — a running back-stack fold on insert,
+  *     stream-ordered suffix folds rebuilt when the front stack runs
+  *     dry — so every entry costs amortized O(1) merges per group for
+  *     ANY associative DeclarativeAggregate (no per-distinct-value
+  *     frame re-scan; the native SlidingWindowFunctionFrame re-folds
+  *     its whole buffer whenever rows leave the frame).
   *
   * Tie contract: RANGE frames are VALUE-based, hence tie-STABLE — all
   * peer rows (equal order value) share one frame that includes every
@@ -320,7 +325,6 @@ case class RangeSlidingAggExec(
     // the enclosing exec, so a task closure calling it would capture
     // and serialize the whole plan tree
     val negSat: Long => Long = x => if (x == Long.MinValue) Long.MaxValue else -x
-    val lookbackV = fns.map(f => if (f.lo < 0) negSat(f.lo) else 0L).max
     val lookaheadV = fns.map(f => math.max(0L, f.hi)).max
     val neededAttrs: Seq[Attribute] = {
       val refs = AttributeSet(fns.flatMap(_.fn.references))
@@ -564,7 +568,6 @@ case class RangeSlidingAggExec(
       val ordProj = UnsafeProjection.create(Seq(orderExpr), childOut)
       val aggProj = UnsafeProjection.create(neededAttrs, childOut)
       val keyOrd = makeKeyOrd()
-      val kits = fnsByGroup.map(g => new RunningKit(g.toSeq, neededAttrs))
       val toUnsafe = UnsafeProjection.create(out, out)
       val joined = new JoinedRow
       val extra = new GenericInternalRow(fns.length)
@@ -615,23 +618,84 @@ case class RangeSlidingAggExec(
         }
       }
 
-      // retention window + pending local output queue
-      val win = new java.util.ArrayDeque[RangeEntry]()
+      // pending local output queue
       val pending = new java.util.ArrayDeque[RangeEntry]()
       var lastRead: RangeEntry = null
       // peer cache: RANGE frames are VALUE-determined, so consecutive
       // rows with the same (key, nn, v) composite have IDENTICAL
       // frames — and between two such emissions fill() reads nothing
-      // (lastRead is already past the shared upper reach) and evicts
-      // nothing (same lower bound), so `extra` can be reused verbatim.
-      // This is what makes the cost O(updates per DISTINCT value), the
-      // native SlidingWindowFunctionFrame's model — without it a
-      // 60-peers-per-day corpus pays the full frame re-fold per ROW
-      // (measured 30× slower than native on q52's shape at sf0.1).
+      // (lastRead is already past the shared upper reach) and the
+      // group windows don't move (same bounds), so `extra` can be
+      // reused verbatim.
       var prevPeer: RangeEntry = null
-      // per-computed-row scratch: e's same-key candidates in ascending
-      // value order (see the fold below)
-      val scratch = new scala.collection.mutable.ArrayBuffer[RangeEntry]()
+
+      // Two-stack sliding fold, one window per frame group: entries
+      // enter group g's FIFO window when the group's frame end
+      // (e.v + hi_g) reaches their stream position and leave when the
+      // frame start (e.v + lo_g) passes their eviction position (the
+      // span END v2 for consolidated totals). The back stack folds
+      // inserts into ONE running buffer; when the front stack runs dry
+      // an O(|B|) flip rebuilds it as stream-ordered suffix folds, so
+      // every entry is folded at most twice — amortized O(1) MERGES
+      // per entry per group for ANY associative DeclarativeAggregate.
+      // This replaces the per-distinct-value frame re-scan, which was
+      // O(rows × frame-rows) per task on many-distinct-value corpora
+      // (q53's 365-day frame after AQE coalescing: 26M kit updates per
+      // task re-scanned vs ~2 merges per entry here). A query merges
+      // front fold then back fold — stream order — so exact types stay
+      // bit-identical to the native fold and order-sensitive
+      // first/last keep the same per-function tie contract.
+      final class GroupWindow(gIdx: Int) {
+        private val gFns = fnsByGroup(gIdx).toSeq
+        private val kitB = new RunningKit(gFns, neededAttrs) // back fold
+        private val kitT = new RunningKit(gFns, neededAttrs) // flip/query scratch
+        private val bElems = new java.util.ArrayDeque[RangeEntry]()
+        private val fElems = new java.util.ArrayDeque[RangeEntry]()
+        private val fFolds = new java.util.ArrayDeque[UnsafeRow]()
+        /** Merged-stream entries not yet inside this group's window. */
+        val inbox = new java.util.ArrayDeque[RangeEntry]()
+        kitB.init()
+
+        private def fold(kit: RunningKit, e: RangeEntry): Unit =
+          if (e.bufs == null) kit.update(e.vals) else kit.merge(e.bufs(gIdx))
+
+        def insert(e: RangeEntry): Unit = { bElems.addLast(e); fold(kitB, e) }
+
+        def oldest(): RangeEntry =
+          if (!fElems.isEmpty) fElems.peekFirst() else bElems.peekFirst()
+
+        def evictOldest(): Unit = {
+          if (fElems.isEmpty) {
+            // flip: rebuild the front as stream-ordered suffix folds
+            // (newest → oldest, each = this element ⊕ newer suffix)
+            var prev: UnsafeRow = null
+            val it = bElems.descendingIterator()
+            while (it.hasNext) {
+              val b = it.next()
+              kitT.init()
+              fold(kitT, b)
+              if (prev != null) kitT.merge(prev)
+              prev = kitT.snapshot()
+              fElems.addFirst(b)
+              fFolds.addFirst(prev)
+            }
+            bElems.clear()
+            kitB.init()
+          }
+          fElems.pollFirst()
+          fFolds.pollFirst()
+        }
+
+        /** Fold of the whole window, stream order (front before back);
+          * read the result off the returned kit immediately. */
+        def query(): RunningKit = {
+          kitT.init()
+          if (!fFolds.isEmpty) kitT.merge(fFolds.peekFirst())
+          if (!bElems.isEmpty) kitT.merge(kitB.buffer)
+          kitT
+        }
+      }
+      val groupWins = Array.tabulate(frameGroups.length)(new GroupWindow(_))
 
       // true once `lastRead` lies strictly past e's upper reach — every
       // tuple of e's widest frame has then been read into the window
@@ -644,7 +708,8 @@ case class RangeSlidingAggExec(
         private def fill(): Unit =
           while ((pending.isEmpty || !frameComplete(pending.peekFirst())) && merged.hasNext) {
             val e = merged.next()
-            win.addLast(e)
+            var g = 0
+            while (g < groupWins.length) { groupWins(g).inbox.addLast(e); g += 1 }
             if (e.row != null) pending.addLast(e)
             lastRead = e
           }
@@ -660,79 +725,54 @@ case class RangeSlidingAggExec(
             return toUnsafe(joined(e.row, extra))
           }
           prevPeer = e
-          // evict tuples below e's lowest reach: different (smaller)
-          // keys; for non-null e also the key's null band and values
-          // below v − lookbackV (later pendings only reach higher).
-          // An entry's eviction position is v2 — a consolidated total
-          // stays until the frame start passes its span END. A total
-          // at the front can shield later per-row entries from
-          // eviction; they stay dead (the fold's binary search skips
-          // them) and are bounded by one partition's span of rows.
-          var go = true
-          while (go && !win.isEmpty) {
-            val h = win.peekFirst()
-            val below =
-              if (e.nn) {
-                val c = keyOrd.compare(h.key, e.key)
-                if (c != 0) c < 0
-                else if (!h.nn) true // the key's null band
-                else h.v2 < satAdd(e.v, negSat(lookbackV))
-              } else cmpE(h, e.key, false, 0L) < 0 // only smaller keys
-            if (below) { win.pollFirst(); go = true } else go = false
-          }
-          // ONE scan of the retention window into the value-sorted
-          // scratch slice of e's OWN candidates (same key; nn matching
-          // e's) — each frame group then binary-searches its start and
-          // folds only its [vLo, vHi] span, so a narrow frame mixed
-          // with a wide one no longer walks the wide retention per
-          // distinct value (the SlidingAgg pass-2 discipline)
-          scratch.clear()
-          locally {
-            val it = win.iterator()
-            var scan = true
-            while (scan && it.hasNext) {
-              val h = it.next()
-              val c =
-                if (e.nn) cmpE(h, e.key, true, satAdd(e.v, lookaheadV))
-                else cmpE(h, e.key, false, 0L)
-              if (c > 0) scan = false // window is merged-order sorted
-              else if (h.nn == e.nn && keyOrd.compare(h.key, e.key) == 0)
-                scratch += h
-            }
-          }
           var g = 0
           while (g < frameGroups.length) {
             val ((lo, hi), positions) = frameGroups(g)
-            val kit = kits(g)
-            kit.init()
+            val w = groupWins(g)
             if (e.nn) {
-              val vLo = satAdd(e.v, lo); val vHi = satAdd(e.v, hi)
-              // first scratch index with v >= vLo (values ascending)
-              var s = 0; var t = scratch.length
-              while (s < t) {
-                val mid = (s + t) >>> 1
-                if (scratch(mid).v < vLo) s = mid + 1 else t = mid
+              // admit entries whose stream position has reached the
+              // frame end (smaller keys and the key's null band admit
+              // too — the eviction below removes them before the fold)
+              val vHi = satAdd(e.v, hi)
+              var go = true
+              while (go) {
+                val h = w.inbox.peekFirst()
+                if (h != null && cmpE(h, e.key, true, vHi) <= 0)
+                  w.insert(w.inbox.pollFirst())
+                else go = false
               }
-              while (s < scratch.length && scratch(s).v <= vHi) {
-                val h = scratch(s)
-                if (h.bufs == null) kit.update(h.vals)
-                else if (h.v >= vLo && h.v2 <= vHi) kit.merge(h.bufs(g))
-                else throw new IllegalStateException(
-                  "graft RangeSlidingAgg: a consolidated partition total " +
-                    s"[${h.v}, ${h.v2}] is not contained in frame [$vLo, $vHi] " +
-                    "— the pass-2a qualifying scan shipped it to a wrong target")
-                s += 1
+              // evict entries whose EVICTION position (span end for
+              // consolidated totals) fell below the frame start
+              val vLo = satAdd(e.v, lo)
+              go = true
+              while (go) {
+                val h = w.oldest()
+                val below = h != null && {
+                  val c = keyOrd.compare(h.key, e.key)
+                  if (c != 0) c < 0
+                  else if (!h.nn) true // the key's null band
+                  else h.v2 < vLo
+                }
+                if (below) w.evictOldest() else go = false
               }
             } else {
-              // null peer group: the scratch IS the same-key null band
-              var s = 0
-              while (s < scratch.length) {
-                val h = scratch(s)
-                if (h.bufs == null) kit.update(h.vals) else kit.merge(h.bufs(g))
-                s += 1
+              // null peer band: the window IS the key's null band
+              // (value-free); smaller keys admit and evict away
+              var go = true
+              while (go) {
+                val h = w.inbox.peekFirst()
+                if (h != null && cmpE(h, e.key, false, 0L) <= 0)
+                  w.insert(w.inbox.pollFirst())
+                else go = false
+              }
+              go = true
+              while (go) {
+                val h = w.oldest()
+                if (h != null && cmpE(h, e.key, false, 0L) < 0) w.evictOldest()
+                else go = false
               }
             }
-            val res = kit.evaluate()
+            val res = w.query().evaluate()
             var i = 0
             while (i < positions.length) {
               val pos = positions(i)
