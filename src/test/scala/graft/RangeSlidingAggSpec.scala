@@ -504,6 +504,29 @@ class RangeSlidingAggSpec extends AnyFunSuite {
     assert(totC > 0, s"null-band consolidation did not fire (totalHalo=$totC)")
   }
 
+  test("NARROW + WIDE frames in ONE node: group windows of wildly different spans; mixed bounds block consolidation (all-groups rule)") {
+    val s = spark
+    import s.implicits._
+    // one frame group spans ±21 (a handful of rows), the other
+    // 7000 values (~16 of the 48 partitions): each group's two-stack
+    // window advances independently over the same merged stream, and
+    // the containment test — which requires the source inside the
+    // TIGHTEST frame of every group — must block totals entirely
+    val t = data.repartitionByRange(48, $"o", $"id")
+    def q(): DataFrame = {
+      val w = Window.orderBy($"o")
+      t.select($"id", $"o", $"cn",
+        min($"cn").over(w.rangeBetween(-21, 21)).as("tight_lo"),
+        sum($"cn").over(w.rangeBetween(-7000, 0)).as("wide_trail"),
+        count(lit(1)).over(w.rangeBetween(-7000, 0)).as("wide_n"))
+    }
+    val (gotC, _, totC) = withRule(on = true)(runWithMetrics(q()))
+    val ref = withRule(on = false)(q().collect().toSeq.sortBy(_.getLong(0)))
+    assertSame(gotC, ref, "narrow+wide mixed-extent frames")
+    assert(totC == 0,
+      s"mixed narrow+wide bounds must block consolidation (totalHalo=$totC)")
+  }
+
   test("order-sensitive first/last over a UNIQUE order stay native-exact through TOTAL buffer merges") {
     val s = spark
     import s.implicits._
