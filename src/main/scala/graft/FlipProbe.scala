@@ -13,6 +13,9 @@ object FlipProbe {
   def main(args: Array[String]): Unit = {
     require(args.length >= 2, "usage: FlipProbe <queryName> <confKey> [confKey...]")
     val name = args(0)
+    // validate BEFORE paying session startup (r19 ADVICE)
+    require(SparkEntry.queries.contains(name),
+      s"unknown query: $name (valid: ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")})")
     val confKeys = args.drop(1).toSeq
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Tables.session(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)

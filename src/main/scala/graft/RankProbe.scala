@@ -16,6 +16,12 @@ import org.apache.spark.sql.functions._
   * per-query A/B at sf0.1);
   * `offset` probes GlobalOffset on a corpus-global lag/lead pair (the
   * e33 runningDifference shape);
+  * `groupedoffset` probes the r20 GroupedOffset operator on the q54
+  * shape — per-group lag/lead over few huge interleaved groups (the
+  * native hash window's group-count parallelism ceiling);
+  * `groupedoffsetchained` runs it over a pre-existing FINER
+  * (g, o, id) exchange whose 200 boundaries split every group's
+  * series, exercising the key-gated stitched rings at 50M;
   * `running` probes GlobalRunningAgg on a corpus-global cumulative
   * sum+count (the q44 shape);
   * `chained` probes the r16 tie-chaining path AT SCALE: a FINER
@@ -122,16 +128,18 @@ object RankProbe {
       case "groupedmixedspec" => graft.plans.GroupedAggRewrite.ConfKey
       case "rangesliding" | "rangeslidinggrouped" =>
         graft.plans.RangeSlidingAggRewrite.ConfKey
-      case "rangeslidingwide" => "spark.graft.rangeSlidingAgg.consolidate"
+      case "rangeslidingwide" => graft.plans.RangeSlidingAggRewrite.ConsolidateKey
       case "sliding" | "slidinggrouped" | "slidingchained" =>
         graft.plans.SlidingAggRewrite.ConfKey
       case "offset" => graft.plans.GlobalOffsetRewrite.ConfKey
+      case "groupedoffset" | "groupedoffsetchained" =>
+        graft.plans.GroupedOffsetRewrite.ConfKey
       case "running" => graft.plans.GlobalRunningAggRewrite.ConfKey
       case _ => graft.plans.GlobalRankRewrite.ConfKey
     }
     if (mode == "chained" || mode == "mixedchained" ||
         mode == "groupedrunningchained" || mode == "groupedmixedchained" ||
-        mode == "slidingchained")
+        mode == "slidingchained" || mode == "groupedoffsetchained")
       s.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
     def run(on: Boolean): Double = {
       s.conf.set(confKey, on.toString)
@@ -243,6 +251,33 @@ object RankProbe {
           // aggregate touches every emitted value (exact longs)
           df.select(($"k" - lag($"k", 1, 0L).over(w)).as("dk"),
               lead($"k", 2, 0L).over(w).as("nk"))
+            .agg(sum($"dk") + min($"nk") + max($"nk")).head()
+        case "groupedoffset" =>
+          // the q54 shape at scale (r20): per-group neighbor delta +
+          // a lead over FEW HUGE GROUPS (default 4 ≈ n/4 rows each) —
+          // the regime where the native hash window's parallelism
+          // ceiling is the group count; exact-long checksums touch
+          // every emitted value in every group
+          val wg = Window.partitionBy($"g").orderBy($"k", $"id")
+          df.withColumn("g", pmod($"id", lit(nGroups.toLong)))
+            .select(($"k" - lag($"k", 1, 0L).over(wg)).as("dk"),
+              lead($"k", 2, 0L).over(wg).as("nk"))
+            .agg(sum($"dk") + min($"nk") + max($"nk")).head()
+        case "groupedoffsetchained" =>
+          // the key-gated rings over a REUSED pre-existing FINER
+          // (g, o, id) 200-partition exchange: every boundary splits
+          // a group's series mid-window, so every lookup near an edge
+          // crosses into the stitched tail/head with the key gate
+          // live. (o, id) is tie-free per group → exact checksum
+          // equality on/off is the 50M chained-correctness witness.
+          val t = s.range(n).select($"id",
+              pmod($"id", lit(4L)).as("g"),
+              ($"id" / 4L).as("o"),
+              pmod($"id" * 2654435761L, lit(1000000007L)).as("k2"))
+            .repartitionByRange(200, $"g", $"o", $"id")
+          val wc = Window.partitionBy($"g").orderBy($"o", $"id")
+          t.select(($"k2" - lag($"k2", 1, 0L).over(wc)).as("dk"),
+              lead($"k2", 3, 0L).over(wc).as("nk"))
             .agg(sum($"dk") + min($"nk") + max($"nk")).head()
         case "groupedrunning" =>
           // the q47 shape at scale: per-group cumulative sum + count

@@ -60,12 +60,11 @@ object GraftExtensions extends SparkSessionExtensionsProvider {
     // the family composes automatically instead of the mixed node
     // bailing every rewrite and funneling to a single task.
     ext.injectOptimizerRule(_ => graft.plans.GlobalWindowSplit)
-    // Mixed GROUPED windows (rank()+sum() OVER the same PARTITION
-    // BY/ORDER BY in ONE select): split onto GroupedRank +
-    // GroupedRunningAgg over ONE shared (part, order) range exchange —
-    // the grouped analog; offset-bearing or otherwise-unsupported
-    // mixes keep the whole node native (no grouped offset operator,
-    // recorded decision).
+    // Mixed GROUPED windows (rank()+sum()+lag() OVER the same
+    // PARTITION BY/ORDER BY in ONE select): split onto GroupedRank +
+    // GroupedRunningAgg + GroupedOffset over ONE shared (part, order)
+    // range exchange — the grouped analog; otherwise-unsupported
+    // mixes keep the whole node native.
     ext.injectOptimizerRule(_ => graft.plans.GroupedWindowSplit)
     // Corpus-global ranking: bare rank-family windows with an empty
     // PARTITION BY are rewritten to the range-partitioned two-pass
@@ -100,6 +99,14 @@ object GraftExtensions extends SparkSessionExtensionsProvider {
     // single-task window.
     ext.injectOptimizerRule(_ => graft.plans.GlobalOffsetRewrite)
     ext.injectPlannerStrategy(_ => graft.plans.GlobalOffsetStrategy)
+    // GROUPED offset windows (lag/lead OVER (PARTITION BY g ORDER BY
+    // …) — per-key runningDifference/neighbor, r20): the native
+    // hash-clustered window's parallelism ceiling is the group count,
+    // so groups that outgrow a task funnel; the operator
+    // range-partitions (group, order) and closes boundaries with
+    // SlidingAgg's key-gated boundary-value rings.
+    ext.injectOptimizerRule(_ => graft.plans.GroupedOffsetRewrite)
+    ext.injectPlannerStrategy(_ => graft.plans.GroupedOffsetStrategy)
     // Corpus-global RUNNING aggregates (sum(x) OVER (ORDER BY …)) —
     // the last empty-PARTITION-BY funnel: a distributed prefix scan
     // (per-partition partials + driver prefix fold + seeded pass).

@@ -80,14 +80,19 @@ object GlobalOffsetRewrite extends Rule[LogicalPlan] {
     a.length == b.length && a.zip(b).forall { case (x, y) => x.semanticEquals(y) }
 
   /** One supported offset column: output attribute, input expression,
-    * signed offset (negative = lag), default expression. */
+    * signed offset (negative = lag), default expression. `part` is the
+    * node's partition clause — Nil here, the group keys when
+    * [[GroupedOffsetRewrite]]/[[GroupedWindowSplit]] reuse the
+    * matcher (r20: the offset class is structurally identical in both
+    * families; only the exec's boundary discipline differs). */
   private[plans] def supported(
       e: NamedExpression,
+      part: Seq[Expression],
       order: Seq[SortOrder],
       cap: Int): Option[OffsetFn] = e match {
     case a @ Alias(WindowExpression(fn: FrameLessOffsetWindowFunction,
-        WindowSpecDefinition(Nil, o2, _)), _)
-        if sameExprs(o2, order) && !fn.ignoreNulls &&
+        WindowSpecDefinition(p2, o2, _)), _)
+        if sameExprs(p2, part) && sameExprs(o2, order) && !fn.ignoreNulls &&
           fn.input.deterministic && fn.default.deterministic &&
           fn.offset.foldable && fn.offset.dataType == IntegerType =>
       fn.offset.eval() match {
@@ -106,7 +111,7 @@ object GlobalOffsetRewrite extends Rule[LogicalPlan] {
           if order.nonEmpty && wexprs.nonEmpty && !child.isStreaming &&
             order.forall(_.deterministic) &&
             PlanGuards.subtreeDeterministic(child) =>
-        val fns = wexprs.map(supported(_, order, cap))
+        val fns = wexprs.map(supported(_, Nil, order, cap))
         if (fns.forall(_.isDefined)) GlobalOffsetNode(order, fns.flatten, child)
         else w
     }

@@ -163,7 +163,7 @@ object GlobalWindowSplit extends Rule[LogicalPlan] {
       extentCap: Int): Option[Claimed] =
     RankFnMatch.supported(e, Nil, order, allowLong = true).map(CRank.apply)
       .orElse(GlobalRunningAggRewrite.supported(e, Nil, order).map(CRunning.apply))
-      .orElse(GlobalOffsetRewrite.supported(e, order, offsetCap).map(COffset.apply))
+      .orElse(GlobalOffsetRewrite.supported(e, Nil, order, offsetCap).map(COffset.apply))
       .orElse(fullAgg(e, order).map(CFullAgg.apply))
       // r18: bounded sliding ROWS frames — SlidingAggExec requires the
       // same OrderedDistribution(order), so the class stacks on the

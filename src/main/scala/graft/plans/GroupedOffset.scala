@@ -1,0 +1,335 @@
+package graft.plans
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode, Window => LogicalWindow}
+import org.apache.spark.sql.catalyst.plans.physical.{Distribution, OrderedDistribution, Partitioning}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.internal.SQLConf
+import org.apache.spark.sql.types.DataType
+
+/** GROUPED OFFSET windows (`lag`/`lead OVER (PARTITION BY g ORDER BY
+  * …)` — ClickHouse's per-key `runningDifference`/`neighbor()`, the
+  * reference's counter-delta idiom per inverter: solarman.py:307
+  * polls the cumulative Total-yield register per logger, and turning
+  * that monotonic counter into increments is exactly lag(1) per
+  * device — s6_counter_delta's idiom, now scale-safe) as a
+  * first-class operator — [[GlobalOffsetRewrite]]'s grouped sibling,
+  * closing the LAST grouped window class without a scale path (the
+  * r14 "grouped offset stays native" decision, reversed in r20 now
+  * that the family owns every ingredient).
+  *
+  * The native plan hash-clusters whole groups
+  * (`ClusteredDistribution(part)`): parallelism ceiling = the GROUP
+  * COUNT, per-task data = the largest group — 5 order priorities ×
+  * 100 TB puts terabytes through single tasks for a computation whose
+  * data dependency is a WINDOW OF m ROWS around each row. This exec
+  * requires `OrderedDistribution(part-asc ++ order)` — the grouped
+  * family's ONE row-balanced range exchange (groups contiguous,
+  * segments split freely across partitions) — and closes partition
+  * boundaries with [[SlidingAggExec]]'s KEY-GATED boundary-VALUE
+  * rings rather than [[GroupedRunningAggExec]]'s segment chain (an
+  * offset needs the neighbor VALUE, not an aggregate of the segment):
+  *
+  *   - pass 1 streams each sorted partition once and ships to the
+  *     driver only the PROJECTED offset-input tuples plus the
+  *     evaluated partition keys of its first maxLead and last maxLag
+  *     rows — O(partitions × maxOffset) value tuples, never rows,
+  *     never the corpus;
+  *   - the driver stitches them group-AGNOSTICALLY across partitions
+  *     (short/empty partitions accumulate — SlidingAgg's stitch
+  *     verbatim) into each partition's previous-tail and next-head
+  *     windows: the tail/head hold the GLOBAL neighbors, and because
+  *     groups are contiguous under the part-asc range order, a row's
+  *     same-GROUP m-th neighbor is its global m-th neighbor iff that
+  *     entry's evaluated key matches — one O(1) key comparison at the
+  *     looked-up depth replaces GroupedRunningAgg's whole driver
+  *     chain;
+  *   - pass 2 re-streams each sorted partition (shuffle reuse) with a
+  *     ring of the last maxLag (value, key) tuples seeded from the
+  *     previous tail and a maxLead-row lookahead queue draining into
+  *     the next head; each function reads the tuple at its exact
+  *     offset and takes the value when the key matches the current
+  *     row's, else evaluates its DEFAULT against the current row —
+  *     exactly the native frame CLIP at the group edge.
+  *
+  * Results are bit-identical to the native window whenever (part,
+  * order) is a total order; under order ties both engines emit an
+  * arbitrary-but-valid same-group neighbor (the family's documented
+  * offset contract — the equivalence specs pin total orders).
+  *
+  * Scope guards mirror GlobalOffset + the grouped family: every
+  * window expression a frame-less lag/lead over the node's own
+  * (part, order) with a FOLDABLE offset and `ignoreNulls=false`
+  * (ignoreNulls needs unbounded lookback — the ring bound dies);
+  * |offset| ≤ `spark.graft.groupedOffset.maxOffset` (default 128 —
+  * GlobalOffset's precedent; the cap bounds driver traffic at
+  * partitions × maxOffset × tuple width, and the byte guards apply
+  * on top); partition keys deterministic AND orderable (promoted
+  * into RangePartitioning); deterministic order and subtree;
+  * non-streaming child (two jobs, one shuffle).
+  * `spark.graft.groupedOffset.minBytes` (default 0) is the grouped
+  * family's many-small-groups cost lever;
+  * `spark.graft.groupedOffset.enabled=false` the kill switch /
+  * equivalence-spec A/B lever.
+  */
+object GroupedOffsetRewrite extends Rule[LogicalPlan] {
+
+  val ConfKey = "spark.graft.groupedOffset.enabled"
+  val MaxOffsetKey = "spark.graft.groupedOffset.maxOffset"
+  val MinBytesKey = "spark.graft.groupedOffset.minBytes"
+
+  private def enabled: Boolean =
+    SQLConf.get.getConfString(ConfKey, "true").toBoolean
+
+  private[plans] def maxOffset: Int =
+    SQLConf.get.getConfString(MaxOffsetKey, "128").toInt
+
+  private def minBytes: Long =
+    SQLConf.get.getConfString(MinBytesKey, "0").toLong
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (!enabled) return plan
+    val cap = maxOffset
+    plan.transformUp {
+      case w @ LogicalWindow(wexprs, part, order, child, _)
+          if part.nonEmpty && order.nonEmpty && wexprs.nonEmpty &&
+            !child.isStreaming &&
+            part.forall(e => e.deterministic && RowOrdering.isOrderable(e.dataType)) &&
+            order.forall(_.deterministic) &&
+            PlanGuards.subtreeDeterministic(child) &&
+            child.stats.sizeInBytes >= minBytes =>
+        val fns = wexprs.map(GlobalOffsetRewrite.supported(_, part, order, cap))
+        if (fns.forall(_.isDefined)) {
+          val flat = fns.flatten
+          val maxOff = flat.map(f => math.abs(f.offset)).max
+          // ring-tuple width: one projected column per function, plus
+          // the evaluated part keys (added by the guard itself)
+          if (PlanGuards.valueTrafficOk("GroupedOffset", flat.map(_.input),
+              part, math.max(maxOff, 1)))
+            GroupedOffsetNode(part, order, flat, child)
+          else w
+        } else w
+    }
+  }
+}
+
+case class GroupedOffsetNode(
+    part: Seq[Expression],
+    order: Seq[SortOrder],
+    fns: Seq[OffsetFn],
+    child: LogicalPlan) extends UnaryNode {
+  override def output: Seq[Attribute] = child.output ++ fns.map(_.attr)
+  override def producedAttributes: AttributeSet = AttributeSet(fns.map(_.attr))
+  // `fns` is opaque to QueryPlan's product scan — expose the offset
+  // INPUT and DEFAULT references so ColumnPruning keeps lagged columns
+  // that are neither group nor order keys (the family lesson).
+  override def references: AttributeSet =
+    AttributeSet(part.flatMap(_.references)) ++
+      AttributeSet(order.flatMap(_.references)) ++
+      AttributeSet(fns.flatMap(f => f.input.references ++ f.default.references))
+  override def maxRows: Option[Long] = child.maxRows
+  override protected def withNewChildInternal(newChild: LogicalPlan): GroupedOffsetNode =
+    copy(child = newChild)
+}
+
+object GroupedOffsetStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case GroupedOffsetNode(part, order, fns, child) =>
+      GroupedOffsetExec(part, order, fns, planLater(child)) :: Nil
+    case _ => Nil
+  }
+}
+
+case class GroupedOffsetExec(
+    part: Seq[Expression],
+    order: Seq[SortOrder],
+    fns: Seq[OffsetFn],
+    child: SparkPlan) extends UnaryExecNode {
+
+  // partition keys promoted Ascending/NullsFirst ahead of the frame
+  // order — the grouped family's shared OrderedDistribution, so an
+  // offset node stacks on the same exchange as GroupedRank /
+  // GroupedRunningAgg / SlidingAgg in a GroupedWindowSplit pile.
+  private def fullOrder: Seq[SortOrder] =
+    part.map(SortOrder(_, Ascending)) ++ order
+
+  override def output: Seq[Attribute] = child.output ++ fns.map(_.attr)
+  override def requiredChildDistribution: Seq[Distribution] =
+    OrderedDistribution(fullOrder) :: Nil
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(fullOrder)
+  override def outputOrdering: Seq[SortOrder] = fullOrder
+  override def outputPartitioning: Partitioning = child.outputPartitioning
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val childOut = child.output
+    val out = output // localized: closures must not capture `this`
+    val partExprs = part
+    val inputs: Seq[Expression] = fns.map(_.input)
+    val defaults: Seq[Expression] = fns.map(_.default)
+    val offs: Array[Int] = fns.map(_.offset).toArray
+    val types: Array[DataType] = fns.map(_.input.dataType).toArray
+    val maxLag = offs.foldLeft(0)((m, o) => math.max(m, -o))
+    val maxLead = offs.foldLeft(0)((m, o) => math.max(m, o))
+    val rdd = child.execute()
+    PlanGuards.runtimeValueTrafficWarn("GroupedOffset", rdd.getNumPartitions,
+      inputs, partExprs, math.max(math.max(maxLag, maxLead), 1))
+
+    // Pass 1: the projected offset-input tuples (+ evaluated part
+    // keys) of each partition's first maxLead and last maxLag rows —
+    // values, never rows (SlidingAgg's pass 1 with the offset
+    // projection).
+    val ends: Array[(Array[UnsafeRow], Array[UnsafeRow], Array[UnsafeRow], Array[UnsafeRow])] =
+      rdd.sparkContext.runJob(rdd, (it: Iterator[InternalRow]) => {
+        val proj = UnsafeProjection.create(inputs, childOut)
+        val keyProj = UnsafeProjection.create(partExprs, childOut)
+        val headV = ArrayBuffer.empty[UnsafeRow]
+        val headK = ArrayBuffer.empty[UnsafeRow]
+        val tailV = new java.util.ArrayDeque[UnsafeRow](math.max(maxLag, 1))
+        val tailK = new java.util.ArrayDeque[UnsafeRow](math.max(maxLag, 1))
+        while (it.hasNext) {
+          val row = it.next()
+          val v = proj(row)
+          val k = keyProj(row)
+          if (headV.length < maxLead) {
+            headV += v.copy()
+            headK += k.copy()
+          }
+          if (maxLag > 0) {
+            if (tailV.size == maxLag) { tailV.pollFirst(); tailK.pollFirst() }
+            tailV.addLast(v.copy())
+            tailK.addLast(k.copy())
+          }
+        }
+        (headV.toArray, headK.toArray,
+          tailV.toArray(Array.empty[UnsafeRow]), tailK.toArray(Array.empty[UnsafeRow]))
+      })
+
+    // Driver stitch, group-AGNOSTIC (SlidingAgg's): prevTail(p) = the
+    // last maxLag GLOBAL tuples before partition p, nextHead(p) = the
+    // first maxLead after it; short/empty partitions accumulate. The
+    // key gate in pass 2 does the group clipping — a foreign-group
+    // entry at the looked-up depth means the group edge was crossed.
+    val nParts = ends.length
+    val prevTailV = new Array[Array[UnsafeRow]](nParts)
+    val prevTailK = new Array[Array[UnsafeRow]](nParts)
+    val nextHeadV = new Array[Array[UnsafeRow]](nParts)
+    val nextHeadK = new Array[Array[UnsafeRow]](nParts)
+    locally {
+      var tV = Vector.empty[UnsafeRow]; var tK = Vector.empty[UnsafeRow]
+      var p = 0
+      while (p < nParts) {
+        prevTailV(p) = tV.toArray; prevTailK(p) = tK.toArray
+        val (_, _, lv, lk) = ends(p)
+        if (lv.length >= maxLag) { tV = lv.toVector; tK = lk.toVector }
+        else {
+          tV = (tV ++ lv).takeRight(maxLag)
+          tK = (tK ++ lk).takeRight(maxLag)
+        }
+        p += 1
+      }
+      var hV = Vector.empty[UnsafeRow]; var hK = Vector.empty[UnsafeRow]
+      p = nParts - 1
+      while (p >= 0) {
+        nextHeadV(p) = hV.toArray; nextHeadK(p) = hK.toArray
+        val (fv, fk, _, _) = ends(p)
+        if (fv.length >= maxLead) { hV = fv.toVector; hK = fk.toVector }
+        else {
+          hV = (fv.toVector ++ hV).take(maxLead)
+          hK = (fk.toVector ++ hK).take(maxLead)
+        }
+        p -= 1
+      }
+    }
+
+    // Pass 2: ring of the last maxLag (value, key) tuples + a
+    // maxLead-row lookahead queue. Each function reads the tuple at
+    // its exact signed offset; groups are CONTIGUOUS under the
+    // part-asc range order, so the same-group predecessors are a
+    // prefix of the global ones and ONE key comparison at the
+    // looked-up depth decides neighbor-vs-default.
+    rdd.mapPartitionsWithIndex({ (pid, it) =>
+      val proj = UnsafeProjection.create(inputs, childOut)
+      val keyProj = UnsafeProjection.create(partExprs, childOut)
+      val defProj = UnsafeProjection.create(defaults, childOut)
+      val keyOrd = RowOrdering.create(partExprs.zipWithIndex.map { case (e, i) =>
+        SortOrder(BoundReference(i, e.dataType, e.nullable), Ascending)
+      }, Seq.empty)
+      val toUnsafe = UnsafeProjection.create(out, out)
+      val joined = new JoinedRow
+      val extra = new GenericInternalRow(offs.length)
+
+      // pastV.head = most recent previous tuple
+      val pastV = new java.util.ArrayDeque[UnsafeRow](math.max(maxLag, 1))
+      val pastK = new java.util.ArrayDeque[UnsafeRow](math.max(maxLag, 1))
+      prevTailV(pid).reverseIterator.foreach(pastV.addLast)
+      prevTailK(pid).reverseIterator.foreach(pastK.addLast)
+      val ahead = new java.util.ArrayDeque[(InternalRow, UnsafeRow, UnsafeRow)](maxLead + 1)
+      val nhV = nextHeadV(pid); val nhK = nextHeadK(pid)
+
+      new Iterator[InternalRow] {
+        private def fill(): Unit =
+          while (ahead.size <= maxLead && it.hasNext) {
+            val r = it.next().copy()
+            ahead.addLast((r, proj(r).copy(), keyProj(r).copy()))
+          }
+        override def hasNext: Boolean = { fill(); !ahead.isEmpty }
+        override def next(): InternalRow = {
+          fill()
+          val (row, vals, key) = ahead.pollFirst()
+          var defRow: UnsafeRow = null
+          var j = 0
+          while (j < offs.length) {
+            val o = offs(j)
+            // the value tuple at fn j's exact offset, null when the
+            // neighbor is off-corpus or in a foreign group
+            val src: UnsafeRow =
+              if (o == 0) vals
+              else if (o < 0) {
+                val depth = -o
+                if (depth <= pastV.size) {
+                  var i = 1
+                  val itV = pastV.iterator(); val itK = pastK.iterator()
+                  var v: UnsafeRow = null; var k: UnsafeRow = null
+                  while (i <= depth) { v = itV.next(); k = itK.next(); i += 1 }
+                  if (keyOrd.compare(k, key) == 0) v else null
+                } else null
+              } else {
+                if (o <= ahead.size) {
+                  var i = 1
+                  val itA = ahead.iterator()
+                  var e: (InternalRow, UnsafeRow, UnsafeRow) = null
+                  while (i <= o) { e = itA.next(); i += 1 }
+                  if (keyOrd.compare(e._3, key) == 0) e._2 else null
+                } else {
+                  val idx = o - ahead.size
+                  if (idx <= nhV.length && keyOrd.compare(nhK(idx - 1), key) == 0)
+                    nhV(idx - 1)
+                  else null
+                }
+              }
+            if (src != null) extra.update(j, src.get(j, types(j)))
+            else {
+              if (defRow == null) defRow = defProj(row)
+              extra.update(j, defRow.get(j, defaults(j).dataType))
+            }
+            j += 1
+          }
+          if (maxLag > 0) {
+            if (pastV.size == maxLag) { pastV.pollLast(); pastK.pollLast() }
+            pastV.addFirst(vals)
+            pastK.addFirst(key)
+          }
+          toUnsafe(joined(row, extra))
+        }
+      }
+    }, preservesPartitioning = true)
+  }
+
+  override protected def withNewChildInternal(newChild: SparkPlan): GroupedOffsetExec =
+    copy(child = newChild)
+}

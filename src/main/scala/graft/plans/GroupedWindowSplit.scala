@@ -43,12 +43,13 @@ import org.apache.spark.sql.internal.SQLConf
   * operators), and the bounded SLIDING ROWS class stacks
   * [[SlidingAggNode]] into the same pile — its exec requires the
   * identical `OrderedDistribution(part-asc ++ order)`, and the split
-  * honors its minBytes lever and boundary-VALUE traffic guard. The
-  * r14 stay-native rationale REMAINS correct for
-  * offset-bearing mixes: grouped lag/lead deliberately has no
-  * operator (PLANS.md records the decision — high-cardinality keys
-  * dominate the idiom), so ANY offset member keeps the WHOLE node
-  * native.
+  * honors its minBytes lever and boundary-VALUE traffic guard. Since
+  * r20 the OFFSET class (grouped lag/lead) stacks
+  * [[GroupedOffsetNode]] too — the r14 "offset-bearing mixes stay
+  * native" era ended when the class got its operator (the r19
+  * verdict's #1); its exec shares the identical
+  * `OrderedDistribution(part-asc ++ order)` and the split honors its
+  * maxOffset cap, minBytes lever and boundary-VALUE traffic guard.
   *
   * Emitting the custom logical nodes directly (not single-class
   * Window nodes) is load-bearing for the same reason as in
@@ -71,7 +72,7 @@ import org.apache.spark.sql.internal.SQLConf
   * caveat next to the kill switch).
   *
   * Scope guards are the families' own, conjoined: every window
-  * expression claimed by exactly one of the three grouped classes via
+  * expression claimed by exactly one of the grouped classes via
   * the family rewrites' OWN matchers (the split can never claim an
   * expression the downstream operator would bail on); at least TWO
   * classes present (single-class nodes are the family rewrites' own
@@ -112,6 +113,7 @@ object GroupedWindowSplit extends Rule[LogicalPlan] {
   private sealed trait Claimed
   private case class CRank(fn: (Attribute, GlobalRankFn)) extends Claimed
   private case class CRunning(fn: RunningFn) extends Claimed
+  private case class COffset(fn: OffsetFn) extends Claimed
   private case class CFullAgg(e: NamedExpression) extends Claimed
   private case class CSliding(fn: SlidingFn) extends Claimed
   private case class CRangeSliding(fn: RangeSlidingFn) extends Claimed
@@ -140,9 +142,15 @@ object GroupedWindowSplit extends Rule[LogicalPlan] {
       e: NamedExpression,
       part: Seq[Expression],
       order: Seq[SortOrder],
-      extentCap: Int): Option[Claimed] =
+      extentCap: Int,
+      offsetCap: Int): Option[Claimed] =
     RankFnMatch.supported(e, part, order).map(CRank.apply)
       .orElse(GlobalRunningAggRewrite.supported(e, part, order).map(CRunning.apply))
+      // r20: grouped lag/lead — GroupedOffsetExec requires the
+      // identical OrderedDistribution(part-asc ++ order), stacking on
+      // the shared exchange; ends the r14 "any offset member keeps
+      // the whole node native" era now the class has its operator
+      .orElse(GlobalOffsetRewrite.supported(e, part, order, offsetCap).map(COffset.apply))
       .orElse(fullAgg(e, part, order).map(CFullAgg.apply))
       // r18: bounded sliding ROWS frames — SlidingAggExec requires the
       // identical OrderedDistribution(part-asc ++ order), stacking on
@@ -166,26 +174,30 @@ object GroupedWindowSplit extends Rule[LogicalPlan] {
             PlanGuards.boundaryTrafficOk(order, part) =>
         val extentCap =
           SQLConf.get.getConfString(SlidingAggRewrite.MaxExtentKey, "128").toInt
-        val claims = wexprs.map(classify(_, part, order, extentCap))
+        val offsetCap = GroupedOffsetRewrite.maxOffset
+        val claims = wexprs.map(classify(_, part, order, extentCap, offsetCap))
         if (claims.exists(_.isEmpty)) w
         else {
           val claimed = claims.flatten
           val ranks = claimed.collect { case CRank(f) => f }
           val runnings = claimed.collect { case CRunning(f) => f }
+          val offsets = claimed.collect { case COffset(f) => f }
           val fullAggs = claimed.collect { case CFullAgg(e) => e }
           val slidings = claimed.collect { case CSliding(f) => f }
           val rangeSlidings = claimed.collect { case CRangeSliding(f) => f }
-          val classes = Seq[Seq[Any]](ranks, runnings, fullAggs, slidings,
-            rangeSlidings).count(_.nonEmpty)
+          val classes = Seq[Seq[Any]](ranks, runnings, offsets, fullAggs,
+            slidings, rangeSlidings).count(_.nonEmpty)
           val allEnabled =
             (ranks.isEmpty || confOn(GroupedRankRewrite.ConfKey)) &&
               (runnings.isEmpty || confOn(GroupedRunningAggRewrite.ConfKey)) &&
+              (offsets.isEmpty || confOn(GroupedOffsetRewrite.ConfKey)) &&
               (fullAggs.isEmpty || confOn(GroupedAggRewrite.ConfKey)) &&
               (slidings.isEmpty || confOn(SlidingAggRewrite.ConfKey)) &&
               (rangeSlidings.isEmpty || confOn(RangeSlidingAggRewrite.ConfKey))
           val bigEnough = child.stats.sizeInBytes >= Seq(
             if (ranks.nonEmpty) minBytes(GroupedRankRewrite.MinBytesKey) else 0L,
             if (runnings.nonEmpty) minBytes(GroupedRunningAggRewrite.MinBytesKey) else 0L,
+            if (offsets.nonEmpty) minBytes(GroupedOffsetRewrite.MinBytesKey) else 0L,
             if (fullAggs.nonEmpty) minBytes(GroupedAggRewrite.MinBytesKey) else 0L,
             if (slidings.nonEmpty) minBytes(SlidingAggRewrite.MinBytesKey) else 0L,
             if (rangeSlidings.nonEmpty) minBytes(RangeSlidingAggRewrite.MinBytesKey) else 0L).max
@@ -204,11 +216,18 @@ object GroupedWindowSplit extends Rule[LogicalPlan] {
               slidings.flatMap(_.fn.references.toSeq).distinct, part,
               math.max(extent, 1))
           }
+          // the offset class's own boundary-VALUE traffic guard (r20)
+          val offsetOk = offsets.isEmpty || {
+            val maxOff = offsets.map(f => math.abs(f.offset)).max
+            PlanGuards.valueTrafficOk("GroupedWindowSplit/offset",
+              offsets.map(_.input), part, math.max(maxOff, 1))
+          }
           if (classes < 2 || !allEnabled || !bigEnough || !fullAggPlannable ||
-              !slidingOk) w
+              !slidingOk || !offsetOk) w
           else {
             logInfo(s"GroupedWindowSplit: splitting a mixed grouped window " +
               s"(${ranks.size} rank, ${runnings.size} running-agg, " +
+              s"${offsets.size} offset, " +
               s"${fullAggs.size} full-frame-agg, ${slidings.size} sliding, " +
               s"${rangeSlidings.size} range-sliding " +
               s"functions over ${part.size} partition keys) into $classes " +
@@ -218,6 +237,7 @@ object GroupedWindowSplit extends Rule[LogicalPlan] {
             if (rangeSlidings.nonEmpty) cur = RangeSlidingAggNode(part, order, rangeSlidings, cur)
             if (slidings.nonEmpty) cur = SlidingAggNode(part, order, slidings, cur)
             if (runnings.nonEmpty) cur = GroupedRunningAggNode(part, order, runnings, cur)
+            if (offsets.nonEmpty) cur = GroupedOffsetNode(part, order, offsets, cur)
             if (ranks.nonEmpty) cur = GroupedRankNode(part, order, ranks, cur)
             Project(w.output, cur)
           }

@@ -112,13 +112,29 @@ import org.apache.spark.sql.types._
   * `spark.graft.rangeSlidingAgg.enabled=false`. Memory: the retention
   * window buffers one frame's rows per task (the native plan buffers
   * the SAME rows in one global/per-group task) — a frame wider than
-  * executor memory needs a coarser frame or the native spill path,
-  * documented in README's cost levers.
+  * executor memory needs a coarser frame or the native spill path.
+  * Since r20 that bound is runtime-CHECKED, not just documented:
+  * pass 2b refcounts every retained entry (frame windows + pending
+  * queue + received halo) and fails fast past
+  * `spark.graft.rangeSlidingAgg.maxRetainedBytes` (default 8 GiB)
+  * with the remedy named — raise the cap deliberately, narrow the
+  * frame, or fall back to the native spilling window — instead of an
+  * unattributable executor OOM (the maxBoundaryBytes discipline
+  * applied to the one data-dependent structure; 0 disables the
+  * check). All levers in README's cost-lever table.
   */
 object RangeSlidingAggRewrite extends Rule[LogicalPlan] {
 
   val ConfKey = "spark.graft.rangeSlidingAgg.enabled"
   val MinBytesKey = "spark.graft.rangeSlidingAgg.minBytes"
+  /** Wide-frame consolidation lever (pass 2a) — named here so the
+    * exec, the probes and the specs cannot drift (r19 ADVICE). */
+  val ConsolidateKey = "spark.graft.rangeSlidingAgg.consolidate"
+  /** Fail-fast ceiling on pass 2b's per-task retention (the frame
+    * window + pending queue + received halo), runtime-checked — the
+    * maxBoundaryBytes discipline applied to the one structure whose
+    * size is data-dependent. See the exec scaladoc. */
+  val MaxRetainedBytesKey = "spark.graft.rangeSlidingAgg.maxRetainedBytes"
 
   private def enabled: Boolean =
     SQLConf.get.getConfString(ConfKey, "true").toBoolean
@@ -288,7 +304,14 @@ private[plans] final class TotalHalo(
 private[plans] final class RangeEntry(
     val key: UnsafeRow, val nn: Boolean, val v: Long,
     val vals: UnsafeRow, val row: InternalRow,
-    val v2: Long, val bufs: Array[UnsafeRow]) extends Serializable
+    val v2: Long, val bufs: Array[UnsafeRow]) extends Serializable {
+  /** Retention accounting (task-local, maxRetainedBytes): live
+    * reference count across the group windows / pending queue / halo
+    * array, and the entry's cached size estimate (−1 = not yet
+    * computed). */
+  var refs: Int = 0
+  var sz: Long = -1L
+}
 
 case class RangeSlidingAggExec(
     part: Seq[Expression],
@@ -422,7 +445,11 @@ case class RangeSlidingAggExec(
     val frameLoMax = fns.map(_.lo).max
     val frameHiMin = fns.map(_.hi).min
     val consolidate = conf.getConfString(
-      "spark.graft.rangeSlidingAgg.consolidate", "true").toBoolean
+      RangeSlidingAggRewrite.ConsolidateKey, "true").toBoolean
+    // fail-fast retention ceiling for pass 2b (0 disables the check)
+    val maxRetainedBytes = conf.getConfString(
+      RangeSlidingAggRewrite.MaxRetainedBytesKey,
+      (8L * 1024 * 1024 * 1024).toString).toLong
     val rawHaloMetric = longMetric("rawHalo")
     val totalHaloMetric = longMetric("totalHalo")
     val haloPairs: RDD[(Int, HaloMsg)] =
@@ -580,12 +607,65 @@ case class RangeSlidingAggExec(
         else java.lang.Long.compare(a.v, bv)
       }
 
+      // --- retention accounting (maxRetainedBytes, r20) ---------------
+      // Pass 2b's heap structures — the received halo array, the
+      // per-group frame windows and the pending output queue — hold
+      // one frame's rows per task, a DATA-DEPENDENT bound where native
+      // WindowExec spills. The tracker refcounts each RangeEntry
+      // across those structures and fails FAST with the remedy named
+      // (raise the cap deliberately, narrow the frame, or fall back to
+      // the native spilling window via the kill switch) instead of an
+      // unattributable executor OOM. O(1) longs per entry; an entry's
+      // size is estimated once from its UnsafeRow payloads.
+      var retainedBytes = 0L
+      def entrySize(e: RangeEntry): Long = {
+        var b = 48L // object headers + composite fields
+        if (e.key != null) b += e.key.getSizeInBytes
+        if (e.vals != null) b += e.vals.getSizeInBytes
+        e.row match {
+          case u: UnsafeRow => b += u.getSizeInBytes
+          case null => ()
+          case _ => b += 64L
+        }
+        if (e.bufs != null) {
+          var i = 0
+          while (i < e.bufs.length) { b += e.bufs(i).getSizeInBytes; i += 1 }
+        }
+        b
+      }
+      def retain(e: RangeEntry, n: Int): Unit = {
+        if (e.refs == 0) {
+          if (e.sz < 0) e.sz = entrySize(e)
+          retainedBytes += e.sz
+          if (maxRetainedBytes > 0 && retainedBytes > maxRetainedBytes)
+            throw new org.apache.spark.SparkException(
+              s"RangeSlidingAgg: this task's frame retention exceeded " +
+                s"${RangeSlidingAggRewrite.MaxRetainedBytesKey}=$maxRetainedBytes " +
+                s"bytes — the RANGE frame holds more rows in memory than the " +
+                s"configured ceiling (the operator keeps one frame's rows per " +
+                s"task and does not spill; the native window spills but " +
+                s"funnels). Raise the cap deliberately, narrow the frame, or " +
+                s"set ${RangeSlidingAggRewrite.ConfKey}=false to fall back " +
+                s"to the native spilling window.")
+        }
+        e.refs += n
+      }
+      def release(e: RangeEntry): Unit = {
+        e.refs -= 1
+        if (e.refs == 0) retainedBytes -= e.sz
+      }
+
       val haloArr: Array[RangeEntry] = haloIt.map {
         case (_, r: RawHalo) =>
           new RangeEntry(r.key, r.nn, r.v, r.vals, null, r.v, null)
         case (_, t: TotalHalo) =>
           new RangeEntry(t.key, t.nn, t.v0, null, null, t.v1, t.bufs)
       }.toArray
+      // the halo array itself retains its entries for the whole task
+      locally {
+        var i = 0
+        while (i < haloArr.length) { retain(haloArr(i), 1); i += 1 }
+      }
       java.util.Arrays.sort(haloArr, new java.util.Comparator[RangeEntry] {
         override def compare(a: RangeEntry, b: RangeEntry): Int = cmpE(a, b.key, b.nn, b.v)
       })
@@ -682,7 +762,7 @@ case class RangeSlidingAggExec(
             bElems.clear()
             kitB.init()
           }
-          fElems.pollFirst()
+          release(fElems.pollFirst())
           fFolds.pollFirst()
         }
 
@@ -708,6 +788,7 @@ case class RangeSlidingAggExec(
         private def fill(): Unit =
           while ((pending.isEmpty || !frameComplete(pending.peekFirst())) && merged.hasNext) {
             val e = merged.next()
+            retain(e, groupWins.length + (if (e.row != null) 1 else 0))
             var g = 0
             while (g < groupWins.length) { groupWins(g).inbox.addLast(e); g += 1 }
             if (e.row != null) pending.addLast(e)
@@ -717,6 +798,7 @@ case class RangeSlidingAggExec(
         override def next(): InternalRow = {
           fill()
           val e = pending.pollFirst()
+          release(e)
           if (prevPeer != null && e.nn == prevPeer.nn &&
               (!e.nn || e.v == prevPeer.v) &&
               keyOrd.compare(e.key, prevPeer.key) == 0) {

@@ -1546,7 +1546,41 @@ object Relational {
       .orderBy($"o_orderkey")
   }
 
+  // ---------------------------------------------------------------------
+  // q54: PER-PRIORITY ORDER-OVER-ORDER REVENUE DELTA — the GROUPED
+  // OFFSET window graded end-to-end (r20; the r19 verdict's #1):
+  // ClickHouse's per-key `runningDifference`/`neighbor()` — every
+  // order annotated with its priority class's previous/next ticket
+  // and the delta against the previous one (e33's grouped sibling;
+  // s6's counter-delta idiom on the orders axis). Natively
+  // `lag OVER (PARTITION BY o_orderpriority ORDER BY …)` plans as
+  // ClusteredDistribution(priority): FIVE tasks for the whole corpus,
+  // each buffering ~1/5th of 100 TB, for a computation whose data
+  // dependency is ONE neighboring row. GroupedOffsetRewrite
+  // (plans/GroupedOffset.scala) replans it onto the row-balanced
+  // (priority, date, orderkey) range exchange with key-gated
+  // boundary-value rings — O(partitions × offset) driver values,
+  // never rows. (o_orderdate, o_orderkey) is a total order per
+  // priority, so every offset value is deterministic → hash-exact
+  // oracle; exact cents; the first row of each priority takes the
+  // COALESCE default exactly like DuckDB.
+  // ---------------------------------------------------------------------
+  def q54PriorityDelta(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"o_orderpriority")
+      .orderBy($"o_orderdate", $"o_orderkey")
+    Tables.orders(s, d)
+      .select($"o_orderkey", $"o_orderpriority", $"o_orderdate",
+        (dec($"o_totalprice") * 100).cast("long").as("cents"))
+      .select($"o_orderkey", $"o_orderpriority", $"o_orderdate", $"cents",
+        lag($"cents", 1).over(w).as("prev_cents"),
+        coalesce($"cents" - lag($"cents", 1).over(w), lit(0L)).as("delta_cents"),
+        lead($"cents", 1).over(w).as("next_cents"))
+      .orderBy($"o_orderkey")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q54_priority_delta" -> (q54PriorityDelta _),
     "q53_trailing_year" -> (q53TrailingYear _),
     "q52_trailing_fleet" -> (q52TrailingFleetRevenue _),
     "q51_leaderboard_share" -> (q51LeaderboardShare _),
@@ -1632,6 +1666,21 @@ object Relational {
     // division of exact longs.
     // q53: q52's discipline with the 365-day (wide) frame; min is
     // value-exact, sums/counts cast back from HUGEINT.
+    // q54: (o_orderdate, o_orderkey) is a total order per priority, so
+    // lag/lead are deterministic in both engines; exact cents (BIGINT
+    // end-to-end), the first-row delta is the same COALESCE(…, 0).
+    "q54_priority_delta" ->
+      """WITH o AS (
+           SELECT o_orderkey, o_orderpriority, o_orderdate,
+                  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+           FROM orders)
+         SELECT o_orderkey, o_orderpriority, o_orderdate, cents,
+                CAST(lag(cents, 1) OVER w AS BIGINT) AS prev_cents,
+                CAST(COALESCE(cents - lag(cents, 1) OVER w, 0) AS BIGINT) AS delta_cents,
+                CAST(lead(cents, 1) OVER w AS BIGINT) AS next_cents
+         FROM o
+         WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderdate, o_orderkey)
+         ORDER BY o_orderkey""",
     "q53_trailing_year" ->
       """WITH o AS (
            SELECT o_orderkey, o_orderdate, epoch(o_orderdate) AS es,

@@ -159,10 +159,20 @@ class GroupedRankSpec extends AnyFunSuite {
       val topkPlan = topk.queryExecution.executedPlan.toString
       assert(topkPlan.contains("TopKFinal") && !topkPlan.contains("GroupedRank"),
         topkPlan.take(2000))
-      // mixed node (rank + lag over the same spec): not all-rank -> native
+      // mixed node (rank + lag over the same spec): not all-rank, so
+      // THIS rule bails — since r20 GroupedWindowSplit claims the pair
+      // and stacks GroupedRank over GroupedOffset on one exchange
       val mixed = base.select(rank().over(w).as("r"), lag($"k", 1).over(w).as("pk"))
       mixed.collect()
-      assert(!mixed.queryExecution.executedPlan.toString.contains("GroupedRank"))
+      val mixedPlan = mixed.queryExecution.executedPlan.toString
+      assert(mixedPlan.contains("GroupedRank") && mixedPlan.contains("GroupedOffset"),
+        mixedPlan.take(2000))
+      // a mixed node with an UNCLAIMABLE member still keeps the whole
+      // node native — no half-split
+      val unclaimed = base.select(rank().over(w).as("r"),
+        collect_list($"k").over(w).as("cl"))
+      unclaimed.collect()
+      assert(!unclaimed.queryExecution.executedPlan.toString.contains("GroupedRank"))
       // aggregate window -> native
       val agg = base.select(sum($"k").over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("s"))

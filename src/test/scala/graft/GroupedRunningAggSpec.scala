@@ -146,16 +146,16 @@ class GroupedRunningAggSpec extends AnyFunSuite {
     def planOf(df: DataFrame): String = df.queryExecution.executedPlan.toString
     // mixed grouped node (rank + running agg): since r18 this is
     // GroupedWindowSplit's match — both operators over one shared
-    // exchange (GroupedWindowSplitSpec owns the full coverage). The
-    // r14 stay-native rationale now applies only to offset-bearing
-    // mixes: a lag member keeps the WHOLE node native.
+    // exchange (GroupedWindowSplitSpec owns the full coverage). Since
+    // r20 offset-bearing mixes split too (GroupedOffset landed): a
+    // lag member stacks instead of keeping the node native.
     val mixed = data.select(rank().over(w).as("r"), sum($"cents").over(w).as("rs"))
     assert(planOf(mixed).contains("GroupedRunningAgg") &&
       planOf(mixed).contains("GroupedRank"))
     val offsetMix = data.select(lag($"cents", 1).over(w).as("p"),
       sum($"cents").over(w).as("rs"))
-    assert(!planOf(offsetMix).contains("GroupedRunningAgg") &&
-      !planOf(offsetMix).contains("GroupedRank"))
+    assert(planOf(offsetMix).contains("GroupedRunningAgg") &&
+      planOf(offsetMix).contains("GroupedOffset"))
     // typed-imperative aggregate
     val cl = data.select(collect_list($"cents").over(w).as("cl"))
     assert(!planOf(cl).contains("GroupedRunningAgg"))

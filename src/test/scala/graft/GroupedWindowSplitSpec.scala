@@ -18,10 +18,11 @@ import org.scalatest.funsuite.AnyFunSuite
   *     shared (part-asc, order) range exchange — no hashpartitioning
   *     of the group keys anywhere in the plan — with bit-equal
   *     results and the user's output column order;
-  *   - offset-class members (grouped lag/lead: no grouped operator,
-  *     recorded decision) and other unsupported members keep the
-  *     WHOLE node native — a half-split would pay the exchange and
-  *     still funnel the remainder;
+  *   - offset-class members (grouped lag/lead) stack
+  *     [[graft.plans.GroupedOffsetNode]] since r20; unsupported
+  *     members (imperative aggregates, ignoreNulls) keep the WHOLE
+  *     node native — a half-split would pay the exchange and still
+  *     funnel the remainder;
   *   - the kill switch, either family conf, either family's minBytes
   *     threshold, and the boundary-traffic byte guard each keep the
   *     node native;
@@ -41,12 +42,14 @@ class GroupedWindowSplitSpec extends AnyFunSuite {
       s"$what: ${bad.size}/${ref.size} rows diverge from native; first: ${bad.take(3)}")
   }
 
-  /** The split plus both grouped family rules off → guaranteed-native
+  /** The split plus the grouped family rules off → guaranteed-native
     * reference run. */
   private def allOff[A](body: => A): A =
     TestSpark.withConf(graft.plans.GroupedWindowSplit.ConfKey, "false") {
       TestSpark.withConf(graft.plans.GroupedRankRewrite.ConfKey, "false") {
-        TestSpark.withConf(graft.plans.GroupedRunningAggRewrite.ConfKey, "false")(body)
+        TestSpark.withConf(graft.plans.GroupedRunningAggRewrite.ConfKey, "false") {
+          TestSpark.withConf(graft.plans.GroupedOffsetRewrite.ConfKey, "false")(body)
+        }
       }
     }
 
@@ -118,20 +121,36 @@ class GroupedWindowSplitSpec extends AnyFunSuite {
     assertSame(q(on = true), allOff(q(on = false)), "desc-order mixed grouped split")
   }
 
-  test("offset-class member (grouped lag) keeps the WHOLE node native — no half-split") {
+  test("offset-class member (grouped lag, r20): rank + running + lag split onto THREE stacked operators on ONE exchange, bit-equal") {
     val s = spark
     import s.implicits._
-    // grouped lag/lead deliberately has no operator (recorded
-    // decision); a node mixing it with rank+sum must stay native
-    // whole rather than splitting the claimable classes around it
+    // pre-r20 an offset member kept the WHOLE node native (grouped
+    // lag had no operator); since GroupedOffset landed, the class
+    // stacks. The (o, id) order is total per group, so the lag values
+    // are deterministic and bit-equality well-defined.
+    def q(on: Boolean): Seq[Row] =
+      TestSpark.withConf(graft.plans.GroupedWindowSplit.ConfKey, on.toString) {
+        val w = Window.partitionBy($"g").orderBy($"o", $"id")
+        val df = data.select($"id", rank().over(w).as("r"),
+          sum($"cents").over(w).as("run"),
+          lag($"cents", 1).over(w).as("prev"),
+          lead($"cents", 2, -1L).over(w).as("nxt"))
+        if (on) {
+          val plan = df.queryExecution.executedPlan.toString
+          for (op <- Seq("GroupedRank", "GroupedRunningAgg", "GroupedOffset"))
+            assert(plan.contains(op), s"$op missing from the split plan:\n" + plan.take(2500))
+          assert(!plan.contains("Window ["), plan.take(2500))
+          assert(!plan.contains("Exchange hashpartitioning"), plan.take(2500))
+          val finalSection = plan.split("== Initial Plan ==").head
+          val nRange = finalSection.split("Exchange rangepartitioning").length - 1
+          assert(nRange == 1, s"three stacked operators must share ONE range exchange, got $nRange")
+        }
+        df.collect().toSeq.sortBy(_.getLong(0))
+      }
+    assertSame(q(on = true), allOff(q(on = false)), "rank+running+offset grouped split")
+    // a typed-imperative aggregate member still keeps the whole node
+    // native — no half-split
     val w = Window.partitionBy($"g").orderBy($"o")
-    val df = data.select($"id", rank().over(w).as("r"),
-      sum($"cents").over(w).as("run"), lag($"cents", 1).over(w).as("prev"))
-    val plan = df.queryExecution.executedPlan.toString
-    assert(!plan.contains("GroupedRank") && !plan.contains("GroupedRunningAgg"),
-      "offset member must keep the whole node native:\n" + plan.take(2500))
-    assert(df.collect().length == 8000)
-    // same for a typed-imperative aggregate member
     val df2 = data.select($"id", rank().over(w).as("r"),
       collect_list($"cents").over(w).as("cl"))
     val plan2 = df2.queryExecution.executedPlan.toString
@@ -379,16 +398,26 @@ class GroupedWindowSplitSpec extends AnyFunSuite {
       TestSpark.withConf(graft.plans.GroupedAggRewrite.ConfKey, "false")(body)
     assertSame(q(on = true), gaggOff(allOff(q(on = false))),
       "running + full-frame grouped split")
-    // offset member alongside a full-frame agg: grouped lag has no
-    // operator (recorded decision) — the WHOLE node stays native, no
-    // half-split even though the full-frame member alone is claimable
+    // offset member alongside a full-frame agg (r20): two claimable
+    // classes — GroupedOffset stacks over the order-free grouped
+    // Window that GroupedAggRewrite consumes (aggregate + join-back)
     val wLag = Window.partitionBy($"g").orderBy($"o", $"id")
-    val dfBail = data.select($"id",
-      lag($"cents", 1).over(wLag).as("prev"),
-      sum($"cents").over(wLag.rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing)).as("tot"))
-    assert(dfBail.queryExecution.executedPlan.toString.contains("Window ["),
-      "offset + full-frame mix must keep the whole node native")
+    def q2(on: Boolean): Seq[Row] =
+      TestSpark.withConf(graft.plans.GroupedWindowSplit.ConfKey, on.toString) {
+        val df = data.select($"id",
+          lag($"cents", 1).over(wLag).as("prev"),
+          sum($"cents").over(wLag.rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing)).as("tot"))
+        if (on) {
+          val plan = df.queryExecution.executedPlan.toString
+          assert(plan.contains("GroupedOffset") && plan.contains("Join") &&
+            !plan.contains("Window ["),
+            "offset+full-frame must split onto the operator + join:\n" + plan.take(3000))
+        }
+        df.collect().toSeq.sortBy(_.getLong(0))
+      }
+    assertSame(q2(on = true), gaggOff(allOff(q2(on = false))),
+      "offset + full-frame grouped split")
   }
 
   test("sliding member in a grouped mix (r18): rank + running + trailing frame stack all three operators on ONE exchange, bit-equal") {

@@ -399,18 +399,31 @@ class PlanAuditSpec extends AnyFunSuite {
       s"no window may survive anywhere in the kNN-graph build:\n${fin.take(3000)}")
   }
 
-  test("e32: ONE sort under the user_id exchange — last purchase derived on the ascending pass") {
+  test("e32: the TIMELINE is sorted exactly once — lag on GroupedOffset, max_by consuming its output order sort-free") {
     // r13 ranked the last purchase with a (ts DESC, event_id DESC)
     // row_number: same user_id exchange as the lag window, but a
     // second Sort + second window pass. r14 derives it with max_by
     // over the (ts, event_id) struct on the ascending pass, so the
-    // timeline is sorted exactly once per user.
+    // timeline is sorted exactly once per user. r20 replans the lag
+    // onto GroupedOffset (row-balanced (user, ts, id) range exchange
+    // instead of the per-user hash clustering): the partial max_by
+    // consumes the operator's output ordering with NO second timeline
+    // sort; the final merge adds one hash exchange + key-only sort of
+    // the PARTIAL rows (one per user per partition — aggregate-sized,
+    // not timeline-sized). e32 is the many-small-groups regime, so
+    // this is the family's documented asymmetric-cost default
+    // (README cost levers: raise groupedOffset.minBytes to prefer
+    // the native one-exchange plan when no group can outgrow a task).
     val p = plan("e32_prev_node")
-    val userSorts = "Sort \\[user_id".r.findAllIn(p).size
-    assert(userSorts == 1,
-      s"the per-user timeline must be sorted exactly once, got $userSorts:\n${p.take(3000)}")
-    val windows = "\\bWindow\\b".r.findAllIn(p).size
-    assert(windows == 1, s"only the lag window may remain, got $windows:\n${p.take(3000)}")
+    assert(p.contains("GroupedOffset"),
+      s"the lag must plan on the operator:\n${p.take(3000)}")
+    assert(!p.contains("Window ["),
+      s"no native window may survive:\n${p.take(3000)}")
+    // the full (user_id, ts, event_id) timeline sort appears exactly
+    // once — under the operator's range exchange
+    val timelineSorts = "Sort \\[user_id[^\\n]*ts".r.findAllIn(p).size
+    assert(timelineSorts == 1,
+      s"the per-user timeline must be sorted exactly once, got $timelineSorts:\n${p.take(3000)}")
   }
 
   test("q5: broadcast HINTS only on fixed-cardinality dims (region, nation)") {

@@ -409,7 +409,7 @@ class RangeSlidingAggSpec extends AnyFunSuite {
   // --- wide-frame consolidation (partition-total halo buffers) ---
 
   private def withConsolidate[A](on: Boolean)(body: => A): A =
-    TestSpark.withConf("spark.graft.rangeSlidingAgg.consolidate", on.toString)(body)
+    TestSpark.withConf(graft.plans.RangeSlidingAggRewrite.ConsolidateKey, on.toString)(body)
 
   /** The live exec after execution (descends AQE wrappers). */
   private def findExec(p: org.apache.spark.sql.execution.SparkPlan)
@@ -548,5 +548,80 @@ class RangeSlidingAggSpec extends AnyFunSuite {
     val ref = withRule(on = false)(q().collect().toSeq.sortBy(_.getLong(0)))
     assertSame(gotC, ref, "first/last under consolidation")
     assert(totC > 0, s"consolidation did not fire (totalHalo=$totC)")
+  }
+
+  test("DESC trailing frames via the negated-order workaround plan on the operator, value-equal to the native DESC window") {
+    val s = spark
+    import s.implicits._
+    // the recorded scope is ONE ASCENDING order column; a descending
+    // trailing frame is expressible by NEGATING the order column
+    // (RANGE frames depend only on value differences — README cost
+    // levers). Null order rows check the null-band claim: NULLS LAST
+    // (desc default) vs NULLS FIRST (asc default) is value-immaterial
+    // because a null row's frame is the whole null band either way.
+    val rows = (0 until 6000).map { i =>
+      (i.toLong,
+        if (i % 13 == 0) None else Some((i / 3).toLong * 7L),
+        if (i % 11 == 0) None else Some(((i * 37) % 1000).toLong))
+    }.toDF("id", "o", "cn")
+    val gotNeg = withRule(on = true) {
+      val w = Window.orderBy($"no")
+      val df = rows.withColumn("no", -$"o")
+        .select($"id",
+          sum($"cn").over(w.rangeBetween(-70, 0)).as("trail"),
+          count($"cn").over(w.rangeBetween(-70, 0)).as("trail_n"),
+          max($"cn").over(w.rangeBetween(-70, 0)).as("trail_hi"))
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("RangeSlidingAgg"),
+        "the negated-order form must plan on the operator:\n" + plan.take(2500))
+      assert(!plan.contains("Window ["), plan.take(2500))
+      df.collect().toSeq.map(r => (r.getLong(0), r.get(1), r.get(2), r.get(3)))
+        .sortBy(_._1)
+    }
+    val refDesc = withRule(on = false) {
+      val w = Window.orderBy($"o".desc)
+      rows.select($"id",
+          sum($"cn").over(w.rangeBetween(-70, 0)).as("trail"),
+          count($"cn").over(w.rangeBetween(-70, 0)).as("trail_n"),
+          max($"cn").over(w.rangeBetween(-70, 0)).as("trail_hi"))
+        .collect().toSeq.map(r => (r.getLong(0), r.get(1), r.get(2), r.get(3)))
+        .sortBy(_._1)
+    }
+    val bad = gotNeg.zip(refDesc).filter { case (g, r) => g != r }
+    assert(bad.isEmpty,
+      s"negated-order vs native DESC: ${bad.size}/${refDesc.size} diverge; first: ${bad.take(3)}")
+  }
+
+  test("maxRetainedBytes: a dense frame past the ceiling FAILS FAST with the remedy named; at the default it completes") {
+    val s = spark
+    import s.implicits._
+    // every row's frame covers the whole 9000-row corpus — the
+    // retention window holds all of it in one task's heap, the exact
+    // data-dependent shape the r19 verdict flagged (native spills,
+    // the operator's ArrayDeques did not bound). The ceiling turns
+    // the unattributable OOM into an actionable error.
+    def q(): DataFrame = {
+      val w = Window.orderBy($"o")
+      data.select($"id",
+        sum($"cn").over(w.rangeBetween(-100000, 100000)).as("tot"),
+        count($"cn").over(w.rangeBetween(-100000, 100000)).as("n"))
+    }
+    TestSpark.withConf(graft.plans.RangeSlidingAggRewrite.MaxRetainedBytesKey, "20000") {
+      withRule(on = true) {
+        val ex = intercept[Exception] { q().collect() }
+        def messages(t: Throwable): Seq[String] =
+          if (t == null) Nil
+          else Option(t.getMessage).toSeq ++ messages(t.getCause)
+        val all = messages(ex).mkString("\n")
+        assert(all.contains(graft.plans.RangeSlidingAggRewrite.MaxRetainedBytesKey),
+          s"the failure must name the conf to raise:\n$all")
+        assert(all.contains(graft.plans.RangeSlidingAggRewrite.ConfKey),
+          s"the failure must name the native fallback:\n$all")
+      }
+    }
+    // at the 8 GiB default the same query completes and matches native
+    val got = withRule(on = true)(q().collect().toSeq.sortBy(_.getLong(0)))
+    val ref = withRule(on = false)(q().collect().toSeq.sortBy(_.getLong(0)))
+    assertSame(got, ref, "dense full-cover frame under the default ceiling")
   }
 }
