@@ -181,32 +181,34 @@ case class GroupedOffsetExec(
 
     // Pass 1: the projected offset-input tuples (+ evaluated part
     // keys) of each partition's first maxLead and last maxLag rows —
-    // values, never rows (SlidingAgg's pass 1 with the offset
-    // projection).
+    // values, never rows. The stream retains ROW copies (one
+    // byte-array copy per row for the tail ring) and projects only
+    // the O(maxOffset) survivors at partition end: a multi-function
+    // node (s22's fifteen lags) would otherwise pay its whole
+    // projection width on EVERY pass-1 row just to discard it.
     val ends: Array[(Array[UnsafeRow], Array[UnsafeRow], Array[UnsafeRow], Array[UnsafeRow])] =
       rdd.sparkContext.runJob(rdd, (it: Iterator[InternalRow]) => {
-        val proj = UnsafeProjection.create(inputs, childOut)
-        val keyProj = UnsafeProjection.create(partExprs, childOut)
-        val headV = ArrayBuffer.empty[UnsafeRow]
-        val headK = ArrayBuffer.empty[UnsafeRow]
-        val tailV = new java.util.ArrayDeque[UnsafeRow](math.max(maxLag, 1))
-        val tailK = new java.util.ArrayDeque[UnsafeRow](math.max(maxLag, 1))
+        val headR = ArrayBuffer.empty[InternalRow]
+        val tailR = new java.util.ArrayDeque[InternalRow](math.max(maxLag, 1))
         while (it.hasNext) {
           val row = it.next()
-          val v = proj(row)
-          val k = keyProj(row)
-          if (headV.length < maxLead) {
-            headV += v.copy()
-            headK += k.copy()
+          var stored: InternalRow = null
+          if (headR.length < maxLead) {
+            stored = row.copy()
+            headR += stored
           }
           if (maxLag > 0) {
-            if (tailV.size == maxLag) { tailV.pollFirst(); tailK.pollFirst() }
-            tailV.addLast(v.copy())
-            tailK.addLast(k.copy())
+            if (tailR.size == maxLag) tailR.pollFirst()
+            tailR.addLast(if (stored != null) stored else row.copy())
           }
         }
-        (headV.toArray, headK.toArray,
-          tailV.toArray(Array.empty[UnsafeRow]), tailK.toArray(Array.empty[UnsafeRow]))
+        val proj = UnsafeProjection.create(inputs, childOut)
+        val keyProj = UnsafeProjection.create(partExprs, childOut)
+        val tail = tailR.toArray(Array.empty[InternalRow])
+        (headR.map(r => proj(r).copy()).toArray,
+          headR.map(r => keyProj(r).copy()).toArray,
+          tail.map(r => proj(r).copy()),
+          tail.map(r => keyProj(r).copy()))
       })
 
     // Driver stitch, group-AGNOSTIC (SlidingAgg's): prevTail(p) = the
@@ -247,11 +249,13 @@ case class GroupedOffsetExec(
     }
 
     // Pass 2: ring of the last maxLag (value, key) tuples + a
-    // maxLead-row lookahead queue. Each function reads the tuple at
-    // its exact signed offset; groups are CONTIGUOUS under the
+    // maxLead-row lookahead queue. Groups are CONTIGUOUS under the
     // part-asc range order, so the same-group predecessors are a
-    // prefix of the global ones and ONE key comparison at the
-    // looked-up depth decides neighbor-vs-default.
+    // prefix of the global ones: ONE scan per side per row fills a
+    // depth/offset-indexed scratch array, stopping at the first
+    // foreign-group entry (SlidingAgg's scratch-slice discipline —
+    // each function then reads its exact offset O(1), so a 16-lag EMA
+    // node costs maxLag steps per row, not Σ depths).
     rdd.mapPartitionsWithIndex({ (pid, it) =>
       val proj = UnsafeProjection.create(inputs, childOut)
       val keyProj = UnsafeProjection.create(partExprs, childOut)
@@ -271,6 +275,11 @@ case class GroupedOffsetExec(
       val ahead = new java.util.ArrayDeque[(InternalRow, UnsafeRow, UnsafeRow)](maxLead + 1)
       val nhV = nextHeadV(pid); val nhK = nextHeadK(pid)
 
+      // per-row scratch: the current row's SAME-GROUP neighbors,
+      // directly indexable (1-based; [d] = d rows before/after)
+      val pastByDepth = new Array[UnsafeRow](maxLag + 1)
+      val futureByOff = new Array[UnsafeRow](maxLead + 1)
+
       new Iterator[InternalRow] {
         private def fill(): Unit =
           while (ahead.size <= maxLead && it.hasNext) {
@@ -281,6 +290,44 @@ case class GroupedOffsetExec(
         override def next(): InternalRow = {
           fill()
           val (row, vals, key) = ahead.pollFirst()
+          // one newest-first scan of the past ring: the first foreign
+          // key ends the group's slice (contiguity)
+          var pastSame = 0
+          if (maxLag > 0) {
+            val itV = pastV.iterator(); val itK = pastK.iterator()
+            var go = true
+            while (go && itV.hasNext) {
+              val pv = itV.next(); val pk = itK.next()
+              if (keyOrd.compare(pk, key) == 0) {
+                pastSame += 1
+                pastByDepth(pastSame) = pv
+              } else go = false
+            }
+          }
+          // one scan of the future side: the queue (offsets 1..) then
+          // the stitched next head, stopping at the first foreign key
+          var futureSame = 0
+          if (maxLead > 0) {
+            var go = true
+            val itA = ahead.iterator()
+            while (go && futureSame < maxLead && itA.hasNext) {
+              val e = itA.next()
+              if (keyOrd.compare(e._3, key) == 0) {
+                futureSame += 1
+                futureByOff(futureSame) = e._2
+              } else go = false
+            }
+            if (go && futureSame == ahead.size) {
+              var idx = 0
+              while (go && futureSame < maxLead && idx < nhV.length) {
+                if (keyOrd.compare(nhK(idx), key) == 0) {
+                  futureSame += 1
+                  futureByOff(futureSame) = nhV(idx)
+                } else go = false
+                idx += 1
+              }
+            }
+          }
           var defRow: UnsafeRow = null
           var j = 0
           while (j < offs.length) {
@@ -289,29 +336,8 @@ case class GroupedOffsetExec(
             // neighbor is off-corpus or in a foreign group
             val src: UnsafeRow =
               if (o == 0) vals
-              else if (o < 0) {
-                val depth = -o
-                if (depth <= pastV.size) {
-                  var i = 1
-                  val itV = pastV.iterator(); val itK = pastK.iterator()
-                  var v: UnsafeRow = null; var k: UnsafeRow = null
-                  while (i <= depth) { v = itV.next(); k = itK.next(); i += 1 }
-                  if (keyOrd.compare(k, key) == 0) v else null
-                } else null
-              } else {
-                if (o <= ahead.size) {
-                  var i = 1
-                  val itA = ahead.iterator()
-                  var e: (InternalRow, UnsafeRow, UnsafeRow) = null
-                  while (i <= o) { e = itA.next(); i += 1 }
-                  if (keyOrd.compare(e._3, key) == 0) e._2 else null
-                } else {
-                  val idx = o - ahead.size
-                  if (idx <= nhV.length && keyOrd.compare(nhK(idx - 1), key) == 0)
-                    nhV(idx - 1)
-                  else null
-                }
-              }
+              else if (o < 0) { if (-o <= pastSame) pastByDepth(-o) else null }
+              else { if (o <= futureSame) futureByOff(o) else null }
             if (src != null) extra.update(j, src.get(j, types(j)))
             else {
               if (defRow == null) defRow = defProj(row)
