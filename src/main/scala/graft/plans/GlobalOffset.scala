@@ -176,22 +176,31 @@ case class GlobalOffsetExec(
     val rdd = child.execute()
 
     // Pass 1: per partition, the projected offset-input values of the
-    // first maxLead and last maxLag rows — values, not rows.
+    // first maxLead and last maxLag rows — values, not rows. The
+    // stream retains ROW copies (one byte-array copy per row for the
+    // tail ring) and projects only the O(maxOffset) survivors at
+    // partition end: a multi-function node would otherwise pay its
+    // whole projection width on EVERY pass-1 row just to discard it
+    // (the r20 GroupedOffset lesson, applied to the sibling).
     val ends: Array[(Array[UnsafeRow], Array[UnsafeRow])] =
       rdd.sparkContext.runJob(rdd, (it: Iterator[InternalRow]) => {
-        val proj = UnsafeProjection.create(inputs, childOut)
-        val first = ArrayBuffer.empty[UnsafeRow]
-        // ring of the last maxLag projected values
-        val last = new java.util.ArrayDeque[UnsafeRow](math.max(maxLag, 1))
+        val headR = ArrayBuffer.empty[InternalRow]
+        val tailR = new java.util.ArrayDeque[InternalRow](math.max(maxLag, 1))
         while (it.hasNext) {
-          val v = proj(it.next())
-          if (first.length < maxLead) first += v.copy()
+          val row = it.next()
+          var stored: InternalRow = null
+          if (headR.length < maxLead) {
+            stored = row.copy()
+            headR += stored
+          }
           if (maxLag > 0) {
-            if (last.size == maxLag) last.pollFirst()
-            last.addLast(v.copy())
+            if (tailR.size == maxLag) tailR.pollFirst()
+            tailR.addLast(if (stored != null) stored else row.copy())
           }
         }
-        (first.toArray, last.toArray(Array.empty[UnsafeRow]))
+        val proj = UnsafeProjection.create(inputs, childOut)
+        (headR.map(r => proj(r).copy()).toArray,
+          tailR.toArray(Array.empty[InternalRow]).map(r => proj(r).copy()))
       })
 
     // Driver stitch: prevTail(p) = the last maxLag values BEFORE
@@ -226,7 +235,10 @@ case class GlobalOffsetExec(
 
     // Pass 2: one streaming pass per partition — ring of the last
     // maxLag values (seeded from prevTail) + a maxLead-row lookahead
-    // queue that drains into nextHead past the partition's end.
+    // queue that drains into nextHead past the partition's end. ONE
+    // scan per side per row fills a depth/offset-indexed scratch
+    // array (the r20 scratch-slice discipline — a 15-lag node costs
+    // maxLag steps per row, not Σ depths).
     rdd.mapPartitionsWithIndex({ (pid, it) =>
       val proj = UnsafeProjection.create(inputs, childOut)
       val defProj = UnsafeProjection.create(defaults, childOut)
@@ -240,6 +252,10 @@ case class GlobalOffsetExec(
       val ahead = new java.util.ArrayDeque[(InternalRow, UnsafeRow)](maxLead + 1)
       val nh = nextHead(pid)
 
+      // per-row scratch (1-based; [d] = d rows before/after)
+      val pastByDepth = new Array[UnsafeRow](maxLag + 1)
+      val futureByOff = new Array[UnsafeRow](maxLead + 1)
+
       new Iterator[InternalRow] {
         private def fill(): Unit =
           while (ahead.size <= maxLead && it.hasNext) {
@@ -250,6 +266,28 @@ case class GlobalOffsetExec(
         override def next(): InternalRow = {
           fill()
           val (row, vals) = ahead.pollFirst()
+          var pastAvail = 0
+          if (maxLag > 0) {
+            val iter = past.iterator()
+            while (iter.hasNext) {
+              pastAvail += 1
+              pastByDepth(pastAvail) = iter.next()
+            }
+          }
+          var futureAvail = 0
+          if (maxLead > 0) {
+            val iter = ahead.iterator()
+            while (futureAvail < maxLead && iter.hasNext) {
+              futureAvail += 1
+              futureByOff(futureAvail) = iter.next()._2
+            }
+            var idx = 0
+            while (futureAvail < maxLead && idx < nh.length) {
+              futureAvail += 1
+              futureByOff(futureAvail) = nh(idx)
+              idx += 1
+            }
+          }
           var defRow: UnsafeRow = null
           var j = 0
           while (j < offs.length) {
@@ -257,25 +295,8 @@ case class GlobalOffsetExec(
             // the value row holding fn j's neighbor, null if off-corpus
             val src: UnsafeRow =
               if (o == 0) vals
-              else if (o < 0) {
-                val depth = -o
-                if (depth <= past.size) {
-                  var i = 1
-                  val iter = past.iterator()
-                  var r: UnsafeRow = null
-                  while (i <= depth) { r = iter.next(); i += 1 }
-                  r
-                } else null
-              } else {
-                if (o <= ahead.size) {
-                  var i = 1
-                  val iter = ahead.iterator()
-                  var r: UnsafeRow = null
-                  while (i <= o) { r = iter.next()._2; i += 1 }
-                  r
-                } else if (o - ahead.size <= nh.length) nh(o - ahead.size - 1)
-                else null
-              }
+              else if (o < 0) { if (-o <= pastAvail) pastByDepth(-o) else null }
+              else { if (o <= futureAvail) futureByOff(o) else null }
             if (src != null) extra.update(j, src.get(j, types(j)))
             else {
               if (defRow == null) defRow = defProj(row)

@@ -420,6 +420,51 @@ class GroupedWindowSplitSpec extends AnyFunSuite {
       "offset + full-frame grouped split")
   }
 
+  test("ALL SIX grouped classes in ONE select (r20): rank + running + offset + sliding + range-sliding + full-frame stack five operators over the agg join on ONE shared exchange, bit-equal") {
+    val s = spark
+    import s.implicits._
+    // unique o per group (total order) so every member — including
+    // the tie-arbitrary lag and ROWS frames — is deterministic
+    val six = (0 until 6000).map { i =>
+      (i.toLong, i % 3, (i / 3).toLong * 7L, ((i * 37) % 1000).toLong)
+    }.toDF("id", "g", "o", "cents")
+    val w = Window.partitionBy($"g").orderBy($"o")
+    def q(on: Boolean): Seq[Row] =
+      TestSpark.withConf(graft.plans.GroupedWindowSplit.ConfKey, on.toString) {
+        val df = six.select($"id", $"g",
+          rank().over(w).as("r"),
+          sum($"cents").over(w).as("run"),
+          lag($"cents", 2, -1L).over(w).as("prev2"),
+          min($"cents").over(w.rowsBetween(-3, 3)).as("band"),
+          sum($"cents").over(w.rangeBetween(-70, 0)).as("trail"),
+          max($"cents").over(w.rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing)).as("hi"))
+        if (on) {
+          val plan = df.queryExecution.executedPlan.toString
+          for (op <- Seq("GroupedRank", "GroupedRunningAgg", "GroupedOffset",
+              "SlidingAgg", "RangeSlidingAgg"))
+            assert(plan.contains(op), s"$op missing from the six-class split:\n" + plan.take(3000))
+          assert(plan.contains("Join"), "the full-frame class must aggregate + join back")
+          assert(!plan.contains("Window ["), plan.take(3000))
+          // the FACT rows never hash-cluster: the only hash exchange
+          // is the aggregate leg's partial-combined per-group max
+          // (group-count-sized), feeding the broadcast join-back
+          val nHash = plan.split("Exchange hashpartitioning").length - 1
+          assert(nHash == 1,
+            s"only the aggregate leg may hash-exchange, got $nHash:\n" + plan.take(3000))
+        }
+        df.collect().toSeq.sortBy(_.getLong(0))
+      }
+    def gaggOff2[A](body: => A): A =
+      TestSpark.withConf(graft.plans.GroupedAggRewrite.ConfKey, "false") {
+        TestSpark.withConf(graft.plans.SlidingAggRewrite.ConfKey, "false") {
+          TestSpark.withConf(graft.plans.RangeSlidingAggRewrite.ConfKey, "false")(body)
+        }
+      }
+    assertSame(q(on = true), gaggOff2(allOff(q(on = false))),
+      "six-class grouped split")
+  }
+
   test("sliding member in a grouped mix (r18): rank + running + trailing frame stack all three operators on ONE exchange, bit-equal") {
     val s = spark
     import s.implicits._
