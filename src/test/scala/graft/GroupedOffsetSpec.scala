@@ -156,6 +156,38 @@ class GroupedOffsetSpec extends AnyFunSuite {
     }
   }
 
+  test("adversarial shapes: 5-row corpus over many partitions; group edges exactly at partition edges; foreign-group stitched tails take the default") {
+    val s = spark
+    import s.implicits._
+    val w = Window.partitionBy($"g").orderBy($"o", $"id")
+    // 5 rows, offsets 3, shuffle partitions 4+: empty range partitions
+    // everywhere, frames wider than the data
+    val five = Seq((1L, 0, 1L), (2L, 0, 2L), (3L, 1, 1L), (4L, 1, 2L), (5L, 1, 3L))
+      .toDF("id", "g", "o").repartition(8)
+    def q5(on: Boolean): Seq[Row] = withRule(on) {
+      five.select($"id",
+          lag($"id", 3, -1L).over(w).as("l3"),
+          lead($"id", 3, -2L).over(w).as("f3"))
+        .collect().toSeq.sortBy(_.getLong(0))
+    }
+    assertSame(q5(on = true), q5(on = false), "5-row corpus")
+    // group edges EXACTLY at partition edges: a pre-existing range
+    // exchange on g ALONE puts each group's boundary on a partition
+    // boundary — the stitched prevTail/nextHead of every partition is
+    // then wholly FOREIGN-group, and every edge lookup must take the
+    // default through the key gate, never the stitched value
+    TestSpark.withConf("spark.sql.adaptive.coalescePartitions.enabled", "false") {
+      val aligned = data.repartitionByRange(4, $"g")
+      def qa(on: Boolean): Seq[Row] = withRule(on) {
+        aligned.select($"id", $"g",
+            lag($"cents", 2, -9L).over(w).as("p2"),
+            lead($"cents", 2, -8L).over(w).as("n2"))
+          .collect().toSeq.sortBy(_.getLong(0))
+      }
+      assertSame(qa(on = true), qa(on = false), "group-aligned partition edges")
+    }
+  }
+
   test("q54 graded plan: the grouped offset operator is live in the DuckDB-gated query — no native window, no hash exchange") {
     val s = spark
     val df = graft.relational.Relational.q54PriorityDelta(s, SfDir)
