@@ -22,6 +22,9 @@ import org.apache.spark.sql.functions._
   * `groupedoffsetchained` runs it over a pre-existing FINER
   * (g, o, id) exchange whose 200 boundaries split every group's
   * series, exercising the key-gated stitched rings at 50M;
+  * `groupedoffsetwide` probes the s22-EMA shape — fifteen lag depths
+  * in ONE node over few huge groups, the multi-function regime the
+  * scratch-array pass 2 exists for;
   * `running` probes GlobalRunningAgg on a corpus-global cumulative
   * sum+count (the q44 shape);
   * `chained` probes the r16 tie-chaining path AT SCALE: a FINER
@@ -132,7 +135,7 @@ object RankProbe {
       case "sliding" | "slidinggrouped" | "slidingchained" =>
         graft.plans.SlidingAggRewrite.ConfKey
       case "offset" => graft.plans.GlobalOffsetRewrite.ConfKey
-      case "groupedoffset" | "groupedoffsetchained" =>
+      case "groupedoffset" | "groupedoffsetchained" | "groupedoffsetwide" =>
         graft.plans.GroupedOffsetRewrite.ConfKey
       case "running" => graft.plans.GlobalRunningAggRewrite.ConfKey
       case _ => graft.plans.GlobalRankRewrite.ConfKey
@@ -263,6 +266,17 @@ object RankProbe {
             .select(($"k" - lag($"k", 1, 0L).over(wg)).as("dk"),
               lead($"k", 2, 0L).over(wg).as("nk"))
             .agg(sum($"dk") + min($"nk") + max($"nk")).head()
+        case "groupedoffsetwide" =>
+          // the s22-EMA shape at scale: FIFTEEN lag depths in one
+          // node over few huge groups — the multi-function regime the
+          // scratch-array pass-2 and the project-at-end pass-1 exist
+          // for (per-row cost maxLag scan steps, not Σ depths; pass 1
+          // copies rows, projecting only the O(maxOffset) survivors)
+          val wg15 = Window.partitionBy($"g").orderBy($"k", $"id")
+          val base15 = df.withColumn("g", pmod($"id", lit(nGroups.toLong)))
+          val lags = (1 to 15).map(j => lag($"k", j, 0L).over(wg15))
+          base15.select(pmod(lags.reduce(_ + _) + $"k", lit(1000000007L)).as("x"))
+            .agg(sum($"x")).head()
         case "groupedoffsetchained" =>
           // the key-gated rings over a REUSED pre-existing FINER
           // (g, o, id) 200-partition exchange: every boundary splits

@@ -69,17 +69,25 @@ class FloatKeyProbeSpec extends AnyFunSuite {
           }
         }
       withAll(on.toString) {
-        val rankDf = data.select($"id",
-          rank().over(w).as("r"))
-        val runDf = data.select($"id",
-          sum($"cents").over(w).as("run"))
-        val aggDf = data.select($"id",
-          sum($"cents").over(Window.partitionBy($"d")).as("tot"),
-          count(lit(1)).over(Window.partitionBy($"d")).as("n"))
-        val slideDf = data.select($"id",
-          sum($"cents").over(w.rowsBetween(-3, 0)).as("m"))
-        Seq(rankDf, runDf, aggDf, slideDf)
-          .map(_.collect().toSeq.sortBy(_.getLong(0)))
+        TestSpark.withConf(graft.plans.GroupedOffsetRewrite.ConfKey, on.toString) {
+          val rankDf = data.select($"id",
+            rank().over(w).as("r"))
+          val runDf = data.select($"id",
+            sum($"cents").over(w).as("run"))
+          val aggDf = data.select($"id",
+            sum($"cents").over(Window.partitionBy($"d")).as("tot"),
+            count(lit(1)).over(Window.partitionBy($"d")).as("n"))
+          val slideDf = data.select($"id",
+            sum($"cents").over(w.rowsBetween(-3, 0)).as("m"))
+          // the sixth grouped operator (r20): the pass-2 key gate
+          // compares evaluated double keys through RowOrdering, which
+          // must reproduce NormalizeFloatingNumbers' NaN/-0.0 grouping
+          val offDf = data.select($"id",
+            lag($"cents", 2, -1L).over(w).as("p2"),
+            lead($"cents", 1).over(w).as("n1"))
+          Seq(rankDf, runDf, aggDf, slideDf, offDf)
+            .map(_.collect().toSeq.sortBy(_.getLong(0)))
+        }
       }
     }
     q(on = true).zip(q(on = false)).zipWithIndex.foreach { case ((g, r), i) =>
