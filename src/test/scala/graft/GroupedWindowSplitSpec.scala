@@ -247,6 +247,35 @@ class GroupedWindowSplitSpec extends AnyFunSuite {
         }
       assertSame(q(on = true), allOff(q(on = false)),
         "stacked grouped pair under finer exchange")
+      // r20: the offset class rides the same reused finer exchange —
+      // a rank+running+lag mix over the TOTAL (o, id) order (offsets
+      // are tie-arbitrary, so the canary makes the order total) must
+      // stack THREE operators on the ONE pre-existing exchange, with
+      // group segments still split at every partition boundary
+      def q3(on: Boolean): Seq[Row] =
+        TestSpark.withConf(graft.plans.GroupedWindowSplit.ConfKey, on.toString) {
+          val wt = Window.partitionBy($"g").orderBy($"o", $"id")
+          val df = df0
+            .orderBy($"g", $"o", $"id")
+            .select($"id",
+              rank().over(wt).as("r"),
+              sum($"cents").over(wt).as("rs"),
+              lag($"cents", 3, -1L).over(wt).as("p3"),
+              lead($"cents", 2).over(wt).as("n2"))
+          val rows = df.collect().toSeq
+          if (on) {
+            val plan = df.queryExecution.executedPlan.toString
+            for (op <- Seq("GroupedRank", "GroupedRunningAgg", "GroupedOffset"))
+              assert(plan.contains(op), plan.take(2500))
+            val finalSection = plan.split("== Initial Plan ==").head
+            val nRange = finalSection.split("Exchange rangepartitioning").length - 1
+            assert(nRange == 1,
+              s"the three-operator stack must reuse the finer exchange alone, got $nRange")
+          }
+          rows.sortBy(_.getLong(0))
+        }
+      assertSame(q3(on = true), allOff(q3(on = false)),
+        "stacked rank+running+offset under finer exchange")
     }
   }
 
