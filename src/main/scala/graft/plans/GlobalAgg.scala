@@ -224,7 +224,7 @@ private[plans] object AggLegPeel {
   private def isGraftWindowOp(n: LogicalPlan): Boolean = n match {
     case _: GlobalRankNode | _: GlobalRunningAggNode | _: GlobalOffsetNode |
          _: SlidingAggNode | _: GroupedRankNode | _: GroupedRunningAggNode |
-         _: RangeSlidingAggNode => true
+         _: RangeSlidingAggNode | _: GroupedOffsetNode => true
     case _ => false
   }
 }

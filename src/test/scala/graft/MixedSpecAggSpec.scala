@@ -316,6 +316,25 @@ class MixedSpecAggSpec extends AnyFunSuite {
     val rjoin = rafter.collectFirst { case j: LJoin => j }.get
     assert(!rjoin.right.exists(_.isInstanceOf[graft.plans.RangeSlidingAggNode]),
       "the aggregate leg must not replay the RANGE operator:\n" + rjoin.right)
+    // the grouped OFFSET cousin (r20): GroupedOffsetRewrite first,
+    // then GroupedAggRewrite must peel the GroupedOffsetNode out of
+    // its aggregate leg (the new node joined isGraftWindowOp in the
+    // same commit as the operator — this pins the order-independence
+    // backstop for the sixth class)
+    val oanalyzed = s.sql("""
+      SELECT id, g, cents,
+             lag(cents, 1) OVER (PARTITION BY g ORDER BY id) AS prev,
+             sum(cents) OVER (PARTITION BY g) AS gtot
+      FROM msa_r""").queryExecution.analyzed
+    val osplit = graft.plans.GroupedOffsetRewrite(oanalyzed)
+    assert(osplit.exists(_.isInstanceOf[graft.plans.GroupedOffsetNode]),
+      "test setup: the grouped offset rewrite must have fired first:\n" + osplit)
+    val oafter = graft.plans.GroupedAggRewrite(osplit)
+    assert(!oafter.exists(_.isInstanceOf[LWindow]),
+      "GroupedAggRewrite must consume the group total above the offset operator:\n" + oafter)
+    val ojoin = oafter.collectFirst { case j: LJoin => j }.get
+    assert(!ojoin.right.exists(_.isInstanceOf[graft.plans.GroupedOffsetNode]),
+      "the aggregate leg must not replay the offset operator:\n" + ojoin.right)
   }
 
   test("q51 graded plan: GlobalRank + broadcast total + grouped join-back, zero native windows") {
