@@ -181,8 +181,9 @@ private[plans] object ExprIdFreshener {
   *   - the graft operator nodes ([[GlobalRankNode]],
   *     [[GlobalRunningAggNode]], [[GlobalOffsetNode]],
   *     [[SlidingAggNode]], [[GroupedRankNode]],
-  *     [[GroupedRunningAggNode]] — none of their produced attributes
-  *     referenced). These are also exactly the nodes
+  *     [[GroupedRunningAggNode]], [[RangeSlidingAggNode]],
+  *     [[GroupedOffsetNode]] (r20) — none of their produced
+  *     attributes referenced). These are also exactly the nodes
   *     [[ExprIdFreshener]] cannot deep-copy (their fn payloads are
   *     opaque to the expression walk), so peeling them is what lets
   *     [[GlobalAggRewrite]]/[[GroupedAggRewrite]] fire ABOVE a
