@@ -256,7 +256,53 @@ case class GlobalOffsetExec(
       val pastByDepth = new Array[UnsafeRow](maxLag + 1)
       val futureByOff = new Array[UnsafeRow](maxLead + 1)
 
-      new Iterator[InternalRow] {
+      def emit(row: InternalRow, vals: UnsafeRow, futureAvail: Int): InternalRow = {
+        var pastAvail = 0
+        if (maxLag > 0) {
+          val iter = past.iterator()
+          while (iter.hasNext) {
+            pastAvail += 1
+            pastByDepth(pastAvail) = iter.next()
+          }
+        }
+        var defRow: UnsafeRow = null
+        var j = 0
+        while (j < offs.length) {
+          val o = offs(j)
+          // the value row holding fn j's neighbor, null if off-corpus
+          val src: UnsafeRow =
+            if (o == 0) vals
+            else if (o < 0) { if (-o <= pastAvail) pastByDepth(-o) else null }
+            else { if (o <= futureAvail) futureByOff(o) else null }
+          if (src != null) extra.update(j, src.get(j, types(j)))
+          else {
+            if (defRow == null) defRow = defProj(row)
+            extra.update(j, defRow.get(j, defaults(j).dataType))
+          }
+          j += 1
+        }
+        if (maxLag > 0) {
+          if (past.size == maxLag) past.pollLast()
+          past.addFirst(vals)
+        }
+        toUnsafe(joined(row, extra))
+      }
+
+      if (maxLead == 0) {
+        // Lag-only nodes (the runningDifference idiom): rows stream
+        // straight through with NO per-row full-row copy; only the
+        // projected vals tuple is copied, and only because the past
+        // ring retains it across calls (SlidingAgg's trailing-only
+        // discipline, r20).
+        new Iterator[InternalRow] {
+          override def hasNext: Boolean = it.hasNext
+          override def next(): InternalRow = {
+            val row = it.next()
+            val vals = if (maxLag > 0) proj(row).copy() else proj(row)
+            emit(row, vals, futureAvail = 0)
+          }
+        }
+      } else new Iterator[InternalRow] {
         private def fill(): Unit =
           while (ahead.size <= maxLead && it.hasNext) {
             val r = it.next().copy()
@@ -266,49 +312,19 @@ case class GlobalOffsetExec(
         override def next(): InternalRow = {
           fill()
           val (row, vals) = ahead.pollFirst()
-          var pastAvail = 0
-          if (maxLag > 0) {
-            val iter = past.iterator()
-            while (iter.hasNext) {
-              pastAvail += 1
-              pastByDepth(pastAvail) = iter.next()
-            }
-          }
           var futureAvail = 0
-          if (maxLead > 0) {
-            val iter = ahead.iterator()
-            while (futureAvail < maxLead && iter.hasNext) {
-              futureAvail += 1
-              futureByOff(futureAvail) = iter.next()._2
-            }
-            var idx = 0
-            while (futureAvail < maxLead && idx < nh.length) {
-              futureAvail += 1
-              futureByOff(futureAvail) = nh(idx)
-              idx += 1
-            }
+          val iter = ahead.iterator()
+          while (futureAvail < maxLead && iter.hasNext) {
+            futureAvail += 1
+            futureByOff(futureAvail) = iter.next()._2
           }
-          var defRow: UnsafeRow = null
-          var j = 0
-          while (j < offs.length) {
-            val o = offs(j)
-            // the value row holding fn j's neighbor, null if off-corpus
-            val src: UnsafeRow =
-              if (o == 0) vals
-              else if (o < 0) { if (-o <= pastAvail) pastByDepth(-o) else null }
-              else { if (o <= futureAvail) futureByOff(o) else null }
-            if (src != null) extra.update(j, src.get(j, types(j)))
-            else {
-              if (defRow == null) defRow = defProj(row)
-              extra.update(j, defRow.get(j, defaults(j).dataType))
-            }
-            j += 1
+          var idx = 0
+          while (futureAvail < maxLead && idx < nh.length) {
+            futureAvail += 1
+            futureByOff(futureAvail) = nh(idx)
+            idx += 1
           }
-          if (maxLag > 0) {
-            if (past.size == maxLag) past.pollLast()
-            past.addFirst(vals)
-          }
-          toUnsafe(joined(row, extra))
+          emit(row, vals, futureAvail)
         }
       }
     }, preservesPartitioning = true)

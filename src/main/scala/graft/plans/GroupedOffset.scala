@@ -280,7 +280,64 @@ case class GroupedOffsetExec(
       val pastByDepth = new Array[UnsafeRow](maxLag + 1)
       val futureByOff = new Array[UnsafeRow](maxLead + 1)
 
-      new Iterator[InternalRow] {
+      def emit(row: InternalRow, vals: UnsafeRow, key: UnsafeRow,
+          futureSame: Int): InternalRow = {
+        // one newest-first scan of the past ring: the first foreign
+        // key ends the group's slice (contiguity)
+        var pastSame = 0
+        if (maxLag > 0) {
+          val itV = pastV.iterator(); val itK = pastK.iterator()
+          var go = true
+          while (go && itV.hasNext) {
+            val pv = itV.next(); val pk = itK.next()
+            if (keyOrd.compare(pk, key) == 0) {
+              pastSame += 1
+              pastByDepth(pastSame) = pv
+            } else go = false
+          }
+        }
+        var defRow: UnsafeRow = null
+        var j = 0
+        while (j < offs.length) {
+          val o = offs(j)
+          // the value tuple at fn j's exact offset, null when the
+          // neighbor is off-corpus or in a foreign group
+          val src: UnsafeRow =
+            if (o == 0) vals
+            else if (o < 0) { if (-o <= pastSame) pastByDepth(-o) else null }
+            else { if (o <= futureSame) futureByOff(o) else null }
+          if (src != null) extra.update(j, src.get(j, types(j)))
+          else {
+            if (defRow == null) defRow = defProj(row)
+            extra.update(j, defRow.get(j, defaults(j).dataType))
+          }
+          j += 1
+        }
+        if (maxLag > 0) {
+          if (pastV.size == maxLag) { pastV.pollLast(); pastK.pollLast() }
+          pastV.addFirst(vals)
+          pastK.addFirst(key)
+        }
+        toUnsafe(joined(row, extra))
+      }
+
+      if (maxLead == 0) {
+        // Lag-only nodes (the runningDifference idiom — the most
+        // common shape): the current row is emitted in the same call,
+        // so rows stream straight through with NO per-row full-row
+        // copy (SlidingAgg's trailing-only discipline); only the
+        // projected vals/key tuples are copied, and only because the
+        // past ring retains them across calls.
+        new Iterator[InternalRow] {
+          override def hasNext: Boolean = it.hasNext
+          override def next(): InternalRow = {
+            val row = it.next()
+            val vals = if (maxLag > 0) proj(row).copy() else proj(row)
+            val key = if (maxLag > 0) keyProj(row).copy() else keyProj(row)
+            emit(row, vals, key, futureSame = 0)
+          }
+        }
+      } else new Iterator[InternalRow] {
         private def fill(): Unit =
           while (ahead.size <= maxLead && it.hasNext) {
             val r = it.next().copy()
@@ -290,67 +347,29 @@ case class GroupedOffsetExec(
         override def next(): InternalRow = {
           fill()
           val (row, vals, key) = ahead.pollFirst()
-          // one newest-first scan of the past ring: the first foreign
-          // key ends the group's slice (contiguity)
-          var pastSame = 0
-          if (maxLag > 0) {
-            val itV = pastV.iterator(); val itK = pastK.iterator()
-            var go = true
-            while (go && itV.hasNext) {
-              val pv = itV.next(); val pk = itK.next()
-              if (keyOrd.compare(pk, key) == 0) {
-                pastSame += 1
-                pastByDepth(pastSame) = pv
-              } else go = false
-            }
-          }
           // one scan of the future side: the queue (offsets 1..) then
           // the stitched next head, stopping at the first foreign key
           var futureSame = 0
-          if (maxLead > 0) {
-            var go = true
-            val itA = ahead.iterator()
-            while (go && futureSame < maxLead && itA.hasNext) {
-              val e = itA.next()
-              if (keyOrd.compare(e._3, key) == 0) {
+          var go = true
+          val itA = ahead.iterator()
+          while (go && futureSame < maxLead && itA.hasNext) {
+            val e = itA.next()
+            if (keyOrd.compare(e._3, key) == 0) {
+              futureSame += 1
+              futureByOff(futureSame) = e._2
+            } else go = false
+          }
+          if (go && futureSame == ahead.size) {
+            var idx = 0
+            while (go && futureSame < maxLead && idx < nhV.length) {
+              if (keyOrd.compare(nhK(idx), key) == 0) {
                 futureSame += 1
-                futureByOff(futureSame) = e._2
+                futureByOff(futureSame) = nhV(idx)
               } else go = false
-            }
-            if (go && futureSame == ahead.size) {
-              var idx = 0
-              while (go && futureSame < maxLead && idx < nhV.length) {
-                if (keyOrd.compare(nhK(idx), key) == 0) {
-                  futureSame += 1
-                  futureByOff(futureSame) = nhV(idx)
-                } else go = false
-                idx += 1
-              }
+              idx += 1
             }
           }
-          var defRow: UnsafeRow = null
-          var j = 0
-          while (j < offs.length) {
-            val o = offs(j)
-            // the value tuple at fn j's exact offset, null when the
-            // neighbor is off-corpus or in a foreign group
-            val src: UnsafeRow =
-              if (o == 0) vals
-              else if (o < 0) { if (-o <= pastSame) pastByDepth(-o) else null }
-              else { if (o <= futureSame) futureByOff(o) else null }
-            if (src != null) extra.update(j, src.get(j, types(j)))
-            else {
-              if (defRow == null) defRow = defProj(row)
-              extra.update(j, defRow.get(j, defaults(j).dataType))
-            }
-            j += 1
-          }
-          if (maxLag > 0) {
-            if (pastV.size == maxLag) { pastV.pollLast(); pastK.pollLast() }
-            pastV.addFirst(vals)
-            pastK.addFirst(key)
-          }
-          toUnsafe(joined(row, extra))
+          emit(row, vals, key, futureSame)
         }
       }
     }, preservesPartitioning = true)
