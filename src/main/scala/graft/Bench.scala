@@ -87,6 +87,12 @@ object BenchCore {
   }
 
   private var base: Double = -1.0
+
+  /** The current quiet-machine sentinel baseline (min over every
+    * calibration run so far; -1 before [[initBaseline]]). Recorded in
+    * the bench artifact so cross-round comparisons can separate
+    * machine weather from structural change (r21, verdict #3). */
+  def sentinelBaseline: Double = base
 }
 
 /** Benchmark main — one JSON line on stdout for the driver. */
@@ -112,7 +118,14 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // sentinel: the load-calibration plan's quiet-machine baseline
+    // (min over the whole run — BenchCore tightens it continuously).
+    // Recording it IN the artifact lets round-over-round comparisons
+    // normalize out machine weather (the r20 verdict's #3): ambient
+    // drift moves the sentinel and the queries together, structural
+    // regressions move only the queries.
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""sentinel":${BenchCore.sentinelBaseline},"sf":"$sfDir"}"""
     println(line)
     // Truncation-proof copy: the round-9 graded artifact lost its tail
     // (d1-d9/e1/e2 missing) to stdout capture truncation; the same JSON

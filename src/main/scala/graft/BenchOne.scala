@@ -8,6 +8,7 @@ object BenchOne {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Tables.session(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
+    Tables.applyEnvConfs(spark) // value-lever A/Bs (e.g. minBytes=0)
     BenchCore.initBaseline(spark)
     for (name <- args) {
       val t = BenchCore.measure(spark, sfDir, SparkEntry.queries(name))

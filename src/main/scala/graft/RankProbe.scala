@@ -114,6 +114,7 @@ object RankProbe {
     val mode = if (args.length > 1) args(1) else "rank"
     val nGroups = if (args.length > 2) args(2).toInt else 4
     val s = Tables.session(32)
+    Tables.applyEnvConfs(s) // e.g. the r21 spill-threshold probe
     import s.implicits._
     val df = s.range(n).select($"id",
       pmod($"id" * 2654435761L, lit(1000000007L)).as("k"))

@@ -107,6 +107,22 @@ object GraftExtensions extends SparkSessionExtensionsProvider {
     // SlidingAgg's key-gated boundary-value rings.
     ext.injectOptimizerRule(_ => graft.plans.GroupedOffsetRewrite)
     ext.injectPlannerStrategy(_ => graft.plans.GroupedOffsetStrategy)
+    // Adjacent offset nodes over the same (part, order) merge into
+    // ONE multi-function node (r21): the withColumn-chain idiom
+    // analyzes into a window tower CollapseWindow only partially
+    // merges, and a stacked offset pile pays pass-1 + pass-2 PER
+    // node. Same fixed-point batch as the rewrites and
+    // CollapseProject, so towers of any height converge.
+    ext.injectOptimizerRule(_ => graft.plans.CombineOffsetNodes)
+    // Pre-CBO, AFTER the fixed point settles (so towers are already
+    // merged): a LONE offset node whose input sits below the family's
+    // small-input gate (minBytes, default `auto` = the advisory
+    // partition size) demotes back to ONE native window — the
+    // operator's fixed extra jobs buy nothing on an input that
+    // coalesces to a single post-exchange task. Stacked members never
+    // demote (they share the family's one range exchange). Running
+    // here cannot loop with the rewrite (separate batch, Once).
+    ext.injectPreCBORule(_ => graft.plans.DemoteSmallOffsetNodes)
     // Corpus-global RUNNING aggregates (sum(x) OVER (ORDER BY …)) —
     // the last empty-PARTITION-BY funnel: a distributed prefix scan
     // (per-partition partials + driver prefix fold + seeded pass).

@@ -255,8 +255,15 @@ case class GlobalRunningAggExec(
     // partition boundaries. O(partitions) buffer/key rows either way;
     // the shipped facts are order-key statistics and commutative
     // buffers, insensitive to tie-permutation between the passes.
+    // A SINGLE post-exchange partition (AQE coalescing on a small
+    // input) needs no prefix and no tie chain — every pass-1 fact is
+    // vacuous (prefix(0) is the init state, no cross-partition run
+    // exists), so the whole job is skipped (r21 fixed-cost trim; the
+    // null partial is guarded in the prefix fold below).
     val partStats: Array[RunningPartStats] =
-      rdd.sparkContext.runJob(rdd, (it: Iterator[InternalRow]) => {
+      if (rdd.getNumPartitions <= 1)
+        Array.fill(rdd.getNumPartitions)(RunningPartStats(null, null, null, null))
+      else rdd.sparkContext.runJob(rdd, (it: Iterator[InternalRow]) => {
         val kit = new RunningKit(aggFns, childOut)
         kit.init()
         if (!anyRange) {
@@ -296,7 +303,7 @@ case class GlobalRunningAggExec(
       var p = 0
       while (p < nParts) {
         prefixes(p) = kit.snapshot()
-        kit.merge(partials(p))
+        if (partials(p) != null) kit.merge(partials(p)) // null = skipped pass 1
         p += 1
       }
     }

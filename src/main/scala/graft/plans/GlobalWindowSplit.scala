@@ -217,8 +217,7 @@ object GlobalWindowSplit extends Rule[LogicalPlan] {
           val slidingOk = slidings.isEmpty || {
             val extent = slidings.map(f => math.max(0, -f.lo)).max +
               slidings.map(f => math.max(0, f.hi)).max
-            child.stats.sizeInBytes >= SQLConf.get
-              .getConfString(SlidingAggRewrite.MinBytesKey, "0").toLong &&
+            child.stats.sizeInBytes >= SlidingAggRewrite.minBytes &&
               PlanGuards.valueTrafficOk("GlobalWindowSplit/sliding",
                 slidings.flatMap(_.fn.references.toSeq).distinct, Nil,
                 math.max(extent, 1))
@@ -238,8 +237,13 @@ object GlobalWindowSplit extends Rule[LogicalPlan] {
           // the RANGE-value class honors its own minBytes lever
           val rangeOk = rangeSlidings.isEmpty ||
             child.stats.sizeInBytes >= RangeSlidingAggRewrite.minBytes
+          // the offset class honors its r21 small-input gate — below
+          // it the single-class node would stay native, so the split
+          // must not force the operator (the grouped split's rule)
+          val offsetOk = offsets.isEmpty ||
+            child.stats.sizeInBytes >= GlobalOffsetRewrite.minBytes
           if (classes < 2 || !allEnabled || !fullAggPlannable || !slidingOk ||
-              !rangeOk) w
+              !rangeOk || !offsetOk) w
           else {
             logInfo(s"GlobalWindowSplit: splitting a mixed global window " +
               s"(${ranks.size} rank, ${runnings.size} running-agg, " +

@@ -94,7 +94,7 @@ object GroupedAggRewrite extends Rule[LogicalPlan] {
   private def enabled: Boolean =
     SQLConf.get.getConfString(ConfKey, "true").toBoolean
 
-  private def minBytes: Long =
+  private[plans] def minBytes: Long =
     SQLConf.get.getConfString(MinBytesKey, "0").toLong
 
   private def fullFrame(f: WindowFrame): Boolean = f match {

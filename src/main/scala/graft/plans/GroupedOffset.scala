@@ -72,8 +72,9 @@ import org.apache.spark.sql.types.DataType
   * on top); partition keys deterministic AND orderable (promoted
   * into RangePartitioning); deterministic order and subtree;
   * non-streaming child (two jobs, one shuffle).
-  * `spark.graft.groupedOffset.minBytes` (default 0) is the grouped
-  * family's many-small-groups cost lever;
+  * `spark.graft.groupedOffset.minBytes` (default `auto` = the
+  * session's AQE advisory partition size, 64 MB stock) is the
+  * family's small-input cost gate — see [[minBytes]];
   * `spark.graft.groupedOffset.enabled=false` the kill switch /
   * equivalence-spec A/B lever.
   */
@@ -89,28 +90,51 @@ object GroupedOffsetRewrite extends Rule[LogicalPlan] {
   private[plans] def maxOffset: Int =
     SQLConf.get.getConfString(MaxOffsetKey, "128").toInt
 
-  private def minBytes: Long =
-    SQLConf.get.getConfString(MinBytesKey, "0").toLong
+  /** Small-input cost gate (r21, the r20 verdict's #1b) — consumed by
+    * [[DemoteSmallOffsetNodes]] (pre-CBO, AFTER tower merging) and by
+    * the split rules, NOT by the rewrite itself: the rewrite always
+    * claims the class so [[CombineOffsetNodes]] can merge withColumn
+    * towers first. Default `auto` resolves to the session's
+    * `spark.sql.adaptive.advisoryPartitionSizeInBytes` (64 MB stock):
+    * an input below one advisory partition coalesces to a single
+    * post-exchange task, where the operator is the native single-task
+    * pass plus the sample/boundary jobs. Explicit numbers (incl. 0 =
+    * never demote) override; the asymmetric-cost argument governs
+    * everything above the gate. */
+  private[plans] def minBytes: Long =
+    SQLConf.get.getConfString(MinBytesKey, "auto") match {
+      case "auto" => SQLConf.get.getConf(SQLConf.ADVISORY_PARTITION_SIZE_IN_BYTES)
+      case s => s.toLong
+    }
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!enabled) return plan
     val cap = maxOffset
     plan.transformUp {
+      // no size gate HERE (r21): the rewrite always claims the class
+      // so [[CombineOffsetNodes]] can merge withColumn towers; the
+      // minBytes decision is taken AFTER merging by
+      // [[DemoteSmallOffsetNodes]] (pre-CBO), where a lone small-input
+      // node returns to ONE native window
       case w @ LogicalWindow(wexprs, part, order, child, _)
           if part.nonEmpty && order.nonEmpty && wexprs.nonEmpty &&
             !child.isStreaming &&
             part.forall(e => e.deterministic && RowOrdering.isOrderable(e.dataType)) &&
             order.forall(_.deterministic) &&
-            PlanGuards.subtreeDeterministic(child) &&
-            child.stats.sizeInBytes >= minBytes =>
+            PlanGuards.subtreeDeterministic(child) =>
         val fns = wexprs.map(GlobalOffsetRewrite.supported(_, part, order, cap))
         if (fns.forall(_.isDefined)) {
           val flat = fns.flatten
-          val maxOff = flat.map(f => math.abs(f.offset)).max
-          // ring-tuple width: one projected column per function, plus
-          // the evaluated part keys (added by the guard itself)
+          // pass 1 ships each partition's first maxLead AND last
+          // maxLag tuples, so the guarded extent is their SUM, not the
+          // max — a lag+lead mix (the q54 shape) ships both sides
+          // (r20 ADVICE). Ring-tuple width: one projected column per
+          // function, plus the evaluated part keys (added by the
+          // guard itself).
+          val extent = flat.map(f => math.max(0, -f.offset)).max +
+            flat.map(f => math.max(0, f.offset)).max
           if (PlanGuards.valueTrafficOk("GroupedOffset", flat.map(_.input),
-              part, math.max(maxOff, 1)))
+              part, math.max(extent, 1)))
             GroupedOffsetNode(part, order, flat, child)
           else w
         } else w
@@ -176,8 +200,11 @@ case class GroupedOffsetExec(
     val maxLag = offs.foldLeft(0)((m, o) => math.max(m, -o))
     val maxLead = offs.foldLeft(0)((m, o) => math.max(m, o))
     val rdd = child.execute()
-    PlanGuards.runtimeValueTrafficWarn("GroupedOffset", rdd.getNumPartitions,
-      inputs, partExprs, math.max(math.max(maxLag, maxLead), 1))
+    val nParts0 = rdd.getNumPartitions
+    // pass 1 ships head (maxLead) PLUS tail (maxLag) tuples per
+    // partition — warn on the sum (r20 ADVICE)
+    PlanGuards.runtimeValueTrafficWarn("GroupedOffset", nParts0,
+      inputs, partExprs, math.max(maxLag + maxLead, 1))
 
     // Pass 1: the projected offset-input tuples (+ evaluated part
     // keys) of each partition's first maxLead and last maxLag rows —
@@ -186,8 +213,15 @@ case class GroupedOffsetExec(
     // the O(maxOffset) survivors at partition end: a multi-function
     // node (s22's fifteen lags) would otherwise pay its whole
     // projection width on EVERY pass-1 row just to discard it.
+    // A SINGLE post-exchange partition (AQE coalescing on a small
+    // input) has no boundaries to stitch — every pass-1 fact is
+    // vacuous, so the whole boundary job (a full scan of the shuffle
+    // output) is skipped outright (r21 fixed-cost trim).
     val ends: Array[(Array[UnsafeRow], Array[UnsafeRow], Array[UnsafeRow], Array[UnsafeRow])] =
-      rdd.sparkContext.runJob(rdd, (it: Iterator[InternalRow]) => {
+      if (nParts0 <= 1)
+        Array.fill(nParts0)((Array.empty[UnsafeRow], Array.empty[UnsafeRow],
+          Array.empty[UnsafeRow], Array.empty[UnsafeRow]))
+      else rdd.sparkContext.runJob(rdd, (it: Iterator[InternalRow]) => {
         val headR = ArrayBuffer.empty[InternalRow]
         val tailR = new java.util.ArrayDeque[InternalRow](math.max(maxLag, 1))
         while (it.hasNext) {

@@ -99,7 +99,7 @@ object GroupedRankRewrite extends Rule[LogicalPlan] {
   private def enabled: Boolean =
     SQLConf.get.getConfString(ConfKey, "true").toBoolean
 
-  private def minBytes: Long =
+  private[plans] def minBytes: Long =
     SQLConf.get.getConfString(MinBytesKey, "0").toLong
 
   override def apply(plan: LogicalPlan): LogicalPlan = {

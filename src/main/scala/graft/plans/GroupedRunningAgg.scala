@@ -84,7 +84,7 @@ object GroupedRunningAggRewrite extends Rule[LogicalPlan] {
   private def enabled: Boolean =
     SQLConf.get.getConfString(ConfKey, "true").toBoolean
 
-  private def minBytes: Long =
+  private[plans] def minBytes: Long =
     SQLConf.get.getConfString(MinBytesKey, "0").toLong
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
@@ -182,8 +182,15 @@ case class GroupedRunningAggExec(
     // the driver. The input is (group, order)-sorted, so segment
     // changes and first-run capture are streaming O(1); the kit is
     // re-initialized per segment (same underlying buffer).
+    // A SINGLE post-exchange partition (AQE coalescing on a small
+    // input) has no boundary segments to chain — the driver stitch's
+    // outputs are identically null (a one-member chain never
+    // overrides), so the whole job is skipped; `None` is the same
+    // neutral element an empty partition produces (r21 fixed-cost
+    // trim).
     val summaries: Array[Option[RunPartSummary]] =
-      rdd.sparkContext.runJob(rdd, (it: Iterator[InternalRow]) => {
+      if (rdd.getNumPartitions <= 1) Array.fill(rdd.getNumPartitions)(None)
+      else rdd.sparkContext.runJob(rdd, (it: Iterator[InternalRow]) => {
         val (gProj, gCmp) = GlobalRankExec.keyTools(gSort, childOut)
         val (oProj, oCmp) = GlobalRankExec.keyTools(ord, childOut)
         val kit = new RunningKit(aggFns, childOut)

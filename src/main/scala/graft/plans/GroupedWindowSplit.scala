@@ -99,9 +99,6 @@ object GroupedWindowSplit extends Rule[LogicalPlan] {
   private def confOn(key: String): Boolean =
     SQLConf.get.getConfString(key, "true").toBoolean
 
-  private def minBytes(key: String): Long =
-    SQLConf.get.getConfString(key, "0").toLong
-
   /** One window expression claimed by exactly one grouped class, or
     * None (unsupported anywhere → the whole node stays native). The
     * two matchers are structurally disjoint (rank-family window
@@ -194,13 +191,16 @@ object GroupedWindowSplit extends Rule[LogicalPlan] {
               (fullAggs.isEmpty || confOn(GroupedAggRewrite.ConfKey)) &&
               (slidings.isEmpty || confOn(SlidingAggRewrite.ConfKey)) &&
               (rangeSlidings.isEmpty || confOn(RangeSlidingAggRewrite.ConfKey))
+          // each present family's OWN accessor, so a family's default
+          // (e.g. the offset class's r21 `auto` gate) cannot drift
+          // between its single-class rewrite and the split
           val bigEnough = child.stats.sizeInBytes >= Seq(
-            if (ranks.nonEmpty) minBytes(GroupedRankRewrite.MinBytesKey) else 0L,
-            if (runnings.nonEmpty) minBytes(GroupedRunningAggRewrite.MinBytesKey) else 0L,
-            if (offsets.nonEmpty) minBytes(GroupedOffsetRewrite.MinBytesKey) else 0L,
-            if (fullAggs.nonEmpty) minBytes(GroupedAggRewrite.MinBytesKey) else 0L,
-            if (slidings.nonEmpty) minBytes(SlidingAggRewrite.MinBytesKey) else 0L,
-            if (rangeSlidings.nonEmpty) minBytes(RangeSlidingAggRewrite.MinBytesKey) else 0L).max
+            if (ranks.nonEmpty) GroupedRankRewrite.minBytes else 0L,
+            if (runnings.nonEmpty) GroupedRunningAggRewrite.minBytes else 0L,
+            if (offsets.nonEmpty) GroupedOffsetRewrite.minBytes else 0L,
+            if (fullAggs.nonEmpty) GroupedAggRewrite.minBytes else 0L,
+            if (slidings.nonEmpty) SlidingAggRewrite.minBytes else 0L,
+            if (rangeSlidings.nonEmpty) RangeSlidingAggRewrite.minBytes else 0L).max
           // mirrors GroupedAggRewrite's own bail exactly: peel the
           // would-be aggregate leg first (r19)
           val fullAggPlannable = fullAggs.isEmpty || ExprIdFreshener.freshen(
@@ -216,11 +216,14 @@ object GroupedWindowSplit extends Rule[LogicalPlan] {
               slidings.flatMap(_.fn.references.toSeq).distinct, part,
               math.max(extent, 1))
           }
-          // the offset class's own boundary-VALUE traffic guard (r20)
+          // the offset class's own boundary-VALUE traffic guard (r20;
+          // r21: head + tail — the guarded extent is maxLag + maxLead,
+          // mirroring the single-class rewrite)
           val offsetOk = offsets.isEmpty || {
-            val maxOff = offsets.map(f => math.abs(f.offset)).max
+            val extent = offsets.map(f => math.max(0, -f.offset)).max +
+              offsets.map(f => math.max(0, f.offset)).max
             PlanGuards.valueTrafficOk("GroupedWindowSplit/offset",
-              offsets.map(_.input), part, math.max(maxOff, 1))
+              offsets.map(_.input), part, math.max(extent, 1))
           }
           if (classes < 2 || !allEnabled || !bigEnough || !fullAggPlannable ||
               !slidingOk || !offsetOk) w

@@ -111,17 +111,22 @@ import org.apache.spark.sql.types._
   * the grouped-family cost lever; kill switch
   * `spark.graft.rangeSlidingAgg.enabled=false`. Memory: the retention
   * window buffers one frame's rows per task (the native plan buffers
-  * the SAME rows in one global/per-group task) — a frame wider than
-  * executor memory needs a coarser frame or the native spill path.
-  * Since r20 that bound is runtime-CHECKED, not just documented:
-  * pass 2b refcounts every retained entry (frame windows + pending
-  * queue + received halo) and fails fast past
-  * `spark.graft.rangeSlidingAgg.maxRetainedBytes` (default 8 GiB)
-  * with the remedy named — raise the cap deliberately, narrow the
-  * frame, or fall back to the native spilling window — instead of an
-  * unattributable executor OOM (the maxBoundaryBytes discipline
-  * applied to the one data-dependent structure; 0 disables the
-  * check). All levers in README's cost-lever table.
+  * the SAME rows in one global/per-group task). Since r21 that bound
+  * SPILLS instead of failing: past
+  * `spark.graft.rangeSlidingAgg.spillThresholdBytes` (default 256 MB
+  * per task, 0 disables) pass 2b's FIFO structures — pending queue,
+  * per-group inboxes, and both sides of the two-stack frame windows —
+  * serialize their newest entries into chunked local temp files and
+  * stream them back in order (RangeSpill.scala), so a dense frame
+  * COMPLETES like native WindowExec's spill path does, at partition
+  * parallelism instead of the funnel. The r20 fail-fast ceiling
+  * survives on top: `spark.graft.rangeSlidingAgg.maxRetainedBytes`
+  * (default 8 GiB, 0 disables) now bounds live heap PLUS cumulative
+  * spill-file bytes and still fails loudly with the remedy named —
+  * raise the cap deliberately, narrow the frame, or fall back to the
+  * native window. Below the threshold every structure is a plain
+  * in-memory deque (the r20 hot path, byte-for-byte). All levers in
+  * README's cost-lever table.
   */
 object RangeSlidingAggRewrite extends Rule[LogicalPlan] {
 
@@ -133,8 +138,19 @@ object RangeSlidingAggRewrite extends Rule[LogicalPlan] {
   /** Fail-fast ceiling on pass 2b's per-task retention (the frame
     * window + pending queue + received halo), runtime-checked — the
     * maxBoundaryBytes discipline applied to the one structure whose
-    * size is data-dependent. See the exec scaladoc. */
+    * size is data-dependent. Since r21 the ceiling bounds the TOTAL
+    * footprint (live heap + spill files); see [[SpillThresholdBytesKey]]
+    * and the exec scaladoc. */
   val MaxRetainedBytesKey = "spark.graft.rangeSlidingAgg.maxRetainedBytes"
+  /** Soft threshold (r21, the r20 verdict's #2): past this many bytes
+    * of LIVE in-memory retention, pass 2b's FIFO structures (pending
+    * queue, per-group inboxes, two-stack frame windows) spill their
+    * newest entries to chunked local temp files and stream them back
+    * in order — a dense frame COMPLETES instead of failing fast,
+    * with [[MaxRetainedBytesKey]] surviving as the hard ceiling on
+    * heap + spill-file bytes. 0 disables spilling (the r20 fail-fast
+    * behavior). Default 256 MB per task. */
+  val SpillThresholdBytesKey = "spark.graft.rangeSlidingAgg.spillThresholdBytes"
 
   private def enabled: Boolean =
     SQLConf.get.getConfString(ConfKey, "true").toBoolean
@@ -323,7 +339,9 @@ case class RangeSlidingAggExec(
     "rawHalo" -> SQLMetrics.createMetric(sparkContext,
       "raw halo tuples shipped"),
     "totalHalo" -> SQLMetrics.createMetric(sparkContext,
-      "consolidated partition-total halo buffers shipped"))
+      "consolidated partition-total halo buffers shipped"),
+    "spillBytes" -> SQLMetrics.createSizeMetric(sparkContext,
+      "pass-2b retention bytes spilled to disk"))
 
   // partition keys promoted Ascending/NullsFirst ahead of the value
   // order — the family's shared OrderedDistribution, so a RANGE node
@@ -384,6 +402,27 @@ case class RangeSlidingAggExec(
         case _ => r.getLong(0)
       })
 
+    // fail-fast retention ceiling for pass 2b (0 disables the check)
+    val maxRetainedBytes = conf.getConfString(
+      RangeSlidingAggRewrite.MaxRetainedBytesKey,
+      (8L * 1024 * 1024 * 1024).toString).toLong
+    // soft spill threshold for pass 2b's FIFO structures (r21;
+    // 0 disables spilling = the r20 fail-fast behavior)
+    val spillThresholdBytes = conf.getConfString(
+      RangeSlidingAggRewrite.SpillThresholdBytesKey,
+      (256L * 1024 * 1024).toString).toLong
+    val spillMetric = longMetric("spillBytes")
+
+    // A SINGLE post-exchange partition (AQE coalescing on a small
+    // input) receives no halo — every frame is partition-local — so
+    // pass 1 (the edge-facts job) and pass 2a (the halo scan + halo
+    // shuffle) are skipped outright and pass 2b merges against an
+    // empty 1-partition halo (r21 fixed-cost trim: two of the three
+    // passes gone; the operator degenerates to one streaming
+    // two-stack pass).
+    val halo: RDD[(Int, HaloMsg)] = if (nParts == 1) {
+      rdd.sparkContext.parallelize(Seq.empty[(Int, HaloMsg)], 1)
+    } else {
     // Pass 1: per-partition first/last (key, nonNull, value) facts —
     // O(partitions) composite keys to the driver, byte-guarded.
     val edges: Array[Option[(UnsafeRow, Boolean, Long, UnsafeRow, Boolean, Long)]] =
@@ -446,10 +485,6 @@ case class RangeSlidingAggExec(
     val frameHiMin = fns.map(_.hi).min
     val consolidate = conf.getConfString(
       RangeSlidingAggRewrite.ConsolidateKey, "true").toBoolean
-    // fail-fast retention ceiling for pass 2b (0 disables the check)
-    val maxRetainedBytes = conf.getConfString(
-      RangeSlidingAggRewrite.MaxRetainedBytesKey,
-      (8L * 1024 * 1024 * 1024).toString).toLong
     val rawHaloMetric = longMetric("rawHalo")
     val totalHaloMetric = longMetric("totalHalo")
     val haloPairs: RDD[(Int, HaloMsg)] =
@@ -582,11 +617,11 @@ case class RangeSlidingAggExec(
         }
         mainIter ++ tail
       }
-    val halo: RDD[(Int, HaloMsg)] =
       haloPairs.partitionBy(new Partitioner {
         override def numPartitions: Int = nParts
         override def getPartition(key: Any): Int = key.asInstanceOf[Int]
       })
+    } // end multi-partition halo path
 
     // Pass 2b: merge each sorted partition with its sorted halo and
     // evaluate frames over a retention window of the merged stream.
@@ -607,53 +642,38 @@ case class RangeSlidingAggExec(
         else java.lang.Long.compare(a.v, bv)
       }
 
-      // --- retention accounting (maxRetainedBytes, r20) ---------------
-      // Pass 2b's heap structures — the received halo array, the
-      // per-group frame windows and the pending output queue — hold
-      // one frame's rows per task, a DATA-DEPENDENT bound where native
-      // WindowExec spills. The tracker refcounts each RangeEntry
-      // across those structures and fails FAST with the remedy named
-      // (raise the cap deliberately, narrow the frame, or fall back to
-      // the native spilling window via the kill switch) instead of an
-      // unattributable executor OOM. O(1) longs per entry; an entry's
-      // size is estimated once from its UnsafeRow payloads.
-      var retainedBytes = 0L
-      def entrySize(e: RangeEntry): Long = {
-        var b = 48L // object headers + composite fields
-        if (e.key != null) b += e.key.getSizeInBytes
-        if (e.vals != null) b += e.vals.getSizeInBytes
-        e.row match {
-          case u: UnsafeRow => b += u.getSizeInBytes
-          case null => ()
-          case _ => b += 64L
-        }
-        if (e.bufs != null) {
-          var i = 0
-          while (i < e.bufs.length) { b += e.bufs(i).getSizeInBytes; i += 1 }
-        }
-        b
-      }
-      def retain(e: RangeEntry, n: Int): Unit = {
-        if (e.refs == 0) {
-          if (e.sz < 0) e.sz = entrySize(e)
-          retainedBytes += e.sz
-          if (maxRetainedBytes > 0 && retainedBytes > maxRetainedBytes)
-            throw new org.apache.spark.SparkException(
-              s"RangeSlidingAgg: this task's frame retention exceeded " +
-                s"${RangeSlidingAggRewrite.MaxRetainedBytesKey}=$maxRetainedBytes " +
-                s"bytes — the RANGE frame holds more rows in memory than the " +
-                s"configured ceiling (the operator keeps one frame's rows per " +
-                s"task and does not spill; the native window spills but " +
-                s"funnels). Raise the cap deliberately, narrow the frame, or " +
-                s"set ${RangeSlidingAggRewrite.ConfKey}=false to fall back " +
-                s"to the native spilling window.")
-        }
-        e.refs += n
-      }
-      def release(e: RangeEntry): Unit = {
-        e.refs -= 1
-        if (e.refs == 0) retainedBytes -= e.sz
-      }
+      // --- retention accounting + spill (maxRetainedBytes r20,
+      // spillThresholdBytes r21) -------------------------------------
+      // Pass 2b's structures — the received halo array, the per-group
+      // frame windows/inboxes and the pending output queue — hold one
+      // frame's rows per task, a DATA-DEPENDENT bound where native
+      // WindowExec spills. The ctl refcounts each RangeEntry across
+      // those structures; past the SOFT threshold every SpillFifo
+      // serializes its newest entries to chunked local temp files and
+      // streams them back in FIFO order (see RangeSpill.scala), so a
+      // dense frame COMPLETES; the HARD ceiling (heap + spill-file
+      // bytes) still fails fast with the remedy named instead of an
+      // unattributable OOM / full disk.
+      val spillMetricLocal = spillMetric
+      val ctl = new SpillCtl(spillThresholdBytes, maxRetainedBytes,
+        (e: RangeEntry) => {
+          var b = 48L // object headers + composite fields
+          if (e.key != null) b += e.key.getSizeInBytes
+          if (e.vals != null) b += e.vals.getSizeInBytes
+          e.row match {
+            case u: UnsafeRow => b += u.getSizeInBytes
+            case null => ()
+            case _ => b += 64L
+          }
+          if (e.bufs != null) {
+            var i = 0
+            while (i < e.bufs.length) { b += e.bufs(i).getSizeInBytes; i += 1 }
+          }
+          b
+        },
+        bytes => spillMetricLocal.add(bytes))
+      val rowToUnsafe = UnsafeProjection.create(childOut.map(_.dataType).toArray)
+      val serde = new RangeEntrySerde(e => rowToUnsafe(e.row).copy())
 
       val haloArr: Array[RangeEntry] = haloIt.map {
         case (_, r: RawHalo) =>
@@ -662,9 +682,11 @@ case class RangeSlidingAggExec(
           new RangeEntry(t.key, t.nn, t.v0, null, null, t.v1, t.bufs)
       }.toArray
       // the halo array itself retains its entries for the whole task
+      // (in-heap: the sort below needs random access; its size is
+      // consolidation-bounded — see the pass-2a scaladoc)
       locally {
         var i = 0
-        while (i < haloArr.length) { retain(haloArr(i), 1); i += 1 }
+        while (i < haloArr.length) { ctl.retain(haloArr(i), 1); i += 1 }
       }
       java.util.Arrays.sort(haloArr, new java.util.Comparator[RangeEntry] {
         override def compare(a: RangeEntry, b: RangeEntry): Int = cmpE(a, b.key, b.nn, b.v)
@@ -698,8 +720,8 @@ case class RangeSlidingAggExec(
         }
       }
 
-      // pending local output queue
-      val pending = new java.util.ArrayDeque[RangeEntry]()
+      // pending local output queue (spill-capable r21)
+      val pending = new SpillFifo(ctl, serde)
       var lastRead: RangeEntry = null
       // peer cache: RANGE frames are VALUE-determined, so consecutive
       // rows with the same (key, nn, v) composite have IDENTICAL
@@ -729,48 +751,55 @@ case class RangeSlidingAggExec(
         private val gFns = fnsByGroup(gIdx).toSeq
         private val kitB = new RunningKit(gFns, neededAttrs) // back fold
         private val kitT = new RunningKit(gFns, neededAttrs) // flip/query scratch
-        private val bElems = new java.util.ArrayDeque[RangeEntry]()
-        private val fElems = new java.util.ArrayDeque[RangeEntry]()
-        private val fFolds = new java.util.ArrayDeque[UnsafeRow]()
+        // r21: both stacks are spill-capable FIFOs. The front stack's
+        // element+fold pairs are FUSED into one entry (fold in `vals`,
+        // row/bufs dropped — eviction needs only (key, nn, v, v2),
+        // query only the front fold), so one structure spills both.
+        private val bElems = new SpillFifo(ctl, serde)
+        private var fFused = new SpillFifo(ctl, serde)
         /** Merged-stream entries not yet inside this group's window. */
-        val inbox = new java.util.ArrayDeque[RangeEntry]()
+        val inbox = new SpillFifo(ctl, serde)
         kitB.init()
 
-        private def fold(kit: RunningKit, e: RangeEntry): Unit =
+        private def foldEntry(kit: RunningKit, e: RangeEntry): Unit =
           if (e.bufs == null) kit.update(e.vals) else kit.merge(e.bufs(gIdx))
 
-        def insert(e: RangeEntry): Unit = { bElems.addLast(e); fold(kitB, e) }
+        def insert(e: RangeEntry): Unit = { bElems.append(e); foldEntry(kitB, e) }
 
         def oldest(): RangeEntry =
-          if (!fElems.isEmpty) fElems.peekFirst() else bElems.peekFirst()
+          if (!fFused.isEmpty) fFused.peekFirst() else bElems.peekFirst()
 
         def evictOldest(): Unit = {
-          if (fElems.isEmpty) {
+          if (fFused.isEmpty) {
             // flip: rebuild the front as stream-ordered suffix folds
-            // (newest → oldest, each = this element ⊕ newer suffix)
+            // (newest → oldest, each = this element ⊕ newer suffix).
+            // reverseDrain serves bElems newest-first and empties it;
+            // buildReversed re-serves the fused stream oldest-first.
+            fFused.dispose()
             var prev: UnsafeRow = null
-            val it = bElems.descendingIterator()
-            while (it.hasNext) {
-              val b = it.next()
-              kitT.init()
-              fold(kitT, b)
-              if (prev != null) kitT.merge(prev)
-              prev = kitT.snapshot()
-              fElems.addFirst(b)
-              fFolds.addFirst(prev)
-            }
-            bElems.clear()
+            val drain = bElems.reverseDrain()
+            fFused = SpillFifo.buildReversed(ctl, serde,
+              new Iterator[RangeEntry] {
+                override def hasNext: Boolean = drain.hasNext
+                override def next(): RangeEntry = {
+                  val b = drain.next()
+                  kitT.init()
+                  foldEntry(kitT, b)
+                  if (prev != null) kitT.merge(prev)
+                  prev = kitT.snapshot()
+                  new RangeEntry(b.key, b.nn, b.v, prev, null, b.v2, null)
+                }
+              })
             kitB.init()
           }
-          release(fElems.pollFirst())
-          fFolds.pollFirst()
+          fFused.pollFirst()
         }
 
         /** Fold of the whole window, stream order (front before back);
           * read the result off the returned kit immediately. */
         def query(): RunningKit = {
           kitT.init()
-          if (!fFolds.isEmpty) kitT.merge(fFolds.peekFirst())
+          if (!fFused.isEmpty) kitT.merge(fFused.peekFirst().vals)
           if (!bElems.isEmpty) kitT.merge(kitB.buffer)
           kitT
         }
@@ -788,17 +817,17 @@ case class RangeSlidingAggExec(
         private def fill(): Unit =
           while ((pending.isEmpty || !frameComplete(pending.peekFirst())) && merged.hasNext) {
             val e = merged.next()
-            retain(e, groupWins.length + (if (e.row != null) 1 else 0))
+            // each FIFO owns its entry's retain/release (shared
+            // entries: pending + every group inbox hold one object)
             var g = 0
-            while (g < groupWins.length) { groupWins(g).inbox.addLast(e); g += 1 }
-            if (e.row != null) pending.addLast(e)
+            while (g < groupWins.length) { groupWins(g).inbox.append(e); g += 1 }
+            if (e.row != null) pending.append(e)
             lastRead = e
           }
         override def hasNext: Boolean = { fill(); !pending.isEmpty }
         override def next(): InternalRow = {
           fill()
           val e = pending.pollFirst()
-          release(e)
           if (prevPeer != null && e.nn == prevPeer.nn &&
               (!e.nn || e.v == prevPeer.v) &&
               keyOrd.compare(e.key, prevPeer.key) == 0) {

@@ -93,7 +93,7 @@ object SlidingAggRewrite extends Rule[LogicalPlan] {
   private def maxExtent: Int =
     SQLConf.get.getConfString(MaxExtentKey, "128").toInt
 
-  private def minBytes: Long =
+  private[plans] def minBytes: Long =
     SQLConf.get.getConfString(MinBytesKey, "0").toLong
 
   private def sameExprs(a: Seq[Expression], b: Seq[Expression]): Boolean =
@@ -237,14 +237,20 @@ case class SlidingAggExec(
     val outTypes = fns.map(_.fn.dataType).toArray
 
     val rdd = child.execute()
-    PlanGuards.runtimeValueTrafficWarn("SlidingAgg", rdd.getNumPartitions,
+    val nParts0 = rdd.getNumPartitions
+    PlanGuards.runtimeValueTrafficWarn("SlidingAgg", nParts0,
       neededAttrs, partExprs, math.max(lookback + lookahead, 1))
 
     // Pass 1: the projected aggregate-input tuples (+ evaluated part
     // keys) of each partition's first `lookahead` and last `lookback`
-    // rows — values, never rows.
+    // rows — values, never rows. A SINGLE post-exchange partition
+    // (AQE coalescing on a small input) has no boundaries to stitch —
+    // skip the whole boundary job (r21 fixed-cost trim).
     val ends: Array[(Array[UnsafeRow], Array[UnsafeRow], Array[UnsafeRow], Array[UnsafeRow])] =
-      rdd.sparkContext.runJob(rdd, (it: Iterator[InternalRow]) => {
+      if (nParts0 <= 1)
+        Array.fill(nParts0)((Array.empty[UnsafeRow], Array.empty[UnsafeRow],
+          Array.empty[UnsafeRow], Array.empty[UnsafeRow]))
+      else rdd.sparkContext.runJob(rdd, (it: Iterator[InternalRow]) => {
         val aggProj = UnsafeProjection.create(neededAttrs, childOut)
         // zero-column (but never-null) key rows in the global case —
         // ArrayDeque rejects nulls, and a uniform layout keeps the

@@ -530,10 +530,16 @@ object Solar {
   // what makes the operator both bit-reproducible and scale-clean.
   //
   // Scale shape: 16 lag() columns over ONE (inverter, ts, event_id)
-  // window sort — Spark plans a single WindowExec (all lags share the
-  // frame), so this is the same one-exchange-one-sort shape as
-  // s6/s7/s10; the arithmetic is codegen'd map-side work after the
-  // sort. No frame collect_list, no per-row array building.
+  // window sort. The withColumn foldLeft analyzes into a TOWER of
+  // single-lag Window nodes that CollapseWindow only merges pairwise
+  // (interleaved Projects block it) — pre-r21 the optimized plan
+  // carried EIGHT stacked window nodes, i.e. eight passes over the
+  // sorted stream. CombineOffsetNodes (r21) merges the tower into ONE
+  // multi-function node (one pass), which DemoteSmallOffsetNodes
+  // renders as a single native 15-lag WindowExec below the size gate
+  // and as one GroupedOffsetExec above it. The arithmetic is
+  // codegen'd map-side work after the sort. No frame collect_list,
+  // no per-row array building.
   // ---------------------------------------------------------------------
   val EmaWindow = 16
 

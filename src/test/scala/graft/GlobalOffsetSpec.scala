@@ -169,4 +169,59 @@ class GlobalOffsetSpec extends AnyFunSuite {
       assert(!part.queryExecution.executedPlan.toString.contains("GlobalOffset"))
     }
   }
+
+  test("r21 default small-input gate: minBytes `auto` = the AQE advisory partition size") {
+    val s = spark
+    import s.implicits._
+    val base = Tables.events(s, SfDir)
+      .select($"event_id".as("id"), $"value".as("k"))
+    val w = Window.orderBy($"k", $"id")
+    val df = () => base.select(lag($"k", 1).over(w).as("p"))
+    def planOf(d: DataFrame): String = d.queryExecution.executedPlan.toString
+    TestSpark.withConf(graft.plans.GlobalOffsetRewrite.MinBytesKey, "auto") {
+      assert(!planOf(df()).contains("GlobalOffset"),
+        "below one advisory partition the node must stay native")
+      TestSpark.withConf("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1") {
+        assert(planOf(df()).contains("GlobalOffset"),
+          "above the (lowered) advisory size the operator must fire")
+      }
+      // demoted-native RESULTS equal the operator's (the full mixed
+      // lag/lead + defaults battery via the shared offsets() helper)
+      val demoted = offsets(base).collect().toSeq.sortBy(_.getLong(0))
+      val onOp = TestSpark.withConf(
+          graft.plans.GlobalOffsetRewrite.MinBytesKey, "0") {
+        offsets(base).collect().toSeq.sortBy(_.getLong(0))
+      }
+      assert(demoted == onOp, "demoted native vs operator results")
+    }
+  }
+
+  test("r21 single-partition fixed-cost trim: pass 1 skipped (one job total), equal to native") {
+    val s = spark
+    import s.implicits._
+    val base = Tables.events(s, SfDir)
+      .select($"event_id".as("id"), $"value".as("k"))
+    def run(on: Boolean): (Seq[org.apache.spark.sql.Row], Int) =
+      TestSpark.withConf("spark.sql.adaptive.enabled", "false") {
+        TestSpark.withConf("spark.sql.shuffle.partitions", "1") {
+          withRule(on) {
+            val df = offsets(base)
+            if (on) assert(df.queryExecution.executedPlan.toString
+              .contains("GlobalOffset"), "operator must be live")
+            val gid = s"glob-skip-$on"
+            s.sparkContext.setJobGroup(gid, "r21 pass-1 skip canary")
+            try {
+              val rows = df.collect().toSeq.sortBy(_.getLong(0))
+              (rows, s.sparkContext.statusTracker.getJobIdsForGroup(gid).length)
+            } finally s.sparkContext.clearJobGroup()
+          }
+        }
+      }
+    val (onRows, onJobs) = run(on = true)
+    val (offRows, _) = run(on = false)
+    assert(onRows == offRows, "single-partition global offset must equal native")
+    assert(onJobs == 1,
+      s"pass 1 must be skipped on a single post-exchange partition: expected " +
+        s"1 job (the collect), saw $onJobs")
+  }
 }

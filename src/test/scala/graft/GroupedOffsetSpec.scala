@@ -237,4 +237,76 @@ class GroupedOffsetSpec extends AnyFunSuite {
       assert(!planOf(df).contains("GroupedOffset"), "kill switch must stay native")
     }
   }
+
+  test("r21 default small-input gate: minBytes `auto` resolves to the AQE advisory partition size") {
+    val s = spark
+    import s.implicits._
+    val w = Window.partitionBy($"g").orderBy($"o", $"id")
+    def planOf(df: DataFrame): String = df.queryExecution.executedPlan.toString
+    // mixed lag/lead with defaults: the demotion rule must
+    // reconstruct the EXACT native expressions (signed offsets,
+    // defaults, exprIds) from the merged OffsetFns
+    val df = () => data.select($"id", $"g",
+      lag($"cents", 1).over(w).as("p"),
+      lag($"cents", 3, -7L).over(w).as("l3d"),
+      lead($"cents", 2, 0L).over(w).as("f2d"))
+    TestSpark.withConf(graft.plans.GroupedOffsetRewrite.MinBytesKey, "auto") {
+      // spec-sized input (~a few hundred KB of stats) is far below the
+      // 64 MB stock advisory size: the operator's two fixed extra jobs
+      // buy nothing on an input that coalesces to one task — native
+      assert(!planOf(df()).contains("GroupedOffset"),
+        "below one advisory partition the node must stay native")
+      // the SAME input clears a 1-byte advisory size: `auto` tracks the
+      // session's own partition sizing, not a hard-coded constant
+      TestSpark.withConf("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1") {
+        assert(planOf(df()).contains("GroupedOffset"),
+          "above the (lowered) advisory size the operator must fire")
+      }
+      // the demoted native plan's RESULTS equal the operator's (the
+      // reconstructed lag/lead must be the expressions the rewrite
+      // consumed, not merely a plan that parses)
+      val demoted = df().collect().toSeq.sortBy(_.getLong(0))
+      val onOp = TestSpark.withConf(
+          graft.plans.GroupedOffsetRewrite.MinBytesKey, "0") {
+        df().collect().toSeq.sortBy(_.getLong(0))
+      }
+      assertSame(demoted, onOp, "demoted native vs operator results")
+    }
+  }
+
+  test("r21 single-partition fixed-cost trim: pass 1 is skipped (one job total), results equal native") {
+    val s = spark
+    import s.implicits._
+    val w = Window.partitionBy($"g").orderBy($"o", $"id")
+    // AQE off + 1 shuffle partition: the exchange deterministically
+    // produces ONE partition, where every pass-1 boundary fact is
+    // vacuous — the exec must not schedule the boundary job (and a
+    // 1-way range exchange samples nothing), so the collect is the
+    // only job in the group. Equality against native pins that the
+    // synthesized empty stitch is the true neutral element.
+    def run(on: Boolean): (Seq[Row], Int) =
+      TestSpark.withConf("spark.sql.adaptive.enabled", "false") {
+        TestSpark.withConf("spark.sql.shuffle.partitions", "1") {
+          withRule(on) {
+            val df = data.select($"id", $"g",
+              lag($"cents", 2).over(w).as("l2"),
+              lead($"cents", 1, -1L).over(w).as("f1"))
+            if (on) assert(df.queryExecution.executedPlan.toString
+              .contains("GroupedOffset"), "operator must be live")
+            val gid = s"goff-skip-$on"
+            s.sparkContext.setJobGroup(gid, "r21 pass-1 skip canary")
+            try {
+              val rows = df.collect().toSeq.sortBy(_.getLong(0))
+              (rows, s.sparkContext.statusTracker.getJobIdsForGroup(gid).length)
+            } finally s.sparkContext.clearJobGroup()
+          }
+        }
+      }
+    val (onRows, onJobs) = run(on = true)
+    val (offRows, _) = run(on = false)
+    assertSame(onRows, offRows, "single-partition grouped offset")
+    assert(onJobs == 1,
+      s"pass 1 must be skipped on a single post-exchange partition: expected " +
+        s"1 job (the collect), saw $onJobs")
+  }
 }

@@ -624,4 +624,110 @@ class RangeSlidingAggSpec extends AnyFunSuite {
     val ref = withRule(on = false)(q().collect().toSeq.sortBy(_.getLong(0)))
     assertSame(got, ref, "dense full-cover frame under the default ceiling")
   }
+
+  /** Runs df, returns (sorted rows, spillBytes metric). */
+  private def runWithSpill(df: DataFrame): (Seq[Row], Long) = {
+    val rows = df.collect().toSeq.sortBy(_.getLong(0))
+    val exec = findExec(df.queryExecution.executedPlan)
+      .getOrElse(fail("RangeSlidingAggExec not in executed plan:\n" +
+        df.queryExecution.executedPlan.toString.take(2500)))
+    (rows, exec.metrics("spillBytes").value)
+  }
+
+  test("spill (r21): a dense full-cover frame past the spill threshold COMPLETES, matches native, metric witnesses the spill") {
+    val s = spark
+    import s.implicits._
+    // the r20 fail-fast shape — every frame covers the whole corpus,
+    // retention = the task's whole input — now crosses a deliberately
+    // tiny spill threshold: pending/inbox/back-stack all spill and the
+    // task completes where the r20 build could only fail with advice.
+    def q(): DataFrame = {
+      val w = Window.orderBy($"o")
+      data.select($"id",
+        sum($"cn").over(w.rangeBetween(-100000, 100000)).as("tot"),
+        count($"cn").over(w.rangeBetween(-100000, 100000)).as("n"),
+        min($"cn").over(w.rangeBetween(-100000, 100000)).as("mn"))
+    }
+    val (got, spilled) =
+      TestSpark.withConf(graft.plans.RangeSlidingAggRewrite.SpillThresholdBytesKey, "8192") {
+        withRule(on = true)(runWithSpill(q()))
+      }
+    assert(spilled > 0, "the spillBytes metric must witness disk chunks")
+    val ref = withRule(on = false)(q().collect().toSeq.sortBy(_.getLong(0)))
+    assertSame(got, ref, "spilled dense frame vs native")
+  }
+
+  test("spill (r21): grouped SLIDING frames spill through two-stack flips (evictions) and stay bit-equal; first/last keep fold order") {
+    val s = spark
+    import s.implicits._
+    // narrow trailing frames force continuous evictions — every flip
+    // reverse-drains a (possibly spilled) back stack and rebuilds the
+    // fused front through the reversed-layout writer; first()/last()
+    // pin the fold ORDER through serialization round trips (o is
+    // unique per group, so native is deterministic too).
+    // frames wide enough that the back stack accumulates many chunks
+    // between flips (a narrow frame drains its tail before a chunk
+    // fills and legitimately never touches disk)
+    def q(): DataFrame = {
+      val w = Window.partitionBy($"g").orderBy($"o")
+      data.select($"id",
+        sum($"cn").over(w.rangeBetween(-3000, 0)).as("tot"),
+        count($"cn").over(w.rangeBetween(-3000, 0)).as("n"),
+        first($"cn", ignoreNulls = true).over(w.rangeBetween(-3000, 0)).as("f"),
+        max($"cn").over(w.rangeBetween(-5000, -70)).as("mx"))
+    }
+    val (got, spilled) =
+      TestSpark.withConf(graft.plans.RangeSlidingAggRewrite.SpillThresholdBytesKey, "2048") {
+        withRule(on = true)(runWithSpill(q()))
+      }
+    assert(spilled > 0, "evicting frames must spill under the tiny threshold")
+    val ref = withRule(on = false)(q().collect().toSeq.sortBy(_.getLong(0)))
+    assertSame(got, ref, "spilled grouped sliding frames vs native")
+  }
+
+  test("spill (r21): consolidated TOTAL halo buffers round-trip the spill serde (wide frames + spill together)") {
+    val s = spark
+    import s.implicits._
+    // wide frames make interior partitions ship TotalHalo buffers
+    // (bufs != null entries) — the serde's array-of-buffers path —
+    // while the tiny threshold spills the windows that retain them
+    val many = (0 until 6000).map { i =>
+      (i.toLong, (i / 3000).toLong, i.toLong % 3000, (i % 97).toLong)
+    }.toDF("id", "g", "o", "cn").repartitionByRange(24, $"g", $"o")
+    def q(): DataFrame = {
+      val w = Window.partitionBy($"g").orderBy($"o")
+      many.select($"id",
+        sum($"cn").over(w.rangeBetween(-2000, 2000)).as("tot"),
+        count(lit(1)).over(w.rangeBetween(-2000, 2000)).as("n"))
+    }
+    val (got, spilled) =
+      TestSpark.withConf(graft.plans.RangeSlidingAggRewrite.SpillThresholdBytesKey, "4096") {
+        withRule(on = true)(runWithSpill(q()))
+      }
+    assert(spilled > 0, "wide-frame retention must spill under the tiny threshold")
+    val ref = withRule(on = false)(q().collect().toSeq.sortBy(_.getLong(0)))
+    assertSame(got, ref, "spilled consolidated wide frames vs native")
+  }
+
+  test("spill (r21): maxRetainedBytes stays the hard ceiling ON TOP of spilling (heap + spill-file bytes)") {
+    val s = spark
+    import s.implicits._
+    def q(): DataFrame = {
+      val w = Window.orderBy($"o")
+      data.select($"id", sum($"cn").over(w.rangeBetween(-100000, 100000)).as("tot"))
+    }
+    TestSpark.withConf(graft.plans.RangeSlidingAggRewrite.SpillThresholdBytesKey, "4096") {
+      TestSpark.withConf(graft.plans.RangeSlidingAggRewrite.MaxRetainedBytesKey, "20000") {
+        withRule(on = true) {
+          val ex = intercept[Exception] { q().collect() }
+          def messages(t: Throwable): Seq[String] =
+            if (t == null) Nil
+            else Option(t.getMessage).toSeq ++ messages(t.getCause)
+          val all = messages(ex).mkString("\n")
+          assert(all.contains(graft.plans.RangeSlidingAggRewrite.MaxRetainedBytesKey),
+            s"the failure must still name the ceiling conf:\n$all")
+        }
+      }
+    }
+  }
 }
