@@ -133,8 +133,18 @@ object GlobalOffsetRewrite extends Rule[LogicalPlan] {
         // [[DemoteSmallOffsetNodes]] (pre-CBO), where a lone
         // small-input node returns to ONE native window
         val fns = wexprs.map(supported(_, Nil, order, cap))
-        if (fns.forall(_.isDefined)) GlobalOffsetNode(order, fns.flatten, child)
-        else w
+        if (fns.forall(_.isDefined)) {
+          val flat = fns.flatten
+          // pass 1 ships head (maxLead) + tail (maxLag) value tuples
+          // per partition — the grouped sibling's byte guard, extent =
+          // the SUM of both sides (r20 ADVICE, applied here too)
+          val extent = flat.map(f => math.max(0, -f.offset)).max +
+            flat.map(f => math.max(0, f.offset)).max
+          if (PlanGuards.valueTrafficOk("GlobalOffset", flat.map(_.input),
+              Nil, math.max(extent, 1)))
+            GlobalOffsetNode(order, flat, child)
+          else w
+        } else w
     }
   }
 }
@@ -185,9 +195,15 @@ object CombineOffsetNodes extends Rule[LogicalPlan] {
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
-    case GlobalOffsetNode(o1, fns1, inner @ GlobalOffsetNode(o2, fns2, child))
+    case keep @ GlobalOffsetNode(o1, fns1, inner @ GlobalOffsetNode(o2, fns2, child))
         if sameOrder(o1, o2) && independent(fns1, inner) =>
-      GlobalOffsetNode(o1, fns2 ++ fns1, child)
+      val merged = fns2 ++ fns1
+      val extent = merged.map(f => math.max(0, -f.offset)).max +
+        merged.map(f => math.max(0, f.offset)).max
+      if (PlanGuards.valueTrafficOk("CombineOffsetNodes", merged.map(_.input),
+          Nil, math.max(extent, 1)))
+        GlobalOffsetNode(o1, merged, child)
+      else keep
     case keep @ GroupedOffsetNode(p1, o1, fns1,
         inner @ GroupedOffsetNode(p2, o2, fns2, child))
         if sameExprs(p1, p2) && sameOrder(o1, o2) && independent(fns1, inner) =>
@@ -320,6 +336,11 @@ case class GlobalOffsetExec(
     val maxLead = offs.foldLeft(0)((m, o) => math.max(m, o))
     val rdd = child.execute()
     val nParts0 = rdd.getNumPartitions
+    // runtime backstop over the ACTUAL partition count (a reused
+    // finer exchange the plan-time guard could not see) — the grouped
+    // sibling's discipline, extent = head + tail (r21)
+    PlanGuards.runtimeValueTrafficWarn("GlobalOffset", nParts0,
+      inputs, Nil, math.max(maxLag + maxLead, 1))
 
     // Pass 1: per partition, the projected offset-input values of the
     // first maxLead and last maxLag rows — values, not rows. The
