@@ -128,6 +128,11 @@ object GraftExtensions extends SparkSessionExtensionsProvider {
     // (per-partition partials + driver prefix fold + seeded pass).
     ext.injectOptimizerRule(_ => graft.plans.GlobalRunningAggRewrite)
     ext.injectPlannerStrategy(_ => graft.plans.GlobalRunningAggStrategy)
+    // Adjacent running-agg nodes over the same (part, order) merge
+    // into ONE multi-function node (r21 — CombineOffsetNodes' sibling
+    // for the running class; s21's fill columns planned THREE stacked
+    // nodes, each with its own prefix job and stream pass).
+    ext.injectOptimizerRule(_ => graft.plans.CombineRunningNodes)
     // Bounded SLIDING ROWS frames (moving averages / trailing totals,
     // global or grouped): one operator closing both the AllTuples
     // single-task funnel and the group-count ceiling — boundary-VALUE

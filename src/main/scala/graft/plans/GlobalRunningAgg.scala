@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, DeclarativeAggregate, First}
 import org.apache.spark.sql.types.IntegerType
-import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode, Window => LogicalWindow}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project, UnaryNode, Window => LogicalWindow}
 import org.apache.spark.sql.catalyst.plans.physical.{Distribution, OrderedDistribution, Partitioning}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
@@ -153,6 +153,103 @@ object GlobalRunningAggRewrite extends Rule[LogicalPlan] {
 
 private[plans] case class RunningFn(
     attr: Attribute, fn: DeclarativeAggregate, rangeFrame: Boolean)
+
+/** Merges ADJACENT running-aggregate nodes over the same (part,
+  * order) into one multi-function node (r21 — [[CombineOffsetNodes]]'
+  * sibling for the running class). The withColumn-chain idiom
+  * (s21's four `last(...) OVER (w)` fill columns) analyzes into a
+  * tower of single-function Window nodes that CollapseWindow merges
+  * only pairwise, so the running rewrites produced STACKS of operator
+  * nodes — s21's graded plan carried three, each paying its own
+  * pass-1 prefix job and pass-2 stream.
+  *
+  * Equivalence: the inner node is 1:1 row-preserving in the same
+  * (part, order) stream, so an outer running aggregate whose input
+  * does not reference the inner node's produced columns folds the
+  * same prefix of rows either way — CollapseWindow's independence
+  * condition. The execs are multi-function by design (each fn keeps
+  * its own ROWS/RANGE flag); pass-1 traffic for the merged node is
+  * the SUM of the stacked nodes' buffer widths, i.e. unchanged. */
+object CombineRunningNodes extends Rule[LogicalPlan] {
+  import CombineSupport._
+
+  private def independent(outer: Seq[RunningFn], inner: LogicalPlan): Boolean = {
+    val produced = inner.outputSet -- inner.children.head.outputSet
+    outer.forall(_.fn.references.intersect(produced).isEmpty)
+  }
+
+  private def inline(fns: Seq[RunningFn],
+      aliases: AttributeMap[Expression]): Seq[RunningFn] =
+    if (aliases.isEmpty) fns
+    else fns.map(f => f.copy(fn = f.fn.transform {
+      case a: Attribute if aliases.contains(a) => aliases(a)
+    }.asInstanceOf[DeclarativeAggregate]))
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case GlobalRunningAggNode(o1, fns1, inner @ GlobalRunningAggNode(o2, fns2, child))
+        if sameOrder(o1, o2) && independent(fns1, inner) =>
+      GlobalRunningAggNode(o1, fns2 ++ fns1, child)
+    case GroupedRunningAggNode(p1, o1, fns1,
+        inner @ GroupedRunningAggNode(p2, o2, fns2, child))
+        if sameExprs(p1, p2) && sameOrder(o1, o2) && independent(fns1, inner) =>
+      GroupedRunningAggNode(p1, o1, fns2 ++ fns1, child)
+    // towers with a TRANSPARENT Project in between (a withColumn
+    // chain pre-computing the next aggregate's input — s21's fill
+    // columns): inline the aliases into the outer functions, merge,
+    // and reproduce the Project's columns on top. CollapseProject
+    // then folds the reproduced Project with any outer one, so the
+    // fixed point converges towers of any height.
+    case keep @ GlobalRunningAggNode(o1, fns1,
+        proj @ Project(projList, inner @ GlobalRunningAggNode(o2, fns2, child)))
+        if sameOrder(o1, o2) =>
+      transparentAliases(projList) match {
+        case Some(aliases) =>
+          val fns1i = inline(fns1, aliases)
+          if (independent(fns1i, inner))
+            Project(projList ++ fns1.map(_.attr),
+              GlobalRunningAggNode(o1, fns2 ++ fns1i, child))
+          else keep
+        case None => keep
+      }
+    case keep @ GroupedRunningAggNode(p1, o1, fns1,
+        proj @ Project(projList, inner @ GroupedRunningAggNode(p2, o2, fns2, child)))
+        if sameExprs(p1, p2) && sameOrder(o1, o2) =>
+      transparentAliases(projList) match {
+        case Some(aliases) =>
+          val fns1i = inline(fns1, aliases)
+          if (independent(fns1i, inner))
+            Project(projList ++ fns1.map(_.attr),
+              GroupedRunningAggNode(p1, o1, fns2 ++ fns1i, child))
+          else keep
+        case None => keep
+      }
+  }
+}
+
+/** Shared helpers for the r21 tower-merge rules. */
+private[plans] object CombineSupport {
+  def sameOrder(a: Seq[SortOrder], b: Seq[SortOrder]): Boolean =
+    a.length == b.length && a.zip(b).forall { case (x, y) => x.semanticEquals(y) }
+
+  def sameExprs(a: Seq[Expression], b: Seq[Expression]): Boolean =
+    a.length == b.length && a.zip(b).forall { case (x, y) => x.semanticEquals(y) }
+
+  /** Some(alias → expression) when the projection is TRANSPARENT —
+    * every item an Attribute or a deterministic Alias — so a node
+    * above it can be merged below it by inlining the aliases its
+    * functions reference. None for anything else (reordering and
+    * pruning are fine; computed items must be deterministic). */
+  def transparentAliases(
+      projList: Seq[NamedExpression]): Option[AttributeMap[Expression]] =
+    if (projList.forall {
+      case _: Attribute => true
+      case a: Alias => a.child.deterministic
+      case _ => false
+    }) Some(AttributeMap(projList.collect {
+      case a: Alias => a.toAttribute -> a.child
+    }))
+    else None
+}
 
 case class GlobalRunningAggNode(
     order: Seq[SortOrder],

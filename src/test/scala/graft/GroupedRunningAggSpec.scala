@@ -320,4 +320,52 @@ class GroupedRunningAggSpec extends AnyFunSuite {
       assertSame(q(on = true), q(on = false), s"edge alignment parts=$parts")
     }
   }
+
+  test("r21 CombineRunningNodes: a withColumn tower merges into ONE node through computed-alias projects; dependent towers stay stacked") {
+    val s = spark
+    import s.implicits._
+    val df = (0 until 6000).map { i =>
+      (i.toLong, i % 4, (i / 4).toLong,
+        if (i % 7 == 0) None else Some(((i * 37) % 1000).toLong))
+    }.toDF("id", "g", "o", "cn")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"g").orderBy($"o", $"id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    // the s21 idiom: each withColumn computes the NEXT aggregate's
+    // input in a Project between the nodes (the alias must inline)
+    def q() = df
+      .withColumn("run1", last($"cn", ignoreNulls = true).over(w))
+      .withColumn("derived", when($"cn".isNotNull, $"cn" * 2))
+      .withColumn("run2", last($"derived", ignoreNulls = true).over(w))
+      .withColumn("run3", sum($"cn").over(w))
+      .select($"id", $"run1", $"run2", $"run3")
+    val plan = q().queryExecution.executedPlan.toString
+    val nodes = "GroupedRunningAgg \\[".r.findAllIn(
+      plan.split("== Initial Plan ==").head).length
+    assert(nodes == 1, s"tower must merge into ONE node, saw $nodes:\n" +
+      plan.take(2500))
+    val got = q().collect().toSeq.sortBy(_.getLong(0))
+    val ref = TestSpark.withConf(
+        graft.plans.GroupedRunningAggRewrite.ConfKey, "false") {
+      q().collect().toSeq.sortBy(_.getLong(0))
+    }
+    assertSame(got, ref, "merged running tower vs native")
+    // an outer aggregate CONSUMING the inner's output is a true data
+    // dependency — the tower must NOT merge
+    def dep() = df
+      .withColumn("run1", sum($"cn").over(w))
+      .withColumn("run2", max($"run1").over(w))
+      .select($"id", $"run1", $"run2")
+    val depPlan = dep().queryExecution.executedPlan.toString
+    val depNodes = "GroupedRunningAgg \\[".r.findAllIn(
+      depPlan.split("== Initial Plan ==").head).length
+    assert(depNodes == 2, s"dependent tower must stay stacked, saw $depNodes")
+    val gotDep = dep().collect().toSeq.sortBy(_.getLong(0))
+    val refDep = TestSpark.withConf(
+        graft.plans.GroupedRunningAggRewrite.ConfKey, "false") {
+      dep().collect().toSeq.sortBy(_.getLong(0))
+    }
+    assertSame(gotDep, refDep, "dependent running tower vs native")
+  }
 }
